@@ -1,0 +1,126 @@
+"""Group-by execution: keys (columns / expressions / MV), HAVING, TOP-N.
+
+Reference pipeline: AggregationGroupByOperator.java:38 (per-segment hash
+group-by) → CombineGroupByOperator.java:53 (concurrent cross-segment merge)
+→ BrokerReduceService.java:383-506 (final merge + HAVING + TOP-N trim).
+Spark's partial/final HashAggregate over a key-hash shuffle is the identical
+execution shape, so ``group_by_agg`` is a thin declarative layer.
+
+Semantics reproduced here:
+
+- **Group-by on expressions** (request.thrift:107-111): keys are arbitrary
+  Columns with aliases.
+- **MV group-by** (AggregationFunction.java:87-93): a row lands in EVERY
+  group of its multi-value column → explode the MV key once before grouping.
+- **Element-level MV aggregations** (DISTINCTCOUNTMV, PERCENTILE<N>MV):
+  computed on an exploded element relation and joined back on the group keys.
+  The join is on post-aggregation cardinality (number of groups), which is
+  orders of magnitude smaller than the fact table — cheap at any scale.
+- **HAVING** (BrokerReduceService.java:426-460): post-aggregation filter.
+  The reference's "close policy" (intersect groups present for all agg
+  functions) is moot here because our aggregation is exact — every group is
+  present for every function; documented deviation per SURVEY.md §7 risk 4.
+- **TOP-N** (AggregationGroupByTrimmingService.java:44): the reference
+  returns, per aggregation function, the top N groups ordered by that
+  aggregate desc (default N=10, approximate beyond guardrails). We compute
+  the same ordering EXACTLY — orderBy(agg desc, keys asc).limit(n) plans as
+  TakeOrderedAndProject, so no full sort materializes. Deterministic
+  tie-break on keys keeps results oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.aggregation import resolve
+
+DEFAULT_TOP_N = 10  # docs/pql_examples.rst:172,224
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One aggregation request: function name (registry key), input column,
+    output alias. ``col`` may be a Column expression (transform arg)."""
+
+    fn: str
+    col: Column | str | None
+    alias: str
+
+
+@dataclass(frozen=True)
+class Key:
+    """One group-by key: expression + alias; ``mv`` explodes an ArrayType
+    key so a row contributes to every element's group."""
+
+    expr: Column | str
+    alias: str
+    mv: bool = False
+
+
+def _kcol(k: Key) -> Column:
+    return F.col(k.expr) if isinstance(k.expr, str) else k.expr
+
+
+def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
+                 where: Column | None = None) -> DataFrame:
+    """Execute filter → group-by → aggregations, returning one row per group
+    with columns [key aliases..., agg aliases...]."""
+    if where is not None:
+        df = df.where(where)
+
+    # Materialize key aliases once (incl. MV key explosion).
+    for k in keys:
+        if k.mv:
+            df = df.withColumn(k.alias, F.explode(_kcol(k)))
+        else:
+            df = df.withColumn(k.alias, _kcol(k))
+    key_names = [k.alias for k in keys]
+
+    direct = [a for a in aggs if not resolve(a.fn).needs_elements]
+    element = [a for a in aggs if resolve(a.fn).needs_elements]
+
+    parts: list[DataFrame] = []
+    if direct or not element:
+        cols = [resolve(a.fn).builder(a.col).alias(a.alias) for a in direct]
+        if not cols:  # keep group presence even if all aggs are element-level
+            cols = [F.count(F.lit(1)).alias("__cnt")]
+        parts.append(df.groupBy(*key_names).agg(*cols) if key_names
+                     else df.agg(*cols))
+
+    for a in element:
+        spec = resolve(a.fn)
+        elem_col = F.col(a.col) if isinstance(a.col, str) else a.col
+        el = df.select(*key_names, F.explode(elem_col).alias("__elem"))
+        agged = (el.groupBy(*key_names) if key_names else el.groupBy()).agg(
+            spec.builder("__elem").alias(a.alias))
+        parts.append(agged)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, on=key_names) if key_names else out.crossJoin(p)
+    if "__cnt" in out.columns and all(a.alias != "__cnt" for a in aggs):
+        out = out.drop("__cnt")
+    # Stable column order: keys then aggs as requested.
+    return out.select(*key_names, *[a.alias for a in aggs])
+
+
+def having(df: DataFrame, cond: Column) -> DataFrame:
+    """HAVING — comparison tree over final aggregates
+    (HavingClauseComparisonTree.java:32); in Spark just a filter above the
+    aggregate, which Catalyst keeps post-agg."""
+    return df.where(cond)
+
+
+def top_n(df: DataFrame, agg_alias: str, n: int = DEFAULT_TOP_N,
+          key_names: Sequence[str] = ()) -> DataFrame:
+    """Reference TOP-N: top n groups ordered by one aggregate desc
+    (docs/pql_examples.rst:169-172), computed exactly with a deterministic
+    key tie-break. Plans as TakeOrderedAndProject (bounded per-partition
+    top-k + single merge — same algorithm as the reference's trimming
+    service, but exact)."""
+    order = [F.col(agg_alias).desc()] + [F.col(k).asc() for k in key_names]
+    return df.orderBy(*order).limit(n)

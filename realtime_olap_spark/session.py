@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every setting is
+chosen to survive a multi-executor cluster at 100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting) so shuffle partition counts
+  self-correct at scale;
+- shuffle partitions sized to cores locally; on a real cluster AQE's
+  ``advisoryPartitionSizeInBytes`` governs instead;
+- Arrow enabled for the (rare) Pandas-UDF path;
+- session timezone pinned to UTC so results are oracle-comparable.
+
+The reference engine's analogous knobs: per-server thread pool
+(pinot-core/.../operator/CombineOperator.java:59-64), 10k-doc blocks
+(pinot-core/.../plan/DocIdSetPlanNode.java:31). Spark replaces both with
+task-level parallelism + whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "realtime_olap_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

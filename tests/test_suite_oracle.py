@@ -1,0 +1,33 @@
+"""Differential test: every registered query with an oracle must match DuckDB
+exactly at sf0.01 — the reference's integration-test strategy
+(ClusterIntegrationTestUtils.java:506 testQuery) with DuckDB as the H2 analog.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_olap_spark import suite
+from tests.conftest import SF_DIR_ORACLE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(suite.ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    df = suite.QUERIES[name](spark, SF_DIR_ORACLE)
+    con = duck(SF_DIR_ORACLE)
+    assert_matches_oracle(df, con, suite.ORACLES[name], name)
+
+
+@pytest.mark.parametrize("name", sorted(set(suite.QUERIES) - set(suite.ORACLES)))
+def test_query_without_oracle_runs(spark, name):
+    df = suite.QUERIES[name](spark, SF_DIR_ORACLE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
