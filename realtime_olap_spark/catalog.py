@@ -19,6 +19,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -118,8 +119,23 @@ class Catalog:
         if name not in self._cache:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-            self._cache[name] = self.spark.read.parquet(
-                os.path.join(self.sf_dir, f"{name}.parquet"))
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            if name == "events":
+                # events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader
+                # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the physical
+                # INT64 as epoch-nanos and re-derive a microsecond timestamp
+                # (`ts div 1000` stays in long arithmetic — 1.7e18 ns doesn't
+                # survive a double). Microsecond truncation also matches what
+                # SQL engines (e.g. DuckDB) expose for ns parquet columns.
+                df = self.spark.read.schema(
+                    "event_id long, ts long, user_id long, event_type string, "
+                    "value double, props string"
+                ).parquet(path)
+                df = (df.withColumnRenamed("ts", "ts_ns")
+                        .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)")))
+                self._cache[name] = df
+            else:
+                self._cache[name] = self.spark.read.parquet(path)
         return self._cache[name]
 
     def config(self, name: str) -> TableConfig:

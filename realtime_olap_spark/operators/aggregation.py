@@ -63,10 +63,21 @@ def davg(col: Column | str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
 
 
-def _dec_fold(col: Column | str) -> Column:
-    """Exact per-row decimal sum of an array column's elements."""
+# Fixed-point scale for element sums over float arrays: 2^35. Multiplying a
+# double by a power of two is EXACT (only the exponent shifts), so
+# floor(x * 2^35) is deterministic in every engine — unlike double→decimal
+# casts, whose last-digit rounding differs between Spark (exact BigDecimal)
+# and DuckDB (rounds through a double product). Quantization error is
+# 2^-35 ≈ 3e-11 per element; the long partial sums stay < 2^53 up to ~10^13
+# unit-magnitude elements per group.
+FX = 34359738368  # 2^35
+
+
+def _fx_fold(col: Column | str) -> Column:
+    """Per-row exact fixed-point (long) sum of an array column's elements."""
     return F.aggregate(
-        _c(col), F.lit(0).cast(DEC), lambda acc, x: acc + x.cast("double").cast(DEC)
+        _c(col), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x.cast("double") * F.lit(FX)).cast("long"),
     )
 
 
@@ -149,12 +160,13 @@ def agg_maxmv(col: Column | str) -> Column:
 
 
 def agg_summv(col: Column | str) -> Column:
-    # Per-row exact decimal fold, then exact decimal sum across rows.
-    return F.sum(_dec_fold(col)).cast("double")
+    # Per-row exact fixed-point fold, exact long merge, one final division.
+    return (F.sum(_fx_fold(col)).cast("double") / F.lit(float(FX))).cast("double")
 
 
 def agg_avgmv(col: Column | str) -> Column:
-    return (F.sum(_dec_fold(col)).cast("double") / F.sum(F.size(_c(col)))).cast("double")
+    return (F.sum(_fx_fold(col)).cast("double") / F.lit(float(FX))
+            / F.sum(F.size(_c(col)))).cast("double")
 
 
 def agg_minmaxrangemv(col: Column | str) -> Column:
