@@ -1,0 +1,485 @@
+"""PQL-dialect front end.
+
+Replicates the reference's query language surface (grammar:
+pinot-common/src/main/antlr4/.../PQL2.g4; compiler:
+pinot-common/.../pql/parsers/Pql2Compiler.java:58,78 → thrift BrokerRequest,
+request.thrift:138-159):
+
+    SELECT <outputs> FROM <table>
+    [WHERE <predicate tree>]
+    [GROUP BY <expressions>]
+    [HAVING <aggregate comparisons>]
+    [ORDER BY col [ASC|DESC], ...]      -- selection queries only (reference)
+    [TOP n]                              -- group-by result size, default 10
+    [LIMIT n | LIMIT offset, n]          -- selection size, default 10
+
+Outputs are columns, transform-function calls (the closed 7-function set,
+§2.9), infix arithmetic (compiled to ADD/SUB/MULT/DIV like PQL2.g4's
+binaryMathOperator), ``*``, or aggregation calls (the closed registry, §2.4).
+Predicates: ``= <> != < <= > >= BETWEEN IN NOT IN REGEXP_LIKE`` composed with
+AND/OR (request.thrift:25-34, :60-75).
+
+Group-by semantics follow the reference: results are the TOP n groups
+ordered by the (first) aggregate descending (docs/pql_examples.rst:169-172,
+default 10 :224) — computed exactly, with group-key tie-break for
+determinism. Selection defaults LIMIT 10 (request.thrift:130-131).
+
+This is a hand-written recursive-descent parser (~the size of the
+reference's ANTLR listener) producing a ``PQLQuery`` IR — our
+BrokerRequest — compiled onto the operator layer.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.functions.transform import resolve_transform
+from realtime_olap_spark.operators import aggregation as A
+from realtime_olap_spark.operators.groupby import Agg, Key, group_by_agg, having, top_n
+
+DEFAULT_TOP = 10
+DEFAULT_LIMIT = 10
+
+
+# ---------------------------------------------------------------------------
+# AST (TransformExpressionTree analog: FUNCTION | IDENTIFIER | LITERAL)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Ident:
+    name: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Cmp:
+    op: str  # = <> < <= > >=
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Between:
+    expr: object
+    low: object
+    high: object
+
+
+@dataclass(frozen=True)
+class In:
+    expr: object
+    values: tuple
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class RegexpLike:
+    expr: object
+    pattern: str
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # AND | OR
+    operands: tuple
+
+
+@dataclass
+class PQLQuery:
+    """IR #1 — the BrokerRequest analog (request.thrift:138-159)."""
+
+    select: list = field(default_factory=list)  # (expr, alias) pairs
+    table: str = ""
+    where: object | None = None
+    group_by: list = field(default_factory=list)
+    having_: object | None = None
+    order_by: list = field(default_factory=list)  # (expr, asc) pairs
+    top: int | None = None
+    limit: tuple[int, int] | None = None  # (offset, n)
+
+    @property
+    def is_aggregation(self) -> bool:
+        return any(_is_agg(e) for e, _ in self.select)
+
+
+def _is_agg(expr) -> bool:
+    if isinstance(expr, Func):
+        try:
+            A.resolve(expr.name)
+            return True
+        except KeyError:
+            return False
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_$.]*)
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|%)
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"select", "from", "where", "group", "by", "having", "order",
+             "top", "limit", "and", "or", "not", "in", "between",
+             "asc", "desc", "regexp_like"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"PQL syntax error at: {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "ident" and val.lower() in _KEYWORDS:
+            out.append(("kw", val.lower()))
+        else:
+            out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, val=None):
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            return self.next()
+        return None
+
+    def expect(self, kind, val=None):
+        t = self.accept(kind, val)
+        if t is None:
+            raise ValueError(f"PQL: expected {val or kind}, got {self.peek()!r}")
+        return t
+
+    # --- expressions (precedence: * / over + -) ---------------------------
+
+    def expr(self):
+        left = self.term()
+        while True:
+            if self.accept("op", "+"):
+                left = Func("add", (left, self.term()))
+            elif self.accept("op", "-"):
+                left = Func("sub", (left, self.term()))
+            else:
+                return left
+
+    def term(self):
+        left = self.factor()
+        while True:
+            if self.accept("op", "*"):
+                left = Func("mult", (left, self.factor()))
+            elif self.accept("op", "/"):
+                left = Func("div", (left, self.factor()))
+            else:
+                return left
+
+    def factor(self):
+        k, v = self.peek()
+        if k == "number":
+            self.next()
+            return Lit(float(v) if ("." in v or "e" in v.lower()) else int(v))
+        if k == "string":
+            self.next()
+            return Lit(v[1:-1].replace("''", "'"))
+        if k == "op" and v == "(":
+            self.next()
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if k == "op" and v == "*":
+            self.next()
+            return Ident("*")
+        if k == "ident":
+            self.next()
+            if self.accept("op", "("):
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                    self.expect("op", ")")
+                return Func(v.lower(), tuple(args))
+            return Ident(v)
+        raise ValueError(f"PQL: unexpected token {self.peek()!r}")
+
+    # --- predicates --------------------------------------------------------
+
+    def predicate(self):
+        return self.or_pred()
+
+    def or_pred(self):
+        terms = [self.and_pred()]
+        while self.accept("kw", "or"):
+            terms.append(self.and_pred())
+        return terms[0] if len(terms) == 1 else BoolOp("OR", tuple(terms))
+
+    def and_pred(self):
+        terms = [self.atom_pred()]
+        while self.accept("kw", "and"):
+            terms.append(self.atom_pred())
+        return terms[0] if len(terms) == 1 else BoolOp("AND", tuple(terms))
+
+    def atom_pred(self):
+        if self.accept("op", "("):
+            p = self.or_pred()
+            self.expect("op", ")")
+            return p
+        if self.accept("kw", "regexp_like"):
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("op", ",")
+            pat = self.expect("string")[1][1:-1].replace("''", "'")
+            self.expect("op", ")")
+            return RegexpLike(e, pat)
+        e = self.expr()
+        if self.accept("kw", "between"):
+            low = self.expr()
+            self.expect("kw", "and")
+            return Between(e, low, self.expr())
+        if self.accept("kw", "not"):
+            self.expect("kw", "in")
+            return In(e, self._value_list(), negated=True)
+        if self.accept("kw", "in"):
+            return In(e, self._value_list())
+        k, v = self.next()
+        if k != "op" or v not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"PQL: expected comparison operator, got {v!r}")
+        return Cmp("<>" if v == "!=" else v, e, self.expr())
+
+    def _value_list(self):
+        self.expect("op", "(")
+        vals = [self.factor()]
+        while self.accept("op", ","):
+            vals.append(self.factor())
+        self.expect("op", ")")
+        return tuple(v.value for v in vals)
+
+    # --- statement ---------------------------------------------------------
+
+    def statement(self) -> PQLQuery:
+        q = PQLQuery()
+        self.expect("kw", "select")
+        q.select.append((self.expr(), None))
+        while self.accept("op", ","):
+            q.select.append((self.expr(), None))
+        self.expect("kw", "from")
+        q.table = self.expect("ident")[1]
+        if self.accept("kw", "where"):
+            q.where = self.predicate()
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            q.group_by.append(self.expr())
+            while self.accept("op", ","):
+                q.group_by.append(self.expr())
+        if self.accept("kw", "having"):
+            q.having_ = self.predicate()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            q.order_by.append(self._order_item())
+            while self.accept("op", ","):
+                q.order_by.append(self._order_item())
+        if self.accept("kw", "top"):
+            q.top = int(self.expect("number")[1])
+        if self.accept("kw", "limit"):
+            a = int(self.expect("number")[1])
+            if self.accept("op", ","):
+                q.limit = (a, int(self.expect("number")[1]))
+            else:
+                q.limit = (0, a)
+        self.expect("eof")
+        return q
+
+    def _order_item(self):
+        e = self.expr()
+        if self.accept("kw", "desc"):
+            return (e, False)
+        self.accept("kw", "asc")
+        return (e, True)
+
+
+def parse_pql(text: str) -> PQLQuery:
+    """Pql2Compiler.compileToBrokerRequest analog."""
+    return _Parser(_tokenize(text)).statement()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: PQLQuery → DataFrame plan
+# ---------------------------------------------------------------------------
+
+def _name_of(expr) -> str:
+    if isinstance(expr, Ident):
+        return "star" if expr.name == "*" else expr.name
+    if isinstance(expr, Lit):
+        return str(expr.value)
+    if isinstance(expr, Func):
+        return f"{expr.name}_{'_'.join(_name_of(a) for a in expr.args)}"
+    raise ValueError(f"cannot name {expr!r}")
+
+
+def _col(expr, agg_aliases: dict | None = None) -> Column:
+    """Compile a scalar expression tree (FUNCTION | IDENTIFIER | LITERAL)."""
+    if isinstance(expr, Ident):
+        if agg_aliases and expr.name in agg_aliases:
+            return F.col(agg_aliases[expr.name])
+        return F.col(expr.name)
+    if isinstance(expr, Lit):
+        return F.lit(expr.value)
+    if isinstance(expr, Func):
+        if agg_aliases is not None and _is_agg(expr):
+            # HAVING position: aggregate call refers to its output column.
+            return F.col(_name_of(expr))
+        fn = resolve_transform(expr.name)
+        if expr.name in ("timeconvert", "datetimeconvert"):
+            head = _col(expr.args[0])
+            rest = [a.value for a in expr.args[1:]]
+            return fn(head, *rest)
+        if expr.name == "valuein":
+            head = _col(expr.args[0])
+            return fn(head, *[a.value for a in expr.args[1:]])
+        return fn(*[_col(a) for a in expr.args])
+    raise ValueError(f"cannot compile {expr!r}")
+
+
+def _pred(expr, agg_aliases: dict | None = None) -> Column:
+    if isinstance(expr, BoolOp):
+        cols = [_pred(p, agg_aliases) for p in expr.operands]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if expr.op == "AND" else (out | c)
+        return out
+    if isinstance(expr, Cmp):
+        l, r = _col(expr.left, agg_aliases), _col(expr.right, agg_aliases)
+        return {"=": l == r, "<>": l != r, "<": l < r,
+                "<=": l <= r, ">": l > r, ">=": l >= r}[expr.op]
+    if isinstance(expr, Between):
+        return _col(expr.expr, agg_aliases).between(
+            _col(expr.low, agg_aliases), _col(expr.high, agg_aliases))
+    if isinstance(expr, In):
+        c = _col(expr.expr, agg_aliases).isin(list(expr.values))
+        return ~c if expr.negated else c
+    if isinstance(expr, RegexpLike):
+        return _col(expr.expr, agg_aliases).rlike(expr.pattern)
+    raise ValueError(f"cannot compile predicate {expr!r}")
+
+
+def compile_pql(q: PQLQuery, df: DataFrame) -> DataFrame:
+    """BrokerRequest → DataFrame plan (the InstancePlanMaker analog — except
+    Catalyst owns physical planning)."""
+    where = _pred(q.where) if q.where is not None else None
+
+    if q.is_aggregation:
+        aggs = []
+        for expr, _ in q.select:
+            if not _is_agg(expr):
+                continue  # group keys echo implicitly
+            arg = None
+            if expr.args and not (len(expr.args) == 1 and expr.args[0] == Ident("*")):
+                arg = _col(expr.args[0])
+            aggs.append(Agg(expr.name, arg, _name_of(expr)))
+        keys = [Key(_col(g), _name_of(g)) for g in q.group_by]
+        out = group_by_agg(df, keys=keys, aggs=aggs, where=where)
+        agg_aliases = {a.alias: a.alias for a in aggs}
+        if q.having_ is not None:
+            out = having(out, _pred(q.having_, agg_aliases))
+        if keys:
+            n = q.top if q.top is not None else DEFAULT_TOP
+            out = top_n(out, aggs[0].alias, n, key_names=[k.alias for k in keys])
+        return out
+
+    # Selection query
+    if len(q.select) == 1 and q.select[0][0] == Ident("*"):
+        cols = df.columns
+    else:
+        cols = [_col(e).alias(_name_of(e)) for e, _ in q.select]
+    if where is not None:
+        df = df.where(where)
+    out = df.select(*cols)
+    if q.order_by:
+        order = [(_col(e).asc() if asc else _col(e).desc()) for e, asc in q.order_by]
+        out = out.orderBy(*order)
+    offset, n = q.limit if q.limit is not None else (0, DEFAULT_LIMIT)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(n)
+
+
+class PQLEngine:
+    """Entry point A analog (BaseBrokerRequestHandler.handleRequest):
+    parse → compile → execute, plus Pinot-shaped response output
+    (BrokerResponseNative.java:43)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.catalog = Catalog(spark, sf_dir) if sf_dir else Catalog(spark)
+
+    def dataframe(self, pql: str) -> DataFrame:
+        q = parse_pql(pql)
+        return compile_pql(q, self.catalog.table(q.table))
+
+    def execute(self, pql: str) -> dict:
+        """Run and shape like BrokerResponseNative: selectionResults or
+        aggregationResults + stats."""
+        q = parse_pql(pql)
+        df = compile_pql(q, self.catalog.table(q.table))
+        rows = df.collect()
+        cols = df.columns
+        if q.is_aggregation and not q.group_by:
+            return {
+                "aggregationResults": [
+                    {"function": c, "value": rows[0][c] if rows else None}
+                    for c in cols],
+                "numDocsScanned": None,
+            }
+        if q.is_aggregation:
+            key_cols = [c for c in cols if c in {_name_of(g) for g in q.group_by}]
+            return {
+                "aggregationResults": [{
+                    "function": c,
+                    "groupByColumns": key_cols,
+                    "groupByResult": [
+                        {"group": [r[k] for k in key_cols], "value": r[c]}
+                        for r in rows],
+                } for c in cols if c not in key_cols],
+            }
+        return {
+            "selectionResults": {
+                "columns": cols,
+                "results": [[r[c] for c in cols] for r in rows],
+            }
+        }

@@ -31,6 +31,11 @@ try:
 except ImportError:
     pass
 try:
+    from realtime_olap_spark.suite import pqlq  # noqa: F401
+    _MODULES.append(pqlq)
+except ImportError:
+    pass
+try:
     from realtime_olap_spark.suite import hybrid  # noqa: F401
     _MODULES.append(hybrid)
 except ImportError:

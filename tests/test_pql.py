@@ -1,0 +1,105 @@
+"""Unit tests for the PQL front end: parser IR shape (Pql2CompilerTest.java
+analog), defaults, and response shaping."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_olap_spark.plans.pql import (BoolOp, Between, Cmp, Func, Ident,
+                                           In, Lit, PQLEngine, RegexpLike,
+                                           parse_pql)
+from tests.conftest import SF_DIR
+
+
+def test_parse_selection_defaults():
+    q = parse_pql("SELECT a, b FROM t")
+    assert q.table == "t"
+    assert q.select == [(Ident("a"), None), (Ident("b"), None)]
+    assert q.limit is None and q.top is None and not q.is_aggregation
+
+
+def test_parse_star():
+    q = parse_pql("SELECT * FROM t LIMIT 5")
+    assert q.select == [(Ident("*"), None)] and q.limit == (0, 5)
+
+
+def test_parse_limit_offset():
+    q = parse_pql("SELECT a FROM t LIMIT 20, 30")
+    assert q.limit == (20, 30)
+
+
+def test_parse_infix_compiles_to_functions():
+    q = parse_pql("SELECT a + b * 2 FROM t")
+    assert q.select[0][0] == Func("add", (Ident("a"), Func("mult", (Ident("b"), Lit(2)))))
+
+
+def test_parse_filter_tree():
+    q = parse_pql("SELECT a FROM t WHERE (x = 1 AND y <> 'z') OR w BETWEEN 2 AND 3")
+    p = q.where
+    assert isinstance(p, BoolOp) and p.op == "OR"
+    assert isinstance(p.operands[0], BoolOp) and p.operands[0].op == "AND"
+    assert p.operands[0].operands[0] == Cmp("=", Ident("x"), Lit(1))
+    assert p.operands[1] == Between(Ident("w"), Lit(2), Lit(3))
+
+
+def test_parse_in_notin_regexp():
+    q = parse_pql("SELECT a FROM t WHERE a IN (1, 2) AND b NOT IN ('x') "
+                  "AND REGEXP_LIKE(c, '^r.*')")
+    ops = q.where.operands
+    assert ops[0] == In(Ident("a"), (1, 2))
+    assert ops[1] == In(Ident("b"), ("x",), negated=True)
+    assert ops[2] == RegexpLike(Ident("c"), "^r.*")
+
+
+def test_parse_aggregation_with_top():
+    q = parse_pql("SELECT flag, sum(qty) FROM t GROUP BY flag TOP 7")
+    assert q.is_aggregation and q.top == 7
+    assert q.group_by == [Ident("flag")]
+
+
+def test_parse_percentile_names():
+    q = parse_pql("SELECT percentile95(x), percentiletdigest50(y) FROM t")
+    assert q.is_aggregation
+
+
+def test_parse_escaped_quote():
+    q = parse_pql("SELECT a FROM t WHERE b = 'it''s'")
+    assert q.where == Cmp("=", Ident("a" if False else "b"), Lit("it's"))
+
+
+def test_parse_error_is_clean():
+    with pytest.raises(ValueError, match="PQL"):
+        parse_pql("SELECT FROM t")
+    with pytest.raises(ValueError, match="PQL"):
+        parse_pql("SELECT a FROM t WHERE ???")
+
+
+def test_execute_selection_default_limit(spark):
+    eng = PQLEngine(spark, SF_DIR)
+    res = eng.execute("SELECT l_orderkey FROM lineitem")
+    assert len(res["selectionResults"]["results"]) == 10  # request.thrift:130-131
+
+
+def test_execute_scalar_aggregation_response(spark):
+    eng = PQLEngine(spark, SF_DIR)
+    res = eng.execute("SELECT count(*) FROM lineitem")
+    assert res["aggregationResults"][0]["function"] == "count_star"
+    assert res["aggregationResults"][0]["value"] == 6000
+
+
+def test_execute_groupby_response_shape(spark):
+    eng = PQLEngine(spark, SF_DIR)
+    res = eng.execute("SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    agg = res["aggregationResults"][0]
+    assert agg["groupByColumns"] == ["l_returnflag"]
+    assert 1 <= len(agg["groupByResult"]) <= 10
+    # TOP ordering: values descending (reference orders by aggregate desc)
+    vals = [g["value"] for g in agg["groupByResult"]]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_execute_valuein_and_timeconvert(spark):
+    eng = PQLEngine(spark, SF_DIR)
+    df = eng.dataframe(
+        "SELECT timeconvert(l_partkey, 'DAYS', 'HOURS') FROM lineitem LIMIT 3")
+    assert df.collect()[0][0] % 24 == 0
