@@ -1,0 +1,91 @@
+"""Hybrid-table and rollup-routing suite — batch-checkable slices of the
+streaming architecture (SURVEY.md §2.10 / M6 / M7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.rollup import RollupRouter, RollupSpec, build_rollup
+from realtime_olap_spark.streaming import hybrid_table
+from realtime_olap_spark.suite.registry import query
+from realtime_olap_spark.suite.sqlgen import OAVG, OSUM
+
+# The hybrid boundary for the events fixture: split the 30-day window so the
+# "offline" part is days 1-20 and "realtime" is the tail (FIXTURES.md).
+_BOUNDARY = "2024-01-21 00:00:00"
+
+
+@query("hybrid_time_boundary", f"""
+SELECT event_type, COUNT(*) AS cnt, {OSUM('value')} AS total
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def hybrid_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid table = offline(≤ boundary) ∪ realtime(> boundary)
+    (BaseBrokerRequestHandler.java:376-420). Splitting one table at the
+    boundary and re-unioning must read every row exactly once — the oracle
+    is the plain full-table aggregate."""
+    ev = Catalog(spark, sf_dir).table("events")
+    boundary = F.lit(_BOUNDARY).cast("timestamp")
+    offline = ev.where(F.col("ts") <= boundary)   # segment store
+    realtime = ev                                  # consuming segments
+    hybrid = hybrid_table(offline, realtime, "ts",
+                          boundary=_BOUNDARY)
+    return (hybrid.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total"))
+            .orderBy("event_type"))
+
+
+@query("rollup_routed_agg", f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       {OSUM('l_quantity')} AS sum_qty,
+       {OAVG('l_quantity')} AS avg_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def rollup_routed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-tree analog end-to-end: build the rollup, route an eligible
+    query to it, and the result must equal the raw aggregation (the
+    reference's star-tree vs non-star-tree differential,
+    StarTreeClusterIntegrationTest.java)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus", "l_suppkey"),
+                      sum_cols=("l_quantity",),
+                      min_cols=("l_extendedprice",),
+                      max_cols=("l_extendedprice",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    return router.query(
+        ["l_returnflag", "l_linestatus"],
+        [("count", None, "cnt"), ("sum", "l_quantity", "sum_qty"),
+         ("avg", "l_quantity", "avg_qty"),
+         ("min", "l_extendedprice", "min_price"),
+         ("max", "l_extendedprice", "max_price")])
+
+
+@query("rollup_routed_filtered", f"""
+SELECT l_suppkey, {OSUM('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_suppkey
+ORDER BY sum_qty DESC, l_suppkey ASC
+LIMIT 10
+""")
+def rollup_routed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed query with a dimension filter (StarTreeFilterOperator.java:55-88
+    traverses predicate dims; here the filter lands on the rollup scan) +
+    reference TOP-10 ordering."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus", "l_suppkey"),
+                      sum_cols=("l_quantity",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    out = router.query(["l_suppkey"], [("sum", "l_quantity", "sum_qty")],
+                       where=F.col("l_returnflag") == "R",
+                       filter_dims=["l_returnflag"])
+    return out.orderBy(F.col("sum_qty").desc(), F.col("l_suppkey").asc()).limit(10)

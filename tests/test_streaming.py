@@ -1,0 +1,134 @@
+"""Streaming ingest + hybrid + rollup tests (SURVEY.md §2.10 / M5-M7).
+
+File-source Structured Streaming with availableNow drains synchronously —
+the LLC consume→commit lifecycle compressed into a test
+(LLRealtimeSegmentDataManager.java:82-127 analog).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.rollup import RollupRouter, RollupSpec, build_rollup
+from realtime_olap_spark.streaming import RealtimeIngest, hybrid_table, time_boundary
+from tests.conftest import SF_DIR
+
+EV_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
+             "value double, props string")
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="rt_olap_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_source(spark, srcdir: str):
+    # File stream sources consume directories: stage the events parquet into
+    # one (arriving files = arriving stream records; ns ts read as long —
+    # catalog.py).
+    import os
+    os.makedirs(srcdir, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{srcdir}/events.parquet")
+    return spark.readStream.schema(EV_SCHEMA).parquet(srcdir)
+
+
+def test_streaming_append_ingest_exactly_once(spark, tmpdir):
+    """Raw append ingest: every source row lands in the sink exactly once;
+    a restart from the same checkpoint must not duplicate (the segment-commit
+    protocol analog)."""
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    q = ingest.start_append(_stream_source(spark, f"{tmpdir}/src"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{tmpdir}/sink")
+    want = spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == want.count()
+    assert got.agg(F.sum("event_id")).collect()[0][0] == \
+        want.agg(F.sum("event_id")).collect()[0][0]
+
+    # replay with same checkpoint → no new data, no duplicates
+    q2 = ingest.start_append(_stream_source(spark, f"{tmpdir}/src"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{tmpdir}/sink").count() == want.count()
+
+
+def test_streaming_rollup_aggregate_metrics(spark, tmpdir):
+    """aggregateMetrics ingest-rollup (MutableSegmentImpl.java:88): sink holds
+    one row per dimension combo with summed metrics."""
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    q = ingest.start_rollup(_stream_source(spark, f"{tmpdir}/src"),
+                            dims=["event_type"], metrics=["value"])
+    q.awaitTermination(120)
+
+    got = {r["event_type"]: r["value"]
+           for r in spark.read.parquet(f"{tmpdir}/sink").collect()}
+    want = {r["event_type"]: r["value"]
+            for r in (spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+                      .groupBy("event_type")
+                      .agg(F.sum(F.col("value").cast("decimal(38,10)"))
+                           .cast("double").alias("value")).collect())}
+    assert got == want
+
+
+def test_time_boundary_semantics(spark):
+    """Boundary = max(offline time) − 1 granularity unit
+    (BaseBrokerRequestHandler.java:376-420)."""
+    ev = Catalog(spark, SF_DIR).table("events")
+    b = time_boundary(ev, "ts", "HOURS")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    assert (mx - b).total_seconds() == 3600
+
+
+def test_hybrid_reads_each_row_exactly_once(spark):
+    """Offline and realtime overlap; the hybrid view must not double-count."""
+    ev = Catalog(spark, SF_DIR).table("events")
+    boundary = "2024-01-15 00:00:00"
+    offline = ev.where(F.col("ts") <= F.lit(boundary).cast("timestamp"))
+    realtime = ev.where(F.col("ts") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    hybrid = hybrid_table(offline, realtime, "ts", boundary=boundary)
+    assert hybrid.count() == ev.count()
+
+
+def test_hybrid_empty_offline_falls_back_to_realtime(spark):
+    ev = Catalog(spark, SF_DIR).table("events")
+    empty = ev.where(F.lit(False))
+    hybrid = hybrid_table(empty, ev, "ts", granularity="HOURS")
+    assert hybrid.count() == ev.count()
+
+
+def test_rollup_router_eligibility(spark):
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag",), sum_cols=("l_quantity",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    assert router.eligible(["l_returnflag"], [("sum", "l_quantity")])
+    assert not router.eligible(["l_partkey"], [("sum", "l_quantity")])      # dim not in tree
+    assert not router.eligible(["l_returnflag"], [("sum", "l_extendedprice")])  # pair missing
+    assert not router.eligible(["l_returnflag"], [("distinctcount", "l_partkey")])  # non-decomposable
+
+
+def test_rollup_routed_equals_raw(spark):
+    """Star-tree differential: routed result == raw fact aggregation
+    (StarTreeClusterIntegrationTest analog)."""
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus"),
+                      sum_cols=("l_quantity",), min_cols=("l_quantity",),
+                      max_cols=("l_quantity",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    aggs = [("count", None, "cnt"), ("sum", "l_quantity", "s"),
+            ("min", "l_quantity", "mn"), ("max", "l_quantity", "mx")]
+    routed = {r[0]: tuple(r[1:])
+              for r in router.query(["l_returnflag"], aggs,
+                                    where=F.col("l_linestatus") == "F",
+                                    filter_dims=["l_linestatus"]).collect()}
+    raw = {r[0]: tuple(r[1:])
+           for r in RollupRouter(li, li.limit(0), RollupSpec(dims=()))  # force fallback
+           .query(["l_returnflag"], aggs,
+                  where=F.col("l_linestatus") == "F").collect()}
+    assert routed == raw
