@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These extend the reference's query surface (it has nothing comparable) with
+the standard near-dup stack used on web-scale corpora: exact hash dedup,
+MinHash+LSH, SimHash, n-gram Jaccard verification, and embedding-cosine
+near-dup. Everything is declarative DataFrame ops — hashing via md5 (a
+built-in in both Spark and common SQL oracles, so every stage is
+differentially testable) and the pair-generation joins are band-key
+equi-joins that Catalyst shuffles on the band key.
+
+Scale design (100 TB corpus):
+- signatures are computed per row with JVM array expressions — no explode
+  until banding, so the shuffle input is one row per doc per band;
+- candidate pairs come from an equi-join on band keys — never a cross join;
+  the join key cardinality (band buckets) grows with the corpus, keeping
+  partitions balanced. A hot bucket (degenerate band, e.g. empty docs) is
+  the one skew risk — cap bucket size or salt if observed;
+- verification (exact Jaccard) runs only on candidate pairs, which is the
+  LSH point: candidates ≪ n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_set(text: Column | str) -> Column:
+    """Distinct lowercase word shingles (k=1 word shingling — the shingle
+    builder both engines can express identically; larger k is a transform
+    on this array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(F.split(F.lower(c), " "))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated value combo with its
+    multiplicity. At scale this is a single shuffle on the content hash."""
+    return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("dup_count"))
+              .where(F.col("dup_count") > 1))
+
+
+def dedup_exact(df: DataFrame, cols: list[str], keep_by: str) -> DataFrame:
+    """Keep one representative per duplicate group (min ``keep_by``) —
+    min_by avoids a window sort; single shuffle."""
+    reps = df.groupBy(*cols).agg(F.min(keep_by).alias(keep_by))
+    return df.join(reps, on=[*cols, keep_by], how="leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(words: Column, num_hashes: int) -> list[Column]:
+    """MinHash: the i-th signature component is min over shingles of
+    md5(i || shingle). Lexicographic min over the hex digest is a uniform
+    hash order, and md5 exists in every engine → oracle-comparable."""
+    def component(i: int) -> Column:
+        # single-arg lambda: a 2-arg lambda would receive the array INDEX
+        # as its second argument and shadow the captured i
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(f"{i}|"), w)))
+        ).alias(f"mh{i}")
+
+    return [component(i) for i in range(num_hashes)]
+
+
+def lsh_band_keys(sig_cols: list[str], band_size: int) -> list[Column]:
+    """Banding: hash each band of ``band_size`` signature components; docs
+    sharing any band key are candidate duplicates (probability calibrated by
+    bands × band_size)."""
+    assert len(sig_cols) % band_size == 0
+    return [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *sig_cols[b * band_size:(b + 1) * band_size]))
+        .alias(f"band{b}")
+        for b in range(len(sig_cols) // band_size)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
+
+    Plan shape: per-row signature (no shuffle) → explode to one row per
+    (doc, band) → self-equi-join on band key (ONE shuffle, no cross join)
+    → distinct pairs.
+    """
+    sigs = df.select(F.col(id_col), *minhash_signature(word_set(text_col), num_hashes))
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*lsh_band_keys([f"mh{i}" for i in range(num_hashes)],
+                                         band_size))).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def jaccard(words_a: Column, words_b: Column) -> Column:
+    """Exact Jaccard over shingle sets — integer set sizes, so the double
+    division is bit-deterministic."""
+    inter = F.size(F.array_intersect(words_a, words_b))
+    union = F.size(F.array_union(words_a, words_b))
+    return (inter.cast("double") / union.cast("double"))
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 8, band_size: int = 2,
+                            threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥
+    threshold. The verify join only touches candidate ids."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size)
+    words = df.select(F.col(id_col), word_set(text_col).alias("ws"))
+    return (cands
+            .join(words.withColumnRenamed(id_col, "id_a")
+                       .withColumnRenamed("ws", "ws_a"), "id_a")
+            .join(words.withColumnRenamed(id_col, "id_b")
+                       .withColumnRenamed("ws", "ws_b"), "id_b")
+            .withColumn("jaccard", jaccard(F.col("ws_a"), F.col("ws_b")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def word_hash60(w: Column) -> Column:
+    """60-bit word hash from the md5 hex prefix — parses identically as
+    Spark conv(hex,16,10) and SQL '0x…'::UBIGINT (fits in a signed 64-bit)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit j of the fingerprint is the sign of
+    Σ_words (±1 per word's hash bit j). Near-dup docs differ in few bits.
+
+    Implementation: explode to (doc, word), one shuffled groupBy with
+    ``bits`` conditional sums — partial aggregation keeps the shuffle at
+    one row per doc per partition.
+    """
+    words = df.select(F.col(id_col),
+                      F.explode(word_set(text_col)).alias("w"))
+    h = word_hash60(F.col("w"))
+    sums = words.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"s{j}")
+        for j in range(bits)
+    ])
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (zip_with + aggregate) — the same
+    addition order any engine's list_inner_product uses."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             bucket_col: str, threshold: float = 0.8) -> DataFrame:
+    """Near-dup embedding pairs within a blocking bucket (e.g. a coarse
+    cluster/label): equi-join on the bucket (no cross join), exact cosine ≥
+    threshold. The left-fold dot product is bit-identical to SQL engines'
+    list_inner_product (verified exhaustively), so no rounding is needed for
+    differential testing. At 100 TB the bucket column comes from an ANN /
+    IVF assignment (see operators/similarity.py)."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(bucket_col).alias("bk"),
+                     F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(bucket_col).alias("bk"),
+                      F.col(vec_col).alias("vb"))
+    return (left.join(right, "bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))

@@ -1,0 +1,139 @@
+"""Dedup suite — training-data pipeline extensions on the documents /
+embeddings tables, each stage paired with a full DuckDB oracle so even the
+MinHash/SimHash pipelines are value-verified end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators import dedup as D
+from realtime_olap_spark.suite.registry import query
+
+_WS = "list_distinct(string_split(lower(text), ' '))"
+
+
+@query("dedup_exact", """
+SELECT lang, source, COUNT(*) AS dup_count
+FROM documents
+GROUP BY lang, source
+HAVING COUNT(*) > 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup: duplicate groups + multiplicity (here on the
+    (lang, source) key; on content columns the same single shuffle)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.exact_duplicate_groups(d, ["lang", "source"])
+
+
+@query("dedup_exact_distinct", """
+SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts
+FROM documents
+""")
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup cardinality: rows vs distinct payloads."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.agg(F.count(F.lit(1)).alias("total"),
+                 F.count_distinct("text").alias("distinct_texts"))
+
+
+_MH_SIGS = ",\n  ".join(
+    f"list_min([md5('{i}|' || x) for x in w]) AS mh{i}" for i in range(8))
+
+_MINHASH_ORACLE = f"""
+WITH ws AS (SELECT doc_id, {_WS} AS w FROM documents),
+sigs AS (SELECT doc_id,
+  {_MH_SIGS}
+FROM ws),
+bands AS (SELECT doc_id, unnest([
+    md5(concat_ws('|', '0', mh0, mh1)),
+    md5(concat_ws('|', '1', mh2, mh3)),
+    md5(concat_ws('|', '2', mh4, mh5)),
+    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key
+  FROM sigs),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
+FROM cands
+JOIN ws wa ON wa.doc_id = id_a
+JOIN ws wb ON wb.doc_id = id_b
+WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2) candidate pairs, verified with exact
+    Jaccard ≥ 0.5 — the standard web-corpus near-dup pipeline, one band-key
+    shuffle + a candidates-only verify join."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.minhash_lsh_dedup_pairs(d, "doc_id", "text",
+                                     num_hashes=8, band_size=2, threshold=0.5)
+
+
+_SH_SUMS = ",\n  ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16))
+_SH_FP = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+_SIMHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, unnest({_WS}) AS wd FROM documents),
+h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(wd), 1, 15) AS UBIGINT) AS BIGINT) AS h FROM w),
+s AS (SELECT doc_id, {_SH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SH_FP} AS BIGINT) AS simhash
+FROM s ORDER BY doc_id LIMIT 30
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (sign of per-bit ±1 sums over 60-bit word
+    hashes) — near-dups differ in few bits; fingerprint equality buckets are
+    the dedup key at scale."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.simhash(d, "doc_id", "text", bits=16).orderBy("doc_id").limit(30)
+
+
+@query("dedup_ngram_jaccard", f"""
+WITH ws AS (SELECT doc_id, lang, {_WS} AS w FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) AS jaccard
+FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 15
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram (word-set) Jaccard: equi-join on a blocking
+    key (lang) instead of a cross join; top-15 most similar pairs."""
+    d = Catalog(spark, sf_dir).table("documents")
+    ws = d.select("doc_id", "lang", D.word_set("text").alias("w"))
+    a = ws.select(F.col("doc_id").alias("id_a"), "lang", F.col("w").alias("wa"))
+    b = ws.select(F.col("doc_id").alias("id_b"), "lang", F.col("w").alias("wb"))
+    return (a.join(b, "lang")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    D.jaccard(F.col("wa"), F.col("wb")).alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(15))
+
+
+@query("dedup_embedding_cosine", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE cos >= 0.35
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within a blocking bucket (label ≈ coarse
+    cluster): exact cosine ≥ τ; the fold dot product is bit-identical to the
+    oracle's list_inner_product."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return D.embedding_near_dup_pairs(e, "vec_id", "embedding", "label",
+                                      threshold=0.35)
