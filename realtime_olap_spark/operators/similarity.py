@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference (Apache Pinot ~2019) has no vector surface at all; these are
+the training-data-pipeline extensions: brute-force cosine top-k as the exact
+baseline, plus two sublinear-scale paths — random-hyperplane LSH bucketing
+and IVF (coarse-quantizer) probing.
+
+Scale design (100 TB / billions of vectors):
+- every scoring expression is a per-row JVM fold over the array column
+  against LITERAL query/centroid/plane vectors — no UDF, no shuffle, no
+  cross join; the only exchange is the final top-k
+  (TakeOrderedAndProject) or the bucket filter;
+- LSH / IVF prune the scan: bucket assignment is computed once at write
+  time in practice (partition/bucket the table by it) so a probe reads only
+  matching partitions — here it is computed on the fly, which Catalyst
+  still evaluates scan-side after column pruning;
+- centroids come from an offline sampling/KMeans job in practice; they are
+  passed in as plain Python lists (broadcast as literals), never joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.dedup import cosine, dot
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], id_col: str,
+                vec_col: str, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k: one pass, per-partition bounded
+    top-k merged on the driver (TakeOrderedAndProject) — the correctness
+    baseline every approximate path is measured against."""
+    q = _lit_vec(query_vec)
+    return (df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+              .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SimHash-style bucket id: bit j = [vec · plane_j > 0]. Near vectors
+    (small angle) agree on most sign bits, so sharing all ``len(planes)``
+    bits is a high-precision candidate filter."""
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        bucket = bucket + F.when(dot(vec, _lit_vec(p)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], planes: list[list[float]],
+             id_col: str, vec_col: str, k: int = 10) -> DataFrame:
+    """ANN via hyperplane LSH: score only rows in the query's bucket.
+    With the bucket as a write-time partition column this becomes a
+    partition-pruned scan of ~1/2^b of the data."""
+    qb = _query_bucket(query_vec, planes)
+    v = F.col(vec_col)
+    return (df.where(hyperplane_bucket(v, planes) == F.lit(qb))
+              .select(F.col(id_col), cosine(v, _lit_vec(query_vec)).alias("cos"))
+              .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
+def _query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket of the (literal) query vector, with the same
+    sequential-fold dot product the executors use."""
+    bucket = 0
+    for j, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc += float(x) * float(y)
+        if acc > 0:
+            bucket |= 1 << j
+    return bucket
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file / coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def squared_l2(a: Column, b: Column) -> Column:
+    """||a-b||² = a·a − 2·a·b + b·b — three sequential-fold dot products, so
+    the float op order is reproducible in any engine with an inner-product
+    primitive (oracle-comparable, unlike a resummed list_sum)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid by squared L2; ties resolve
+    to the FIRST minimal index (array_position of the min), matching the
+    oracle's list_indexof semantics."""
+    dists = F.array(*[squared_l2(vec, _lit_vec(c)) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[list[float]],
+             id_col: str, vec_col: str, k: int = 10, nprobe: int = 2) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side,
+    literals only), scan the ``nprobe`` nearest cells, exact cosine top-k
+    within them. At scale the cell id is a write-time partition column and
+    the probe is a partition-pruned scan of nprobe/K of the corpus."""
+    probes = _nearest_centroids(query_vec, centroids, nprobe)
+    v = F.col(vec_col)
+    return (df.where(ivf_assign(v, centroids).isin(probes))
+              .select(F.col(id_col), cosine(v, _lit_vec(query_vec)).alias("cos"))
+              .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
+def _nearest_centroids(query_vec: list[float], centroids: list[list[float]],
+                       nprobe: int) -> list[int]:
+    def sq(c: list[float]) -> float:
+        aa = ab = bb = 0.0
+        for x, y in zip(query_vec, c):
+            aa += float(x) * float(x)
+            ab += float(x) * float(y)
+            bb += float(y) * float(y)
+        return aa - 2.0 * ab + bb
+
+    order = sorted(range(len(centroids)), key=lambda i: (sq(centroids[i]), i))
+    return order[:nprobe]
