@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data curation.
+
+Outside the reference's surface (Pinot ~2019 has no string functions at all
+— SURVEY.md §2.9 "absent scalar families"); these are the standard corpus
+curation passes: language ID, quality scoring, token counting, and document
+fingerprinting.
+
+Scale design: every function is a pure per-row JVM expression (regexp /
+split / aggregate folds over the text column) — no UDF, no shuffle, no
+state. On 100 TB these run scan-side inside WholeStageCodegen and pipeline
+straight into whatever aggregation or filter follows; the only exchanges
+belong to the downstream operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets: the n-gram-heuristic language ID
+# (score = how many of the language's markers appear as words). Real
+# pipelines use fastText/CLD3; the *Spark shape* — per-row scoring against
+# literal profiles, argmax via array_position — is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty-token free)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_score(text: Column, markers: list[str]) -> Column:
+    """Number of marker words present in the text (distinct markers hit)."""
+    ws = F.array_distinct(words(text))
+    score = F.lit(0)
+    for m in markers:
+        score = score + F.when(F.array_contains(ws, m), 1).otherwise(0)
+    return score
+
+
+def detect_language(text: Column, profiles: dict[str, list[str]] | None = None,
+                    min_score: int = 1) -> Column:
+    """Argmax language over marker profiles; ties go to the first profile
+    in (sorted-key) order; below ``min_score`` → 'und' (undetermined)."""
+    profiles = profiles or LANG_MARKERS
+    langs = sorted(profiles)
+    scores = F.array(*[lang_score(text, profiles[lang]) for lang in langs])
+    best = F.array_max(scores)
+    pick = F.element_at(F.array(*[F.lit(lang) for lang in langs]),
+                        F.array_position(scores, best).cast("int"))
+    return F.when(best >= min_score, pick).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword count: runs of letters, runs of digits, and single
+    non-space punctuation each count as one token — the standard cheap
+    proxy for tokenizer cost used to budget training data. RE2-compatible
+    alternation (no lookarounds) so any regex engine agrees."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Curation-style quality signals: length, token stats, punctuation and
+    stopword ratios, uppercase ratio."""
+    ws = words(text)
+    n_tok = F.size(ws)
+    n_chars = F.length(text)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w)))
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    # integer total → one exact division; no float fold order to match
+    mean_word_len = total_word_chars(ws).cast("double") / n_tok.cast("double")
+    return [
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_upper.cast("double") / n_chars.cast("double")).alias("upper_ratio"),
+    ]
+
+
+def total_word_chars(ws: Column) -> Column:
+    """Integer sum of token lengths (order-independent, exact)."""
+    return F.aggregate(ws, F.lit(0).cast("long"),
+                       lambda acc, w: acc + F.length(w).cast("long"))
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality score: stopword presence up, punctuation soup
+    down, degenerate token lengths down — a deterministic stand-in for a
+    model-based scorer with the same plan shape. Every float derives from
+    an integer ratio, so the score is bit-reproducible in any engine."""
+    ws = words(text)
+    n_tok = F.size(ws).cast("double")
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_r = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast("double") / n_tok
+    punct_r = (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+               ).cast("double") / F.length(text).cast("double")
+    mean_len = total_word_chars(ws).cast("double") / n_tok
+    return (F.least(stop_r * 2.0, F.lit(0.4))
+            + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.4).otherwise(0.0)
+            + F.greatest(F.lit(0.2) - punct_r, F.lit(0.0)))
+
+
+FINGERPRINT_MOD = 1_000_000_007  # keeps acc*31 + c far below int64 overflow
+
+
+def rolling_fingerprint(text: Column, mod: int = FINGERPRINT_MOD) -> Column:
+    """Polynomial rolling-hash document fingerprint over characters:
+    h ← h·31 + code(c) (mod p), left-to-right — an order-sensitive
+    complement to the word-set hashes in operators/dedup.py, and the same
+    per-row fold shape as a Rabin-Karp chunker."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"))

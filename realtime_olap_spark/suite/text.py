@@ -1,0 +1,144 @@
+"""Text-analysis suite on the documents table — language ID, quality
+scoring, token counting, fingerprinting — each paired with a full DuckDB
+oracle. All features are integer-derived (counts, integer sums, single
+divisions), so even the double-valued scores compare bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators import text as T
+from realtime_olap_spark.suite.registry import query
+
+# DuckDB renderings of the same expressions (RE2 regexes; 'g' = replace-all
+# to match Spark's regexp_replace semantics).
+_WS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+_NTOK = f"len({_WS})"
+_NPUNCT = r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))"
+_NUPPER = "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+_STOPLIST = "['" + "', '".join(T.LANG_MARKERS["en"]) + "']"
+_NSTOP = f"len(list_filter({_WS}, w -> list_contains({_STOPLIST}, w)))"
+_WCHARS = f"CAST(list_sum(list_transform({_WS}, w -> length(w))) AS BIGINT)"
+_BPE = f"len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))"
+
+_LANGS = sorted(T.LANG_MARKERS)
+_SCORES = "[" + ", ".join(
+    " + ".join(
+        f"(CASE WHEN list_contains(list_distinct({_WS}), '{m}') THEN 1 ELSE 0 END)"
+        for m in T.LANG_MARKERS[lang])
+    for lang in _LANGS) + "]"
+_LANG_LIST = "['" + "', '".join(_LANGS) + "']"
+_DETECT = (f"(CASE WHEN list_max({_SCORES}) >= 1 "
+           f"THEN {_LANG_LIST}[list_indexof({_SCORES}, list_max({_SCORES}))] "
+           f"ELSE 'und' END)")
+
+
+@query("text_language_id", f"""
+SELECT {_DETECT} AS detected, COUNT(*) AS n_docs
+FROM documents
+GROUP BY detected
+ORDER BY detected ASC
+""")
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (marker-word argmax against literal
+    per-language profiles), rolled up to corpus language distribution."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select(T.detect_language(F.col("text")).alias("detected"))
+            .groupBy("detected").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("detected").asc()))
+
+
+@query("text_quality_features", f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       {_NTOK} AS n_tokens,
+       CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS mean_word_len,
+       CAST({_NSTOP} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS stopword_ratio,
+       CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST({_NUPPER} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS upper_ratio
+FROM documents
+ORDER BY doc_id ASC
+LIMIT 30
+""")
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length / token stats / stopword,
+    punctuation, uppercase ratios) — pure scan-side expressions."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select("doc_id", *T.quality_features(F.col("text")))
+            .orderBy(F.col("doc_id").asc()).limit(30))
+
+
+@query("text_quality_gate", f"""
+WITH scored AS (
+  SELECT lang,
+         least(CAST({_NSTOP} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) * 2.0, 0.4)
+         + (CASE WHEN CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE)
+                 BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END)
+         + greatest(0.2 - CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0)
+         AS q
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_kept
+FROM scored
+GROUP BY lang
+ORDER BY lang ASC
+""")
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gate: per-language keep counts at quality_score ≥ 0.5 —
+    the filter a pretraining pipeline applies before tokenization."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select("lang", T.quality_score(F.col("text")).alias("q"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"))
+            .orderBy(F.col("lang").asc()))
+
+
+@query("text_token_budget", f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM({_NTOK}) AS ws_tokens,
+       SUM({_BPE}) AS bpe_tokens,
+       MAX({_BPE}) AS max_bpe,
+       CAST(SUM({_BPE}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bpe
+FROM documents
+GROUP BY source
+ORDER BY source ASC
+""")
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting per source: whitespace + BPE-ish counts (integer
+    sums → exact), the sizing pass for training-data mixes."""
+    d = Catalog(spark, sf_dir).table("documents")
+    ntok = T.token_count(F.col("text"))
+    bpe = T.bpe_ish_token_count(F.col("text"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ntok).alias("ws_tokens"),
+                 F.sum(bpe).alias("bpe_tokens"),
+                 F.max(bpe).alias("max_bpe"),
+                 (F.sum(bpe).cast("double") / F.count(F.lit(1)).cast("double"))
+                 .alias("avg_bpe"))
+            .orderBy(F.col("source").asc()))
+
+
+@query("text_fingerprint", f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '') if c != '']),
+         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint
+FROM documents
+ORDER BY doc_id ASC
+LIMIT 30
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (Rabin-Karp-style) per document — the
+    order-sensitive fingerprint complementing the word-set hashes."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select("doc_id",
+                     T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy(F.col("doc_id").asc()).limit(30))
