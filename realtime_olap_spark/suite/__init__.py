@@ -55,5 +55,10 @@ try:
     _MODULES.append(text)
 except ImportError:
     pass
+try:
+    from realtime_olap_spark.suite import multimodal  # noqa: F401
+    _MODULES.append(multimodal)
+except ImportError:
+    pass
 
 __all__ = ["QUERIES", "ORACLES"]
