@@ -1,0 +1,20 @@
+"""Ingestion: batch readers, record transformers, segment sink, maintenance
+jobs (SURVEY.md §2.1)."""
+
+from realtime_olap_spark.sources.readers import (read_avro, read_csv,
+                                                 read_json, read_segments)
+from realtime_olap_spark.sources.segments import (SegmentWriter,
+                                                  with_virtual_columns)
+from realtime_olap_spark.sources.transformers import (CompoundTransformer,
+                                                      DataTypeTransformer,
+                                                      ExpressionTransformer,
+                                                      NullDefaultTransformer,
+                                                      SanitationTransformer,
+                                                      TimeTransformer)
+
+__all__ = [
+    "read_avro", "read_csv", "read_json", "read_segments",
+    "SegmentWriter", "with_virtual_columns",
+    "CompoundTransformer", "DataTypeTransformer", "ExpressionTransformer",
+    "NullDefaultTransformer", "SanitationTransformer", "TimeTransformer",
+]

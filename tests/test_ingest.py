@@ -1,0 +1,151 @@
+"""Ingestion-layer tests: readers, record transformers, null sentinels,
+segment sink layout, virtual columns, maintenance jobs (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from realtime_olap_spark.catalog import TABLES, Catalog, TableConfig
+from realtime_olap_spark.sources import (CompoundTransformer,
+                                         DataTypeTransformer,
+                                         ExpressionTransformer,
+                                         NullDefaultTransformer,
+                                         SanitationTransformer, SegmentWriter,
+                                         TimeTransformer, read_csv, read_json,
+                                         with_virtual_columns)
+from realtime_olap_spark.sources.maintenance import (enforce_retention,
+                                                     merge_rollup, purge)
+from tests.conftest import SF_DIR
+
+_SCHEMA = StructType([
+    StructField("k", LongType()),
+    StructField("name", StringType()),
+    StructField("v", DoubleType()),
+])
+
+
+def test_read_csv_schema_declared(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("k,name,v\n1,a,1.5\n2,b,2.5\nbad-row,,\n")
+    df = read_csv(spark, str(p), _SCHEMA)
+    assert df.schema == _SCHEMA
+    assert df.where("k IS NOT NULL").count() == 2
+
+
+def test_read_json_schema_declared(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"k": 1, "name": "a", "v": 1.5}\n{"k": 2, "name": "b", "v": 2.5}\n')
+    df = read_json(spark, str(p), _SCHEMA)
+    assert df.schema == _SCHEMA and df.count() == 2
+
+
+def test_expression_transformer(spark):
+    df = spark.createDataFrame([Row(a=2, b=3)])
+    out = ExpressionTransformer({"c": "a * b + 1"})(df)
+    assert out.collect()[0]["c"] == 7
+
+
+def test_time_transformer_coarsen_and_refine(spark):
+    df = spark.createDataFrame([Row(t=90_061_000)])  # ms: 1d 1h 1m 1s
+    days = TimeTransformer("t", "MILLISECONDS", "DAYS")(df).collect()[0]["t"]
+    assert days == 1  # floor
+    back = TimeTransformer("t", "DAYS", "MILLISECONDS")(
+        spark.createDataFrame([Row(t=1)])).collect()[0]["t"]
+    assert back == 86_400_000
+
+
+def test_datatype_transformer_mv_wrap(spark):
+    df = spark.createDataFrame([Row(x="7")])
+    out = DataTypeTransformer({"x": "long"}, multi_value=("x",))(df)
+    assert isinstance(out.schema["x"].dataType, ArrayType)
+    assert out.collect()[0]["x"] == [7]
+
+
+def test_sanitation_truncates_and_strips(spark):
+    df = spark.createDataFrame([Row(s="a\x00b" + "x" * 600)])
+    out = SanitationTransformer(("s",), max_length=512)(df).collect()[0]["s"]
+    assert "\x00" not in out and len(out) == 512 and out.startswith("ab")
+
+
+def test_null_defaults_reference_sentinels(spark):
+    cfg = TableConfig("t", dimensions=("d", "s"), metrics=("m",))
+    df = spark.createDataFrame(
+        [Row(d=1, s="x", m=2.0), Row(d=None, s=None, m=None)],
+        schema=StructType([StructField("d", LongType()),
+                           StructField("s", StringType()),
+                           StructField("m", DoubleType())]))
+    row = NullDefaultTransformer(cfg)(df).where("d < 0").collect()[0]
+    assert row["d"] == -9223372036854775808  # Long.MIN_VALUE
+    assert row["s"] == "null"
+    assert row["m"] == 0.0
+
+
+def test_compound_transformer_order(spark):
+    cfg = TableConfig("t", dimensions=("name",), metrics=("v",),
+                      time_column="t", time_unit="DAYS")
+    tf = CompoundTransformer.for_table(
+        cfg, expressions={"v": "v * 2"}, incoming_time_unit="MILLISECONDS",
+        types={"v": "double"}, string_columns=("name",))
+    df = spark.createDataFrame([Row(name="n", v=10, t=86_400_000)])
+    row = tf(df).collect()[0]
+    assert row["v"] == 20.0 and row["t"] == 1
+
+
+def test_segment_writer_layout_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_seg")
+    events = Catalog(spark, SF_DIR).table("events").drop("ts_ns")
+    cfg = TableConfig("events", dimensions=("event_id", "user_id", "event_type"),
+                      metrics=("value",), time_column="ts", time_unit="DAYS",
+                      sorted_column="event_type")
+    SegmentWriter(cfg, bloom_columns=("user_id",)).write(events, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+    # partition pruning: a one-day filter must prune the file listing
+    plan = (back.where(F.col("__ts_bucket") == "2024-01-01")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    # predicate pushdown on the sorted column reaches the scan
+    plan2 = (back.where(F.col("event_type") == "click")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan2
+
+
+def test_virtual_columns(spark):
+    df = with_virtual_columns(Catalog(spark, SF_DIR).table("events").drop("ts_ns"))
+    row = df.select("$docId", "$segmentName", "$hostName").limit(1).collect()[0]
+    assert row["$segmentName"].endswith(".parquet")
+    assert df.select("$docId").distinct().count() == df.count()
+
+
+def test_merge_rollup_matches_direct_agg(spark):
+    events = Catalog(spark, SF_DIR).table("events").drop("ts_ns")
+    rolled = merge_rollup(events, ["event_type"], ["value"])
+    want = {r["event_type"]: r["s"] for r in
+            events.groupBy("event_type").agg(F.sum("value").alias("s")).collect()}
+    got = {r["event_type"]: r["value"] for r in rolled.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_purge_and_retention(spark):
+    events = Catalog(spark, SF_DIR).table("events").drop("ts_ns")
+    n = events.count()
+    n_err = events.where("event_type = 'error'").count()
+    assert purge(events, F.col("event_type") == "error").count() == n - n_err
+    cut = dt.datetime(2024, 1, 2)
+    kept = enforce_retention(events, "ts", cut).count()
+    assert kept == events.where(F.col("ts") >= F.lit(cut)).count()
+    assert 0 < kept < n
+
+
+def test_catalog_has_all_driver_tables():
+    assert set(TABLES) == {"region", "nation", "customer", "supplier", "part",
+                           "orders", "lineitem", "events", "documents",
+                           "embeddings"}
