@@ -71,7 +71,9 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in suite.QUERIES]
 
-    # Warm the JVM + parquet footers once (untimed) on the cheapest query.
+    # Warm the JVM (codegen, parquet reader, shuffle paths) untimed: the
+    # flagship pipeline at the smallest SF plus a footer read at bench SF.
+    suite.QUERIES["flagship_q1"](spark, "/root/testdata/sf0.001").collect()
     suite.QUERIES["agg_metadata_count"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

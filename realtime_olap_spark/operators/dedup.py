@@ -141,23 +141,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """SimHash fingerprint: bit j of the fingerprint is the sign of
     Σ_words (±1 per word's hash bit j). Near-dup docs differ in few bits.
 
-    Implementation: explode to (doc, word), one shuffled groupBy with
-    ``bits`` conditional sums — partial aggregation keeps the shuffle at
-    one row per doc per partition.
+    Implementation: a per-row fold — hash every distinct word once, then
+    accumulate the ``bits`` signed sums in an array accumulator
+    (aggregate + zip_with). Entirely scan-side: no explode, no shuffle, one
+    md5 per word; at 100 TB the operator costs exactly one pass over the
+    text column.
     """
-    words = df.select(F.col(id_col),
-                      F.explode(word_set(text_col)).alias("w"))
-    h = word_hash60(F.col("w"))
-    sums = words.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        .alias(f"s{j}")
-        for j in range(bits)
-    ])
+    hashes = F.transform(word_set(text_col), lambda w: word_hash60(w))
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def signs(h: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)).cast("long")
+            for j in range(bits)])
+
+    sums = F.aggregate(hashes, zeros,
+                       lambda acc, h: F.zip_with(acc, signs(h), lambda a, b: a + b))
     fp = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.element_at(sums, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -182,13 +187,21 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     threshold. The left-fold dot product is bit-identical to SQL engines'
     list_inner_product (verified exhaustively), so no rounding is needed for
     differential testing. At 100 TB the bucket column comes from an ANN /
-    IVF assignment (see operators/similarity.py)."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(bucket_col).alias("bk"),
-                     F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(bucket_col).alias("bk"),
-                      F.col(vec_col).alias("vb"))
+    IVF assignment (see operators/similarity.py).
+
+    Norms are precomputed per ROW before the join (sqrt(v·v) once per
+    vector, not twice per candidate pair), cutting the per-pair work to a
+    single fold — same IEEE result, ~3× less float work."""
+    sides = df.select(F.col(id_col), F.col(bucket_col).alias("bk"),
+                      F.col(vec_col).alias("v"),
+                      F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"))
+    left = sides.select(F.col(id_col).alias("id_a"), "bk",
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    right = sides.select(F.col(id_col).alias("id_b"), "bk",
+                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (left.join(right, "bk")
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
