@@ -40,9 +40,15 @@ HEADLINE = [
     "pql_agg_groupby_top",
     "hybrid_time_boundary",
     "rollup_routed_agg",
+    "rollup_fasthll",
+    "ext_join_star",
+    "ext_window_running",
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "sim_topk_ivf",
+    "text_token_budget",
+    "mm_byte_histogram",
 ]
 
 

@@ -40,12 +40,18 @@ class RollupSpec:
     sum_cols: tuple[str, ...] = ()
     min_cols: tuple[str, ...] = ()
     max_cols: tuple[str, ...] = ()
+    # FASTHLL analog (FastHLLAggregationFunction.java:33, HllUtil.java:33):
+    # pre-serialized, MERGEABLE DataSketches HLL per group — distinct counts
+    # re-aggregate across groups without rescanning the fact table.
+    hll_cols: tuple[str, ...] = ()
+    hll_lg_k: int = 12
 
     def pair_columns(self) -> list[str]:
         return ([COUNT_COL]
                 + [f"sum__{c}" for c in self.sum_cols]
                 + [f"min__{c}" for c in self.min_cols]
-                + [f"max__{c}" for c in self.max_cols])
+                + [f"max__{c}" for c in self.max_cols]
+                + [f"hll__{c}" for c in self.hll_cols])
 
 
 def build_rollup(df: DataFrame, spec: RollupSpec) -> DataFrame:
@@ -56,6 +62,8 @@ def build_rollup(df: DataFrame, spec: RollupSpec) -> DataFrame:
     aggs += [F.sum(F.col(c).cast(DEC)).alias(f"sum__{c}") for c in spec.sum_cols]
     aggs += [F.min(F.col(c).cast("double")).alias(f"min__{c}") for c in spec.min_cols]
     aggs += [F.max(F.col(c).cast("double")).alias(f"max__{c}") for c in spec.max_cols]
+    aggs += [F.hll_sketch_agg(F.col(c).cast("string"), spec.hll_lg_k)
+             .alias(f"hll__{c}") for c in spec.hll_cols]
     return df.groupBy(*spec.dims).agg(*aggs)
 
 
@@ -89,6 +97,8 @@ class RollupRouter:
                 continue
             if fn == "max" and col in self.spec.max_cols:
                 continue
+            if fn == "distinctcounthll" and col in self.spec.hll_cols:
+                continue
             return False
         return True
 
@@ -97,7 +107,8 @@ class RollupRouter:
               filter_dims: list[str] = ()) -> DataFrame:
         """Execute grouped aggregates, routed to the rollup when eligible.
 
-        ``aggs``: (fn, col, alias); fn ∈ count/sum/avg/min/max.
+        ``aggs``: (fn, col, alias); fn ∈ count/sum/avg/min/max/
+        distinctcounthll (the latter answered from merged HLL sketches).
         ``where`` must reference only ``filter_dims``.
         """
         if self.eligible(group_dims, [(f, c) for f, c, _ in aggs], filter_dims):
@@ -116,6 +127,11 @@ class RollupRouter:
                     cols.append(F.min(f"min__{col}").alias(alias))
                 elif fn == "max":
                     cols.append(F.max(f"max__{col}").alias(alias))
+                elif fn == "distinctcounthll":
+                    # sketch union is exact over partials: the merged
+                    # registers equal a single-pass sketch of the raw rows
+                    cols.append(F.hll_sketch_estimate(
+                        F.hll_union_agg(f"hll__{col}")).alias(alias))
             g = src.groupBy(*group_dims) if group_dims else src.groupBy()
             return g.agg(*cols)
         # Fallback: raw fact-table aggregation (same decimal-exact semantics).

@@ -60,5 +60,10 @@ try:
     _MODULES.append(multimodal)
 except ImportError:
     pass
+try:
+    from realtime_olap_spark.suite import ext  # noqa: F401
+    _MODULES.append(ext)
+except ImportError:
+    pass
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,123 @@
+"""Beyond-parity extensions: joins, set operations, window analytics.
+
+The reference supports none of these (SURVEY.md §2.3 no joins, §2.7 no set
+ops, §2.8 no window functions — "Query cannot span across multiple tables",
+README.md:27). On Spark they are native, so the engine exposes them as
+extensions; each query documents the physical strategy that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.suite.registry import query
+from realtime_olap_spark.suite.sqlgen import OSUM
+
+
+@query("ext_join_broadcast", f"""
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_lineitems,
+       {OSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+""")
+def ext_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join chain (TPC-H Q3 shape): revenue by market segment.
+
+    Scale strategy: ``broadcast(customer)`` and ``broadcast(orders→dim
+    projection)`` when they fit (dims ≪ fact at 100 TB; customer does,
+    orders may not — Catalyst/AQE falls back to shuffled hash join above
+    the threshold, which is exactly the right behavior). The fact table is
+    never shuffled for broadcast sides; aggregation is partial→final."""
+    c = Catalog(spark, sf_dir)
+    li, orders, cust = c.table("lineitem"), c.table("orders"), c.table("customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    return (li
+            .join(orders.select("o_orderkey", "o_custkey"),
+                  li["l_orderkey"] == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 F.sum(rev).cast("double").alias("revenue"))
+            .orderBy("mktsegment"))
+
+
+@query("ext_join_star", f"""
+SELECT n.n_name AS nation,
+       {OSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY nation
+ORDER BY revenue DESC, nation ASC
+""")
+def ext_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join through the dimension snowflake (TPC-H Q5 shape).
+
+    All three dims broadcast (region/nation/supplier are tiny at any SF);
+    the region filter prunes before the broadcast, so the fact scan is the
+    only large input and it is never exchanged."""
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    sup = c.table("supplier").select("s_suppkey", "s_nationkey")
+    nat = c.table("nation").select("n_nationkey", "n_regionkey", "n_name")
+    reg = c.table("region").where(F.col("r_name") == "AMERICA") \
+                           .select("r_regionkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    return (li
+            .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("nation").asc()))
+
+
+@query("ext_setop_intersect", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+""")
+def ext_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT): customers with both finished and open
+    orders. One shuffle on the key; both branches share the scan
+    (Catalyst reuses the exchange)."""
+    o = Catalog(spark, sf_dir).table("orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op).orderBy("o_custkey")
+
+
+@query("ext_window_running", f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, {OSUM('value')} AS day_value
+  FROM events GROUP BY day)
+SELECT day, day_value,
+       CAST(CAST(SUM(CAST(day_value AS DECIMAL(38,10)))
+                 OVER (ORDER BY day) AS VARCHAR) AS DOUBLE) AS running_value
+FROM daily
+ORDER BY day
+""")
+def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: daily totals + running cumulative sum. The window
+    sums DECIMAL partials (associative → deterministic at any parallelism);
+    unbounded-preceding frames scale because days, not raw events, enter
+    the window after the pre-aggregation."""
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(38,10)")).alias("dec_value")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (daily.select(
+                "day",
+                F.col("dec_value").cast("double").alias("day_value"),
+                F.sum("dec_value").over(w).cast("double").alias("running_value"))
+            .orderBy("day"))

@@ -89,3 +89,20 @@ def rollup_routed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                        where=F.col("l_returnflag") == "R",
                        filter_dims=["l_returnflag"])
     return out.orderBy(F.col("sum_qty").desc(), F.col("l_suppkey").asc()).limit(10)
+
+
+@query("rollup_fasthll")  # sketch estimates — no SQL oracle (rows-only)
+def rollup_fasthll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTHLL analog (FastHLLAggregationFunction.java:33): the rollup
+    stores a mergeable DataSketches HLL per group; a distinct-count query
+    merges sketches (hll_union_agg) instead of rescanning raw rows — at
+    100 TB the distinct-count reads the rollup only. Union of partial
+    sketches is register-exact vs a single-pass sketch; see
+    tests/test_streaming.py::test_rollup_fasthll_matches_direct_sketch."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus"),
+                      hll_cols=("l_partkey",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    return (router.query(["l_returnflag"],
+                         [("distinctcounthll", "l_partkey", "distinct_parts")])
+            .orderBy("l_returnflag"))

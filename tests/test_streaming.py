@@ -132,3 +132,34 @@ def test_rollup_routed_equals_raw(spark):
            .query(["l_returnflag"], aggs,
                   where=F.col("l_linestatus") == "F").collect()}
     assert routed == raw
+
+
+def test_rollup_fasthll_matches_direct_sketch(spark):
+    """Merged partial sketches must equal a single-pass sketch (HLL
+    registers are a deterministic function of the hashed item set), and
+    land within the sketch's error bound of the exact count."""
+    from pyspark.sql import functions as F
+
+    from realtime_olap_spark.catalog import Catalog
+    from realtime_olap_spark.rollup import RollupRouter, RollupSpec, build_rollup
+    from tests.conftest import SF_DIR
+
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus"),
+                      hll_cols=("l_partkey",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+    routed = {r["l_returnflag"]: r["d"] for r in router.query(
+        ["l_returnflag"], [("distinctcounthll", "l_partkey", "d")]).collect()}
+
+    direct = {r["l_returnflag"]: r["d"] for r in
+              li.groupBy("l_returnflag")
+                .agg(F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("l_partkey").cast("string"), 12))
+                     .alias("d")).collect()}
+    exact = {r["l_returnflag"]: r["d"] for r in
+             li.groupBy("l_returnflag")
+               .agg(F.countDistinct("l_partkey").alias("d")).collect()}
+
+    assert routed == direct
+    for k, v in exact.items():
+        assert abs(routed[k] - v) / v < 0.05
