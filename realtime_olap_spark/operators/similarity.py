@@ -92,11 +92,26 @@ def squared_l2(a: Column, b: Column) -> Column:
     return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
 
 
+def _self_dot(v: list[float]) -> float:
+    """Driver-side b·b with the executors' sequential-fold order."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index (0-based) of the nearest centroid by squared L2; ties resolve
     to the FIRST minimal index (array_position of the min), matching the
-    oracle's list_indexof semantics."""
-    dists = F.array(*[squared_l2(vec, _lit_vec(c)) for c in centroids])
+    oracle's list_indexof semantics.
+
+    K-way distance shares one a·a fold per row, and each centroid's b·b is
+    a driver-side constant (same IEEE fold) — K+1 folds per row instead of
+    3K."""
+    aa = dot(vec, vec)
+    dists = F.array(*[
+        aa - F.lit(2.0) * dot(vec, _lit_vec(c)) + F.lit(_self_dot(c))
+        for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 

@@ -74,9 +74,11 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_oracle() -> str:
     probes = S._nearest_centroids(QUERY_VEC, CENTROIDS, nprobe=2)
     aa = f"list_inner_product({_E}, {_E})"
+    # b·b constants are the engine-side fold rendered at full precision
+    # (repr round-trips doubles exactly), matching operators.similarity
     dists = ", ".join(
         f"{aa} - 2.0 * list_inner_product({_E}, {_sql_vec(c)})"
-        f" + list_inner_product({_sql_vec(c)}, {_sql_vec(c)})"
+        f" + {S._self_dot(c)!r}"
         for c in CENTROIDS)
     assign = f"(list_indexof([{dists}], list_min([{dists}])) - 1)"
     in_list = ", ".join(str(p) for p in probes)
