@@ -112,17 +112,40 @@ def jaccard(words_a: Column, words_b: Column) -> Column:
 
 def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 8, band_size: int = 2,
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            broadcast_words: bool = True) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥
-    threshold. The verify join only touches candidate ids."""
+    threshold. The verify join only touches candidate ids.
+
+    Verify-phase plan (the hot path when the corpus is dup-heavy and the
+    candidate set is large):
+    - the per-doc word sets are broadcast (ids + hashed shingles are tiny
+      relative to the pair set), so the O(pairs) stream never shuffles
+      arrays — on a cluster the pair partitions probe a local hash map
+      (set ``broadcast_words=False`` when the corpus outgrows executor
+      memory; the verify then falls back to a shuffled hash join);
+    - shingles are compared as 60-bit hashes (collision-free in practice;
+      same Jaccard as the string sets), making the intersection a primitive
+      hash-set op instead of string equality;
+    - |A∪B| = |A|+|B|−|A∩B| — one set operation per pair, not two.
+    """
     cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size)
-    words = df.select(F.col(id_col), word_set(text_col).alias("ws"))
+    words = df.select(
+        F.col(id_col),
+        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh"),
+        F.size(word_set(text_col)).alias("nw"))
+    a = (words.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("wh", "wh_a").withColumnRenamed("nw", "nw_a"))
+    b = (words.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("wh", "wh_b").withColumnRenamed("nw", "nw_b"))
+    inter = F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b")))
+    jac = inter.cast("double") / (F.col("nw_a") + F.col("nw_b") - inter).cast("double")
+    if broadcast_words:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (cands
-            .join(words.withColumnRenamed(id_col, "id_a")
-                       .withColumnRenamed("ws", "ws_a"), "id_a")
-            .join(words.withColumnRenamed(id_col, "id_b")
-                       .withColumnRenamed("ws", "ws_b"), "id_b")
-            .withColumn("jaccard", jaccard(F.col("ws_a"), F.col("ws_b")))
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

@@ -120,3 +120,27 @@ def hybrid_table(offline: DataFrame, realtime: DataFrame, time_col: str,
     return (offline.where(F.col(time_col) <= F.lit(boundary))
             .unionByName(realtime.where(F.col(time_col) > F.lit(boundary))
                          .select(*cols)))
+
+
+def windowed_rollup(source: DataFrame, time_col: str, dims: list[str],
+                    metrics: list[str], window_duration: str = "1 hour",
+                    watermark_delay: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window rollup with a watermark — the late-data
+    policy the reference lacks entirely (SURVEY.md §2.10: rows are appended
+    as they arrive; 'window' queries are just time filters).
+
+    Streaming semantics: state per (window, dims) is dropped once the
+    watermark passes the window end, so rows later than ``watermark_delay``
+    are discarded instead of growing state forever — the knob that keeps a
+    100 TB/day stream's state bounded. Works identically on a batch
+    DataFrame (no watermark applied) for differential testing.
+    """
+    out = source
+    if source.isStreaming:
+        out = out.withWatermark(time_col, watermark_delay)
+    aggs = [F.sum(F.col(m).cast(DEC)).cast("double").alias(m) for m in metrics]
+    return (out.groupBy(F.window(F.col(time_col), window_duration).alias("win"),
+                        *dims)
+            .agg(*aggs)
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"), *dims, *metrics))

@@ -121,3 +121,31 @@ def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dec_value").cast("double").alias("day_value"),
                 F.sum("dec_value").over(w).cast("double").alias("running_value"))
             .orderBy("day"))
+
+
+@query("ext_sessionize", """
+WITH t AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts, us,
+         SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(us) - MIN(us) AS duration_us
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""")
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + running-sum windows
+    sharing ONE user_id shuffle, then a group-by that reuses the same
+    partitioning — scale cost is a single exchange of the events table."""
+    from realtime_olap_spark.operators.sessions import sessionize
+    ev = Catalog(spark, sf_dir).table("events")
+    return (sessionize(ev, "user_id", "ts", gap_minutes=30)
+            .orderBy("user_id", "session_id"))

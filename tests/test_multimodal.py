@@ -55,3 +55,21 @@ def test_sample_frames_counts(spark):
     assert set(got) == set(durs)
     for mid, d in durs.items():
         assert got[mid] == (d - 1) // 1000 + 1
+
+
+def test_sessionize_pandas_agrees_with_window(spark):
+    """The applyInPandas custom-operator path must produce exactly the
+    declarative window result."""
+    from realtime_olap_spark.catalog import Catalog
+    from realtime_olap_spark.operators.sessions import (sessionize,
+                                                        sessionize_pandas)
+
+    ev = Catalog(spark, SF_DIR_SMALL).table("events")
+    key = ["user_id", "session_id"]
+    a = sorted([tuple(r) for r in
+                sessionize(ev).select(*key, "session_start", "session_end",
+                                      "n_events", "duration_us").collect()])
+    b = sorted([tuple(r) for r in
+                sessionize_pandas(ev).select(*key, "session_start", "session_end",
+                                             "n_events", "duration_us").collect()])
+    assert a == b and len(a) > 0
