@@ -223,3 +223,17 @@ def agg_groupby_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
     return group_by_agg(li, keys=[Key("l_returnflag", "l_returnflag")],
                         aggs=[Agg("percentile50", "l_extendedprice", "p50")])
+
+
+@query("agg_percentile_tdigest")  # quantile sketch — rows-only check
+def agg_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILETDIGEST<N> (PercentileTDigestAggregationFunction.java:37):
+    mergeable quantile sketch → approx_percentile is the engine-native
+    mergeable equivalent (same role as PERCENTILEEST; kept as a distinct
+    entry for §2.4 parity bookkeeping)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.agg(
+        F.percentile_approx(F.col("l_extendedprice").cast("double"),
+                            F.lit(0.5), F.lit(1000)).alias("p50_tdigest"),
+        F.percentile_approx(F.col("l_extendedprice").cast("double"),
+                            F.lit(0.95), F.lit(1000)).alias("p95_tdigest"))

@@ -149,3 +149,26 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events")
     return (sessionize(ev, "user_id", "ts", gap_minutes=30)
             .orderBy("user_id", "session_id"))
+
+
+@query("ext_json_ingest", """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+def ext_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time JSON column derivation (ExpressionTransformer analog —
+    the reference evaluates reflection UDFs per record at ingest,
+    FunctionExpressionEvaluator.java:45; here it is a scan-side
+    get_json_object that codegen inlines) + integer-exact aggregation."""
+    ev = Catalog(spark, sf_dir).table("events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(k).alias("sum_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))

@@ -49,3 +49,39 @@ def test_salted_join_equals_plain_join(spark):
                   ev.join(dim, "event_type")
                     .select("event_id", "weight").collect())
     assert got == want and len(got) > 0
+
+
+def test_ivf_write_time_partitioning_prunes_scan(spark, tmp_path):
+    """The IVF scale path: materialize the cell assignment as a partition
+    column; a probe query's cell filter must prune the file listing
+    (PartitionFilters), reading nprobe/K of the corpus."""
+    from pyspark.sql import functions as F
+
+    from realtime_olap_spark.operators import similarity as S
+    from realtime_olap_spark.suite.similarity import CENTROIDS, QUERY_VEC
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    path = str(tmp_path / "emb_ivf")
+    (emb.withColumn("__cell", S.ivf_assign(F.col("embedding"), CENTROIDS))
+        .write.partitionBy("__cell").parquet(path))
+
+    back = spark.read.parquet(path)
+    probes = S._nearest_centroids(QUERY_VEC, CENTROIDS, nprobe=2)
+    probe = back.where(F.col("__cell").isin(probes))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "__cell" in pf_line.split("PartitionFilters")[1]
+    # pruning is real: the probe reads a strict subset of rows
+    assert 0 < probe.count() < back.count()
+
+    # and the pruned probe returns the same top-k as the on-the-fly filter
+    got = [tuple(r) for r in
+           probe.select("vec_id",
+                        S.cosine(F.col("embedding"), S._lit_vec(QUERY_VEC))
+                        .alias("cos"))
+                .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+                .limit(10).collect()]
+    want = [tuple(r) for r in
+            S.ivf_topk(emb, QUERY_VEC, CENTROIDS, "vec_id", "embedding",
+                       k=10, nprobe=2).collect()]
+    assert got == want
