@@ -399,9 +399,16 @@ def _pred(expr, agg_aliases: dict | None = None) -> Column:
     raise ValueError(f"cannot compile predicate {expr!r}")
 
 
-def compile_pql(q: PQLQuery, df: DataFrame) -> DataFrame:
+def compile_pql(q: PQLQuery, df: DataFrame, trim: bool = True) -> DataFrame:
     """BrokerRequest → DataFrame plan (the InstancePlanMaker analog — except
-    Catalyst owns physical planning)."""
+    Catalyst owns physical planning).
+
+    ``trim=True`` (DataFrame entry point): group-by results are TOP-n by the
+    FIRST aggregation function with a deterministic key tie-break — one
+    DataFrame can carry only one ordering. ``trim=False`` keeps all groups;
+    the response-shaping path uses it to trim PER FUNCTION like the broker
+    (docs/pql_examples.rst:239-258: each aggregation function returns its
+    own top-n group list)."""
     where = _pred(q.where) if q.where is not None else None
 
     if q.is_aggregation:
@@ -418,7 +425,7 @@ def compile_pql(q: PQLQuery, df: DataFrame) -> DataFrame:
         agg_aliases = {a.alias: a.alias for a in aggs}
         if q.having_ is not None:
             out = having(out, _pred(q.having_, agg_aliases))
-        if keys:
+        if keys and trim:
             n = q.top if q.top is not None else DEFAULT_TOP
             out = top_n(out, aggs[0].alias, n, key_names=[k.alias for k in keys])
         return out
@@ -456,7 +463,8 @@ class PQLEngine:
         """Run and shape like BrokerResponseNative: selectionResults or
         aggregationResults + stats."""
         q = parse_pql(pql)
-        df = compile_pql(q, self.catalog.table(q.table))
+        # response path trims per function (below), so keep all groups here
+        df = compile_pql(q, self.catalog.table(q.table), trim=False)
         rows = df.collect()
         cols = df.columns
         if q.is_aggregation and not q.group_by:
@@ -468,13 +476,25 @@ class PQLEngine:
             }
         if q.is_aggregation:
             key_cols = [c for c in cols if c in {_name_of(g) for g in q.group_by}]
+            n = q.top if q.top is not None else DEFAULT_TOP
+
+            def per_function(c: str) -> list[dict]:
+                # reference semantics: EACH function returns its own top-n
+                # groups ordered by that function's value desc
+                # (docs/pql_examples.rst:239-258; BrokerReduceService trims
+                # per AggregationInfo)
+                ordered = sorted(
+                    rows,
+                    key=lambda r: (-(r[c] if r[c] is not None else float("-inf")),
+                                   tuple(str(r[k]) for k in key_cols)))
+                return [{"group": [r[k] for k in key_cols], "value": r[c]}
+                        for r in ordered[:n]]
+
             return {
                 "aggregationResults": [{
                     "function": c,
                     "groupByColumns": key_cols,
-                    "groupByResult": [
-                        {"group": [r[k] for k in key_cols], "value": r[c]}
-                        for r in rows],
+                    "groupByResult": per_function(c),
                 } for c in cols if c not in key_cols],
             }
         return {

@@ -137,3 +137,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     return D.embedding_near_dup_pairs(e, "vec_id", "embedding", "label",
                                       threshold=0.35)
+
+
+@query("dedup_keep_representative", """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) r
+  ON d.text = r.text AND d.doc_id = r.doc_id
+ORDER BY d.doc_id
+""")
+def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup keep-one: one representative (min doc_id) per distinct
+    text — the materializing half of exact dedup (leftsemi against the
+    min-per-group set; single shuffle on the content key)."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (D.dedup_exact(d, ["text"], keep_by="doc_id")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))

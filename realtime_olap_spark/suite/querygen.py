@@ -39,7 +39,7 @@ CMP_OPS = ["=", "<>", "<", "<=", ">", ">="]
 
 
 def _predicate(rng: random.Random) -> str:
-    kind = rng.choice(["cmp_dim", "in_dim", "cmp_metric", "between"])
+    kind = rng.choice(["cmp_dim", "in_dim", "cmp_metric", "between", "regexp"])
     if kind == "cmp_dim":
         col = rng.choice(list(DIMS))
         return f"{col} {rng.choice(['=', '<>'])} {rng.choice(DIMS[col])}"
@@ -53,10 +53,15 @@ def _predicate(rng: random.Random) -> str:
         lo, hi = METRICS[col]
         v = round(rng.uniform(lo, hi), 2)
         return f"{col} {rng.choice(CMP_OPS)} {v}"
-    col = rng.choice(list(METRICS))
-    lo, hi = METRICS[col]
-    a, b = sorted(round(rng.uniform(lo, hi), 2) for _ in range(2))
-    return f"{col} BETWEEN {a} AND {b}"
+    if kind == "between":
+        col = rng.choice(list(METRICS))
+        lo, hi = METRICS[col]
+        a, b = sorted(round(rng.uniform(lo, hi), 2) for _ in range(2))
+        return f"{col} BETWEEN {a} AND {b}"
+    # REGEXP_LIKE on a dim; patterns kept in the Java∩RE2 common subset
+    col = rng.choice(["l_returnflag", "l_linestatus"])
+    chars = "".join(v.strip("'") for v in rng.sample(DIMS[col], k=rng.randint(1, 2)))
+    return f"REGEXP_LIKE({col}, '^[{chars}]$')"
 
 
 def _where(rng: random.Random) -> str:
@@ -87,6 +92,9 @@ def generate(seed: int) -> tuple[str, str]:
     rng = random.Random(seed)
     shape = rng.choice(["selection", "scalar_agg", "group_by"])
     where = _where(rng)
+    # same predicate text in both dialects, except DuckDB spells the regex
+    # predicate regexp_matches
+    sql_where = where.replace("REGEXP_LIKE(", "regexp_matches(")
 
     if shape == "selection":
         extra = rng.sample(
@@ -97,7 +105,7 @@ def generate(seed: int) -> tuple[str, str]:
         sel = ", ".join(cols)
         order = "ORDER BY " + ", ".join(f"{c} ASC" for c in cols)
         pql = f"SELECT {sel} FROM lineitem{where} {order} LIMIT {limit}"
-        sql = f"SELECT {sel} FROM lineitem{where} {order} LIMIT {limit}"
+        sql = f"SELECT {sel} FROM lineitem{sql_where} {order} LIMIT {limit}"
         return pql, sql
 
     n_aggs = rng.randint(1, 3)
@@ -114,7 +122,7 @@ def generate(seed: int) -> tuple[str, str]:
 
     if shape == "scalar_agg":
         return (f"SELECT {pql_aggs} FROM lineitem{where}",
-                f"SELECT {sql_aggs} FROM lineitem{where}")
+                f"SELECT {sql_aggs} FROM lineitem{sql_where}")
 
     keys = rng.sample(list(DIMS), k=rng.randint(1, 2))
     key_list = ", ".join(keys)
@@ -125,6 +133,6 @@ def generate(seed: int) -> tuple[str, str]:
         having_sql = f" HAVING COUNT(*) > {k}"
     pql = (f"SELECT {key_list}, {pql_aggs} FROM lineitem{where} "
            f"GROUP BY {key_list}{having_pql} TOP 100")
-    sql = (f"SELECT {key_list}, {sql_aggs} FROM lineitem{where} "
+    sql = (f"SELECT {key_list}, {sql_aggs} FROM lineitem{sql_where} "
            f"GROUP BY {key_list}{having_sql}")
     return pql, sql

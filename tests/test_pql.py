@@ -103,3 +103,21 @@ def test_execute_valuein_and_timeconvert(spark):
     df = eng.dataframe(
         "SELECT timeconvert(l_partkey, 'DAYS', 'HOURS') FROM lineitem LIMIT 3")
     assert df.collect()[0][0] % 24 == 0
+
+
+def test_execute_groupby_topn_is_per_function(spark):
+    """Reference TOP semantics (docs/pql_examples.rst:239-258): every
+    aggregation function returns its OWN top-n groups ordered by that
+    function's value desc — the lists can rank groups differently."""
+    from realtime_olap_spark.plans.pql import PQLEngine
+    from tests.conftest import SF_DIR
+
+    out = PQLEngine(spark, SF_DIR).execute(
+        "SELECT l_linenumber, sum(l_quantity), min(l_extendedprice) "
+        "FROM lineitem GROUP BY l_linenumber TOP 3")
+    results = {r["function"]: r["groupByResult"] for r in out["aggregationResults"]}
+    assert set(results) == {"sum_l_quantity", "min_l_extendedprice"}
+    for fn, groups in results.items():
+        assert len(groups) == 3
+        vals = [g["value"] for g in groups]
+        assert vals == sorted(vals, reverse=True)
