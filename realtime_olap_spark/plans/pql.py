@@ -447,6 +447,49 @@ def compile_pql(q: PQLQuery, df: DataFrame, trim: bool = True) -> DataFrame:
     return out.limit(n)
 
 
+def plan_scan_stats(df: DataFrame) -> dict:
+    """Pinot-style execution stats (BrokerResponseNative.java:43:
+    numDocsScanned / totalDocs) read from the EXECUTED plan's operator
+    metrics — call after the query ran. totalDocs = rows leaving the
+    parquet scans (post row-group/partition pruning); numDocsScanned = rows
+    surviving the filter operators (the docs the query operators
+    processed), matching the reference's definition."""
+    totals, filtered = [], []
+
+    def metric(node, name):
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == name:
+                return kv._2().value()
+        return None
+
+    def walk(node):
+        name = node.nodeName()
+        if name.startswith("Scan "):
+            v = metric(node, "numOutputRows")
+            if v is not None:
+                totals.append(v)
+        elif name == "Filter":
+            v = metric(node, "numOutputRows")
+            if v is not None:
+                filtered.append(v)
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    total = sum(totals) if totals else None
+    scanned = sum(filtered) if filtered else total
+    return {"totalDocs": total, "numDocsScanned": scanned}
+
+
 class PQLEngine:
     """Entry point A analog (BaseBrokerRequestHandler.handleRequest):
     parse → compile → execute, plus Pinot-shaped response output
@@ -467,12 +510,13 @@ class PQLEngine:
         df = compile_pql(q, self.catalog.table(q.table), trim=False)
         rows = df.collect()
         cols = df.columns
+        stats = plan_scan_stats(df)
         if q.is_aggregation and not q.group_by:
             return {
                 "aggregationResults": [
                     {"function": c, "value": rows[0][c] if rows else None}
                     for c in cols],
-                "numDocsScanned": None,
+                **stats,
             }
         if q.is_aggregation:
             key_cols = [c for c in cols if c in {_name_of(g) for g in q.group_by}]
@@ -496,10 +540,12 @@ class PQLEngine:
                     "groupByColumns": key_cols,
                     "groupByResult": per_function(c),
                 } for c in cols if c not in key_cols],
+                **stats,
             }
         return {
             "selectionResults": {
                 "columns": cols,
                 "results": [[r[c] for c in cols] for r in rows],
-            }
+            },
+            **stats,
         }

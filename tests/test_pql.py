@@ -121,3 +121,17 @@ def test_execute_groupby_topn_is_per_function(spark):
         assert len(groups) == 3
         vals = [g["value"] for g in groups]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_execute_reports_scan_stats(spark):
+    """BrokerResponse-style stats come from real executed-plan metrics."""
+    from realtime_olap_spark.plans.pql import PQLEngine
+    from tests.conftest import SF_DIR
+
+    out = PQLEngine(spark, SF_DIR).execute(
+        "SELECT count(*) FROM lineitem WHERE l_returnflag = 'R'")
+    assert out["totalDocs"] and out["totalDocs"] > 0
+    assert out["numDocsScanned"] is not None
+    assert out["numDocsScanned"] <= out["totalDocs"]
+    # the filter actually filtered
+    assert out["numDocsScanned"] < out["totalDocs"]
