@@ -22,14 +22,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from realtime_olap_spark import suite  # noqa: E402
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    # timestamp-valued results are oracle-compared; pin the session TZ so
+    # the driver's own SparkSession can't skew them (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
-    return suite.QUERIES["flagship_q1"](spark, "/root/testdata/sf0.001")
+    return suite.QUERIES["flagship_q1"](_utc(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(suite.QUERIES)
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        return lambda spark, sf_dir: fn(_utc(spark), sf_dir)
+
+    return {name: wrap(fn) for name, fn in suite.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
