@@ -20,16 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_UNIT_MS: dict[str, int] = {
-    "NANOSECONDS": 1,  # handled via sub-ms factor below
-    "MICROSECONDS": 1,
-    "MILLISECONDS": 1,
-    "SECONDS": 1000,
-    "MINUTES": 60_000,
-    "HOURS": 3_600_000,
-    "DAYS": 86_400_000,
-}
-
 # factors expressed in nanoseconds to keep sub-millisecond units exact
 _UNIT_NS: dict[str, int] = {
     "NANOSECONDS": 1,
@@ -104,28 +94,37 @@ def datetimeconvert(col: Column | str, input_fmt: str, output_fmt: str,
     ``<size>:<TIMEUNIT>:SIMPLE_DATE_FORMAT:<pattern>``; granularity
     ``<size>:<TIMEUNIT>`` buckets the value by flooring
     (BaseDateTimeTransformer.java:36 + 4 subclasses).
+
+    All arithmetic runs in epoch NANOSECONDS so sub-millisecond input/output
+    units (``1:NANOSECONDS:EPOCH``) convert TimeUnit-correctly instead of
+    being misread as millis. Divisions floor through DECIMAL(38,0), never a
+    double, so 64-bit epoch-nano magnitudes (~1.7e18 today) keep full
+    precision.
     """
     in_size, in_unit, in_kind, *in_pat = input_fmt.split(":")
     out_size, out_unit, out_kind, *out_pat = output_fmt.split(":")
     g_size, g_unit = granularity.split(":")
 
+    def _floor_div(ns: Column, div: int) -> Column:
+        return F.floor(ns.cast("decimal(38,0)") / F.lit(div)).cast("long")
+
     c = _c(col)
-    # 1) input → epoch millis
+    # 1) input → epoch nanos
     if in_kind.upper() == "EPOCH":
-        ms = (c.cast("long") * F.lit(int(in_size) * _UNIT_MS[in_unit.upper()])).cast("long")
+        ns = (c.cast("long") * F.lit(int(in_size) * _UNIT_NS[in_unit.upper()])).cast("long")
     else:  # SIMPLE_DATE_FORMAT
-        ms = F.unix_millis(F.to_timestamp(c, in_pat[0]))
+        ns = (F.unix_millis(F.to_timestamp(c, in_pat[0])) * F.lit(1_000_000)).cast("long")
 
     # 2) bucket to granularity (floor)
-    g_ms = int(g_size) * _UNIT_MS[g_unit.upper()]
-    if g_ms > 1:
-        ms = (F.floor(ms / F.lit(g_ms)) * F.lit(g_ms)).cast("long")
+    g_ns = int(g_size) * _UNIT_NS[g_unit.upper()]
+    if g_ns > 1:
+        ns = (_floor_div(ns, g_ns) * F.lit(g_ns)).cast("long")
 
-    # 3) epoch millis → output format
+    # 3) epoch nanos → output format
     if out_kind.upper() == "EPOCH":
-        out_ms = int(out_size) * _UNIT_MS[out_unit.upper()]
-        return F.floor(ms / F.lit(out_ms)).cast("long") if out_ms > 1 else ms
-    return F.date_format(F.timestamp_millis(ms), out_pat[0])
+        out_ns = int(out_size) * _UNIT_NS[out_unit.upper()]
+        return _floor_div(ns, out_ns) if out_ns > 1 else ns
+    return F.date_format(F.timestamp_millis(_floor_div(ns, 1_000_000)), out_pat[0])
 
 
 # --- VALUEIN (MV projection filter) ----------------------------------------

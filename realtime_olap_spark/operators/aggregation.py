@@ -68,17 +68,55 @@ def davg(col: Column | str) -> Column:
 # floor(x * 2^35) is deterministic in every engine — unlike double→decimal
 # casts, whose last-digit rounding differs between Spark (exact BigDecimal)
 # and DuckDB (rounds through a double product). Quantization error is
-# 2^-35 ≈ 3e-11 per element; the long partial sums stay < 2^53 up to ~10^13
-# unit-magnitude elements per group.
+# 2^-35 ≈ 3e-11 per element.
+#
+# Range guard: floor(x * 2^35) saturates long once |x| ≳ 2^28, and a per-row
+# fold of n elements can reach n·max|x|·2^35. SUMMV/AVGMV therefore compute a
+# per-row "risk" term size·max|x| and switch the FINAL result to an exact
+# decimal fold whenever any row exceeds FX_SAFE_RISK (row fold then bounded
+# by 2^24·2^35 = 2^59 < 2^63) — large-magnitude inputs (ids, epochs, big
+# monetary values) get the exact-decimal answer instead of silent garbage.
+# Cross-row merge is decimal in both paths, so partial sums never overflow.
 FX = 34359738368  # 2^35
+FX_SAFE_RISK = float(1 << 24)  # max per-row size(arr)·max|element| for fx path
+_FX_CLAMP = float(1 << 25)  # element clamp: keeps the fx fold evaluable
 
 
 def _fx_fold(col: Column | str) -> Column:
-    """Per-row exact fixed-point (long) sum of an array column's elements."""
+    """Per-row exact fixed-point sum of an array column's elements.
+
+    Elements beyond the fx range are clamped to 0 so the fold can never
+    overflow under ANSI evaluation — whenever a clamp would fire, the risk
+    guard (> FX_SAFE_RISK, note 2^24 < 2^25 so clamping never touches a
+    chosen fx result) routes the aggregate to the decimal fold instead. The
+    accumulator is DECIMAL(38,0) (exact integers, no row-sum overflow)."""
+    def term(x: Column) -> Column:
+        xd = x.cast("double")
+        safe = F.when(F.abs(xd) <= F.lit(_FX_CLAMP), xd).otherwise(F.lit(0.0))
+        return F.floor(safe * F.lit(FX)).cast("decimal(38,0)")
+
     return F.aggregate(
-        _c(col), F.lit(0).cast("long"),
-        lambda acc, x: acc + F.floor(x.cast("double") * F.lit(FX)).cast("long"),
+        _c(col), F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + term(x)).cast("decimal(38,0)"),
     )
+
+
+def _dec_fold(col: Column | str) -> Column:
+    """Per-row exact DECIMAL(38,10) sum of an array column's elements — the
+    overflow-safe fallback for large-magnitude elements."""
+    return F.aggregate(
+        _c(col), F.lit(0).cast(DEC),
+        lambda acc, x: (acc + x.cast("double").cast(DEC)).cast(DEC),
+    )
+
+
+def _fx_risk(col: Column | str) -> Column:
+    """Group-level max of size(arr)·max|element| — decides the fx/decimal
+    switch. NULL (all arrays empty) counts as safe."""
+    arr = _c(col)
+    row_risk = (F.size(arr).cast("double")
+                * F.array_max(F.transform(arr, lambda x: F.abs(x.cast("double")))))
+    return F.coalesce(F.max(row_risk), F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -160,13 +198,21 @@ def agg_maxmv(col: Column | str) -> Column:
 
 
 def agg_summv(col: Column | str) -> Column:
-    # Per-row exact fixed-point fold, exact long merge, one final division.
-    return (F.sum(_fx_fold(col)).cast("double") / F.lit(float(FX))).cast("double")
+    # Per-row exact fixed-point fold, exact decimal merge, one final
+    # division; elements beyond the fx range switch to the decimal fold
+    # (see FX_SAFE_RISK above).
+    fx = (F.sum(_fx_fold(col).cast(DEC)).cast("double") / F.lit(float(FX)))
+    dec = F.sum(_dec_fold(col)).cast("double")
+    return (F.when(_fx_risk(col) <= F.lit(FX_SAFE_RISK), fx)
+            .otherwise(dec).cast("double"))
 
 
 def agg_avgmv(col: Column | str) -> Column:
-    return (F.sum(_fx_fold(col)).cast("double") / F.lit(float(FX))
-            / F.sum(F.size(_c(col)))).cast("double")
+    n = F.sum(F.size(_c(col)))
+    fx = (F.sum(_fx_fold(col).cast(DEC)).cast("double") / F.lit(float(FX)) / n)
+    dec = (F.sum(_dec_fold(col)).cast("double") / n)
+    return (F.when(_fx_risk(col) <= F.lit(FX_SAFE_RISK), fx)
+            .otherwise(dec).cast("double"))
 
 
 def agg_minmaxrangemv(col: Column | str) -> Column:
@@ -192,31 +238,34 @@ def agg_distinctcounthllmv(elem: Column | str, rsd: float = 0.05) -> Column:
 @dataclass(frozen=True)
 class AggSpec:
     """A resolved aggregation: Column builder + whether it must run over
-    element-level (exploded) rows of its MV input column."""
+    element-level (exploded) rows of its MV input column. ``empty_value``
+    is the result for a group with NO elements (count-likes → 0); None means
+    NULL (percentile of nothing)."""
 
     name: str
     builder: Callable[[Column | str], Column]
     needs_elements: bool = False
+    empty_value: object = None
 
 
-_SIMPLE: dict[str, tuple[Callable[[Column | str], Column], bool]] = {
-    "count": (agg_count, False),
-    "min": (agg_min, False),
-    "max": (agg_max, False),
-    "sum": (agg_sum, False),
-    "avg": (agg_avg, False),
-    "minmaxrange": (agg_minmaxrange, False),
-    "distinctcount": (agg_distinctcount, False),
-    "distinctcounthll": (agg_distinctcounthll, False),
-    "fasthll": (agg_distinctcounthll, False),  # pre-agg HLL column analog
-    "countmv": (agg_countmv, False),
-    "minmv": (agg_minmv, False),
-    "maxmv": (agg_maxmv, False),
-    "summv": (agg_summv, False),
-    "avgmv": (agg_avgmv, False),
-    "minmaxrangemv": (agg_minmaxrangemv, False),
-    "distinctcountmv": (agg_distinctcountmv, True),
-    "distinctcounthllmv": (agg_distinctcounthllmv, True),
+_SIMPLE: dict[str, tuple[Callable[[Column | str], Column], bool, object]] = {
+    "count": (agg_count, False, None),
+    "min": (agg_min, False, None),
+    "max": (agg_max, False, None),
+    "sum": (agg_sum, False, None),
+    "avg": (agg_avg, False, None),
+    "minmaxrange": (agg_minmaxrange, False, None),
+    "distinctcount": (agg_distinctcount, False, None),
+    "distinctcounthll": (agg_distinctcounthll, False, None),
+    "fasthll": (agg_distinctcounthll, False, None),  # pre-agg HLL column analog
+    "countmv": (agg_countmv, False, None),
+    "minmv": (agg_minmv, False, None),
+    "maxmv": (agg_maxmv, False, None),
+    "summv": (agg_summv, False, None),
+    "avgmv": (agg_avgmv, False, None),
+    "minmaxrangemv": (agg_minmaxrangemv, False, None),
+    "distinctcountmv": (agg_distinctcountmv, True, 0),
+    "distinctcounthllmv": (agg_distinctcounthllmv, True, 0),
 }
 
 _PERCENTILE_RE = re.compile(
@@ -228,8 +277,8 @@ def resolve(name: str) -> AggSpec:
     to an AggSpec — AggregationFunctionType.java:25-103 analog."""
     key = name.lower()
     if key in _SIMPLE:
-        builder, needs_elements = _SIMPLE[key]
-        return AggSpec(key, builder, needs_elements)
+        builder, needs_elements, empty = _SIMPLE[key]
+        return AggSpec(key, builder, needs_elements, empty)
     m = _PERCENTILE_RE.match(key)
     if m:
         pct = float(m.group("pct"))
@@ -239,6 +288,8 @@ def resolve(name: str) -> AggSpec:
         def builder(col: Column | str) -> Column:
             if kind is None:
                 return agg_percentile(col, pct)
+            if kind == "tdigest":
+                return agg_percentile_tdigest(col, pct)
             return agg_percentile_est(col, pct)
 
         return AggSpec(key, builder, needs_elements=mv)

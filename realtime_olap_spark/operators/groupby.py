@@ -16,6 +16,11 @@ Semantics reproduced here:
   computed on an exploded element relation and joined back on the group keys.
   The join is on post-aggregation cardinality (number of groups), which is
   orders of magnitude smaller than the fact table — cheap at any scale.
+  The explode is ``explode_outer`` so a group whose MV arrays are all empty
+  (or null) still yields a group row (NULL element → count-likes 0,
+  percentiles NULL), matching the reference which returns every group of the
+  direct aggregates; the join-back is a null-safe LEFT join from the direct
+  part so no group can vanish.
 - **HAVING** (BrokerReduceService.java:426-460): post-aggregation filter.
   The reference's "close policy" (intersect groups present for all agg
   functions) is moot here because our aggregation is exact — every group is
@@ -91,21 +96,43 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
         parts.append(df.groupBy(*key_names).agg(*cols) if key_names
                      else df.agg(*cols))
 
+    elem_zero: dict[str, Column] = {}
     for a in element:
         spec = resolve(a.fn)
         elem_col = F.col(a.col) if isinstance(a.col, str) else a.col
-        el = df.select(*key_names, F.explode(elem_col).alias("__elem"))
+        # explode_outer: empty/null arrays yield a NULL element row, so the
+        # group survives (count-likes see 0 non-null elements, percentiles
+        # see none → NULL) instead of vanishing from the element relation.
+        el = df.select(*key_names, F.explode_outer(elem_col).alias("__elem"))
         agged = (el.groupBy(*key_names) if key_names else el.groupBy()).agg(
             spec.builder("__elem").alias(a.alias))
         parts.append(agged)
+        if spec.empty_value is not None:
+            elem_zero[a.alias] = F.lit(spec.empty_value)
 
     out = parts[0]
     for p in parts[1:]:
-        out = out.join(p, on=key_names) if key_names else out.crossJoin(p)
+        if not key_names:
+            out = out.crossJoin(p)
+            continue
+        # Null-safe LEFT join from the direct part: NULL group keys match
+        # their own group, and a group can never be dropped by the join.
+        lhs, rhs = out.alias("l"), p.alias("r")
+        cond = None
+        for k in key_names:
+            c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+            cond = c if cond is None else (cond & c)
+        extra = [c for c in p.columns if c not in key_names]
+        out = lhs.join(rhs, cond, "left").select(
+            *[F.col(f"l.{c}") for c in out.columns],
+            *[F.col(f"r.{c}") for c in extra])
     if "__cnt" in out.columns and all(a.alias != "__cnt" for a in aggs):
         out = out.drop("__cnt")
+    # Count-like element aggregates default to 0 for groups with no elements.
+    fill = [F.coalesce(F.col(a.alias), elem_zero[a.alias]).alias(a.alias)
+            if a.alias in elem_zero else a.alias for a in aggs]
     # Stable column order: keys then aggs as requested.
-    return out.select(*key_names, *[a.alias for a in aggs])
+    return out.select(*key_names, *fill)
 
 
 def having(df: DataFrame, cond: Column) -> DataFrame:

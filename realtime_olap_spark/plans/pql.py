@@ -133,7 +133,7 @@ def _is_agg(expr) -> bool:
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
-      (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<string>'(?:[^']|'')*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_$.]*)
     | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|%)
@@ -212,6 +212,14 @@ class _Parser:
 
     def factor(self):
         k, v = self.peek()
+        if k == "op" and v == "-":
+            # Unary minus, handled grammatically like PQL2.g4: negate a
+            # numeric literal directly, otherwise compile to SUB(0, expr).
+            self.next()
+            f = self.factor()
+            if isinstance(f, Lit) and isinstance(f.value, (int, float)):
+                return Lit(-f.value)
+            return Func("sub", (Lit(0), f))
         if k == "number":
             self.next()
             return Lit(float(v) if ("." in v or "e" in v.lower()) else int(v))
@@ -455,6 +463,7 @@ def plan_scan_stats(df: DataFrame) -> dict:
     surviving the filter operators (the docs the query operators
     processed), matching the reference's definition."""
     totals, filtered = [], []
+    seen: set[int] = set()  # plan-node ids — count reused subtrees once
 
     def metric(node, name):
         it = node.metrics().iterator()
@@ -465,6 +474,10 @@ def plan_scan_stats(df: DataFrame) -> dict:
         return None
 
     def walk(node):
+        nid = node.id()
+        if nid in seen:
+            return
+        seen.add(nid)
         name = node.nodeName()
         if name.startswith("Scan "):
             v = metric(node, "numOutputRows")
@@ -490,6 +503,32 @@ def plan_scan_stats(df: DataFrame) -> dict:
     return {"totalDocs": total, "numDocsScanned": scanned}
 
 
+def grouped_topn_frame(q: PQLQuery, src: DataFrame):
+    """The bounded per-function trim plan for a grouped aggregation: one
+    TakeOrderedAndProject branch per aggregation function over the SHARED
+    grouped aggregate, unioned with a ``__fn`` marker — at most
+    top × n_functions rows ever reach the driver (the reference's
+    trim-at-server, AggregationGroupByTrimmingService.java:58-62).
+    Catalyst/AQE reuses the aggregate exchange across branches.
+
+    Returns (frame, key_cols, fn_cols, n)."""
+    grouped = compile_pql(q, src, trim=False)
+    cols = grouped.columns
+    key_cols = [c for c in cols if c in {_name_of(g) for g in q.group_by}]
+    fn_cols = [c for c in cols if c not in key_cols]
+    n = q.top if q.top is not None else DEFAULT_TOP
+    # reference semantics: EACH function returns its own top-n groups ordered
+    # by that function's value desc (docs/pql_examples.rst:239-258;
+    # BrokerReduceService trims per AggregationInfo).
+    branches = [
+        top_n(grouped, c, n, key_names=key_cols).withColumn("__fn", F.lit(c))
+        for c in fn_cols]
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u, key_cols, fn_cols, n
+
+
 class PQLEngine:
     """Entry point A analog (BaseBrokerRequestHandler.handleRequest):
     parse → compile → execute, plus Pinot-shaped response output
@@ -504,42 +543,48 @@ class PQLEngine:
 
     def execute(self, pql: str) -> dict:
         """Run and shape like BrokerResponseNative: selectionResults or
-        aggregationResults + stats."""
+        aggregationResults + stats.
+
+        Grouped aggregations trim PER FUNCTION **in Spark** — one bounded
+        TakeOrderedAndProject branch per aggregation function, unioned, so
+        the driver collects ≤ top × n_functions rows no matter how many
+        groups exist (the reference's trim-at-server,
+        AggregationGroupByTrimmingService.java:58-62 — never a full-group
+        collect)."""
         q = parse_pql(pql)
-        # response path trims per function (below), so keep all groups here
-        df = compile_pql(q, self.catalog.table(q.table), trim=False)
-        rows = df.collect()
-        cols = df.columns
-        stats = plan_scan_stats(df)
-        if q.is_aggregation and not q.group_by:
-            return {
-                "aggregationResults": [
-                    {"function": c, "value": rows[0][c] if rows else None}
-                    for c in cols],
-                **stats,
-            }
-        if q.is_aggregation:
-            key_cols = [c for c in cols if c in {_name_of(g) for g in q.group_by}]
-            n = q.top if q.top is not None else DEFAULT_TOP
+        src = self.catalog.table(q.table)
+
+        if q.is_aggregation and q.group_by:
+            u, key_cols, fn_cols, n = grouped_topn_frame(q, src)
+            rows = u.collect()  # ≤ n × n_functions rows
+            stats = plan_scan_stats(u)
 
             def per_function(c: str) -> list[dict]:
-                # reference semantics: EACH function returns its own top-n
-                # groups ordered by that function's value desc
-                # (docs/pql_examples.rst:239-258; BrokerReduceService trims
-                # per AggregationInfo)
-                ordered = sorted(
-                    rows,
-                    key=lambda r: (-(r[c] if r[c] is not None else float("-inf")),
-                                   tuple(str(r[k]) for k in key_cols)))
+                sel = [r for r in rows if r["__fn"] == c]
+                sel.sort(key=lambda r: (
+                    -(r[c] if r[c] is not None else float("-inf")),
+                    tuple(str(r[k]) for k in key_cols)))
                 return [{"group": [r[k] for k in key_cols], "value": r[c]}
-                        for r in ordered[:n]]
+                        for r in sel]
 
             return {
                 "aggregationResults": [{
                     "function": c,
                     "groupByColumns": key_cols,
                     "groupByResult": per_function(c),
-                } for c in cols if c not in key_cols],
+                } for c in fn_cols],
+                **stats,
+            }
+
+        df = compile_pql(q, src)  # scalar aggregation or selection
+        rows = df.collect()
+        cols = df.columns
+        stats = plan_scan_stats(df)
+        if q.is_aggregation:
+            return {
+                "aggregationResults": [
+                    {"function": c, "value": rows[0][c] if rows else None}
+                    for c in cols],
                 **stats,
             }
         return {

@@ -1,0 +1,144 @@
+"""Round-2 fix regressions: empty-MV groups, SUMMV overflow guard,
+sub-millisecond DATETIMECONVERT units, PQL unary minus, and the bounded
+per-function trim plan of PQLEngine.execute."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.functions import datetimeconvert
+from realtime_olap_spark.operators.groupby import Agg, Key, group_by_agg
+from realtime_olap_spark.plans.pql import (Func, Lit, PQLEngine,
+                                           grouped_topn_frame, parse_pql)
+
+from conftest import SF_DIR, assert_matches_oracle
+
+
+# ---------------------------------------------------------------------------
+# Mixed direct+element MV group-by keeps all-empty-array groups
+# ---------------------------------------------------------------------------
+
+_EMPTY_MV_ORACLE = """
+WITH t(k, arr) AS (VALUES
+    ('a', [1.0, 2.0]), ('a', [2.0]),
+    ('b', CAST([] AS DOUBLE[])), ('b', CAST([] AS DOUBLE[])))
+SELECT k,
+       CAST(SUM(len(arr)) AS BIGINT) AS countmv,
+       CAST((SELECT COUNT(DISTINCT u)
+             FROM t AS t2, UNNEST(t2.arr) AS un(u)
+             WHERE t2.k = t.k) AS BIGINT) AS dcmv,
+       (SELECT quantile_cont(u, 0.5)
+        FROM t AS t2, UNNEST(t2.arr) AS un(u)
+        WHERE t2.k = t.k) AS p50
+FROM t GROUP BY k
+"""
+
+
+def test_mixed_mv_groupby_keeps_empty_groups(spark):
+    """A group whose MV arrays are all empty must still be returned (count
+    0 / distinct 0 / percentile NULL) — reference returns every group
+    (AggregationFunction.java:87-93); r1 inner-join silently dropped it."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [2.0]), ("b", []), ("b", [])],
+        "k string, arr array<double>")
+    out = group_by_agg(df, keys=[Key("k", "k")], aggs=[
+        Agg("countmv", "arr", "countmv"),
+        Agg("distinctcountmv", "arr", "dcmv"),
+        Agg("percentile50mv", "arr", "p50"),
+    ])
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["countmv"] == 0
+    assert rows["b"]["dcmv"] == 0
+    assert rows["b"]["p50"] is None
+    assert_matches_oracle(out, duckdb.connect(), _EMPTY_MV_ORACLE,
+                          name="empty_mv_groups")
+
+
+# ---------------------------------------------------------------------------
+# SUMMV/AVGMV overflow guard
+# ---------------------------------------------------------------------------
+
+def test_summv_large_magnitude_exact(spark):
+    """Elements beyond the fixed-point range (|x| ≳ 2^27) must switch to the
+    exact decimal fold instead of returning saturated garbage."""
+    df = spark.createDataFrame(
+        [([1.0e12, 2.0e12],), ([3.0e12],)], "arr array<double>")
+    row = group_by_agg(df, keys=[], aggs=[
+        Agg("summv", "arr", "s"), Agg("avgmv", "arr", "a")]).collect()[0]
+    assert row["s"] == 6.0e12
+    assert row["a"] == 2.0e12
+
+
+def test_summv_small_magnitude_fx_path(spark):
+    """Small-magnitude elements keep the oracle-deterministic fx path."""
+    df = spark.createDataFrame([([0.5, 0.25],), ([0.125],)], "arr array<double>")
+    row = group_by_agg(df, keys=[], aggs=[Agg("summv", "arr", "s")]).collect()[0]
+    assert row["s"] == 0.875
+
+
+# ---------------------------------------------------------------------------
+# DATETIMECONVERT sub-millisecond units
+# ---------------------------------------------------------------------------
+
+def test_datetimeconvert_nanos_to_millis(spark):
+    ns = 1_700_000_000_123_456_789
+    out = spark.range(1).select(
+        datetimeconvert(F.lit(ns), "1:NANOSECONDS:EPOCH",
+                        "1:MILLISECONDS:EPOCH", "1:MILLISECONDS").alias("ms"),
+        datetimeconvert(F.lit(ns), "1:NANOSECONDS:EPOCH",
+                        "1:HOURS:EPOCH", "1:HOURS").alias("h"),
+        datetimeconvert(F.lit(ns // 1000), "1:MICROSECONDS:EPOCH",
+                        "1:SECONDS:EPOCH", "1:SECONDS").alias("s"),
+    ).collect()[0]
+    assert out["ms"] == ns // 1_000_000
+    assert out["h"] == ns // (3_600 * 1_000_000_000)
+    assert out["s"] == ns // 1_000_000_000
+
+
+def test_datetimeconvert_millis_unchanged(spark):
+    ms = 1_700_000_000_123
+    out = spark.range(1).select(
+        datetimeconvert(F.lit(ms), "1:MILLISECONDS:EPOCH",
+                        "1:MILLISECONDS:EPOCH", "15:MINUTES").alias("b")
+    ).collect()[0]
+    assert out["b"] == (ms // 900_000) * 900_000
+
+
+# ---------------------------------------------------------------------------
+# PQL unary minus
+# ---------------------------------------------------------------------------
+
+def test_pql_unary_minus_parses():
+    q = parse_pql("SELECT l_quantity-1 FROM lineitem")
+    assert q.select[0][0] == Func("sub", (parse_pql(
+        "SELECT l_quantity FROM lineitem").select[0][0], Lit(1)))
+    q2 = parse_pql("SELECT 5-3 FROM lineitem")
+    assert q2.select[0][0] == Func("sub", (Lit(5), Lit(3)))
+    q3 = parse_pql("SELECT -2 FROM lineitem")
+    assert q3.select[0][0] == Lit(-2)
+    q4 = parse_pql("SELECT l_orderkey FROM lineitem WHERE l_quantity > -1.5")
+    assert q4.where is not None
+
+
+def test_pql_unary_minus_executes(spark):
+    df = PQLEngine(spark, SF_DIR).dataframe(
+        "SELECT l_quantity-1 FROM lineitem WHERE l_quantity > -1 LIMIT 5")
+    assert df.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# execute(): bounded per-function trim computed in Spark
+# ---------------------------------------------------------------------------
+
+def test_execute_grouped_trim_is_bounded_topn(spark):
+    q = parse_pql("SELECT l_returnflag, count(*), sum(l_quantity) "
+                  "FROM lineitem GROUP BY l_returnflag TOP 2")
+    src = Catalog(spark, SF_DIR).table("lineitem")
+    u, key_cols, fn_cols, n = grouped_topn_frame(q, src)
+    rows = u.collect()
+    assert len(rows) <= n * len(fn_cols)  # never the full group set
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
