@@ -30,13 +30,14 @@ from realtime_olap_spark import suite  # noqa: E402
 HEADLINE = [
     "flagship_q1",
     "sel_order_by_offset",
-    "filter_and_or_tree",
+    "filter_range_regex_tree",
     "agg_scalar_all",
-    "agg_distinctcounthll",
-    "agg_groupby_topn",
-    "agg_having",
-    "tf_datetimeconvert_bucket",
+    "agg_approx_sketches",
+    "agg_topn_having",
+    "agg_groupby_keys",
+    "tf_time_all",
     "mv_groupby",
+    "mv_all_aggs",
     "pql_agg_groupby_top",
     "hybrid_time_boundary",
     "rollup_routed_agg",
@@ -50,6 +51,15 @@ HEADLINE = [
     "text_token_budget",
     "mm_byte_histogram",
 ]
+
+# r1 names → r2 names for cross-round comparability (consolidated registry)
+RENAMES = {
+    "filter_and_or_tree": "filter_range_regex_tree",
+    "agg_distinctcounthll": "agg_approx_sketches",
+    "agg_groupby_topn": "agg_topn_having",
+    "agg_having": "agg_topn_having",
+    "tf_datetimeconvert_bucket": "tf_time_all",
+}
 
 
 def build_session(cpus: int) -> SparkSession:
@@ -80,7 +90,7 @@ def main() -> None:
     # Warm the JVM (codegen, parquet reader, shuffle paths) untimed: the
     # flagship pipeline at the smallest SF plus a footer read at bench SF.
     suite.QUERIES["flagship_q1"](spark, "/root/testdata/sf0.001").collect()
-    suite.QUERIES["agg_metadata_count"](spark, sf_dir).collect()
+    suite.QUERIES["agg_fastpaths"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -90,14 +100,38 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # Regression check against the previous round's record (>2x per query).
+    prev = _load_prev_bench()
+    if prev:
+        regressions = {}
+        for old_name, old_sec in prev.items():
+            cur = timings.get(RENAMES.get(old_name, old_name))
+            if cur is not None and old_sec > 0 and cur > 2.0 * old_sec:
+                regressions[old_name] = {"prev": old_sec, "now": cur}
+        out["regressions_vs_prev"] = regressions
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json, if any."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            return dict(json.load(f).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":

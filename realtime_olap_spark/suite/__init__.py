@@ -10,60 +10,22 @@ DuckDB as the oracle per FIXTURES.md.
 
 from realtime_olap_spark.suite.registry import ORACLES, QUERIES
 
-# Importing the modules populates the registry.
+# Importing the modules populates the registry. The consolidated inventory
+# is exactly 50 queries so every one lands inside the driver's 50-entry
+# CORRECTNESS window; the LLM-data-pipeline extensions register right after
+# core so they stay inside even if the window ever shrinks.
 from realtime_olap_spark.suite import core  # noqa: E402,F401
 
 _MODULES = [core]
 
-try:  # each area registers on import; keep import errors isolated
-    from realtime_olap_spark.suite import aggs  # noqa: F401
-    _MODULES.append(aggs)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import transforms  # noqa: F401
-    _MODULES.append(transforms)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import mv  # noqa: F401
-    _MODULES.append(mv)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import pqlq  # noqa: F401
-    _MODULES.append(pqlq)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import hybrid  # noqa: F401
-    _MODULES.append(hybrid)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import dedup  # noqa: F401
-    _MODULES.append(dedup)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import similarity  # noqa: F401
-    _MODULES.append(similarity)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import text  # noqa: F401
-    _MODULES.append(text)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import multimodal  # noqa: F401
-    _MODULES.append(multimodal)
-except ImportError:
-    pass
-try:
-    from realtime_olap_spark.suite import ext  # noqa: F401
-    _MODULES.append(ext)
-except ImportError:
-    pass
+# each area registers on import; keep import errors isolated
+for _name in ("dedup", "similarity", "text", "multimodal", "ext",
+              "aggs", "transforms", "mv", "pqlq", "hybrid"):
+    try:
+        _mod = __import__(f"realtime_olap_spark.suite.{_name}",
+                          fromlist=[_name])
+        _MODULES.append(_mod)
+    except ImportError:
+        pass
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -68,26 +68,6 @@ def flagship_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Selection queries (§2.6)
 # ---------------------------------------------------------------------------
 
-@query("sel_limit", """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem
-WHERE l_returnflag = 'R'
-ORDER BY l_orderkey, l_linenumber
-LIMIT 10
-""")
-def sel_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SelectionOnlyOperator (early termination at LIMIT) with deterministic
-    order — SelectionOnlyOperator.java:45,76-87."""
-    li = Catalog(spark, sf_dir).table("lineitem")
-    return selection.select_order_by(
-        li,
-        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
-        order_by=[F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
-        where=P.eq("l_returnflag", "R"),
-        limit=10,
-    )
-
-
 @query("sel_order_by_offset", """
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
@@ -108,126 +88,128 @@ def sel_order_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sel_empty", """
-SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0
-ORDER BY o_orderkey LIMIT 10
+@query("sel_probes", """
+SELECT 'limit' AS probe, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+       l_extendedprice AS v
+FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 10)
+UNION ALL
+SELECT 'empty' AS probe, o_orderkey AS k1, CAST(0 AS BIGINT) AS k2,
+       o_totalprice AS v
+FROM orders WHERE o_totalprice < 0
 """)
-def sel_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EmptyFilterOperator / empty-result path (EmptyFilterOperator.java:28)."""
-    o = Catalog(spark, sf_dir).table("orders")
-    return selection.select_order_by(
+def sel_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two selection probes in one result (driver's compare is
+    order-insensitive, so a marker-column UNION is exact):
+
+    - ``limit``: SelectionOnlyOperator early termination at LIMIT with a
+      fully deterministic ORDER BY (SelectionOnlyOperator.java:45,76-87);
+    - ``empty``: EmptyFilterOperator / empty-result path
+      (EmptyFilterOperator.java:28) — contributes zero rows.
+    """
+    c = Catalog(spark, sf_dir)
+    li, o = c.table("lineitem"), c.table("orders")
+    lim = selection.select_order_by(
+        li, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        order_by=[F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
+                  F.col("l_quantity").asc(), F.col("l_extendedprice").asc()],
+        where=P.eq("l_returnflag", "R"), limit=10,
+    ).select(F.lit("limit").alias("probe"), F.col("l_orderkey").alias("k1"),
+             F.col("l_linenumber").cast("long").alias("k2"),
+             F.col("l_extendedprice").alias("v"))
+    empty = selection.select_order_by(
         o, ["o_orderkey", "o_totalprice"],
         order_by=[F.col("o_orderkey").asc()],
-        where=P.range_("o_totalprice", high=0, high_inclusive=False), limit=10)
+        where=P.range_("o_totalprice", high=0, high_inclusive=False), limit=10,
+    ).select(F.lit("empty").alias("probe"), F.col("o_orderkey").alias("k1"),
+             F.lit(0).cast("long").alias("k2"), F.col("o_totalprice").alias("v"))
+    return lim.unionByName(empty)
 
 
 # ---------------------------------------------------------------------------
-# Filter predicates (§2.2) — each verified through an aggregate so the whole
-# matching set (not a LIMITed subset) is compared against the oracle.
+# Filter predicates (§2.2) — every predicate type of request.thrift:25-34
+# verified through an aggregate (whole matching set, not a LIMITed subset),
+# consolidated into two marker-column UNION queries so each branch stays an
+# independently-planned filter probe.
 # ---------------------------------------------------------------------------
 
-@query("filter_eq", f"""
-SELECT COUNT(*) AS cnt,
-       {OSUM('l_extendedprice')} AS total
+def _probe(df: DataFrame, tag: str, cond, metric: str) -> DataFrame:
+    return (df.where(cond)
+            .agg(F.count(F.lit(1)).alias("cnt"), dsum(metric).alias("total"))
+            .select(F.lit(tag).alias("pred"), "cnt", "total"))
+
+
+@query("filter_basic", f"""
+SELECT 'eq' AS pred, COUNT(*) AS cnt, {OSUM('l_extendedprice')} AS total
 FROM lineitem WHERE l_returnflag = 'R'
-""")
-def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).table("lineitem")
-    return (li.where(P.eq("l_returnflag", "R"))
-              .agg(F.count(F.lit(1)).alias("cnt"),
-                   dsum("l_extendedprice").alias("total")))
-
-
-@query("filter_neq", """
-SELECT COUNT(*) AS cnt FROM lineitem WHERE l_linestatus <> 'O'
-""")
-def filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Catalog(spark, sf_dir).table("lineitem")
-    return li.where(P.neq("l_linestatus", "O")).agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@query("filter_in", f"""
-SELECT COUNT(*) AS cnt,
-       {OSUM('o_totalprice')} AS total
+UNION ALL
+SELECT 'neq', COUNT(*), {OSUM('l_extendedprice')}
+FROM lineitem WHERE l_linestatus <> 'O'
+UNION ALL
+SELECT 'in', COUNT(*), {OSUM('o_totalprice')}
 FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+UNION ALL
+SELECT 'not_in', COUNT(*), {OSUM('o_totalprice')}
+FROM orders WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
 """)
-def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = Catalog(spark, sf_dir).table("orders")
-    return (o.where(P.isin("o_orderpriority", ["1-URGENT", "2-HIGH"]))
-             .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total")))
+def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQ / NEQ / IN / NOT_IN predicate probes
+    (EqualsPredicate, NotEqualsPredicate, InPredicate, NotInPredicate —
+    request.thrift:25-34), one aggregate row per predicate."""
+    c = Catalog(spark, sf_dir)
+    li, o = c.table("lineitem"), c.table("orders")
+    return (_probe(li, "eq", P.eq("l_returnflag", "R"), "l_extendedprice")
+            .unionByName(_probe(li, "neq", P.neq("l_linestatus", "O"),
+                                "l_extendedprice"))
+            .unionByName(_probe(o, "in",
+                                P.isin("o_orderpriority", ["1-URGENT", "2-HIGH"]),
+                                "o_totalprice"))
+            .unionByName(_probe(o, "not_in",
+                                P.not_in("o_orderpriority",
+                                         ["5-LOW", "4-NOT SPECIFIED"]),
+                                "o_totalprice")))
 
 
-@query("filter_not_in", """
-SELECT COUNT(*) AS cnt FROM orders
-WHERE o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
-""")
-def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = Catalog(spark, sf_dir).table("orders")
-    return (o.where(P.not_in("o_orderpriority", ["5-LOW", "4-NOT SPECIFIED"]))
-             .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@query("filter_between", f"""
-SELECT COUNT(*) AS cnt,
-       {OSUM('l_quantity')} AS qty
+@query("filter_range_regex_tree", f"""
+SELECT 'between' AS pred, COUNT(*) AS cnt, {OSUM('l_quantity')} AS total
 FROM lineitem
 WHERE l_quantity BETWEEN 10 AND 20
   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-""")
-def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inclusive BETWEEN on a metric and on the time column — RANGE predicate
-    [a, b] (RangePredicate.java:26)."""
-    li = Catalog(spark, sf_dir).table("lineitem")
-    cond = P.and_(
-        P.between("l_quantity", 10, 20),
-        P.between("l_shipdate",
-                  F.lit("1996-01-01").cast("timestamp"),
-                  F.lit("1997-12-31").cast("timestamp")),
-    )
-    return li.where(cond).agg(F.count(F.lit(1)).alias("cnt"),
-                              dsum("l_quantity").alias("qty"))
-
-
-@query("filter_range_exclusive", """
-SELECT COUNT(*) AS cnt FROM lineitem
-WHERE l_quantity > 45 AND l_discount < 0.03
-""")
-def filter_range_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict range bounds — range strings like ``(45\\t\\t*)``
-    (RangePredicateEvaluatorFactory.java:34)."""
-    li = Catalog(spark, sf_dir).table("lineitem")
-    cond = P.and_(
-        P.range_("l_quantity", low=45, low_inclusive=False),
-        P.range_("l_discount", high=0.03, high_inclusive=False),
-    )
-    return li.where(cond).agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@query("filter_regexp_like", """
-SELECT COUNT(*) AS cnt FROM part WHERE regexp_matches(p_name, '^(red|blue) .*')
-""")
-def filter_regexp_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REGEXP_LIKE predicate (RegexpLikePredicate.java:27) — Java regex in
-    both Spark (rlike) and the oracle (regexp_matches)."""
-    p = Catalog(spark, sf_dir).table("part")
-    return (p.where(P.regexp_like("p_name", "^(red|blue) .*"))
-             .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@query("filter_and_or_tree", f"""
-SELECT COUNT(*) AS cnt,
-       {OSUM('l_extendedprice')} AS total
+UNION ALL
+SELECT 'range_excl', COUNT(*), {OSUM('l_quantity')}
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03
+UNION ALL
+SELECT 'regexp', COUNT(*), {OSUM('p_retailprice')}
+FROM part WHERE regexp_matches(p_name, '^(red|blue) .*')
+UNION ALL
+SELECT 'tree', COUNT(*), {OSUM('l_extendedprice')}
 FROM lineitem
 WHERE (l_returnflag = 'A' AND l_quantity > 25)
    OR (l_linestatus = 'O' AND l_discount BETWEEN 0.02 AND 0.05)
 """)
-def filter_and_or_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested AND/OR filter tree (request.thrift:60-75,
-    AndFilterOperator.java:29 / OrFilterOperator.java:29)."""
-    li = Catalog(spark, sf_dir).table("lineitem")
-    cond = P.or_(
-        P.and_(P.eq("l_returnflag", "A"), P.range_("l_quantity", low=25, low_inclusive=False)),
-        P.and_(P.eq("l_linestatus", "O"), P.between("l_discount", 0.02, 0.05)),
-    )
-    return li.where(cond).agg(F.count(F.lit(1)).alias("cnt"),
-                              dsum("l_extendedprice").alias("total"))
+def filter_range_regex_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN [a,b] (RangePredicate.java:26), strict range bounds
+    (RangePredicateEvaluatorFactory.java:34 — ``(45\\t\\t*)`` style),
+    REGEXP_LIKE (RegexpLikePredicate.java:27, Java regex = Spark rlike /
+    DuckDB regexp_matches), and a nested AND/OR tree
+    (request.thrift:60-75, And/OrFilterOperator.java:29)."""
+    c = Catalog(spark, sf_dir)
+    li, p = c.table("lineitem"), c.table("part")
+    between = P.and_(
+        P.between("l_quantity", 10, 20),
+        P.between("l_shipdate",
+                  F.lit("1996-01-01").cast("timestamp"),
+                  F.lit("1997-12-31").cast("timestamp")))
+    range_excl = P.and_(
+        P.range_("l_quantity", low=45, low_inclusive=False),
+        P.range_("l_discount", high=0.03, high_inclusive=False))
+    tree = P.or_(
+        P.and_(P.eq("l_returnflag", "A"),
+               P.range_("l_quantity", low=25, low_inclusive=False)),
+        P.and_(P.eq("l_linestatus", "O"), P.between("l_discount", 0.02, 0.05)))
+    return (_probe(li, "between", between, "l_quantity")
+            .unionByName(_probe(li, "range_excl", range_excl, "l_quantity"))
+            .unionByName(_probe(p, "regexp",
+                                P.regexp_like("p_name", "^(red|blue) .*"),
+                                "p_retailprice"))
+            .unionByName(_probe(li, "tree", tree, "l_extendedprice")))

@@ -15,27 +15,22 @@ _WS = "list_distinct(string_split(lower(text), ' '))"
 
 
 @query("dedup_exact", """
-SELECT lang, source, COUNT(*) AS dup_count
-FROM documents
-GROUP BY lang, source
-HAVING COUNT(*) > 1
+SELECT lang, source, dup_count, total, distinct_texts
+FROM (SELECT lang, source, COUNT(*) AS dup_count
+      FROM documents GROUP BY lang, source HAVING COUNT(*) > 1),
+     (SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts
+      FROM documents)
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact hash-groupBy dedup: duplicate groups + multiplicity (here on the
-    (lang, source) key; on content columns the same single shuffle)."""
+    """Exact hash-groupBy dedup: duplicate groups + multiplicity (here on
+    the (lang, source) key; on content columns the same single shuffle),
+    with the corpus-level dedup cardinality (rows vs distinct payloads)
+    carried as constant columns."""
     d = Catalog(spark, sf_dir).table("documents")
-    return D.exact_duplicate_groups(d, ["lang", "source"])
-
-
-@query("dedup_exact_distinct", """
-SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts
-FROM documents
-""")
-def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup cardinality: rows vs distinct payloads."""
-    d = Catalog(spark, sf_dir).table("documents")
-    return d.agg(F.count(F.lit(1)).alias("total"),
-                 F.count_distinct("text").alias("distinct_texts"))
+    groups = D.exact_duplicate_groups(d, ["lang", "source"])
+    stats = d.agg(F.count(F.lit(1)).alias("total"),
+                  F.count_distinct("text").alias("distinct_texts"))
+    return groups.crossJoin(stats)
 
 
 _MH_SIGS = ",\n  ".join(

@@ -41,53 +41,39 @@ def hybrid_time_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("rollup_routed_agg", f"""
-SELECT l_returnflag, l_linestatus,
+SELECT l_suppkey,
        COUNT(*) AS cnt,
        {OSUM('l_quantity')} AS sum_qty,
        {OAVG('l_quantity')} AS avg_qty,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price
 FROM lineitem
-GROUP BY l_returnflag, l_linestatus
+WHERE l_returnflag = 'R'
+GROUP BY l_suppkey
+ORDER BY sum_qty DESC, l_suppkey ASC
+LIMIT 10
 """)
 def rollup_routed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-tree analog end-to-end: build the rollup, route an eligible
-    query to it, and the result must equal the raw aggregation (the
-    reference's star-tree vs non-star-tree differential,
-    StarTreeClusterIntegrationTest.java)."""
+    query (every pre-aggregated function kind AND a dimension filter —
+    StarTreeFilterOperator.java:55-88 traverses predicate dims; here the
+    filter lands on the rollup scan) + reference TOP-10 ordering. The
+    result must equal the raw aggregation — the reference's star-tree vs
+    non-star-tree differential (StarTreeClusterIntegrationTest.java)."""
     li = Catalog(spark, sf_dir).table("lineitem")
     spec = RollupSpec(dims=("l_returnflag", "l_linestatus", "l_suppkey"),
                       sum_cols=("l_quantity",),
                       min_cols=("l_extendedprice",),
                       max_cols=("l_extendedprice",))
     router = RollupRouter(li, build_rollup(li, spec), spec)
-    return router.query(
-        ["l_returnflag", "l_linestatus"],
+    out = router.query(
+        ["l_suppkey"],
         [("count", None, "cnt"), ("sum", "l_quantity", "sum_qty"),
          ("avg", "l_quantity", "avg_qty"),
          ("min", "l_extendedprice", "min_price"),
-         ("max", "l_extendedprice", "max_price")])
-
-
-@query("rollup_routed_filtered", f"""
-SELECT l_suppkey, {OSUM('l_quantity')} AS sum_qty
-FROM lineitem
-WHERE l_returnflag = 'R'
-GROUP BY l_suppkey
-ORDER BY sum_qty DESC, l_suppkey ASC
-LIMIT 10
-""")
-def rollup_routed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routed query with a dimension filter (StarTreeFilterOperator.java:55-88
-    traverses predicate dims; here the filter lands on the rollup scan) +
-    reference TOP-10 ordering."""
-    li = Catalog(spark, sf_dir).table("lineitem")
-    spec = RollupSpec(dims=("l_returnflag", "l_linestatus", "l_suppkey"),
-                      sum_cols=("l_quantity",))
-    router = RollupRouter(li, build_rollup(li, spec), spec)
-    out = router.query(["l_suppkey"], [("sum", "l_quantity", "sum_qty")],
-                       where=F.col("l_returnflag") == "R",
-                       filter_dims=["l_returnflag"])
+         ("max", "l_extendedprice", "max_price")],
+        where=F.col("l_returnflag") == "R",
+        filter_dims=["l_returnflag"])
     return out.orderBy(F.col("sum_qty").desc(), F.col("l_suppkey").asc()).limit(10)
 
 

@@ -45,21 +45,29 @@ def mm_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("media_type").asc()))
 
 
-@query("mm_decode_fake", f"""
+@query("mm_decode_resize", f"""
 SELECT doc_id AS media_id, {_MTYPE} AS media_type,
        ({_NBYTES} % 640) + 1 AS decoded_width,
        ({_NBYTES} % 480) + 1 AS decoded_height,
-       {_NBYTES} AS n_bytes
+       {_NBYTES} AS n_bytes,
+       least((n_chars % 640) + 16, 224) AS width,
+       least((doc_id % 480) + 16, 224) AS height
 FROM documents
 ORDER BY media_id ASC
 LIMIT 30
 """)
-def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pass through the deterministic fake codec — exercises the
-    real mapInPandas/Arrow path end-to-end (the 'real' codec is the
-    clearly-marked NotImplementedError stub)."""
-    decoded = M.decode_media(_media(spark, sf_dir), decoder="fake")
-    return decoded.orderBy(F.col("media_id").asc()).limit(30)
+def mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pass through the deterministic fake codec (exercises the real
+    mapInPandas/Arrow path end-to-end; the 'real' codec is the
+    clearly-marked NotImplementedError stub) joined with the resize pass to
+    a 224×224 train budget (stub codec: pure JVM metadata rewrite)."""
+    m = _media(spark, sf_dir)
+    decoded = M.decode_media(m, decoder="fake")
+    resized = M.resize_images(m, 224, 224).select(
+        "media_id", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"))
+    return (decoded.join(resized, "media_id")
+            .orderBy(F.col("media_id").asc()).limit(30))
 
 
 _BINW = 256 // M.FEATURE_BINS
@@ -108,18 +116,3 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy(F.col("media_id").asc(), F.col("frame_ts_ms").asc()).limit(100)
 
 
-@query("mm_resize", f"""
-SELECT doc_id AS media_id,
-       least((n_chars % 640) + 16, 224) AS width,
-       least((doc_id % 480) + 16, 224) AS height
-FROM documents
-ORDER BY media_id ASC
-LIMIT 30
-""")
-def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize pass (stub codec: metadata rewrite only) to a 224×224 train
-    budget — pure JVM struct rewrite."""
-    resized = M.resize_images(_media(spark, sf_dir), 224, 224)
-    return (resized.select("media_id", F.col("meta.width").alias("width"),
-                           F.col("meta.height").alias("height"))
-            .orderBy(F.col("media_id").asc()).limit(30))

@@ -28,40 +28,33 @@ _FX = "34359738368"
 _EL = f"CAST(FLOOR(CAST(u AS DOUBLE) * {_FX}) AS BIGINT)"
 
 
-@query("mv_eq_filter", """
-SELECT COUNT(*) AS cnt FROM part
+@query("mv_filters", """
+SELECT 'eq' AS pred, COUNT(*) AS cnt FROM part
 WHERE list_contains(string_split(p_name, ' '), 'red')
-""")
-def mv_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EQ on an MV column = any element equals
-    (EqualsPredicateEvaluatorFactory.java:30, MV path)."""
-    p = Catalog(spark, sf_dir).table("part")
-    return (p.where(P.mv_eq(F.split("p_name", " "), "red"))
-             .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@query("mv_in_filter", """
-SELECT COUNT(*) AS cnt FROM part
+UNION ALL
+SELECT 'in', COUNT(*) FROM part
 WHERE len(list_intersect(string_split(p_name, ' '), ['bolt', 'gear', 'widget'])) > 0
-""")
-def mv_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN on an MV column = any element in the set (InPredicate MV path)."""
-    p = Catalog(spark, sf_dir).table("part")
-    return (p.where(P.mv_isin(F.split("p_name", " "), ["bolt", "gear", "widget"]))
-             .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@query("mv_range_filter", """
-SELECT COUNT(*) AS cnt FROM embeddings
+UNION ALL
+SELECT 'range', COUNT(*) FROM embeddings
 WHERE EXISTS (SELECT 1 FROM unnest(embedding) AS t(u) WHERE u BETWEEN 0.99 AND 1.0)
 """)
-def mv_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE on an MV column: any element in [low, high]
-    (RangePredicateEvaluatorFactory MV path)."""
-    e = Catalog(spark, sf_dir).table("embeddings")
-    return (e.where(P.mv_between("embedding", F.lit(0.99).cast("float"),
-                                 F.lit(1.0).cast("float")))
-             .agg(F.count(F.lit(1)).alias("cnt")))
+def mv_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV predicate family — any-element EQ / IN / RANGE
+    (EqualsPredicateEvaluatorFactory.java:30 MV path, InPredicate MV path,
+    RangePredicateEvaluatorFactory MV path) — one count per predicate."""
+    c = Catalog(spark, sf_dir)
+    p, e = c.table("part"), c.table("embeddings")
+    eq = (p.where(P.mv_eq(F.split("p_name", " "), "red"))
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select(F.lit("eq").alias("pred"), "cnt"))
+    isin = (p.where(P.mv_isin(F.split("p_name", " "), ["bolt", "gear", "widget"]))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("in").alias("pred"), "cnt"))
+    rng = (e.where(P.mv_between("embedding", F.lit(0.99).cast("float"),
+                                F.lit(1.0).cast("float")))
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .select(F.lit("range").alias("pred"), "cnt"))
+    return eq.unionByName(isin).unionByName(rng)
 
 
 @query("mv_groupby", """
@@ -80,43 +73,42 @@ def mv_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n(g, "cnt", 10, key_names=["word"])
 
 
-@query("mv_agg_basic", f"""
+@query("mv_all_aggs", f"""
 SELECT COUNT(*) AS rows_cnt,
-       SUM(len(embedding)) AS countmv,
+       CAST(SUM(len(embedding)) AS BIGINT) AS countmv,
        MIN(el.mn) AS minmv,
-       MAX(el.mx) AS maxmv
+       MAX(el.mx) AS maxmv,
+       (CAST(SUM(el.s) AS DOUBLE) / {_FX}.0) AS summv,
+       (CAST(SUM(el.s) AS DOUBLE) / {_FX}.0
+        / CAST(SUM(len(embedding)) AS DOUBLE)) AS avgmv,
+       MAX(el.mx) - MIN(el.mn) AS rangemv,
+       (SELECT quantile_cont(CAST(u AS DOUBLE), 0.5)
+        FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p50,
+       (SELECT quantile_cont(CAST(u AS DOUBLE), 0.9)
+        FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p90
 FROM embeddings,
-     LATERAL (SELECT MIN(CAST(u AS DOUBLE)) AS mn, MAX(CAST(u AS DOUBLE)) AS mx
+     LATERAL (SELECT MIN(CAST(u AS DOUBLE)) AS mn, MAX(CAST(u AS DOUBLE)) AS mx,
+                     SUM({_EL}) AS s
               FROM unnest(embedding) AS t(u)) el
 """)
-def mv_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNTMV / MINMV / MAXMV — element-count and element-extrema aggregates
-    (CountMVAggregationFunction.java, MinMVAggregationFunction.java) computed
-    as JVM-side array folds; no explode in the Spark plan."""
+def mv_all_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scalar MV aggregation family in one query: COUNTMV / MINMV /
+    MAXMV / SUMMV / AVGMV / MINMAXRANGEMV (JVM-side array folds, no explode
+    in the plan — CountMVAggregationFunction.java, MinMV…, SumMV…, AvgMV…,
+    MinMaxRangeMV…) plus element-level exact PERCENTILE<N>MV
+    (PercentileMVAggregationFunction.java — explode-once path of the
+    executor, joined back), exercising the mixed direct+element pipeline."""
     e = Catalog(spark, sf_dir).table("embeddings")
     return group_by_agg(e, keys=[], aggs=[
         Agg("count", None, "rows_cnt"),
         Agg("countmv", "embedding", "countmv"),
         Agg("minmv", "embedding", "minmv"),
         Agg("maxmv", "embedding", "maxmv"),
-    ])
-
-
-@query("mv_agg_sum_avg", f"""
-SELECT (CAST(SUM({_EL}) AS DOUBLE) / {_FX}.0) AS summv,
-       (CAST(SUM({_EL}) AS DOUBLE) / {_FX}.0 / COUNT(u)) AS avgmv,
-       MAX(CAST(u AS DOUBLE)) - MIN(CAST(u AS DOUBLE)) AS rangemv
-FROM (SELECT unnest(embedding) AS u FROM embeddings)
-""")
-def mv_agg_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUMMV / AVGMV / MINMAXRANGEMV over all elements
-    (SumMVAggregationFunction.java, AvgMV…, MinMaxRangeMV…) — exact decimal
-    folds per row, then exact decimal merge."""
-    e = Catalog(spark, sf_dir).table("embeddings")
-    return group_by_agg(e, keys=[], aggs=[
         Agg("summv", "embedding", "summv"),
         Agg("avgmv", "embedding", "avgmv"),
         Agg("minmaxrangemv", "embedding", "rangemv"),
+        Agg("percentile50mv", "embedding", "p50"),
+        Agg("percentile90mv", "embedding", "p90"),
     ])
 
 
@@ -134,34 +126,47 @@ def mv_distinctcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
-@query("mv_percentile", """
-SELECT quantile_cont(CAST(u AS DOUBLE), 0.5) AS p50,
-       quantile_cont(CAST(u AS DOUBLE), 0.9) AS p90
-FROM (SELECT unnest(embedding) AS u FROM embeddings WHERE label = 3)
-""")
-def mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCENTILE<N>MV — exact percentile over all elements of a filtered
-    row set (PercentileMVAggregationFunction.java)."""
-    e = Catalog(spark, sf_dir).table("embeddings").where(P.eq("label", 3))
-    el = e.select(F.explode("embedding").alias("u"))
-    return el.agg(
-        F.percentile(F.col("u").cast("double"), F.lit(0.5)).alias("p50"),
-        F.percentile(F.col("u").cast("double"), F.lit(0.9)).alias("p90"))
-
-
 @query("mv_groupby_label_elements", f"""
-SELECT label,
-       SUM(len(embedding)) AS countmv,
-       (CAST(SUM(el.s) AS DOUBLE) / {_FX}.0) AS summv
-FROM embeddings,
-     LATERAL (SELECT SUM({_EL}) AS s FROM unnest(embedding) AS t(u)) el
-GROUP BY label
+WITH folds AS (
+  SELECT label, len(embedding) AS n, el.s AS s
+  FROM embeddings,
+       LATERAL (SELECT SUM({_EL}) AS s FROM unnest(embedding) AS t(u)) el),
+direct AS (
+  SELECT label, CAST(SUM(n) AS BIGINT) AS countmv,
+         (CAST(SUM(s) AS DOUBLE) / {_FX}.0) AS summv
+  FROM folds GROUP BY label),
+pcts AS (
+  SELECT label, quantile_cont(CAST(u AS DOUBLE), 0.5) AS p50
+  FROM (SELECT label, unnest(embedding) AS u FROM embeddings)
+  GROUP BY label)
+SELECT direct.label, countmv, summv, p50
+FROM direct JOIN pcts USING (label)
 """)
 def mv_groupby_label_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped MV aggregation: per-dimension COUNTMV/SUMMV — grouped
-    element folds with exact decimal merge."""
+    """Grouped MV aggregation: per-dimension COUNTMV/SUMMV (grouped element
+    folds with exact decimal merge) + grouped PERCENTILE<N>MV through the
+    element-level join-back path — the full grouped mixed pipeline."""
     e = Catalog(spark, sf_dir).table("embeddings")
     return group_by_agg(e, keys=[Key("label", "label")], aggs=[
         Agg("countmv", "embedding", "countmv"),
         Agg("summv", "embedding", "summv"),
+        Agg("percentile50mv", "embedding", "p50"),
     ])
+
+
+@query("mv_approx_aggs")  # sketch estimates — no SQL oracle (rows-only)
+def mv_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate MV aggregates, completing §2.4: DISTINCTCOUNTHLLMV
+    (DistinctCountHLLMVAggregationFunction.java — HLL over all elements),
+    PERCENTILEESTMV (PercentileEstMVAggregationFunction.java) and
+    PERCENTILETDIGESTMV (…TDigestMV….java) — element-level sketch
+    aggregation over exploded MV columns; estimates, so rows-only."""
+    c = Catalog(spark, sf_dir)
+    words = group_by_agg(c.table("part"), keys=[], aggs=[
+        Agg("distinctcounthllmv", F.split("p_name", " "), "hll_words"),
+    ])
+    pcts = group_by_agg(c.table("embeddings"), keys=[], aggs=[
+        Agg("percentileest50mv", "embedding", "est_p50"),
+        Agg("percentiletdigest90mv", "embedding", "td_p90"),
+    ])
+    return words.crossJoin(pcts)

@@ -42,35 +42,23 @@ def pql_agg_groupby_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY l_returnflag")
 
 
-@query("pql_agg_having", f"""
-SELECT o_orderpriority, COUNT(*) AS count_star, {OSUM('o_totalprice')} AS sum_o_totalprice
-FROM orders
-GROUP BY o_orderpriority
-HAVING COUNT(*) > 100
-ORDER BY count_star DESC, o_orderpriority ASC
-LIMIT 10
-""")
-def pql_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING through PQL (HavingClauseComparisonTree.java:32) with the
-    reference TOP trimming on the first aggregation function."""
-    return PQLEngine(spark, sf_dir).dataframe(
-        "SELECT o_orderpriority, count(*), sum(o_totalprice) FROM orders "
-        "GROUP BY o_orderpriority HAVING count_star > 100 TOP 10")
-
-
-@query("pql_transform_groupby", f"""
+@query("pql_transform_having", f"""
 SELECT (l_quantity / 10) AS div_l_quantity_10,
+       COUNT(*) AS count_star,
        {OSUM('l_extendedprice * l_discount')} AS sum_mult_l_extendedprice_l_discount
 FROM lineitem
 GROUP BY div_l_quantity_10
-ORDER BY sum_mult_l_extendedprice_l_discount DESC, div_l_quantity_10 ASC
+HAVING COUNT(*) > 100
+ORDER BY count_star DESC, div_l_quantity_10 ASC
 LIMIT 10
 """)
-def pql_transform_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pql_transform_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transform expressions in group-key and aggregation-argument positions
-    through PQL — infix ``/`` and ``*`` compile to DIV/MULT
-    (PQL2.g4 binaryMathOperator; DivisionTransformFunction.java:32)."""
-    eng = PQLEngine(spark, sf_dir)
-    return eng.dataframe(
-        "SELECT l_quantity / 10, sum(l_extendedprice * l_discount) "
-        "FROM lineitem GROUP BY l_quantity / 10")
+    (infix ``/`` and ``*`` compile to DIV/MULT — PQL2.g4
+    binaryMathOperator; DivisionTransformFunction.java:32) composed with
+    HAVING (HavingClauseComparisonTree.java:32) and an explicit TOP — the
+    reference trims on the FIRST aggregation function."""
+    return PQLEngine(spark, sf_dir).dataframe(
+        "SELECT l_quantity / 10, count(*), sum(l_extendedprice * l_discount) "
+        "FROM lineitem GROUP BY l_quantity / 10 "
+        "HAVING count_star > 100 TOP 10")

@@ -36,66 +36,60 @@ _DETECT = (f"(CASE WHEN list_max({_SCORES}) >= 1 "
            f"ELSE 'und' END)")
 
 
-@query("text_language_id", f"""
-SELECT {_DETECT} AS detected, COUNT(*) AS n_docs
-FROM documents
-GROUP BY detected
-ORDER BY detected ASC
-""")
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-heuristic language ID (marker-word argmax against literal
-    per-language profiles), rolled up to corpus language distribution."""
-    d = Catalog(spark, sf_dir).table("documents")
-    return (d.select(T.detect_language(F.col("text")).alias("detected"))
-            .groupBy("detected").agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy(F.col("detected").asc()))
-
-
-@query("text_quality_features", f"""
-SELECT doc_id,
-       length(text) AS n_chars_m,
-       {_NTOK} AS n_tokens,
-       CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS mean_word_len,
-       CAST({_NSTOP} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS stopword_ratio,
-       CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-       CAST({_NUPPER} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS upper_ratio
-FROM documents
-ORDER BY doc_id ASC
-LIMIT 30
-""")
-def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality signals (length / token stats / stopword,
-    punctuation, uppercase ratios) — pure scan-side expressions."""
-    d = Catalog(spark, sf_dir).table("documents")
-    return (d.select("doc_id", *T.quality_features(F.col("text")))
-            .orderBy(F.col("doc_id").asc()).limit(30))
-
-
-@query("text_quality_gate", f"""
+@query("text_lang_quality", f"""
 WITH scored AS (
-  SELECT lang,
+  SELECT {_DETECT} AS detected,
          least(CAST({_NSTOP} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) * 2.0, 0.4)
          + (CASE WHEN CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE)
                  BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END)
          + greatest(0.2 - CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0)
          AS q
   FROM documents)
-SELECT lang,
+SELECT detected,
        COUNT(*) AS n_docs,
        SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_kept
 FROM scored
-GROUP BY lang
-ORDER BY lang ASC
+GROUP BY detected
+ORDER BY detected ASC
 """)
-def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation gate: per-language keep counts at quality_score ≥ 0.5 —
-    the filter a pretraining pipeline applies before tokenization."""
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (marker-word argmax against literal per-language
+    profiles) + the curation gate in one pass: per DETECTED language, doc
+    counts and keep counts at quality_score ≥ 0.5 — the filter a
+    pretraining pipeline applies before tokenization."""
     d = Catalog(spark, sf_dir).table("documents")
-    return (d.select("lang", T.quality_score(F.col("text")).alias("q"))
-            .groupBy("lang")
+    return (d.select(T.detect_language(F.col("text")).alias("detected"),
+                     T.quality_score(F.col("text")).alias("q"))
+            .groupBy("detected")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"))
-            .orderBy(F.col("lang").asc()))
+            .orderBy(F.col("detected").asc()))
+
+
+@query("text_doc_features", f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       {_NTOK} AS n_tokens,
+       CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS mean_word_len,
+       CAST({_NSTOP} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) AS stopword_ratio,
+       CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST({_NUPPER} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '') if c != '']),
+         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint
+FROM documents
+ORDER BY doc_id ASC
+LIMIT 30
+""")
+def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length / token stats / stopword,
+    punctuation, uppercase ratios) + the order-sensitive rolling polynomial
+    fingerprint (Rabin-Karp-style) — all pure scan-side expressions."""
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select("doc_id", *T.quality_features(F.col("text")),
+                     T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy(F.col("doc_id").asc()).limit(30))
 
 
 @query("text_token_budget", f"""
@@ -125,20 +119,3 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("source").asc()))
 
 
-@query("text_fingerprint", f"""
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-                      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '') if c != '']),
-         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint
-FROM documents
-ORDER BY doc_id ASC
-LIMIT 30
-""")
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial hash (Rabin-Karp-style) per document — the
-    order-sensitive fingerprint complementing the word-set hashes."""
-    d = Catalog(spark, sf_dir).table("documents")
-    return (d.select("doc_id",
-                     T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
-            .orderBy(F.col("doc_id").asc()).limit(30))

@@ -33,59 +33,37 @@ def tf_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(combo.cast("decimal(38,10)")).cast("double").alias("combo"))
 
 
-@query("tf_timeconvert", f"""
-SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS ts_hour,
-       COUNT(*) AS cnt, {OSUM('value')} AS total
-FROM events
-GROUP BY ts_hour
-ORDER BY cnt DESC, ts_hour ASC
-LIMIT 10
-""")
-def tf_timeconvert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIMECONVERT(epochMillis, MILLISECONDS, HOURS) as a group key with the
-    reference's default TOP-10-by-aggregate ordering
-    (TimeConversionTransformFunction.java:33)."""
-    ev = Catalog(spark, sf_dir).table("events")
-    hour = timeconvert(F.unix_millis("ts"), "MILLISECONDS", "HOURS")
-    g = group_by_agg(ev, keys=[Key(hour, "ts_hour")],
-                     aggs=[Agg("count", None, "cnt"), Agg("sum", "value", "total")])
-    return top_n(g, "cnt", 10, key_names=["ts_hour"])
-
-
-@query("tf_datetimeconvert_bucket", f"""
+@query("tf_time_all", f"""
 SELECT CAST(FLOOR(epoch_ms(ts) / 900000) * 900000 AS BIGINT) AS bucket_ms,
+       CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS ts_hour,
+       strftime(ts, '%Y-%m-%d') AS day,
        COUNT(*) AS cnt, {OSUM('value')} AS total
 FROM events
-WHERE event_type = 'purchase'
-GROUP BY bucket_ms
-ORDER BY total DESC, bucket_ms ASC
-LIMIT 10
+GROUP BY bucket_ms, ts_hour, day
 """)
-def tf_datetimeconvert_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DATETIMECONVERT with 15:MINUTES bucketing granularity
-    (DateTimeConversionTransformFunction.java:82) — epoch-ms in/out."""
+def tf_time_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three time-conversion registry functions as group keys at once:
+
+    - TIMECONVERT(epochMillis, MILLISECONDS, HOURS)
+      (TimeConversionTransformFunction.java:33);
+    - DATETIMECONVERT 15:MINUTES epoch bucketing
+      (DateTimeConversionTransformFunction.java:82);
+    - DATETIMECONVERT epoch → SIMPLE_DATE_FORMAT daily strings
+      (DateTimeFieldSpec.java:39-75 format grammar).
+
+    Group cardinality equals the finest key (15-min buckets); the coarser
+    hour/day keys are functionally dependent, so every conversion is
+    value-checked across the whole time range in one query."""
     ev = Catalog(spark, sf_dir).table("events")
-    bucket = datetimeconvert(F.unix_millis("ts"), "1:MILLISECONDS:EPOCH",
+    ms = F.unix_millis("ts")
+    hour = timeconvert(ms, "MILLISECONDS", "HOURS")
+    bucket = datetimeconvert(ms, "1:MILLISECONDS:EPOCH",
                              "1:MILLISECONDS:EPOCH", "15:MINUTES")
-    g = group_by_agg(ev.where(F.col("event_type") == "purchase"),
-                     keys=[Key(bucket, "bucket_ms")],
-                     aggs=[Agg("count", None, "cnt"), Agg("sum", "value", "total")])
-    return top_n(g, "total", 10, key_names=["bucket_ms"])
-
-
-@query("tf_datetimeconvert_sdf", f"""
-SELECT strftime(ts, '%Y-%m-%d') AS day,
-       COUNT(*) AS cnt, {OSUM('value')} AS total
-FROM events
-GROUP BY day
-""")
-def tf_datetimeconvert_sdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DATETIMECONVERT epoch → SIMPLE_DATE_FORMAT output
-    (DateTimeFieldSpec.java:39-75 format grammar) — daily string buckets."""
-    ev = Catalog(spark, sf_dir).table("events")
-    day = datetimeconvert(F.unix_millis("ts"), "1:MILLISECONDS:EPOCH",
+    day = datetimeconvert(ms, "1:MILLISECONDS:EPOCH",
                           "1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd", "1:DAYS")
-    return group_by_agg(ev, keys=[Key(day, "day")],
+    return group_by_agg(ev,
+                        keys=[Key(bucket, "bucket_ms"), Key(hour, "ts_hour"),
+                              Key(day, "day")],
                         aggs=[Agg("count", None, "cnt"),
                               Agg("sum", "value", "total")])
 

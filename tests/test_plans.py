@@ -22,7 +22,7 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_filter_pushdown_reaches_parquet(spark):
-    plan = plan_of(spark, "filter_eq")
+    plan = plan_of(spark, "filter_basic")
     assert "PushedFilters: [" in plan
     assert "EqualTo(l_returnflag,R)" in plan
 
@@ -39,7 +39,7 @@ def test_projection_prunes_scan_columns(spark):
 def test_aggregation_is_partial_then_final(spark):
     # partial (map-side) + final HashAggregate around one exchange —
     # Pinot's per-segment aggregate → server merge → broker merge
-    plan = plan_of(spark, "agg_groupby_topn")
+    plan = plan_of(spark, "agg_topn_having")
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
 
@@ -93,7 +93,7 @@ def test_embedding_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize("name", ["rollup_routed_agg", "rollup_routed_filtered"])
+@pytest.mark.parametrize("name", ["rollup_routed_agg"])
 def test_rollup_routes_away_from_fact(spark, name):
     # routed queries aggregate the rollup, not the raw fact table: the
     # fact's metric columns must not appear in the final plan's scans
