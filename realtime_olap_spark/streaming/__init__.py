@@ -2,8 +2,10 @@
 
 from realtime_olap_spark.streaming.realtime import (
     RealtimeIngest,
+    decode_json_stream,
     hybrid_table,
     time_boundary,
 )
 
-__all__ = ["RealtimeIngest", "hybrid_table", "time_boundary"]
+__all__ = ["RealtimeIngest", "decode_json_stream", "hybrid_table",
+           "time_boundary"]

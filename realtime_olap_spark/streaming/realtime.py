@@ -27,9 +27,12 @@ same downstream graph — the source is the only line that changes.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.operators.aggregation import DEC
@@ -65,30 +68,117 @@ class RealtimeIngest:
         return w.start()
 
     def start_rollup(self, source: DataFrame, dims: list[str],
-                     metrics: list[str]):
+                     metrics: list[str], partition_by: str | None = None):
         """aggregateMetrics ingest-rollup (MutableSegmentImpl.java:88): sum
-        metrics for identical dimension rows. foreachBatch merges each
-        micro-batch's partial aggregate into the sink by re-aggregating the
-        union — idempotent under replay because the checkpoint serializes
-        batch ids (exactly-once)."""
-        sink, spark = self.sink_dir, self.spark
-        aggs = [F.sum(F.col(m).cast(DEC)).cast("double").alias(m) for m in metrics]
+        metrics for identical dimension rows.
+
+        Scale + correctness design (vs a naive re-aggregate-the-world merge):
+
+        - the sink is PARTITIONED by ``partition_by`` (default: first dim);
+          each micro-batch reads back and rewrites ONLY the partitions its
+          rows touch — O(batch), not O(total-state), per batch;
+        - the merge is a mini transaction keyed by ``batch_id``: stage the
+          merged partitions to a side directory, mark the stage complete,
+          then swap each partition directory in with atomic renames and
+          write a done marker. A replayed batch (crash between sink commit
+          and checkpoint commit) either skips (done marker) or re-applies
+          the SAME staged result (computed from the pre-batch state), so
+          metrics are never double-counted — the Delta-style txn log in
+          miniature, giving the reference's segment-commit exactly-once
+          (SegmentCompletionProtocol analog);
+        - only a genuinely missing sink counts as "first batch"; any other
+          read failure (corrupt footer, transient IO) raises instead of
+          silently discarding merged state.
+        """
+        dims = list(dims)
+        part_col = partition_by or dims[0]
 
         def merge(batch: DataFrame, batch_id: int) -> None:
-            part = batch.groupBy(*dims).agg(*aggs)
-            try:
-                existing = spark.read.parquet(sink)
-                part = existing.unionByName(part).groupBy(*dims).agg(*aggs)
-            except Exception:
-                pass  # first batch: no sink yet
-            part.write.mode("overwrite").parquet(sink + ".tmp")
-            spark.read.parquet(sink + ".tmp").write.mode("overwrite").parquet(sink)
+            self._rollup_merge(batch, batch_id, dims, metrics, part_col)
 
         return (source.writeStream
                 .foreachBatch(merge)
                 .option("checkpointLocation", self.checkpoint_dir)
                 .trigger(availableNow=True)
                 .start())
+
+    def _rollup_merge(self, batch: DataFrame, batch_id: int, dims: list[str],
+                      metrics: list[str], part_col: str) -> None:
+        """One micro-batch's transactional partition-level merge (see
+        start_rollup). Exposed for direct testing of replay semantics."""
+        sink, spark = self.sink_dir, self.spark
+        aggs = [F.sum(F.col(m).cast(DEC)).cast("double").alias(m) for m in metrics]
+        txn = sink + ".txn"
+        os.makedirs(txn, exist_ok=True)
+        done = os.path.join(txn, f"batch-{batch_id}.done")
+        staged_root = os.path.join(txn, f"batch-{batch_id}.staged")
+        staged_ok = staged_root + ".complete"
+
+        if os.path.exists(done):
+            return  # replayed batch, already fully applied
+
+        if not os.path.exists(staged_ok):
+            # (Re)compute the stage from the CURRENT sink state — safe on
+            # replay because no partition swap happens before staged_ok.
+            shutil.rmtree(staged_root, ignore_errors=True)
+            part = batch.groupBy(*dims).agg(*aggs)
+            touched = [r[0] for r in part.select(part_col).distinct().collect()]
+            if not touched:
+                open(done, "w").close()
+                return
+            vals = [v for v in touched if v is not None]
+            cond: Column = F.col(part_col).isin(vals)
+            if len(vals) < len(touched):  # isin never matches NULL
+                cond = cond | F.col(part_col).isNull()
+            try:
+                existing = spark.read.parquet(sink).where(cond)
+                merged = existing.unionByName(part).groupBy(*dims).agg(*aggs)
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise  # only a missing sink means "first batch"
+                merged = part
+            merged.write.mode("overwrite").partitionBy(part_col).parquet(staged_root)
+            open(staged_ok, "w").close()
+
+        # Apply: per-partition atomic renames. Re-entrant after a crash —
+        # already-applied staged dirs are gone, the rest still swap in.
+        os.makedirs(sink, exist_ok=True)
+        for d in os.listdir(staged_root):
+            if not d.startswith(f"{part_col}="):
+                continue
+            src_dir = os.path.join(staged_root, d)
+            dst_dir = os.path.join(sink, d)
+            # hidden name ('.'-prefixed) so readers never see the old copy
+            old = os.path.join(sink, f"._old-{batch_id}-{d}")
+            if os.path.exists(dst_dir):
+                os.rename(dst_dir, old)
+            os.rename(src_dir, dst_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        open(done, "w").close()
+        shutil.rmtree(staged_root, ignore_errors=True)
+        if os.path.exists(staged_ok):
+            os.remove(staged_ok)
+
+
+def decode_json_stream(source: DataFrame, schema: str,
+                       value_col: str = "value") -> DataFrame:
+    """Stream-decode seam — the KafkaJSONMessageDecoder analog
+    (pinot-core/.../realtime/impl/kafka/KafkaJSONMessageDecoder.java:35).
+
+    Kafka (and most message buses) deliver opaque key/value byte columns;
+    this parses the value payload into typed columns with ``from_json`` so
+    the downstream ingest graph (append / rollup) is source-agnostic:
+    swapping the file/test source for
+    ``spark.readStream.format("kafka")...`` is a one-line config change,
+    not a code change (the decode and everything after it stay identical).
+
+    ``schema`` is a DDL string (the reference's table schema →
+    ``Schema.fromFile`` analog); malformed records yield NULL columns
+    (PERMISSIVE), matching the decoder's skip-on-error behavior.
+    """
+    parsed = source.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("__rec"))
+    return parsed.select("__rec.*")
 
 
 def time_boundary(offline: DataFrame, time_col: str,

@@ -77,6 +77,103 @@ def test_streaming_rollup_aggregate_metrics(spark, tmpdir):
     assert got == want
 
 
+def _sink_state(sink: str, part: str) -> dict[str, tuple]:
+    """(mtime, size) of every data file under one partition dir."""
+    import os
+    d = os.path.join(sink, part)
+    out = {}
+    for f in os.listdir(d):
+        if f.startswith((".", "_")):
+            continue
+        st = os.stat(os.path.join(d, f))
+        out[f] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_rollup_merge_is_incremental_and_replay_safe(spark, tmpdir):
+    """The partition-level merge must (a) leave untouched partitions'
+    files byte-identical on disk (no O(total-state) rewrite per batch —
+    MutableSegmentImpl.java:88 aggregateMetrics touches only affected
+    rows), and (b) be idempotent when a batch replays after a crash
+    between sink commit and checkpoint commit."""
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    ev = spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    t_keep, t_touch = sorted(types)[0], sorted(types)[1]
+
+    b0 = ev  # batch 0: all partitions
+    ingest._rollup_merge(b0, 0, ["event_type"], ["value"], "event_type")
+    before = _sink_state(f"{tmpdir}/sink", f"event_type={t_keep}")
+
+    b1 = ev.where(F.col("event_type") == t_touch)  # batch 1: one partition
+    ingest._rollup_merge(b1, 1, ["event_type"], ["value"], "event_type")
+    after = _sink_state(f"{tmpdir}/sink", f"event_type={t_keep}")
+    assert before == after  # untouched partition not rescanned/rewritten
+
+    got1 = {r["event_type"]: r["value"]
+            for r in spark.read.parquet(f"{tmpdir}/sink").collect()}
+    # replay batch 1 (same batch_id) — must be a no-op, not a double count
+    ingest._rollup_merge(b1, 1, ["event_type"], ["value"], "event_type")
+    got2 = {r["event_type"]: r["value"]
+            for r in spark.read.parquet(f"{tmpdir}/sink").collect()}
+    assert got1 == got2
+
+    want = {r["event_type"]: r["value"] for r in (
+        ev.where(F.col("event_type") == t_touch)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+             .alias("value")).collect())}
+    assert got1[t_touch] == 2 * want[t_touch]  # batch 0 + batch 1 merged
+
+
+def test_rollup_merge_raises_on_corrupt_sink(spark, tmpdir):
+    """Only a missing sink means 'first batch'; a corrupt sink must raise
+    instead of silently discarding previously merged state."""
+    import os
+
+    import pytest as _pytest
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    ev = spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    ingest._rollup_merge(ev, 0, ["event_type"], ["value"], "event_type")
+    # corrupt one partition's parquet footer
+    part_dir = next(d for d in os.listdir(f"{tmpdir}/sink")
+                    if d.startswith("event_type="))
+    f = next(f for f in os.listdir(f"{tmpdir}/sink/{part_dir}")
+             if f.endswith(".parquet"))
+    with open(f"{tmpdir}/sink/{part_dir}/{f}", "wb") as fh:
+        fh.write(b"not parquet")
+    with _pytest.raises(Exception):
+        ingest._rollup_merge(ev, 1, ["event_type"], ["value"], "event_type")
+
+
+def test_streaming_json_decode_path(spark, tmpdir):
+    """KafkaJSONMessageDecoder analog: JSON-encoded records through the
+    from_json decode seam → append ingest → oracle-compared after drain."""
+    import json
+    import os
+
+    ev = spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    rows = ev.collect()
+    src = os.path.join(tmpdir, "jsonsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "payload.txt"), "w") as f:
+        for r in rows:
+            f.write(json.dumps({k: r[k] for k in r.asDict()}) + "\n")
+
+    from realtime_olap_spark.streaming import decode_json_stream
+    raw = spark.readStream.text(src)  # one opaque 'value' column, like kafka
+    decoded = decode_json_stream(raw, EV_SCHEMA)
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    q = ingest.start_append(decoded)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{tmpdir}/sink")
+    assert got.count() == ev.count()
+    assert (got.agg(F.sum("event_id"), F.sum("value")).collect()[0] ==
+            ev.agg(F.sum("event_id"), F.sum("value")).collect()[0])
+
+
 def test_time_boundary_semantics(spark):
     """Boundary = max(offline time) − 1 granularity unit
     (BaseBrokerRequestHandler.java:376-420)."""
