@@ -82,18 +82,32 @@ def lsh_band_keys(sig_cols: list[str], band_size: int) -> list[Column]:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+                      num_hashes: int = 8, band_size: int = 2,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
 
     Plan shape: per-row signature (no shuffle) → explode to one row per
     (doc, band) → self-equi-join on band key (ONE shuffle, no cross join)
     → distinct pairs.
+
+    ``max_bucket_size`` caps degenerate band buckets (empty/boilerplate
+    docs hash to one band key and would emit O(n²) pairs from a single
+    hot bucket — the skew killer at corpus scale): buckets above the cap
+    are skipped, bounding any bucket's pair output at cap·(cap−1)/2.
+    Docs in a skipped bucket still pair through their other bands. The
+    size pass is a map-side-combined count on the band key — O(bands)
+    rows, no extra data shuffle of the docs themselves.
     """
     sigs = df.select(F.col(id_col), *minhash_signature(word_set(text_col), num_hashes))
     bands = sigs.select(
         F.col(id_col),
         F.explode(F.array(*lsh_band_keys([f"mh{i}" for i in range(num_hashes)],
                                          band_size))).alias("band_key"))
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("__n"))
+        bands = (bands.join(sizes.where(F.col("__n") <= max_bucket_size),
+                            "band_key")
+                 .drop("__n"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -113,7 +127,8 @@ def jaccard(words_a: Column, words_b: Column) -> Column:
 def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 8, band_size: int = 2,
                             threshold: float = 0.5,
-                            broadcast_words: bool = True) -> DataFrame:
+                            broadcast_words: bool = True,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥
     threshold. The verify join only touches candidate ids.
 
@@ -129,7 +144,8 @@ def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
       hash-set op instead of string equality;
     - |A∪B| = |A|+|B|−|A∩B| — one set operation per pair, not two.
     """
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size)
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
+                              max_bucket_size=max_bucket_size)
     words = df.select(
         F.col(id_col),
         F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh"),
@@ -204,25 +220,40 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                             bucket_col: str, threshold: float = 0.8) -> DataFrame:
-    """Near-dup embedding pairs within a blocking bucket (e.g. a coarse
-    cluster/label): equi-join on the bucket (no cross join), exact cosine ≥
-    threshold. The left-fold dot product is bit-identical to SQL engines'
-    list_inner_product (verified exhaustively), so no rounding is needed for
-    differential testing. At 100 TB the bucket column comes from an ANN /
-    IVF assignment (see operators/similarity.py).
+                             bucket_col: str, threshold: float = 0.8,
+                             refine_centroids: list[list[float]] | None = None,
+                             ) -> DataFrame:
+    """Near-dup embedding pairs within a blocking bucket: equi-join on the
+    bucket (no cross join), exact cosine ≥ threshold. The left-fold dot
+    product is bit-identical to SQL engines' list_inner_product (verified
+    exhaustively), so no rounding is needed for differential testing.
+
+    A coarse bucket (a label / cluster id) alone makes the join O(Σ b²) —
+    quadratic in the hottest bucket, a scale-killer on skewed corpora.
+    ``refine_centroids`` composes the block key with an IVF cell
+    (similarity.ivf_assign, deterministic literal centroids): the join key
+    becomes (bucket, cell), shrinking every bucket by ~K× for K centroids.
+    Near-dup vectors (cosine ≥ τ, τ high) almost always share the nearest
+    centroid, so recall loss is the standard ANN trade — and the assignment
+    is deterministic, so differential oracles express the identical key.
 
     Norms are precomputed per ROW before the join (sqrt(v·v) once per
     vector, not twice per candidate pair), cutting the per-pair work to a
     single fold — same IEEE result, ~3× less float work."""
-    sides = df.select(F.col(id_col), F.col(bucket_col).alias("bk"),
-                      F.col(vec_col).alias("v"),
-                      F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"))
-    left = sides.select(F.col(id_col).alias("id_a"), "bk",
+    keys = ["bk"]
+    cols = [F.col(id_col), F.col(bucket_col).alias("bk"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm")]
+    if refine_centroids is not None:
+        from realtime_olap_spark.operators.similarity import ivf_assign
+        cols.append(ivf_assign(F.col(vec_col), refine_centroids).alias("cell"))
+        keys.append("cell")
+    sides = df.select(*cols)
+    left = sides.select(F.col(id_col).alias("id_a"), *keys,
                         F.col("v").alias("va"), F.col("nrm").alias("na"))
-    right = sides.select(F.col(id_col).alias("id_b"), "bk",
+    right = sides.select(F.col(id_col).alias("id_b"), *keys,
                          F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (left.join(right, "bk")
+    return (left.join(right, keys)
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos", dot(F.col("va"), F.col("vb"))
                         / (F.col("na") * F.col("nb")))

@@ -116,22 +116,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(15))
 
 
-@query("dedup_embedding_cosine", """
+def _embedding_cosine_oracle() -> str:
+    from realtime_olap_spark.suite.similarity import sql_ivf_assign
+    assign = sql_ivf_assign(vec_expr="embedding::DOUBLE[]")
+    return f"""
+WITH cells AS (SELECT vec_id, label, embedding, {assign} AS cell FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
        / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
           * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cells a
+JOIN cells b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE cos >= 0.35
-""")
+"""
+
+
+@query("dedup_embedding_cosine", _embedding_cosine_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup within a blocking bucket (label ≈ coarse
-    cluster): exact cosine ≥ τ; the fold dot product is bit-identical to the
-    oracle's list_inner_product."""
+    """Embedding-cosine near-dup with a composite blocking key: the coarse
+    bucket (label) refined by a deterministic IVF cell assignment, so the
+    pair join is (label, cell)-blocked — never quadratic in a whole label
+    (the r1 plan's scale risk). Exact cosine ≥ τ on candidates; the fold
+    dot product is bit-identical to the oracle's list_inner_product, and
+    the literal centroids render identically into both engines."""
+    from realtime_olap_spark.suite.similarity import CENTROIDS
     e = Catalog(spark, sf_dir).table("embeddings")
     return D.embedding_near_dup_pairs(e, "vec_id", "embedding", "label",
-                                      threshold=0.35)
+                                      threshold=0.35,
+                                      refine_centroids=CENTROIDS)
 
 
 @query("dedup_keep_representative", """

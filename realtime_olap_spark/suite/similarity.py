@@ -71,16 +71,22 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, QUERY_VEC, PLANES, "vec_id", "embedding", k=10)
 
 
+def sql_ivf_assign(centroids: list[list[float]] = CENTROIDS,
+                   vec_expr: str = _E) -> str:
+    """DuckDB rendering of operators.similarity.ivf_assign — b·b constants
+    are the engine-side fold rendered at full precision (repr round-trips
+    doubles exactly), so both engines assign identical cells."""
+    aa = f"list_inner_product({vec_expr}, {vec_expr})"
+    dists = ", ".join(
+        f"{aa} - 2.0 * list_inner_product({vec_expr}, {_sql_vec(c)})"
+        f" + {S._self_dot(c)!r}"
+        for c in centroids)
+    return f"(list_indexof([{dists}], list_min([{dists}])) - 1)"
+
+
 def _ivf_oracle() -> str:
     probes = S._nearest_centroids(QUERY_VEC, CENTROIDS, nprobe=2)
-    aa = f"list_inner_product({_E}, {_E})"
-    # b·b constants are the engine-side fold rendered at full precision
-    # (repr round-trips doubles exactly), matching operators.similarity
-    dists = ", ".join(
-        f"{aa} - 2.0 * list_inner_product({_E}, {_sql_vec(c)})"
-        f" + {S._self_dot(c)!r}"
-        for c in CENTROIDS)
-    assign = f"(list_indexof([{dists}], list_min([{dists}])) - 1)"
+    assign = sql_ivf_assign()
     in_list = ", ".join(str(p) for p in probes)
     return f"""
 SELECT vec_id, {_COS_Q} AS cos

@@ -1,0 +1,100 @@
+"""Scale-shape regressions for the dedup operators: IVF-refined embedding
+blocking (no quadratic label buckets) and LSH band-bucket capping (no hot
+bucket emits O(n²) pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark import suite
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators import dedup as D
+from tests.conftest import SF_DIR, SF_DIR_ORACLE, assert_matches_oracle
+
+CAP = 40
+
+
+def test_embedding_pairs_join_on_label_and_cell(spark):
+    """The near-dup join key must be the refined (label, cell) composite,
+    not the coarse label alone — the plan property that keeps the pair
+    join subquadratic at corpus scale."""
+    df = suite.QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "cell" in ln]
+    assert join_lines, f"join does not key on cell:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_refined_pairs_subset_of_coarse(spark):
+    """Refined blocking must emit a subset of the coarse-label pairs (the
+    ANN recall trade), all above threshold."""
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    from realtime_olap_spark.suite.similarity import CENTROIDS
+    coarse = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", "label", threshold=0.35).collect()}
+    refined = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", "label", threshold=0.35,
+        refine_centroids=CENTROIDS).collect()}
+    assert refined <= coarse
+
+
+def _capped_minhash_oracle(cap: int) -> str:
+    from realtime_olap_spark.suite.dedup import _MH_SIGS, _WS
+    return f"""
+WITH ws AS (SELECT doc_id, {_WS} AS w FROM documents),
+sigs AS (SELECT doc_id,
+  {_MH_SIGS}
+FROM ws),
+bands AS (SELECT doc_id, unnest([
+    md5(concat_ws('|', '0', mh0, mh1)),
+    md5(concat_ws('|', '1', mh2, mh3)),
+    md5(concat_ws('|', '2', mh4, mh5)),
+    md5(concat_ws('|', '3', mh6, mh7))]) AS band_key
+  FROM sigs),
+ok AS (SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {cap}),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok USING (band_key)
+  JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
+FROM cands
+JOIN ws wa ON wa.doc_id = id_a
+JOIN ws wb ON wb.doc_id = id_b
+WHERE jaccard >= 0.5
+"""
+
+
+def test_minhash_capped_buckets_match_oracle(spark, duck):
+    """Capped banding stays value-exact vs the same-cap DuckDB oracle."""
+    d = Catalog(spark, SF_DIR_ORACLE).table("documents")
+    got = D.minhash_lsh_dedup_pairs(d, "doc_id", "text", num_hashes=8,
+                                    band_size=2, threshold=0.5,
+                                    max_bucket_size=CAP)
+    assert_matches_oracle(got, duck(SF_DIR_ORACLE),
+                          _capped_minhash_oracle(CAP),
+                          name="minhash_capped")
+
+
+def test_minhash_cap_bounds_bucket_pairs_sf01(spark):
+    """At sf0.1 (the dup-heavy corpus) the cap must bound every band
+    bucket's size — so no bucket can contribute more than cap·(cap−1)/2
+    pairs — while uncapped banding has buckets far above it."""
+    d = Catalog(spark, "/root/testdata/sf0.1").table("documents")
+    sigs = d.select("doc_id", *D.minhash_signature(D.word_set("text"), 8))
+    bands = sigs.select("doc_id", F.explode(F.array(
+        *D.lsh_band_keys([f"mh{i}" for i in range(8)], 2))).alias("band_key"))
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+    uncapped_max = sizes.agg(F.max("n")).collect()[0][0]
+    assert uncapped_max > CAP  # the corpus really is skewed
+
+    capped = D.minhash_lsh_pairs(d, "doc_id", "text", 8, 2,
+                                 max_bucket_size=CAP)
+    per_bucket_bound = CAP * (CAP - 1) // 2
+    # every surviving bucket obeys the bound by construction; check the
+    # candidate volume is bounded by (#ok buckets) · bound
+    n_ok = sizes.where(F.col("n") <= CAP).count()
+    assert capped.count() <= n_ok * per_bucket_bound
