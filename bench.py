@@ -61,6 +61,21 @@ RENAMES = {
     "tf_datetimeconvert_bucket": "tf_time_all",
 }
 
+# Queries whose r2 scope grew by consolidation (more aggregates/probes per
+# query than their r1 ancestor) — a >2x wall-clock jump here is added work,
+# not a perf regression; flagged entries carry scope_changed: true.
+SCOPE_CHANGED = {
+    "filter_range_regex_tree",  # 1 predicate -> 4 predicate probes
+    "agg_scalar_all",           # +3 exact distinct counts
+    "agg_approx_sketches",      # 2 sketches -> 6 sketches
+    "agg_topn_having",          # topn + having merged
+    "agg_groupby_keys",         # expr keys + multicol + 3 more aggs
+    "tf_time_all",              # 1 conversion -> 3 co-grouped conversions
+    "mv_all_aggs",              # 3 MV aggs -> 9 incl. element percentiles
+    "dedup_exact",              # + corpus cardinality stats
+    "rollup_routed_agg",        # + filter + 4 more agg kinds
+}
+
 
 def build_session(cpus: int) -> SparkSession:
     return (
@@ -112,16 +127,21 @@ def main() -> None:
     if prev:
         regressions = {}
         for old_name, old_sec in prev.items():
-            cur = timings.get(RENAMES.get(old_name, old_name))
+            new_name = RENAMES.get(old_name, old_name)
+            cur = timings.get(new_name)
             if cur is not None and old_sec > 0 and cur > 2.0 * old_sec:
-                regressions[old_name] = {"prev": old_sec, "now": cur}
+                regressions[old_name] = {
+                    "prev": old_sec, "now": cur,
+                    "scope_changed": new_name in SCOPE_CHANGED}
         out["regressions_vs_prev"] = regressions
     print(json.dumps(out))
     spark.stop()
 
 
 def _load_prev_bench() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json, if any."""
+    """Per-query seconds from the newest BENCH_r*.json, if any. The driver
+    wraps our JSON line under a 'parsed' key (with the raw stdout in
+    'tail'); also accept a bare bench JSON."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
@@ -129,8 +149,11 @@ def _load_prev_bench() -> dict[str, float]:
         return {}
     try:
         with open(paths[-1]) as f:
-            return dict(json.load(f).get("queries", {}))
-    except (OSError, ValueError):
+            d = json.load(f)
+        if "queries" in d:
+            return dict(d["queries"])
+        return dict(d.get("parsed", {}).get("queries", {}))
+    except (OSError, ValueError, AttributeError):
         return {}
 
 
