@@ -71,9 +71,18 @@ def _kcol(k: Key) -> Column:
 
 
 def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
-                 where: Column | None = None) -> DataFrame:
+                 where: Column | None = None,
+                 num_groups_limit: int | None = None) -> DataFrame:
     """Execute filter → group-by → aggregations, returning one row per group
-    with columns [key aliases..., agg aliases...]."""
+    with columns [key aliases..., agg aliases...].
+
+    ``num_groups_limit`` is the reference's opt-in cardinality guardrail
+    (InstancePlanMakerImplV2.java:57-58, default 100k there): when set, at
+    most that many groups are returned — an ARBITRARY subset, exactly like
+    the reference's first-N-encountered semantics (the values of surviving
+    groups are still exact). Off by default because this engine is exact;
+    turn it on as cheap insurance against runaway GROUP BY cardinality at
+    100× scale."""
     if where is not None:
         df = df.where(where)
 
@@ -97,18 +106,26 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
                      else df.agg(*cols))
 
     elem_zero: dict[str, Column] = {}
+    # All element-level aggs sharing an input column run over ONE exploded
+    # relation (one explode + one aggregate), not one per function — the
+    # explode multiplies rows by array length, so this is the dominant cost
+    # at scale.
+    elem_groups: dict[str, tuple[Column, list[Agg]]] = {}
     for a in element:
-        spec = resolve(a.fn)
+        gk = a.col if isinstance(a.col, str) else str(a.col)
         elem_col = F.col(a.col) if isinstance(a.col, str) else a.col
+        elem_groups.setdefault(gk, (elem_col, []))[1].append(a)
+        spec = resolve(a.fn)
+        if spec.empty_value is not None:
+            elem_zero[a.alias] = F.lit(spec.empty_value)
+    for elem_col, alist in elem_groups.values():
         # explode_outer: empty/null arrays yield a NULL element row, so the
         # group survives (count-likes see 0 non-null elements, percentiles
         # see none → NULL) instead of vanishing from the element relation.
         el = df.select(*key_names, F.explode_outer(elem_col).alias("__elem"))
         agged = (el.groupBy(*key_names) if key_names else el.groupBy()).agg(
-            spec.builder("__elem").alias(a.alias))
+            *[resolve(a.fn).builder("__elem").alias(a.alias) for a in alist])
         parts.append(agged)
-        if spec.empty_value is not None:
-            elem_zero[a.alias] = F.lit(spec.empty_value)
 
     out = parts[0]
     for p in parts[1:]:
@@ -132,7 +149,10 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
     fill = [F.coalesce(F.col(a.alias), elem_zero[a.alias]).alias(a.alias)
             if a.alias in elem_zero else a.alias for a in aggs]
     # Stable column order: keys then aggs as requested.
-    return out.select(*key_names, *fill)
+    out = out.select(*key_names, *fill)
+    if num_groups_limit is not None and key_names:
+        out = out.limit(num_groups_limit)
+    return out
 
 
 def having(df: DataFrame, cond: Column) -> DataFrame:

@@ -130,6 +130,44 @@ def test_pql_unary_minus_executes(spark):
 
 
 # ---------------------------------------------------------------------------
+# numGroupsLimit opt-in guardrail
+# ---------------------------------------------------------------------------
+
+def test_num_groups_limit_caps_output(spark):
+    """InstancePlanMakerImplV2.java:57-58 analog: an opt-in cap on group
+    cardinality returns at most N (arbitrary, exact-valued) groups."""
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    full = group_by_agg(li, keys=[Key("l_suppkey", "l_suppkey")],
+                        aggs=[Agg("count", None, "cnt")])
+    capped = group_by_agg(li, keys=[Key("l_suppkey", "l_suppkey")],
+                          aggs=[Agg("count", None, "cnt")],
+                          num_groups_limit=5)
+    assert full.count() > 5
+    rows = capped.collect()
+    assert len(rows) == 5
+    exact = {r["l_suppkey"]: r["cnt"] for r in full.collect()}
+    for r in rows:  # surviving groups keep exact values
+        assert exact[r["l_suppkey"]] == r["cnt"]
+
+
+# ---------------------------------------------------------------------------
+# Avro stream-decode seam is gated, not broken
+# ---------------------------------------------------------------------------
+
+def test_decode_avro_stream_gate(spark):
+    import pytest as _pytest
+
+    from realtime_olap_spark.streaming import decode_avro_stream
+    src = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    schema = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    try:
+        out = decode_avro_stream(src, schema)
+        assert out.columns == ["a"]  # jar present: decode graph builds
+    except NotImplementedError:
+        _pytest.xfail("spark-avro jar absent in this environment (gated)")
+
+
+# ---------------------------------------------------------------------------
 # execute(): bounded per-function trim computed in Spark
 # ---------------------------------------------------------------------------
 
