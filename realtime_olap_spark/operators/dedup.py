@@ -178,30 +178,32 @@ def word_hash60(w: Column) -> Column:
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: bit j of the fingerprint is the sign of
-    Σ_words (±1 per word's hash bit j). Near-dup docs differ in few bits.
+    Σ_words (±1 per word's hash bit j) — equivalently, set iff more than
+    half the word hashes have bit j set (2·cnt_j > n). Near-dup docs differ
+    in few bits.
 
-    Implementation: a per-row fold — hash every distinct word once, then
-    accumulate the ``bits`` signed sums in an array accumulator
-    (aggregate + zip_with). Entirely scan-side: no explode, no shuffle, one
-    md5 per word; at 100 TB the operator costs exactly one pass over the
-    text column.
+    Implementation: hash every distinct word once into a materialized array
+    column, then run ``bits`` independent primitive scalar folds (one long
+    accumulator each) over it. The hash array is referenced ``bits`` times,
+    so Catalyst's CollapseProject keeps it materialized rather than inlining
+    the md5 per fold; each fold step is a bare add — no per-word array
+    allocation (the array-accumulator zip_with formulation allocates two
+    16-element arrays per word and runs ~8× slower at sf0.1). Entirely
+    scan-side: no explode, no shuffle, one md5 per word; at 100 TB the
+    operator costs exactly one pass over the text column.
     """
-    hashes = F.transform(word_set(text_col), lambda w: word_hash60(w))
-    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-
-    def signs(h: Column) -> Column:
-        return F.array(*[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)).cast("long")
-            for j in range(bits)])
-
-    sums = F.aggregate(hashes, zeros,
-                       lambda acc, h: F.zip_with(acc, signs(h), lambda a, b: a + b))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("__wh"))
+    wh = F.col("__wh")
+    n = F.size(wh)
     fp = None
     for j in range(bits):
-        term = F.when(F.element_at(sums, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        cnt = F.aggregate(wh, F.lit(0).cast("long"),
+                          lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)))
+        term = F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -239,16 +241,24 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     Norms are precomputed per ROW before the join (sqrt(v·v) once per
     vector, not twice per candidate pair), cutting the per-pair work to a
-    single fold — same IEEE result, ~3× less float work."""
+    single fold — same IEEE result, ~3× less float work. With centroids the
+    per-row (cell, norm) assignment runs through the Arrow-vectorized
+    ``ivf_assign_norm`` (bit-identical to the fold — see its docstring);
+    the pair-phase cosine stays a JVM fold, since candidates ≪ rows."""
     keys = ["bk"]
     cols = [F.col(id_col), F.col(bucket_col).alias("bk"),
-            F.col(vec_col).alias("v"),
-            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm")]
+            F.col(vec_col).alias("v")]
     if refine_centroids is not None:
-        from realtime_olap_spark.operators.similarity import ivf_assign
-        cols.append(ivf_assign(F.col(vec_col), refine_centroids).alias("cell"))
+        from realtime_olap_spark.operators.similarity import ivf_assign_norm
+        sides = (df.select(*cols,
+                           ivf_assign_norm(vec_col, refine_centroids).alias("__an"))
+                 .select(F.col(id_col), "bk", "v",
+                         F.col("__an.cell").alias("cell"),
+                         F.col("__an.nrm").alias("nrm")))
         keys.append("cell")
-    sides = df.select(*cols)
+    else:
+        cols.append(F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"))
+        sides = df.select(*cols)
     left = sides.select(F.col(id_col).alias("id_a"), *keys,
                         F.col("v").alias("va"), F.col("nrm").alias("na"))
     right = sides.select(F.col(id_col).alias("id_b"), *keys,

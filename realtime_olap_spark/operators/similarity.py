@@ -20,6 +20,8 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,6 +115,48 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
         aa - F.lit(2.0) * dot(vec, _lit_vec(c)) + F.lit(_self_dot(c))
         for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assign_norm(vec_col: str | Column,
+                    centroids: list[list[float]]) -> Column:
+    """Arrow-vectorized twin of ``ivf_assign(v, centroids)`` +
+    ``sqrt(dot(v, v))``, returned as one ``struct<cell:int, nrm:double>``
+    column.
+
+    Bit-identical to the JVM fold path (equality-tested in
+    ``tests/test_fixes_r2.py``): numpy accumulates dimension-by-dimension —
+    vectorized ACROSS rows, sequential ACROSS dims — so every IEEE
+    multiply/add happens in exactly the fold's order, and ``np.argmin``
+    matches ``array_position(min)`` first-minimal tie-breaking. Use this on
+    hot paths that assign every row (e.g. near-dup blocking): the K·dim
+    interpreted-lambda folds per row become K batched numpy passes per
+    Arrow batch, which is the shape you want for billions of rows or a
+    K ≫ 8 codebook. The scalar ``ivf_assign`` stays the oracle-rendering
+    reference and the write-time partition-column path.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    self_dots = [_self_dot(c) for c in cents]
+
+    @F.pandas_udf("struct<cell:int,nrm:double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype="int32"),
+                                 "nrm": pd.Series(dtype="float64")})
+        mat = np.stack(v.values).astype(np.float64)
+        n, dim = mat.shape
+        aa = np.zeros(n)
+        for j in range(dim):
+            aa = aa + mat[:, j] * mat[:, j]
+        dists = np.empty((n, len(cents)))
+        for k, c in enumerate(cents):
+            ab = np.zeros(n)
+            for j in range(dim):
+                ab = ab + mat[:, j] * c[j]
+            dists[:, k] = (aa - 2.0 * ab) + self_dots[k]
+        return pd.DataFrame({"cell": dists.argmin(axis=1).astype(np.int32),
+                             "nrm": np.sqrt(aa)})
+
+    return _assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[list[float]],

@@ -24,7 +24,20 @@ _DIM = 64
 _rng = random.Random(42)
 QUERY_VEC = [round(_rng.gauss(0.0, 1.0), 3) for _ in range(_DIM)]
 PLANES = [[round(_rng.gauss(0.0, 1.0), 3) for _ in range(_DIM)] for _ in range(6)]
-CENTROIDS = [[round(_rng.gauss(0.0, 1.0), 3) for _ in range(_DIM)] for _ in range(8)]
+# 8 k-means centroids (25 Lloyd iterations, numpy, seed 7) trained on the
+# sf0.1 embeddings sample and baked as literals so both engines see the
+# identical constants; balanced cells (232-270/2000 at sf0.1) vs the
+# r1 seeded-Gaussian centroids that collapsed most vectors into cell 0.
+CENTROIDS = [
+    [0.001, 0.014, -0.016, -0.01, 0.002, -0.019, 0.011, -0.003, 0.037, 0.038, -0.062, -0.029, 0.019, -0.004, -0.061, -0.018, 0.033, -0.009, 0.012, 0.056, 0.006, 0.005, 0.028, 0.005, 0.002, -0.026, 0.017, 0.04, -0.021, 0.045, 0.027, -0.02, 0.042, -0.012, -0.028, -0.05, 0.035, -0.02, -0.046, -0.014, 0.029, -0.029, 0.002, 0.019, 0.0, 0.019, 0.018, 0.022, 0.008, 0.003, 0.012, -0.025, -0.039, 0.024, 0.019, -0.037, 0.001, 0.043, 0.006, -0.005, 0.004, 0.0, 0.054, -0.056],
+    [0.007, 0.003, 0.035, -0.007, -0.077, 0.038, 0.057, -0.021, 0.016, 0.022, 0.011, 0.023, -0.059, -0.001, 0.018, 0.001, 0.001, -0.043, -0.028, 0.006, -0.017, -0.058, -0.031, 0.028, 0.04, 0.024, -0.024, -0.024, -0.02, -0.018, -0.016, 0.056, -0.01, 0.013, -0.006, 0.017, 0.017, -0.001, -0.035, 0.015, -0.035, -0.006, 0.015, 0.059, 0.017, -0.001, 0.061, 0.017, 0.006, 0.015, -0.017, -0.015, 0.024, -0.041, -0.042, -0.005, -0.026, 0.005, -0.031, -0.049, -0.05, -0.016, 0.027, -0.008],
+    [0.026, -0.034, -0.008, 0.007, 0.034, 0.017, -0.036, 0.004, 0.006, -0.006, 0.024, 0.024, -0.01, 0.014, -0.033, 0.037, -0.015, -0.016, 0.026, 0.015, 0.042, -0.012, -0.002, 0.041, -0.026, 0.013, 0.019, 0.044, -0.05, 0.015, -0.045, -0.048, -0.026, -0.002, -0.002, 0.059, -0.005, -0.011, -0.01, -0.055, 0.01, -0.015, -0.022, -0.004, -0.007, 0.025, 0.028, 0.017, 0.006, -0.011, -0.005, 0.012, 0.04, -0.06, -0.022, 0.019, 0.008, 0.009, 0.069, 0.009, 0.009, -0.036, -0.045, 0.049],
+    [-0.017, 0.035, -0.004, -0.011, -0.018, -0.001, -0.005, -0.008, -0.047, -0.027, 0.021, 0.008, 0.007, 0.019, -0.05, -0.001, 0.025, 0.057, 0.002, -0.018, -0.039, -0.006, 0.009, -0.048, 0.027, 0.015, 0.001, -0.04, -0.021, 0.016, -0.026, -0.017, 0.016, 0.003, -0.014, 0.051, 0.007, -0.008, -0.014, 0.055, 0.034, 0.022, 0.0, 0.029, 0.035, -0.01, -0.012, 0.012, 0.009, 0.067, -0.045, 0.043, -0.021, 0.002, 0.016, -0.034, -0.012, -0.027, -0.024, 0.024, 0.06, 0.028, -0.033, 0.053],
+    [0.038, -0.011, -0.009, -0.055, -0.032, 0.035, 0.033, 0.014, -0.016, -0.078, -0.019, -0.022, -0.024, 0.04, -0.029, -0.061, -0.018, 0.003, 0.039, -0.039, -0.055, 0.039, 0.004, -0.034, -0.005, -0.012, 0.011, -0.002, 0.016, -0.029, -0.022, 0.003, 0.012, 0.017, 0.022, -0.045, -0.014, -0.005, 0.016, -0.032, -0.016, -0.02, -0.008, -0.049, -0.044, -0.054, -0.011, -0.024, -0.005, -0.0, 0.031, -0.001, -0.029, 0.018, -0.025, -0.028, 0.02, 0.037, -0.023, -0.009, -0.031, 0.033, -0.004, -0.021],
+    [-0.032, 0.006, 0.019, 0.045, 0.026, 0.008, -0.016, -0.041, 0.017, -0.003, -0.0, 0.003, 0.022, -0.003, 0.072, -0.001, -0.019, 0.023, 0.008, -0.01, 0.047, -0.028, -0.026, -0.032, 0.02, -0.029, 0.011, -0.027, 0.066, -0.058, -0.033, -0.015, 0.003, -0.006, -0.016, 0.003, -0.05, 0.026, 0.047, -0.05, -0.028, 0.003, 0.008, -0.013, -0.008, 0.021, -0.046, 0.003, -0.04, 0.003, 0.0, 0.004, -0.018, 0.018, 0.007, 0.036, 0.025, 0.007, 0.01, -0.028, 0.01, -0.03, 0.014, -0.025],
+    [-0.001, 0.001, 0.002, 0.027, -0.006, -0.047, -0.041, 0.06, 0.002, 0.008, 0.028, 0.03, 0.014, -0.022, 0.039, 0.011, -0.025, -0.0, -0.009, -0.005, 0.017, 0.057, -0.009, -0.003, -0.041, 0.025, -0.045, -0.003, 0.017, 0.041, 0.032, 0.022, -0.025, -0.024, 0.056, -0.015, 0.045, 0.007, 0.035, 0.021, 0.007, 0.021, -0.025, 0.03, -0.053, -0.021, -0.003, -0.02, 0.011, -0.076, 0.019, -0.05, -0.007, -0.031, 0.021, -0.005, -0.015, -0.036, -0.009, 0.011, 0.026, 0.04, 0.015, -0.036],
+    [-0.013, 0.004, -0.026, -0.027, 0.069, -0.026, 0.023, 0.001, -0.002, 0.044, 0.008, 0.025, -0.028, -0.004, 0.023, 0.004, 0.003, -0.036, -0.041, 0.038, -0.024, -0.009, 0.043, 0.006, -0.018, -0.015, 0.028, 0.001, 0.007, -0.026, 0.057, 0.054, -0.042, 0.006, 0.02, -0.021, -0.005, -0.016, 0.02, 0.068, -0.0, -0.001, 0.026, -0.044, 0.064, -0.006, -0.014, -0.049, 0.057, 0.005, -0.007, 0.003, 0.026, 0.043, 0.001, 0.015, -0.009, -0.009, 0.033, 0.021, -0.039, -0.017, -0.017, 0.037],
+]
 
 
 def _sql_vec(v: list[float]) -> str:

@@ -180,3 +180,40 @@ def test_execute_grouped_trim_is_bounded_topn(spark):
     assert len(rows) <= n * len(fn_cols)  # never the full group set
     plan = u._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized IVF assignment is bit-identical to the JVM fold
+# ---------------------------------------------------------------------------
+
+def test_ivf_assign_norm_bit_identical_to_fold(spark):
+    """ivf_assign_norm accumulates dim-by-dim (vectorized across rows), so
+    cell ids AND norms must equal the interpreted fold path bit-for-bit —
+    this is what keeps the DuckDB oracles valid on the vectorized path."""
+    from realtime_olap_spark.operators.dedup import dot
+    from realtime_olap_spark.operators.similarity import (ivf_assign,
+                                                          ivf_assign_norm)
+    from realtime_olap_spark.suite.similarity import CENTROIDS
+
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    both = e.select(
+        ivf_assign(F.col("embedding"), CENTROIDS).alias("c_fold"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("n_fold"),
+        ivf_assign_norm("embedding", CENTROIDS).alias("s"))
+    assert both.where((F.col("c_fold") != F.col("s.cell"))
+                      | (F.col("n_fold") != F.col("s.nrm"))).count() == 0
+
+
+def test_trained_centroids_balance_cells(spark):
+    """The baked k-means centroids must actually spread the corpus (the r1
+    seeded-Gaussian centroids collapsed most rows into cell 0, making the
+    near-dup blocking quadratic in one hot cell)."""
+    from realtime_olap_spark.operators.similarity import ivf_assign_norm
+    from realtime_olap_spark.suite.similarity import CENTROIDS
+
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    sizes = (e.select(ivf_assign_norm("embedding", CENTROIDS)["cell"].alias("c"))
+             .groupBy("c").count().collect())
+    total = sum(r["count"] for r in sizes)
+    assert len(sizes) == len(CENTROIDS)  # every cell populated
+    assert max(r["count"] for r in sizes) < 0.5 * total  # no dominant cell
