@@ -188,21 +188,35 @@ def decode_avro_stream(source: DataFrame, avro_schema_json: str,
     KafkaAvroMessageDecoder.java:43): parse binary Avro value payloads into
     typed columns with ``from_avro``.
 
-    Needs the org.apache.spark:spark-avro package on the classpath (not
-    bundled with plain pyspark in this sandbox) — raises a clear
-    NotImplementedError instead of a cryptic ClassNotFound mid-job, same
-    gate as sources.readers.read_avro.
+    Prefers the JVM ``from_avro`` (org.apache.spark:spark-avro package);
+    when the jar is absent falls back to the pure-Python single-datum
+    decoder in ``sources.avro_codec`` via ``mapInPandas`` (works on
+    streaming DataFrames too — micro-batches decode Arrow-batched). The
+    payload is a RAW Avro datum, no container framing — exactly the Kafka
+    message-body shape the reference's decoder consumes.
     """
     try:
         from pyspark.sql.avro.functions import from_avro
         parsed = source.select(
             from_avro(F.col(value_col), avro_schema_json).alias("__rec"))
         return parsed.select("__rec.*")
-    except Exception as exc:  # pragma: no cover - depends on jar presence
-        raise NotImplementedError(
-            "avro stream decode needs the org.apache.spark:spark-avro "
-            "package on the classpath (spark.jars.packages); not bundled "
-            "here") from exc
+    except Exception:  # jar absent → pure-Python decode path
+        import pandas as pd
+
+        from realtime_olap_spark.sources import avro_codec as A
+
+        out_schema = A.avro_to_spark_schema(avro_schema_json)
+        names = [f.name for f in out_schema.fields]
+
+        def decode(batches):
+            for pdf in batches:
+                rows = [A.decode_datum(avro_schema_json, bytes(v))
+                        for v in pdf[value_col]]
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names},
+                    columns=names)
+
+        return source.select(value_col).mapInPandas(decode, schema=out_schema)
 
 
 def time_boundary(offline: DataFrame, time_col: str,
