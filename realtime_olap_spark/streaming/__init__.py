@@ -7,6 +7,7 @@ from realtime_olap_spark.streaming.realtime import (
     hybrid_table,
     time_boundary,
 )
+from realtime_olap_spark.streaming.sessions import sessionize_stream
 
 __all__ = ["RealtimeIngest", "decode_avro_stream", "decode_json_stream",
-           "hybrid_table", "time_boundary"]
+           "hybrid_table", "sessionize_stream", "time_boundary"]

@@ -299,3 +299,66 @@ def test_windowed_rollup_stream_matches_batch(spark, tmpdir):
     want = sorted([tuple(str(x) for x in r) for r in
                    closed.select("window_start", "event_type", "value").collect()])
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_stream_matches_batch(spark, tmpdir):
+    """Stream-vs-batch: every session the stream closes (by gap in data or
+    by event-time timeout) must equal the batch sessionize() row for the
+    same (user, session_id); watermark progression across micro-batches
+    drives the timeouts."""
+    import datetime as dt
+    import os
+
+    from realtime_olap_spark.operators.sessions import sessionize
+    from realtime_olap_spark.streaming import sessionize_stream
+
+    def t(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    batches = [
+        # batch A: everyone opens a session
+        [(1, t(0)), (1, t(5)), (2, t(0)), (3, t(0))],
+        # batch B: u1/u2 events past the gap -> close their first sessions;
+        # watermark advances to ~199min
+        [(1, t(100)), (2, t(200))],
+        # batch C: far-future dummy -> timeouts fire for u3 (end 0 + 30 <
+        # wm 199) and u1's second session (130 < 199); the trailing no-data
+        # micro-batch (wm 299) then also times out u2's second (230 < 299)
+        [(99, t(300))],
+    ]
+    src = f"{tmpdir}/sess_src"
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        pdf.coalesce(1).write.parquet(f"{tmpdir}/stage_{i}")
+        part = [f for f in os.listdir(f"{tmpdir}/stage_{i}")
+                if f.endswith(".parquet")][0]
+        dst = f"{src}/batch_{i}.parquet"
+        os.rename(f"{tmpdir}/stage_{i}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+    q = (sessions.writeStream.format("parquet")
+         .option("path", f"{tmpdir}/sess_out")
+         .option("checkpointLocation", f"{tmpdir}/sess_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_id"]):
+           (r["session_start"], r["session_end"], r["n_events"], r["duration_us"])
+           for r in spark.read.parquet(f"{tmpdir}/sess_out").collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1), (2, 2), (3, 1)}
+
+    all_events = spark.createDataFrame(
+        [r for b in batches for r in b], "user_id long, ts timestamp")
+    batch = {(r["user_id"], r["session_id"]):
+             (r["session_start"], r["session_end"], r["n_events"], r["duration_us"])
+             for r in sessionize(all_events, gap_minutes=30).collect()}
+    for k, v in got.items():  # emitted rows are exactly the batch rows
+        assert batch[k] == v, (k, v, batch[k])
