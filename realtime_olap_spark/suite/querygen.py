@@ -11,10 +11,15 @@ Determinism rules baked into generation:
 - selections ORDER BY every selected column ((l_orderkey, l_linenumber) is
   NOT unique in the synthetic data), so any rows tied at the LIMIT boundary
   are identical tuples and the limited set is well-defined;
-- group-by emits TOP 100 with group cardinality ≤ 42 → no trimming, the
-  whole result set compares order-insensitively;
+- group-by emits TOP 100 with group cardinality ≤ 42×(expr-key fanout) →
+  no trimming, the whole result set compares order-insensitively;
 - SUM/AVG run in DECIMAL(38,10) on both sides (engine dsum/davg ↔ OSUM/OAVG);
-- HAVING compares the integer count_star only.
+- HAVING compares the integer count_star only;
+- DISTINCTCOUNT is exact both sides; PERCENTILE<N> is the exact
+  interpolated quantile (Spark `percentile` ↔ DuckDB `quantile_cont`,
+  bit-identical); arithmetic-expression aggregation args and group-by keys
+  use the compiler's ``fn_arg1_arg2`` column-name convention so aliases
+  line up without an AS (PQL has none).
 """
 
 from __future__ import annotations
@@ -34,8 +39,22 @@ METRICS = {
     "l_discount": (0, 1),
     "l_tax": (0, 1),
 }
-AGG_FNS = ["sum", "min", "max", "avg", "count"]
+AGG_FNS = ["sum", "min", "max", "avg", "count", "distinctcount",
+           "percentile"]
 CMP_OPS = ["=", "<>", "<", "<=", ">", ">="]
+DC_COLS = ["l_suppkey", "l_linenumber", "l_returnflag", "l_partkey"]
+PCTS = [25, 50, 90, 99]
+# arithmetic expression keys: (pql text, engine column name, sql).
+# Engine arithmetic is DOUBLE (Pinot ArithmeticFunctions semantics), so the
+# oracle side must cast — DuckDB would otherwise keep INTEGER.
+EXPR_KEYS = [
+    ("l_linenumber + 10", "add_l_linenumber_10",
+     "CAST(l_linenumber + 10 AS DOUBLE)"),
+    ("mult(l_linenumber, 3)", "mult_l_linenumber_3",
+     "CAST(l_linenumber * 3 AS DOUBLE)"),
+    ("l_linenumber - 1", "sub_l_linenumber_1",
+     "CAST(l_linenumber - 1 AS DOUBLE)"),
+]
 
 
 def _predicate(rng: random.Random) -> str:
@@ -69,8 +88,28 @@ def _where(rng: random.Random) -> str:
     if n == 0:
         return ""
     preds = [_predicate(rng) for _ in range(n)]
+    if n == 3 and rng.random() < 0.5:
+        # nested boolean tree with explicit parens (FilterQueryTree nesting)
+        inner, outer = rng.choice(["AND", "OR"]), rng.choice(["AND", "OR"])
+        return (f" WHERE ({preds[0]} {inner} {preds[1]}) "
+                f"{outer} {preds[2]}")
     op = rng.choice([" AND ", " OR "])
     return " WHERE " + op.join(preds)
+
+
+def _metric_arg(rng: random.Random) -> tuple[str, str, str]:
+    """A metric column or an arithmetic expression over it:
+    (pql_arg, name_fragment, sql_arg). Names follow the compiler's
+    ``fn_arg1_arg2`` convention (plans/pql._name_of)."""
+    col = rng.choice(list(METRICS))
+    kind = rng.choice(["plain", "plain", "mult", "add_cols"])
+    if kind == "mult":
+        k = rng.randint(2, 9)
+        return f"{col} * {k}", f"mult_{col}_{k}", f"({col} * {k})"
+    if kind == "add_cols":
+        other = rng.choice([c for c in METRICS if c != col])
+        return f"{col} + {other}", f"add_{col}_{other}", f"({col} + {other})"
+    return col, col, col
 
 
 def _agg(rng: random.Random) -> tuple[str, str, str]:
@@ -78,13 +117,25 @@ def _agg(rng: random.Random) -> tuple[str, str, str]:
     fn = rng.choice(AGG_FNS)
     if fn == "count":
         return "count(*)", "COUNT(*) AS count_star", "count_star"
-    col = rng.choice(list(METRICS))
-    alias = f"{fn}_{col}"
+    if fn == "distinctcount":
+        col = rng.choice(DC_COLS)
+        alias = f"distinctcount_{col}"
+        return (f"distinctcount({col})",
+                f"COUNT(DISTINCT {col}) AS {alias}", alias)
+    if fn == "percentile":
+        pct = rng.choice(PCTS)
+        col = rng.choice(list(METRICS))
+        alias = f"percentile{pct}_{col}"
+        return (f"percentile{pct}({col})",
+                f"quantile_cont({col}, {pct / 100}) AS {alias}", alias)
+    arg, frag, sql_arg = _metric_arg(rng)
+    alias = f"{fn}_{frag}"
     if fn == "sum":
-        return f"sum({col})", f"{OSUM(col)} AS {alias}", alias
+        return f"sum({arg})", f"{OSUM(sql_arg)} AS {alias}", alias
     if fn == "avg":
-        return f"avg({col})", f"{OAVG(col)} AS {alias}", alias
-    return f"{fn}({col})", f"{fn.upper()}({col}) AS {alias}", alias
+        return f"avg({arg})", f"{OAVG(sql_arg)} AS {alias}", alias
+    return (f"{fn}({arg})",
+            f"{fn.upper()}({sql_arg}) AS {alias}", alias)
 
 
 def generate(seed: int) -> tuple[str, str]:
@@ -125,14 +176,20 @@ def generate(seed: int) -> tuple[str, str]:
                 f"SELECT {sql_aggs} FROM lineitem{sql_where}")
 
     keys = rng.sample(list(DIMS), k=rng.randint(1, 2))
-    key_list = ", ".join(keys)
+    pql_keys, sql_sel_keys, sql_grp_keys = list(keys), list(keys), list(keys)
+    if rng.random() < 0.4:  # expression group-by key (transform-in-group-by)
+        kp, kname, ksql = rng.choice(EXPR_KEYS)
+        pql_keys.append(kp)
+        sql_sel_keys.append(f"{ksql} AS {kname}")
+        sql_grp_keys.append(ksql)
     having_pql = having_sql = ""
     if any(a[2] == "count_star" for a in aggs) and rng.random() < 0.5:
         k = rng.randint(1, 50)
         having_pql = f" HAVING count_star > {k}"
         having_sql = f" HAVING COUNT(*) > {k}"
-    pql = (f"SELECT {key_list}, {pql_aggs} FROM lineitem{where} "
-           f"GROUP BY {key_list}{having_pql} TOP 100")
-    sql = (f"SELECT {key_list}, {sql_aggs} FROM lineitem{sql_where} "
-           f"GROUP BY {key_list}{having_sql}")
+    pql = (f"SELECT {', '.join(pql_keys)}, {pql_aggs} FROM lineitem{where} "
+           f"GROUP BY {', '.join(pql_keys)}{having_pql} TOP 100")
+    sql = (f"SELECT {', '.join(sql_sel_keys)}, {sql_aggs} "
+           f"FROM lineitem{sql_where} "
+           f"GROUP BY {', '.join(sql_grp_keys)}{having_sql}")
     return pql, sql
