@@ -3,7 +3,7 @@ jobs (SURVEY.md §2.1)."""
 
 from realtime_olap_spark.sources.readers import (read_avro, read_csv,
                                                  read_json, read_segments)
-from realtime_olap_spark.sources.segments import (SegmentWriter,
+from realtime_olap_spark.sources.segments import (SegmentWriter, write_bucketed,
                                                   with_virtual_columns)
 from realtime_olap_spark.sources.transformers import (CompoundTransformer,
                                                       DataTypeTransformer,
@@ -14,7 +14,7 @@ from realtime_olap_spark.sources.transformers import (CompoundTransformer,
 
 __all__ = [
     "read_avro", "read_csv", "read_json", "read_segments",
-    "SegmentWriter", "with_virtual_columns",
+    "SegmentWriter", "with_virtual_columns", "write_bucketed",
     "CompoundTransformer", "DataTypeTransformer", "ExpressionTransformer",
     "NullDefaultTransformer", "SanitationTransformer", "TimeTransformer",
 ]

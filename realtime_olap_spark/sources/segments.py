@@ -75,6 +75,30 @@ class SegmentWriter:
         writer.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   bucket_cols: list[str], num_buckets: int,
+                   sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Hash-bucketed segment layout for CO-LOCATED joins — the Spark twin
+    of the reference's partition-aware segment assignment
+    (SegmentPartitionConfig / partition-based segment pruning, §4.2): rows
+    are hash-assigned to ``num_buckets`` files per the bucket columns AT
+    WRITE TIME, so an equi-join (or aggregation) on those columns between
+    two tables bucketed the same way runs WITHOUT ANY Exchange — the 100 TB
+    fact⋈fact strategy where a runtime shuffle of either side would
+    dominate the job (plan-asserted shuffle-free in
+    ``tests/test_ingest.py``).
+
+    Registers ``table`` in the session catalog (bucket metadata lives
+    there; plain parquet paths can't carry it) with data at ``path``.
+    """
+    w = df.write.mode(mode).option("path", path) \
+        .bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def with_virtual_columns(df: DataFrame) -> DataFrame:
     """Reference virtual columns (§1.3): ``$docId`` (per-segment doc id),
     ``$segmentName``, ``$hostName``

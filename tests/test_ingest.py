@@ -230,3 +230,37 @@ def test_avro_stream_decode_python_fallback(spark):
     src = spark.createDataFrame(payloads, "value binary")
     got = sorted([tuple(r) for r in decode_avro_stream(src, schema).collect()])
     assert got == [("a", 1), ("b", -3)]
+
+
+# ---------------------------------------------------------------------------
+# Bucketed segments: co-located (shuffle-free) joins
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must join with NO
+    Exchange in the executed plan — the write-time co-location strategy for
+    100 TB fact-to-fact joins."""
+    from realtime_olap_spark.sources import write_bucketed
+
+    li = (Catalog(spark, SF_DIR).table("lineitem")
+          .select("l_orderkey", "l_quantity"))
+    orders = (Catalog(spark, SF_DIR).table("orders")
+              .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"))
+    write_bucketed(li, "li_bucketed", str(tmp_path / "li"),
+                   ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_bucketed", str(tmp_path / "ord"),
+                   ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("li_bucketed")
+             .join(spark.table("ord_bucketed"), "l_orderkey"))
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    assert "Exchange" not in plan, plan
+    want = li.join(orders, "l_orderkey").count()
+    assert n == want and n > 0
