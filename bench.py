@@ -106,6 +106,14 @@ def main() -> None:
     # flagship pipeline at the smallest SF plus a footer read at bench SF.
     suite.QUERIES["flagship_q1"](spark, "/root/testdata/sf0.001").collect()
     suite.QUERIES["agg_fastpaths"](spark, sf_dir).collect()
+    # Spin up the Python worker pool untimed too (Arrow/pandas-UDF paths):
+    # one no-op batch per core, so the first pandas query in the timed set
+    # measures the operator, not worker-process fork+import.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _wu = F.pandas_udf(lambda s: s, "long")
+    (spark.range(0, cpus, 1, cpus).select(_wu("id"))
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in names:
