@@ -5,9 +5,12 @@ from realtime_olap_spark.streaming.realtime import (
     decode_avro_stream,
     decode_json_stream,
     hybrid_table,
+    kafka_source_options,
+    read_kafka_stream,
     time_boundary,
 )
 from realtime_olap_spark.streaming.sessions import sessionize_stream
 
 __all__ = ["RealtimeIngest", "decode_avro_stream", "decode_json_stream",
-           "hybrid_table", "sessionize_stream", "time_boundary"]
+           "hybrid_table", "kafka_source_options", "read_kafka_stream",
+           "sessionize_stream", "time_boundary"]

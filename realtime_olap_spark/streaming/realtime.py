@@ -160,6 +160,45 @@ class RealtimeIngest:
             os.remove(staged_ok)
 
 
+def kafka_source_options(bootstrap_servers: str, topic: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None,
+                         fail_on_data_loss: bool = True) -> dict[str, str]:
+    """Options for ``spark.readStream.format("kafka")`` — the LLC consumer
+    config surface (KafkaPartitionLevelConsumer.java:38 /
+    LLRealtimeSegmentDataManager.java:81): per-partition consumption with
+    offset management is what the Kafka source + checkpoint already do;
+    ``maxOffsetsPerTrigger`` bounds a micro-batch like the reference's
+    segment-size thresholds bound a consuming segment."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers,
+            "subscribe": topic,
+            "startingOffsets": starting_offsets,
+            "failOnDataLoss": str(fail_on_data_loss).lower()}
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                      topic: str, **kwargs) -> DataFrame:
+    """The realtime source: ``readStream.format("kafka")`` with the LLC
+    option surface; compose with ``decode_json_stream`` /
+    ``decode_avro_stream`` and ``RealtimeIngest``. Needs the
+    spark-sql-kafka package (absent in this sandbox) — gated with a clear
+    error; every downstream stage is exercised by the file-source tests
+    (the source is the only line that changes)."""
+    try:
+        return (spark.readStream.format("kafka")
+                .options(**kafka_source_options(bootstrap_servers, topic,
+                                                **kwargs))
+                .load())
+    except Exception as exc:
+        raise NotImplementedError(
+            "kafka source needs the org.apache.spark:spark-sql-kafka "
+            "package on the classpath (spark.jars.packages); not bundled "
+            "here") from exc
+
+
 def decode_json_stream(source: DataFrame, schema: str,
                        value_col: str = "value") -> DataFrame:
     """Stream-decode seam — the KafkaJSONMessageDecoder analog

@@ -362,3 +362,25 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
              for r in sessionize(all_events, gap_minutes=30).collect()}
     for k, v in got.items():  # emitted rows are exactly the batch rows
         assert batch[k] == v, (k, v, batch[k])
+
+
+def test_kafka_source_options_and_gate(spark):
+    """LLC consumer config surface: option dict is exactly the Kafka source
+    contract; without the kafka jar the source gate raises a clear error
+    instead of a mid-job ClassNotFound."""
+    from realtime_olap_spark.streaming import (kafka_source_options,
+                                               read_kafka_stream)
+
+    opts = kafka_source_options("broker:9092", "events_topic",
+                                starting_offsets="latest",
+                                max_offsets_per_trigger=50_000)
+    assert opts == {"kafka.bootstrap.servers": "broker:9092",
+                    "subscribe": "events_topic",
+                    "startingOffsets": "latest",
+                    "failOnDataLoss": "true",
+                    "maxOffsetsPerTrigger": "50000"}
+    try:
+        df = read_kafka_stream(spark, "broker:9092", "events_topic")
+        assert "value" in df.columns  # jar present: source graph builds
+    except NotImplementedError as exc:
+        assert "spark-sql-kafka" in str(exc)
