@@ -72,7 +72,8 @@ def _kcol(k: Key) -> Column:
 
 def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
                  where: Column | None = None,
-                 num_groups_limit: int | None = None) -> DataFrame:
+                 num_groups_limit: int | None = None,
+                 grouping: str = "groupby") -> DataFrame:
     """Execute filter → group-by → aggregations, returning one row per group
     with columns [key aliases..., agg aliases...].
 
@@ -82,7 +83,13 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
     the reference's first-N-encountered semantics (the values of surviving
     groups are still exact). Off by default because this engine is exact;
     turn it on as cheap insurance against runaway GROUP BY cardinality at
-    100× scale."""
+    100× scale.
+
+    ``grouping`` selects the grouping-set shape: ``"groupby"`` (reference
+    parity), ``"cube"`` or ``"rollup"`` (deliberate beyond-parity — the
+    reference has no grouping sets, SURVEY §2.4 'absent aggregations';
+    Spark computes them in the SAME single shuffle via Expand). Only
+    direct (non-element/MV) aggregations are supported with cube/rollup."""
     if where is not None:
         df = df.where(where)
 
@@ -96,6 +103,20 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
 
     direct = [a for a in aggs if not resolve(a.fn).needs_elements]
     element = [a for a in aggs if resolve(a.fn).needs_elements]
+
+    if grouping != "groupby":
+        if element:
+            raise ValueError(
+                "cube/rollup grouping supports direct aggregations only")
+        if not key_names:
+            raise ValueError("cube/rollup grouping needs group-by keys")
+        grouped = (df.cube(*key_names) if grouping == "cube"
+                   else df.rollup(*key_names))
+        out = grouped.agg(*[resolve(a.fn).builder(a.col).alias(a.alias)
+                            for a in direct])
+        if num_groups_limit is not None:
+            out = out.limit(num_groups_limit)
+        return out.select(*key_names, *[a.alias for a in aggs])
 
     parts: list[DataFrame] = []
     if direct or not element:

@@ -217,3 +217,69 @@ def test_trained_centroids_balance_cells(spark):
     total = sum(r["count"] for r in sizes)
     assert len(sizes) == len(CENTROIDS)  # every cell populated
     assert max(r["count"] for r in sizes) < 0.5 * total  # no dominant cell
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets beyond parity: cube / rollup in one Expand shuffle
+# ---------------------------------------------------------------------------
+
+def test_cube_and_rollup_match_duckdb(spark, duck):
+    """SURVEY §2.4 lists grouping sets as absent in the reference; the
+    Spark-first engine exposes them as a grouping= knob on the same
+    group_by_agg — differential vs DuckDB GROUP BY CUBE/ROLLUP."""
+    from tests.conftest import assert_matches_oracle
+
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    for grouping in ("cube", "rollup"):
+        out = group_by_agg(
+            li, keys=[Key("l_returnflag", "l_returnflag"),
+                      Key("l_linestatus", "l_linestatus")],
+            aggs=[Agg("count", None, "cnt"),
+                  Agg("min", "l_quantity", "min_qty")],
+            grouping=grouping)
+        assert_matches_oracle(
+            out, duck(SF_DIR), f"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   MIN(l_quantity) AS min_qty
+            FROM lineitem GROUP BY {grouping.upper()}(l_returnflag, l_linestatus)
+            """, name=grouping)
+        # AdaptiveSparkPlan prints final + initial plans; audit the final
+        plan = (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "Expand" in plan  # grouping sets in ONE shuffle, not a union
+        assert plan.count("Exchange") <= 1
+
+
+def test_server_concurrent_queries(spark):
+    """The broker handles concurrent POST /query (ThreadingHTTPServer +
+    Spark's thread-safe job submission): N parallel clients all get
+    consistent BrokerResponse JSON."""
+    import json as _json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_olap_spark.server import PQLServer
+
+    srv = PQLServer(spark, SF_DIR).start()
+    try:
+        def ask(i):
+            body = _json.dumps({"pql":
+                "SELECT count(*), sum(l_quantity) FROM lineitem "
+                f"WHERE l_linenumber = {1 + i % 7}"}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/query", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return _json.loads(r.read())
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            got = list(ex.map(ask, range(16)))
+        assert all(r["exceptions"] == [] for r in got)
+        # same predicate -> same result regardless of interleaving
+        by_ln = {}
+        for i, r in enumerate(got):
+            key = 1 + i % 7
+            v = _json.dumps(r["aggregationResults"], sort_keys=True)
+            assert by_ln.setdefault(key, v) == v
+    finally:
+        srv.stop()
