@@ -283,3 +283,30 @@ def test_server_concurrent_queries(spark):
             assert by_ln.setdefault(key, v) == v
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond the registered intersect: UNION / EXCEPT
+# ---------------------------------------------------------------------------
+
+def test_setops_union_except_match_duckdb(spark, duck):
+    """Completes the §2.7 extension family next to ext_setop_intersect:
+    UNION (distinct) and EXCEPT over the same shuffled key."""
+    from tests.conftest import assert_matches_oracle
+
+    o = Catalog(spark, SF_DIR).table("orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    con = duck(SF_DIR)
+    assert_matches_oracle(
+        f.union(p).distinct().orderBy("o_custkey"), con, """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""", name="union")
+    assert_matches_oracle(
+        f.exceptAll(p).orderBy("o_custkey"), con, """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""", name="except_all")
