@@ -9,8 +9,9 @@ from realtime_olap_spark.streaming.realtime import (
     read_kafka_stream,
     time_boundary,
 )
+from realtime_olap_spark.streaming.joins import stream_range_join
 from realtime_olap_spark.streaming.sessions import sessionize_stream
 
 __all__ = ["RealtimeIngest", "decode_avro_stream", "decode_json_stream",
            "hybrid_table", "kafka_source_options", "read_kafka_stream",
-           "sessionize_stream", "time_boundary"]
+           "sessionize_stream", "stream_range_join", "time_boundary"]

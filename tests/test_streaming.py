@@ -384,3 +384,41 @@ def test_kafka_source_options_and_gate(spark):
         assert "value" in df.columns  # jar present: source graph builds
     except NotImplementedError as exc:
         assert "spark-sql-kafka" in str(exc)
+
+
+def test_stream_range_join_matches_batch(spark, tmpdir):
+    """Watermarked stream-stream range join (reference: 'no stateful join')
+    — a full availableNow drain must equal the batch banded range join
+    exactly (watermarks bound state, not inner-join correctness)."""
+    import os
+
+    from realtime_olap_spark.operators.joins import range_join_bucketed
+    from realtime_olap_spark.streaming import stream_range_join
+
+    ev = Catalog(spark, SF_DIR).table("events").select(
+        "event_id", "ts", "user_id", "event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    errors = ev.where(F.col("event_type") == "error").drop("event_type")
+    for name, df in [("clicks", clicks), ("errors", errors)]:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/{name}")
+
+    sc = spark.readStream.schema("event_id long, ts timestamp, user_id long") \
+        .parquet(f"{tmpdir}/clicks")
+    se = spark.readStream.schema("event_id long, ts timestamp, user_id long") \
+        .parquet(f"{tmpdir}/errors")
+    j = stream_range_join(sc, se, on=["user_id"],
+                          window_us=10 * 60_000_000, watermark="5 minutes")
+    q = (j.writeStream.format("parquet")
+         .option("path", f"{tmpdir}/join_out")
+         .option("checkpointLocation", f"{tmpdir}/join_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    def keyset(df):
+        return {(r["user_id"], r["event_id_l"], r["event_id_r"])
+                for r in df.collect()}
+
+    got = keyset(spark.read.parquet(f"{tmpdir}/join_out"))
+    want = keyset(range_join_bucketed(clicks, errors, on=["user_id"],
+                                      window_us=10 * 60_000_000))
+    assert got == want and len(got) > 0
