@@ -529,6 +529,11 @@ def grouped_topn_frame(q: PQLQuery, src: DataFrame):
     return u, key_cols, fn_cols, n
 
 
+class QueryTimeout(Exception):
+    """Query exceeded its broker deadline (the reference returns an
+    in-band EXECUTION_TIMEOUT exception in the BrokerResponse)."""
+
+
 class PQLEngine:
     """Entry point A analog (BaseBrokerRequestHandler.handleRequest):
     parse → compile → execute, plus Pinot-shaped response output
@@ -541,7 +546,7 @@ class PQLEngine:
         q = parse_pql(pql)
         return compile_pql(q, self.catalog.table(q.table))
 
-    def execute(self, pql: str) -> dict:
+    def execute(self, pql: str, timeout_ms: int | None = None) -> dict:
         """Run and shape like BrokerResponseNative: selectionResults or
         aggregationResults + stats.
 
@@ -550,7 +555,42 @@ class PQLEngine:
         the driver collects ≤ top × n_functions rows no matter how many
         groups exist (the reference's trim-at-server,
         AggregationGroupByTrimmingService.java:58-62 — never a full-group
-        collect)."""
+        collect).
+
+        ``timeout_ms`` enforces the broker's per-query deadline
+        (BaseBrokerRequestHandler brokerTimeoutMs; in-band TIMEOUT
+        exception in BrokerResponse): the query's Spark jobs run in a
+        dedicated job group and a watchdog cancels the group — repeatedly,
+        so a cancel landing between two of the query's sequential jobs
+        still kills the next one — until the call returns."""
+        if timeout_ms is not None:
+            import threading
+            import uuid
+
+            sc = self.catalog.spark.sparkContext
+            group = f"pql-{uuid.uuid4().hex[:12]}"
+            sc.setJobGroup(group, pql[:120], interruptOnCancel=True)
+            done = threading.Event()
+            timed_out = threading.Event()
+
+            def watchdog() -> None:
+                if not done.wait(timeout_ms / 1000.0):
+                    timed_out.set()
+                    while not done.wait(0.05):
+                        sc.cancelJobGroup(group)
+
+            t = threading.Thread(target=watchdog, daemon=True)
+            t.start()
+            try:
+                return self.execute(pql)
+            except Exception as ex:
+                if timed_out.is_set():
+                    raise QueryTimeout(
+                        f"query exceeded {timeout_ms} ms") from ex
+                raise
+            finally:
+                done.set()
+                sc.setLocalProperty("spark.jobGroup.id", None)
         q = parse_pql(pql)
         src = self.catalog.table(q.table)
 

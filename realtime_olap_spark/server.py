@@ -22,18 +22,24 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 
-from realtime_olap_spark.plans.pql import PQLEngine
+from realtime_olap_spark.plans.pql import PQLEngine, QueryTimeout
 
 
 class PQLServer:
     """Threaded HTTP server exposing ``POST /query``.
 
     ``port=0`` binds an ephemeral port (read it back from ``.port``).
+    ``timeout_ms`` is the broker deadline applied to every query unless
+    the request body carries its own ``timeoutMs`` (the reference's
+    brokerTimeoutMs + per-query override); a timed-out query returns the
+    in-band EXECUTION_TIMEOUT-style exception, not an HTTP error.
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 timeout_ms: int | None = None):
         engine = PQLEngine(spark, sf_dir)
+        default_timeout = timeout_ms
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args) -> None:  # quiet test runs
@@ -53,15 +59,22 @@ class PQLServer:
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode("utf-8", "replace")
+                tmo = default_timeout
                 try:
                     parsed = json.loads(body)
                     pql = parsed["pql"] if isinstance(parsed, dict) else body
+                    if isinstance(parsed, dict) and "timeoutMs" in parsed:
+                        tmo = int(parsed["timeoutMs"])
                 except (ValueError, KeyError):
                     pql = body  # raw-PQL body is accepted too
                 start = time.perf_counter()
                 try:
-                    resp = engine.execute(pql)
+                    resp = engine.execute(pql, timeout_ms=tmo)
                     resp.setdefault("exceptions", [])
+                except QueryTimeout as ex:
+                    resp = {"exceptions": [
+                        {"errorCode": 250,  # EXECUTION_TIMEOUT analog
+                         "message": str(ex)}]}
                 except Exception as ex:  # noqa: BLE001 — broker returns
                     # errors in-band (BrokerResponseNative exceptions list)
                     resp = {"exceptions": [

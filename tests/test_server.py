@@ -71,3 +71,44 @@ def test_post_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"pql": "SELECT count(*) FROM orders"}, path="/nope")
     assert e.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# Broker deadline: per-query timeout with in-band TIMEOUT exception
+# ---------------------------------------------------------------------------
+
+def test_engine_query_timeout_and_recovery(spark):
+    import pytest as _pytest
+
+    from realtime_olap_spark.plans.pql import PQLEngine, QueryTimeout
+
+    eng = PQLEngine(spark, "/root/testdata/sf0.1")
+    heavy = ("SELECT distinctcount(l_partkey), distinctcount(l_orderkey), "
+             "count(*) FROM lineitem GROUP BY l_suppkey TOP 100")
+    with _pytest.raises(QueryTimeout):
+        eng.execute(heavy, timeout_ms=30)
+    # the session survives a cancelled group: same query, sane deadline
+    ok = eng.execute(heavy, timeout_ms=120_000)
+    assert ok["aggregationResults"]
+
+
+def test_server_timeout_in_band(spark):
+    import json as _json
+    import urllib.request
+
+    from realtime_olap_spark.server import PQLServer
+
+    srv = PQLServer(spark, "/root/testdata/sf0.1").start()
+    try:
+        body = _json.dumps({
+            "pql": ("SELECT distinctcount(l_partkey), distinctcount(l_orderkey),"
+                    " count(*) FROM lineitem GROUP BY l_suppkey TOP 100"),
+            "timeoutMs": 30}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            resp = _json.loads(r.read())
+        assert resp["exceptions"] and resp["exceptions"][0]["errorCode"] == 250
+    finally:
+        srv.stop()
