@@ -153,10 +153,18 @@ def generate(seed: int) -> tuple[str, str]:
              "l_suppkey", "l_discount"], k=rng.randint(0, 3))
         cols = ["l_orderkey", "l_linenumber", *extra]
         limit = rng.randint(1, 40)
+        offset = rng.choice([0, 0, rng.randint(1, 15)])
         sel = ", ".join(cols)
-        order = "ORDER BY " + ", ".join(f"{c} ASC" for c in cols)
-        pql = f"SELECT {sel} FROM lineitem{where} {order} LIMIT {limit}"
-        sql = f"SELECT {sel} FROM lineitem{sql_where} {order} LIMIT {limit}"
+        # mixed ASC/DESC over EVERY selected column: total order → the
+        # LIMIT/OFFSET window is well-defined in both engines
+        dirs = [rng.choice(["ASC", "DESC"]) for _ in cols]
+        order = "ORDER BY " + ", ".join(
+            f"{c} {d}" for c, d in zip(cols, dirs))
+        pql_lim = f"LIMIT {offset}, {limit}" if offset else f"LIMIT {limit}"
+        sql_lim = (f"LIMIT {limit} OFFSET {offset}" if offset
+                   else f"LIMIT {limit}")
+        pql = f"SELECT {sel} FROM lineitem{where} {order} {pql_lim}"
+        sql = f"SELECT {sel} FROM lineitem{sql_where} {order} {sql_lim}"
         return pql, sql
 
     n_aggs = rng.randint(1, 3)
