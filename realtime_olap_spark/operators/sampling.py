@@ -1,0 +1,67 @@
+"""Deterministic sampling for training-data curation.
+
+Random sampling (``df.sample``/``sampleBy``) is seed × partitioning
+dependent — irreproducible across engines and across re-runs on different
+cluster layouts, which is unacceptable for dataset curation lineage. These
+operators sample by CONTENT HASH instead: the same row is always in or out
+of the sample regardless of engine, partitioning, or run — and every
+operator is expressible in plain SQL, so the DuckDB differential oracle
+covers them (tests/test_sampling.py).
+
+Scale design: hash-fraction sampling is a pure scan-side filter (no
+shuffle, pushes column pruning); stratified fixed-count take is one
+window over a single shuffle on the strata columns; the split column is a
+zero-shuffle projection usable as a write-time partition column so
+train/test land in separate segment directories.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.dedup import word_hash60
+
+# hash space for rate decisions: 60-bit hash mod 1e6 → rate granularity 1e-6
+_MOD = 1_000_000
+
+
+def _bucket(key: Column | str) -> Column:
+    """Deterministic per-row bucket in [0, 1e6): md5-based 60-bit hash of
+    the key column's string form — identical in any engine with md5."""
+    c = F.col(key) if isinstance(key, str) else key
+    return word_hash60(c.cast("string")) % F.lit(_MOD)
+
+
+def hash_sample(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by the key's hash — stable under
+    re-runs, engine changes, and repartitioning (unlike df.sample)."""
+    return df.where(_bucket(key) < F.lit(int(round(fraction * _MOD))))
+
+
+def stratified_take(df: DataFrame, strata: Sequence[str], key: Column | str,
+                    n: int) -> DataFrame:
+    """At most ``n`` rows per stratum, chosen in hash order of the key —
+    the deterministic analog of per-group reservoir sampling (balanced
+    corpus construction: 'n docs per (lang, source)'). One shuffle on the
+    strata; ties broken by the key's string form for total determinism."""
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*strata).orderBy(_bucket(key).asc(),
+                                            kc.cast("string").asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def train_test_split(df: DataFrame, key: Column | str,
+                     test_fraction: float = 0.1,
+                     col_name: str = "split") -> DataFrame:
+    """Adds a 'train'/'test' column by key hash: membership is a property
+    of the ROW, so re-ingesting or re-partitioning the corpus never leaks
+    test rows into train. Use ``col_name`` as a write-time partition
+    column to store the two sides as separate segments."""
+    cut = int(round(test_fraction * _MOD))
+    return df.withColumn(
+        col_name, F.when(_bucket(key) < F.lit(cut), F.lit("test"))
+                   .otherwise(F.lit("train")))

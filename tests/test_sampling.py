@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling — DuckDB differential (the sampling
+decisions themselves are oracle-checked, not just row counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators.sampling import (hash_sample,
+                                                    stratified_take,
+                                                    train_test_split)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+# DuckDB twin of operators.sampling._bucket over a string key
+_B = ("(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+      "AS UBIGINT) AS BIGINT) % 1000000)")
+
+
+def test_hash_sample_matches_duckdb(spark, duck):
+    d = Catalog(spark, SF_DIR).table("documents")
+    out = hash_sample(d, "doc_id", 0.2).select("doc_id", "lang")
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT doc_id, lang FROM documents WHERE {_B} < 200000
+        """, name="hash_sample")
+    n_all = d.count()
+    n = out.count()
+    assert 0 < n < n_all  # a real subsample, not all/nothing
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    d = Catalog(spark, SF_DIR).table("documents")
+    a = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3)
+         .select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(d.repartition(13), "doc_id", 0.3)
+         .select("doc_id").collect()}
+    assert a == b  # membership is a row property, not a partitioning one
+
+
+def test_stratified_take_matches_duckdb(spark, duck):
+    d = Catalog(spark, SF_DIR).table("documents")
+    out = stratified_take(d, ["lang", "source"], "doc_id", 3) \
+        .select("doc_id", "lang", "source")
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY {_B} ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+            FROM documents)
+        WHERE rn <= 3
+        """, name="stratified_take")
+    sizes = out.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 3 for r in sizes)
+
+
+def test_train_test_split_partitions_and_matches(spark, duck):
+    d = Catalog(spark, SF_DIR).table("documents")
+    out = train_test_split(d, "doc_id", 0.25).select("doc_id", "split")
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT doc_id,
+               CASE WHEN {_B} < 250000 THEN 'test' ELSE 'train' END AS split
+        FROM documents
+        """, name="train_test_split")
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "test"}
+    total = sum(counts.values())
+    assert 0.1 < counts["test"] / total < 0.4  # ~25%, hash-thin corpus ok
