@@ -310,3 +310,59 @@ def test_setops_union_except_match_duckdb(spark, duck):
         EXCEPT ALL
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         ORDER BY o_custkey""", name="except_all")
+
+
+# ---------------------------------------------------------------------------
+# TIMECONVERT property: TimeUnit-correct for arbitrary epochs
+# ---------------------------------------------------------------------------
+
+def test_timeconvert_property_vs_integer_arithmetic(spark):
+    """Widening multiplies exactly; narrowing floor-divides — for random
+    epochs and every unit pair (hypothesis over one Spark job)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from realtime_olap_spark.functions import timeconvert
+
+    UNITS = {"NANOSECONDS": 1, "MICROSECONDS": 10**3, "MILLISECONDS": 10**6,
+             "SECONDS": 10**9, "MINUTES": 60 * 10**9, "HOURS": 3600 * 10**9,
+             "DAYS": 86400 * 10**9}
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**62),
+           st.sampled_from(sorted(UNITS)), st.sampled_from(sorted(UNITS)))
+    def collect(instant_ns, fu, tu):
+        # real epoch INSTANTS: the value in the source unit is the instant
+        # floored to that unit, so widening never exceeds the long range
+        # (same domain contract as java TimeUnit epochs)
+        v = instant_ns // UNITS[fu]
+        want = v * (UNITS[fu] // UNITS[tu]) if UNITS[fu] >= UNITS[tu] \
+            else v // (UNITS[tu] // UNITS[fu])
+        cases.append((v, fu, tu, want))
+
+    collect()
+    df = spark.createDataFrame(cases, "v long, fu string, tu string, want long")
+    exprs = [F.when((F.col("fu") == fu) & (F.col("tu") == tu),
+                    timeconvert(F.col("v"), fu, tu))
+             for fu in UNITS for tu in UNITS]
+    got = df.withColumn("got", F.coalesce(*exprs))
+    assert got.where(F.col("got") != F.col("want")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PQL negative paths: parse/compile errors are clear, not stack-bombs
+# ---------------------------------------------------------------------------
+
+def test_pql_error_paths(spark):
+    import pytest as _pytest
+
+    eng = PQLEngine(spark, SF_DIR)
+    with _pytest.raises(Exception, match="(?i)expected|parse|unexpected"):
+        parse_pql("SELECT FROM lineitem")           # missing select list
+    with _pytest.raises(Exception, match="(?i)unknown (aggregation|transform)"):
+        eng.dataframe("SELECT stddev(l_quantity) FROM lineitem "
+                      "GROUP BY l_returnflag")       # not in the closed set
+    with _pytest.raises(Exception):
+        eng.dataframe("SELECT no_such_col FROM lineitem LIMIT 1")
