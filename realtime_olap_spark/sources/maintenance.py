@@ -46,3 +46,37 @@ def compact(spark: SparkSession, src: str, dst: str, dims: list[str],
     (RealtimeSegmentConverter / minion task analog)."""
     merge_rollup(spark.read.parquet(src), dims, metrics) \
         .write.mode("overwrite").parquet(dst)
+
+
+def segment_metadata(spark: SparkSession, path: str,
+                     time_column: str | None = None) -> DataFrame:
+    """Per-segment metadata table — the SegmentMetadata / controller
+    ``GET /segments/{table}/{segment}/metadata`` analog: one row per
+    parquet file (= segment) with its doc count, byte size, and the time
+    range of ``time_column`` (segment pruning uses exactly this range —
+    SegmentPrunerService, §4.2).
+
+    Pure aggregation over `input_file_name()` — one scan of only the time
+    column, no shuffle beyond one hash agg keyed by ~thousands of files.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("total_docs")]
+    if time_column is not None:
+        aggs += [F.min(time_column).alias("start_time"),
+                 F.max(time_column).alias("end_time")]
+    # normalize "file:///x" vs "file:/x" URI spellings so the two sources
+    # join on the same key
+    def norm(c: Column) -> Column:
+        return F.regexp_replace(c, "^file:/+", "/")
+
+    cols = [time_column] if time_column is not None else []
+    per_file = (df.select(*cols, norm(F.input_file_name()).alias("segment"))
+                .groupBy("segment").agg(*aggs))
+    # binaryFile prunes `content` when unprojected — this reads listings,
+    # not payloads; recursive for time-partitioned layouts
+    sizes = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.parquet") \
+        .option("recursiveFileLookup", "true").load(path) \
+        .select(norm(F.col("path")).alias("segment"),
+                F.col("length").alias("size_bytes"))
+    return per_file.join(sizes, "segment", "left")

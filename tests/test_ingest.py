@@ -264,3 +264,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan, plan
     want = li.join(orders, "l_orderkey").count()
     assert n == want and n > 0
+
+
+def test_segment_metadata_table(spark, tmp_path):
+    """SegmentMetadata analog: one row per segment file with docs, bytes,
+    and the time range segment pruning relies on."""
+    from realtime_olap_spark.sources.maintenance import segment_metadata
+
+    events = Catalog(spark, SF_DIR).table("events").drop("ts_ns")
+    cfg = TableConfig("events", dimensions=("event_id",), metrics=("value",),
+                      time_column="ts", time_unit="DAYS")
+    SegmentWriter(cfg).write(events, str(tmp_path / "seg"))
+
+    meta = segment_metadata(spark, str(tmp_path / "seg"), "ts").collect()
+    assert len(meta) > 1  # one row per (day-partitioned) segment file
+    assert sum(r["total_docs"] for r in meta) == events.count()
+    for r in meta:
+        assert r["segment"].endswith(".parquet")
+        assert r["size_bytes"] > 0
+        assert r["start_time"] <= r["end_time"]
+    lo = min(r["start_time"] for r in meta)
+    hi = max(r["end_time"] for r in meta)
+    want = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert (lo, hi) == (want[0], want[1])
