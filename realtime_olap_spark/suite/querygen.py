@@ -138,10 +138,39 @@ def _agg(rng: random.Random) -> tuple[str, str, str]:
             f"{fn.upper()}({sql_arg}) AS {alias}", alias)
 
 
+def _events_agg(rng: random.Random) -> tuple[str, str]:
+    """Aggregation over the events table with TIMESTAMP-literal predicates
+    — the time-semantics hardening shape (string→timestamp coercion, UTC
+    session, BETWEEN over timestamps must agree across engines)."""
+    preds = []
+    if rng.random() < 0.8:
+        d1, d2 = sorted(rng.sample(range(1, 30), 2))
+        preds.append(f"ts BETWEEN '2024-01-{d1:02d}' AND '2024-01-{d2:02d}'")
+    if rng.random() < 0.5:
+        types = rng.sample(["click", "view", "error", "signup", "purchase"],
+                           k=rng.randint(1, 3))
+        preds.append("event_type IN (" + ", ".join(f"'{t}'" for t in types) + ")")
+    if rng.random() < 0.4:
+        preds.append(f"value {rng.choice(CMP_OPS)} {round(rng.uniform(0, 100), 2)}")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    aggs = ["COUNT(*) AS count_star", f"{OSUM('value')} AS sum_value",
+            "MIN(value) AS min_value"]
+    pql_aggs = "count(*), sum(value), min(value)"
+    keys = ["event_type"] + (["user_id"] if rng.random() < 0.4 else [])
+    kl = ", ".join(keys)
+    pql = (f"SELECT {kl}, {pql_aggs} FROM events{where} "
+           f"GROUP BY {kl} TOP 1000")
+    sql = (f"SELECT {kl}, {', '.join(aggs)} FROM events{where} "
+           f"GROUP BY {kl}")
+    return pql, sql
+
+
 def generate(seed: int) -> tuple[str, str]:
     """One differential pair (pql, duckdb_sql) for the given seed."""
     rng = random.Random(seed)
-    shape = rng.choice(["selection", "scalar_agg", "group_by"])
+    shape = rng.choice(["selection", "scalar_agg", "group_by", "events_agg"])
+    if shape == "events_agg":
+        return _events_agg(rng)
     where = _where(rng)
     # same predicate text in both dialects, except DuckDB spells the regex
     # predicate regexp_matches
