@@ -33,10 +33,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str = "ts", right_ts: str = "ts",
               values: Sequence[str] = ("value",),
               tolerance_us: int | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_ts <= left_ts`` (inclusive) within the same ``on`` key —
-    backward as-of, the market-data/telemetry standard.
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
+    """For every left row, attach the nearest right row at-or-before it
+    (``direction="backward"``, the market-data/telemetry standard:
+    ``right_ts <= left_ts`` inclusive) or at-or-after it
+    (``direction="forward"``: ``right_ts >= left_ts`` — 'next event'
+    lookups) within the same ``on`` key. Forward is the exact mirror:
+    same single shuffle, window ordered descending with ``first`` looking
+    ahead instead of ``last`` looking back.
 
     Output = all left columns + ``asof_ts`` (matched right timestamp, NULL
     when no match) + one ``<v><suffix>`` per requested right value column.
@@ -71,13 +76,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     cols = [*payload, "__t", "__is_l", "__r"]
     u = lu.select(*cols).unionByName(ru.select(*cols))
 
-    # right rows (side 0) sort before left rows at equal time → inclusive
-    w = (Window.partitionBy(*on).orderBy(F.col("__t").asc(),
-                                         F.col("__is_l").asc())
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    # right rows (side 0) sort before left rows at equal time → inclusive;
+    # forward mirrors the sort so 'before' in window order means 'at or
+    # after' in time
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (Window.partitionBy(*on).orderBy(t_ord, F.col("__is_l").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = F.last("__r", ignorenulls=True).over(w)
     if tolerance_us is not None:
-        fresh = (F.unix_micros(F.col("__t")) - F.unix_micros(m["rt"])
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(m["rt"])
+        fresh = ((gap if direction == "backward" else -gap)
                  <= F.lit(tolerance_us))
         m = F.when(fresh, m)  # stale match → NULL struct → NULL fields
     return (u.withColumn("__m", m)

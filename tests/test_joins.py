@@ -106,3 +106,46 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "__bucket" in plan  # banded key reaches the join
+
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                WHERE event_type = 'click'),
+     errors AS (SELECT user_id, ts, MAX(value) AS value FROM events
+                WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT c.event_id, c.ts, c.user_id, c.value,
+       e.ts AS asof_ts, e.value AS err_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.ts >= c.ts
+"""
+
+
+def test_asof_join_forward_matches_duckdb(spark, duck):
+    """direction='forward': every click picks up the user's NEXT error at-
+    or-after it — mirrored window, same single-shuffle plan."""
+    clicks, errors = _clicks_errors(spark)
+    out = asof_join(clicks, errors, on=["user_id"], values=["value"],
+                    direction="forward")
+    assert_matches_oracle(
+        out.withColumnRenamed("value_asof", "err_value"),
+        duck(SF_DIR), _ASOF_FWD_ORACLE, name="asof_forward")
+
+
+def test_asof_join_multi_key(spark):
+    """Composite as-of key (user_id, event_type): matches only within the
+    same composite group."""
+    import datetime as dt
+
+    def t(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, "a", t(10)), (1, "b", t(10))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, "a", t(5), 1.0), (1, "b", t(7), 2.0), (2, "a", t(9), 9.0)],
+        "id long, k string, ts timestamp, v double")
+    out = asof_join(left, right, on=["id", "k"], values=["v"])
+    got = {(r["id"], r["k"]): (r["asof_ts"], r["v_asof"])
+           for r in out.collect()}
+    assert got == {(1, "a"): (t(5), 1.0), (1, "b"): (t(7), 2.0)}
