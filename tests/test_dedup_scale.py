@@ -98,3 +98,22 @@ def test_minhash_cap_bounds_bucket_pairs_sf01(spark):
     # candidate volume is bounded by (#ok buckets) · bound
     n_ok = sizes.where(F.col("n") <= CAP).count()
     assert capped.count() <= n_ok * per_bucket_bound
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Three-way sessionization agreement: our window formulation must
+    equal Spark's native session_window aggregation (gap boundary: a gap
+    of exactly 30min merges in ours and splits in session_window — a
+    measure-zero case absent from microsecond event data; the two custom
+    paths' equality is tested in test_sessionize twins)."""
+    from realtime_olap_spark.operators.sessions import sessionize
+
+    ev = Catalog(spark, SF_DIR).table("events").select("user_id", "ts")
+    sw = (ev.groupBy("user_id",
+                     F.session_window("ts", "30 minutes").alias("w"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.min("ts").alias("s"), F.max("ts").alias("e")))
+    a = {(r["user_id"], r["s"], r["e"], r["n_events"]) for r in sw.collect()}
+    b = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+         for r in sessionize(ev, gap_minutes=30).collect()}
+    assert a == b and len(a) > 0
