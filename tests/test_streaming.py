@@ -422,3 +422,24 @@ def test_stream_range_join_matches_batch(spark, tmpdir):
     want = keyset(range_join_bucketed(clicks, errors, on=["user_id"],
                                       window_us=10 * 60_000_000))
     assert got == want and len(got) > 0
+
+
+def test_stream_range_join_plan_has_bounded_state(spark, tmpdir):
+    """The streaming join must plan as a symmetric hash join with
+    watermark-driven state eviction — the shape whose state is provably
+    bounded (not an unbounded stream-stream buffer)."""
+    from realtime_olap_spark.streaming import stream_range_join
+
+    seed = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 1)],
+        "event_id long, ts timestamp, user_id long")
+    seed.write.parquet(f"{tmpdir}/pc")
+    seed.write.parquet(f"{tmpdir}/pe")
+    sc = spark.readStream.schema("event_id long, ts timestamp, user_id long") \
+        .parquet(f"{tmpdir}/pc")
+    se = spark.readStream.schema("event_id long, ts timestamp, user_id long") \
+        .parquet(f"{tmpdir}/pe")
+    j = stream_range_join(sc, se, on=["user_id"])
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan  # both sides watermarked
+    assert plan.count("EventTimeWatermark") == 2
