@@ -130,8 +130,8 @@ WITH t AS (
   FROM events),
 s AS (
   SELECT user_id, ts, us,
-         SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM t)
 SELECT user_id, session_id,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -154,7 +154,7 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ext_json_ingest", """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type

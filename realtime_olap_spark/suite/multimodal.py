@@ -27,7 +27,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_inventory", f"""
 SELECT {_MTYPE} AS media_type,
        COUNT(*) AS n_media,
-       SUM({_NBYTES}) AS total_bytes,
+       CAST(SUM({_NBYTES}) AS BIGINT) AS total_bytes,
        CAST(SUM((n_chars % 640) + 16) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_width
 FROM documents
 GROUP BY media_type
@@ -78,7 +78,8 @@ _HIST = "[" + ", ".join(
 
 
 @query("mm_byte_histogram", f"""
-SELECT doc_id AS media_id, {_NBYTES} AS n_bytes, {_HIST} AS byte_hist
+SELECT doc_id AS media_id, {_NBYTES} AS n_bytes,
+       array_to_string({_HIST}, ',') AS byte_hist
 FROM documents
 ORDER BY media_id ASC
 LIMIT 30
@@ -86,9 +87,15 @@ LIMIT 30
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over Arrow batches (numpy bincount per payload)
     — value-checked against a pure-SQL histogram (ASCII ⇒ bytes = chars).
-    Entropy from the same pass is covered rows-only below."""
+    The histogram array is serialized to a comma-joined string on BOTH
+    sides: the driver canonicalizes through pandas, which cannot
+    sort/factorize list-valued columns. Entropy from the same pass is
+    covered rows-only below."""
     feats = M.extract_features(_media(spark, sf_dir))
-    return (feats.select("media_id", "n_bytes", "byte_hist")
+    return (feats.select(
+                "media_id", "n_bytes",
+                F.array_join(F.col("byte_hist").cast("array<string>"), ",")
+                .alias("byte_hist"))
             .orderBy(F.col("media_id").asc()).limit(30))
 
 

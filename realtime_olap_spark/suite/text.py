@@ -47,7 +47,7 @@ WITH scored AS (
   FROM documents)
 SELECT detected,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM scored
 GROUP BY detected
 ORDER BY detected ASC
@@ -95,8 +95,8 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_token_budget", f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM({_NTOK}) AS ws_tokens,
-       SUM({_BPE}) AS bpe_tokens,
+       CAST(SUM({_NTOK}) AS BIGINT) AS ws_tokens,
+       CAST(SUM({_BPE}) AS BIGINT) AS bpe_tokens,
        MAX({_BPE}) AS max_bpe,
        CAST(SUM({_BPE}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bpe
 FROM documents
