@@ -125,18 +125,20 @@ def main() -> None:
 
     # min of RUNS executions per query: this host shows random 3-8x
     # per-query spikes from outside CPU contention; the minimum is the
-    # engine's actual cost (methodology recorded in the JSON).
-    RUNS = 2
-    timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(RUNS):
+    # engine's actual cost. Passes are ROUND-ROBIN (suite x3, not query x3)
+    # so a sustained contention burst contaminates one run of many queries
+    # rather than every run of one query, and every per-run time is
+    # recorded in the JSON — a contaminated run is self-evident from the
+    # spread instead of silently inflating the recorded minimum.
+    RUNS = 3
+    query_runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(RUNS):
+        for name in names:
             start = time.perf_counter()
             df = suite.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - start
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 4)
+            query_runs[name].append(round(time.perf_counter() - start, 4))
+    timings = {name: min(rs) for name, rs in query_runs.items()}
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -144,9 +146,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": query_runs,
+        "max_spread": round(max(max(r) / max(min(r), 1e-9)
+                                for r in query_runs.values()), 2),
         "sf": sf,
         "runs_per_query": RUNS,
         "aggregation": "min",
+        "schedule": "round_robin",
     }
     # Regression check against the previous round's record (>2x per query).
     prev = _load_prev_bench()

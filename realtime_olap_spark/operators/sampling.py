@@ -30,9 +30,15 @@ _MOD = 1_000_000
 
 def _bucket(key: Column | str) -> Column:
     """Deterministic per-row bucket in [0, 1e6): md5-based 60-bit hash of
-    the key column's string form — identical in any engine with md5."""
+    the key column's string form — identical in any engine with md5.
+
+    NULL keys hash a fixed sentinel instead of propagating NULL, so all
+    three samplers share one policy: a NULL-key row is an ordinary member
+    of the universe (previously hash_sample silently dropped it — NULL <
+    cut is never true — while train_test_split routed it to 'train')."""
     c = F.col(key) if isinstance(key, str) else key
-    return word_hash60(c.cast("string")) % F.lit(_MOD)
+    return word_hash60(F.coalesce(c.cast("string"),
+                                  F.lit("\x00__null_key__"))) % F.lit(_MOD)
 
 
 def hash_sample(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:

@@ -600,10 +600,13 @@ class PQLEngine:
             stats = plan_scan_stats(u)
 
             def per_function(c: str) -> list[dict]:
+                # same tie-break as top_n's Spark ordering: NATIVE-typed
+                # key asc, nulls first (str(key) would rank 10 before 2
+                # and could change which tied groups survive the trim)
                 sel = [r for r in rows if r["__fn"] == c]
                 sel.sort(key=lambda r: (
                     -(r[c] if r[c] is not None else float("-inf")),
-                    tuple(str(r[k]) for k in key_cols)))
+                    tuple((r[k] is not None, r[k]) for k in key_cols)))
                 return [{"group": [r[k] for k in key_cols], "value": r[c]}
                         for r in sel]
 

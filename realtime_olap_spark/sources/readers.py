@@ -52,8 +52,16 @@ def read_avro(spark: SparkSession, path: str,
         if schema is not None:
             reader = reader.schema(schema)
         return reader.load(path)
-    except Exception:
-        return _read_avro_python(spark, path, schema)
+    except Exception as ex:
+        # Fall back ONLY on the jar-absent datasource-lookup failure;
+        # genuine errors when the jar IS present (bad path, schema
+        # mismatch, corrupt file) must surface as themselves, not as a
+        # confusing binaryFile/decode failure downstream.
+        msg = str(ex)
+        if ("FAILED_FIND_AVRO_SOURCE" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                or ("Failed to find" in msg and "avro" in msg.lower())):
+            return _read_avro_python(spark, path, schema)
+        raise
 
 
 def _read_avro_python(spark: SparkSession, path: str,
@@ -88,7 +96,8 @@ def _read_avro_python(spark: SparkSession, path: str,
                     {n: [r.get(n) for r in rows] for n in names},
                     columns=names)
 
-    return (spark.read.format("binaryFile").load(path)
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro").load(path)
             .select("content").mapInPandas(decode, schema=out_schema))
 
 

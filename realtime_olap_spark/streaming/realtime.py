@@ -143,6 +143,12 @@ class RealtimeIngest:
         # Apply: per-partition atomic renames. Re-entrant after a crash —
         # already-applied staged dirs are gone, the rest still swap in.
         os.makedirs(sink, exist_ok=True)
+        # Sweep '._old-*' leftovers from a crash between the rename and its
+        # rmtree: hidden from readers, but the replay path only removes the
+        # dirs it swaps THIS run, so without the sweep they leak forever.
+        for d in os.listdir(sink):
+            if d.startswith("._old-"):
+                shutil.rmtree(os.path.join(sink, d), ignore_errors=True)
         for d in os.listdir(staged_root):
             if not d.startswith(f"{part_col}="):
                 continue

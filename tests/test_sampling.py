@@ -65,3 +65,24 @@ def test_train_test_split_partitions_and_matches(spark, duck):
     assert set(counts) == {"train", "test"}
     total = sum(counts.values())
     assert 0.1 < counts["test"] / total < 0.4  # ~25%, hash-thin corpus ok
+
+
+def test_null_keys_share_one_policy_across_samplers(spark):
+    """NULL sampling keys hash a fixed sentinel: the row is an ordinary
+    universe member in ALL samplers (fraction=1.0 keeps it; the split
+    column assigns it by the same bucket as hash_sample uses) — previously
+    hash_sample dropped NULL-key rows while train_test_split kept them."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, k string")
+    assert hash_sample(df, "k", 1.0).count() == 4  # NULLs not dropped
+    assert hash_sample(df, "k", 0.0).count() == 0
+    # consistency: membership under fraction f == 'test' side at cut f
+    for f in (0.25, 0.5, 0.75):
+        in_sample = {r["id"] for r in hash_sample(df, "k", f).collect()}
+        test_side = {r["id"] for r in train_test_split(df, "k", f).collect()
+                     if r["split"] == "test"}
+        assert in_sample == test_side
+    # both NULL rows land identically (same sentinel bucket)
+    split = {r["id"]: r["split"]
+             for r in train_test_split(df, "k", 0.5).collect()}
+    assert split[2] == split[4]

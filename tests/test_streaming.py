@@ -443,3 +443,87 @@ def test_stream_range_join_plan_has_bounded_state(spark, tmpdir):
     plan = j._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan  # both sides watermarked
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_sessionize_stream_out_of_order_late_events(spark, tmpdir):
+    """Late events (within the watermark delay) arriving in LATER
+    micro-batches must fold into pending sessions before emission: extend a
+    session backward past its start, bridge two pending sessions into one,
+    and attach to a pending run — all cases the r2 eager-emit version got
+    wrong (it had already emitted). Emitted rows must equal batch
+    sessionize() over the union of all events."""
+    import datetime as dt
+    import os
+
+    from realtime_olap_spark.operators.sessions import sessionize
+    from realtime_olap_spark.streaming import sessionize_stream
+
+    def t(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    batches = [
+        # batch A: u1 two separated runs; u2 two runs 55min apart; u3 one
+        [(1, t(0)), (1, t(100)), (2, t(0)), (2, t(55)), (3, t(10))],
+        # batch B (all late vs batch A's max, but within the 120min delay):
+        # u1 t75 attaches to the t100 run (not the t0 one);
+        # u2 t28 bridges t0..t55 into ONE session (0-28<=30, 55-28<=30);
+        # u3 t5 extends the open session backward (start moves 10 -> 5)
+        [(1, t(75)), (2, t(28)), (3, t(5))],
+        # batch C: far-future dummy pushes the watermark past everything
+        [(99, t(1000))],
+    ]
+    src = f"{tmpdir}/sess_ooo_src"
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        pdf.coalesce(1).write.parquet(f"{tmpdir}/ooo_stage_{i}")
+        part = [f for f in os.listdir(f"{tmpdir}/ooo_stage_{i}")
+                if f.endswith(".parquet")][0]
+        dst = f"{src}/batch_{i}.parquet"
+        os.rename(f"{tmpdir}/ooo_stage_{i}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = sessionize_stream(stream, gap_minutes=30,
+                                 watermark="120 minutes")
+    q = (sessions.writeStream.format("parquet")
+         .option("path", f"{tmpdir}/sess_ooo_out")
+         .option("checkpointLocation", f"{tmpdir}/sess_ooo_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_id"]):
+           (r["session_start"], r["session_end"], r["n_events"], r["duration_us"])
+           for r in spark.read.parquet(f"{tmpdir}/sess_ooo_out").collect()}
+    # u99's session never matures (wm stops 120min behind it) -> not emitted
+    assert set(got) == {(1, 1), (1, 2), (2, 1), (3, 1)}
+
+    all_events = spark.createDataFrame(
+        [r for b in batches for r in b], "user_id long, ts timestamp")
+    batch = {(r["user_id"], r["session_id"]):
+             (r["session_start"], r["session_end"], r["n_events"], r["duration_us"])
+             for r in sessionize(all_events, gap_minutes=30).collect()}
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    # the backward-extension and the bridge actually happened
+    assert got[(3, 1)][0] == t(5) and got[(3, 1)][2] == 2
+    assert got[(2, 1)] == (t(0), t(55), 3, 55 * 60_000_000)
+    assert got[(1, 2)] == (t(75), t(100), 2, 25 * 60_000_000)
+
+
+def test_rollup_merge_sweeps_stale_old_dirs(spark, tmpdir):
+    """A crash between os.rename(dst, old) and shutil.rmtree(old) leaks a
+    hidden '._old-*' dir; the next merge invocation must sweep it (replay
+    only removes dirs it swaps that run)."""
+    import os
+
+    ingest = RealtimeIngest(spark, f"{tmpdir}/ckpt", f"{tmpdir}/sink")
+    ev = spark.read.schema(EV_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    ingest._rollup_merge(ev, 0, ["event_type"], ["value"], "event_type")
+    stale = f"{tmpdir}/sink/._old-0-event_type=crashed"
+    os.makedirs(stale)
+    open(f"{stale}/part-0.parquet", "w").close()
+    ingest._rollup_merge(ev.limit(50), 1, ["event_type"], ["value"],
+                         "event_type")
+    assert not os.path.exists(stale)
