@@ -173,6 +173,43 @@ def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[list[float]]
               .limit(k))
 
 
+def ivf_index_write(df: DataFrame, path: str, centroids: list[list[float]],
+                    vec_col: str = "embedding",
+                    files_per_cell: int = 1) -> None:
+    """Materialize the IVF index: assign every row's cell ONCE (the
+    Arrow-vectorized twin — bit-identical to the fold path) and write the
+    corpus partitioned by ``cell``, so probes become partition-pruned
+    scans of nprobe/K of the data instead of evaluating K folds per row
+    per query. This is the ingest-time half of the scale story
+    (SegmentPartitionConfig / ColumnValueSegmentPruner.java:41 analog:
+    partition assignment at segment build, pruning at query time).
+
+    ``files_per_cell`` bounds the small-file problem at scale (repartition
+    within each cell before the write)."""
+    out = df.withColumn("cell",
+                        ivf_assign_norm(vec_col, centroids)["cell"])
+    out = out.repartition(files_per_cell * max(len(centroids), 1),
+                          F.col("cell"))
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+                     centroids: list[list[float]], id_col: str,
+                     vec_col: str, k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Probe a materialized IVF index (``ivf_index_write`` layout): the
+    cell filter hits the partition directories (PartitionFilters in the
+    plan — plan-asserted in tests), so only nprobe/K of the corpus is
+    listed, read, or scored; exact cosine top-k within the probed cells.
+    Returns exactly the rows ``ivf_topk`` computes on the fly."""
+    probes = _nearest_centroids(query_vec, centroids, nprobe)
+    v = F.col(vec_col)
+    return (spark.read.parquet(path)
+              .where(F.col("cell").isin(probes))
+              .select(F.col(id_col), cosine(v, _lit_vec(query_vec)).alias("cos"))
+              .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
 def _nearest_centroids(query_vec: list[float], centroids: list[list[float]],
                        nprobe: int) -> list[int]:
     def sq(c: list[float]) -> float:

@@ -110,12 +110,41 @@ LIMIT 10
 """
 
 
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the cell-partitioned IVF index for ``sf_dir``'s
+    embeddings. The cache key includes the source file's mtime/size, so a
+    refreshed corpus gets a fresh build — this is the ingest-time half of
+    the IVF story; probe queries must never pay it per query."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:k{len(CENTROIDS)}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rt_olap_ivf_{key}")
+    marker = os.path.join(path, "_INDEX_BUILT")
+    if not os.path.exists(marker):
+        S.ivf_index_write(Catalog(spark, sf_dir).table("embeddings"),
+                          path, CENTROIDS)
+        open(marker, "w").close()
+    return path
+
+
 @query("sim_topk_ivf", _ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe: nearest-centroid cells (nprobe=2 of 8), exact cosine
-    top-10 within them — the write-time-partitioned scale path."""
-    e = Catalog(spark, sf_dir).table("embeddings")
-    return S.ivf_topk(e, QUERY_VEC, CENTROIDS, "vec_id", "embedding", k=10, nprobe=2)
+    """IVF probe against the MATERIALIZED cell-partitioned index (built
+    once per corpus): the cell filter prunes partition directories, so
+    the probe scans nprobe/K (2/8) of the corpus — exactly the plan a
+    1000-executor cluster would run; exact cosine top-10 within the
+    probed cells. Assignment bit-identity between the build's Arrow path
+    and the oracle's fold rendering is equality-tested, so the oracle is
+    unchanged."""
+    path = _ensure_ivf_index(spark, sf_dir)
+    return S.ivf_topk_indexed(spark, path, QUERY_VEC, CENTROIDS,
+                              "vec_id", "embedding", k=10, nprobe=2)
 
 
 @query("sim_topk_per_label", f"""

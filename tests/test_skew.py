@@ -52,9 +52,11 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_ivf_write_time_partitioning_prunes_scan(spark, tmp_path):
-    """The IVF scale path: materialize the cell assignment as a partition
-    column; a probe query's cell filter must prune the file listing
-    (PartitionFilters), reading nprobe/K of the corpus."""
+    """The IVF scale path as shipped (ivf_index_write / ivf_topk_indexed):
+    the index materializes cell assignment as a partition column, and the
+    probe's cell filter must prune the file listing (PartitionFilters),
+    reading nprobe/K of the corpus — while returning exactly the rows the
+    on-the-fly ivf_topk computes."""
     from pyspark.sql import functions as F
 
     from realtime_olap_spark.operators import similarity as S
@@ -62,25 +64,22 @@ def test_ivf_write_time_partitioning_prunes_scan(spark, tmp_path):
 
     emb = Catalog(spark, SF_DIR).table("embeddings")
     path = str(tmp_path / "emb_ivf")
-    (emb.withColumn("__cell", S.ivf_assign(F.col("embedding"), CENTROIDS))
-        .write.partitionBy("__cell").parquet(path))
+    S.ivf_index_write(emb, path, CENTROIDS)
 
-    back = spark.read.parquet(path)
-    probes = S._nearest_centroids(QUERY_VEC, CENTROIDS, nprobe=2)
-    probe = back.where(F.col("__cell").isin(probes))
+    probe = S.ivf_topk_indexed(spark, path, QUERY_VEC, CENTROIDS,
+                               "vec_id", "embedding", k=10, nprobe=2)
+    got = [tuple(r) for r in probe.collect()]
+    # the EXECUTED plan prunes partitions on the cell filter
     plan = probe._jdf.queryExecution().executedPlan().toString()
     pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
-    assert "__cell" in pf_line.split("PartitionFilters")[1]
-    # pruning is real: the probe reads a strict subset of rows
-    assert 0 < probe.count() < back.count()
+    assert "cell" in pf_line.split("PartitionFilters")[1]
+    # pruning is real: the probed read is a strict subset of the corpus
+    back = spark.read.parquet(path)
+    probes = S._nearest_centroids(QUERY_VEC, CENTROIDS, nprobe=2)
+    n_probed = back.where(F.col("cell").isin(probes)).count()
+    assert 0 < n_probed < back.count()
 
-    # and the pruned probe returns the same top-k as the on-the-fly filter
-    got = [tuple(r) for r in
-           probe.select("vec_id",
-                        S.cosine(F.col("embedding"), S._lit_vec(QUERY_VEC))
-                        .alias("cos"))
-                .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-                .limit(10).collect()]
+    # indexed probe == on-the-fly probe, row for row
     want = [tuple(r) for r in
             S.ivf_topk(emb, QUERY_VEC, CENTROIDS, "vec_id", "embedding",
                        k=10, nprobe=2).collect()]
