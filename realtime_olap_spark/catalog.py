@@ -34,6 +34,15 @@ DIMENSION_DEFAULTS = {
 METRIC_DEFAULTS = {"int": 0, "long": 0, "float": 0.0, "double": 0.0}
 
 
+# FieldSpec.DataType (FieldSpec.java:385-391) and TimeUnit names accepted
+# by TimeGranularitySpec.
+VALID_DATA_TYPES = frozenset(
+    {"INT", "LONG", "FLOAT", "DOUBLE", "BOOLEAN", "STRING", "BYTES"})
+VALID_TIME_UNITS = frozenset(
+    {"DAYS", "HOURS", "MINUTES", "SECONDS", "MILLISECONDS", "MICROSECONDS",
+     "NANOSECONDS"})
+
+
 @dataclass(frozen=True)
 class TableConfig:
     """Engine-level table metadata: column roles + time granularity."""
@@ -45,6 +54,9 @@ class TableConfig:
     time_unit: str = "DAYS"  # granularity of the time column (TimeGranularitySpec)
     multi_value: tuple[str, ...] = ()  # ArrayType columns (MV semantics, §2.4/§2.9)
     sorted_column: str | None = None  # sorted-index analog: sortWithinPartitions on write
+    # per-column defaultNullValue overrides from the schema JSON, applied by
+    # NullDefaultTransformer ahead of the per-role sentinels
+    null_value_overrides: tuple[tuple[str, object], ...] = ()
 
     @property
     def columns(self) -> tuple[str, ...]:
@@ -52,6 +64,121 @@ class TableConfig:
         if self.time_column:
             cols.append(self.time_column)
         return tuple(cols)
+
+    @classmethod
+    def from_json(cls, source: str | dict) -> TableConfig:
+        """Load a Pinot-style schema JSON (Schema.java:61; the
+        schemaTest.schema test-resource shape): ``dimensionFieldSpecs`` /
+        ``metricFieldSpecs`` with INT/LONG/FLOAT/DOUBLE/BOOLEAN/STRING/
+        BYTES dataTypes, ``singleValueField: false`` marking multi-value
+        dimensions, optional per-field ``defaultNullValue``, and
+        ``timeFieldSpec.incomingGranularitySpec`` naming the time column
+        and its TimeUnit. Accepts a dict, a JSON string, or a file path;
+        raises ``ValueError`` with the offending field on any invalid
+        role/type/unit or duplicate column."""
+        import json
+
+        if isinstance(source, dict):
+            doc = source
+        elif source.lstrip().startswith("{"):
+            doc = json.loads(source)
+        else:
+            with open(source) as fh:
+                doc = json.load(fh)
+
+        name = doc.get("schemaName")
+        if not name or not isinstance(name, str):
+            raise ValueError("schema JSON requires a string 'schemaName'")
+
+        seen: set[str] = set()
+
+        def field_of(spec: dict, role: str) -> str:
+            col = spec.get("name")
+            if not col or not isinstance(col, str):
+                raise ValueError(f"{role} field spec missing 'name': {spec!r}")
+            if col in seen:
+                raise ValueError(f"duplicate column {col!r} in schema {name!r}")
+            seen.add(col)
+            dt = str(spec.get("dataType", "")).upper()
+            if dt not in VALID_DATA_TYPES:
+                raise ValueError(
+                    f"{role} {col!r}: invalid dataType {spec.get('dataType')!r}"
+                    f" (valid: {sorted(VALID_DATA_TYPES)})")
+            return col
+
+        dims: list[str] = []
+        mv: list[str] = []
+        overrides: list[tuple[str, object]] = []
+        for spec in doc.get("dimensionFieldSpecs", []) or []:
+            col = field_of(spec, "dimension")
+            dims.append(col)
+            if spec.get("singleValueField") is False:
+                mv.append(col)
+            if "defaultNullValue" in spec:
+                overrides.append((col, spec["defaultNullValue"]))
+
+        metrics: list[str] = []
+        for spec in doc.get("metricFieldSpecs", []) or []:
+            col = field_of(spec, "metric")
+            if spec.get("singleValueField") is False:
+                raise ValueError(
+                    f"metric {col!r}: metrics are single-value in the "
+                    f"reference (FieldSpec.java:72-73)")
+            metrics.append(col)
+            if "defaultNullValue" in spec:
+                overrides.append((col, spec["defaultNullValue"]))
+
+        time_column, time_unit = None, "DAYS"
+        tfs = doc.get("timeFieldSpec")
+        if tfs:
+            g = tfs.get("incomingGranularitySpec", tfs)
+            time_column = g.get("name")
+            if not time_column:
+                raise ValueError("timeFieldSpec missing granularity 'name'")
+            if time_column in seen:
+                raise ValueError(
+                    f"time column {time_column!r} duplicates another field")
+            time_unit = str(g.get("timeType", g.get("timeUnit", "DAYS"))).upper()
+            if time_unit not in VALID_TIME_UNITS:
+                raise ValueError(
+                    f"timeFieldSpec: invalid timeType {time_unit!r} "
+                    f"(valid: {sorted(VALID_TIME_UNITS)})")
+
+        return cls(name=name, dimensions=tuple(dims), metrics=tuple(metrics),
+                   time_column=time_column, time_unit=time_unit,
+                   multi_value=tuple(mv),
+                   null_value_overrides=tuple(overrides))
+
+    def to_json(self) -> str:
+        """Render back to the Pinot schema JSON shape ``from_json`` reads
+        (types are omitted from TableConfig — the physical schema is
+        Parquet's — so they render as STRING/DOUBLE placeholders unless an
+        override implies otherwise; round-trip preserves roles, MV flags,
+        null overrides, and the time spec)."""
+        import json
+
+        ov = dict(self.null_value_overrides)
+
+        def spec(col: str, role: str) -> dict:
+            d: dict = {"name": col,
+                       "dataType": "DOUBLE" if role == "metric" else "STRING"}
+            if col in self.multi_value:
+                d["singleValueField"] = False
+            if col in ov:
+                d["defaultNullValue"] = ov[col]
+            return d
+
+        doc: dict = {
+            "schemaName": self.name,
+            "dimensionFieldSpecs": [spec(c, "dimension")
+                                    for c in self.dimensions],
+            "metricFieldSpecs": [spec(c, "metric") for c in self.metrics],
+        }
+        if self.time_column:
+            doc["timeFieldSpec"] = {"incomingGranularitySpec": {
+                "name": self.time_column, "dataType": "LONG",
+                "timeType": self.time_unit}}
+        return json.dumps(doc, indent=2)
 
 
 # The driver's synthetic star schema (TESTDATA.md / FIXTURES.md).

@@ -455,14 +455,35 @@ def compile_pql(q: PQLQuery, df: DataFrame, trim: bool = True) -> DataFrame:
     return out.limit(n)
 
 
-def plan_scan_stats(df: DataFrame) -> dict:
-    """Pinot-style execution stats (BrokerResponseNative.java:43:
-    numDocsScanned / totalDocs) read from the EXECUTED plan's operator
-    metrics — call after the query ran. totalDocs = rows leaving the
-    parquet scans (post row-group/partition pruning); numDocsScanned = rows
-    surviving the filter operators (the docs the query operators
-    processed), matching the reference's definition."""
-    totals, filtered = [], []
+def plan_scan_stats(df: DataFrame, total_time_ms: float | None = None) -> dict:
+    """Pinot-style execution stats (BrokerResponseNative.java:43, filled by
+    BaseBrokerRequestHandler.java:114) read from the EXECUTED plan's
+    operator metrics — call after the query ran.
+
+    Spark-semantics mapping (each a faithful analog, documented where the
+    execution models diverge):
+
+    - totalDocs — rows leaving the parquet scans (post row-group/partition
+      pruning); numDocsScanned — rows surviving the filter operators.
+    - numEntriesScannedInFilter — Σ per Filter of (input rows × columns
+      referenced by the predicate): the column-value reads the filter
+      phase performed, Pinot's definition.
+    - numEntriesScannedPostFilter — numDocsScanned × columns materialized
+      by the scan (ReadSchema width): the values the post-filter operators
+      consumed (column pruning makes this narrow, as Pinot's projection
+      phase does).
+    - numSegments{Queried,Processed} — segment = parquet file: files the
+      pruned listing handed to tasks. numSegmentsMatched — files that
+      produced rows; per-file row counts aren't in Spark's scan metrics,
+      so this reports files-processed when any row matched, 0 otherwise
+      (exact at the two ends; in between Spark simply doesn't know).
+    - numServers{Queried,Responded} — executors that hosted tasks (the
+      driver alone in local mode). Spark retries failed tasks internally,
+      so Queried == Responded by the time results exist.
+    - totalTimeMs — wall-clock of parse→execute, passed by the caller.
+    """
+    totals, filtered, entries_filter = [], [], []
+    files, scan_width = [], []
     seen: set[int] = set()  # plan-node ids — count reused subtrees once
 
     def metric(node, name):
@@ -471,6 +492,20 @@ def plan_scan_stats(df: DataFrame) -> dict:
             kv = it.next()
             if kv._1() == name:
                 return kv._2().value()
+        return None
+
+    def descendant_rows(node):
+        """numOutputRows of the nearest descendant that tracks it (the
+        Filter's input side — codegen-internal nodes still carry it)."""
+        it = node.children().iterator()
+        while it.hasNext():
+            c = it.next()
+            v = metric(c, "numOutputRows")
+            if v is not None:
+                return v
+            v = descendant_rows(c)
+            if v is not None:
+                return v
         return None
 
     def walk(node):
@@ -483,10 +518,24 @@ def plan_scan_stats(df: DataFrame) -> dict:
             v = metric(node, "numOutputRows")
             if v is not None:
                 totals.append(v)
+            nf = metric(node, "numFiles")
+            if nf is not None:
+                files.append(nf)
+            try:
+                scan_width.append(node.output().size())
+            except Exception:
+                pass
         elif name == "Filter":
             v = metric(node, "numOutputRows")
             if v is not None:
                 filtered.append(v)
+            inp = descendant_rows(node)
+            if inp is not None:
+                try:
+                    ncols = node.condition().references().size()
+                except Exception:
+                    ncols = 1
+                entries_filter.append(inp * max(ncols, 1))
         if name == "AdaptiveSparkPlan":
             walk(node.executedPlan())
             return
@@ -500,7 +549,33 @@ def plan_scan_stats(df: DataFrame) -> dict:
     walk(df._jdf.queryExecution().executedPlan())
     total = sum(totals) if totals else None
     scanned = sum(filtered) if filtered else total
-    return {"totalDocs": total, "numDocsScanned": scanned}
+    n_files = sum(files) if files else None
+    width = max(scan_width) if scan_width else None
+
+    sc = df.sparkSession.sparkContext
+    try:
+        n_exec = max(len(sc._jsc.sc().getExecutorIds()), 1)
+    except Exception:
+        n_exec = 1
+
+    stats = {
+        "totalDocs": total,
+        "numDocsScanned": scanned,
+        "numEntriesScannedInFilter": (sum(entries_filter)
+                                      if entries_filter else 0),
+        "numEntriesScannedPostFilter": (scanned * width
+                                        if scanned is not None
+                                        and width is not None else None),
+        "numSegmentsQueried": n_files,
+        "numSegmentsProcessed": n_files,
+        "numSegmentsMatched": (n_files if scanned else 0)
+                              if n_files is not None else None,
+        "numServersQueried": n_exec,
+        "numServersResponded": n_exec,
+    }
+    if total_time_ms is not None:
+        stats["totalTimeMs"] = int(round(total_time_ms))
+    return stats
 
 
 def grouped_topn_frame(q: PQLQuery, src: DataFrame):
@@ -591,13 +666,15 @@ class PQLEngine:
             finally:
                 done.set()
                 sc.setLocalProperty("spark.jobGroup.id", None)
+        import time as _time
+        t0 = _time.perf_counter()
         q = parse_pql(pql)
         src = self.catalog.table(q.table)
 
         if q.is_aggregation and q.group_by:
             u, key_cols, fn_cols, n = grouped_topn_frame(q, src)
             rows = u.collect()  # ≤ n × n_functions rows
-            stats = plan_scan_stats(u)
+            stats = plan_scan_stats(u, (_time.perf_counter() - t0) * 1000)
 
             def per_function(c: str) -> list[dict]:
                 # same tie-break as top_n's Spark ordering: NATIVE-typed
@@ -622,7 +699,7 @@ class PQLEngine:
         df = compile_pql(q, src)  # scalar aggregation or selection
         rows = df.collect()
         cols = df.columns
-        stats = plan_scan_stats(df)
+        stats = plan_scan_stats(df, (_time.perf_counter() - t0) * 1000)
         if q.is_aggregation:
             return {
                 "aggregationResults": [

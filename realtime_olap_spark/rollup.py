@@ -45,13 +45,21 @@ class RollupSpec:
     # re-aggregate across groups without rescanning the fact table.
     hll_cols: tuple[str, ...] = ()
     hll_lg_k: int = 12
+    # Percentile-digest pairs (AggregationFunctionColumnPair.java:25-58
+    # declares PERCENTILE_EST / PERCENTILE_TDIGEST pairs): a mergeable
+    # DataSketches KLL quantile sketch per group, so routed
+    # PERCENTILEEST<N>/PERCENTILETDIGEST<N> queries merge partials instead
+    # of rescanning the fact table.
+    kll_cols: tuple[str, ...] = ()
+    kll_k: int = 200
 
     def pair_columns(self) -> list[str]:
         return ([COUNT_COL]
                 + [f"sum__{c}" for c in self.sum_cols]
                 + [f"min__{c}" for c in self.min_cols]
                 + [f"max__{c}" for c in self.max_cols]
-                + [f"hll__{c}" for c in self.hll_cols])
+                + [f"hll__{c}" for c in self.hll_cols]
+                + [f"kll__{c}" for c in self.kll_cols])
 
 
 def build_rollup(df: DataFrame, spec: RollupSpec) -> DataFrame:
@@ -64,6 +72,8 @@ def build_rollup(df: DataFrame, spec: RollupSpec) -> DataFrame:
     aggs += [F.max(F.col(c).cast("double")).alias(f"max__{c}") for c in spec.max_cols]
     aggs += [F.hll_sketch_agg(F.col(c).cast("string"), spec.hll_lg_k)
              .alias(f"hll__{c}") for c in spec.hll_cols]
+    aggs += [F.kll_sketch_agg_double(F.col(c).cast("double"), spec.kll_k)
+             .alias(f"kll__{c}") for c in spec.kll_cols]
     return df.groupBy(*spec.dims).agg(*aggs)
 
 

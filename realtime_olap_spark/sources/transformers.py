@@ -129,6 +129,11 @@ class NullDefaultTransformer:
                 t = _TYPE_NAME.get(df.schema[col].dataType.simpleString())
                 if t in METRIC_DEFAULTS:
                     fills[col] = METRIC_DEFAULTS[t]
+        # schema-declared defaultNullValue beats the per-role sentinel
+        # (FieldSpec.getDefaultNullValue honors the declared override first)
+        for col, v in self.config.null_value_overrides:
+            if col in df.columns:
+                fills[col] = v
         return df.fillna(fills) if fills else df
 
 

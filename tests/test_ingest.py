@@ -287,3 +287,86 @@ def test_segment_metadata_table(spark, tmp_path):
     hi = max(r["end_time"] for r in meta)
     want = events.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert (lo, hi) == (want[0], want[1])
+
+
+SCHEMA_JSON = """{
+  "schemaName": "clicks",
+  "dimensionFieldSpecs": [
+    {"name": "site", "dataType": "STRING", "defaultNullValue": "missing"},
+    {"name": "tags", "dataType": "STRING", "singleValueField": false},
+    {"name": "user_id", "dataType": "LONG"}
+  ],
+  "metricFieldSpecs": [
+    {"name": "clicks", "dataType": "LONG"},
+    {"name": "spend", "dataType": "DOUBLE", "defaultNullValue": -1.0}
+  ],
+  "timeFieldSpec": {
+    "incomingGranularitySpec":
+      {"name": "daysSinceEpoch", "dataType": "LONG", "timeType": "DAYS"}
+  }
+}"""
+
+
+def test_tableconfig_from_json_roundtrip(tmp_path):
+    """Pinot-style schema JSON loader (Schema.java:61; schemaTest.schema
+    shape): roles, MV flags, defaultNullValue overrides, time spec — from
+    a string, a dict, and a file; to_json() round-trips."""
+    import json
+
+    from realtime_olap_spark.catalog import TableConfig
+
+    cfg = TableConfig.from_json(SCHEMA_JSON)
+    assert cfg.name == "clicks"
+    assert cfg.dimensions == ("site", "tags", "user_id")
+    assert cfg.metrics == ("clicks", "spend")
+    assert cfg.multi_value == ("tags",)
+    assert cfg.time_column == "daysSinceEpoch" and cfg.time_unit == "DAYS"
+    assert dict(cfg.null_value_overrides) == {"site": "missing", "spend": -1.0}
+
+    assert TableConfig.from_json(json.loads(SCHEMA_JSON)) == cfg
+    p = tmp_path / "clicks.schema"
+    p.write_text(SCHEMA_JSON)
+    assert TableConfig.from_json(str(p)) == cfg
+    assert TableConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_tableconfig_from_json_validation():
+    import pytest
+
+    from realtime_olap_spark.catalog import TableConfig
+
+    base = {"schemaName": "t",
+            "dimensionFieldSpecs": [{"name": "a", "dataType": "STRING"}]}
+    with pytest.raises(ValueError, match="schemaName"):
+        TableConfig.from_json({})
+    with pytest.raises(ValueError, match="invalid dataType"):
+        TableConfig.from_json({**base, "dimensionFieldSpecs":
+                               [{"name": "a", "dataType": "UUID"}]})
+    with pytest.raises(ValueError, match="duplicate column"):
+        TableConfig.from_json({**base, "metricFieldSpecs":
+                               [{"name": "a", "dataType": "LONG"}]})
+    with pytest.raises(ValueError, match="single-value"):
+        TableConfig.from_json({**base, "metricFieldSpecs":
+                               [{"name": "m", "dataType": "LONG",
+                                 "singleValueField": False}]})
+    with pytest.raises(ValueError, match="invalid timeType"):
+        TableConfig.from_json({**base, "timeFieldSpec": {
+            "incomingGranularitySpec": {"name": "t2", "dataType": "LONG",
+                                        "timeType": "FORTNIGHTS"}}})
+
+
+def test_null_default_override_applied_at_ingest(spark):
+    """defaultNullValue from the schema JSON wins over the role sentinel
+    in the ingest null-fill."""
+    from realtime_olap_spark.catalog import TableConfig
+    from realtime_olap_spark.sources.transformers import NullDefaultTransformer
+
+    cfg = TableConfig.from_json(SCHEMA_JSON)
+    df = spark.createDataFrame(
+        [("s1", 1, 2, 0.5), (None, None, None, None)],
+        "site string, user_id long, clicks long, spend double")
+    out = {r["site"]: r for r in NullDefaultTransformer(cfg)(df).collect()}
+    filled = out["missing"]          # override, not the 'null' sentinel
+    assert filled["spend"] == -1.0   # override, not metric-0
+    assert filled["clicks"] == 0     # role sentinel still applies
+    assert filled["user_id"] == -9223372036854775808

@@ -135,3 +135,30 @@ def test_execute_reports_scan_stats(spark):
     assert out["numDocsScanned"] <= out["totalDocs"]
     # the filter actually filtered
     assert out["numDocsScanned"] < out["totalDocs"]
+
+
+def test_execute_reports_full_broker_stat_block(spark):
+    """The complete BrokerResponseNative stat block on a FILTERED GROUP-BY
+    (BaseBrokerRequestHandler.java:114 fills all of these): entry counts
+    derive from filter input rows x predicate columns and docs x ReadSchema
+    width; segments = parquet files post pruning; servers = executors."""
+    from realtime_olap_spark.plans.pql import PQLEngine
+    from tests.conftest import SF_DIR
+
+    out = PQLEngine(spark, SF_DIR).execute(
+        "SELECT sum(l_quantity) FROM lineitem WHERE l_returnflag = 'R' "
+        "GROUP BY l_linestatus TOP 5")
+    total, scanned = out["totalDocs"], out["numDocsScanned"]
+    assert total > 0 and 0 < scanned < total
+    # filter phase read >= one column value per input doc
+    assert out["numEntriesScannedInFilter"] >= total
+    # post-filter entries = surviving docs x pruned-scan width (>0 cols)
+    assert out["numEntriesScannedPostFilter"] >= scanned
+    assert out["numEntriesScannedPostFilter"] % scanned == 0
+    width = out["numEntriesScannedPostFilter"] // scanned
+    assert 1 <= width <= 4  # column pruning kept the scan narrow
+    assert out["numSegmentsQueried"] >= 1
+    assert out["numSegmentsProcessed"] == out["numSegmentsQueried"]
+    assert out["numSegmentsMatched"] == out["numSegmentsProcessed"]
+    assert out["numServersQueried"] == out["numServersResponded"] >= 1
+    assert out["totalTimeMs"] >= 0
