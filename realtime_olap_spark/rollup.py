@@ -77,6 +77,14 @@ def build_rollup(df: DataFrame, spec: RollupSpec) -> DataFrame:
     return df.groupBy(*spec.dims).agg(*aggs)
 
 
+import re as _re
+
+# PERCENTILEEST<N> / PERCENTILETDIGEST<N> — the digest-backed percentile
+# kinds a star-tree pair can answer (exact PERCENTILE<N> is NOT eligible:
+# a sketch cannot reproduce the exact interpolated value).
+_PCT_SKETCH_RE = _re.compile(r"^percentile(?:est|tdigest)(\d{1,2}|100)$")
+
+
 class RollupRouter:
     """Engine-level routing rule (the BrokerRequestPreProcessor.java:60-97 /
     star-tree executor analog): answer eligible aggregate queries from the
@@ -108,6 +116,8 @@ class RollupRouter:
             if fn == "max" and col in self.spec.max_cols:
                 continue
             if fn == "distinctcounthll" and col in self.spec.hll_cols:
+                continue
+            if _PCT_SKETCH_RE.match(fn) and col in self.spec.kll_cols:
                 continue
             return False
         return True
@@ -142,6 +152,14 @@ class RollupRouter:
                     # registers equal a single-pass sketch of the raw rows
                     cols.append(F.hll_sketch_estimate(
                         F.hll_union_agg(f"hll__{col}")).alias(alias))
+                elif (m := _PCT_SKETCH_RE.match(fn)):
+                    # routed percentile: merge the groups' KLL partials,
+                    # then ask the merged sketch for the quantile —
+                    # StarTreeAggregationExecutor over a tdigest/KLL pair
+                    pct = int(m.group(1))
+                    cols.append(F.kll_sketch_get_quantile_double(
+                        F.kll_merge_agg_double(f"kll__{col}"),
+                        F.lit(pct / 100.0)).alias(alias))
             g = src.groupBy(*group_dims) if group_dims else src.groupBy()
             return g.agg(*cols)
         # Fallback: raw fact-table aggregation (same decimal-exact semantics).

@@ -79,16 +79,20 @@ def rollup_routed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("rollup_fasthll")  # sketch estimates — no SQL oracle (rows-only)
 def rollup_fasthll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FASTHLL analog (FastHLLAggregationFunction.java:33): the rollup
-    stores a mergeable DataSketches HLL per group; a distinct-count query
-    merges sketches (hll_union_agg) instead of rescanning raw rows — at
-    100 TB the distinct-count reads the rollup only. Union of partial
-    sketches is register-exact vs a single-pass sketch; see
-    tests/test_streaming.py::test_rollup_fasthll_matches_direct_sketch."""
+    """Sketch-backed rollup pairs (AggregationFunctionColumnPair.java:25-58)
+    end-to-end: the rollup stores a mergeable DataSketches HLL AND a KLL
+    quantile sketch per group; the routed query merges partials
+    (hll_union_agg / kll_merge_agg) instead of rescanning raw rows — at
+    100 TB distinct-counts and percentiles read the rollup only. HLL union
+    is register-exact vs a single-pass sketch
+    (tests/test_streaming.py::test_rollup_fasthll_matches_direct_sketch);
+    the routed KLL percentile is rank-error-bounded vs the exact
+    percentile (test_rollup_kll_percentile_routes_and_bounds)."""
     li = Catalog(spark, sf_dir).table("lineitem")
     spec = RollupSpec(dims=("l_returnflag", "l_linestatus"),
-                      hll_cols=("l_partkey",))
+                      hll_cols=("l_partkey",), kll_cols=("l_extendedprice",))
     router = RollupRouter(li, build_rollup(li, spec), spec)
     return (router.query(["l_returnflag"],
-                         [("distinctcounthll", "l_partkey", "distinct_parts")])
+                         [("distinctcounthll", "l_partkey", "distinct_parts"),
+                          ("percentiletdigest90", "l_extendedprice", "p90_price")])
             .orderBy("l_returnflag"))

@@ -527,3 +527,39 @@ def test_rollup_merge_sweeps_stale_old_dirs(spark, tmpdir):
     ingest._rollup_merge(ev.limit(50), 1, ["event_type"], ["value"],
                          "event_type")
     assert not os.path.exists(stale)
+
+
+def test_rollup_kll_percentile_routes_and_bounds(spark):
+    """Routed PERCENTILETDIGEST/EST answers from merged KLL partials
+    (star-tree percentile pairs, AggregationFunctionColumnPair.java:25-58):
+    the estimate must fall between the exact percentiles at q +/- 2*eps
+    (KLL k=200 -> normalized rank error ~1.65%); exact PERCENTILE<N> stays
+    INELIGIBLE (a sketch cannot reproduce the interpolated value)."""
+    li = Catalog(spark, SF_DIR).table("lineitem")
+    spec = RollupSpec(dims=("l_returnflag", "l_linestatus"),
+                      kll_cols=("l_extendedprice",))
+    router = RollupRouter(li, build_rollup(li, spec), spec)
+
+    assert router.eligible(["l_returnflag"],
+                           [("percentiletdigest90", "l_extendedprice")])
+    assert router.eligible(["l_returnflag"],
+                           [("percentileest50", "l_extendedprice")])
+    assert not router.eligible(["l_returnflag"],
+                               [("percentile90", "l_extendedprice")])
+    assert not router.eligible(["l_returnflag"],
+                               [("percentiletdigest90", "l_quantity")])
+
+    got = {r["l_returnflag"]: r["p90"]
+           for r in router.query(
+               ["l_returnflag"],
+               [("percentiletdigest90", "l_extendedprice", "p90")]).collect()}
+    lo_hi = {r["l_returnflag"]: (r["lo"], r["hi"]) for r in (
+        li.groupBy("l_returnflag")
+          .agg(F.percentile(F.col("l_extendedprice").cast("double"),
+                            F.lit(0.90 - 0.04)).alias("lo"),
+               F.percentile(F.col("l_extendedprice").cast("double"),
+                            F.lit(0.90 + 0.04)).alias("hi")).collect())}
+    assert set(got) == set(lo_hi) and len(got) >= 2
+    for k, est in got.items():
+        lo, hi = lo_hi[k]
+        assert lo <= est <= hi, (k, est, lo, hi)
