@@ -141,7 +141,7 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"select", "from", "where", "group", "by", "having", "order",
              "top", "limit", "and", "or", "not", "in", "between",
-             "asc", "desc", "regexp_like"}
+             "asc", "desc", "regexp_like", "is", "null"}
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -277,6 +277,20 @@ class _Parser:
             self.expect("op", ")")
             return RegexpLike(e, pat)
         e = self.expr()
+        if self.accept("kw", "is"):
+            # The reference GRAMMAR accepts IS [NOT] NULL (PQL2.g4
+            # isClause) but the IR cannot carry it (request.thrift:25-34
+            # has no null predicate) — Pinot parses it then rejects at
+            # conversion. Match that: parse fully, then raise the
+            # Pinot-shaped unsupported-operation message instead of a
+            # token-level syntax error.
+            negated = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            raise ValueError(
+                "Unsupported filter operator: IS "
+                + ("NOT NULL" if negated else "NULL")
+                + " (the PQL IR has no null predicate; "
+                "rewrite with a sentinel default value)")
         if self.accept("kw", "between"):
             low = self.expr()
             self.expect("kw", "and")

@@ -27,6 +27,13 @@ def get_spark(app_name: str = "realtime_olap_spark", master: str | None = None) 
     """Build (or reuse) the engine's SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    # Opt-in connector packages (Kafka, Avro): a comma-separated
+    # spark.jars.packages list resolved at session start, e.g.
+    #   SPARK_GRAFT_PACKAGES=org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2
+    # Env-gated because resolution needs network access and the sandbox
+    # ships no connector jars (KafkaPartitionLevelConsumer.java:38 analog
+    # enters through readStream.format("kafka") once present).
+    packages = os.environ.get("SPARK_GRAFT_PACKAGES", "")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -43,6 +50,8 @@ def get_spark(app_name: str = "realtime_olap_spark", master: str | None = None) 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -162,3 +162,22 @@ def test_execute_reports_full_broker_stat_block(spark):
     assert out["numSegmentsMatched"] == out["numSegmentsProcessed"]
     assert out["numServersQueried"] == out["numServersResponded"] >= 1
     assert out["totalTimeMs"] >= 0
+
+
+def test_parse_is_null_rejected_with_pinot_shape():
+    """IS [NOT] NULL parses (PQL2.g4 isClause) then rejects with the
+    unsupported-operation message — the IR has no null predicate
+    (request.thrift:25-34) — not a token-level syntax error."""
+    import pytest
+
+    for pql, frag in [
+        ("SELECT count(*) FROM events WHERE props IS NULL", "IS NULL"),
+        ("SELECT count(*) FROM events WHERE props IS NOT NULL", "IS NOT NULL"),
+    ]:
+        with pytest.raises(ValueError, match="Unsupported filter operator"):
+            parse_pql(pql)
+        with pytest.raises(ValueError, match=frag):
+            parse_pql(pql)
+    # a malformed IS clause is still a parse error, not the rejection
+    with pytest.raises(ValueError, match="expected"):
+        parse_pql("SELECT count(*) FROM events WHERE props IS 3")
