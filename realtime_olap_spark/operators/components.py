@@ -1,0 +1,111 @@
+"""Connected components over an edge list — the clustering step of a
+near-dup pipeline (LSH/similarity pairs -> duplicate CLUSTERS -> keep one
+representative per cluster). The reference engine has no graph operator;
+this is a training-data-pipeline extension expressed Spark-first.
+
+Algorithm: alternating *large-star* / *small-star* (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log^2 n) rounds on any graph (O(log n) in practice), each round being
+plain groupBy + equi-join shuffles:
+
+  large-star(u): m = min(N(u) + {u});  emit (v, m) for v in N(u), v > u
+  small-star(u): over parent-oriented edges (u > v):
+                 m = min(N<=(u));      emit (u, m) + (v, m) for v != m
+
+Both rounds are implemented as a per-node ``min`` aggregation joined back
+to the edge list — NO ``collect_list`` of neighbor sets, so a hot node
+(a million-member duplicate cluster in a 100 TB corpus) never materializes
+its neighborhood in one task. Lineage is truncated every round with
+``localCheckpoint`` (on a real cluster point ``spark.sparkContext
+.setCheckpointDir`` at durable storage and flip ``use_local=False``);
+convergence is detected with an O(1)-size fingerprint aggregate (count +
+xor-ish hash sum), one tiny job per round instead of a full subtract.
+
+Scale notes: every shuffle keys on a node id; rounds strictly shrink edge
+count toward one star edge per non-root node, so the heaviest round is the
+first. Skewed star centers are exactly what the small-star step is for —
+it rewires leaves in bulk without routing them through the center's
+neighborhood list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """O(1) change-detector for an edge set: (count, sum of row hashes).
+    Collision odds over 64-bit xxhash sums are negligible for a
+    convergence check (and a false 'stable' only ends one round early on
+    a graph that was one rewrite from a fixpoint)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25,
+                         use_local_checkpoint: bool = True) -> DataFrame:
+    """Resolve the undirected graph given by (src, dst) pairs into
+    components. Returns one row per non-isolated node:
+    ``(node, component)`` where ``component`` is the smallest node id in
+    the node's component (the root maps to itself). Self-loops are
+    ignored; edge direction and duplication don't matter.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct())
+
+    prev_fp = None
+    for _ in range(max_iter):
+        # -- large-star: connect every larger neighbor to the local min --
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        e = (sym.join(mins, "u")
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct())
+
+        # -- small-star: over parent-oriented edges (u > v by
+        # construction: m = min <= u < v), bulk-rewire the smaller
+        # neighborhood onto its min --
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
+        e = (joined.where(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .union(mins.select(F.col("u"), F.col("m").alias("v")))
+             .distinct())
+        if use_local_checkpoint:
+            e = e.localCheckpoint(eager=True)
+
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    # fixpoint edge set is a star forest: (node, root) with root < node
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """Near-dup pairs -> cluster assignment ``(node, component)``,
+    including singleton-free closure: every id that appears in at least
+    one pair gets a cluster; the cluster id is the min member (so the
+    canonical 'keep the representative' rule is ``node == component``)."""
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    # roots themselves appear only on the component side of star edges
+    roots = (comps.select(F.col("component").alias("node"))
+             .distinct()
+             .withColumn("component", F.col("node")))
+    return comps.unionByName(roots)

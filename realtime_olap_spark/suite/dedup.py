@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators import components as C
 from realtime_olap_spark.operators import dedup as D
 from realtime_olap_spark.suite.registry import query
 
@@ -36,7 +37,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SIGS = ",\n  ".join(
     f"list_min([md5('{i}|' || x) for x in w]) AS mh{i}" for i in range(8))
 
-_MINHASH_ORACLE = f"""
+
+def _minhash_pairs_sql(threshold: float) -> str:
+    """MinHash(8)+LSH(4x2) verified-pairs CTE body, parameterized on the
+    Jaccard threshold (shared by the pair query and the CC clustering
+    oracle)."""
+    return f"""
 WITH ws AS (SELECT doc_id, {_WS} AS w FROM documents),
 sigs AS (SELECT doc_id,
   {_MH_SIGS}
@@ -55,8 +61,11 @@ SELECT id_a, id_b,
 FROM cands
 JOIN ws wa ON wa.doc_id = id_a
 JOIN ws wb ON wb.doc_id = id_b
-WHERE jaccard >= 0.5
+WHERE jaccard >= {threshold}
 """
+
+
+_MINHASH_ORACLE = _minhash_pairs_sql(0.5)
 
 
 @query("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -146,17 +155,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       refine_centroids=CENTROIDS)
 
 
-@query("dedup_keep_representative", """
-SELECT d.doc_id, d.lang, d.source
+_KEEP_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql(0.7)}),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(node, lab) AS (
+    SELECT DISTINCT u, u FROM sym
+    UNION
+    SELECT s.v, w.lab FROM walk w JOIN sym s ON s.u = w.node),
+cc AS (SELECT node, MIN(lab) AS component FROM walk GROUP BY node)
+SELECT 'keep' AS part, d.doc_id, d.lang, d.source,
+       CAST(NULL AS BIGINT) AS component
 FROM documents d
 JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) r
   ON d.text = r.text AND d.doc_id = r.doc_id
-ORDER BY d.doc_id
-""")
+UNION ALL
+SELECT 'cluster' AS part, node AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, component
+FROM cc
+"""
+
+
+@query("dedup_keep_representative", _KEEP_CC_ORACLE)
 def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup keep-one: one representative (min doc_id) per distinct
-    text — the materializing half of exact dedup (leftsemi against the
-    min-per-group set; single shuffle on the content key)."""
+    """The materializing half of dedup, both granularities in one marker
+    union (WITH RECURSIVE min-label propagation is the oracle twin of the
+    star rounds):
+
+    - part='keep': exact keep-one — one representative (min doc_id) per
+      distinct text (leftsemi against the min-per-group set; single
+      shuffle on the content key).
+    - part='cluster': NEAR-dup clusters — LSH pairs at Jaccard >= 0.7
+      resolved into connected components (alternating large-star /
+      small-star rounds, `operators/components.py`), so transitive
+      near-dup chains a pairwise threshold can't see collapse into one
+      cluster id (= min member; `doc_id == component` marks the keeper).
+    """
     d = Catalog(spark, sf_dir).table("documents")
-    return (D.dedup_exact(d, ["text"], keep_by="doc_id")
-            .select("doc_id", "lang", "source").orderBy("doc_id"))
+    keep = (D.dedup_exact(d, ["text"], keep_by="doc_id")
+            .select(F.lit("keep").alias("part"), "doc_id", "lang", "source",
+                    F.lit(None).cast("long").alias("component")))
+    pairs = D.minhash_lsh_dedup_pairs(d, "doc_id", "text", num_hashes=8,
+                                      band_size=2, threshold=0.7)
+    clusters = (C.duplicate_clusters(pairs, "id_a", "id_b")
+                .select(F.lit("cluster").alias("part"),
+                        F.col("node").alias("doc_id"),
+                        F.lit(None).cast("string").alias("lang"),
+                        F.lit(None).cast("string").alias("source"),
+                        "component"))
+    return keep.unionByName(clusters)

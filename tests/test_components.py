@@ -1,0 +1,97 @@
+"""Connected components: differential vs DuckDB WITH RECURSIVE min-label
+propagation on random graphs, plus adversarial shapes (long chains — worst
+case for label propagation, handled in O(log n) star rounds; cycles;
+skewed stars; duplicate/reversed/self-loop edges)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.components import (connected_components,
+                                                      duplicate_clusters)
+
+
+def _oracle(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-reachable-label per node via DuckDB recursive CTE."""
+    if not edge_list:
+        return {}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(u BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edge_list)
+    rows = con.execute("""
+        WITH RECURSIVE sym AS (
+            SELECT u, v FROM e WHERE u != v
+            UNION SELECT v, u FROM e WHERE u != v),
+        walk(node, lab) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT s.v, w.lab FROM walk w JOIN sym s ON s.u = w.node)
+        SELECT node, MIN(lab) FROM walk GROUP BY node
+    """).fetchall()
+    return {int(n): int(c) for n, c in rows}
+
+
+def _run(spark, edge_list):
+    df = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    got = connected_components(df).collect()
+    return {int(r["node"]): int(r["component"]) for r in got}
+
+
+def _check(spark, edge_list):
+    want = _oracle(edge_list)
+    got = _run(spark, edge_list)
+    # operator omits roots (they map to themselves) — fold them in
+    for root in set(want.values()):
+        got.setdefault(root, root)
+    assert got == want
+
+
+def test_cc_shapes(spark):
+    # chain (depth stress), cycle, two stars bridged, isolated pair,
+    # duplicates + reversed + self-loops
+    chain = [(i, i + 1) for i in range(40)]
+    cycle = [(100 + i, 100 + (i + 1) % 7) for i in range(7)]
+    stars = [(200, 200 + i) for i in range(1, 20)] + \
+            [(300, 300 + i) for i in range(1, 20)] + [(219, 319)]
+    noise = [(400, 401), (401, 400), (400, 401), (500, 500)]
+    _check(spark, chain + cycle + stars + noise)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_random_graphs(spark, seed):
+    rnd = random.Random(seed)
+    n = 120
+    m = rnd.randrange(30, 200)
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+    _check(spark, edges)
+
+
+def test_cc_empty_and_self_loops_only(spark):
+    assert _run(spark, []) == {}
+    assert _run(spark, [(7, 7), (9, 9)]) == {}
+
+
+def test_duplicate_clusters_includes_roots(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {(int(r["node"]), int(r["component"]))
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # representative rule: node == component marks the kept doc
+    reps = {n for n, c in got if n == c}
+    assert reps == {1, 10}
+
+
+def test_cc_plan_has_no_collect_list(spark):
+    """Scale guard: the rounds must be agg+join only — a hot node's
+    neighborhood must never be materialized into one task."""
+    df = spark.createDataFrame([(i % 5, i) for i in range(10, 60)],
+                               "src long, dst long")
+    out = connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
