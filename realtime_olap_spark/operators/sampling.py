@@ -41,10 +41,27 @@ def _bucket(key: Column | str) -> Column:
                                   F.lit("\x00__null_key__"))) % F.lit(_MOD)
 
 
+def sample_flag(key: Column | str, fraction: float) -> Column:
+    """Boolean membership column for the hash sample — the decision
+    ``hash_sample`` filters on, exposed so curation audits can carry the
+    in/out bit alongside the row instead of dropping rows."""
+    return _bucket(key) < F.lit(int(round(fraction * _MOD)))
+
+
 def hash_sample(df: DataFrame, key: Column | str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, decided by the key's hash — stable under
     re-runs, engine changes, and repartitioning (unlike df.sample)."""
-    return df.where(_bucket(key) < F.lit(int(round(fraction * _MOD))))
+    return df.where(sample_flag(key, fraction))
+
+
+def stratified_rank(strata: Sequence[str], key: Column | str) -> Column:
+    """1-based deterministic rank of a row within its stratum, in hash
+    order of the key (string form breaks hash ties): ``rank <= n`` is the
+    ``stratified_take`` membership decision."""
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*strata).orderBy(_bucket(key).asc(),
+                                            kc.cast("string").asc())
+    return F.row_number().over(w)
 
 
 def stratified_take(df: DataFrame, strata: Sequence[str], key: Column | str,
@@ -53,10 +70,7 @@ def stratified_take(df: DataFrame, strata: Sequence[str], key: Column | str,
     the deterministic analog of per-group reservoir sampling (balanced
     corpus construction: 'n docs per (lang, source)'). One shuffle on the
     strata; ties broken by the key's string form for total determinism."""
-    kc = F.col(key) if isinstance(key, str) else key
-    w = Window.partitionBy(*strata).orderBy(_bucket(key).asc(),
-                                            kc.cast("string").asc())
-    return (df.withColumn("__rn", F.row_number().over(w))
+    return (df.withColumn("__rn", stratified_rank(strata, key))
             .where(F.col("__rn") <= n).drop("__rn"))
 
 

@@ -66,6 +66,11 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("detected").asc()))
 
 
+# DuckDB twin of operators.sampling._bucket over the doc_id key
+_BUCKET = ("(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+           "AS UBIGINT) AS BIGINT) % 1000000)")
+
+
 @query("text_doc_features", f"""
 SELECT doc_id,
        length(text) AS n_chars_m,
@@ -77,7 +82,12 @@ SELECT doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
                       [CAST(ascii(c) AS BIGINT) for c in string_split(text, '') if c != '']),
-         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint
+         (acc, c) -> (acc * 31 + c) % {T.FINGERPRINT_MOD}) AS fingerprint,
+       ({_BUCKET} < 200000) AS in_sample,
+       (CASE WHEN {_BUCKET} < 100000 THEN 'test' ELSE 'train' END) AS split,
+       ROW_NUMBER() OVER (PARTITION BY lang, source
+                          ORDER BY {_BUCKET} ASC,
+                                   CAST(doc_id AS VARCHAR) ASC) AS strat_rank
 FROM documents
 ORDER BY doc_id ASC
 LIMIT 30
@@ -85,10 +95,22 @@ LIMIT 30
 def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (length / token stats / stopword,
     punctuation, uppercase ratios) + the order-sensitive rolling polynomial
-    fingerprint (Rabin-Karp-style) — all pure scan-side expressions."""
+    fingerprint (Rabin-Karp-style) — all pure scan-side expressions — plus
+    the deterministic curation-sampling decisions (operators/sampling.py):
+    hash-sample membership at 20%, the 10% train/test split, and the
+    stratified per-(lang, source) rank whose ``rank <= n`` is the balanced
+    take. Content-hash decisions are row properties, so the audit columns
+    are reproducible on any engine or partitioning."""
+    from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
-    return (d.select("doc_id", *T.quality_features(F.col("text")),
+    return (d.select("doc_id", "lang", "source",
+                     *T.quality_features(F.col("text")),
                      T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+            .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
+            .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
+            .withColumn("strat_rank",
+                        S.stratified_rank(["lang", "source"], "doc_id"))
+            .drop("lang", "source")
             .orderBy(F.col("doc_id").asc()).limit(30))
 
 
