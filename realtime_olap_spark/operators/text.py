@@ -117,6 +117,68 @@ def quality_score(text: Column) -> Column:
             + F.greatest(F.lit(0.2) - punct_r, F.lit(0.0)))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Sliding word n-grams of the text, space-joined — the unit of the
+    Gopher/C4-style repetition signals. Pure per-row array expression
+    (sequence + slice), scan-side at any scale."""
+    ws = words(text)
+    # NB: Spark's sequence(1, stop) DESCENDS when stop < 1 (sequence(1,0)
+    # = [1,0]) — short texts must short-circuit to an empty array.
+    n_starts = F.size(ws) - (n - 1)
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+        .otherwise(F.array())
+    return F.transform(starts,
+                       lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def repeated_ngram_counts(text: Column, n: int) -> tuple[Column, Column]:
+    """(duplicated n-gram occurrences, total n-grams) — the integer parts
+    of the repetition fraction. Summing numerator and denominator
+    separately and dividing ONCE per group keeps the corpus-level signal
+    exact (no float accumulation order to match across engines)."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return dup.cast("long"), total.cast("long")
+
+
+# PII redaction: RE2-compatible patterns (no lookarounds) so Spark, RE2,
+# and DuckDB agree byte-for-byte. Deliberately conservative shapes — the
+# point is the scan-side plan (regexp_replace chain inside codegen), not
+# regex completeness; swap in audited patterns for production.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text: Column,
+               kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace each PII match with ``<KIND>`` — a chained scan-side
+    ``regexp_replace`` (one pass per kind, all inside WholeStageCodegen;
+    order matters: emails first so phone-like digit runs inside addresses
+    are already gone)."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_count(text: Column,
+              kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Number of PII matches by the same patterns (redaction audit metric).
+    Counted on the progressively-redacted text exactly like redact_pii, so
+    count and redaction always agree on overlapping matches."""
+    total = F.lit(0).cast("long")
+    cur = text
+    for kind in kinds:
+        pat = F.lit(PII_PATTERNS[kind])
+        total = total + F.size(F.regexp_extract_all(cur, pat, 0)).cast("long")
+        cur = F.regexp_replace(cur, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return total
+
+
 FINGERPRINT_MOD = 1_000_000_007  # keeps acc*31 + c far below int64 overflow
 
 

@@ -23,6 +23,9 @@ _STOPLIST = "['" + "', '".join(T.LANG_MARKERS["en"]) + "']"
 _NSTOP = f"len(list_filter({_WS}, w -> list_contains({_STOPLIST}, w)))"
 _WCHARS = f"CAST(list_sum(list_transform({_WS}, w -> length(w))) AS BIGINT)"
 _BPE = f"len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))"
+# word bigrams, DuckDB 1-based list indexing — twin of T.word_ngrams(n=2)
+_BIGRAMS = (f"list_transform(generate_series(1, greatest({_NTOK} - 1, 0)), "
+            f"i -> concat_ws(' ', {_WS}[i], {_WS}[i + 1]))")
 
 _LANGS = sorted(T.LANG_MARKERS)
 _SCORES = "[" + ", ".join(
@@ -43,11 +46,19 @@ WITH scored AS (
          + (CASE WHEN CAST({_WCHARS} AS DOUBLE) / CAST({_NTOK} AS DOUBLE)
                  BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END)
          + greatest(0.2 - CAST({_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0)
-         AS q
+         AS q,
+         {_NTOK} - len(list_distinct({_WS})) AS dup1,
+         {_NTOK} AS tot1,
+         len({_BIGRAMS}) - len(list_distinct({_BIGRAMS})) AS dup2,
+         len({_BIGRAMS}) AS tot2
   FROM documents)
 SELECT detected,
        COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(dup1) AS BIGINT) AS dup_word_occ,
+       CAST(SUM(tot1) AS BIGINT) AS total_words,
+       CAST(CAST(SUM(dup2) AS BIGINT) AS DOUBLE)
+       / CAST(CAST(SUM(tot2) AS BIGINT) AS DOUBLE) AS rep_bigram_frac
 FROM scored
 GROUP BY detected
 ORDER BY detected ASC
@@ -55,14 +66,25 @@ ORDER BY detected ASC
 def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (marker-word argmax against literal per-language
     profiles) + the curation gate in one pass: per DETECTED language, doc
-    counts and keep counts at quality_score ≥ 0.5 — the filter a
-    pretraining pipeline applies before tokenization."""
+    counts, keep counts at quality_score ≥ 0.5, and the Gopher-style
+    repetition signals (duplicated word occurrences; repeated-bigram
+    fraction). Numerators and denominators are summed as integers and
+    divided once per group, so the corpus-level fractions are exact in
+    any engine."""
     d = Catalog(spark, sf_dir).table("documents")
+    dup1, tot1 = T.repeated_ngram_counts(F.col("text"), 1)
+    dup2, tot2 = T.repeated_ngram_counts(F.col("text"), 2)
     return (d.select(T.detect_language(F.col("text")).alias("detected"),
-                     T.quality_score(F.col("text")).alias("q"))
+                     T.quality_score(F.col("text")).alias("q"),
+                     dup1.alias("dup1"), tot1.alias("tot1"),
+                     dup2.alias("dup2"), tot2.alias("tot2"))
             .groupBy("detected")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"))
+                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"),
+                 F.sum("dup1").alias("dup_word_occ"),
+                 F.sum("tot1").alias("total_words"),
+                 (F.sum("dup2").cast("double") / F.sum("tot2").cast("double"))
+                 .alias("rep_bigram_frac"))
             .orderBy(F.col("detected").asc()))
 
 
