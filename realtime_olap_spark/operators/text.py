@@ -34,26 +34,44 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def lang_score(text: Column, markers: list[str]) -> Column:
-    """Number of marker words present in the text (distinct markers hit)."""
-    ws = F.array_distinct(words(text))
+def lang_score_from(distinct_words: Column, markers: list[str]) -> Column:
+    """Number of marker words present (distinct markers hit), over an
+    already-distinct word array — share ONE split+distinct across all
+    language profiles instead of recomputing per profile."""
     score = F.lit(0)
     for m in markers:
-        score = score + F.when(F.array_contains(ws, m), 1).otherwise(0)
+        score = score + F.when(F.array_contains(distinct_words, m), 1) \
+            .otherwise(0)
     return score
+
+
+def lang_score(text: Column, markers: list[str]) -> Column:
+    """Number of marker words present in the text (distinct markers hit)."""
+    return lang_score_from(F.array_distinct(words(text)), markers)
+
+
+def detect_language_from(distinct_words: Column,
+                         profiles: dict[str, list[str]] | None = None,
+                         min_score: int = 1) -> Column:
+    """Argmax language over marker profiles from a shared distinct-word
+    array; ties go to the first profile in (sorted-key) order; below
+    ``min_score`` → 'und' (undetermined)."""
+    profiles = profiles or LANG_MARKERS
+    langs = sorted(profiles)
+    scores = F.array(*[lang_score_from(distinct_words, profiles[lang])
+                       for lang in langs])
+    best = F.array_max(scores)
+    pick = F.element_at(F.array(*[F.lit(lang) for lang in langs]),
+                        F.array_position(scores, best).cast("int"))
+    return F.when(best >= min_score, pick).otherwise(F.lit("und"))
 
 
 def detect_language(text: Column, profiles: dict[str, list[str]] | None = None,
                     min_score: int = 1) -> Column:
     """Argmax language over marker profiles; ties go to the first profile
     in (sorted-key) order; below ``min_score`` → 'und' (undetermined)."""
-    profiles = profiles or LANG_MARKERS
-    langs = sorted(profiles)
-    scores = F.array(*[lang_score(text, profiles[lang]) for lang in langs])
-    best = F.array_max(scores)
-    pick = F.element_at(F.array(*[F.lit(lang) for lang in langs]),
-                        F.array_position(scores, best).cast("int"))
-    return F.when(best >= min_score, pick).otherwise(F.lit("und"))
+    return detect_language_from(F.array_distinct(words(text)), profiles,
+                                min_score)
 
 
 def token_count(text: Column) -> Column:
@@ -78,8 +96,7 @@ def quality_features(text: Column) -> list[Column]:
     ws = words(text)
     n_tok = F.size(ws)
     n_chars = F.length(text)
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w)))
+    n_stop = stopword_occurrences(ws, LANG_MARKERS["en"])
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     n_upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
     # integer total → one exact division; no float fold order to match
@@ -95,26 +112,43 @@ def quality_features(text: Column) -> list[Column]:
 
 
 def total_word_chars(ws: Column) -> Column:
-    """Integer sum of token lengths (order-independent, exact)."""
-    return F.aggregate(ws, F.lit(0).cast("long"),
-                       lambda acc, w: acc + F.length(w).cast("long"))
+    """Integer sum of token lengths (order-independent, exact).
+    ``length(concat_ws('', ws))`` is a single native JVM pass — same
+    integer as a per-word fold, ~n interpreted lambda evals cheaper."""
+    return F.length(F.concat_ws("", ws)).cast("long")
 
 
-def quality_score(text: Column) -> Column:
-    """Scalar [0,1] quality score: stopword presence up, punctuation soup
-    down, degenerate token lengths down — a deterministic stand-in for a
-    model-based scorer with the same plan shape. Every float derives from
-    an integer ratio, so the score is bit-reproducible in any engine."""
-    ws = words(text)
+def stopword_occurrences(ws: Column, markers: list[str]) -> Column:
+    """Total occurrences of any marker word. ``size - size(array_remove)``
+    per marker is native JVM; markers are distinct so the per-marker
+    occurrence counts sum to the total — bit-identical to filtering the
+    array through a membership lambda, without the interpreted lambda."""
+    n = F.size(ws)
+    total = F.lit(0)
+    for m in markers:
+        total = total + (n - F.size(F.array_remove(ws, m)))
+    return total
+
+
+def quality_score_from(text: Column, ws: Column) -> Column:
+    """Scalar [0,1] quality score over a shared word array: stopword
+    presence up, punctuation soup down, degenerate token lengths down — a
+    deterministic stand-in for a model-based scorer with the same plan
+    shape. Every float derives from an integer ratio, so the score is
+    bit-reproducible in any engine."""
     n_tok = F.size(ws).cast("double")
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    stop_r = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast("double") / n_tok
+    stop_r = stopword_occurrences(ws, LANG_MARKERS["en"]).cast("double") / n_tok
     punct_r = (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
                ).cast("double") / F.length(text).cast("double")
     mean_len = total_word_chars(ws).cast("double") / n_tok
     return (F.least(stop_r * 2.0, F.lit(0.4))
             + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.4).otherwise(0.0)
             + F.greatest(F.lit(0.2) - punct_r, F.lit(0.0)))
+
+
+def quality_score(text: Column) -> Column:
+    """`quality_score_from` with its own split (single-use convenience)."""
+    return quality_score_from(text, words(text))
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -129,6 +163,22 @@ def word_ngrams(text: Column, n: int) -> Column:
         .otherwise(F.array())
     return F.transform(starts,
                        lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def bigrams_from(ws: Column) -> Column:
+    """Adjacent word pairs from a shared word array, via TWO slices and one
+    zip_with — O(1) array allocations per row, vs the generic
+    ``word_ngrams`` path's per-start slice allocation."""
+    m = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(F.slice(ws, 1, m), F.slice(ws, 2, m),
+                      lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def repeated_ngram_counts_from(grams: Column) -> tuple[Column, Column]:
+    """(duplicated occurrences, total) over a shared n-gram array."""
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return dup.cast("long"), total.cast("long")
 
 
 def repeated_ngram_counts(text: Column, n: int) -> tuple[Column, Column]:

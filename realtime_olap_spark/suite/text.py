@@ -72,12 +72,19 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once per group, so the corpus-level fractions are exact in
     any engine."""
     d = Catalog(spark, sf_dir).table("documents")
-    dup1, tot1 = T.repeated_ngram_counts(F.col("text"), 1)
-    dup2, tot2 = T.repeated_ngram_counts(F.col("text"), 2)
-    return (d.select(T.detect_language(F.col("text")).alias("detected"),
-                     T.quality_score(F.col("text")).alias("q"),
-                     dup1.alias("dup1"), tot1.alias("tot1"),
-                     dup2.alias("dup2"), tot2.alias("tot2"))
+    # ONE split per row, shared by language ID, quality, and repetition —
+    # CollapseProject keeps multi-referenced non-cheap aliases materialized
+    staged = (d.select("text", T.words(F.col("text")).alias("ws"))
+               .select("text", "ws",
+                       F.array_distinct(F.col("ws")).alias("wsd"),
+                       T.bigrams_from(F.col("ws")).alias("bg")))
+    dup2, tot2 = T.repeated_ngram_counts_from(F.col("bg"))
+    return (staged.select(
+                T.detect_language_from(F.col("wsd")).alias("detected"),
+                T.quality_score_from(F.col("text"), F.col("ws")).alias("q"),
+                (F.size("ws") - F.size("wsd")).cast("long").alias("dup1"),
+                F.size("ws").cast("long").alias("tot1"),
+                dup2.alias("dup2"), tot2.alias("tot2"))
             .groupBy("detected")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"),
@@ -136,30 +143,65 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("doc_id").asc()).limit(30))
 
 
+_PACK_BUDGET = 2048
+
 @query("text_token_budget", f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST({_NTOK} AS BIGINT) AS ntok, CAST({_BPE} AS BIGINT) AS bpe
+  FROM documents),
+packed AS (
+  SELECT *,
+         SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - bpe AS start_tok
+  FROM toks)
 SELECT source,
        COUNT(*) AS n_docs,
-       CAST(SUM({_NTOK}) AS BIGINT) AS ws_tokens,
-       CAST(SUM({_BPE}) AS BIGINT) AS bpe_tokens,
-       MAX({_BPE}) AS max_bpe,
-       CAST(SUM({_BPE}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bpe
-FROM documents
+       CAST(SUM(ntok) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       MAX(bpe) AS max_bpe,
+       CAST(SUM(bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bpe,
+       CAST(MAX((start_tok + bpe - 1) // {_PACK_BUDGET}) + 1 AS BIGINT)
+         AS n_seqs,
+       CAST(SUM(CASE WHEN (start_tok + bpe - 1) // {_PACK_BUDGET}
+                     > start_tok // {_PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddle,
+       CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE)
+       / CAST((MAX((start_tok + bpe - 1) // {_PACK_BUDGET}) + 1)
+              * {_PACK_BUDGET} AS DOUBLE) AS fill_ratio
+FROM packed
 GROUP BY source
 ORDER BY source ASC
 """)
 def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgeting per source: whitespace + BPE-ish counts (integer
-    sums → exact), the sizing pass for training-data mixes."""
+    sums → exact), the sizing pass for training-data mixes — plus the
+    concat-and-cut sequence-packing summary (operators/packing.py):
+    sequences at a {_PACK_BUDGET}-token budget, boundary-straddling doc
+    count, and the token fill ratio. Every doc has bpe > 0 in this corpus,
+    so MAX(last_seq)+1 == ceil(total/budget) per shard."""
+    from realtime_olap_spark.operators.packing import pack_chunked  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
-    ntok = T.token_count(F.col("text"))
-    bpe = T.bpe_ish_token_count(F.col("text"))
-    return (d.groupBy("source")
+    toks = d.select(
+        "doc_id", "source",
+        T.token_count(F.col("text")).cast("long").alias("ntok"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe"))
+    packed = pack_chunked(toks, "bpe", ["doc_id"], _PACK_BUDGET,
+                          partition_cols=["source"])
+    n_seqs = (F.max("last_seq") + 1).cast("long")
+    return (packed.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(ntok).alias("ws_tokens"),
-                 F.sum(bpe).alias("bpe_tokens"),
-                 F.max(bpe).alias("max_bpe"),
-                 (F.sum(bpe).cast("double") / F.count(F.lit(1)).cast("double"))
-                 .alias("avg_bpe"))
+                 F.sum("ntok").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"),
+                 F.max("bpe").alias("max_bpe"),
+                 (F.sum("bpe").cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("avg_bpe"),
+                 n_seqs.alias("n_seqs"),
+                 F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
+                 .alias("n_straddle"),
+                 (F.sum("bpe").cast("double")
+                  / (n_seqs * _PACK_BUDGET).cast("double"))
+                 .alias("fill_ratio"))
             .orderBy(F.col("source").asc()))
 
 

@@ -1,0 +1,96 @@
+"""Sequence packing — chunked assignment vs a DuckDB window-cumsum oracle,
+greedy whole-doc packing vs a Python reference, and the packing
+invariants both disciplines promise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators.packing import (pack_chunked, pack_greedy,
+                                                   pack_stats)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+_BPE = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+BUDGET = 512
+
+
+def _docs(spark):
+    d = Catalog(spark, SF_DIR).table("documents")
+    return d.select("doc_id", "source",
+                    F.size(F.regexp_extract_all(
+                        "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+                    .cast("long").alias("bpe"))
+
+
+def test_pack_chunked_matches_duckdb(spark, duck):
+    out = pack_chunked(_docs(spark), "bpe", ["doc_id"], BUDGET,
+                       partition_cols=["source"]) \
+        .select("doc_id", "source", "start_tok", "first_seq", "last_seq",
+                "n_splits")
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        WITH t AS (
+          SELECT doc_id, source, CAST({_BPE} AS BIGINT) AS bpe FROM documents),
+        c AS (
+          SELECT doc_id, source, bpe,
+                 SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - bpe AS start_tok
+          FROM t)
+        SELECT doc_id, source, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // {BUDGET} AS BIGINT) AS first_seq,
+               CAST(CASE WHEN bpe > 0 THEN (start_tok + bpe - 1) // {BUDGET}
+                         ELSE start_tok // {BUDGET} END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN bpe > 0 THEN (start_tok + bpe - 1) // {BUDGET}
+                         ELSE start_tok // {BUDGET} END
+                    - start_tok // {BUDGET} AS BIGINT) AS n_splits
+        FROM c
+        """, name="pack_chunked")
+
+
+def _py_greedy(rows, budget):
+    fill, seq, out = 0, 0, {}
+    for doc_id, t in rows:
+        if fill > 0 and fill + t > budget:
+            seq, fill = seq + 1, 0
+        out[doc_id] = seq
+        fill += t
+    return out
+
+
+def test_pack_greedy_matches_python_reference(spark):
+    d = _docs(spark)
+    got = {(r["source"], r["doc_id"]): r["seq_id"]
+           for r in pack_greedy(d, "bpe", ["doc_id"], BUDGET,
+                                partition_cols=["source"]).collect()}
+    by_src: dict = {}
+    for r in sorted(d.collect(), key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["bpe"]))
+    want = {(s, doc): seq
+            for s, rows in by_src.items()
+            for doc, seq in _py_greedy(rows, BUDGET).items()}
+    assert got == want and len(got) > 0
+
+
+def test_pack_greedy_invariants(spark):
+    packed = pack_greedy(_docs(spark), "bpe", ["doc_id"], BUDGET,
+                         partition_cols=["source"])
+    per_seq = (packed.groupBy("source", "seq_id")
+               .agg(F.sum("bpe").alias("tokens"),
+                    F.count("*").alias("n_docs")).collect())
+    for r in per_seq:
+        # a sequence only overflows when a single oversized doc owns it
+        assert r["tokens"] <= BUDGET or r["n_docs"] == 1, dict(r.asDict())
+    stats = pack_stats(packed, "bpe", BUDGET,
+                       partition_cols=["source"]).collect()
+    for r in stats:
+        assert 0.0 < r["fill_ratio"] <= 1.5
+        assert r["n_seqs"] >= 1
+
+
+def test_pack_global_partition_variants_agree(spark):
+    d = _docs(spark).filter(F.col("source") == "src0")
+    a = pack_greedy(d, "bpe", ["doc_id"], BUDGET)  # global (single shard)
+    b = pack_greedy(d, "bpe", ["doc_id"], BUDGET, partition_cols=["source"])
+    ga = {r["doc_id"]: r["seq_id"] for r in a.collect()}
+    gb = {r["doc_id"]: r["seq_id"] for r in b.collect()}
+    assert ga == gb and len(ga) > 0
