@@ -1,0 +1,76 @@
+"""Streaming deduplication — the ingest-time twin of ``operators/dedup``.
+
+The reference has no dedup at all (its aggregateMetrics rollup merges
+identical DIMENSION rows, MutableSegmentImpl.java:88 — a sum, not a drop);
+a training-data pipeline needs real one-per-content semantics at ingest:
+
+- **In-stream dedup**: emit the first arrival of each content key, drop
+  re-arrivals. Exact mode keeps all keys in state forever (bounded only by
+  distinct-key cardinality); watermarked mode keeps state for the
+  watermark delay only — the at-scale default, correct whenever a dup
+  arrives within the delay of its original (the CDC/at-least-once-source
+  case, where re-deliveries cluster near the original).
+- **Against-corpus dedup**: drop stream rows whose content key already
+  exists in a static historical corpus — a stream-static LEFT ANTI join.
+  Spark broadcasts the corpus side when small; at 100 TB the corpus side
+  is a pre-bucketed key table and the anti join stays shuffle-free on the
+  stream side (the static side is loaded per-bucket), or a Bloom filter
+  built offline prunes first.
+
+All state is per-key-hash, so the stream side never holds documents in
+state — ``content_key`` reduces each row to one 32-byte hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_key(text: Column | str) -> Column:
+    """Stable 128-bit content hash of the exact text bytes (md5 — engine
+    and partitioning independent)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def dedup_stream_exact(events: DataFrame, text_col: str = "text",
+                       key_out: str = "__ck") -> DataFrame:
+    """First-arrival-wins on content key with UNBOUNDED state (exact
+    across the whole stream lifetime). State is one entry per distinct
+    key hash — viable when distinct content is bounded; otherwise use
+    :func:`dedup_stream` (watermarked TTL state)."""
+    return (events.withColumn(key_out, content_key(text_col))
+                  .dropDuplicates([key_out]))
+
+
+def dedup_stream(events: DataFrame, ts_col: str, delay: str,
+                 text_col: str = "text", key_out: str = "__ck") -> DataFrame:
+    """First-arrival-wins on content key with watermark-bounded state:
+    a duplicate arriving within ``delay`` of the first copy is dropped;
+    state for a key is evicted once the watermark passes it
+    (``dropDuplicatesWithinWatermark`` — state TTL, not event-time
+    windows, so the FIRST copy is emitted immediately)."""
+    return (events.withColumn(key_out, content_key(text_col))
+                  .withWatermark(ts_col, delay)
+                  .dropDuplicatesWithinWatermark([key_out]))
+
+
+def dedup_against_corpus(events: DataFrame, corpus_keys: DataFrame,
+                         text_col: str = "text",
+                         corpus_key_col: str = "__ck") -> DataFrame:
+    """Drop stream rows whose content already exists in a STATIC corpus:
+    stream-static LEFT ANTI join on the content hash. ``corpus_keys`` is
+    the offline side — one hashed-key column, typically the output of
+    :func:`corpus_key_table` persisted by a batch job."""
+    return (events.withColumn("__ck", content_key(text_col))
+                  .join(corpus_keys.select(F.col(corpus_key_col)
+                                           .alias("__ck")),
+                        on="__ck", how="left_anti")
+                  .drop("__ck"))
+
+
+def corpus_key_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content keys of a historical corpus — the small static
+    side of :func:`dedup_against_corpus` (store this, not the text)."""
+    return corpus.select(content_key(text_col).alias("__ck")).distinct()
