@@ -229,6 +229,29 @@ def pii_count(text: Column,
     return total
 
 
+def top_ngrams(df, text_col: str, n: int, k: int,
+               group_cols: list[str] | None = None):
+    """Corpus-level heavy hitters: the ``k`` most frequent word n-grams
+    (optionally per group) — the boilerplate-detection pass (repeated
+    headers/footers surface instantly). One explode → one count shuffle
+    with map-side combine → TakeOrderedAndProject (per-group rank when
+    grouped); ties break on the gram text ascending, so results are
+    deterministic in any engine. At 100 TB the count shuffle carries
+    (gram, partial count) pairs, never documents."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    groups = group_cols or []
+    grams = df.select(*groups,
+                      F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    counts = (grams.groupBy(*groups, "gram")
+              .agg(F.count(F.lit(1)).alias("n_occ")))
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(F.col("n_occ").desc(),
+                                                F.col("gram").asc())
+        return (counts.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k).drop("rk"))
+    return counts.orderBy(F.col("n_occ").desc(), F.col("gram").asc()).limit(k)
+
+
 FINGERPRINT_MOD = 1_000_000_007  # keeps acc*31 + c far below int64 overflow
 
 

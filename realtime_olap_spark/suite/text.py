@@ -6,7 +6,7 @@ divisions), so even the double-valued scores compare bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.catalog import Catalog
@@ -50,18 +50,32 @@ WITH scored AS (
          {_NTOK} - len(list_distinct({_WS})) AS dup1,
          {_NTOK} AS tot1,
          len({_BIGRAMS}) - len(list_distinct({_BIGRAMS})) AS dup2,
-         len({_BIGRAMS}) AS tot2
-  FROM documents)
-SELECT detected,
-       COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(SUM(dup1) AS BIGINT) AS dup_word_occ,
-       CAST(SUM(tot1) AS BIGINT) AS total_words,
-       CAST(CAST(SUM(dup2) AS BIGINT) AS DOUBLE)
-       / CAST(CAST(SUM(tot2) AS BIGINT) AS DOUBLE) AS rep_bigram_frac
-FROM scored
-GROUP BY detected
-ORDER BY detected ASC
+         len({_BIGRAMS}) AS tot2,
+         {_BIGRAMS} AS bg
+  FROM documents),
+agg AS (
+  SELECT detected,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(dup1) AS BIGINT) AS dup_word_occ,
+         CAST(SUM(tot1) AS BIGINT) AS total_words,
+         CAST(CAST(SUM(dup2) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(tot2) AS BIGINT) AS DOUBLE) AS rep_bigram_frac
+  FROM scored
+  GROUP BY detected),
+tops AS (
+  SELECT detected, gram AS top_bigram,
+         CAST(n_occ AS BIGINT) AS top_bigram_n
+  FROM (
+    SELECT detected, gram, COUNT(*) AS n_occ,
+           ROW_NUMBER() OVER (PARTITION BY detected
+                              ORDER BY COUNT(*) DESC, gram ASC) AS rk
+    FROM (SELECT detected, unnest(bg) AS gram FROM scored)
+    GROUP BY detected, gram)
+  WHERE rk = 1)
+SELECT agg.*, tops.top_bigram, tops.top_bigram_n
+FROM agg LEFT JOIN tops ON agg.detected = tops.detected
+ORDER BY agg.detected ASC
 """)
 def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (marker-word argmax against literal per-language
@@ -79,19 +93,31 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.array_distinct(F.col("ws")).alias("wsd"),
                        T.bigrams_from(F.col("ws")).alias("bg")))
     dup2, tot2 = T.repeated_ngram_counts_from(F.col("bg"))
-    return (staged.select(
-                T.detect_language_from(F.col("wsd")).alias("detected"),
-                T.quality_score_from(F.col("text"), F.col("ws")).alias("q"),
-                (F.size("ws") - F.size("wsd")).cast("long").alias("dup1"),
-                F.size("ws").cast("long").alias("tot1"),
-                dup2.alias("dup2"), tot2.alias("tot2"))
-            .groupBy("detected")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"),
-                 F.sum("dup1").alias("dup_word_occ"),
-                 F.sum("tot1").alias("total_words"),
-                 (F.sum("dup2").cast("double") / F.sum("tot2").cast("double"))
-                 .alias("rep_bigram_frac"))
+    scored = staged.select(
+        T.detect_language_from(F.col("wsd")).alias("detected"),
+        T.quality_score_from(F.col("text"), F.col("ws")).alias("q"),
+        (F.size("ws") - F.size("wsd")).cast("long").alias("dup1"),
+        F.size("ws").cast("long").alias("tot1"),
+        dup2.alias("dup2"), tot2.alias("tot2"),
+        F.col("bg"))
+    agg = (scored.groupBy("detected")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"),
+                F.sum("dup1").alias("dup_word_occ"),
+                F.sum("tot1").alias("total_words"),
+                (F.sum("dup2").cast("double") / F.sum("tot2").cast("double"))
+                .alias("rep_bigram_frac")))
+    # corpus heavy hitter per language: the boilerplate-detection pass
+    w = Window.partitionBy("detected").orderBy(F.col("n_occ").desc(),
+                                               F.col("gram").asc())
+    tops = (scored.select("detected", F.explode("bg").alias("gram"))
+            .groupBy("detected", "gram")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("detected", F.col("gram").alias("top_bigram"),
+                    F.col("n_occ").alias("top_bigram_n")))
+    return (agg.join(tops, "detected", "left")
             .orderBy(F.col("detected").asc()))
 
 

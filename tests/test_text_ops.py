@@ -108,3 +108,31 @@ def test_redaction_and_count_agree(spark):
     # and the fixture actually exercises every kind
     got = sdf.select(F.sum(pii_count(F.col("text"))).alias("s")).first()["s"]
     assert got >= 6
+
+
+def test_top_ngrams_matches_duckdb(spark, duck):
+    from realtime_olap_spark.operators.text import top_ngrams
+    d = Catalog(spark, SF_DIR).table("documents")
+    g2 = _duck_ngrams(2)
+    out = top_ngrams(d, "text", 2, 5)
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM (SELECT unnest({g2}) AS gram FROM documents)
+        GROUP BY gram ORDER BY n_occ DESC, gram ASC LIMIT 5
+        """, name="top_ngrams")
+
+
+def test_top_ngrams_grouped_rank(spark, duck):
+    from realtime_olap_spark.operators.text import top_ngrams
+    d = Catalog(spark, SF_DIR).table("documents")
+    g1 = _duck_ngrams(1)
+    out = top_ngrams(d, "text", 1, 2, group_cols=["lang"])
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT lang, gram, CAST(n_occ AS BIGINT) AS n_occ FROM (
+          SELECT lang, gram, COUNT(*) AS n_occ,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY COUNT(*) DESC, gram ASC) AS rk
+          FROM (SELECT lang, unnest({g1}) AS gram FROM documents)
+          GROUP BY lang, gram)
+        WHERE rk <= 2
+        """, name="top_ngrams_grouped")
