@@ -74,6 +74,22 @@ def stratified_take(df: DataFrame, strata: Sequence[str], key: Column | str,
             .where(F.col("__rn") <= n).drop("__rn"))
 
 
+def mixture_sample(df: DataFrame, strata_col: str, key: Column | str,
+                   fractions: dict[str, float],
+                   default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum hash-fraction sampling — the training-mix construction
+    step ('keep 100% of books, 30% of web, 1% of logs'). Decision is
+    content-hash per row (reproducible, partitioning-independent), the
+    rate is looked up from the stratum via a literal CASE chain — pure
+    scan-side filter, no shuffle, no join, prunes at the parquet scan.
+    Strata absent from ``fractions`` keep ``default_fraction``."""
+    cut = F.lit(int(round(default_fraction * _MOD)))
+    for stratum, frac in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(round(frac * _MOD)))).otherwise(cut)
+    return df.where(_bucket(key) < cut)
+
+
 def train_test_split(df: DataFrame, key: Column | str,
                      test_fraction: float = 0.1,
                      col_name: str = "split") -> DataFrame:
@@ -85,3 +101,24 @@ def train_test_split(df: DataFrame, key: Column | str,
     return df.withColumn(
         col_name, F.when(_bucket(key) < F.lit(cut), F.lit("test"))
                    .otherwise(F.lit("train")))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       test_fraction: float = 0.1,
+                       col_name: str = "split",
+                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Train/test split that keeps every NEAR-DUP CLUSTER on one side:
+    splitting by row hash lets a test document's near-duplicate land in
+    train (memorized-content leakage); here the hash key is the cluster
+    representative from connected components over the near-dup ``pairs``
+    (``operators/components.py``), falling back to the row's own id for
+    docs in no pair. One broadcast-or-shuffle LEFT join of the (id →
+    cluster) table; the split decision itself stays a scan-side hash."""
+    from realtime_olap_spark.operators.components import duplicate_clusters
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b) \
+        .withColumnRenamed("node", "__node")
+    joined = df.join(clusters,
+                     F.col(id_col).cast("long") == F.col("__node"), "left")
+    key = F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    return train_test_split(joined, key, test_fraction, col_name) \
+        .drop("__node", "component")

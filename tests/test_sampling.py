@@ -86,3 +86,62 @@ def test_null_keys_share_one_policy_across_samplers(spark):
     split = {r["id"]: r["split"]
              for r in train_test_split(df, "k", 0.5).collect()}
     assert split[2] == split[4]
+
+
+def test_mixture_sample_matches_duckdb(spark, duck):
+    from realtime_olap_spark.operators.sampling import mixture_sample
+    d = Catalog(spark, SF_DIR).table("documents")
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    out = mixture_sample(d, "source", "doc_id", fr) \
+        .select("doc_id", "source")
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(round(f * 1_000_000))}"
+        for s, f in sorted(fr.items(), reverse=True))
+    assert_matches_oracle(out, duck(SF_DIR), f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_B} < (CASE {cases} ELSE 0 END)
+        """, name="mixture_sample")
+
+
+def test_mixture_sample_rates(spark):
+    from realtime_olap_spark.operators.sampling import mixture_sample
+    d = Catalog(spark, SF_DIR).table("documents")
+    got = {r["source"]: r["n"] for r in
+           mixture_sample(d, "source", "doc_id",
+                          {"src0": 1.0, "src1": 0.4})
+           .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"src0", "src1"}  # default fraction 0 drops the rest
+    assert got["src0"] == 25             # 1.0 keeps the whole stratum
+    assert 0 < got.get("src1", 0) < 25
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from realtime_olap_spark.operators.sampling import leakage_safe_split
+    d = Catalog(spark, SF_DIR).table("documents")
+    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    # chains {0,1,2} {3,4} ... over the first 40 ids
+    pair_rows = []
+    for base in range(0, 36, 5):
+        a, b, c, x, y = ids[base:base + 5]
+        pair_rows += [(a, b), (b, c), (x, y)]
+    pairs = spark.createDataFrame(pair_rows, ["id_a", "id_b"])
+    out = leakage_safe_split(d, "doc_id", pairs, test_fraction=0.4)
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(side) == len(ids)  # left join kept every doc exactly once
+    for a, b in pair_rows:
+        assert side[a] == side[b], (a, b)
+    assert {"train", "test"} == set(side.values())
+
+
+def test_leakage_safe_split_singletons_match_plain_split(spark):
+    from realtime_olap_spark.operators.sampling import leakage_safe_split
+    d = Catalog(spark, SF_DIR).table("documents")
+    ids = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    pairs = spark.createDataFrame([(ids[0], ids[1])], ["id_a", "id_b"])
+    safe = {r["doc_id"]: r["split"]
+            for r in leakage_safe_split(d, "doc_id", pairs, 0.3).collect()}
+    plain = {r["doc_id"]: r["split"]
+             for r in train_test_split(
+                 d, F.col("doc_id").cast("long"), 0.3).collect()}
+    for i in ids[2:]:  # unpaired docs: identical decision to the plain split
+        assert safe[i] == plain[i]
