@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+
+    Reads only the footer via pyarrow (cheap, driver-side, once per Catalog
+    thanks to the table cache). ``path`` may be a single file or a directory
+    of part files — any one footer decides, since a table is written with one
+    schema."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        probe = os.path.join(path, parts[0])
+    try:
+        field = pq.read_schema(probe).field("ts")
+    except (KeyError, OSError):
+        return False
+    return getattr(field.type, "unit", None) == "ns"
+
 # Sentinel defaults per role, mirroring FieldSpec.java:52-64.
 DIMENSION_DEFAULTS = {
     "int": -2147483648,
@@ -248,18 +273,36 @@ class Catalog:
                 raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name == "events":
-                # events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader
-                # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the physical
-                # INT64 as epoch-nanos and re-derive a microsecond timestamp
-                # (`ts div 1000` stays in long arithmetic — 1.7e18 ns doesn't
-                # survive a double). Microsecond truncation also matches what
-                # SQL engines (e.g. DuckDB) expose for ns parquet columns.
-                df = self.spark.read.schema(
-                    "event_id long, ts long, user_id long, event_type string, "
-                    "value double, props string"
-                ).parquet(path)
-                df = (df.withColumnRenamed("ts", "ts_ns")
-                        .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)")))
+                # events.ts arrives in either of two physical encodings
+                # depending on the generator: Parquet TIMESTAMP(NANOS) —
+                # which Spark's reader rejects outright
+                # ([PARQUET_TYPE_ILLEGAL]) — or a plain TIMESTAMP(MICROS).
+                # Sniff the footer instead of assuming: mis-reading micros
+                # as nanos silently shifts every event to 1970.
+                if _events_ts_is_nanos(path):
+                    # Read the physical INT64 as epoch-nanos and re-derive a
+                    # microsecond timestamp (`ts div 1000` stays in long
+                    # arithmetic — 1.7e18 ns doesn't survive a double).
+                    # Microsecond truncation matches what SQL engines
+                    # (e.g. DuckDB) expose for ns parquet columns.
+                    df = self.spark.read.schema(
+                        "event_id long, ts long, user_id long, event_type string, "
+                        "value double, props string"
+                    ).parquet(path)
+                    df = (df.withColumnRenamed("ts", "ts_ns")
+                            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)")))
+                else:
+                    # Natural read; normalize NTZ to the session-zone
+                    # timestamp the rest of the engine expects, and keep a
+                    # ts_ns epoch-nanos twin so the exposed schema is the
+                    # same under both encodings.
+                    df = self.spark.read.parquet(path)
+                    df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
+                            .withColumn(
+                                "ts_ns",
+                                (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
+                            .select("event_id", "ts_ns", "user_id",
+                                    "event_type", "value", "props", "ts"))
                 self._cache[name] = df
             else:
                 self._cache[name] = self.spark.read.parquet(path)

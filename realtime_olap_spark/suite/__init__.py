@@ -18,14 +18,23 @@ from realtime_olap_spark.suite import core  # noqa: E402,F401
 
 _MODULES = [core]
 
-# each area registers on import; keep import errors isolated
+# Each area registers on import. Import errors must propagate loudly:
+# a swallowed failure here would silently evict that module's queries
+# from the driver's CORRECTNESS window (scorecard shrinks, not reddens).
 for _name in ("dedup", "similarity", "text", "multimodal", "ext",
               "aggs", "transforms", "mv", "pqlq", "hybrid"):
-    try:
-        _mod = __import__(f"realtime_olap_spark.suite.{_name}",
-                          fromlist=[_name])
-        _MODULES.append(_mod)
-    except ImportError:
-        pass
+    _mod = __import__(f"realtime_olap_spark.suite.{_name}",
+                      fromlist=[_name])
+    _MODULES.append(_mod)
+
+EXPECTED_QUERY_COUNT = 50
+if len(QUERIES) != EXPECTED_QUERY_COUNT:  # pragma: no cover - build guard
+    raise RuntimeError(
+        f"suite registry holds {len(QUERIES)} queries, expected "
+        f"{EXPECTED_QUERY_COUNT}; a module failed to register or a query "
+        "was added without consolidating another")
+if not set(ORACLES) <= set(QUERIES):  # pragma: no cover - build guard
+    raise RuntimeError(
+        f"oracles without queries: {sorted(set(ORACLES) - set(QUERIES))}")
 
 __all__ = ["QUERIES", "ORACLES"]

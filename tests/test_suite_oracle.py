@@ -24,6 +24,14 @@ def test_query_without_oracle_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_registry_full_window():
+    """The driver records exactly 50 CORRECTNESS entries; a module that
+    fails to import must fail collection loudly, never shrink the window
+    (suite/__init__ re-raises and asserts — this pins the contract)."""
+    assert len(suite.QUERIES) == suite.EXPECTED_QUERY_COUNT == 50
+    assert set(suite.ORACLES) <= set(suite.QUERIES)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
