@@ -45,6 +45,8 @@ HEADLINE = [
     "ext_join_star",
     "ext_window_running",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_keep_representative",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_ivf",

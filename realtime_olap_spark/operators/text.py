@@ -14,6 +14,8 @@ belong to the downstream operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -264,3 +266,57 @@ def rolling_fingerprint(text: Column, mod: int = FINGERPRINT_MOD) -> Column:
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"))
+
+
+_fingerprint_arrow = None
+
+
+def rolling_fingerprint_fast(text: Column) -> Column:
+    """Drop-in fast path for :func:`rolling_fingerprint` at the default
+    modulus: same value on every input (equality-tested in
+    tests/test_text_ops.py), Arrow-batched.
+
+    Identical integer fold — h ← h·31 + codepoint (mod p), left-to-right —
+    but vectorized: codepoints come from a utf-32 reinterpret (no per-char
+    Python), and Horner's rule is re-expressed as Σ code_i·31^(n-1-i) mod p
+    so the whole document reduces in one numpy pass. Every per-term product
+    is < p·0x110000 ≈ 1.1e15 (int64-safe) and each term is reduced mod p
+    before the final sum. ~1000× cheaper per row than the interpreted
+    per-char lambda evals of the expression fold (~1 μs each, this repo's
+    own measurement).
+
+    The UDF is a lazily-built CLOSURE, not a module-level function: schema
+    parsing needs an active SparkSession, and a closure pickles by value so
+    executors never need this package importable (the driver may run the
+    repo from an un-installed checkout)."""
+    global _fingerprint_arrow
+    if _fingerprint_arrow is None:
+        mod = FINGERPRINT_MOD
+
+        def batch(texts: pd.Series) -> pd.Series:
+            out = np.zeros(len(texts), dtype=np.int64)
+            mask = np.zeros(len(texts), dtype=bool)
+            lens = texts.str.len()
+            maxlen = int(lens.max()) if len(texts) and not lens.isna().all() else 0
+            pows = np.empty(max(maxlen, 1), dtype=np.int64)
+            acc = 1
+            for i in range(max(maxlen, 1)):
+                pows[i] = acc
+                acc = (acc * 31) % mod
+            for i, s in enumerate(texts):
+                if s is None:
+                    continue
+                mask[i] = True
+                if not s:
+                    continue
+                codes = np.frombuffer(s.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.int64)
+                n = codes.shape[0]
+                out[i] = int(((codes * pows[:n][::-1]) % mod).sum() % mod)
+            res = pd.Series(out, dtype="Int64")
+            res[~mask] = pd.NA
+            return res
+
+        from pyspark.sql.types import LongType  # noqa: PLC0415
+        _fingerprint_arrow = F.pandas_udf(batch, LongType())
+    return _fingerprint_arrow(text)

@@ -101,23 +101,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(d, "doc_id", "text", bits=16).orderBy("doc_id").limit(30)
 
 
+#: Width of the character-length blocking bucket. Near-dup candidates have
+#: near-equal lengths, so (lang, n_chars//width) bounds every pairwise block
+#: to one language *and* one narrow length band — the fan-out stays O(docs
+#: in band), never O(docs in language), which is what survives a corpus
+#: where one language IS the corpus.
+NGRAM_BLOCK_WIDTH = 32
+
+
 @query("dedup_ngram_jaccard", f"""
-WITH ws AS (SELECT doc_id, lang, {_WS} AS w FROM documents)
+WITH ws AS (SELECT doc_id, lang, n_chars // {NGRAM_BLOCK_WIDTH} AS lb,
+                   {_WS} AS w FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
        / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) AS jaccard
-FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM ws a JOIN ws b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
 ORDER BY jaccard DESC, id_a ASC, id_b ASC
 LIMIT 15
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram (word-set) Jaccard: equi-join on a blocking
-    key (lang) instead of a cross join; top-15 most similar pairs."""
+    """Blocked pairwise n-gram (word-set) Jaccard: equi-join on a COMPOSITE
+    blocking key (lang, length-bucket) instead of a cross join; top-15 most
+    similar pairs. Blocking on lang alone is quadratic within a language at
+    corpus scale (one language ≈ the corpus); the length band caps each
+    block — reference analog: partition-pruned segment scans,
+    PartitionSegmentPruner.java:38."""
     d = Catalog(spark, sf_dir).table("documents")
-    ws = d.select("doc_id", "lang", D.word_set("text").alias("w"))
-    a = ws.select(F.col("doc_id").alias("id_a"), "lang", F.col("w").alias("wa"))
-    b = ws.select(F.col("doc_id").alias("id_b"), "lang", F.col("w").alias("wb"))
-    return (a.join(b, "lang")
+    lb = (F.col("n_chars") / F.lit(NGRAM_BLOCK_WIDTH)).cast("long").alias("lb")
+    ws = d.select("doc_id", "lang", lb, D.word_set("text").alias("w"))
+    a = ws.select(F.col("doc_id").alias("id_a"), "lang", "lb",
+                  F.col("w").alias("wa"))
+    b = ws.select(F.col("doc_id").alias("id_b"), "lang", "lb",
+                  F.col("w").alias("wb"))
+    return (a.join(b, ["lang", "lb"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     D.jaccard(F.col("wa"), F.col("wb")).alias("jaccard"))

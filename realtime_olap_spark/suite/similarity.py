@@ -127,9 +127,24 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), f"rt_olap_ivf_{key}")
     marker = os.path.join(path, "_INDEX_BUILT")
     if not os.path.exists(marker):
+        # Atomic publish: build into a private temp dir, then rename into
+        # place — a concurrent reader can never observe a half-written
+        # index, and two racing builders resolve to whichever rename wins
+        # (same discipline as the streaming rollup merge). The marker is
+        # written INSIDE the staging dir so path-with-marker implies a
+        # complete build.
+        stage = f"{path}.tmp-{os.getpid()}"
         S.ivf_index_write(Catalog(spark, sf_dir).table("embeddings"),
-                          path, CENTROIDS)
-        open(marker, "w").close()
+                          stage, CENTROIDS)
+        open(os.path.join(stage, "_INDEX_BUILT"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            # lost the race: another builder published first; keep theirs
+            import shutil
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     return path
 
 

@@ -160,7 +160,8 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     return (d.select("doc_id", "lang", "source",
                      *T.quality_features(F.col("text")),
-                     T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+                     T.rolling_fingerprint_fast(F.col("text"))
+                     .alias("fingerprint"))
             .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
             .withColumn("strat_rank",
@@ -171,31 +172,61 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_BUDGET = 2048
 
+#: Hash-shards per source for the packing window. Packing order only needs
+#: determinism WITHIN a shard, so the window partitions on the composite
+#: (source, hash(doc_id) % PACK_SHARDS) — no single task ever sorts a
+#: whole source (testdata has a handful of sources; at corpus scale one
+#: source ≈ the corpus). Raise N and the window partition count scales
+#: with it. The shard hash is md5-based, not doc_id % N: synthetic doc_ids
+#: are arithmetically correlated with source, which collapses a modulo to
+#: 2 residues per source; md5 computes identically in Spark and DuckDB.
+PACK_SHARDS = 8
+
+_SHARD_SQL = (f"CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+              f"AS INTEGER) % {PACK_SHARDS} AS BIGINT)")
+
+
+def _shard_col() -> F.Column:
+    """Spark twin of ``_SHARD_SQL`` — same md5-hex prefix, same modulus."""
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return F.pmod(F.conv(hex4, 16, 10).cast("long"),
+                  F.lit(PACK_SHARDS)).cast("long")
+
+
 @query("text_token_budget", f"""
 WITH toks AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, {_SHARD_SQL} AS shard,
          CAST({_NTOK} AS BIGINT) AS ntok, CAST({_BPE} AS BIGINT) AS bpe
   FROM documents),
 packed AS (
   SELECT *,
-         SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+         SUM(bpe) OVER (PARTITION BY source, shard ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - bpe AS start_tok
-  FROM toks)
+  FROM toks),
+shards AS (
+  SELECT source, shard,
+         COUNT(*) AS n_docs,
+         SUM(ntok) AS ws_tokens,
+         SUM(bpe) AS bpe_tokens,
+         MAX(bpe) AS max_bpe,
+         MAX((start_tok + bpe - 1) // {_PACK_BUDGET}) + 1 AS n_seqs,
+         SUM(CASE WHEN (start_tok + bpe - 1) // {_PACK_BUDGET}
+                  > start_tok // {_PACK_BUDGET} THEN 1 ELSE 0 END)
+           AS n_straddle
+  FROM packed
+  GROUP BY source, shard)
 SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(ntok) AS BIGINT) AS ws_tokens,
-       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
-       MAX(bpe) AS max_bpe,
-       CAST(SUM(bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bpe,
-       CAST(MAX((start_tok + bpe - 1) // {_PACK_BUDGET}) + 1 AS BIGINT)
-         AS n_seqs,
-       CAST(SUM(CASE WHEN (start_tok + bpe - 1) // {_PACK_BUDGET}
-                     > start_tok // {_PACK_BUDGET} THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_straddle,
-       CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE)
-       / CAST((MAX((start_tok + bpe - 1) // {_PACK_BUDGET}) + 1)
-              * {_PACK_BUDGET} AS DOUBLE) AS fill_ratio
-FROM packed
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       MAX(max_bpe) AS max_bpe,
+       CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE)
+         AS avg_bpe,
+       CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+       CAST(SUM(n_straddle) AS BIGINT) AS n_straddle,
+       CAST(CAST(SUM(bpe_tokens) AS BIGINT) AS DOUBLE)
+       / CAST(SUM(n_seqs) * {_PACK_BUDGET} AS DOUBLE) AS fill_ratio
+FROM shards
 GROUP BY source
 ORDER BY source ASC
 """)
@@ -204,28 +235,41 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums → exact), the sizing pass for training-data mixes — plus the
     concat-and-cut sequence-packing summary (operators/packing.py):
     sequences at a {_PACK_BUDGET}-token budget, boundary-straddling doc
-    count, and the token fill ratio. Every doc has bpe > 0 in this corpus,
-    so MAX(last_seq)+1 == ceil(total/budget) per shard."""
+    count, and the token fill ratio. Packing is per (source, shard) —
+    PACK_SHARDS hash shards per source, mirrored in the oracle's
+    PARTITION BY, so the window never funnels a whole source through one
+    task. Every doc has bpe > 0 in this corpus, so MAX(last_seq)+1 ==
+    ceil(shard_total/budget) per shard; per-source n_seqs is the sum of
+    its shards' sequence counts."""
     from realtime_olap_spark.operators.packing import pack_chunked  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
     toks = d.select(
         "doc_id", "source",
+        _shard_col().alias("shard"),
         T.token_count(F.col("text")).cast("long").alias("ntok"),
         T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe"))
     packed = pack_chunked(toks, "bpe", ["doc_id"], _PACK_BUDGET,
-                          partition_cols=["source"])
-    n_seqs = (F.max("last_seq") + 1).cast("long")
-    return (packed.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("ntok").alias("ws_tokens"),
-                 F.sum("bpe").alias("bpe_tokens"),
-                 F.max("bpe").alias("max_bpe"),
-                 (F.sum("bpe").cast("double")
-                  / F.count(F.lit(1)).cast("double")).alias("avg_bpe"),
+                          partition_cols=["source", "shard"])
+    shard_seqs = (F.max("last_seq") + 1).cast("long")
+    shards = (packed.groupBy("source", "shard")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("ntok").alias("ws_tokens"),
+                   F.sum("bpe").alias("bpe_tokens"),
+                   F.max("bpe").alias("max_bpe"),
+                   shard_seqs.alias("n_seqs"),
+                   F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
+                   .alias("n_straddle")))
+    n_seqs = F.sum("n_seqs").cast("long")
+    return (shards.groupBy("source")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("ws_tokens").alias("ws_tokens"),
+                 F.sum("bpe_tokens").alias("bpe_tokens"),
+                 F.max("max_bpe").alias("max_bpe"),
+                 (F.sum("bpe_tokens").cast("double")
+                  / F.sum("n_docs").cast("double")).alias("avg_bpe"),
                  n_seqs.alias("n_seqs"),
-                 F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
-                 .alias("n_straddle"),
-                 (F.sum("bpe").cast("double")
+                 F.sum("n_straddle").cast("long").alias("n_straddle"),
+                 (F.sum("bpe_tokens").cast("double")
                   / (n_seqs * _PACK_BUDGET).cast("double"))
                  .alias("fill_ratio"))
             .orderBy(F.col("source").asc()))

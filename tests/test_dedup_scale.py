@@ -27,6 +27,34 @@ def test_embedding_pairs_join_on_label_and_cell(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_blocks_on_lang_and_length(spark):
+    """The pairwise Jaccard join must key on the composite
+    (lang, length-bucket), not lang alone — lang-only blocking is
+    quadratic within a language at corpus scale. Asserts both the plan
+    property (join keys include the bucket) and the cardinality property
+    (every block is a small fraction of its language)."""
+    df = suite.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "lang" in ln and "lb" in ln]
+    assert join_lines, f"pair join does not key on (lang, lb):\n{plan}"
+    assert "CartesianProduct" not in plan
+
+    from realtime_olap_spark.suite.dedup import NGRAM_BLOCK_WIDTH
+    d = Catalog(spark, SF_DIR).table("documents")
+    lb = (F.col("n_chars") / F.lit(NGRAM_BLOCK_WIDTH)).cast("long")
+    blocks = (d.groupBy("lang", lb.alias("lb")).count()
+              .groupBy("lang").agg(F.max("count").alias("max_block"),
+                                   F.sum("count").alias("lang_total"))
+              .collect())
+    assert blocks
+    for r in blocks:
+        # bounded fan-out: the largest block in each language stays well
+        # below the language itself (here <25%; lang-only blocking = 100%)
+        assert r["max_block"] <= max(4, r["lang_total"] * 0.25), (
+            r["lang"], r["max_block"], r["lang_total"])
+
+
 def test_embedding_refined_pairs_subset_of_coarse(spark):
     """Refined blocking must emit a subset of the coarse-label pairs (the
     ANN recall trade), all above threshold."""

@@ -57,6 +57,33 @@ def _py_greedy(rows, budget):
     return out
 
 
+def test_token_budget_window_sharded(spark):
+    """The benched packing query must window on (source, shard), never on
+    source alone — one source must never funnel through a single window
+    task. Asserts the plan's window spec carries the shard key and that
+    the shard count scales with PACK_SHARDS."""
+    from realtime_olap_spark import suite
+    from realtime_olap_spark.suite.text import PACK_SHARDS
+
+    df = suite.QUERIES["text_token_budget"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, f"no window in plan:\n{plan}"
+    for ln in win_lines:
+        assert "source" in ln and "shard" in ln, (
+            f"window not sharded on (source, shard):\n{ln}")
+
+    from realtime_olap_spark.suite.text import _shard_col
+    d = Catalog(spark, SF_DIR).table("documents")
+    shards = (d.select("source", _shard_col().alias("shard"))
+              .groupBy("source").agg(F.count_distinct("shard").alias("n"))
+              .collect())
+    # small sources may leave a hash shard empty; near-full occupancy is
+    # the property (a correlated key collapses to 2 shards — see
+    # suite/text.py PACK_SHARDS note)
+    assert all(r["n"] >= PACK_SHARDS - 2 for r in shards), shards
+
+
 def test_pack_greedy_matches_python_reference(spark):
     d = _docs(spark)
     got = {(r["source"], r["doc_id"]): r["seq_id"]

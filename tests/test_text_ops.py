@@ -16,6 +16,8 @@ from realtime_olap_spark.catalog import Catalog
 from realtime_olap_spark.operators.text import (PII_PATTERNS, pii_count,
                                                 redact_pii,
                                                 repeated_ngram_counts,
+                                                rolling_fingerprint,
+                                                rolling_fingerprint_fast,
                                                 word_ngrams)
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -136,3 +138,23 @@ def test_top_ngrams_grouped_rank(spark, duck):
           GROUP BY lang, gram)
         WHERE rk <= 2
         """, name="top_ngrams_grouped")
+
+
+def test_fingerprint_arrow_matches_expression_fold(spark):
+    """Bit-equality of the Arrow fingerprint with the expression fold on
+    the real corpus (all languages, incl. non-ASCII zh) plus edge rows —
+    the ivf_assign_norm discipline: a fast path may only ship if it is
+    value-identical to the oracle-shaped reference."""
+    d = Catalog(spark, SF_DIR).table("documents")
+    both = d.select(
+        rolling_fingerprint(F.col("text")).alias("fold"),
+        rolling_fingerprint_fast(F.col("text")).alias("arrow"))
+    assert both.where(F.col("fold") != F.col("arrow")).count() == 0
+
+    edge = spark.createDataFrame(
+        [("",), (None,), ("a",), ("χ χ 语言 mixed™",)], "text string")
+    rows = edge.select(
+        rolling_fingerprint(F.col("text")).alias("fold"),
+        rolling_fingerprint_fast(F.col("text")).alias("arrow")).collect()
+    for r in rows:
+        assert r["fold"] == r["arrow"], r
