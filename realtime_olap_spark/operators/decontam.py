@@ -1,0 +1,92 @@
+"""Benchmark decontamination — flagging training documents that overlap an
+evaluation set.
+
+Outside the reference's surface (it has no string functions, SURVEY.md
+§2.9); this is the standard pre-training hygiene pass: a training document
+is *contaminated* when it shares at least ``min_hits`` word n-grams with
+any benchmark item (GPT-3 appendix C / The Pile use 13-gram overlap; the
+default here is parameterized).
+
+Scale design (100 TB corpus, benchmark ≪ corpus):
+
+- The benchmark side reduces to DISTINCT n-gram hashes — a few million
+  longs even for large eval suites — and is **broadcast**, so the corpus
+  is never shuffled: contamination detection is a scan-side explode +
+  broadcast semi-join + per-doc count.
+- Hashes are ``xxhash64(gram)`` (JVM-side, codegen), not the gram strings:
+  the broadcast carries 8 bytes per gram and join comparison is integer
+  equality. A hash collision can only ADD a false contamination hit
+  (conservative direction for decontamination).
+- When the benchmark outgrows the broadcast threshold, the same plan
+  degrades gracefully to a shuffled equi-join on the hash — still
+  gram-blocked, never pairwise.
+
+No reference analog (decontamination is a training-data concern); the
+Spark shape mirrors the MinHash band join in ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.text import word_ngrams
+
+
+def ngram_hash_set(text: Column, n: int) -> Column:
+    """Distinct xxhash64 codes of the text's word n-grams (order-free set,
+    8 bytes/gram) — the per-row unit both sides of decontamination share."""
+    return F.array_distinct(
+        F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g)))
+
+
+def benchmark_gram_hashes(bench: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The benchmark's distinct n-gram hash table: one ``gram_hash`` long
+    column. Explode → distinct is one small shuffle over the (small)
+    benchmark; the result is the broadcast side of every decontamination
+    scan."""
+    return (bench
+            .select(F.explode(ngram_hash_set(F.col(text_col), n))
+                    .alias("gram_hash"))
+            .distinct())
+
+
+def contamination_hits(docs: DataFrame, bench_hashes: DataFrame,
+                       id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-document benchmark-overlap counts: ``(id, n_hits)`` where
+    ``n_hits`` is how many DISTINCT doc n-grams appear anywhere in the
+    benchmark. Docs with zero hits are absent (inner semi-style join) —
+    the common case at scale, so the output is tiny.
+
+    Plan: explode the doc's distinct gram hashes scan-side, broadcast-join
+    the benchmark hash set, count per id. The corpus never shuffles; the
+    only aggregation is over the (rare) matching grams."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(ngram_hash_set(F.col(text_col), n)).alias("gram_hash"))
+    return (grams
+            .join(F.broadcast(bench_hashes), "gram_hash")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  n: int = 3, min_hits: int = 1,
+                  keep: str = "clean") -> DataFrame:
+    """Split the corpus on benchmark overlap.
+
+    ``keep='clean'`` returns documents with fewer than ``min_hits``
+    overlapping n-grams (the training set after hygiene); ``keep='dirty'``
+    returns the flagged documents with their ``n_hits`` for auditing.
+
+    ``n`` is the gram length (13 in GPT-3-style decontamination; lower for
+    short-document corpora), ``min_hits`` the overlap tolerance."""
+    if keep not in ("clean", "dirty"):
+        raise ValueError(f"keep must be 'clean' or 'dirty', got {keep!r}")
+    bh = benchmark_gram_hashes(bench, bench_text_col or text_col, n)
+    hits = contamination_hits(docs, bh, id_col, text_col, n)
+    flagged = hits.where(F.col("n_hits") >= min_hits)
+    if keep == "dirty":
+        return docs.join(flagged, id_col).select(docs["*"], flagged["n_hits"])
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

@@ -38,9 +38,20 @@ _MH_SIGS = ",\n  ".join(
     f"list_min([md5('{i}|' || x) for x in w]) AS mh{i}" for i in range(8))
 
 
-def _minhash_pairs_sql(threshold: float) -> str:
-    """MinHash(8)+LSH(4x2) verified-pairs CTE body, parameterized on the
-    Jaccard threshold (shared by the pair query and the CC clustering
+#: Hot-bucket cap for LSH banding in the suite queries. The synthetic
+#: corpus is tiny-vocab word soup, so nearly EVERY doc pair collides in
+#: some band — uncapped banding emits ~10M candidate pairs from 5k docs at
+#: sf0.1, i.e. the degenerate O(n²) hot-bucket case the cap exists for.
+#: Buckets above the cap are skipped (docs still pair via their other
+#: bands); per-bucket pair output is bounded at cap·(cap−1)/2, which is
+#: the only banding discipline that survives boilerplate-heavy corpora at
+#: 100 TB. Mirrored exactly in the oracle's HAVING COUNT(*) <= cap.
+LSH_BUCKET_CAP = 40
+
+
+def _minhash_pairs_sql(threshold: float, cap: int = LSH_BUCKET_CAP) -> str:
+    """Capped MinHash(8)+LSH(4x2) verified-pairs CTE body, parameterized on
+    the Jaccard threshold (shared by the pair query and the CC clustering
     oracle)."""
     return f"""
 WITH ws AS (SELECT doc_id, {_WS} AS w FROM documents),
@@ -53,8 +64,11 @@ bands AS (SELECT doc_id, unnest([
     md5(concat_ws('|', '2', mh4, mh5)),
     md5(concat_ws('|', '3', mh6, mh7))]) AS band_key
   FROM sigs),
+ok AS (SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {cap}),
 cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+  FROM bands a
+  JOIN ok USING (band_key)
+  JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
        CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
        / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
@@ -70,12 +84,14 @@ _MINHASH_ORACLE = _minhash_pairs_sql(0.5)
 
 @query("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH(4 bands × 2) candidate pairs, verified with exact
-    Jaccard ≥ 0.5 — the standard web-corpus near-dup pipeline, one band-key
-    shuffle + a candidates-only verify join."""
+    """MinHash(8) + LSH(4 bands × 2) candidate pairs with the hot-bucket
+    cap (LSH_BUCKET_CAP), verified with exact Jaccard ≥ 0.5 — the standard
+    web-corpus near-dup pipeline: one band-key shuffle, bounded per-bucket
+    fan-out, candidates-only verify join."""
     d = Catalog(spark, sf_dir).table("documents")
     return D.minhash_lsh_dedup_pairs(d, "doc_id", "text",
-                                     num_hashes=8, band_size=2, threshold=0.5)
+                                     num_hashes=8, band_size=2, threshold=0.5,
+                                     max_bucket_size=LSH_BUCKET_CAP)
 
 
 _SH_SUMS = ",\n  ".join(
@@ -212,7 +228,8 @@ def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("keep").alias("part"), "doc_id", "lang", "source",
                     F.lit(None).cast("long").alias("component")))
     pairs = D.minhash_lsh_dedup_pairs(d, "doc_id", "text", num_hashes=8,
-                                      band_size=2, threshold=0.7)
+                                      band_size=2, threshold=0.7,
+                                      max_bucket_size=LSH_BUCKET_CAP)
     clusters = (C.duplicate_clusters(pairs, "id_a", "id_b")
                 .select(F.lit("cluster").alias("part"),
                         F.col("node").alias("doc_id"),
