@@ -217,11 +217,12 @@ def dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     - part='keep': exact keep-one — one representative (min doc_id) per
       distinct text (leftsemi against the min-per-group set; single
       shuffle on the content key).
-    - part='cluster': NEAR-dup clusters — LSH pairs at Jaccard >= 0.7
-      resolved into connected components (alternating large-star /
-      small-star rounds, `operators/components.py`), so transitive
-      near-dup chains a pairwise threshold can't see collapse into one
-      cluster id (= min member; `doc_id == component` marks the keeper).
+    - part='cluster': NEAR-dup clusters — capped-band LSH pairs
+      (LSH_BUCKET_CAP) at Jaccard >= 0.7 resolved into connected
+      components (alternating large-star / small-star rounds,
+      `operators/components.py`), so transitive near-dup chains a
+      pairwise threshold can't see collapse into one cluster id (= min
+      member; `doc_id == component` marks the keeper).
     """
     d = Catalog(spark, sf_dir).table("documents")
     keep = (D.dedup_exact(d, ["text"], keep_by="doc_id")
