@@ -1,0 +1,88 @@
+"""End-to-end curation pipeline: the LLM-data operators composed the way a
+real pre-training dataset build chains them —
+
+    decontaminate → quality gate → near-dup keep-one → temperature mix →
+    chunk → pack
+
+Each stage is individually differential-tested elsewhere; this pins the
+COMPOSITION: stages commute with determinism (two runs, same output),
+row-flow is monotone non-increasing until chunking, and every stage's
+output schema feeds the next without adapters. All scan-side / broadcast
+stages — the composed plan still never shuffles the corpus except at the
+explicit dedup groupBy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators import dedup as D
+from realtime_olap_spark.operators.chunking import chunk_documents
+from realtime_olap_spark.operators.decontam import decontaminate
+from realtime_olap_spark.operators.mixture import temperature_mixture_sample
+from realtime_olap_spark.operators.packing import pack_greedy
+from realtime_olap_spark.operators.text import quality_score
+from tests.conftest import SF_DIR
+
+
+def _pipeline(spark):
+    docs = Catalog(spark, SF_DIR).table("documents")
+    bench = docs.orderBy("doc_id").limit(3).select("text")
+
+    clean = decontaminate(docs, bench, "doc_id", "text", n=3)
+    gated = clean.where(quality_score(F.col("text")) >= 0.3)
+    kept = D.dedup_exact(gated, ["text"], keep_by="doc_id")
+    toks = kept.withColumn(
+        "ntok", F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                                lambda w: w != "")).cast("long"))
+    total = toks.agg(F.sum("ntok")).first()[0]
+    mixed = temperature_mixture_sample(toks, "source", "doc_id", "ntok",
+                                       alpha=0.5,
+                                       target_tokens=float(total) * 0.5)
+    chunks = chunk_documents(mixed, "doc_id", "text", 32, 8)
+    packed = pack_greedy(
+        chunks.withColumnRenamed("chunk_ntok", "ctok"),
+        "ctok", ["doc_id", "chunk_idx"], budget=256,
+        partition_cols=[])
+    return docs, clean, gated, kept, mixed, chunks, packed
+
+
+def test_pipeline_row_flow_and_determinism(spark):
+    docs, clean, gated, kept, mixed, chunks, packed = _pipeline(spark)
+    n_docs = docs.count()
+    n_clean = clean.count()
+    n_gated = gated.count()
+    n_kept = kept.count()
+    n_mixed = mixed.count()
+    # monotone filtering stages, none degenerate-empty
+    assert n_docs >= n_clean >= n_gated >= n_kept >= n_mixed > 0
+    assert n_clean < n_docs  # the seeded benchmark really removed docs
+
+    n_chunks = chunks.count()
+    assert n_chunks >= n_mixed  # chunking amplifies (≥1 chunk per doc)
+
+    # packing covers every chunk exactly once, within budget per sequence
+    per_seq = (packed.groupBy("seq_id")
+               .agg(F.sum("ctok").alias("fill"),
+                    F.count(F.lit(1)).alias("n")))
+    assert packed.count() == n_chunks
+    # a sequence may exceed budget only when it is a single oversized chunk
+    bad = per_seq.where((F.col("fill") > 256) & (F.col("n") > 1)).count()
+    assert bad == 0
+
+    # determinism: a second identical build selects the identical doc set
+    _, _, _, _, mixed2, _, _ = _pipeline(spark)
+    ids1 = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in mixed2.select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_pipeline_plan_shape(spark):
+    """The composed filter stages stay scan-side: the only exchanges in
+    the pre-chunking plan belong to the dedup groupBy, the mixture's tiny
+    aggregates, and their broadcasts — the corpus is never repartitioned
+    for the filters themselves."""
+    _, _, _, _, mixed, _, _ = _pipeline(spark)
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # decontam + mixture rate attach
