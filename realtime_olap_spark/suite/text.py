@@ -26,6 +26,15 @@ _BPE = f"len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))"
 # word bigrams, DuckDB 1-based list indexing — twin of T.word_ngrams(n=2)
 _BIGRAMS = (f"list_transform(generate_series(1, greatest({_NTOK} - 1, 0)), "
             f"i -> concat_ws(' ', {_WS}[i], {_WS}[i + 1]))")
+# word trigrams — twin of T.word_ngrams(n=3), for the decontamination pass
+_TRIGRAMS = (f"list_transform(generate_series(1, greatest({_NTOK} - 2, 0)), "
+             f"i -> concat_ws(' ', {_WS}[i], {_WS}[i + 1], {_WS}[i + 2]))")
+
+#: Decontamination benchmark size: the corpus's own first N docs stand in
+#: for an eval set (guaranteed overlap at any scale factor or generator
+#: seed — a doc is its own benchmark item), so the driver-recorded query
+#: always exercises non-zero hit counts.
+DECONTAM_BENCH_DOCS = 5
 
 _LANGS = sorted(T.LANG_MARKERS)
 _SCORES = "[" + ", ".join(
@@ -127,6 +136,13 @@ _BUCKET = ("(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
 
 
 @query("text_doc_features", f"""
+WITH bench AS (SELECT text FROM documents
+               ORDER BY doc_id LIMIT {DECONTAM_BENCH_DOCS}),
+bg AS (SELECT DISTINCT unnest({_TRIGRAMS}) AS gram FROM bench),
+dg AS (SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS gram
+       FROM documents),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM dg JOIN bg USING (gram) GROUP BY doc_id)
 SELECT doc_id,
        length(text) AS n_chars_m,
        {_NTOK} AS n_tokens,
@@ -142,7 +158,9 @@ SELECT doc_id,
        (CASE WHEN {_BUCKET} < 100000 THEN 'test' ELSE 'train' END) AS split,
        ROW_NUMBER() OVER (PARTITION BY lang, source
                           ORDER BY {_BUCKET} ASC,
-                                   CAST(doc_id AS VARCHAR) ASC) AS strat_rank
+                                   CAST(doc_id AS VARCHAR) ASC) AS strat_rank,
+       COALESCE((SELECT n_hits FROM hits WHERE hits.doc_id = documents.doc_id),
+                CAST(0 AS BIGINT)) AS contam_hits
 FROM documents
 ORDER BY doc_id ASC
 LIMIT 30
@@ -152,12 +170,20 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation, uppercase ratios) + the order-sensitive rolling polynomial
     fingerprint (Rabin-Karp-style) — all pure scan-side expressions — plus
     the deterministic curation-sampling decisions (operators/sampling.py):
-    hash-sample membership at 20%, the 10% train/test split, and the
+    hash-sample membership at 20%, the 10% train/test split, the
     stratified per-(lang, source) rank whose ``rank <= n`` is the balanced
-    take. Content-hash decisions are row properties, so the audit columns
-    are reproducible on any engine or partitioning."""
+    take, and the decontamination audit (operators/decontam.py): distinct
+    trigrams shared with the benchmark (= the corpus's own first
+    DECONTAM_BENCH_DOCS docs, so hits are guaranteed at any SF/seed;
+    benchmark gram hashes broadcast, corpus never shuffled). Content-hash
+    decisions are row properties, so the audit columns are reproducible on
+    any engine or partitioning."""
+    from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
     from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
+    bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
+    hits = DC.contamination_hits(
+        d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
     return (d.select("doc_id", "lang", "source",
                      *T.quality_features(F.col("text")),
                      T.rolling_fingerprint_fast(F.col("text"))
@@ -166,7 +192,10 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
             .withColumn("strat_rank",
                         S.stratified_rank(["lang", "source"], "doc_id"))
-            .drop("lang", "source")
+            .join(hits, "doc_id", "left")
+            .withColumn("contam_hits",
+                        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+            .drop("lang", "source", "n_hits")
             .orderBy(F.col("doc_id").asc()).limit(30))
 
 
