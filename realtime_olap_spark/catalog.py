@@ -24,12 +24,16 @@ from pyspark.sql import functions as F
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in the parquet at ``path``.
 
-    Reads only the footer via pyarrow (cheap, driver-side, once per Catalog
-    thanks to the table cache). ``path`` may be a single file or a directory
-    of part files — any one footer decides, since a table is written with one
+    Spark's reader rejects nanos outright ([PARQUET_TYPE_ILLEGAL]), so
+    these columns need the forced-INT64 workaround below. The generator
+    behind /root/testdata has switched a column's unit between rounds
+    (events.ts: ns in r1-r3, µs in r5) — sniff, never assume. Reads only
+    the footer via pyarrow (cheap, driver-side, once per Catalog thanks to
+    the table cache). ``path`` may be a single file or a directory of part
+    files — any one footer decides, since a table is written with one
     schema."""
     import pyarrow.parquet as pq
 
@@ -40,13 +44,14 @@ def _events_ts_is_nanos(path: str) -> bool:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         if not parts:
-            return False
+            return []
         probe = os.path.join(path, parts[0])
     try:
-        field = pq.read_schema(probe).field("ts")
-    except (KeyError, OSError):
-        return False
-    return getattr(field.type, "unit", None) == "ns"
+        schema = pq.read_schema(probe)
+    except OSError:
+        return []
+    return [f.name for f in schema
+            if getattr(f.type, "unit", None) == "ns"]
 
 # Sentinel defaults per role, mirroring FieldSpec.java:52-64.
 DIMENSION_DEFAULTS = {
@@ -272,41 +277,56 @@ class Catalog:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            if name == "events":
-                # events.ts arrives in either of two physical encodings
-                # depending on the generator: Parquet TIMESTAMP(NANOS) —
-                # which Spark's reader rejects outright
-                # ([PARQUET_TYPE_ILLEGAL]) — or a plain TIMESTAMP(MICROS).
-                # Sniff the footer instead of assuming: mis-reading micros
-                # as nanos silently shifts every event to 1970.
-                if _events_ts_is_nanos(path):
-                    # Read the physical INT64 as epoch-nanos and re-derive a
-                    # microsecond timestamp (`ts div 1000` stays in long
-                    # arithmetic — 1.7e18 ns doesn't survive a double).
-                    # Microsecond truncation matches what SQL engines
-                    # (e.g. DuckDB) expose for ns parquet columns.
-                    df = self.spark.read.schema(
-                        "event_id long, ts long, user_id long, event_type string, "
-                        "value double, props string"
-                    ).parquet(path)
-                    df = (df.withColumnRenamed("ts", "ts_ns")
-                            .withColumn("ts", F.expr("timestamp_micros(ts_ns div 1000)")))
-                else:
+            # A column's physical timestamp unit depends on the generator
+            # run (events.ts has shipped as both NANOS and MICROS across
+            # rounds). Spark rejects nanos outright, and assuming one
+            # encoding silently corrupts the other — sniff the footer and
+            # route EVERY table through the workaround only when needed.
+            ns_cols = _nanos_timestamp_cols(path)
+            if ns_cols:
+                df = self._read_nanos(path, ns_cols)
+            else:
+                df = self.spark.read.parquet(path)
+                if name == "events":
                     # Natural read; normalize NTZ to the session-zone
                     # timestamp the rest of the engine expects, and keep a
-                    # ts_ns epoch-nanos twin so the exposed schema is the
-                    # same under both encodings.
-                    df = self.spark.read.parquet(path)
+                    # ts_ns epoch-nanos twin so the exposed events schema
+                    # is identical under both encodings.
                     df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
                             .withColumn(
                                 "ts_ns",
                                 (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
                             .select("event_id", "ts_ns", "user_id",
                                     "event_type", "value", "props", "ts"))
-                self._cache[name] = df
-            else:
-                self._cache[name] = self.spark.read.parquet(path)
+            self._cache[name] = df
         return self._cache[name]
+
+    def _read_nanos(self, path: str, ns_cols: list[str]) -> DataFrame:
+        """Read a parquet whose ``ns_cols`` are TIMESTAMP(NANOS): force the
+        physical INT64 as epoch-nanos (kept as ``<col>_ns``) and re-derive
+        a microsecond timestamp under the original name (`div 1000` stays
+        in long arithmetic — 1.7e18 ns doesn't survive a double; µs
+        truncation matches what SQL engines expose for ns columns)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(f for f in os.listdir(path)
+                           if f.endswith(".parquet")
+                           and not f.startswith(("_", ".")))
+            probe = os.path.join(path, parts[0])
+        fields = [
+            StructField(f.name,
+                        LongType() if f.name in ns_cols
+                        else from_arrow_type(f.type), True)
+            for f in pq.read_schema(probe)]
+        df = self.spark.read.schema(StructType(fields)).parquet(path)
+        for c in ns_cols:
+            df = (df.withColumnRenamed(c, f"{c}_ns")
+                    .withColumn(c, F.expr(f"timestamp_micros({c}_ns div 1000)")))
+        return df
 
     def config(self, name: str) -> TableConfig:
         return TABLES[name]
