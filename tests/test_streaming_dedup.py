@@ -88,3 +88,42 @@ def test_dedup_against_corpus_matches_batch_anti_join(spark, tmpdir):
                  for r in spark.read.schema(SCHEMA).parquet(sink).collect())
     # corpus texts dropped; in-stream dups NOT deduped by this operator
     assert got == [(2, "beta"), (4, "delta"), (5, "beta")]
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Decontamination at ingest: the benchmark gram-hash set (tiny,
+    broadcast) left-anti-joins the STREAM of incoming documents — the
+    stream-static shape Spark supports statelessly, so contaminated docs
+    never enter the corpus. availableNow drain must equal the batch
+    decontaminate on the same files."""
+    from realtime_olap_spark.operators.decontam import (
+        benchmark_gram_hashes, decontaminate, ngram_hash_set)
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "alpha beta gamma delta epsilon"),
+                              (2, 2, "zeta eta theta iota kappa"),
+                              (3, 3, "alpha beta gamma zz qq")])
+    _write_batch(spark, src, [(4, 4, "completely novel words here now"),
+                              (5, 5, "zeta eta theta wholly reused")])
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma was seen",), ("zeta eta theta too",)], ["text"])
+    bh = benchmark_gram_hashes(bench, "text", 3)
+
+    # stream side: stateless per-row flag — any doc gram in the benchmark
+    # set contaminates (array intersect against the broadcast hash set)
+    bench_hashes = [r["gram_hash"] for r in bh.collect()]
+    flag = F.arrays_overlap(
+        ngram_hash_set(F.col("text"), 3),
+        F.array(*[F.lit(h) for h in bench_hashes]))
+    clean_stream = _stream(spark, src).where(~flag)
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(clean_stream, sink, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+
+    batch = decontaminate(spark.read.schema(SCHEMA).parquet(src), bench,
+                          "doc_id", "text", n=3)
+    want = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert got == want
+    # 1,3 hit 'alpha beta gamma'; 2,5 hit 'zeta eta theta' — only 4 is clean
+    assert got == {4}
