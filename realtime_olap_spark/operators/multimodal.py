@@ -193,10 +193,13 @@ def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
 
 
 def payload_checksum(payload: Column, mod: int = 1_000_000_007) -> Column:
-    """Order-sensitive byte checksum (same fold as text.rolling_fingerprint)
-    — cheap integrity/dedup key over opaque payloads, JVM-side."""
-    codes = F.transform(F.filter(F.split(F.decode(payload, "UTF-8"), ""),
-                                 lambda c: c != ""),
-                        lambda c: F.ascii(c).cast("long"))
+    """Order-sensitive byte checksum (same fold discipline as
+    text.rolling_fingerprint) — cheap integrity/dedup key over opaque
+    payloads, JVM-side. Folds over the HEX rendering (two chars per byte),
+    which is well-defined for ANY binary — decoding arbitrary bytes as
+    UTF-8 is not. Python twin (tests/test_multimodal.py):
+    ``for c in payload.hex().upper(): h = (h*31 + ord(c)) % mod``."""
+    chars = F.filter(F.split(F.hex(payload), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"))

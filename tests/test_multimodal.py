@@ -73,3 +73,24 @@ def test_sessionize_pandas_agrees_with_window(spark):
                 sessionize_pandas(ev).select(*key, "session_start", "session_end",
                                              "n_events", "duration_us").collect()])
     assert a == b and len(a) > 0
+
+
+def test_payload_checksum_matches_python_reference(spark):
+    """Byte checksum defined over the hex rendering — well-formed for any
+    binary (incl. invalid-UTF-8 bytes) and equal to the Python fold."""
+    from pyspark.sql import functions as F
+    from realtime_olap_spark.operators.multimodal import payload_checksum
+
+    payloads = [bytes([0, 255, 128, 7, 9]), b"", b"abc123",
+                bytes(range(256)), b"\xff\xfe\x00\x01"]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               "i long, payload binary")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", payload_checksum(F.col("payload")).alias("c"))
+           .collect()}
+    mod = 1_000_000_007
+    for i, p in enumerate(payloads):
+        h = 0
+        for ch in p.hex().upper():
+            h = (h * 31 + ord(ch)) % mod
+        assert got[i] == h, (i, got[i], h)
