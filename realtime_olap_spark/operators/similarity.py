@@ -222,3 +222,43 @@ def _nearest_centroids(query_vec: list[float], centroids: list[list[float]],
 
     order = sorted(range(len(centroids)), key=lambda i: (sq(centroids[i]), i))
     return order[:nprobe]
+
+
+def hard_negative_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        label_col: str, centroids: list[list[float]],
+                        k: int = 5) -> DataFrame:
+    """Hard-negative mining for embedding training: for every vector, the
+    ``k`` most similar vectors with a DIFFERENT label —
+    ``(id_a, id_b, label_a, label_b, cos, rk)``.
+
+    Plan shape (the same discipline as dedup.embedding_near_dup_pairs):
+    the candidate join is blocked on the deterministic IVF cell — truly
+    hard negatives are close in embedding space, so they share the
+    nearest centroid (the standard ANN recall trade; widen by training
+    more centroids, never by unblocking). Per-row (cell, norm) assignment
+    is Arrow-vectorized once; within-cell pairs get one JVM fold each;
+    the per-anchor top-k is a rank window over the (tiny) candidate set.
+    Nothing is ever quadratic in a label or in the corpus — cost is
+    O(Σ cell²) bounded by the quantizer, exactly the IVF contract."""
+    an = ivf_assign_norm(vec_col, centroids)
+    sides = df.select(F.col(id_col), F.col(label_col).alias("lbl"),
+                      F.col(vec_col).alias("v"),
+                      an.alias("__an")) \
+              .select(id_col, "lbl", "v",
+                      F.col("__an.cell").alias("cell"),
+                      F.col("__an.nrm").alias("nrm"))
+    a = sides.select(F.col(id_col).alias("id_a"), F.col("lbl").alias("label_a"),
+                     F.col("v").alias("va"), F.col("nrm").alias("na"), "cell")
+    b = sides.select(F.col(id_col).alias("id_b"), F.col("lbl").alias("label_b"),
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell")
+    from pyspark.sql import Window  # noqa: PLC0415
+    from realtime_olap_spark.operators.dedup import dot  # noqa: PLC0415
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(),
+                                           F.col("id_b").asc())
+    return (a.join(b, "cell")
+            .where(F.col("label_a") != F.col("label_b"))
+            .withColumn("cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("id_a", "id_b", "label_a", "label_b", "cos", "rk"))
