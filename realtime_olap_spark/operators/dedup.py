@@ -269,3 +269,70 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         / (F.col("na") * F.col("nb")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Per-document LSH band table ``(id, band_key)`` — the materialization
+    unit of INCREMENTAL dedup: persist this for the corpus once (partition
+    or bucket by ``band_key``), and each new ingest batch joins its own
+    (tiny) band table against it instead of re-pairing the corpus."""
+    sigs = df.select(F.col(id_col),
+                     *minhash_signature(word_set(text_col), num_hashes))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*lsh_band_keys([f"mh{i}" for i in range(num_hashes)],
+                                         band_size))).alias("band_key"))
+
+
+def minhash_lsh_pairs_against(new_df: DataFrame, corpus_bands: DataFrame,
+                              corpus_words: DataFrame, id_col: str,
+                              text_col: str, num_hashes: int = 8,
+                              band_size: int = 2, threshold: float = 0.5,
+                              max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus:
+    ``(id_new, id_corpus, jaccard)`` with exact Jaccard ≥ threshold.
+
+    The asymmetric ingestion shape that survives 100 TB: the corpus side
+    is the pre-materialized band table (``minhash_bands``) plus a
+    ``(id, wh)`` hashed-word-set table — both written once at ingest, both
+    keyed for pruning — so per-batch cost is O(batch bands ⋈ matching
+    corpus bands), never O(corpus²) and never a corpus re-scan. The
+    optional ``max_bucket_size`` caps degenerate CORPUS buckets exactly
+    like the symmetric pipeline (a boilerplate band key shared by millions
+    of corpus docs would otherwise amplify every new doc that hits it).
+
+    ``corpus_words`` must carry ``(id_col, wh)`` where ``wh`` is
+    ``transform(word_set(text), word_hash60)`` — the same encoding the
+    verify phase uses everywhere."""
+    nb = minhash_bands(new_df, id_col, text_col, num_hashes, band_size)
+    cb = corpus_bands
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("band_key").agg(F.count(F.lit(1)).alias("__n"))
+        cb = (cb.join(sizes.where(F.col("__n") <= max_bucket_size),
+                      "band_key").drop("__n"))
+    cands = (nb.select(F.col(id_col).alias("id_new"), "band_key")
+             .join(cb.select(F.col(id_col).alias("id_corpus"), "band_key"),
+                   "band_key")
+             .where(F.col("id_new") != F.col("id_corpus"))
+             .select("id_new", "id_corpus")
+             .distinct())
+    new_words = new_df.select(
+        F.col(id_col).alias("id_new"),
+        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh_a"),
+        F.size(word_set(text_col)).alias("nw_a"))
+    cw = corpus_words.select(F.col(id_col).alias("id_corpus"),
+                             F.col("wh").alias("wh_b"),
+                             F.size("wh").alias("nw_b"))
+    inter = F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b")))
+    jac = inter.cast("double") / (F.col("nw_a") + F.col("nw_b") - inter).cast("double")
+    return (cands
+            .join(F.broadcast(new_words), "id_new")
+            .join(cw, "id_corpus")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_new", "id_corpus", "jaccard"))
