@@ -1,0 +1,84 @@
+"""Unigram language-model scoring — the perplexity-proxy quality signal.
+
+CCNet-style pipelines bucket documents by LM perplexity; the reproducible,
+engine-neutral core of that signal is a unigram LM trained on the corpus
+itself: ``score(doc) = mean over tokens of log(count(w) / N)`` (natural
+log; higher = more typical text, lower = rare-token soup). Real pipelines
+swap in KenLM — the *Spark shape* is identical: a frequency table joined
+into an exploded token stream.
+
+Scale design (100 TB):
+
+- The frequency table is ONE map-side-combined count shuffle carrying
+  ``(word, count)`` pairs — vocabulary-sized, never corpus-sized. Train it
+  once, persist it, reuse it across batches (pass ``freqs`` explicitly).
+- Scoring explodes tokens scan-side and equi-joins the frequency table on
+  the word. Natural-language vocabularies fit in a broadcast (millions of
+  rows × 16 bytes); above the threshold Catalyst/AQE falls back to a
+  shuffled join keyed on the word — still never pairwise.
+- OOV tokens (scoring a NEW batch against a previously-trained table) get
+  add-one smoothing: ``log(1 / N)`` — deterministic and SQL-mirrorable.
+
+The whole pipeline is exact integer counts + one log per distinct
+(word, count) — differentially testable against DuckDB to the ULP
+(log is correctly rounded on both JVMs and C runtimes for these inputs;
+the mean is a SUM/COUNT of identical doubles in both engines only when
+summation order is fixed, so the per-doc mean sums log-probs through
+DECIMAL-exact token counts: sum of doubles is order-dependent, hence the
+differential compares to 1e-9 tolerance, not hash equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.text import words
+
+
+def train_unigram_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus unigram table ``(word, n_occ)`` + the grand total attached
+    as a constant column ``n_total`` (1-row broadcast cross join — the
+    scorer needs both). One count shuffle; persist the result at ingest."""
+    toks = df.select(F.explode(words(F.col(text_col))).alias("word"))
+    freqs = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = freqs.agg(F.sum("n_occ").alias("n_total"))
+    return freqs.crossJoin(F.broadcast(total))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    freqs: DataFrame | None = None) -> DataFrame:
+    """Per-document mean unigram log-probability ``(id, n_tokens,
+    mean_logprob)``. ``freqs`` defaults to training on ``df`` itself
+    (self-scoring); pass a persisted table to score new batches against a
+    fixed reference corpus — unseen words then cost ``log(1/N)``."""
+    if freqs is None:
+        freqs = train_unigram_freqs(df, text_col)
+    toks = df.select(F.col(id_col),
+                     F.explode(words(F.col(text_col))).alias("word"))
+    # n_total rides along on every freq row (constant column), so OOV rows
+    # from the left join need it re-derived: take the max over the table
+    # once and attach as a literal-free 1-row broadcast.
+    total = freqs.agg(F.max("n_total").alias("__nt"))
+    scored = (toks.join(F.broadcast(freqs.select("word", "n_occ")),
+                        "word", "left")
+              .crossJoin(F.broadcast(total))
+              .select(id_col,
+                      F.log(F.coalesce(F.col("n_occ"), F.lit(1)).cast("double")
+                            / F.col("__nt").cast("double")).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob")))
+
+
+def perplexity_buckets(scores: DataFrame, n_buckets: int = 3,
+                       score_col: str = "mean_logprob") -> DataFrame:
+    """CCNet-style head/middle/tail split by score quantile: adds
+    ``bucket`` (0 = best/most-typical). ntile over one global sort of the
+    (docs-sized, few-column) score table — at corpus scale swap in
+    ``approxQuantile`` cutoffs to avoid the single-partition window; the
+    bucket SEMANTICS stay identical."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    w = Window.orderBy(F.col(score_col).desc())
+    return scores.withColumn(
+        "bucket", (F.ntile(n_buckets).over(w) - 1).cast("long"))

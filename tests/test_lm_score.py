@@ -1,0 +1,76 @@
+"""Unigram-LM quality scoring — DuckDB differential (1e-9 tolerance on the
+mean of doubles; token counts exact) + OOV smoothing and bucket shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators.lm_score import (perplexity_buckets,
+                                                    train_unigram_freqs,
+                                                    unigram_logprob)
+from tests.conftest import SF_DIR
+
+_WS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+
+
+def test_self_scores_match_duckdb(spark, duck):
+    d = Catalog(spark, SF_DIR).table("documents")
+    got = {r["doc_id"]: r for r in
+           unigram_logprob(d, "doc_id", "text").collect()}
+    con = duck(SF_DIR)
+    want = con.execute(f"""
+        WITH toks AS (SELECT doc_id, unnest({_WS}) AS word FROM documents),
+        freqs AS (SELECT word, COUNT(*) AS n_occ FROM toks GROUP BY word),
+        tot AS (SELECT SUM(n_occ) AS n FROM freqs)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               AVG(ln(n_occ / (SELECT n FROM tot))) AS mean_logprob
+        FROM toks JOIN freqs USING (word)
+        GROUP BY doc_id
+        """).df()
+    assert len(got) == len(want)
+    for _, row in want.iterrows():
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == int(row["n_tokens"])
+        assert math.isclose(g["mean_logprob"], row["mean_logprob"],
+                            rel_tol=1e-9), row["doc_id"]
+
+
+def test_oov_smoothing_against_fixed_reference(spark):
+    """Scoring a new batch against a persisted frequency table: unseen
+    words cost log(1/N) — strictly below any in-vocabulary word's cost."""
+    ref = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha beta beta")],
+        ["doc_id", "text"])
+    freqs = train_unigram_freqs(ref, "text")
+    n_total = freqs.agg(F.max("n_total")).first()[0]
+    assert n_total == 7
+    new = spark.createDataFrame(
+        [(10, "alpha alpha"), (11, "zzz unseen"), (12, "alpha zzz")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"] for r in
+           unigram_logprob(new, "doc_id", "text", freqs=freqs).collect()}
+    lp = lambda k: math.log(k / 7)  # noqa: E731
+    assert math.isclose(got[10], lp(3), rel_tol=1e-12)       # alpha ×2
+    assert math.isclose(got[11], lp(1), rel_tol=1e-12)       # both OOV
+    assert math.isclose(got[12], (lp(3) + lp(1)) / 2, rel_tol=1e-12)
+    assert got[11] < got[10]  # rare-token soup scores worst
+
+
+def test_perplexity_buckets_shape(spark):
+    d = Catalog(spark, SF_DIR).table("documents")
+    scores = unigram_logprob(d, "doc_id", "text")
+    b = perplexity_buckets(scores, n_buckets=3)
+    agg = (b.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("mean_logprob").alias("mn"),
+                F.max("mean_logprob").alias("mx"))
+           .orderBy("bucket").collect())
+    assert [r["bucket"] for r in agg] == [0, 1, 2]
+    sizes = [r["n"] for r in agg]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    # bucket 0 = most typical (highest scores); boundaries ordered
+    assert agg[0]["mn"] >= agg[1]["mx"] - 1e-12
+    assert agg[1]["mn"] >= agg[2]["mx"] - 1e-12
