@@ -24,17 +24,11 @@ from pyspark.sql import functions as F
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Names of TIMESTAMP(NANOS) columns in the parquet at ``path``.
-
-    Spark's reader rejects nanos outright ([PARQUET_TYPE_ILLEGAL]), so
-    these columns need the forced-INT64 workaround below. The generator
-    behind /root/testdata has switched a column's unit between rounds
-    (events.ts: ns in r1-r3, µs in r5) — sniff, never assume. Reads only
-    the footer via pyarrow (cheap, driver-side, once per Catalog thanks to
-    the table cache). ``path`` may be a single file or a directory of part
-    files — any one footer decides, since a table is written with one
-    schema."""
+def _footer_schema(path: str):
+    """The pyarrow schema from one parquet footer at ``path`` (file or
+    directory of part files — any one footer decides, since a table is
+    written with one schema), or ``None`` when unreadable. Cheap,
+    driver-side, once per Catalog thanks to the table cache."""
     import pyarrow.parquet as pq
 
     probe = path
@@ -44,14 +38,31 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
         if not parts:
-            return []
+            return None
         probe = os.path.join(path, parts[0])
     try:
-        schema = pq.read_schema(probe)
+        return pq.read_schema(probe)
     except OSError:
+        return None
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in the parquet at ``path``.
+
+    Spark's reader rejects nanos outright ([PARQUET_TYPE_ILLEGAL]), so
+    these columns need the forced-INT64 workaround below. The generator
+    behind /root/testdata has switched a column's unit between rounds
+    (events.ts: ns in r1-r3, µs in r5) — sniff, never assume. Only
+    TIMESTAMP types qualify (pa.types.is_timestamp): time64/duration
+    columns also expose ``unit == 'ns'`` but must NOT be forced through
+    the epoch-nanos re-derivation (r5 advisory)."""
+    import pyarrow.types as pat
+
+    schema = _footer_schema(path)
+    if schema is None:
         return []
     return [f.name for f in schema
-            if getattr(f.type, "unit", None) == "ns"]
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"]
 
 # Sentinel defaults per role, mirroring FieldSpec.java:52-64.
 DIMENSION_DEFAULTS = {
@@ -291,13 +302,20 @@ class Catalog:
                     # Natural read; normalize NTZ to the session-zone
                     # timestamp the rest of the engine expects, and keep a
                     # ts_ns epoch-nanos twin so the exposed events schema
-                    # is identical under both encodings.
+                    # is identical under both encodings. Column order is
+                    # derived from the sniffed footer (ts slot becomes
+                    # ts_ns, ts re-appended) — never a hardcoded list, so
+                    # a generator-added column flows through both branches
+                    # identically (r5 advisory).
+                    footer = _footer_schema(path)
+                    names = ([f.name for f in footer] if footer is not None
+                             else df.columns)
+                    order = ["ts_ns" if n == "ts" else n for n in names]
                     df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
                             .withColumn(
                                 "ts_ns",
                                 (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
-                            .select("event_id", "ts_ns", "user_id",
-                                    "event_type", "value", "props", "ts"))
+                            .select(*order, "ts"))
             self._cache[name] = df
         return self._cache[name]
 

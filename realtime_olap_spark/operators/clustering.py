@@ -18,18 +18,47 @@ coarse quantizer an IVF needs; this is not a general ML library).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime_olap_spark.operators.similarity import ivf_assign
+from realtime_olap_spark.operators.dedup import dot
+from realtime_olap_spark.operators.similarity import _lit_vec, _self_dot
 
 
-def _sq_dist(vec: str, c: list[float]):
-    """|v - c|^2 as a scan-side fold (sequential, deterministic)."""
-    arr = F.array(*[F.lit(float(x)) for x in c])
-    return F.aggregate(
-        F.zip_with(F.col(vec), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _dists_array(vec: str, aa: Column, cents: list[list[float]]) -> Column:
+    """All K squared distances ``||v − c_k||²`` as ONE array column, in the
+    shared-fold form ``a·a − 2·a·c + c·c`` (``aa`` is a pre-staged alias —
+    passing the raw fold expression would paste its subtree into every
+    array element, and higher-order-function folds are interpreted, not
+    codegen-CSE'd; c·c is a driver-side literal): K+1 folds per row total.
+    Alias the array once and reference the alias for both the argmin (cell)
+    and the min (d2) — a multi-referenced non-cheap alias is NOT inlined by
+    CollapseProject, so the plan carries exactly one fold family
+    (plan-asserted in tests/test_clustering.py). Identical float order to
+    ``similarity.ivf_assign``, so assignments agree with the probe side
+    bit-for-bit."""
+    return F.array(*[
+        aa - F.lit(2.0) * dot(F.col(vec), _lit_vec(c)) + F.lit(_self_dot(c))
+        for c in cents])
+
+
+def assign_with_distance(df: DataFrame, vec_col: str,
+                         cents: list[list[float]]) -> DataFrame:
+    """``(vec_col, cell, d2)``: nearest-centroid index plus its squared
+    distance, from ONE materialized K-distance array per row; cell and d2
+    both read the alias — a single fold family per row (was two through
+    r5: ivf_assign's array AND a least(K zip_with folds) for d2)."""
+    return (df.select(F.col(vec_col),
+                      dot(F.col(vec_col), F.col(vec_col)).alias("__aa"))
+            .select(F.col(vec_col),
+                    _dists_array(vec_col, F.col("__aa"), cents)
+                    .alias("__dists"))
+            .select(
+                F.col(vec_col),
+                (F.array_position(F.col("__dists"),
+                                  F.array_min(F.col("__dists"))) - 1)
+                .cast("int").alias("cell"),
+                F.array_min(F.col("__dists")).alias("d2")))
 
 
 def kmeans_init(df: DataFrame, vec_col: str, k: int,
@@ -57,10 +86,7 @@ def kmeans_fit(df: DataFrame, vec_col: str, k: int, iters: int = 5,
                 for j in range(d)]
     history: list[float] = []
     for _ in range(iters):
-        assigned = df.select(
-            F.col(vec_col),
-            ivf_assign(F.col(vec_col), cents).alias("cell"),
-            F.least(*[_sq_dist(vec_col, c) for c in cents]).alias("d2"))
+        assigned = assign_with_distance(df, vec_col, cents)
         stats = (assigned.groupBy("cell")
                  .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sse"),
                       *dim_sums)
@@ -76,7 +102,7 @@ def kmeans_fit(df: DataFrame, vec_col: str, k: int, iters: int = 5,
 
 def kmeans_sse(df: DataFrame, vec_col: str,
                cents: list[list[float]]) -> float:
-    """Total within-cluster squared error against fixed centroids."""
-    return float(df.select(
-        F.least(*[_sq_dist(vec_col, c) for c in cents]).alias("d2"))
-        .agg(F.sum("d2")).first()[0])
+    """Total within-cluster squared error against fixed centroids (same
+    single shared-fold distance family as the training loop)."""
+    return float(assign_with_distance(df, vec_col, cents)
+                 .agg(F.sum("d2")).first()[0])

@@ -51,7 +51,12 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     """Per-document mean unigram log-probability ``(id, n_tokens,
     mean_logprob)``. ``freqs`` defaults to training on ``df`` itself
     (self-scoring); pass a persisted table to score new batches against a
-    fixed reference corpus — unseen words then cost ``log(1/N)``."""
+    fixed reference corpus — unseen words then cost ``log(1/N)``.
+
+    EVERY input document appears in the output: zero-token docs (empty /
+    whitespace-only text, which the explode+groupBy would silently drop —
+    r5 advisory) come back with ``n_tokens = 0`` and ``mean_logprob``
+    NULL, so downstream joins never lose rows without signal."""
     if freqs is None:
         freqs = train_unigram_freqs(df, text_col)
     toks = df.select(F.col(id_col),
@@ -66,19 +71,60 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
               .select(id_col,
                       F.log(F.coalesce(F.col("n_occ"), F.lit(1)).cast("double")
                             / F.col("__nt").cast("double")).alias("lp")))
-    return (scored.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob")))
+    return (df.select(F.col(id_col)).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+                    .alias("n_tokens"),
+                    F.col("mean_logprob")))
+
+
+def bucket_by_cutoffs(score: Column, cutoffs: list[float]) -> Column:
+    """Scan-side bucket id from FIXED cutoffs (ascending): bucket = number
+    of cutoffs strictly greater than the score, so bucket 0 is the
+    best/most-typical tier (score ≥ the highest cutoff) — the same
+    orientation as ``ntile`` over a descending sort. NULL scores (e.g.
+    zero-token docs) land in the worst bucket ``len(cutoffs)`` — a
+    concrete id, never NULL. Pure comparisons, no window, no shuffle."""
+    bucket: Column = F.lit(0)
+    for c in cutoffs:
+        bucket = bucket + F.when(score < F.lit(float(c)), 1).otherwise(0)
+    return (F.when(score.isNull(), F.lit(len(cutoffs)))
+            .otherwise(bucket)).cast("long")
 
 
 def perplexity_buckets(scores: DataFrame, n_buckets: int = 3,
-                       score_col: str = "mean_logprob") -> DataFrame:
+                       score_col: str = "mean_logprob",
+                       method: str = "cutoffs",
+                       relative_error: float = 1e-4) -> DataFrame:
     """CCNet-style head/middle/tail split by score quantile: adds
-    ``bucket`` (0 = best/most-typical). ntile over one global sort of the
-    (docs-sized, few-column) score table — at corpus scale swap in
-    ``approxQuantile`` cutoffs to avoid the single-partition window; the
-    bucket SEMANTICS stay identical."""
-    from pyspark.sql import Window  # noqa: PLC0415
-    w = Window.orderBy(F.col(score_col).desc())
+    ``bucket`` (0 = best/most-typical).
+
+    Default (``method='cutoffs'``): ONE ``approxQuantile`` aggregate
+    (Greenwald-Khanna, driver receives n_buckets−1 doubles) computes the
+    quantile cutoffs, then bucketing is a scan-side comparison — no
+    window, no global sort, no shuffle of the score table. This is the
+    shape that survives a billions-of-rows score table;
+    ``relative_error=0.0`` makes the cutoffs exact (heavier aggregate,
+    same O(1) result size).
+
+    ``method='ntile'`` is the exact-rank opt-in for SMALL frames: a
+    global ``ntile`` window — one single-partition sort of the whole
+    table, the r5-flagged scale-killer — kept only because exact equal-
+    sized tiers (vs. equal-score-boundary tiers) occasionally matter for
+    tiny calibration sets. The two agree everywhere except rows tied with
+    a cutoff value (property-tested in tests/test_lm_score.py)."""
+    if method == "ntile":
+        from pyspark.sql import Window  # noqa: PLC0415
+        w = Window.orderBy(F.col(score_col).desc())
+        return scores.withColumn(
+            "bucket", (F.ntile(n_buckets).over(w) - 1).cast("long"))
+    if method != "cutoffs":
+        raise ValueError(f"unknown method {method!r} (cutoffs | ntile)")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scores.where(F.col(score_col).isNotNull()) \
+                 .approxQuantile(score_col, probs, relative_error)
     return scores.withColumn(
-        "bucket", (F.ntile(n_buckets).over(w) - 1).cast("long"))
+        "bucket", bucket_by_cutoffs(F.col(score_col), sorted(cuts)))

@@ -59,9 +59,16 @@ def apply_mixture_rates(df: DataFrame, group_col: str, key: Column | str,
     """Filter (or, with ``decision_col``, flag) the corpus by its group's
     rate: row kept iff ``hash(key) mod 1e6 < round(rate·1e6)``. The rate
     table broadcasts; the decision is a scan-side content-hash compare, so
-    membership is a row property — stable under re-runs and re-layouts."""
-    cut = (F.round(F.col("rate") * _MOD)).cast("long")
-    joined = df.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+    membership is a row property — stable under re-runs and re-layouts.
+
+    Groups absent from the rate table, and groups whose rate is NULL (a
+    zero-token group divides 0/0 → NULL), resolve to rate 0 — the row is
+    dropped (or flagged false) with a concrete boolean, never silently
+    swallowed by an inner join or a NULL comparison (left join +
+    coalesce; r5 advisory)."""
+    cut = (F.round(F.coalesce(F.col("rate"), F.lit(0.0)) * _MOD)).cast("long")
+    joined = df.join(F.broadcast(rates.select(group_col, "rate")),
+                     group_col, "left")
     keep = _bucket(key) < cut
     if decision_col is not None:
         return joined.withColumn(decision_col, keep).drop("rate")

@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.catalog import Catalog
-from realtime_olap_spark.operators.clustering import (kmeans_fit, kmeans_init,
+from realtime_olap_spark.operators.clustering import (assign_with_distance,
+                                                      kmeans_fit, kmeans_init,
                                                       kmeans_sse)
 from realtime_olap_spark.operators.similarity import ivf_assign
 from tests.conftest import SF_DIR
@@ -80,6 +81,34 @@ def test_matches_numpy_reference_assignments(spark):
     d2 = ((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
     ref_d2 = ((X[:, None, :] - ref_cents[None, :, :]) ** 2).sum(axis=2)
     assert (d2.argmin(axis=1) == ref_d2.argmin(axis=1)).mean() > 0.99
+
+
+def test_assignment_is_single_fold_family(spark):
+    """The per-iteration scan evaluates exactly K+1 folds per row (one a·a
+    + K a·c against literal centroids): cell and d2 both read the SAME
+    materialized distance array — not a second least(K folds) family (the
+    r3→r5 2× defect), and the shared a·a is an alias, not a pasted subtree
+    (higher-order folds are interpreted, so plan-level duplication is real
+    per-row work, not codegen-CSE'd away)."""
+    df = _emb(spark).limit(50)
+    init = kmeans_init(df, "embedding", k=3)
+    plan = (assign_with_distance(df, "embedding", init)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("aggregate(") == len(init) + 1, plan[:2000]
+
+
+def test_assignment_matches_ivf_assign(spark):
+    """cell from the materialized array == similarity.ivf_assign (same
+    shared-fold float order, same first-minimal tie-breaking) — the
+    trainer and the probe side agree bit-for-bit."""
+    df = _emb(spark).limit(100)
+    init = kmeans_init(df, "embedding", k=4)
+    got = assign_with_distance(df, "embedding", init).select(
+        "embedding", "cell")
+    ref = df.select("embedding",
+                    ivf_assign(F.col("embedding"), init).alias("cell_ref"))
+    joined = got.join(ref, "embedding")
+    assert joined.where(F.col("cell") != F.col("cell_ref")).count() == 0
 
 
 def test_init_requires_enough_rows(spark):

@@ -62,7 +62,7 @@ def test_oov_smoothing_against_fixed_reference(spark):
 def test_perplexity_buckets_shape(spark):
     d = Catalog(spark, SF_DIR).table("documents")
     scores = unigram_logprob(d, "doc_id", "text")
-    b = perplexity_buckets(scores, n_buckets=3)
+    b = perplexity_buckets(scores, n_buckets=3, method="ntile")
     agg = (b.groupBy("bucket")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.min("mean_logprob").alias("mn"),
@@ -74,3 +74,54 @@ def test_perplexity_buckets_shape(spark):
     # bucket 0 = most typical (highest scores); boundaries ordered
     assert agg[0]["mn"] >= agg[1]["mx"] - 1e-12
     assert agg[1]["mn"] >= agg[2]["mx"] - 1e-12
+
+
+def test_cutoff_buckets_default_has_no_window(spark):
+    """The DEFAULT bucketing path must never plan a global window: one
+    approxQuantile aggregate + scan-side comparisons (the r5-flagged
+    single-partition ntile sort is opt-in only)."""
+    d = Catalog(spark, SF_DIR).table("documents")
+    scores = unigram_logprob(d, "doc_id", "text")
+    b = perplexity_buckets(scores, n_buckets=3)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "ntile" not in plan
+
+
+def test_cutoff_buckets_equal_ntile_off_boundaries(spark):
+    """Exact-quantile cutoffs (relative_error=0) reproduce ntile buckets
+    for every row NOT tied with a cutoff value (ties are split arbitrarily
+    by rank in ntile, by value in cutoffs — the only defined difference)."""
+    d = Catalog(spark, SF_DIR).table("documents")
+    scores = unigram_logprob(d, "doc_id", "text")
+    via_cut = perplexity_buckets(scores, n_buckets=3, relative_error=0.0)
+    via_ntile = perplexity_buckets(scores, n_buckets=3, method="ntile")
+    cut_rows = {r["doc_id"]: r for r in via_cut.collect()}
+    probs = [1 / 3, 2 / 3]
+    cuts = set(scores.where(F.col("mean_logprob").isNotNull())
+               .approxQuantile("mean_logprob", probs, 0.0))
+    mismatches = 0
+    for r in via_ntile.collect():
+        c = cut_rows[r["doc_id"]]
+        if r["mean_logprob"] in cuts:
+            continue  # boundary tie — defined divergence
+        if c["bucket"] != r["bucket"]:
+            mismatches += 1
+    assert mismatches == 0
+
+
+def test_zero_token_docs_survive_scoring_and_bucketing(spark):
+    """Empty / whitespace-only docs appear in the output (n_tokens=0,
+    NULL score) and land in the worst bucket — never silently dropped
+    (r5 advisory)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   "), (4, "alpha zzz")],
+        ["doc_id", "text"])
+    scored = unigram_logprob(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["mean_logprob"] is None
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_logprob"] is None
+    b = {r["doc_id"]: r["bucket"] for r in
+         perplexity_buckets(scored, n_buckets=2).collect()}
+    assert b[2] == 1 and b[3] == 1  # worst bucket, concrete id

@@ -113,6 +113,29 @@ def test_sample_is_deterministic_and_tracks_target(spark):
     docs.unpersist()
 
 
+def test_unmatched_and_null_rate_groups_get_concrete_false(spark):
+    """Groups missing from the rate table, and groups whose rate is NULL
+    (zero-token group → 0/0), must flag keep=false — not vanish through an
+    inner join, not emit NULL (r5 advisory)."""
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "ghost", 10), (4, "zero", 10)],
+        ["doc_id", "source", "ntok"])
+    rates = spark.createDataFrame(
+        [("a", 10, 0.5, 1.0), ("b", 10, 0.5, 1.0),
+         ("zero", 0, None, None)],
+        "source string, group_tokens long, weight double, rate double")
+    flagged = apply_mixture_rates(docs, "source", "doc_id", rates,
+                                  decision_col="keep")
+    rows = {r["doc_id"]: r["keep"] for r in flagged.collect()}
+    assert set(rows) == {1, 2, 3, 4}          # no row lost
+    assert rows[1] is True and rows[2] is True
+    assert rows[3] is False and rows[4] is False  # concrete, never NULL
+    # and the filtering path drops exactly those rows
+    kept = {r["doc_id"] for r in
+            apply_mixture_rates(docs, "source", "doc_id", rates).collect()}
+    assert kept == {1, 2}
+
+
 def test_rates_broadcast_into_scan(spark):
     """Applying rates must broadcast the rate table — the corpus is never
     exchanged for the mix decision."""
