@@ -24,6 +24,7 @@ UDF signatures, Arrow batch shapes, partitioning) is real and tested.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -190,6 +191,50 @@ def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
                     F.lit(every_ms).cast("long"))
     return (df.where(F.col("media_type") == "video")
               .select("media_id", F.explode(ts).alias("frame_ts_ms")))
+
+
+#: Size of the literal log2 lookup used by ``entropy_from_hist``. Covers
+#: every integer count that can appear in a histogram of a payload up to
+#: this many bytes (corpus max ≈ 577 across all SFs; 3.5× headroom).
+#: Larger payloads yield NULL entropy on BOTH engines (guarded, never an
+#: out-of-bounds error), so a regenerated corpus can't silently diverge.
+LOG2_LUT_SIZE = 2048
+
+
+def log2_lut() -> list[float]:
+    """``log2(i)`` for i = 1..LOG2_LUT_SIZE, computed ONCE driver-side
+    (Python libm) and rendered as literals into both engines' plans."""
+    return [math.log2(i) for i in range(1, LOG2_LUT_SIZE + 1)]
+
+
+def entropy_from_hist(hist: Column, n: Column) -> Column:
+    """Shannon entropy (bits) of an integer count histogram, in the
+    algebraic form ``log2(n) − (1/n)·Σ c_i·log2(c_i)`` with a FIXED-ORDER
+    left fold over the counts in index order.
+
+    Hash-exact across engines by construction, not by luck: ``log2`` of an
+    integer is NOT reproducible between JVMs and libm (measured r6:
+    Spark's log2 differs from DuckDB's on 7634 of the first 20000 integers
+    — e.g. log2(9) = 0x1.95c01a39fbd69p+1 on the JVM vs
+    0x1.95c01a39fbd68p+1 in DuckDB; even ln differs on 195 of 20000), so
+    NEITHER engine's libm is allowed in the loop. Every needed logarithm —
+    the c_i and n are integers bounded by LOG2_LUT_SIZE — enters the plan
+    as a driver-rendered literal (``log2_lut``; shortest-repr round-trip
+    is bit-exact in both engines), leaving only correctly-rounded IEEE
+    +/×/÷ in an identical fold order. DuckDB twin: index the same literal
+    list and ``list_reduce`` the terms (suite/multimodal.py).
+
+    The literal array constant-folds to a single ArrayData; per-row cost
+    is ``bins`` lookups + one fold — scan-side, no shuffle, no UDF."""
+    lut = F.array(*[F.lit(v) for v in log2_lut()])
+    nn = n.cast("int")
+    terms = F.transform(hist, lambda c: F.when(
+        c > 0, c.cast("double") * F.element_at(lut, c.cast("int")))
+        .otherwise(F.lit(0.0)))
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (F.when((nn >= 1) & (nn <= LOG2_LUT_SIZE),
+                   F.element_at(lut, nn) - s / n.cast("double"))
+            .otherwise(F.lit(None).cast("double")))
 
 
 def payload_checksum(payload: Column, mod: int = 1_000_000_007) -> Column:

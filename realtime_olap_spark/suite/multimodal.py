@@ -99,12 +99,46 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("media_id").asc()).limit(30))
 
 
-@query("mm_feature_entropy")  # float fold order is numpy's → rows-only check
+# log2 of every integer count enters BOTH plans as the same driver-
+# rendered literal (shortest-repr round-trip is bit-exact), so the entropy
+# fold is hash-comparable — see entropy_from_hist's docstring for the
+# measured JVM-vs-libm log divergence that rules out engine log2. The
+# literals are rendered as VARCHAR and cast: a bare decimal literal parses
+# as DECIMAL in DuckDB and decimal-multiplies (overflows, and its
+# decimal→double cast is not correctly rounded — the sqlgen gotcha);
+# string→double is correctly-rounded strtod, bit-exact with F.lit.
+_LUT = ("list_transform(string_split('"
+        + ",".join(repr(v) for v in M.log2_lut())
+        + "', ','), x -> CAST(x AS DOUBLE))")
+
+
+@query("mm_feature_entropy", f"""
+WITH lut AS (SELECT {_LUT} AS lg),
+h AS (SELECT doc_id, {_NBYTES} AS n, {_HIST} AS hist FROM documents)
+SELECT doc_id AS media_id,
+       CASE WHEN n BETWEEN 1 AND {M.LOG2_LUT_SIZE} THEN
+         lg[n] - list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     [CASE WHEN c > 0 THEN c * lg[c] ELSE CAST(0.0 AS DOUBLE) END
+                      for c in hist]),
+                   (acc, x) -> acc + x) / n
+       ELSE NULL END AS byte_entropy
+FROM h, lut
+ORDER BY byte_entropy DESC NULLS LAST, media_id ASC
+LIMIT 20
+""")
 def mm_feature_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-entropy scoring (vectorized numpy over Arrow batches): the
-    highest-entropy payloads — a stand-in for model-based media scoring."""
+    """Byte-entropy scoring — the highest-entropy payloads, a stand-in for
+    model-based media scoring. The histogram comes out of the Arrow/
+    mapInPandas feature pass (numpy bincount, hash-verified above); the
+    entropy itself is the JVM-side fixed-order integer-count fold
+    ``log2(n) − (1/n)·Σ c_i·log2(c_i)`` with literal-table logarithms
+    (operators/multimodal.entropy_from_hist), which makes this query
+    hash-comparable — numpy's pairwise-summed float entropy (still
+    emitted by extract_features) cannot be."""
     feats = M.extract_features(_media(spark, sf_dir))
-    return (feats.select("media_id", "byte_entropy")
+    ent = M.entropy_from_hist(F.col("byte_hist"), F.col("n_bytes"))
+    return (feats.select("media_id", ent.alias("byte_entropy"))
             .orderBy(F.col("byte_entropy").desc(), F.col("media_id").asc())
             .limit(20))
 

@@ -134,6 +134,23 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET = ("(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
            "AS UBIGINT) AS BIGINT) % 1000000)")
 
+#: FIXED unigram-LM bucket cutoffs (ascending mean-logprob; natural log).
+#: Fixed literals, NOT quantiles: the per-doc mean of doubles is summed in
+#: engine-dependent order, so the MEAN can differ in the last ULP between
+#: Spark and DuckDB — but a bucket id only flips if a doc's score lies
+#: within that ULP of a cutoff. Round two-decimal cutoffs sit ≥ 1e-6 from
+#: every doc score at every SF (asserted in tests/test_lm_score.py), so
+#: the integer bucket is hash-exact while exercising unigram_logprob end
+#: to end. Rendered into the oracle via CAST(VARCHAR AS DOUBLE) — the
+#: correctly-rounded parse, identical to Python's float literal.
+LM_BUCKET_CUTOFFS = [-3.41, -3.40]
+
+_LM_CUTS_SQL = " + ".join(
+    f"(CASE WHEN lm.mlp < CAST('{c!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+    for c in LM_BUCKET_CUTOFFS)
+_LM_BUCKET = (f"CAST((CASE WHEN lm.mlp IS NULL THEN {len(LM_BUCKET_CUTOFFS)} "
+              f"ELSE {_LM_CUTS_SQL} END) AS BIGINT)")
+
 
 @query("text_doc_features", f"""
 WITH bench AS (SELECT text FROM documents
@@ -142,7 +159,12 @@ bg AS (SELECT DISTINCT unnest({_TRIGRAMS}) AS gram FROM bench),
 dg AS (SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS gram
        FROM documents),
 hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-         FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+         FROM dg JOIN bg USING (gram) GROUP BY doc_id),
+toks AS (SELECT doc_id, unnest({_WS}) AS word FROM documents),
+freqs AS (SELECT word, COUNT(*) AS n_occ FROM toks GROUP BY word),
+tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS n FROM freqs),
+lm AS (SELECT doc_id AS lm_doc_id, AVG(ln(n_occ / (SELECT n FROM tot))) AS mlp
+       FROM toks JOIN freqs USING (word) GROUP BY doc_id)
 SELECT doc_id,
        length(text) AS n_chars_m,
        {_NTOK} AS n_tokens,
@@ -160,8 +182,10 @@ SELECT doc_id,
                           ORDER BY {_BUCKET} ASC,
                                    CAST(doc_id AS VARCHAR) ASC) AS strat_rank,
        COALESCE((SELECT n_hits FROM hits WHERE hits.doc_id = documents.doc_id),
-                CAST(0 AS BIGINT)) AS contam_hits
+                CAST(0 AS BIGINT)) AS contam_hits,
+       {_LM_BUCKET} AS lm_bucket
 FROM documents
+LEFT JOIN lm ON lm.lm_doc_id = documents.doc_id
 ORDER BY doc_id ASC
 LIMIT 30
 """)
@@ -177,13 +201,24 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECONTAM_BENCH_DOCS docs, so hits are guaranteed at any SF/seed;
     benchmark gram hashes broadcast, corpus never shuffled). Content-hash
     decisions are row properties, so the audit columns are reproducible on
-    any engine or partitioning."""
+    any engine or partitioning.
+
+    ``lm_bucket`` puts the unigram-LM perplexity-proxy signal
+    (operators/lm_score.py) under the driver oracle end-to-end: the
+    self-trained corpus LM scores every doc and the FIXED literal
+    cutoffs (LM_BUCKET_CUTOFFS) reduce the order-dependent double mean
+    to a hash-exact integer tier."""
     from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
+    from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
     from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
     bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
     hits = DC.contamination_hits(
         d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
+    lm = (LM.unigram_logprob(d, "doc_id", "text")
+          .select("doc_id",
+                  LM.bucket_by_cutoffs(F.col("mean_logprob"),
+                                       LM_BUCKET_CUTOFFS).alias("lm_bucket")))
     return (d.select("doc_id", "lang", "source",
                      *T.quality_features(F.col("text")),
                      T.rolling_fingerprint_fast(F.col("text"))
@@ -195,6 +230,7 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(hits, "doc_id", "left")
             .withColumn("contam_hits",
                         F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+            .join(lm, "doc_id", "left")
             .drop("lang", "source", "n_hits")
             .orderBy(F.col("doc_id").asc()).limit(30))
 

@@ -110,6 +110,22 @@ def test_cutoff_buckets_equal_ntile_off_boundaries(spark):
     assert mismatches == 0
 
 
+def test_fixed_cutoffs_sit_far_from_every_doc_score(spark):
+    """The driver-oracled lm_bucket (suite/text.py) relies on the doc
+    means never lying within float noise of a FIXED cutoff — a cross-
+    engine ULP difference in the order-dependent double mean must not be
+    able to flip a bucket. Margin ≥ 1e-6 for every doc at this SF (a
+    double mean of ~300 logs carries ~1e-13 of order noise)."""
+    from realtime_olap_spark.suite.text import LM_BUCKET_CUTOFFS
+    d = Catalog(spark, SF_DIR).table("documents")
+    scores = [r["mean_logprob"] for r in
+              unigram_logprob(d, "doc_id", "text").collect()
+              if r["mean_logprob"] is not None]
+    assert scores
+    for cut in LM_BUCKET_CUTOFFS:
+        assert min(abs(s - cut) for s in scores) > 1e-6, cut
+
+
 def test_zero_token_docs_survive_scoring_and_bucketing(spark):
     """Empty / whitespace-only docs appear in the output (n_tokens=0,
     NULL score) and land in the worst bucket — never silently dropped

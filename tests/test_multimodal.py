@@ -75,6 +75,32 @@ def test_sessionize_pandas_agrees_with_window(spark):
     assert a == b and len(a) > 0
 
 
+def test_entropy_fold_agrees_with_numpy(spark):
+    """The literal-table fold entropy (oracle-comparable) and numpy's
+    pairwise-summed entropy (extract_features) are the same mathematical
+    quantity — equal to float noise on every payload, and NULL-guarded
+    above the LUT bound."""
+    import math
+
+    from pyspark.sql import functions as F
+    feats = M.extract_features(_media(spark))
+    both = feats.select(
+        "byte_entropy",
+        M.entropy_from_hist(F.col("byte_hist"), F.col("n_bytes"))
+        .alias("fold_e")).collect()
+    assert both
+    for r in both:
+        assert math.isclose(r["byte_entropy"], r["fold_e"],
+                            rel_tol=1e-12, abs_tol=1e-12)
+    # out-of-LUT guard: oversized n yields NULL, never an index error
+    big = spark.createDataFrame(
+        [([M.LOG2_LUT_SIZE + 5] + [0] * 15, M.LOG2_LUT_SIZE + 5)],
+        "byte_hist array<long>, n_bytes long")
+    assert big.select(
+        M.entropy_from_hist(F.col("byte_hist"), F.col("n_bytes"))
+        .alias("e")).first()["e"] is None
+
+
 def test_payload_checksum_matches_python_reference(spark):
     """Byte checksum defined over the hex rendering — well-formed for any
     binary (incl. invalid-UTF-8 bytes) and equal to the Python fold."""
