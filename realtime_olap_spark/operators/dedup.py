@@ -81,14 +81,13 @@ def lsh_band_keys(sig_cols: list[str], band_size: int) -> list[Column]:
     ]
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 8, band_size: int = 2,
-                      max_bucket_size: int | None = None) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
-
-    Plan shape: per-row signature (no shuffle) → explode to one row per
-    (doc, band) → self-equi-join on band key (ONE shuffle, no cross join)
-    → distinct pairs.
+def lsh_candidate_pairs(bands: DataFrame, id_col: str,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a ``(id, band_key)`` band table
+    (``minhash_bands`` — computed inline or, the 100 TB shape, a table
+    materialized once at ingest and shared by every dedup consumer):
+    self-equi-join on the band key (ONE shuffle, no cross join) →
+    distinct pairs.
 
     ``max_bucket_size`` caps degenerate band buckets (empty/boilerplate
     docs hash to one band key and would emit O(n²) pairs from a single
@@ -98,11 +97,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     size pass is a map-side-combined count on the band key — O(bands)
     rows, no extra data shuffle of the docs themselves.
     """
-    sigs = df.select(F.col(id_col), *minhash_signature(word_set(text_col), num_hashes))
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*lsh_band_keys([f"mh{i}" for i in range(num_hashes)],
-                                         band_size))).alias("band_key"))
     if max_bucket_size is not None:
         sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("__n"))
         bands = (bands.join(sizes.where(F.col("__n") <= max_bucket_size),
@@ -116,6 +110,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
              .distinct())
 
 
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 8, band_size: int = 2,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
+
+    Plan shape: per-row signature (no shuffle) → explode to one row per
+    (doc, band) (``minhash_bands``) → ``lsh_candidate_pairs``.
+    """
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
+    return lsh_candidate_pairs(bands, id_col, max_bucket_size)
+
+
 def jaccard(words_a: Column, words_b: Column) -> Column:
     """Exact Jaccard over shingle sets — integer set sizes, so the double
     division is bit-deterministic."""
@@ -124,46 +130,75 @@ def jaccard(words_a: Column, words_b: Column) -> Column:
     return (inter.cast("double") / union.cast("double"))
 
 
-def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                            num_hashes: int = 8, band_size: int = 2,
-                            threshold: float = 0.5,
-                            broadcast_words: bool = True,
-                            max_bucket_size: int | None = None) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥
-    threshold. The verify join only touches candidate ids.
-
-    Verify-phase plan (the hot path when the corpus is dup-heavy and the
-    candidate set is large):
-    - the per-doc word sets are broadcast (ids + hashed shingles are tiny
-      relative to the pair set), so the O(pairs) stream never shuffles
-      arrays — on a cluster the pair partitions probe a local hash map
-      (set ``broadcast_words=False`` when the corpus outgrows executor
-      memory; the verify then falls back to a shuffled hash join);
-    - shingles are compared as 60-bit hashes (collision-free in practice;
-      same Jaccard as the string sets), making the intersection a primitive
-      hash-set op instead of string equality;
-    - |A∪B| = |A|+|B|−|A∩B| — one set operation per pair, not two.
-    """
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
-                              max_bucket_size=max_bucket_size)
-    words = df.select(
+def hashed_word_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc ``(id, wh, nw)``: 60-bit-hashed distinct word shingles +
+    set size — the verify-side table every Jaccard stage consumes (and
+    the ``corpus_words`` contract of ``minhash_lsh_pairs_against``). At
+    ingest scale, materialize this once next to the band table."""
+    return df.select(
         F.col(id_col),
         F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh"),
         F.size(word_set(text_col)).alias("nw"))
-    a = (words.withColumnRenamed(id_col, "id_a")
-              .withColumnRenamed("wh", "wh_a").withColumnRenamed("nw", "nw_a"))
-    b = (words.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("wh", "wh_b").withColumnRenamed("nw", "nw_b"))
+
+
+def jaccard_verify(cands: DataFrame, words: DataFrame, id_col: str,
+                   threshold: float = 0.5,
+                   broadcast_words: bool | None = None) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs ``(id_a, id_b)``
+    against a ``hashed_word_sets`` table → ``(id_a, id_b, jaccard ≥
+    threshold)``. Only candidate ids are ever joined — the LSH point:
+    candidates ≪ n².
+
+    - shingles are compared as 60-bit hashes (collision-free in practice;
+      same Jaccard as the string sets), making the intersection a
+      primitive hash-set op instead of string equality;
+    - |A∪B| = |A|+|B|−|A∩B| — one set operation per pair, not two.
+
+    ``broadcast_words`` (the r5-flagged scale default, now size-aware):
+
+    - ``None`` (default): no hint — Catalyst picks by its size estimate
+      and AQE re-plans from the TRUE runtime size of the words side, so
+      a small corpus broadcasts and a 100 TB corpus falls back to a
+      shuffled join keyed on the candidate ids, automatically;
+    - ``True``: force broadcast — opt in where the corpus is KNOWN small
+      relative to executor memory (the suite queries at bench SFs);
+    - ``False``: force a shuffled hash join — opt out under memory
+      pressure regardless of estimates.
+
+    Both forced paths and the default are plan-asserted in
+    tests/test_dedup_scale.py.
+    """
+    a = words.select(F.col(id_col).alias("id_a"),
+                     F.col("wh").alias("wh_a"), F.col("nw").alias("nw_a"))
+    b = words.select(F.col(id_col).alias("id_b"),
+                     F.col("wh").alias("wh_b"), F.col("nw").alias("nw_b"))
+    if broadcast_words is True:
+        a, b = F.broadcast(a), F.broadcast(b)
+    elif broadcast_words is False:
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b")))
     jac = inter.cast("double") / (F.col("nw_a") + F.col("nw_b") - inter).cast("double")
-    if broadcast_words:
-        a, b = F.broadcast(a), F.broadcast(b)
     return (cands
             .join(a, "id_a")
             .join(b, "id_b")
             .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 8, band_size: int = 2,
+                            threshold: float = 0.5,
+                            broadcast_words: bool | None = None,
+                            max_bucket_size: int | None = None) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥
+    threshold (``minhash_bands`` → ``lsh_candidate_pairs`` →
+    ``jaccard_verify`` — each stage independently materializable; the
+    suite persists the scored pairs once and filters per-τ)."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
+                              max_bucket_size=max_bucket_size)
+    return jaccard_verify(cands, hashed_word_sets(df, id_col, text_col),
+                          id_col, threshold, broadcast_words)
 
 
 # ---------------------------------------------------------------------------
@@ -321,10 +356,10 @@ def minhash_lsh_pairs_against(new_df: DataFrame, corpus_bands: DataFrame,
              .where(F.col("id_new") != F.col("id_corpus"))
              .select("id_new", "id_corpus")
              .distinct())
-    new_words = new_df.select(
-        F.col(id_col).alias("id_new"),
-        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh_a"),
-        F.size(word_set(text_col)).alias("nw_a"))
+    new_words = (hashed_word_sets(new_df, id_col, text_col)
+                 .select(F.col(id_col).alias("id_new"),
+                         F.col("wh").alias("wh_a"),
+                         F.col("nw").alias("nw_a")))
     cw = corpus_words.select(F.col(id_col).alias("id_corpus"),
                              F.col("wh").alias("wh_b"),
                              F.size("wh").alias("nw_b"))

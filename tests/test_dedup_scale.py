@@ -128,6 +128,64 @@ def test_minhash_cap_bounds_bucket_pairs_sf01(spark):
     assert capped.count() <= n_ok * per_bucket_bound
 
 
+def test_verify_join_broadcast_modes(spark):
+    """jaccard_verify's word-table join strategy (the r5-flagged
+    broadcast-the-whole-corpus default, now size-aware): True forces
+    broadcast, False forces a shuffled join, and the DEFAULT (None) is
+    Catalyst's size-based pick — broadcast for a small corpus, shuffle
+    once the estimate crosses the threshold (simulated by disabling
+    auto-broadcast) — plus AQE runtime re-plan on a cluster."""
+    d = Catalog(spark, SF_DIR).table("documents")
+    cands = D.minhash_lsh_pairs(d, "doc_id", "text", 8, 2,
+                                max_bucket_size=CAP)
+    words = D.hashed_word_sets(d, "doc_id", "text")
+
+    def verify_joins(bw):
+        # the verify joins key on the candidate ids; the band-key
+        # candidate self-join is out of scope here
+        p = (D.jaccard_verify(cands, words, "doc_id", 0.5, bw)
+             ._jdf.queryExecution().executedPlan().toString())
+        return [ln for ln in p.splitlines()
+                if "Join" in ln and ("id_a" in ln or "id_b" in ln)]
+
+    assert all("BroadcastHashJoin" in ln for ln in verify_joins(True))
+    forced_off = verify_joins(False)
+    assert forced_off
+    assert all("ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+               for ln in forced_off)
+    # default, small corpus: Catalyst's estimate picks broadcast
+    assert all("BroadcastHashJoin" in ln for ln in verify_joins(None))
+    # default, "large" corpus (estimate above threshold): shuffle fallback
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large = verify_joins(None)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert large
+    assert all("BroadcastHashJoin" not in ln for ln in large)
+
+
+def test_suite_minhash_queries_share_one_materialization(spark):
+    """Both suite minhash queries must read the SAME persisted scored-pair
+    table — signatures/bands/verify are computed once per session, the r6
+    fix for the r5 bench's double computation. dedup_minhash_lsh's plan
+    shows the in-memory scan directly; dedup_keep_representative consumes
+    the same cached frame inside the CC driver loop (its final plan is
+    rebuilt from checkpointed components, so assert identity + storage
+    level instead)."""
+    from realtime_olap_spark.suite.dedup import shared_scored_pairs
+    s1 = shared_scored_pairs(spark, SF_DIR)
+    s2 = shared_scored_pairs(spark, SF_DIR)
+    assert s1 is s2  # one build per (session, corpus)
+    assert s1.storageLevel.useMemory or s1.storageLevel.useDisk
+    a = suite.QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+    assert "InMemoryTableScan" in \
+        a._jdf.queryExecution().executedPlan().toString()
+    # and the full keep/cluster query still composes on top of it
+    assert suite.QUERIES["dedup_keep_representative"](spark, SF_DIR).count() > 0
+
+
 def test_sessionize_agrees_with_native_session_window(spark):
     """Three-way sessionization agreement: our window formulation must
     equal Spark's native session_window aggregation (gap boundary: a gap
