@@ -77,6 +77,60 @@ def test_pipeline_row_flow_and_determinism(spark):
     assert ids1 == ids2
 
 
+def test_incremental_ingest_equals_from_scratch(spark, tmp_path):
+    """Second-batch ingestion composes with the curation stages: clean →
+    gate → exact-dedup the batch, then near-dup-drop it against the
+    corpus's MATERIALIZED band/word tables (written to parquet at 'ingest'
+    time, read back for the probe — the 100 TB shape where the corpus is
+    never re-paired). The incrementally-built kept corpus must equal the
+    from-scratch pipeline over the union under the same first-wins
+    policy (corpus ids < batch ids, so min-id keep-one and cross-pair
+    drops coincide by construction)."""
+    docs = Catalog(spark, SF_DIR).table("documents")
+    split, tau = 250, 0.5
+    first = docs.where(F.col("doc_id") < split)
+    second = docs.where(F.col("doc_id") >= split)
+    bench = docs.orderBy("doc_id").limit(3).select("text")
+
+    def clean_gate(df):
+        c = decontaminate(df, bench, "doc_id", "text", n=3)
+        return c.where(quality_score(F.col("text")) >= 0.3)
+
+    # --- incremental build: corpus curated once, artifacts materialized
+    corpus_kept = D.dedup_exact(clean_gate(first), ["text"], keep_by="doc_id")
+    D.minhash_bands(corpus_kept, "doc_id", "text", 8, 2) \
+        .write.parquet(str(tmp_path / "bands"))
+    D.hashed_word_sets(corpus_kept, "doc_id", "text") \
+        .select("doc_id", "wh").write.parquet(str(tmp_path / "words"))
+    corpus_bands = spark.read.parquet(str(tmp_path / "bands"))
+    corpus_words = spark.read.parquet(str(tmp_path / "words"))
+
+    batch = D.dedup_exact(clean_gate(second), ["text"], keep_by="doc_id") \
+        .join(corpus_kept.select("text"), "text", "left_anti")
+    inc_pairs = D.minhash_lsh_pairs_against(
+        batch, corpus_bands, corpus_words, "doc_id", "text", threshold=tau)
+    dropped = inc_pairs.select(F.col("id_new").alias("doc_id")).distinct()
+    batch_kept = batch.join(dropped, "doc_id", "left_anti")
+    combined_inc = {r["doc_id"] for r in
+                    corpus_kept.select("doc_id").collect()} | \
+                   {r["doc_id"] for r in batch_kept.select("doc_id").collect()}
+
+    # --- from-scratch over the union, same policy
+    all_kept = D.dedup_exact(clean_gate(docs), ["text"], keep_by="doc_id")
+    full_pairs = D.minhash_lsh_dedup_pairs(all_kept, "doc_id", "text",
+                                           num_hashes=8, band_size=2,
+                                           threshold=tau)
+    cross_drop = {max(r["id_a"], r["id_b"]) for r in full_pairs.collect()
+                  if (r["id_a"] < split) != (r["id_b"] < split)}
+    combined_scratch = {r["doc_id"] for r in
+                        all_kept.select("doc_id").collect()} - cross_drop
+
+    assert combined_inc == combined_scratch
+    n_dropped = dropped.count()
+    assert n_dropped > 0  # the near-dup stage really fired
+    assert combined_inc  # and did not wipe the corpus
+
+
 def test_pipeline_plan_shape(spark):
     """The composed filter stages stay scan-side: the only exchanges in
     the pre-chunking plan belong to the dedup groupBy, the mixture's tiny
