@@ -53,7 +53,15 @@ HEADLINE = [
     "text_token_budget",
     "text_doc_features",
     "mm_byte_histogram",
+    "bench_decontam_scan",
 ]
+
+# Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
+# NOT in the driver's 50-entry correctness window: full-corpus variants of
+# oracled queries, timed so their scale claims have a recorded number.
+def _extra_queries():
+    from realtime_olap_spark.suite.text import decontam_scan_bench
+    return {"bench_decontam_scan": decontam_scan_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {
@@ -103,7 +111,9 @@ def main() -> None:
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in suite.QUERIES]
+    registry = dict(suite.QUERIES)
+    registry.update(_extra_queries())
+    names = [n for n in HEADLINE if n in registry]
 
     # Warm the JVM untimed: run EVERY headline query once at the smallest
     # SF so expression compilation / whole-stage codegen / JIT of each
@@ -112,7 +122,7 @@ def main() -> None:
     # at bench SF. Timed numbers below are steady-state engine throughput.
     for name in names:
         try:
-            suite.QUERIES[name](spark, "/root/testdata/sf0.001") \
+            registry[name](spark, "/root/testdata/sf0.001") \
                 .write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a query unavailable at sf0.001 still gets JVM warmup
@@ -148,7 +158,7 @@ def main() -> None:
     for _ in range(RUNS):
         for name in names:
             start = time.perf_counter()
-            df = suite.QUERIES[name](spark, sf_dir)
+            df = registry[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             query_runs[name].append(round(time.perf_counter() - start, 4))
     timings = {name: min(rs) for name, rs in query_runs.items()}

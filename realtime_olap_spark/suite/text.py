@@ -340,3 +340,19 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("source").asc()))
 
 
+
+def decontam_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only full-corpus decontamination scan (NOT in the driver
+    window — `text_doc_features` carries the oracled `contam_hits` audit;
+    this entry records the raw throughput of the broadcast semi-join shape
+    at bench SF).
+
+    Scans every document, explodes its distinct trigram hashes scan-side,
+    broadcast-joins the benchmark gram-hash set and counts per-doc hits —
+    the 100 TB decontamination plan from operators/decontam.py, measured
+    over the whole corpus instead of the 30-row oracled trim."""
+    from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
+    d = Catalog(spark, sf_dir).table("documents")
+    bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
+    return DC.contamination_hits(
+        d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
