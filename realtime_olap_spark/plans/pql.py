@@ -592,6 +592,22 @@ def plan_scan_stats(df: DataFrame, total_time_ms: float | None = None) -> dict:
     return stats
 
 
+def exact_segments_matched(src: DataFrame, where=None) -> int:
+    """EXACT numSegmentsMatched: parquet files ('segments') contributing at
+    least one post-filter row. Spark's scan metrics carry no per-file
+    matched-row counts, so ``plan_scan_stats`` can only bound this; when
+    the caller opts in, this runs one extra **column-pruned** scan —
+    ``input_file_name()`` captured directly above the filtered scan (before
+    any shuffle, where it is still well-defined) and a single
+    count-distinct. The extra pass reads only the predicate's columns and
+    benefits from the same row-group pruning as the query, so its cost is
+    a fraction of the query's own scan (Pinot reads the same answer off
+    per-segment metadata: BrokerResponseNative.numSegmentsMatched)."""
+    df = src.where(where) if where is not None else src
+    return df.select(F.input_file_name().alias("__seg")) \
+             .agg(F.count_distinct("__seg")).first()[0]
+
+
 def grouped_topn_frame(q: PQLQuery, src: DataFrame):
     """The bounded per-function trim plan for a grouped aggregation: one
     TakeOrderedAndProject branch per aggregation function over the SHARED
@@ -635,7 +651,8 @@ class PQLEngine:
         q = parse_pql(pql)
         return compile_pql(q, self.catalog.table(q.table))
 
-    def execute(self, pql: str, timeout_ms: int | None = None) -> dict:
+    def execute(self, pql: str, timeout_ms: int | None = None,
+                exact_segments: bool = False) -> dict:
         """Run and shape like BrokerResponseNative: selectionResults or
         aggregationResults + stats.
 
@@ -671,7 +688,7 @@ class PQLEngine:
             t = threading.Thread(target=watchdog, daemon=True)
             t.start()
             try:
-                return self.execute(pql)
+                return self.execute(pql, exact_segments=exact_segments)
             except Exception as ex:
                 if timed_out.is_set():
                     raise QueryTimeout(
@@ -685,10 +702,19 @@ class PQLEngine:
         q = parse_pql(pql)
         src = self.catalog.table(q.table)
 
+        def finish(stats: dict) -> dict:
+            # ``exact_segments=True`` trades one extra column-pruned scan
+            # for an exact numSegmentsMatched (see exact_segments_matched);
+            # the default keeps the zero-cost bound from plan_scan_stats.
+            if exact_segments:
+                stats["numSegmentsMatched"] = exact_segments_matched(
+                    src, _pred(q.where) if q.where is not None else None)
+            return stats
+
         if q.is_aggregation and q.group_by:
             u, key_cols, fn_cols, n = grouped_topn_frame(q, src)
             rows = u.collect()  # ≤ n × n_functions rows
-            stats = plan_scan_stats(u, (_time.perf_counter() - t0) * 1000)
+            stats = finish(plan_scan_stats(u, (_time.perf_counter() - t0) * 1000))
 
             def per_function(c: str) -> list[dict]:
                 # same tie-break as top_n's Spark ordering: NATIVE-typed
@@ -713,7 +739,7 @@ class PQLEngine:
         df = compile_pql(q, src)  # scalar aggregation or selection
         rows = df.collect()
         cols = df.columns
-        stats = plan_scan_stats(df, (_time.perf_counter() - t0) * 1000)
+        stats = finish(plan_scan_stats(df, (_time.perf_counter() - t0) * 1000))
         if q.is_aggregation:
             return {
                 "aggregationResults": [

@@ -181,3 +181,51 @@ def test_parse_is_null_rejected_with_pinot_shape():
     # a malformed IS clause is still a parse error, not the rejection
     with pytest.raises(ValueError, match="expected"):
         parse_pql("SELECT count(*) FROM events WHERE props IS 3")
+
+
+def test_exact_segments_matched_opt_in(spark, tmp_path):
+    """``execute(..., exact_segments=True)`` replaces the bounded
+    numSegmentsMatched with the exact count of parquet files that produced
+    at least one post-filter row (one extra column-pruned scan with
+    input_file_name() above the filtered scan).
+
+    A 4-file table where the predicate matches rows in exactly 2 files
+    distinguishes exact from the bound: the default path reports
+    files-processed (4) when anything matched; the exact path reports 2."""
+    import os
+
+    from realtime_olap_spark.plans.pql import PQLEngine, exact_segments_matched
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "lineitem")
+    # 4 files keyed by bucket; l_returnflag matches only buckets 0 and 1
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("bucket"),
+        F.when(F.col("id") % 4 < 2, F.lit("R")).otherwise(F.lit("N"))
+        .alias("l_returnflag"),
+        F.col("id").alias("l_quantity"))
+    df.repartition("bucket").write.partitionBy("bucket").parquet(path)
+    os.makedirs(str(tmp_path / "as_table"), exist_ok=True)
+    spark.read.parquet(path).write.mode("overwrite") \
+        .parquet(str(tmp_path / "as_table" / "lineitem.parquet"))
+
+    eng = PQLEngine(spark, str(tmp_path / "as_table"))
+    src = eng.catalog.table("lineitem")
+    n_files = src.select(F.input_file_name()).distinct().count()
+    assert n_files >= 2  # multi-file table, else the probe proves nothing
+
+    exact = exact_segments_matched(src, F.col("l_returnflag") == "R")
+    by_hand = (src.where(F.col("l_returnflag") == "R")
+               .select(F.input_file_name().alias("f")).distinct().count())
+    assert exact == by_hand
+    assert exact < n_files  # the bound would have said n_files
+
+    out = eng.execute(
+        "SELECT count(*) FROM lineitem WHERE l_returnflag = 'R'",
+        exact_segments=True)
+    assert out["numSegmentsMatched"] == exact
+    assert out["numSegmentsProcessed"] >= exact
+    # no predicate: every file with rows matches
+    out_all = eng.execute("SELECT count(*) FROM lineitem",
+                          exact_segments=True)
+    assert out_all["numSegmentsMatched"] == n_files
