@@ -1,0 +1,190 @@
+"""Product quantization (PQ) — the billion-vector ANN compression path.
+
+IVF-PQ is the standard layout for ANN at the 100 TB scale (Jégou, Douze
+& Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+2011): a d-dim float32 vector is cut into M subvectors, each quantized
+against its own KS-centroid codebook, so the stored code is M small
+integers (M bytes for KS ≤ 256) — 32× smaller than float32 at M = d/8.
+Search uses ADC (asymmetric distance computation): the query stays full
+precision, and each subspace contributes a table lookup instead of a
+vector arithmetic op.
+
+Spark-first shape (no reference analog — the reference has no vector
+search at all; this extends ``operators/similarity.py`` /
+``operators/quantization.py``):
+
+- **Training** = M independent k-means fits (``operators/clustering``)
+  over sliced subvectors: per iteration ONE scan + one KS-row shuffle,
+  centroids live in the plan as literals.
+- **Encoding** is scan-side: per subspace, the shared-fold distance
+  array from ``clustering._dists_array`` (aa − 2·a·c + c·c with a
+  staged self-dot alias) and ``array_position(min)`` — pure JVM array
+  expressions, no UDF, no shuffle. Codes are built at segment-write
+  time exactly like the q8 codes.
+- **ADC search** precomputes M×KS lookup tables driver-side from the
+  literal query and codebooks; the per-row score is M
+  ``element_at(literal LUT, code+1)`` lookups summed — O(M) per row
+  inside whole-stage codegen, never touching the float vector. The
+  top-k is the same TakeOrderedAndProject shape as ``topk_brute``.
+
+Cosine note: the dot product against a PQ-reconstructed vector is
+exact given the codes (Σ_i q_i·c_i[code_i]); the norm used is the
+reconstruction's norm (Σ_i ‖c_i[code_i]‖²)^½ — both from LUTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.clustering import kmeans_fit
+from realtime_olap_spark.operators.dedup import dot
+from realtime_olap_spark.operators.similarity import _lit_vec, _self_dot
+
+
+def _subvec(vec: Column, i: int, dsub: int) -> Column:
+    """Subspace ``i``'s slice (1-based ``F.slice``)."""
+    return F.slice(vec, F.lit(i * dsub + 1), F.lit(dsub))
+
+
+def pq_train(df: DataFrame, vec_col: str, m: int, ksub: int,
+             iters: int = 4, id_col: str = "vec_id",
+             ) -> list[list[list[float]]]:
+    """Train the M codebooks: one ``kmeans_fit`` per subspace over the
+    sliced subvectors. Returns ``codebooks[m][ksub][dsub]``.
+
+    Cost: M × iters scans, each with a KS-row shuffle — the standard
+    offline index-build job (encoding, not training, is the part that
+    runs over the whole corpus)."""
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        sub = df.select(F.col(id_col),
+                        _subvec(F.col(vec_col), i, dsub).alias("sub"))
+        cents, _ = kmeans_fit(sub, "sub", ksub, iters=iters, id_col=id_col)
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str,
+              codebooks: list[list[list[float]]],
+              code_col: str = "pq_codes") -> DataFrame:
+    """Attach the M-byte code array: per subspace, argmin over its
+    codebook via the shared-fold distance array (KS+1 folds per
+    subspace, one fold family each — the ``clustering`` staging trick:
+    stage the subvector and its self-dot as aliases, then reference the
+    staged distance array for both min and argmin)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    staged = df.select(
+        "*",
+        *[_subvec(vec, i, dsub).alias(f"__pqs{i}") for i in range(m)])
+    staged = staged.select(
+        "*",
+        *[dot(F.col(f"__pqs{i}"), F.col(f"__pqs{i}")).alias(f"__pqa{i}")
+          for i in range(m)])
+    staged = staged.select(
+        "*",
+        *[F.array(*[
+            F.col(f"__pqa{i}")
+            - F.lit(2.0) * dot(F.col(f"__pqs{i}"), _lit_vec(c))
+            + F.lit(_self_dot(c))
+            for c in codebooks[i]]).alias(f"__pqd{i}")
+          for i in range(m)])
+    codes = F.array(*[
+        (F.array_position(F.col(f"__pqd{i}"), F.array_min(F.col(f"__pqd{i}")))
+         - 1).cast("smallint")
+        for i in range(m)])
+    keep = [c for c in df.columns]
+    return staged.select(*keep, codes.alias(code_col))
+
+
+def _dot_luts(query: list[float],
+              codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """LUT[i][j] = q_i · c_ij, computed driver-side (M×KS doubles)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    return [[sum(float(query[i * dsub + t]) * float(c[t])
+                 for t in range(dsub))
+             for c in codebooks[i]] for i in range(m)]
+
+
+def _norm2_luts(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """LUT[i][j] = ‖c_ij‖² — the reconstruction-norm tables."""
+    return [[_self_dot(c) for c in book] for book in codebooks]
+
+
+def _lut_sum(code_col: Column, luts: list[list[float]]) -> Column:
+    """Σ_i LUT[i][codes[i]] as M literal-array lookups — the ADC core.
+    Fixed i = 0..M−1 summation order (bit-stable across partitionings)."""
+    acc: Column = F.lit(0.0)
+    for i, lut in enumerate(luts):
+        acc = acc + F.element_at(_lit_vec(lut),
+                                 F.element_at(code_col, i + 1).cast("int") + 1)
+    return acc
+
+
+def pq_scores(code_col: Column, query: list[float],
+              codebooks: list[list[list[float]]],
+              metric: str = "cosine") -> Column:
+    """ADC score of a code array against the literal query: ``dot`` =
+    exact dot with the reconstruction; ``cosine`` normalizes by the
+    literal query norm × the reconstruction norm (both from LUTs);
+    ``l2`` = exact squared L2 to the reconstruction."""
+    dlut = _dot_luts(query, codebooks)
+    if metric == "dot":
+        return _lut_sum(code_col, dlut)
+    if metric == "cosine":
+        qn = sum(float(x) * float(x) for x in query) ** 0.5
+        rnorm = F.sqrt(_lut_sum(code_col, _norm2_luts(codebooks)))
+        return F.when(
+            rnorm > 0,
+            _lut_sum(code_col, dlut) / (F.lit(float(qn)) * rnorm)
+        ).otherwise(F.lit(0.0))
+    if metric == "l2":
+        qq = sum(float(x) * float(x) for x in query)
+        return (F.lit(float(qq))
+                - F.lit(2.0) * _lut_sum(code_col, dlut)
+                + _lut_sum(code_col, _norm2_luts(codebooks)))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def pq_topk(df: DataFrame, query: list[float],
+            codebooks: list[list[list[float]]], k: int,
+            id_col: str = "vec_id", code_col: str = "pq_codes",
+            metric: str = "cosine") -> DataFrame:
+    """Top-k by ADC score over the code column only — the float vector
+    is never read at probe time (column-pruned out of the scan), so the
+    probe I/O is M bytes/row instead of 4d. Same TakeOrderedAndProject
+    shape as ``topk_brute``; deterministic tie-break on id."""
+    order = [F.col("score").asc() if metric == "l2" else F.col("score").desc(),
+             F.col(id_col).asc()]
+    return (df.select(F.col(id_col),
+                      pq_scores(F.col(code_col), query, codebooks, metric)
+                      .alias("score"))
+              .orderBy(*order).limit(k))
+
+
+def pq_topk_rerank(df: DataFrame, query: list[float],
+                   codebooks: list[list[list[float]]], k: int,
+                   shortlist: int = 100, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   code_col: str = "pq_codes") -> DataFrame:
+    """The production two-stage probe: ADC over codes produces a
+    ``shortlist``-sized candidate set (code-only scan — M bytes/row),
+    then ONLY those rows' float vectors are fetched for an exact cosine
+    re-rank. Quantization distortion decides membership of the (wide)
+    shortlist, never the final ranking — the standard IVF-PQ + refine
+    layout. The shortlist is k-ish rows, so the fetch join broadcasts;
+    the corpus never shuffles."""
+    from realtime_olap_spark.operators.dedup import cosine
+    cand = pq_topk(df, query, codebooks, shortlist, id_col=id_col,
+                   code_col=code_col).select(id_col)
+    return (df.join(F.broadcast(cand), id_col)
+              .select(F.col(id_col),
+                      cosine(F.col(vec_col), _lit_vec(query)).alias("score"))
+              .orderBy(F.col("score").desc(), F.col(id_col).asc())
+              .limit(k))

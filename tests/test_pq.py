@@ -1,0 +1,135 @@
+"""Product quantization — codebook training, numpy-twin encoding, ADC
+scoring algebra, recall vs the full-precision ranking, and the
+probe-time plan shape (code-only scan, no Python, TakeOrdered)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.operators.pq import (pq_encode, pq_scores, pq_topk,
+                                              pq_topk_rerank, pq_train)
+from realtime_olap_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    return Catalog(spark, SF_DIR).table("embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(spark):
+    """One trained codebook set per module: m=8 subspaces of 8 dims,
+    16 centroids each — 8 bytes per 64-dim vector (32× compression),
+    trained once (~20 s) and shared across the algebra/recall tests."""
+    return pq_train(_emb(spark), "embedding", m=8, ksub=16, iters=3)
+
+
+def _py_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _py_encode(vec, books):
+    """Driver twin of pq_encode with the SAME float algebra and order:
+    aa − 2·(sequential-fold dot) + (python-sum c·c), first-min argmin."""
+    m, dsub = len(books), len(books[0][0])
+    codes = []
+    for i in range(m):
+        sub = vec[i * dsub:(i + 1) * dsub]
+        aa = _py_dot(sub, sub)
+        dists = [aa - 2.0 * _py_dot(sub, c) + sum(x * x for x in c)
+                 for c in books[i]]
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def test_codebook_shapes(books):
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+
+
+def test_encode_matches_python_twin(spark, books):
+    rows = (pq_encode(_emb(spark), "embedding", books)
+            .orderBy("vec_id").limit(80).collect())
+    for r in rows:
+        assert list(r["pq_codes"]) == _py_encode(r["embedding"], books), \
+            r["vec_id"]
+
+
+def test_adc_dot_matches_python_lut(spark, books):
+    df = pq_encode(_emb(spark), "embedding", books)
+    query = [float(x) for x in df.orderBy("vec_id").first()["embedding"]]
+    got = (df.select("vec_id", "embedding",
+                     pq_scores(F.col("pq_codes"), query, books, "dot")
+                     .alias("s"))
+             .orderBy("vec_id").limit(60).collect())
+    m, dsub = len(books), len(books[0][0])
+    for r in got:
+        codes = _py_encode(r["embedding"], books)
+        want = 0.0
+        for i in range(m):
+            c = books[i][codes[i]]
+            q = query[i * dsub:(i + 1) * dsub]
+            want = want + _py_dot(q, c)
+        assert abs(r["s"] - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_adc_l2_is_exact_to_reconstruction(spark, books):
+    """l2 metric = ‖q − reconstruction‖² up to the fixed-order algebra."""
+    df = pq_encode(_emb(spark), "embedding", books)
+    query = [float(x) for x in df.orderBy("vec_id").first()["embedding"]]
+    got = (df.select("embedding",
+                     pq_scores(F.col("pq_codes"), query, books, "l2")
+                     .alias("s"))
+             .orderBy("vec_id").limit(30).collect())
+    m, dsub = len(books), len(books[0][0])
+    for r in got:
+        codes = _py_encode(r["embedding"], books)
+        recon = [x for i in range(m) for x in books[i][codes[i]]]
+        want = sum((float(q) - float(c)) ** 2 for q, c in zip(query, recon))
+        assert abs(r["s"] - want) <= 1e-6 * max(1.0, abs(want))
+
+
+def test_recall_vs_full_precision(spark, books):
+    """The two-stage probe (ADC shortlist → exact re-rank) must recover
+    most of the exact top-10; the raw ADC shortlist must already contain
+    them. Floors are conservative vs measured recall (8/10 and 8/10 at
+    m=8, ksub=16 on this corpus)."""
+    df = _emb(spark)
+    query = [float(x) for x in df.orderBy("vec_id").first()["embedding"]]
+    exact = {r["vec_id"]
+             for r in cosine_topk(df, query, "vec_id", "embedding",
+                                  10).collect()}
+    enc = pq_encode(df, "embedding", books)
+    shortlist = {r["vec_id"]
+                 for r in pq_topk(enc, query, books, 100).collect()}
+    reranked = {r["vec_id"]
+                for r in pq_topk_rerank(enc, query, books, 10,
+                                        shortlist=100).collect()}
+    assert len(exact & shortlist) >= 6
+    assert len(exact & reranked) >= 6
+    # the re-rank is exact on the shortlist: its scores order like the
+    # full-precision ranking restricted to candidates
+    assert reranked <= shortlist
+
+
+def test_probe_plan_reads_codes_only(spark, books, tmp_path):
+    """After the index is written, the probe scan reads (id, codes) —
+    the float vector column is pruned — and stays JVM-side with a
+    TakeOrderedAndProject top-k."""
+    path = str(tmp_path / "pq_index")
+    (pq_encode(_emb(spark), "embedding", books)
+     .select("vec_id", "pq_codes").write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    query = [1.0] * 64
+    plan = pq_topk(df, query, books, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "embedding" not in plan
