@@ -1,0 +1,151 @@
+"""Exact-substring span dedup — corpus-wide duplicated k-token windows.
+
+Lee et al. ("Deduplicating Training Data Makes Language Models Better",
+ACL 2022 — public) remove exact substrings ≥ ~50 tokens that occur more
+than once across the corpus, using a suffix array. A suffix array is a
+single-machine structure; the distributed equivalent of "find every
+duplicated run of ≥ k tokens" is sliding k-token window hashes: a
+duplicated window ⇔ a duplicated k-token substring, and any duplicated
+run of length L ≥ k is exactly the union of its L−k+1 duplicated
+windows — so window-level detection reconstructs the full duplicated
+spans without ever building a global index.
+
+Scale design (100 TB):
+
+- Window hashing is scan-side: the shared ``ngrams_from`` slices
+  (O(tokens) array work per row) + one ``xxhash64`` per window — no
+  UDF, no shuffle.
+- The ONE shuffle carries ``(window_hash, id, pos)`` tuples — 8-byte
+  hashes, never window text. Per-hash aggregation yields counts and the
+  canonical (first) occurrence.
+- Per-document results (dup-window positions) are aggregated into
+  position lists; only documents containing a duplicated window appear,
+  so the decision table is join-side small and the corpus itself is
+  never shuffled — the final flag/removal pass is a (broadcastable)
+  join + scan-side positional array filter, the same shape as
+  ``operators/lines.py`` duplicate-line removal and
+  ``operators/decontam.py``.
+- A hash collision can only over-mark a span as duplicated —
+  conservative for dedup, same contract as the line/gram hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.text import ngrams_from, words
+
+
+def window_hashes(text: Column, k: int) -> Column:
+    """xxhash64 of every sliding k-token window, in position order —
+    pure per-row array expression over one shared tokenization."""
+    return F.transform(ngrams_from(words(text), k),
+                       lambda g: F.xxhash64(g))
+
+
+def _occurrences(docs: DataFrame, id_col: str, text_col: str,
+                 k: int) -> DataFrame:
+    """(id, pos, h): every window occurrence, 0-based token position."""
+    return (docs.select(
+        F.col(id_col),
+        F.posexplode(window_hashes(F.col(text_col), k)).alias("pos", "h")))
+
+
+def duplicated_window_positions(docs: DataFrame, id_col: str,
+                                text_col: str, k: int,
+                                min_count: int = 2,
+                                keep: str = "first") -> DataFrame:
+    """Per-document duplicated-window position lists ``(id, dup_pos
+    array<int>)``, sorted. ``keep='first'`` exempts the canonical
+    (minimum ``(id, pos)``) occurrence of each window — the occurrence
+    that survives removal; ``keep='none'`` marks every occurrence (for
+    flagging/statistics). Only documents with at least one marked window
+    appear — join-side small on real corpora."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    occ = _occurrences(docs, id_col, text_col, k)
+    per_hash = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(id_col, "pos")).alias("canon"))
+    hits = occ.join(per_hash.where(F.col("n") >= F.lit(min_count)), "h")
+    if keep == "first":
+        hits = hits.where(
+            (F.col(id_col) != F.col("canon").getField(id_col))
+            | (F.col("pos") != F.col("canon").getField("pos")))
+    return (hits.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos")))
+
+
+def covered_token_count(dup_pos: Column, k: int) -> Column:
+    """Tokens covered by the union of the k-wide intervals starting at
+    the SORTED positions in ``dup_pos``: a left fold pairing each start
+    with its successor — ``min(k, next − cur)`` per interval, ``k`` for
+    the last. Scan-side; the position lists are per-doc small."""
+    n = F.size(dup_pos)
+    nexts = F.slice(F.concat(dup_pos, F.array(F.lit(None).cast("int"))),
+                    2, F.greatest(n, F.lit(1)))
+    gaps = F.zip_with(dup_pos, nexts,
+                      lambda c, nx: F.least(F.lit(k),
+                                            F.coalesce(nx - c, F.lit(k))))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.aggregate(gaps, F.lit(0), lambda a, x: a + x))
+
+
+def span_dup_stats(docs: DataFrame, id_col: str, text_col: str,
+                   k: int, min_count: int = 2) -> DataFrame:
+    """Per-document duplication audit: ``(id, n_tokens, n_windows,
+    n_dup_windows, dup_tokens, dup_token_frac)`` where ``dup_tokens``
+    counts tokens inside ANY duplicated window (keep='none' coverage —
+    the doc-level signal RefinedWeb-style pipelines threshold on).
+    EVERY input document appears; clean docs carry zeros."""
+    marks = duplicated_window_positions(docs, id_col, text_col, k,
+                                        min_count, keep="none")
+    ws = words(F.col(text_col))
+    n_tokens = F.size(ws)
+    n_windows = F.greatest(n_tokens - (k - 1), F.lit(0))
+    empty = F.array().cast("array<int>")
+    dup_pos = F.coalesce(F.col("dup_pos"), empty)
+    dup_tokens = F.least(covered_token_count(dup_pos, k), n_tokens)
+    return (docs.join(F.broadcast(marks), id_col, "left")
+            .select(F.col(id_col),
+                    n_tokens.cast("long").alias("n_tokens"),
+                    n_windows.cast("long").alias("n_windows"),
+                    F.size(dup_pos).cast("long").alias("n_dup_windows"),
+                    dup_tokens.cast("long").alias("dup_tokens"),
+                    F.when(n_tokens > 0,
+                           dup_tokens.cast("double") /
+                           n_tokens.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("dup_token_frac")))
+
+
+def remove_duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
+                            k: int, min_count: int = 2,
+                            broadcast_marks: bool | None = None,
+                            out_col: str | None = None) -> DataFrame:
+    """Rebuild every document with the tokens of non-canonical
+    duplicated windows deleted (the first occurrence of each duplicated
+    substring survives — Lee et al.'s keep-one semantics at window
+    granularity). The corpus is never shuffled: one (hash, id, pos)
+    shuffle inside the marker, then a join against the per-doc position
+    lists (broadcast by default; pass ``broadcast_marks=False`` when
+    duplication is pervasive) and a scan-side positional token filter.
+
+    Token i is dropped iff some marked window start p has
+    ``p ≤ i < p+k`` — an ``exists`` probe over the (small) per-doc list."""
+    marks = duplicated_window_positions(docs, id_col, text_col, k,
+                                        min_count, keep="first")
+    if broadcast_marks is None or broadcast_marks:
+        marks = F.broadcast(marks)
+    else:
+        marks = marks.hint("merge")
+    empty = F.array().cast("array<int>")
+    dup_pos = F.coalesce(F.col("dup_pos"), empty)
+    kept = F.filter(
+        words(F.col(text_col)),
+        lambda x, i: ~F.exists(dup_pos,
+                               lambda p: (p <= i) & (i < p + F.lit(k))))
+    out = out_col or text_col
+    return (docs.join(marks, id_col, "left")
+            .withColumn(out, F.array_join(kept, " "))
+            .drop("dup_pos"))
