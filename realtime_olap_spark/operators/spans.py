@@ -34,22 +34,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime_olap_spark.operators.text import ngrams_from, words
+from realtime_olap_spark.operators.text import words
 
 
 def window_hashes(text: Column, k: int) -> Column:
-    """xxhash64 of every sliding k-token window, in position order —
-    pure per-row array expression over one shared tokenization."""
-    return F.transform(ngrams_from(words(text), k),
-                       lambda g: F.xxhash64(g))
+    """A 64-bit hash of every sliding k-token window, in position order.
+
+    Each token is xxhash64'd ONCE, then the k token hashes are combined
+    pairwise with ``xxhash64(acc, next)`` over k shifted slices of the
+    token-hash array — the ``ngrams_from`` zip_with shape, but over
+    longs instead of building a k-word string per window (overflow-free
+    under ANSI mode, unlike a wrapping polynomial mix). Two windows are
+    equal ⇔ their token sequences are equal, up to 64-bit collision —
+    the same conservative contract as a string-hash formulation."""
+    return window_hashes_from(
+        F.transform(words(text), lambda w: F.xxhash64(w)), k)
+
+
+def window_hashes_from(th: Column, k: int) -> Column:
+    """Window hashes from a token-hash array column. NOTE: ``th``
+    appears k+1 times at the top level of this expression and
+    interpreted evaluation does no common-subexpression sharing — pass
+    a staged column reference (see ``_occurrences``), not a heavy
+    expression, or the tokenize+hash runs k+1 times per row."""
+    m = F.greatest(F.size(th) - (k - 1), F.lit(0))
+    out = F.slice(th, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(th, j + 1, m),
+                         lambda a, b: F.xxhash64(a, b))
+    return out
 
 
 def _occurrences(docs: DataFrame, id_col: str, text_col: str,
                  k: int) -> DataFrame:
-    """(id, pos, h): every window occurrence, 0-based token position."""
-    return (docs.select(
+    """(id, pos, h): every window occurrence, 0-based token position.
+    The per-token hash array is staged as a projection alias so the
+    split+hash pass runs ONCE per row, not once per shifted slice."""
+    staged = docs.select(
         F.col(id_col),
-        F.posexplode(window_hashes(F.col(text_col), k)).alias("pos", "h")))
+        F.transform(words(F.col(text_col)),
+                    lambda w: F.xxhash64(w)).alias("__th"))
+    return (staged.select(
+        F.col(id_col),
+        F.posexplode(window_hashes_from(F.col("__th"), k))
+        .alias("pos", "h")))
 
 
 def duplicated_window_positions(docs: DataFrame, id_col: str,

@@ -181,3 +181,57 @@ def sim_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3)
             .select("label", "vec_id", "cos")
             .orderBy(F.col("label").asc(), F.col("cos").desc(), F.col("vec_id").asc()))
+
+
+def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Build (once) the PQ-coded index for ``sf_dir``'s embeddings:
+    train the per-subspace codebooks (m=8, ksub=16 over the 64-dim
+    corpus — 8 bytes/vector), encode scan-side, and publish
+    ``(vec_id, pq_codes, embedding)`` parquet plus the codebooks JSON
+    with the same mtime-keyed atomic-rename discipline as the IVF
+    index. Returns (index_path, codebooks). Ingest-time work — probe
+    queries must never pay it per query."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from realtime_olap_spark.operators import pq as PQ
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:pq-m8k16".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"rt_olap_pq_{key}")
+    marker = os.path.join(path, "_INDEX_BUILT")
+    books_file = os.path.join(path, "_CODEBOOKS.json")
+    if not os.path.exists(marker):
+        stage = f"{path}.tmp-{os.getpid()}"
+        emb = Catalog(spark, sf_dir).table("embeddings")
+        books = PQ.pq_train(emb, "embedding", m=8, ksub=16, iters=3)
+        (PQ.pq_encode(emb, "embedding", books)
+         .select("vec_id", "pq_codes", "embedding")
+         .write.mode("overwrite").parquet(os.path.join(stage, "data")))
+        with open(os.path.join(stage, "_CODEBOOKS.json"), "w") as f:
+            json.dump(books, f)
+        open(os.path.join(stage, "_INDEX_BUILT"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            import shutil
+            shutil.rmtree(stage, ignore_errors=True)
+    with open(books_file) as f:
+        books = json.load(f)
+    return os.path.join(path, "data"), books
+
+
+def pq_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only PQ probe (NOT in the driver window): the two-stage
+    ADC-shortlist → exact-re-rank top-10 against the pre-built code
+    index — times the code-only scan + LUT scoring + shortlist fetch,
+    the probe-side cost of the compressed 100 TB ANN layout."""
+    path, books = _ensure_pq_index(spark, sf_dir)
+    from realtime_olap_spark.operators import pq as PQ
+    idx = spark.read.parquet(path)
+    return PQ.pq_topk_rerank(idx, QUERY_VEC, books, 10, shortlist=100)
