@@ -188,3 +188,52 @@ def pq_topk_rerank(df: DataFrame, query: list[float],
                       cosine(F.col(vec_col), _lit_vec(query)).alias("score"))
               .orderBy(F.col("score").desc(), F.col(id_col).asc())
               .limit(k))
+
+
+def ivfpq_index_write(df: DataFrame, path: str,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      vec_col: str = "embedding",
+                      files_per_cell: int = 1) -> None:
+    """Materialize the IVF-PQ index — the standard billion-vector
+    layout: every row gets its coarse cell (write-time partition column
+    → probe-time partition pruning) AND its PQ codes (probe-time scan
+    reads M bytes/row). One scan-side pass, written partitioned by
+    cell; the float vector rides along as a column the probe only
+    touches for the final shortlist re-rank (column pruning keeps it
+    out of the shortlist scan)."""
+    from realtime_olap_spark.operators.similarity import ivf_assign_norm
+    out = pq_encode(df, vec_col, codebooks)
+    out = out.withColumn("cell", ivf_assign_norm(vec_col, centroids)["cell"])
+    out = out.repartition(files_per_cell * max(len(centroids), 1),
+                          F.col("cell"))
+    out.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk(spark, path: str, query: list[float],
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]], k: int = 10,
+               nprobe: int = 2, shortlist: int = 100,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               code_col: str = "pq_codes") -> DataFrame:
+    """Probe a materialized IVF-PQ index: (1) partition-prune to the
+    ``nprobe`` cells nearest the query (driver-side literals — only
+    nprobe/K of the corpus is listed or read), (2) ADC-score the pruned
+    cells' CODE column for a ``shortlist`` of candidates, (3) exact
+    cosine re-rank of only the shortlisted rows' float vectors. The
+    expensive column is read for ~shortlist rows; everything else costs
+    M bytes/row over nprobe/K of the data."""
+    from realtime_olap_spark.operators.dedup import cosine
+    from realtime_olap_spark.operators.similarity import _nearest_centroids
+    probes = _nearest_centroids(query, centroids, nprobe)
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    cand = (idx.select(F.col(id_col),
+                       pq_scores(F.col(code_col), query, codebooks)
+                       .alias("score"))
+               .orderBy(F.col("score").desc(), F.col(id_col).asc())
+               .limit(shortlist).select(id_col))
+    return (idx.join(F.broadcast(cand), id_col)
+               .select(F.col(id_col),
+                       cosine(F.col(vec_col), _lit_vec(query)).alias("score"))
+               .orderBy(F.col("score").desc(), F.col(id_col).asc())
+               .limit(k))

