@@ -1,0 +1,93 @@
+"""Streaming curation parity: the scan-side curation scorers (DSIR
+importance weights, C4 line filters) are stateless row transforms, so
+they apply to a Structured Streaming ingest unchanged — an availableNow
+drain must equal the batch operator on the same files. (Span dedup and
+corpus-wide line dedup need corpus-global counts and stay batch/
+incremental-batch operators by design.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:00", t) for i, m, t in rows],
+        ["doc_id", "ts_s", "text"]) \
+        .select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(stream_df, sink, ckpt):
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def _stream(spark, src):
+    return (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def test_streaming_importance_weights_match_batch(spark, tmp_path):
+    """Importance scoring at ingest: the LUT is a fitted model (literal
+    array in the plan — no state, no join), so the SAME
+    importance_weights call transforms the stream; per-doc weights from
+    an availableNow drain equal the batch scores bit-for-bit (identical
+    fold over identical grams)."""
+    from realtime_olap_spark.operators.importance import importance_weights
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "alpha beta gamma"),
+                              (2, 2, "delta epsilon zeta"),
+                              (3, 3, "alpha beta eta")])
+    _write_batch(spark, src, [(4, 4, "theta iota kappa"),
+                              (5, 5, "")])
+
+    lut = [((7 * i) % 13 - 6) / 10.0 for i in range(1024)]
+    scored = importance_weights(_stream(spark, src), "doc_id", "text", lut)
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(scored, sink, ckpt)
+    got = {r["doc_id"]: r["log_weight"]
+           for r in spark.read.parquet(sink).collect()}
+
+    batch = importance_weights(spark.read.schema(SCHEMA).parquet(src),
+                               "doc_id", "text", lut)
+    want = {r["doc_id"]: r["log_weight"] for r in batch.collect()}
+    assert got == want
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5] == 0.0  # empty doc: concrete zero, not dropped
+
+
+def test_streaming_line_filter_matches_batch(spark, tmp_path):
+    """C4 line filtering at ingest: pure per-row array expressions, so
+    c4_line_filter applies to the stream directly; the drain equals the
+    batch rewrite, including dropping docs that lose every line."""
+    from realtime_olap_spark.operators.lines import c4_line_filter
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [
+        (1, 1, "good long sentence here.\nok\nanother fine line stays"),
+        (2, 2, "x\ny"),
+        (3, 3, "keep this full line please\njavascript junk line here")])
+
+    filtered = c4_line_filter(_stream(spark, src), "text", min_words=3)
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(filtered, sink, ckpt)
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(sink).collect()}
+
+    batch = c4_line_filter(spark.read.schema(SCHEMA).parquet(src),
+                           "text", min_words=3)
+    want = {r["doc_id"]: r["text"] for r in batch.collect()}
+    assert got == want
+    assert 2 not in got          # every line under min_words
+    assert "javascript" not in got[3]
