@@ -15,23 +15,46 @@ from realtime_olap_spark.suite.registry import query
 _WS = "list_distinct(string_split(lower(text), ' '))"
 
 
-@query("dedup_exact", """
-SELECT lang, source, dup_count, total, distinct_texts
+@query("dedup_exact", r"""
+SELECT lang, source, dup_count, total, distinct_texts,
+       dup_windows, dup_tokens, span_total_tokens
 FROM (SELECT lang, source, COUNT(*) AS dup_count
       FROM documents GROUP BY lang, source HAVING COUNT(*) > 1),
      (SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts
-      FROM documents)
+      FROM documents),
+     (WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '') AS ws FROM documents),
+      wins AS (SELECT doc_id, p, array_to_string(ws[p+1:p+8], ' ') AS win
+               FROM toks, UNNEST(range(0, greatest(len(ws)-7, 0))) AS u(p)),
+      dupw AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+      marks AS (SELECT w.doc_id, w.p FROM wins w JOIN dupw USING (win)),
+      cov AS (SELECT DISTINCT doc_id, tok
+              FROM marks, UNNEST(range(p, p+8)) AS c(tok))
+      SELECT (SELECT COUNT(*) FROM marks) AS dup_windows,
+             (SELECT COUNT(*) FROM cov) AS dup_tokens,
+             (SELECT CAST(SUM(len(ws)) AS BIGINT) FROM toks)
+               AS span_total_tokens)
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hash-groupBy dedup: duplicate groups + multiplicity (here on
     the (lang, source) key; on content columns the same single shuffle),
     with the corpus-level dedup cardinality (rows vs distinct payloads)
-    carried as constant columns."""
+    AND the exact-substring span-dedup totals (duplicated 8-token
+    windows, their union token coverage — operators/spans.py) carried as
+    constant columns. The oracle reconstructs the duplicated windows
+    from their STRINGS (content-exact), so it cross-checks the
+    operator's token-hash combination end to end, not just its counts."""
+    from realtime_olap_spark.operators import spans as SP  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
     groups = D.exact_duplicate_groups(d, ["lang", "source"])
     stats = d.agg(F.count(F.lit(1)).alias("total"),
                   F.count_distinct("text").alias("distinct_texts"))
-    return groups.crossJoin(stats)
+    span = SP.span_dup_stats(d, "doc_id", "text", k=8).agg(
+        F.sum("n_dup_windows").alias("dup_windows"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+        F.sum("n_tokens").alias("span_total_tokens"))
+    return groups.crossJoin(stats).crossJoin(span)
 
 
 _MH_SIGS = ",\n  ".join(
