@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime_olap_spark.operators.clustering import kmeans_fit
 from realtime_olap_spark.operators.dedup import dot
 from realtime_olap_spark.operators.similarity import _lit_vec, _self_dot
 
@@ -50,22 +49,65 @@ def _subvec(vec: Column, i: int, dsub: int) -> Column:
 def pq_train(df: DataFrame, vec_col: str, m: int, ksub: int,
              iters: int = 4, id_col: str = "vec_id",
              ) -> list[list[list[float]]]:
-    """Train the M codebooks: one ``kmeans_fit`` per subspace over the
-    sliced subvectors. Returns ``codebooks[m][ksub][dsub]``.
+    """Train all M codebooks JOINTLY — one corpus scan per Lloyd's
+    iteration, not M: every row's M subvectors are assigned scan-side
+    against their own codebook (M shared-fold distance arrays), the M
+    per-subspace updates ride ONE ``groupBy(subspace, cell)`` shuffle of
+    M·KS tiny rows (posexplode of per-row assignment structs), and the
+    collect fetches M·KS model rows. Returns ``codebooks[m][ksub][dsub]``.
 
-    Cost: M × iters scans, each with a KS-row shuffle — the standard
-    offline index-build job (encoding, not training, is the part that
-    runs over the whole corpus)."""
+    Seeding matches ``clustering.kmeans_init``: the KS rows with the
+    smallest ``xxhash64(id)`` — fetched once and sliced M ways, so every
+    subspace seeds from the same documents. Per-subspace runs of
+    ``kmeans_fit`` converge to the same codebooks (equality-tested up to
+    aggregation-order float noise)."""
     d = df.select(F.size(F.col(vec_col))).first()[0]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    books: list[list[list[float]]] = []
-    for i in range(m):
-        sub = df.select(F.col(id_col),
-                        _subvec(F.col(vec_col), i, dsub).alias("sub"))
-        cents, _ = kmeans_fit(sub, "sub", ksub, iters=iters, id_col=id_col)
-        books.append(cents)
+    seed_rows = (df.select(F.col(vec_col).alias("v"),
+                           F.xxhash64(F.col(id_col)).alias("h"))
+                 .orderBy("h").limit(ksub).collect())
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need at least ksub={ksub} rows, "
+                         f"got {len(seed_rows)}")
+    books = [[[float(x) for x in r["v"][i * dsub:(i + 1) * dsub]]
+              for r in seed_rows] for i in range(m)]
+    vec = F.col(vec_col)
+    dim_sums = [F.sum(F.element_at(F.col("sub"), j + 1)).alias(f"s{j}")
+                for j in range(dsub)]
+    for _ in range(iters):
+        staged = df.select(
+            *[_subvec(vec, i, dsub).alias(f"__s{i}") for i in range(m)])
+        staged = staged.select(
+            "*", *[dot(F.col(f"__s{i}"), F.col(f"__s{i}")).alias(f"__a{i}")
+                   for i in range(m)])
+        staged = staged.select(
+            "*", *[F.array(*[
+                F.col(f"__a{i}")
+                - F.lit(2.0) * dot(F.col(f"__s{i}"), _lit_vec(c))
+                + F.lit(_self_dot(c))
+                for c in books[i]]).alias(f"__d{i}")
+                for i in range(m)])
+        assigned = staged.select(F.posexplode(F.array(*[
+            F.struct(
+                (F.array_position(F.col(f"__d{i}"),
+                                  F.array_min(F.col(f"__d{i}"))) - 1)
+                .cast("int").alias("cell"),
+                F.col(f"__s{i}").alias("sub"))
+            for i in range(m)])).alias("i", "a")) \
+            .select("i", F.col("a.cell").alias("cell"),
+                    F.col("a.sub").alias("sub"))
+        stats = (assigned.groupBy("i", "cell")
+                 .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
+                 .collect())
+        by_key = {(r["i"], r["cell"]): r for r in stats}
+        books = [
+            [[by_key[(i, c)][f"s{j}"] / by_key[(i, c)]["n"]
+              for j in range(dsub)]
+             if (i, c) in by_key else books[i][c]
+             for c in range(ksub)]
+            for i in range(m)]
     return books
 
 

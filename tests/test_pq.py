@@ -168,3 +168,21 @@ def test_ivfpq_index_probe(spark, books, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan
+
+
+def test_joint_training_equals_per_subspace(spark):
+    """pq_train's one-scan-per-iteration joint trainer must reproduce
+    the per-subspace kmeans_fit codebooks (same seeds, same update
+    algebra; tolerance covers aggregation-order float noise)."""
+    from realtime_olap_spark.operators.clustering import kmeans_fit
+    from realtime_olap_spark.operators.pq import _subvec
+
+    df = _emb(spark)
+    joint = pq_train(df, "embedding", m=2, ksub=4, iters=2)
+    for i in range(2):
+        sub = df.select("vec_id",
+                        _subvec(F.col("embedding"), i, 32).alias("sub"))
+        sep, _ = kmeans_fit(sub, "sub", 4, iters=2, id_col="vec_id")
+        for cj, cs in zip(joint[i], sep):
+            assert all(abs(a - b) <= 1e-9 * max(1.0, abs(b))
+                       for a, b in zip(cj, cs))
