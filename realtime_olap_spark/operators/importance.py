@@ -136,3 +136,62 @@ def dsir_resample(df: DataFrame, id_col: str, k: int, seed: int = 0,
     return (df.withColumn("__gk", key)
               .orderBy(F.col("__gk").desc(), F.col(id_col).asc())
               .limit(k).drop("__gk"))
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine) bucketing + the integer favored-bucket surrogate
+# ---------------------------------------------------------------------------
+
+#: Bucket count for the portable md5 feature space (small enough that the
+#: favored-bucket bitmap is one literal array in the plan/SQL).
+PORTABLE_BUCKETS = 1024
+
+
+def gram_buckets_md5(text: Column,
+                     n_buckets: int = PORTABLE_BUCKETS) -> Column:
+    """Bucket ids from the first 8 hex chars of md5 — slower than
+    xxhash64 but byte-identical in any engine with md5 (DuckDB renders
+    it as ``('0x' || substr(md5(g),1,8))::BIGINT % B``), which is what
+    puts the DSIR feature space under a differential oracle."""
+    return F.transform(
+        doc_grams(text),
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                   .cast("long") % F.lit(n_buckets)).cast("int"))
+
+
+def bucket_counts_md5(df: DataFrame, text_col: str,
+                      n_buckets: int = PORTABLE_BUCKETS) -> DataFrame:
+    """``bucket_counts`` over the portable md5 buckets."""
+    return (df.select(F.explode(gram_buckets_md5(F.col(text_col),
+                                                 n_buckets))
+                      .alias("bucket"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def favored_buckets(target_counts: DataFrame, source_counts: DataFrame,
+                    n_buckets: int = PORTABLE_BUCKETS) -> list[int]:
+    """0/1 bitmap of *target-favored* buckets: bucket b is favored iff
+    its smoothed target probability exceeds its smoothed source
+    probability — ``(ct+1)·(S+B) > (cs+1)·(T+B)`` in EXACT integer
+    arithmetic (T, S = total gram counts), so the decision is
+    bit-reproducible in SQL. This is the sign of the DSIR log-ratio; the
+    per-doc count of favored grams is the integer surrogate of the
+    importance weight that a value-hash oracle can check."""
+    tc = {r["bucket"]: r["n"] for r in target_counts.collect()}
+    sc = {r["bucket"]: r["n"] for r in source_counts.collect()}
+    tt, st = sum(tc.values()), sum(sc.values())
+    return [1 if (tc.get(b, 0) + 1) * (st + n_buckets)
+            > (sc.get(b, 0) + 1) * (tt + n_buckets) else 0
+            for b in range(n_buckets)]
+
+
+def favored_hits(text: Column, favored: list[int]) -> Column:
+    """Per-doc count of grams landing in favored buckets — an integer
+    scan-side fold against the literal bitmap (same zero-shuffle shape
+    as ``importance_weights``; same one-call literal construction)."""
+    bitmap = F.expr("array(" + ",".join(str(int(x)) for x in favored)
+                    + ")")
+    return F.aggregate(
+        gram_buckets_md5(text, len(favored)),
+        F.lit(0).cast("long"),
+        lambda acc, bk: acc + F.element_at(bitmap, bk + 1).cast("long"))

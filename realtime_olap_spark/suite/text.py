@@ -164,7 +164,33 @@ toks AS (SELECT doc_id, unnest({_WS}) AS word FROM documents),
 freqs AS (SELECT word, COUNT(*) AS n_occ FROM toks GROUP BY word),
 tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS n FROM freqs),
 lm AS (SELECT doc_id AS lm_doc_id, AVG(ln(n_occ / (SELECT n FROM tot))) AS mlp
-       FROM toks JOIN freqs USING (word) GROUP BY doc_id)
+       FROM toks JOIN freqs USING (word) GROUP BY doc_id),
+dsir_ws AS (SELECT doc_id, source,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '') AS ws FROM documents),
+dsir_b AS (SELECT doc_id, source,
+           CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS INT)
+             AS bucket
+           FROM (SELECT doc_id, source,
+                 unnest(ws || list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1]))
+                   AS g
+                 FROM dsir_ws)),
+dsir_t AS (SELECT bucket, COUNT(*) AS ct FROM dsir_b
+           WHERE source = (SELECT MIN(source) FROM documents)
+           GROUP BY bucket),
+dsir_tot AS (SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dsir_b
+   WHERE source = (SELECT MIN(source) FROM documents)) AS tt,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dsir_b) AS st),
+dsir_fav AS (SELECT s.bucket
+             FROM (SELECT bucket, COUNT(*) AS cs FROM dsir_b
+                   GROUP BY bucket) s
+             LEFT JOIN dsir_t t USING (bucket), dsir_tot
+             WHERE (COALESCE(t.ct, 0) + 1) * (st + 1024)
+                   > (s.cs + 1) * (tt + 1024)),
+dsir_hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS fav_hits
+              FROM dsir_b JOIN dsir_fav USING (bucket) GROUP BY doc_id)
 SELECT doc_id,
        length(text) AS n_chars_m,
        {_NTOK} AS n_tokens,
@@ -183,7 +209,10 @@ SELECT doc_id,
                                    CAST(doc_id AS VARCHAR) ASC) AS strat_rank,
        COALESCE((SELECT n_hits FROM hits WHERE hits.doc_id = documents.doc_id),
                 CAST(0 AS BIGINT)) AS contam_hits,
-       {_LM_BUCKET} AS lm_bucket
+       {_LM_BUCKET} AS lm_bucket,
+       COALESCE((SELECT fav_hits FROM dsir_hits
+                 WHERE dsir_hits.doc_id = documents.doc_id),
+                CAST(0 AS BIGINT)) AS dsir_fav_hits
 FROM documents
 LEFT JOIN lm ON lm.lm_doc_id = documents.doc_id
 ORDER BY doc_id ASC
@@ -209,6 +238,7 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs (LM_BUCKET_CUTOFFS) reduce the order-dependent double mean
     to a hash-exact integer tier."""
     from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
+    from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
     from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
     from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
@@ -219,10 +249,13 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id",
                   LM.bucket_by_cutoffs(F.col("mean_logprob"),
                                        LM_BUCKET_CUTOFFS).alias("lm_bucket")))
+    fav = _dsir_favored(spark, sf_dir)
     return (d.select("doc_id", "lang", "source",
                      *T.quality_features(F.col("text")),
                      T.rolling_fingerprint_fast(F.col("text"))
-                     .alias("fingerprint"))
+                     .alias("fingerprint"),
+                     IMP.favored_hits(F.col("text"), fav)
+                     .alias("dsir_fav_hits"))
             .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
             .withColumn("strat_rank",
@@ -401,3 +434,22 @@ def span_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup_windows").alias("dup_windows"),
         F.sum("dup_tokens").alias("dup_tokens"),
         F.sum("n_tokens").alias("total_tokens")))
+
+
+#: Session cache for the portable DSIR favored-bucket bitmap (same
+#: train-once contract as _DSIR_LUTS; the fit is two B-row md5-bucket
+#: count shuffles + integer comparisons).
+_DSIR_FAV: dict[tuple[str, str], list[int]] = {}
+
+
+def _dsir_favored(spark: SparkSession, sf_dir: str) -> list[int]:
+    from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DSIR_FAV:
+        d = Catalog(spark, sf_dir).table("documents")
+        tgt = d.where(F.col("source")
+                      == d.agg(F.min("source")).first()[0])
+        _DSIR_FAV[key] = IMP.favored_buckets(
+            IMP.bucket_counts_md5(tgt, "text"),
+            IMP.bucket_counts_md5(d, "text"))
+    return _DSIR_FAV[key]
