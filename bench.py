@@ -161,6 +161,8 @@ def main() -> None:
     _ensure_pq_index(spark, sf_dir)
     from realtime_olap_spark.suite.text import importance_scan_bench  # noqa: E402,PLC0415
     importance_scan_bench(spark, sf_dir).count()
+    from realtime_olap_spark.suite.text import _dsir_favored  # noqa: E402,PLC0415
+    _dsir_favored(spark, sf_dir)
 
     # min of RUNS executions per query: this host shows random 3-8x
     # per-query spikes from outside CPU contention; the minimum is the
