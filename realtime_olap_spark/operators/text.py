@@ -137,15 +137,26 @@ def quality_score_from(text: Column, ws: Column) -> Column:
     presence up, punctuation soup down, degenerate token lengths down — a
     deterministic stand-in for a model-based scorer with the same plan
     shape. Every float derives from an integer ratio, so the score is
-    bit-reproducible in any engine."""
+    bit-reproducible in any engine.
+
+    Zero-token / zero-length documents score 0.0 (the worst tier) via a
+    guard rather than dividing by zero — ANSI mode would otherwise fail
+    the whole query, and Catalyst freely reorders conjunctive filters,
+    so an upstream 'drop empty docs' predicate cannot protect this
+    expression. Identical results on any non-degenerate document, so
+    the differential oracles are unaffected."""
     n_tok = F.size(ws).cast("double")
-    stop_r = stopword_occurrences(ws, LANG_MARKERS["en"]).cast("double") / n_tok
+    n_chars = F.length(text).cast("double")
+    stop_r = stopword_occurrences(ws, LANG_MARKERS["en"]).cast("double") / \
+        F.when(n_tok > 0, n_tok).otherwise(F.lit(1.0))
     punct_r = (F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-               ).cast("double") / F.length(text).cast("double")
-    mean_len = total_word_chars(ws).cast("double") / n_tok
-    return (F.least(stop_r * 2.0, F.lit(0.4))
-            + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.4).otherwise(0.0)
-            + F.greatest(F.lit(0.2) - punct_r, F.lit(0.0)))
+               ).cast("double") / F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    mean_len = total_word_chars(ws).cast("double") / \
+        F.when(n_tok > 0, n_tok).otherwise(F.lit(1.0))
+    score = (F.least(stop_r * 2.0, F.lit(0.4))
+             + F.when((mean_len >= 3.0) & (mean_len <= 10.0), 0.4).otherwise(0.0)
+             + F.greatest(F.lit(0.2) - punct_r, F.lit(0.0)))
+    return F.when(n_tok > 0, score).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:

@@ -140,3 +140,65 @@ def test_pipeline_plan_shape(spark):
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # decontam + mixture rate attach
+
+
+def test_extended_pipeline_line_span_importance(spark):
+    """The r6 stages compose into the same build: per-line C4 cleaning →
+    corpus-wide span dedup (keep-first removal) → decontaminate →
+    quality gate → exact dedup → DSIR importance selection → chunk.
+    Pins determinism, monotone row flow, that span removal only shrinks
+    documents, and that the importance stage prefers target-like docs."""
+    from realtime_olap_spark.operators.importance import (bucket_counts,
+                                                          dsir_resample,
+                                                          importance_weights,
+                                                          log_ratio_lut)
+    from realtime_olap_spark.operators.lines import c4_line_filter
+    from realtime_olap_spark.operators.spans import remove_duplicated_spans
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    bench = docs.orderBy("doc_id").limit(3).select("text")
+
+    lined = c4_line_filter(docs, "text", min_words=3)
+    tok0 = {r["doc_id"]: r["n"] for r in
+            lined.select("doc_id", F.size(F.split(F.col("text"), r"\s+"))
+                 .alias("n")).collect()}
+    spanned = remove_duplicated_spans(lined, "doc_id", "text", k=8)
+    tok1 = {r["doc_id"]: r["n"] for r in
+            spanned.select("doc_id", F.size(F.split(F.col("text"), r"\s+"))
+                   .alias("n")).collect()}
+    assert set(tok1) == set(tok0)            # span removal never drops docs
+    assert all(tok1[i] <= tok0[i] for i in tok0)
+    assert any(tok1[i] < tok0[i] for i in tok0)  # and really fired
+
+    # span removal can empty a document; drop husks before the quality
+    # score (which is undefined at zero tokens)
+    nonempty = spanned.where(F.trim(F.col("text")) != "")
+    clean = decontaminate(nonempty, bench, "doc_id", "text", n=3)
+    gated = clean.where(quality_score(F.col("text")) >= 0.3)
+    kept = D.dedup_exact(gated, ["text"], keep_by="doc_id")
+
+    target_src = kept.agg(F.min("source")).first()[0]
+    lut = log_ratio_lut(
+        bucket_counts(kept.where(F.col("source") == target_src), "text",
+                      1024),
+        bucket_counts(kept, "text", 1024), 1024)
+    scored = importance_weights(kept, "doc_id", "text", lut)
+    n_kept = kept.count()
+    selected = dsir_resample(scored, "doc_id", n_kept // 2, seed=3)
+    assert selected.count() == n_kept // 2
+
+    # the selection is target-leaning (expected under ∝-weight sampling)
+    frac_sel = (selected.where(F.col("source") == target_src).count()
+                / (n_kept // 2))
+    frac_pop = kept.where(F.col("source") == target_src).count() / n_kept
+    assert frac_sel >= frac_pop
+
+    chunks = chunk_documents(selected, "doc_id", "text", 32, 8)
+    assert chunks.count() >= selected.count()
+
+    # determinism end to end
+    again = dsir_resample(
+        importance_weights(kept, "doc_id", "text", lut),
+        "doc_id", n_kept // 2, seed=3)
+    assert ({r["doc_id"] for r in selected.select("doc_id").collect()}
+            == {r["doc_id"] for r in again.select("doc_id").collect()})
