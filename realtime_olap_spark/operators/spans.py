@@ -147,6 +147,42 @@ def span_dup_stats(docs: DataFrame, id_col: str, text_col: str,
                     .otherwise(F.lit(0.0)).alias("dup_token_frac")))
 
 
+def window_table(docs: DataFrame, id_col: str, text_col: str,
+                 k: int) -> DataFrame:
+    """``(id, pos, h)`` — every window occurrence, the materialization
+    unit of INCREMENTAL span dedup: persist this for the corpus once
+    (partition/bucket by ``h``), and each ingest batch probes it with
+    its own (tiny) window table instead of re-hashing the corpus."""
+    return _occurrences(docs, id_col, text_col, k)
+
+
+def duplicated_positions_against(batch: DataFrame, corpus_windows: DataFrame,
+                                 id_col: str, text_col: str,
+                                 k: int) -> DataFrame:
+    """Incremental marking: a NEW batch's duplicated-window positions
+    against a materialized corpus window table — ``(id, dup_pos)`` for
+    batch docs only. A batch window is marked iff it already exists in
+    the corpus (the corpus occurrence is canonical — first-wins across
+    ingest time) OR it repeats within the batch and is not the batch's
+    own canonical occurrence. Equals the symmetric keep-first marks on
+    (corpus ∪ batch) restricted to batch docs whenever corpus ids sort
+    before batch ids (tested). Per-batch cost: O(batch windows) ⋈
+    matching corpus hashes — the corpus is never re-paired."""
+    occ = _occurrences(batch, id_col, text_col, k)
+    corpus_hits = occ.join(
+        corpus_windows.select("h").distinct(), "h", "left_semi")
+    per_hash = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(id_col, "pos")).alias("canon"))
+    batch_dups = (occ.join(per_hash.where(F.col("n") >= 2), "h")
+                  .where((F.col(id_col) != F.col("canon").getField(id_col))
+                         | (F.col("pos") != F.col("canon").getField("pos")))
+                  .select(id_col, "pos", "h"))
+    marked = corpus_hits.unionByName(batch_dups).distinct()
+    return (marked.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos")))
+
+
 def remove_duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
                             k: int, min_count: int = 2,
                             broadcast_marks: bool | None = None,

@@ -146,3 +146,30 @@ def test_corpus_side_plan_never_shuffles_docs(spark, corpus):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_marks_equal_symmetric_keep_first(spark, corpus, tmp_path):
+    """Ingestion shape: materialize the corpus window table once, probe
+    it with a new batch — the batch's marks must equal the symmetric
+    keep-first marks over (corpus ∪ batch) restricted to batch docs
+    (corpus ids sort first, so corpus occurrences are canonical)."""
+    from realtime_olap_spark.operators.spans import (
+        duplicated_positions_against, window_table)
+
+    ids = sorted(corpus)
+    split = ids[len(ids) // 2]
+    first = {d: t for d, t in corpus.items() if d < split}
+    second = {d: t for d, t in corpus.items() if d >= split}
+    df_first, df_second = _df(spark, first), _df(spark, second)
+
+    path = str(tmp_path / "windows")
+    window_table(df_first, "doc_id", "text", K).write.parquet(path)
+    inc = {r["doc_id"]: list(r["dup_pos"])
+           for r in duplicated_positions_against(
+               df_second, spark.read.parquet(path),
+               "doc_id", "text", K).collect()}
+
+    full = _py_marks(corpus, K, "first")
+    want = {d: ps for d, ps in full.items() if d >= split}
+    assert inc == want
+    assert inc  # the probe really fired on this corpus
