@@ -16,7 +16,7 @@ from realtime_olap_spark.catalog import Catalog
 from realtime_olap_spark.operators import filters as P
 from realtime_olap_spark.operators.groupby import Agg, Key, group_by_agg, having, top_n
 from realtime_olap_spark.suite.registry import query
-from realtime_olap_spark.suite.sqlgen import OAVG, OSUM
+from realtime_olap_spark.suite.sqlgen import OAVG, OPCT, OSUM
 
 
 @query("agg_scalar_all", f"""
@@ -98,12 +98,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
-@query("agg_percentiles", """
+@query("agg_percentiles", f"""
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.25) AS p25,
-       quantile_cont(l_extendedprice, 0.50) AS p50,
-       quantile_cont(l_extendedprice, 0.90) AS p90,
-       quantile_cont(l_extendedprice, 0.99) AS p99
+       {OPCT('l_extendedprice', 0.25)} AS p25,
+       {OPCT('l_extendedprice', 0.50)} AS p50,
+       {OPCT('l_extendedprice', 0.90)} AS p90,
+       {OPCT('l_extendedprice', 0.99)} AS p99
 FROM lineitem GROUP BY l_returnflag
 """)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,7 +102,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, {OSUM('value')} AS day_value
   FROM events GROUP BY day)
 SELECT day, day_value,
-       CAST(CAST(SUM(CAST(day_value AS DECIMAL(38,10)))
+       CAST(CAST(SUM(CAST(CAST(day_value AS VARCHAR) AS DECIMAL(38,10)))
                  OVER (ORDER BY day) AS VARCHAR) AS DOUBLE) AS running_value
 FROM daily
 ORDER BY day

@@ -20,11 +20,16 @@ from realtime_olap_spark.catalog import Catalog
 from realtime_olap_spark.operators import filters as P
 from realtime_olap_spark.operators.groupby import Agg, Key, group_by_agg, top_n
 from realtime_olap_spark.suite.registry import query
+from realtime_olap_spark.suite.sqlgen import OPCT
 
 # DuckDB fragment: exact fixed-point (2^35) element term — deterministic in
 # any engine because multiplying by a power of two never rounds (see
 # aggregation.FX).
 _FX = "34359738368"
+
+# Spark-formula interpolated percentiles over unnested elements (sqlgen.OPCT)
+OPCT_U50 = OPCT("CAST(u AS DOUBLE)", 0.5)
+OPCT_U90 = OPCT("CAST(u AS DOUBLE)", 0.9)
 _EL = f"CAST(FLOOR(CAST(u AS DOUBLE) * {_FX}) AS BIGINT)"
 
 
@@ -82,10 +87,8 @@ SELECT COUNT(*) AS rows_cnt,
        (CAST(SUM(el.s) AS DOUBLE) / {_FX}.0
         / CAST(SUM(len(embedding)) AS DOUBLE)) AS avgmv,
        MAX(el.mx) - MIN(el.mn) AS rangemv,
-       (SELECT quantile_cont(CAST(u AS DOUBLE), 0.5)
-        FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p50,
-       (SELECT quantile_cont(CAST(u AS DOUBLE), 0.9)
-        FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p90
+       (SELECT {OPCT_U50} FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p50,
+       (SELECT {OPCT_U90} FROM (SELECT unnest(embedding) AS u FROM embeddings)) AS p90
 FROM embeddings,
      LATERAL (SELECT MIN(CAST(u AS DOUBLE)) AS mn, MAX(CAST(u AS DOUBLE)) AS mx,
                      SUM({_EL}) AS s
@@ -136,7 +139,7 @@ direct AS (
          (CAST(SUM(s) AS DOUBLE) / {_FX}.0) AS summv
   FROM folds GROUP BY label),
 pcts AS (
-  SELECT label, quantile_cont(CAST(u AS DOUBLE), 0.5) AS p50
+  SELECT label, {OPCT_U50} AS p50
   FROM (SELECT label, unnest(embedding) AS u FROM embeddings)
   GROUP BY label)
 SELECT direct.label, countmv, summv, p50

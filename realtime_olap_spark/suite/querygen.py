@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from realtime_olap_spark.suite.sqlgen import OAVG, OSUM
+from realtime_olap_spark.suite.sqlgen import OAVG, OPCT, OSUM
 
 DIMS = {
     "l_returnflag": ["'A'", "'N'", "'R'"],
@@ -127,7 +127,7 @@ def _agg(rng: random.Random) -> tuple[str, str, str]:
         col = rng.choice(list(METRICS))
         alias = f"percentile{pct}_{col}"
         return (f"percentile{pct}({col})",
-                f"quantile_cont({col}, {pct / 100}) AS {alias}", alias)
+                f"{OPCT(col, pct / 100)} AS {alias}", alias)
     arg, frag, sql_arg = _metric_arg(rng)
     alias = f"{fn}_{frag}"
     if fn == "sum":
