@@ -9,7 +9,7 @@ from realtime_olap_spark.plans.pql import PQLEngine
 from realtime_olap_spark.suite.querygen import generate
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-SEEDS = list(range(75))
+SEEDS = list(range(150))
 
 
 @pytest.mark.parametrize("seed", SEEDS)
