@@ -165,10 +165,46 @@ def _events_agg(rng: random.Random) -> tuple[str, str]:
     return pql, sql
 
 
+#: TIMECONVERT narrowing targets: (PQL unit, nanos per unit).
+_TIME_UNITS = [("MINUTES", 60_000_000_000),
+               ("HOURS", 3_600_000_000_000),
+               ("DAYS", 86_400_000_000_000)]
+
+
+def _time_bucket_agg(rng: random.Random) -> tuple[str, str]:
+    """Group events by a TIMECONVERT epoch bucket — the transform-in-
+    group-by shape over the time column, through the full PQL front end.
+    The engine floor-divides epoch NANOS through DECIMAL (exact); the
+    oracle twin is DuckDB integer floor-division of epoch_ns(ts)."""
+    unit, per = rng.choice(_TIME_UNITS)
+    alias = f"timeconvert_ts_ns_NANOSECONDS_{unit}"
+    preds = []
+    if rng.random() < 0.6:
+        d1, d2 = sorted(rng.sample(range(1, 30), 2))
+        preds.append(f"ts BETWEEN '2024-01-{d1:02d}' AND '2024-01-{d2:02d}'")
+    if rng.random() < 0.4:
+        types = rng.sample(["click", "view", "error", "signup", "purchase"],
+                           k=rng.randint(1, 2))
+        preds.append("event_type IN ("
+                     + ", ".join(f"'{t}'" for t in types) + ")")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    key_pql = f"timeconvert(ts_ns, 'NANOSECONDS', '{unit}')"
+    key_sql = f"CAST(epoch_ns(ts) // {per} AS BIGINT)"
+    pql = (f"SELECT {key_pql}, count(*), sum(value) FROM events{where} "
+           f"GROUP BY {key_pql} TOP 1000")
+    sql = (f"SELECT {key_sql} AS {alias}, COUNT(*) AS count_star, "
+           f"{OSUM('value')} AS sum_value FROM events{where} "
+           f"GROUP BY 1")
+    return pql, sql
+
+
 def generate(seed: int) -> tuple[str, str]:
     """One differential pair (pql, duckdb_sql) for the given seed."""
     rng = random.Random(seed)
-    shape = rng.choice(["selection", "scalar_agg", "group_by", "events_agg"])
+    shape = rng.choice(["selection", "scalar_agg", "group_by", "events_agg",
+                        "time_bucket"])
+    if shape == "time_bucket":
+        return _time_bucket_agg(rng)
     if shape == "events_agg":
         return _events_agg(rng)
     where = _where(rng)
