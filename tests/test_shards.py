@@ -1,0 +1,78 @@
+"""Training-shard sink — totals conservation, deterministic assignment,
+manifest agreement, partition-pruned subset reads, and the atomic
+completion marker."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.catalog import Catalog
+from realtime_olap_spark.sources.shards import (MARKER, read_manifest,
+                                                read_shards, with_shard,
+                                                write_training_shards)
+from tests.conftest import SF_DIR
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, tmp_path_factory):
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text",
+                    F.size(F.split(F.col("text"), r"\s+")).alias("ntok")))
+    path = str(tmp_path_factory.mktemp("shards") / "ds")
+    write_training_shards(docs, path, "doc_id", N, token_col="ntok")
+    return docs, path
+
+
+def test_marker_and_layout(dataset):
+    _, path = dataset
+    assert os.path.exists(os.path.join(path, MARKER))
+    assert os.path.isdir(os.path.join(path, "data"))
+    assert os.path.isdir(os.path.join(path, "manifest"))
+
+
+def test_totals_conserved_and_manifest_agrees(spark, dataset):
+    docs, path = dataset
+    back = read_shards(spark, path)
+    assert back.count() == docs.count()
+    assert (back.agg(F.sum("ntok")).first()[0]
+            == docs.agg(F.sum("ntok")).first()[0])
+    # manifest rows equal the actual per-shard contents
+    man = {r["shard"]: (r["n_rows"], r["n_tokens"])
+           for r in read_manifest(spark, path).collect()}
+    got = {r["shard"]: (r["n"], r["t"])
+           for r in back.groupBy("shard")
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("ntok").alias("t")).collect()}
+    assert man == got
+    assert len(man) == N  # every shard non-empty on this corpus
+
+
+def test_assignment_is_a_row_property(spark, dataset):
+    docs, path = dataset
+    a = {r["doc_id"]: r["shard"]
+         for r in with_shard(docs, "doc_id", N).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in with_shard(docs.repartition(13), "doc_id", N).collect()}
+    c = {r["doc_id"]: r["shard"]
+         for r in read_shards(spark, path).select("doc_id",
+                                                  "shard").collect()}
+    assert a == b == c
+
+
+def test_subset_read_prunes_partitions(spark, dataset):
+    _, path = dataset
+    sub = read_shards(spark, path, shards=[0, 3])
+    assert set(r["shard"] for r in sub.select("shard")
+               .distinct().collect()) == {0, 3}
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_unmarked_dataset_refused(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_shards(spark, str(tmp_path / "nope"))
