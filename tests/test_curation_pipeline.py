@@ -202,3 +202,26 @@ def test_extended_pipeline_line_span_importance(spark):
         "doc_id", n_kept // 2, seed=3)
     assert ({r["doc_id"] for r in selected.select("doc_id").collect()}
             == {r["doc_id"] for r in again.select("doc_id").collect()})
+
+
+def test_pipeline_tail_ships_shards(spark, tmp_path):
+    """The pipeline tail: chunked sequences ship through the shard sink
+    with exact token accounting — manifest totals equal the chunk table,
+    and a single-shard read is partition-pruned."""
+    from realtime_olap_spark.sources.shards import (read_manifest,
+                                                    read_shards,
+                                                    write_training_shards)
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    chunks = chunk_documents(docs, "doc_id", "text", 32, 8) \
+        .withColumn("chunk_key",
+                    F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")))
+    path = str(tmp_path / "ds")
+    write_training_shards(chunks, path, "chunk_key", 4,
+                          token_col="chunk_ntok")
+    man = read_manifest(spark, path)
+    assert man.agg(F.sum("n_rows")).first()[0] == chunks.count()
+    assert (man.agg(F.sum("n_tokens")).first()[0]
+            == chunks.agg(F.sum("chunk_ntok")).first()[0])
+    assert read_shards(spark, path, shards=[2]).count() \
+        == man.where(F.col("shard") == 2).first()["n_rows"]
