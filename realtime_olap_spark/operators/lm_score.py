@@ -128,3 +128,86 @@ def perplexity_buckets(scores: DataFrame, n_buckets: int = 3,
                  .approxQuantile(score_col, probs, relative_error)
     return scores.withColumn(
         "bucket", bucket_by_cutoffs(F.col(score_col), sorted(cuts)))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM — one order deeper than the unigram signal
+# ---------------------------------------------------------------------------
+
+def train_bigram_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, n_pair)`` — one count shuffle over
+    (prev, word) pairs (map-side combined, vocabulary²-bounded but in
+    practice Zipf-sparse). Persist alongside the unigram table at
+    ingest; both are reusable across scoring batches."""
+    from realtime_olap_spark.operators.text import bigrams_from  # noqa: PLC0415
+    pairs = df.select(F.explode(bigrams_from(words(F.col(text_col))))
+                      .alias("pair"))
+    return (pairs
+            .select(F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+                    F.split(F.col("pair"), " ").getItem(1).alias("w2"))
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   lam: float = 0.7,
+                   unigram_freqs: DataFrame | None = None,
+                   bigram_freqs: DataFrame | None = None) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability ``(id,
+    n_scored, mean_logprob2)`` — the standard Jelinek-Mercer backoff
+    one order below KenLM pipelines:
+
+        p(w | prev) = λ · n(prev,w)/n(prev) + (1−λ) · p_uni(w)
+
+    with the unigram term add-one smoothed (so unseen words keep finite
+    mass) and the conditional term dropping to 0 for unseen bigrams —
+    the unigram interpolation IS the backoff. Scoring explodes each
+    doc's (prev, word) pairs scan-side, joins the two frequency tables
+    (broadcast under the usual vocab sizes, shuffled hash join above),
+    and averages per doc: one groupBy(id) with map-side partial sums.
+
+    Docs with < 2 tokens have no bigrams: they come back with
+    ``n_scored = 0`` and NULL score (same every-doc-appears contract as
+    ``unigram_logprob``)."""
+    from realtime_olap_spark.operators.text import bigrams_from  # noqa: PLC0415
+    if unigram_freqs is None:
+        unigram_freqs = train_unigram_freqs(df, text_col)
+    if bigram_freqs is None:
+        bigram_freqs = train_bigram_freqs(df, text_col)
+    ctx = unigram_freqs.select(F.col("word").alias("w1"),
+                               F.col("n_occ").alias("n_ctx"))
+    uni = unigram_freqs.select(F.col("word").alias("w2"),
+                               F.col("n_occ").alias("n_uni"))
+    total = unigram_freqs.agg(F.max("n_total").alias("__nt"))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(bigrams_from(words(F.col(text_col)))).alias("pair"))
+    scored = (pairs
+              .select(id_col,
+                      F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+                      F.split(F.col("pair"), " ").getItem(1).alias("w2"))
+              .join(F.broadcast(ctx), "w1", "left")
+              .join(F.broadcast(uni), "w2", "left")
+              .join(F.broadcast(
+                  bigram_freqs.select("w1", "w2", "n_pair")),
+                  ["w1", "w2"], "left")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  id_col,
+                  F.log(
+                      F.lit(float(lam))
+                      * (F.coalesce(F.col("n_pair"), F.lit(0))
+                         .cast("double")
+                         / F.coalesce(F.col("n_ctx"), F.lit(1))
+                         .cast("double"))
+                      + F.lit(1.0 - float(lam))
+                      * (F.coalesce(F.col("n_uni"), F.lit(1))
+                         .cast("double")
+                         / F.col("__nt").cast("double"))).alias("lp")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob2")))
+    return (df.select(F.col(id_col)).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_scored"), F.lit(0).cast("long"))
+                    .alias("n_scored"),
+                    F.col("mean_logprob2")))

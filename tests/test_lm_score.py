@@ -141,3 +141,75 @@ def test_zero_token_docs_survive_scoring_and_bucketing(spark):
     b = {r["doc_id"]: r["bucket"] for r in
          perplexity_buckets(scored, n_buckets=2).collect()}
     assert b[2] == 1 and b[3] == 1  # worst bucket, concrete id
+
+
+def test_bigram_logprob_matches_duckdb(spark, duck):
+    """Interpolated bigram LM vs a full in-SQL refit: bigram and unigram
+    tables trained on the same corpus, identical smoothing algebra —
+    1e-9 relative tolerance (order-dependent double mean)."""
+    from realtime_olap_spark.operators.lm_score import bigram_logprob
+
+    d = Catalog(spark, SF_DIR).table("documents")
+    got = {r["doc_id"]: (r["n_scored"], r["mean_logprob2"])
+           for r in bigram_logprob(d, "doc_id", "text", lam=0.7).collect()}
+
+    con = duck(SF_DIR)
+    ws = (r"list_filter(string_split_regex(lower(text), '\s+'), "
+          r"x -> x <> '')")
+    rows = con.execute(f"""
+WITH toks AS (SELECT doc_id, {ws} AS ws FROM documents),
+uni AS (SELECT w, COUNT(*) AS n_occ FROM
+        (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS nt FROM uni),
+pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         ln(0.7 * (CAST(COALESCE(b.n_pair, 0) AS DOUBLE)
+                   / CAST(COALESCE(c.n_occ, 1) AS DOUBLE))
+            + 0.3 * (CAST(COALESCE(w.n_occ, 1) AS DOUBLE)
+                     / (SELECT nt FROM tot))) AS lp
+  FROM pairs p
+  LEFT JOIN uni c ON c.w = p.w1
+  LEFT JOIN uni w ON w.w = p.w2
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2)
+SELECT doc_id, COUNT(*) AS n, AVG(lp) AS mlp FROM scored GROUP BY doc_id
+""").fetchall()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+    assert set(got) >= set(want)
+    for did, (n, mlp) in want.items():
+        gn, gm = got[did]
+        assert gn == n, did
+        assert abs(gm - mlp) <= 1e-9 * max(1.0, abs(mlp)), did
+    # docs with < 2 tokens appear with zero scored pairs, NULL score
+    for did, (gn, gm) in got.items():
+        if did not in want:
+            assert gn == 0 and gm is None
+
+
+def test_bigram_backoff_behaviour(spark):
+    """An unseen bigram of two seen words scores exactly the unigram
+    interpolation term; a seen bigram scores strictly higher."""
+    from realtime_olap_spark.operators.lm_score import (bigram_logprob,
+                                                        train_bigram_freqs,
+                                                        train_unigram_freqs)
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a")], ["doc_id", "text"])
+    uni = train_unigram_freqs(corpus, "text")
+    big = train_bigram_freqs(corpus, "text")
+    probe = spark.createDataFrame([(10, "a b"), (11, "b a")],
+                                  ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob2"]
+           for r in bigram_logprob(probe, "doc_id", "text", lam=0.7,
+                                   unigram_freqs=uni,
+                                   bigram_freqs=big).collect()}
+    # corpus: 6 tokens (a:3, b:3); bigrams: (a,b):2, (b,a):1
+    nt = 6.0
+    p_ab = 0.7 * (2 / 3) + 0.3 * (3 / nt)
+    p_ba = 0.7 * (1 / 3) + 0.3 * (3 / nt)
+    assert abs(got[10] - math.log(p_ab)) < 1e-12
+    assert abs(got[11] - math.log(p_ba)) < 1e-12
+    assert got[10] > got[11]
