@@ -48,12 +48,20 @@ def with_shard(df: DataFrame, key: str, n_shards: int,
 def write_training_shards(df: DataFrame, path: str, key: str,
                           n_shards: int,
                           token_col: str | None = None,
-                          files_per_shard: int = 1) -> None:
+                          files_per_shard: int = 1,
+                          overwrite: bool = False) -> None:
     """Write ``df`` as ``path/data/shard=K/…parquet`` + a per-shard
     manifest at ``path/manifest`` + the completion marker, atomically.
 
     ``token_col`` (optional) adds exact per-shard token totals to the
-    manifest — the number a training job actually schedules by."""
+    manifest — the number a training job actually schedules by.
+
+    An existing dataset at ``path`` FAILS the publish unless
+    ``overwrite=True`` (which swaps the staged build into place and
+    removes the old one) — a silent keep-the-old would let a re-run
+    believe it shipped fresh data. Concurrent first-publish races still
+    resolve to whichever rename wins, both writers having produced the
+    same deterministic content."""
     sharded = with_shard(df, key, n_shards)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_col is not None:
@@ -67,10 +75,21 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     manifest.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(stage, "manifest"))
     open(os.path.join(stage, MARKER), "w").close()
+    if os.path.exists(path):
+        if not overwrite:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise FileExistsError(
+                f"{path} already holds a dataset; pass overwrite=True "
+                f"to replace it")
+        retired = f"{path}.old-{os.getpid()}"
+        os.rename(path, retired)
+        os.rename(stage, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        return
     try:
         os.rename(stage, path)
     except OSError:
-        # lost a publish race (or target exists): keep the winner
+        # lost a first-publish race: keep the winner (identical content)
         shutil.rmtree(stage, ignore_errors=True)
 
 

@@ -76,3 +76,17 @@ def test_subset_read_prunes_partitions(spark, dataset):
 def test_unmarked_dataset_refused(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_shards(spark, str(tmp_path / "nope"))
+
+
+def test_republish_requires_overwrite(spark, tmp_path):
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text").limit(50))
+    path = str(tmp_path / "ds")
+    write_training_shards(docs, path, "doc_id", 2)
+    with pytest.raises(FileExistsError):
+        write_training_shards(docs, path, "doc_id", 2)
+    # overwrite swaps in the new build (here: fewer rows)
+    write_training_shards(docs.limit(20), path, "doc_id", 2,
+                          overwrite=True)
+    assert read_shards(spark, path).count() == 20
+    assert os.path.exists(os.path.join(path, MARKER))
