@@ -90,3 +90,58 @@ def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
     if keep == "dirty":
         return docs.join(flagged, id_col).select(docs["*"], flagged["n_hits"])
     return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def contaminated_positions(docs: DataFrame, bench_hashes: DataFrame,
+                           id_col: str, text_col: str,
+                           n: int) -> DataFrame:
+    """Per-document 0-based token positions of n-gram windows that
+    appear in the benchmark: ``(id, hit_pos array<int>)`` — only
+    contaminated docs appear. One scan-side posexplode of the doc's
+    window hashes, one (broadcast) semi-join against the benchmark hash
+    set, one per-id aggregation of the (tiny) hit lists."""
+    occ = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.transform(word_ngrams(F.col(text_col), n),
+                                 lambda g: F.xxhash64(g)))
+        .alias("pos", "h")))
+    hits = occ.join(
+        F.broadcast(bench_hashes.select(F.col("gram_hash").alias("h"))),
+        "h", "left_semi")
+    return (hits.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("hit_pos")))
+
+
+def remove_contaminated_spans(docs: DataFrame, bench: DataFrame,
+                              id_col: str, text_col: str,
+                              bench_text_col: str | None = None,
+                              n: int = 13,
+                              out_col: str | None = None) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every document that
+    overlaps the benchmark (``decontaminate``), cut ONLY the tokens
+    covered by a benchmark-matching n-gram window and keep the rest of
+    the document — the span-removal treatment (GPT-3 App. C removes a
+    window around each collision; n=13 is its gram size). EVERY document
+    survives with its id; the rebuilt text is the kept token sequence
+    (lowercased/whitespace-normalized — the same tokenization contract
+    as span-dedup removal, so clean docs keep every token).
+
+    Plan shape: benchmark reduces to a broadcast hash set; the corpus is
+    scanned twice (once to find hit positions, once to rebuild) and
+    never shuffled — the marks table is contaminated-docs-small and
+    broadcasts back, the token filter is the same scan-side positional
+    exists-probe as span dedup (operators/spans.py)."""
+    from realtime_olap_spark.operators.text import words  # noqa: PLC0415
+    bcol = bench_text_col or text_col
+    marks = contaminated_positions(
+        docs, benchmark_gram_hashes(bench, bcol, n), id_col, text_col, n)
+    empty = F.array().cast("array<int>")
+    hit_pos = F.coalesce(F.col("hit_pos"), empty)
+    kept = F.filter(
+        words(F.col(text_col)),
+        lambda x, i: ~F.exists(hit_pos,
+                               lambda p: (p <= i) & (i < p + F.lit(n))))
+    out = out_col or text_col
+    return (docs.join(F.broadcast(marks), id_col, "left")
+            .withColumn(out, F.array_join(kept, " "))
+            .drop("hit_pos"))
