@@ -173,7 +173,17 @@ def test_extended_pipeline_line_span_importance(spark):
     # span removal can empty a document; drop husks before the quality
     # score (which is undefined at zero tokens)
     nonempty = spanned.where(F.trim(F.col("text")) != "")
-    clean = decontaminate(nonempty, bench, "doc_id", "text", n=3)
+    # surgical decontamination first (cut benchmark windows — docs keep
+    # their clean remainder), then the doc-level gate as a BACKSTOP: a
+    # cut can juxtapose two kept tokens into a new matching gram, and
+    # the gate catches exactly that residue
+    from realtime_olap_spark.operators.decontam import \
+        remove_contaminated_spans
+    surgical = remove_contaminated_spans(nonempty, bench, "doc_id",
+                                         "text", n=3)
+    clean = decontaminate(surgical, bench, "doc_id", "text", n=3)
+    assert clean.count() >= nonempty.count() - bench.count() * 20, \
+        "surgery should preserve nearly every doc for the gate"
     gated = clean.where(quality_score(F.col("text")) >= 0.3)
     kept = D.dedup_exact(gated, ["text"], keep_by="doc_id")
 
