@@ -1,9 +1,10 @@
 """Batch ingest readers (SURVEY.md §2.1).
 
 Reference record readers: Avro (core/data/readers/AvroRecordReader.java:38),
-CSV (CSVRecordReader.java:36), JSON (JSONRecordReader.java:37), and re-read
-of built segments (PinotSegmentRecordReader.java:44). Thrift
-(ThriftRecordReader.java:37) is out of scope (noted in SURVEY §2.1).
+CSV (CSVRecordReader.java:36), JSON (JSONRecordReader.java:37), Thrift
+(ThriftRecordReader.java:37 — ``read_thrift`` + the pure-Python
+TBinaryProtocol codec in ``thrift_codec``), and re-read of built segments
+(PinotSegmentRecordReader.java:44).
 
 Spark-first: each maps to a declarative ``spark.read`` with an explicit
 schema — schemas are declared, never inferred (Schema.java:61 semantics), so
@@ -99,6 +100,79 @@ def _read_avro_python(spark: SparkSession, path: str,
     return (spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.avro").load(path)
             .select("content").mapInPandas(decode, schema=out_schema))
+
+
+def read_thrift(spark: SparkSession, path: str, schema: StructType,
+                field_ids: dict[str, int],
+                glob: str = "*.thrift") -> DataFrame:
+    """Thrift batch ingest (ThriftRecordReader.java:37 analog) — closes the
+    last SURVEY §2.1 source: data files that are back-to-back
+    TBinaryProtocol structs, decoded by the clean-room pure-Python codec in
+    ``thrift_codec`` (public Apache Thrift wire format).
+
+    ``field_ids`` maps schema column name -> thrift field id — the declared
+    stand-in for the generated class's ``fieldForId`` introspection
+    (``ThriftRecordReader.java:66-75``); there are no generated classes
+    here, so the mapping is table metadata like the schema JSON. Columns
+    whose field id is absent from a record decode as NULL (sentinels are
+    the ``NullDefaultTransformer``'s job, as for every reader — documented
+    deviation #4); multi-value (ArrayType) columns read thrift list/set
+    containers, and an EMPTY container decodes to ``[NULL]`` so the
+    sentinel fill reproduces the reference's one-element ``[default]``
+    (``RecordReaderUtils.java:101-120``). Single-value conversions follow
+    ``RecordReaderUtils.convertToDataType``: numeric parse per declared
+    type, empty string -> NULL.
+
+    Scale shape: ``binaryFile`` source -> ``mapInPandas``, one
+    Arrow-batched task per data file — thrift's unframed stream has no
+    split points, so per-file parallelism is the protocol's natural (and
+    only) unit, exactly as in the reference's one-reader-per-file segment
+    build."""
+    import pandas as pd
+
+    from realtime_olap_spark.sources import thrift_codec as TC
+
+    fields = [(f.name, field_ids.get(f.name), f.dataType) for f in schema.fields]
+
+    def conv_sv(v, dt):
+        if v is None:
+            return None
+        t = dt.typeName()
+        if t == "boolean":
+            return v if isinstance(v, bool) else str(v).lower() == "true"
+        if t in ("integer", "long", "short", "byte"):
+            return int(v)
+        if t in ("float", "double"):
+            return float(v)
+        if t == "binary":
+            return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+        s = str(v)
+        return s if s != "" else None
+
+    def conv(v, dt):
+        if dt.typeName() == "array":
+            if v is None:
+                return None
+            if isinstance(v, dict):  # thrift map: not a reference MV source
+                return None
+            if len(v) == 0:
+                return [None]
+            return [conv_sv(x, dt.elementType) for x in v]
+        return conv_sv(v, dt)
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(TC.iter_structs(bytes(content)))
+                yield pd.DataFrame(
+                    {n: pd.Series([conv(r.get(fid), dt) for r in rows],
+                                  dtype=object)
+                     for n, fid, dt in fields},
+                    columns=[n for n, _, _ in fields])
+
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob).load(path)
+            .select("content").mapInPandas(decode, schema=schema))
 
 
 def read_segments(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Thrift reader tests: golden spec bytes, codec round-trips (including a
+hypothesis sweep), and the end-to-end ``read_thrift`` ingest — the same
+strategy as the Avro reader's tests (reference analog:
+``ThriftRecordReaderTest``; wire format = public TBinaryProtocol)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from realtime_olap_spark.sources import thrift_codec as TC
+from realtime_olap_spark.sources.readers import read_thrift
+
+
+def test_golden_wire_bytes():
+    """Hand-computed TBinaryProtocol bytes: field header = (type byte, i16
+    id big-endian); string = i32 length + utf8; STOP = 0x00."""
+    out = io.BytesIO()
+    TC.write_struct(out, [(1, TC.I32, 7), (2, TC.STRING, "hi")])
+    assert out.getvalue() == bytes(
+        [TC.I32, 0, 1, 0, 0, 0, 7,          # field 1: i32 7
+         TC.STRING, 0, 2, 0, 0, 0, 2]) + b"hi" + bytes([TC.STOP])
+
+
+def test_golden_decode():
+    out = io.BytesIO()
+    TC.write_struct(out, [(3, TC.I64, 42), (5, TC.BOOL, True),
+                          (7, TC.DOUBLE, 1.5)])
+    rec, = list(TC.iter_structs(out.getvalue()))
+    assert rec == {3: 42, 5: True, 7: 1.5}
+
+
+def test_containers_and_nesting():
+    out = io.BytesIO()
+    TC.write_struct(out, [
+        (1, TC.LIST, (TC.I32, [1, 2, 3])),
+        (2, TC.SET, (TC.STRING, ["a", "b"])),
+        (3, TC.MAP, (TC.STRING, TC.I64, {"k": 9})),
+        (4, TC.STRUCT, [(1, TC.I16, 5), (2, TC.BYTE, 7)]),
+    ])
+    rec, = list(TC.iter_structs(out.getvalue()))
+    assert rec == {1: [1, 2, 3], 2: ["a", "b"], 3: {"k": 9},
+                   4: {1: 5, 2: 7}}
+
+
+def test_back_to_back_structs_eof_terminated():
+    recs = [[(1, TC.I32, i)] for i in range(5)]
+    buf = TC.encode_file(recs)
+    assert [r[1] for r in TC.iter_structs(buf)] == [0, 1, 2, 3, 4]
+
+
+def test_truncated_raises():
+    out = io.BytesIO()
+    TC.write_struct(out, [(1, TC.STRING, "hello")])
+    with pytest.raises((ValueError, Exception)):
+        list(TC.iter_structs(out.getvalue()[:-3]))
+
+
+_scalars = (st.integers(-2**31, 2**31 - 1).map(lambda v: (TC.I32, v))
+            | st.integers(-2**63, 2**63 - 1).map(lambda v: (TC.I64, v))
+            | st.booleans().map(lambda v: (TC.BOOL, v))
+            | st.floats(allow_nan=False).map(lambda v: (TC.DOUBLE, v))
+            | st.text(max_size=20).map(lambda v: (TC.STRING, v)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 200), _scalars),
+                max_size=8, unique_by=lambda f: f[0]))
+def test_roundtrip_property(fields):
+    out = io.BytesIO()
+    TC.write_struct(out, [(fid, tt, v) for fid, (tt, v) in fields])
+    rec, = list(TC.iter_structs(out.getvalue()))
+    assert rec == {fid: v for fid, (tt, v) in fields}
+
+
+def test_read_thrift_end_to_end(spark, tmp_path):
+    """Data file of back-to-back structs -> DataFrame with declared schema:
+    field-id mapping, MV list column, missing field -> NULL, empty list ->
+    [NULL] (reference's one-element [default] before sentinel fill)."""
+    recs = [
+        [(1, TC.I64, 1), (2, TC.STRING, "alpha"), (3, TC.DOUBLE, 0.5),
+         (4, TC.LIST, (TC.I32, [10, 20]))],
+        [(1, TC.I64, 2), (3, TC.DOUBLE, 1.5),
+         (4, TC.LIST, (TC.I32, []))],                     # name missing
+        [(1, TC.I64, 3), (2, TC.STRING, ""),              # empty string
+         (3, TC.I32, 7),                                  # numeric widening
+         (4, TC.SET, (TC.I32, [9])),
+         (99, TC.STRING, "ignored")],                     # unmapped field
+    ]
+    p = tmp_path / "data.thrift"
+    p.write_bytes(TC.encode_file(recs))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tags", T.ArrayType(T.IntegerType())),
+    ])
+    df = read_thrift(spark, str(tmp_path), schema,
+                     {"id": 1, "name": 2, "score": 3, "tags": 4})
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["tags"] == [10, 20]
+    assert rows[2]["name"] is None and rows[2]["tags"] == [None]
+    assert rows[3]["name"] is None          # empty token -> NULL
+    assert rows[3]["score"] == 7.0          # i32 into DOUBLE column
+    assert rows[3]["tags"] == [9]
+    assert df.schema == schema
+
+
+def test_read_thrift_multiple_files(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"part{i}.thrift").write_bytes(
+            TC.encode_file([[(1, TC.I64, i * 10 + j)] for j in range(4)]))
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = read_thrift(spark, str(tmp_path), schema, {"id": 1})
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        i * 10 + j for i in range(3) for j in range(4))
+    # one task per file: thrift's unframed stream has no split points
+    assert df.rdd.getNumPartitions() >= 1
