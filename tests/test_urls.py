@@ -1,0 +1,210 @@
+"""URL curation: DuckDB differentials for normalization / registered-domain
+(identical RE2-safe regexes on both engines — the PII-redactor discipline),
+plus cap/blocklist/dedup property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators import urls as U
+
+URLS = [
+    "https://www.Example.com:443/a/b/?utm_source=x&q=1#frag",
+    "http://example.com:80/a/b",
+    "https://example.com/a/b/",
+    "https://news.bbc.co.uk/story?id=7&fbclid=zzz",
+    "http://sub.deep.example.com/x?b=2&a=1",
+    "http://user:pw@example.com:8080/x",
+    "not a url at all",
+    "ftp://files.example.org/pub/",
+    "https://example.com",
+    "https://example.com/?gclid=abc",
+    "http://localhost/test",
+    "https://shop.com.au/item?ref_=tag&size=9",
+]
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)"
+_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?[^/:?#]+:([0-9]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+# tracking-key predicate with {k} substituted inline (DuckDB lambdas can't
+# hold subqueries); mirrors urls.py: startswith(prefix) or key == prefix
+# sans trailing underscore
+_TRACK = ("(starts_with({k}, 'utm_') OR starts_with({k}, 'ref_') OR "
+          "{k} IN ('fbclid','gclid','msclkid','mc_eid','igshid',"
+          "'ref','utm'))")
+
+_NORM_SQL = f"""
+WITH p AS (
+  SELECT url,
+    lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                   '^www\\.', '') AS host,
+    regexp_extract(url, '{_PORT_RE}', 1) AS port,
+    regexp_extract(url, '{_PATH_RE}', 1) AS path0,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urls),
+b AS (
+  SELECT url, scheme, host,
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END AS pp,
+    CASE WHEN regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                             '/$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+                             '/$', '') END AS path,
+    list_sort(list_filter(list_filter(string_split(q, '&'), x -> x <> ''),
+      x -> NOT {_TRACK.format(k="string_split(x, '=')[1]")}
+    )) AS kept
+  FROM p)
+SELECT url,
+  CASE WHEN host = '' THEN url
+       ELSE scheme || '://' || host || pp || path ||
+            CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                 ELSE '' END
+  END AS canon
+FROM b
+"""
+
+
+def test_normalize_url_matches_duckdb(spark, duck):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls AS SELECT * FROM (VALUES "
+                + ",".join("(?)" for _ in URLS) + ") t(url)", URLS)
+    want = dict(con.sql(_NORM_SQL).fetchall())
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    got = {r["url"]: r["canon"]
+           for r in df.select("url",
+                              U.normalize_url("url").alias("canon")).collect()}
+    assert got == want
+
+
+def test_normalize_url_expected_values(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    got = {r["url"]: r["canon"]
+           for r in df.select("url",
+                              U.normalize_url("url").alias("canon")).collect()}
+    assert got["https://www.Example.com:443/a/b/?utm_source=x&q=1#frag"] == \
+        "https://example.com/a/b?q=1"
+    assert got["http://example.com:80/a/b"] == "http://example.com/a/b"
+    assert got["https://example.com/a/b/"] == "https://example.com/a/b"
+    assert got["http://sub.deep.example.com/x?b=2&a=1"] == \
+        "http://sub.deep.example.com/x?a=1&b=2"      # canonical param order
+    assert got["http://user:pw@example.com:8080/x"] == \
+        "http://example.com:8080/x"                  # userinfo out, port kept
+    assert got["not a url at all"] == "not a url at all"   # passthrough
+    assert got["https://example.com"] == "https://example.com/"
+    assert got["https://example.com/?gclid=abc"] == "https://example.com/"
+
+
+def test_registered_domain_matches_duckdb(spark):
+    import duckdb
+
+    hosts = ["www.example.com", "news.bbc.co.uk", "a.b.c.example.com",
+             "bbc.co.uk", "co.uk", "localhost", "example.com",
+             "shop.com.au", "x.y.gov.uk", "deep.co.kr"]
+    suffixes = list(U.MULTIPART_SUFFIXES)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts AS SELECT * FROM (VALUES "
+                + ",".join("(?)" for _ in hosts) + ") t(h)", hosts)
+    con.execute("CREATE TABLE ms AS SELECT * FROM (VALUES "
+                + ",".join("(?)" for _ in suffixes) + ") t(s)", suffixes)
+    want = dict(con.sql("""
+      WITH p AS (SELECT h, string_split(h, '.') AS parts FROM hosts)
+      SELECT h, CASE
+        WHEN len(parts) <= 2 THEN h
+        WHEN array_to_string(parts[greatest(len(parts)-1,1):], '.')
+             IN (SELECT s FROM ms)
+        THEN array_to_string(parts[greatest(len(parts)-2,1):], '.')
+        ELSE array_to_string(parts[greatest(len(parts)-1,1):], '.')
+      END FROM p""").fetchall())
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    got = {r["h"]: r["d"] for r in
+           df.select("h", U.registered_domain("h").alias("d")).collect()}
+    assert got == want
+    assert got["news.bbc.co.uk"] == "bbc.co.uk"
+    assert got["a.b.c.example.com"] == "example.com"
+    assert got["localhost"] == "localhost"
+
+
+def _url_corpus(spark, n=400, domains=("a.com", "b.com", "hot.com")):
+    rows = []
+    for i in range(n):
+        dom = domains[i % len(domains)] if i % 10 else "hot.com"
+        rows.append((i, f"https://www.{dom}/p{i}?utm_source=s", f"doc{i}"))
+    return spark.createDataFrame(rows, ["id", "url", "text"])
+
+
+def test_url_dedup_collapses_variants(spark):
+    df = spark.createDataFrame([
+        (1, "https://www.a.com/x/?utm_source=s"),
+        (2, "https://a.com/x"),
+        (3, "http://a.com/x"),          # different scheme: kept distinct
+        (4, "https://a.com/y"),
+    ], ["id", "url"])
+    kept = U.url_dedup(df, "url", keep_by="id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_domain_blocklist_filter(spark):
+    df = _url_corpus(spark, 60)
+    blocked = spark.createDataFrame([("hot.com",)], ["domain"])
+    out = U.domain_blocklist_filter(df, "url", blocked)
+    hosts = [r["url"] for r in out.collect()]
+    assert hosts and all("hot.com" not in u for u in hosts)
+    # subdomains blocked with the domain
+    df2 = spark.createDataFrame(
+        [(1, "https://sub.hot.com/x"), (2, "https://ok.org/x")],
+        ["id", "url"])
+    assert [r["id"] for r in
+            U.domain_blocklist_filter(df2, "url", blocked).collect()] == [2]
+
+
+def test_domain_frequency_cap_exact(spark):
+    df = _url_corpus(spark, 300)
+    out = U.domain_frequency_cap(df, "url", F.col("text"), cap=20)
+    counts = {r["d"]: r["n"] for r in
+              out.select(U.registered_domain(U.url_host("url")).alias("d"))
+                 .groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 20 for n in counts.values())
+    assert counts["hot.com"] == 20          # hot domain capped exactly
+    # deterministic: same decision on a re-layouted frame
+    again = U.domain_frequency_cap(df.repartition(7), "url",
+                                   F.col("text"), cap=20)
+    assert sorted(r["id"] for r in out.collect()) == \
+        sorted(r["id"] for r in again.collect())
+
+
+def test_domain_cap_rate_scan_side(spark):
+    df = _url_corpus(spark, 400)
+    out = U.domain_cap_rate(df, "url", F.col("text"), cap=25)
+    counts = {r["d"]: r["n"] for r in
+              out.select(U.registered_domain(U.url_host("url")).alias("d"))
+                 .groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expectation cap: binomial around 25 for the hot domain
+    assert 10 <= counts["hot.com"] <= 45
+    # under-cap domains are untouched (rate 1.0)
+    orig = {r["d"]: r["n"] for r in
+            df.select(U.registered_domain(U.url_host("url")).alias("d"))
+              .groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for d, n in orig.items():
+        if n <= 25:
+            assert counts.get(d) == n
+    # row-property determinism
+    again = U.domain_cap_rate(df.repartition(5), "url", F.col("text"), cap=25)
+    assert sorted(r["id"] for r in out.collect()) == \
+        sorted(r["id"] for r in again.collect())
+    # the corpus is never sorted: no Sort/Window in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_exact_cap_plan_has_single_domain_shuffle(spark):
+    df = _url_corpus(spark, 100)
+    out = U.domain_frequency_cap(df, "url", F.col("text"), cap=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan or "WindowGroupLimit" in plan
