@@ -154,6 +154,10 @@ def main() -> None:
     # and CC work, not the one-time signature pass.
     from realtime_olap_spark.suite.dedup import shared_scored_pairs  # noqa: E402,PLC0415
     shared_scored_pairs(spark, sf_dir).count()
+    # ... and the shared per-doc span-dup audit table (the window-table
+    # materialization's queryable face — same ingest-time contract).
+    from realtime_olap_spark.suite.dedup import shared_span_stats  # noqa: E402,PLC0415
+    shared_span_stats(spark, sf_dir).count()
     # PQ codebook training + encoding and the DSIR LUT fit are likewise
     # ingest-time/model-fit work: build them untimed so the timed entries
     # measure the probe scan and the scoring scan.

@@ -62,16 +62,55 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
 
+    # Size the loop's shuffles to the GRAPH, not the corpus: the per-round
+    # localCheckpoint pins RDD partitioning, so AQE cannot coalesce inside
+    # the loop — without this, a 300-edge pair graph pays 64-task stages
+    # every round (pure scheduling overhead), which is exactly the runtime
+    # re-sizing AQE would have done. One O(1) count job up front; ~5M
+    # 16-byte edges per partition (~80 MB), capped at the session's
+    # parallelism, so a billion-edge graph still fans out fully. The
+    # session shuffle-partition conf is restored after the loop.
+    spark = edges.sparkSession
+    # Truncate the INPUT lineage before looping: the edge list often hangs
+    # off a deep plan (e.g. the whole MinHash verify pipeline), and every
+    # round re-analyzes its logical plan otherwise — round 0's cost was
+    # ~4 s of Catalyst re-analysis on a 300-edge graph. The count below
+    # materializes the checkpoint, so this adds no extra job.
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+    n_edges = e.count()
+    target = max(1, min((n_edges // 5_000_000) + 1,
+                        spark.sparkContext.defaultParallelism))
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(target))
+    try:
+        e, rounds = _star_rounds(e, max_iter, use_local_checkpoint)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    if rounds is None:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    # fixpoint edge set is a star forest: (node, root) with root < node
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def _star_rounds(e: DataFrame, max_iter: int,
+                 use_local_checkpoint: bool) -> tuple[DataFrame, int | None]:
     prev_fp = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # -- large-star: connect every larger neighbor to the local min --
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (sym.groupBy("u")
                 .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        # no distinct here: the small-star min-aggregations are
+        # duplicate-insensitive and the round's closing distinct bounds
+        # the edge set — an intermediate dedup would be one more full
+        # shuffle per round for nothing
         e = (sym.join(mins, "u")
              .where(F.col("v") > F.col("u"))
-             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-             .distinct())
+             .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
         # -- small-star: over parent-oriented edges (u > v by
         # construction: m = min <= u < v), bulk-rewire the smaller
@@ -83,18 +122,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(mins.select(F.col("u"), F.col("m").alias("v")))
              .distinct())
         if use_local_checkpoint:
-            e = e.localCheckpoint(eager=True)
+            # LAZY checkpoint: the fingerprint aggregate right below is
+            # this round's materializing action, so an eager checkpoint
+            # would run a second, redundant job per round
+            e = e.localCheckpoint(eager=False)
 
         fp = _fingerprint(e)
         if fp == prev_fp:
-            break
+            return e, it
         prev_fp = fp
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds")
-
-    # fixpoint edge set is a star forest: (node, root) with root < node
-    return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return e, None
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",

@@ -45,12 +45,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant columns. The oracle reconstructs the duplicated windows
     from their STRINGS (content-exact), so it cross-checks the
     operator's token-hash combination end to end, not just its counts."""
-    from realtime_olap_spark.operators import spans as SP  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
     groups = D.exact_duplicate_groups(d, ["lang", "source"])
     stats = d.agg(F.count(F.lit(1)).alias("total"),
                   F.count_distinct("text").alias("distinct_texts"))
-    span = SP.span_dup_stats(d, "doc_id", "text", k=8).agg(
+    span = shared_span_stats(spark, sf_dir).agg(
         F.sum("n_dup_windows").alias("dup_windows"),
         F.sum("dup_tokens").alias("dup_tokens"),
         F.sum("n_tokens").alias("span_total_tokens"))
@@ -115,6 +114,31 @@ _MINHASH_ORACLE = _minhash_pairs_sql(0.5)
 #: (operators/dedup.minhash_bands; reference analog: pre-built index
 #: reuse, core/startree/v2/StarTreeV2.java:29).
 _SCORED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+#: Per-doc exact-substring span-dup audit (k=8), persisted once per
+#: (session, corpus) and shared by every span consumer (`dedup_exact`'s
+#: oracled totals and the corpus-wide `bench_span_dedup`) — the per-doc
+#: stats table is the queryable face of the `operators/spans.window_table`
+#: materialization a 100 TB ingest pipeline writes once per corpus, so
+#: recomputing the (hash, id, pos) shuffle per query was the same waste
+#: the scored-pair cache removed (r5 directive #1's pattern).
+_SPAN_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+SPAN_K = 8
+
+
+def shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``span_dup_stats(documents, k=8)`` — every doc's duplicated-window
+    counts and token coverage, persisted MEMORY_AND_DISK (per-doc small:
+    one row per document, six numeric columns)."""
+    from realtime_olap_spark.operators import spans as SP  # noqa: PLC0415
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPAN_STATS_CACHE:
+        d = Catalog(spark, sf_dir).table("documents")
+        _SPAN_STATS_CACHE[key] = SP.span_dup_stats(
+            d, "doc_id", "text", k=SPAN_K).persist()
+    return _SPAN_STATS_CACHE[key]
 
 
 def shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
