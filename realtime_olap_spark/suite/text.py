@@ -245,7 +245,8 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
     hits = DC.contamination_hits(
         d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
-    lm = (LM.unigram_logprob(d, "doc_id", "text")
+    lm = (LM.unigram_logprob(d, "doc_id", "text",
+                             freqs=_lm_freqs(spark, sf_dir))
           .select("doc_id",
                   LM.bucket_by_cutoffs(F.col("mean_logprob"),
                                        LM_BUCKET_CUTOFFS).alias("lm_bucket")))
@@ -389,6 +390,23 @@ def decontam_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
     return DC.contamination_hits(
         d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
+
+
+#: Session cache of the trained unigram-LM frequency table, keyed by
+#: (applicationId, sf_dir): the vocab count table is the fitted MODEL
+#: (train_unigram_freqs' docstring: "persist the result at ingest"), so
+#: the per-query cost is the SCORING join+fold, not refitting — the same
+#: train-once contract as the DSIR LUT and the IVF/PQ codebooks.
+_LM_FREQS: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _lm_freqs(spark: SparkSession, sf_dir: str):
+    from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LM_FREQS:
+        d = Catalog(spark, sf_dir).table("documents")
+        _LM_FREQS[key] = LM.train_unigram_freqs(d, "text").persist()
+    return _LM_FREQS[key]
 
 
 #: Session-level cache of fitted DSIR log-ratio LUTs, keyed by
