@@ -214,6 +214,85 @@ def test_extended_pipeline_line_span_importance(spark):
             == {r["doc_id"] for r in again.select("doc_id").collect()})
 
 
+def test_pipeline_with_urls_classifier_bpe(spark):
+    """The second-round r6 stages compose into the same build: URL
+    canonical dedup + per-domain cap → LEARNED quality gate (classifier
+    distilled from the heuristic's verdicts) → real-BPE token accounting
+    → greedy packing. Pins: variant URLs collapse, the cap binds, the
+    learned gate agrees with its teacher better than chance, BPE counts
+    drive packing within budget, end-to-end determinism."""
+    from realtime_olap_spark.operators import bpe as B
+    from realtime_olap_spark.operators import classifier as CL
+    from realtime_olap_spark.operators import urls as U
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    # synthetic per-doc URLs on the documents corpus (source => domain),
+    # plus tracking-param/trailing-slash VARIANTS of the first 10 docs
+    # re-ingested under shifted ids — the crawl-twin situation url_dedup
+    # exists for
+    with_url = docs.withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".com/doc/"), F.col("doc_id")))
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    variants = (docs.orderBy("doc_id").limit(10)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+                .withColumn("url", F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".com/doc/"), F.col("doc_id") - F.lit(max_id + 1),
+                    F.lit("/?utm_source=crawl"))))
+    corpus = with_url.unionByName(variants)
+
+    deduped = U.url_dedup(corpus, "url", keep_by="doc_id")
+    assert deduped.count() == docs.count()      # every variant collapsed
+    assert deduped.agg(F.max("doc_id")).first()[0] <= max_id  # originals won
+
+    capped = U.domain_frequency_cap(deduped, "url", F.col("text"), cap=15)
+    per_dom = (capped.select(U.registered_domain(U.url_host("url"))
+                             .alias("d"))
+               .groupBy("d").agg(F.count(F.lit(1)).alias("n")))
+    assert per_dom.agg(F.max("n")).first()[0] <= 15
+
+    # distill the heuristic gate into the learned classifier
+    teacher = quality_score(F.col("text"))
+    pos = capped.where(teacher >= 0.3)
+    neg = capped.where(teacher < 0.3)
+    if neg.count() < 3:       # corpus too clean: synthesize hard negatives
+        neg = spark.createDataFrame(
+            [("click click spam spam buy buy " * 4,)] * 5, ["text"])
+    model = CL.fit_quality_classifier(pos, neg, "text", n_buckets=512,
+                                      iters=12, lr=2.0)
+    gated = CL.quality_filter(capped, "text", model, threshold=0.5)
+    n_gated = gated.count()
+    assert 0 < n_gated <= capped.count()
+    # the student agrees with its teacher on the vast majority
+    agree = capped.withColumn(
+        "t", (teacher >= 0.3).cast("int")).withColumn(
+        "s", (CL.quality_score(F.col("text"), model) >= 0.5).cast("int"))
+    frac = (agree.where(F.col("t") == F.col("s")).count()
+            / max(capped.count(), 1))
+    assert frac >= 0.8
+
+    merges = B.train_bpe(gated, "text", num_merges=64, max_vocab=5000)
+    budgeted = B.bpe_token_count(gated, "text", merges)
+    from realtime_olap_spark.operators.packing import pack_greedy
+    packed = pack_greedy(budgeted, "n_bpe", ["doc_id"], budget=4096,
+                         partition_cols=[])
+    assert packed.count() == n_gated            # every doc packed once
+    per_seq = packed.groupBy("seq_id").agg(F.sum("n_bpe").alias("fill"),
+                                           F.count(F.lit(1)).alias("n"))
+    assert per_seq.where((F.col("fill") > 4096) & (F.col("n") > 1)) \
+        .count() == 0
+
+    # determinism of the whole chain
+    again = CL.quality_filter(
+        U.domain_frequency_cap(
+            U.url_dedup(corpus, "url", keep_by="doc_id"),
+            "url", F.col("text"), cap=15),
+        "text", model, threshold=0.5)
+    assert ({r["doc_id"] for r in gated.select("doc_id").collect()}
+            == {r["doc_id"] for r in again.select("doc_id").collect()})
+
+
 def test_pipeline_tail_ships_shards(spark, tmp_path):
     """The pipeline tail: chunked sequences ship through the shard sink
     with exact token accounting — manifest totals equal the chunk table,
