@@ -67,6 +67,63 @@ def test_streaming_importance_weights_match_batch(spark, tmp_path):
     assert got[5] == 0.0  # empty doc: concrete zero, not dropped
 
 
+def test_streaming_quality_classifier_matches_batch(spark, tmp_path):
+    """Learned quality scoring at ingest: a fitted QualityModel is a
+    literal LUT + bias (no state, no join), so quality_score transforms
+    the stream unchanged; drained scores equal the batch fold
+    bit-for-bit, and the zero-gram prior survives the stream path."""
+    import math
+
+    from realtime_olap_spark.operators import classifier as CL
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "alpha beta gamma delta"),
+                              (2, 2, "spam spam spam spam"),
+                              (3, 3, "")])
+    model = CL.QualityModel(
+        tuple(((3 * i) % 7 - 3) / 5.0 for i in range(256)), bias=0.25)
+    scored = _stream(spark, src).withColumn(
+        "q", CL.quality_score(F.col("text"), model))
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(scored, sink, ckpt)
+    got = {r["doc_id"]: r["q"] for r in spark.read.parquet(sink).collect()}
+
+    batch = spark.read.schema(SCHEMA).parquet(src).withColumn(
+        "q", CL.quality_score(F.col("text"), model))
+    want = {r["doc_id"]: r["q"] for r in batch.collect()}
+    assert got == want
+    assert got[3] == 1.0 / (1.0 + math.exp(-0.25))
+
+
+def test_streaming_url_normalize_matches_batch(spark, tmp_path):
+    """URL canonicalization at ingest (the dedup KEY is computed on the
+    stream; the keep-one itself is the streaming-dedup operator's job):
+    normalize_url is pure scan-side regex/array work, so the drained
+    canon column equals the batch one."""
+    from realtime_olap_spark.operators import urls as U
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [
+        (1, 1, "https://www.Example.com:443/a/?utm_source=x&q=1#f"),
+        (2, 2, "http://sub.shop.co.uk/x?b=2&a=1"),
+        (3, 3, "not a url")])
+    canon = _stream(spark, src).withColumn(
+        "canon", U.normalize_url(F.col("text"))).withColumn(
+        "dom", U.registered_domain(U.url_host(F.col("text"))))
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(canon, sink, ckpt)
+    got = {r["doc_id"]: (r["canon"], r["dom"])
+           for r in spark.read.parquet(sink).collect()}
+
+    batch = spark.read.schema(SCHEMA).parquet(src).withColumn(
+        "canon", U.normalize_url(F.col("text"))).withColumn(
+        "dom", U.registered_domain(U.url_host(F.col("text"))))
+    want = {r["doc_id"]: (r["canon"], r["dom"]) for r in batch.collect()}
+    assert got == want
+    assert got[1][0] == "https://example.com/a?q=1"
+    assert got[2][1] == "shop.co.uk"
+
+
 def test_streaming_line_filter_matches_batch(spark, tmp_path):
     """C4 line filtering at ingest: pure per-row array expressions, so
     c4_line_filter applies to the stream directly; the drain equals the
