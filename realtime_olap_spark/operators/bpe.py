@@ -157,6 +157,43 @@ def bpe_token_count(df: DataFrame, text_col: str,
             .drop("__bpe"))
 
 
+#: Reserved id for tokens outside the vocabulary (id 0; real tokens
+#: start at 1) — the standard <unk> slot.
+UNK_ID = 0
+
+
+def vocab_from_merges(merges: list[tuple[str, str]],
+                      alphabet: list[str]) -> dict[str, int]:
+    """Deterministic token -> id table: ``<unk>`` = 0, then the sorted
+    base alphabet (+ END), then one merged symbol per merge rule in
+    learned order — the conventional BPE vocab layout, so ids are stable
+    across runs given the same merges."""
+    vocab: dict[str, int] = {}
+    for sym in sorted(set(alphabet) | {END}):
+        vocab.setdefault(sym, len(vocab) + 1)
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab) + 1)
+    return vocab
+
+
+def encode_ids(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
+               vocab: dict[str, int], out_col: str = "ids") -> DataFrame:
+    """``array<int>`` token ids (unknown symbols -> UNK_ID) — the
+    training-shard payload. Scan-side mapping over the encoded tokens:
+    the vocab ships as a literal map expression, so the lookup is JVM
+    work, not a second UDF pass."""
+    enc = encode(df, text_col, merges, out_col="__tok")
+    items: list[Column] = []
+    for tok, tid in vocab.items():
+        items += [F.lit(tok), F.lit(int(tid))]
+    vmap = F.create_map(*items)
+    # try_element_at: missing map keys are NULL, not an ANSI error
+    ids = F.transform(F.col("__tok"),
+                      lambda t: F.coalesce(
+                          F.try_element_at(vmap, t), F.lit(UNK_ID)).cast("int"))
+    return enc.withColumn(out_col, ids).drop("__tok")
+
+
 def decode(tokens: Column) -> Column:
     """Inverse of ``encode`` up to whitespace normalization: concatenate
     and turn END markers back into single spaces — scan-side."""

@@ -101,6 +101,25 @@ def test_documents_end_to_end(spark):
     assert stats is True
 
 
+def test_vocab_and_ids(spark):
+    merges = B.train_merges_from_counts(SENNRICH, 4)
+    alphabet = sorted({c for w in SENNRICH for c in w})
+    vocab = B.vocab_from_merges(merges, alphabet)
+    # unk=0; every base symbol and merged symbol has a distinct id ≥ 1
+    assert B.UNK_ID == 0 and 0 not in vocab.values()
+    assert len(set(vocab.values())) == len(vocab)
+    assert {"es", "est", "est</w>", "lo"} <= set(vocab)
+    df = spark.createDataFrame([(1, "newest"), (2, "zebra")], ["id", "t"])
+    got = {r["id"]: r["ids"]
+           for r in B.encode_ids(df, "t", merges, vocab).collect()}
+    assert got[1] == [vocab["n"], vocab["e"], vocab["w"], vocab["est</w>"]]
+    # 'z', 'b', 'a', 'r' are outside the training alphabet -> UNK
+    assert B.UNK_ID in got[2]
+    # ids invert to tokens (ignoring UNKs): round-trip through the table
+    inv = {v: k for k, v in vocab.items()}
+    assert [inv[i] for i in got[1]] == ["n", "e", "w", "est</w>"]
+
+
 def test_encode_deterministic_under_relayout(spark):
     from realtime_olap_spark.catalog import Catalog
     d = Catalog(spark, "/root/testdata/sf0.001").table("documents")
