@@ -113,6 +113,14 @@ def encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     end = END
 
     def batch(texts: pd.Series) -> pd.Series:
+        import re  # noqa: PLC0415 (closure-local: pickled by value)
+
+        # the SAME word boundary the training statistics used: Java's
+        # \s is ASCII-only ([ \t\n\x0B\f\r]) while Python str.split()
+        # splits on ALL Unicode whitespace (e.g.   in scraped
+        # HTML), which would desynchronize learned merges from applied
+        # tokens — so mirror the JVM class explicitly
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
         def encode_word(word: str, cache: dict) -> list:
             got = cache.get(word)
             if got is not None:
@@ -137,8 +145,9 @@ def encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
                 out.append(None)
                 continue
             toks: list[str] = []
-            for w in s.lower().split():
-                toks.extend(encode_word(w, cache))
+            for w in ws.split(s.lower()):
+                if w:
+                    toks.extend(encode_word(w, cache))
             out.append(toks)
         return pd.Series(out, dtype=object)
 
@@ -151,10 +160,14 @@ def bpe_token_count(df: DataFrame, text_col: str,
                     merges: list[tuple[str, str]],
                     out_col: str = "n_bpe") -> DataFrame:
     """Exact subword token count per doc — the budget/packing input when
-    the real tokenizer (not the regex proxy) is required."""
+    the real tokenizer (not the regex proxy) is required. NULL text
+    counts 0 (a concrete number the packing cumsum can add, never the
+    NULL/−1 that ``size`` alone would emit — the unigram_logprob
+    every-row contract)."""
     enc = encode(df, text_col, merges, out_col="__bpe")
-    return (enc.withColumn(out_col, F.size("__bpe").cast("long"))
-            .drop("__bpe"))
+    n = F.when(F.col("__bpe").isNull(), F.lit(0)) \
+         .otherwise(F.size("__bpe")).cast("long")
+    return enc.withColumn(out_col, n).drop("__bpe")
 
 
 #: Reserved id for tokens outside the vocabulary (id 0; real tokens
@@ -180,13 +193,19 @@ def encode_ids(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
                vocab: dict[str, int], out_col: str = "ids") -> DataFrame:
     """``array<int>`` token ids (unknown symbols -> UNK_ID) — the
     training-shard payload. Scan-side mapping over the encoded tokens:
-    the vocab ships as a literal map expression, so the lookup is JVM
-    work, not a second UDF pass."""
+    the vocab ships as ONE parsed ``map_from_arrays(array(…), array(…))``
+    expression — a realistic 50k-token vocab as per-entry ``F.lit`` calls
+    would cost tens of thousands of py4j round trips (the
+    importance_weights / _lut_expr lesson); a single parsed literal is
+    O(1) driver calls and constant-folded."""
     enc = encode(df, text_col, merges, out_col="__tok")
-    items: list[Column] = []
-    for tok, tid in vocab.items():
-        items += [F.lit(tok), F.lit(int(tid))]
-    vmap = F.create_map(*items)
+
+    def sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    keys = "array(" + ",".join(sql_str(t) for t in vocab) + ")"
+    vals = "array(" + ",".join(str(int(i)) for i in vocab.values()) + ")"
+    vmap = F.expr(f"map_from_arrays({keys}, {vals})")
     # try_element_at: missing map keys are NULL, not an ANSI error
     ids = F.transform(F.col("__tok"),
                       lambda t: F.coalesce(

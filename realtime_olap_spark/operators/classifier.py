@@ -82,7 +82,12 @@ def _margin(buckets: Column, n_grams: Column, weights: list[float],
 
 def _features(df: DataFrame, text_col: str, label: int,
               n_buckets: int) -> DataFrame:
-    b = gram_buckets(F.col(text_col), n_buckets)
+    # NULL text coalesces to the empty gram array so such docs still
+    # contribute their bias/loss sentinel row — otherwise they'd count
+    # in n_docs but emit no gradient rows (explode(NULL) = nothing),
+    # silently shrinking every step and desyncing the numpy twin
+    b = F.coalesce(gram_buckets(F.col(text_col), n_buckets),
+                   F.array().cast("array<int>"))
     return df.select(b.alias("bk"), F.size(b).alias("ng"),
                      F.lit(float(label)).alias("y"))
 
@@ -113,6 +118,16 @@ def fit_quality_classifier(pos: DataFrame, neg: DataFrame, text_col: str,
     w = [0.0] * n_buckets
     b0 = 0.0
     losses: list[float] = []
+    try:
+        w, b0 = _gd_loop(feats, n_docs, w, b0, losses, iters, lr, l2)
+    finally:
+        feats.unpersist()  # a failed iteration must not leak the cache
+    return QualityModel(tuple(w), b0, tuple(losses))
+
+
+def _gd_loop(feats: DataFrame, n_docs: int, w: list[float], b0: float,
+             losses: list[float], iters: int, lr: float,
+             l2: float) -> tuple[list[float], float]:
     for _ in range(iters):
         m = _margin(F.col("bk"), F.col("ng"), w, b0)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
@@ -151,8 +166,7 @@ def fit_quality_classifier(pos: DataFrame, neg: DataFrame, text_col: str,
         b0 -= lr * grad.get(-1, 0.0) / n_docs
         w = [x - lr * (grad.get(i, 0.0) / n_docs + l2 * x)
              for i, x in enumerate(w)]
-    feats.unpersist()
-    return QualityModel(tuple(w), b0, tuple(losses))
+    return w, b0
 
 
 def quality_score(text: Column, model: QualityModel) -> Column:

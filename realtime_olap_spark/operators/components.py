@@ -62,32 +62,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
 
-    # Size the loop's shuffles to the GRAPH, not the corpus: the per-round
-    # localCheckpoint pins RDD partitioning, so AQE cannot coalesce inside
-    # the loop — without this, a 300-edge pair graph pays 64-task stages
-    # every round (pure scheduling overhead), which is exactly the runtime
-    # re-sizing AQE would have done. One O(1) count job up front; ~5M
-    # 16-byte edges per partition (~80 MB), capped at the session's
-    # parallelism, so a billion-edge graph still fans out fully. The
-    # session shuffle-partition conf is restored after the loop.
-    spark = edges.sparkSession
     # Truncate the INPUT lineage before looping: the edge list often hangs
     # off a deep plan (e.g. the whole MinHash verify pipeline), and every
-    # round re-analyzes its logical plan otherwise — round 0's cost was
-    # ~4 s of Catalyst re-analysis on a 300-edge graph. The count below
-    # materializes the checkpoint, so this adds no extra job.
+    # round re-analyzes that logical plan otherwise — round 0's cost was
+    # ~4 s of Catalyst re-analysis on a 300-edge graph. The checkpoint is
+    # lazy; the convergence fingerprint's first action materializes it, so
+    # this adds no extra job. (Measured: sizing the loop's shuffle
+    # partitions to the graph on top of this gains nothing — planning
+    # time, not task count, was the overhead — so the session conf is
+    # deliberately left alone: a global shuffle-partition mutation would
+    # corrupt concurrently-planned queries, e.g. the PQL server's.)
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
-    n_edges = e.count()
-    target = max(1, min((n_edges // 5_000_000) + 1,
-                        spark.sparkContext.defaultParallelism))
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(target))
-    try:
-        e, rounds = _star_rounds(e, max_iter, use_local_checkpoint)
-    finally:
-        spark.conf.set(conf_key, old_parts)
+    e, rounds = _star_rounds(e, max_iter, use_local_checkpoint)
     if rounds is None:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")

@@ -33,7 +33,10 @@ _SCHEME = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)"
 _PORT = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?[^/:?#]+:([0-9]+)"
 _PATH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
-_QUERY = "\\?([^#]*)"
+# anchored through the pre-fragment prefix: a '?' AFTER the first '#'
+# belongs to the fragment (which normalization drops) and must not be
+# promoted into a canonical query string
+_QUERY = "^[^#]*\\?([^#]*)"
 
 #: Query parameters that identify a click, not a resource — stripped during
 #: normalization (the standard tracking-param scrub).
@@ -178,21 +181,37 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
             .drop("__dom"))
 
 
+def _cap_domain(url_col: str) -> Column:
+    """Registered domain as a CAP GROUP key: NULL urls coalesce to the
+    same '' pseudo-domain as unparseable ones (url_host returns '' on
+    non-match, NULL only on NULL input), so both cap variants treat
+    domain-less rows as one group instead of NULL-joining them away."""
+    return F.coalesce(registered_domain(url_host(F.col(url_col))),
+                      F.lit(""))
+
+
 def domain_frequency_cap(df: DataFrame, url_col: str, key: Column | str,
-                         cap: int) -> DataFrame:
+                         cap: int,
+                         tiebreak: Column | str | None = None) -> DataFrame:
     """EXACT per-registered-domain cap: keep the ``cap`` rows with the
-    smallest content hash per domain (deterministic — a row property given
-    the domain's membership, stable across re-layouts). One shuffle on the
-    domain + a per-domain rank.
+    smallest content hash per domain — a row property given the domain's
+    membership, stable across re-layouts. One shuffle on the domain + a
+    per-domain rank.
+
+    Ties on ``hash(key)`` (true duplicate content inside one domain)
+    would otherwise break by partition arrival order; the rank therefore
+    also orders by ``tiebreak`` (default: the url itself). Pass a UNIQUE
+    id as ``tiebreak`` for full determinism when url+key pairs can
+    repeat exactly.
 
     Skew note: the rank sorts each domain inside one task; for a domain
     holding a double-digit percentage of the corpus, use
     ``domain_cap_rate`` (scan-side, never sorts) instead."""
     from pyspark.sql.window import Window
-    dom = registered_domain(url_host(F.col(url_col)))
     h = F.xxhash64(_c(key))
-    w = Window.partitionBy("__dom").orderBy(h.asc())
-    return (df.withColumn("__dom", dom)
+    tb = _c(tiebreak) if tiebreak is not None else F.col(url_col)
+    w = Window.partitionBy("__dom").orderBy(h.asc(), tb.asc())
+    return (df.withColumn("__dom", _cap_domain(url_col))
             .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= cap)
             .drop("__dom", "__rk"))
@@ -209,9 +228,9 @@ def domain_cap_rate(df: DataFrame, url_col: str, key: Column | str,
     The kept count per domain is cap in expectation (binomial, tight at
     these n); no row of the corpus is ever shuffled or sorted. Same
     deterministic row-property decision discipline as
-    ``mixture.apply_mixture_rates``."""
-    dom = registered_domain(url_host(F.col(url_col)))
-    with_dom = df.withColumn("__dom", dom)
+    ``mixture.apply_mixture_rates``. Domain-less rows (NULL/unparseable
+    url) form one '' pseudo-group — capped, never silently dropped."""
+    with_dom = df.withColumn("__dom", _cap_domain(url_col))
     counts = with_dom.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
     rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__n"))
     cut = F.round(rate * _MOD).cast("long")

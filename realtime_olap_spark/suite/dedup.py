@@ -112,33 +112,29 @@ _MINHASH_ORACLE = _minhash_pairs_sql(0.5)
 #: re-hashed every shingle) was pure waste. This is the suite-local
 #: analog of the ingest-time band-table materialization
 #: (operators/dedup.minhash_bands; reference analog: pre-built index
-#: reuse, core/startree/v2/StarTreeV2.java:29).
-_SCORED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-#: Per-doc exact-substring span-dup audit (k=8), persisted once per
-#: (session, corpus) and shared by every span consumer (`dedup_exact`'s
-#: oracled totals and the corpus-wide `bench_span_dedup`) — the per-doc
-#: stats table is the queryable face of the `operators/spans.window_table`
-#: materialization a 100 TB ingest pipeline writes once per corpus, so
-#: recomputing the (hash, id, pos) shuffle per query was the same waste
-#: the scored-pair cache removed (r5 directive #1's pattern).
-_SPAN_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: reuse, core/startree/v2/StarTreeV2.java:29). Both shared tables go
+#: through suite.memo.session_memo — one boilerplate, one lifecycle.
 
 SPAN_K = 8
 
 
 def shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``span_dup_stats(documents, k=8)`` — every doc's duplicated-window
-    counts and token coverage, persisted MEMORY_AND_DISK (per-doc small:
-    one row per document, six numeric columns)."""
+    """Per-doc exact-substring span-dup audit (``span_dup_stats`` at
+    k=8), built once per (session, corpus) and shared by every span
+    consumer (`dedup_exact`'s oracled totals and the corpus-wide
+    `bench_span_dedup`) — the queryable face of the
+    `operators/spans.window_table` materialization a 100 TB ingest
+    pipeline writes once per corpus, so recomputing the (hash, id, pos)
+    shuffle per query was the same waste the scored-pair cache removed
+    (r5 directive #1's pattern)."""
     from realtime_olap_spark.operators import spans as SP  # noqa: PLC0415
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SPAN_STATS_CACHE:
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build() -> DataFrame:
         d = Catalog(spark, sf_dir).table("documents")
-        _SPAN_STATS_CACHE[key] = SP.span_dup_stats(
-            d, "doc_id", "text", k=SPAN_K).persist()
-    return _SPAN_STATS_CACHE[key]
+        return SP.span_dup_stats(d, "doc_id", "text", k=SPAN_K)
+
+    return session_memo(spark, sf_dir, "span_stats", build)
 
 
 def shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,17 +142,19 @@ def shared_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus (no τ filter — consumers filter), built from the
     composable stages: ``minhash_bands`` → ``lsh_candidate_pairs`` →
     ``jaccard_verify``, persisted MEMORY_AND_DISK."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SCORED_PAIRS_CACHE:
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build() -> DataFrame:
         d = Catalog(spark, sf_dir).table("documents")
-        bands = D.minhash_bands(d, "doc_id", "text", num_hashes=8, band_size=2)
+        bands = D.minhash_bands(d, "doc_id", "text", num_hashes=8,
+                                band_size=2)
         cands = D.lsh_candidate_pairs(bands, "doc_id",
                                       max_bucket_size=LSH_BUCKET_CAP)
         words = D.hashed_word_sets(d, "doc_id", "text")
-        scored = D.jaccard_verify(cands, words, "doc_id", threshold=0.0,
-                                  broadcast_words=True)
-        _SCORED_PAIRS_CACHE[key] = scored.persist()
-    return _SCORED_PAIRS_CACHE[key]
+        return D.jaccard_verify(cands, words, "doc_id", threshold=0.0,
+                                broadcast_words=True)
+
+    return session_memo(spark, sf_dir, "scored_pairs", build)
 
 
 @query("dedup_minhash_lsh", _MINHASH_ORACLE)

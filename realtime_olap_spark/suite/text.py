@@ -392,29 +392,35 @@ def decontam_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
 
 
-#: Session cache of the trained unigram-LM frequency table, keyed by
-#: (applicationId, sf_dir): the vocab count table is the fitted MODEL
-#: (train_unigram_freqs' docstring: "persist the result at ingest"), so
-#: the per-query cost is the SCORING join+fold, not refitting — the same
-#: train-once contract as the DSIR LUT and the IVF/PQ codebooks.
-_LM_FREQS: dict[tuple[str, str], "DataFrame"] = {}
-
-
 def _lm_freqs(spark: SparkSession, sf_dir: str):
+    """Trained unigram-LM frequency table, once per (session, corpus):
+    the vocab count table is the fitted MODEL (train_unigram_freqs'
+    docstring: "persist the result at ingest"), so the per-query cost is
+    the SCORING join+fold, not refitting — the same train-once contract
+    as the DSIR LUT and the IVF/PQ codebooks."""
     from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LM_FREQS:
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+    return session_memo(
+        spark, sf_dir, "lm_freqs",
+        lambda: LM.train_unigram_freqs(
+            Catalog(spark, sf_dir).table("documents"), "text"))
+
+
+def _dsir_lut(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fitted DSIR log-ratio LUT, once per (session, corpus): the fit
+    (two B-row count shuffles + a B-row parameter fetch) is train-once
+    model estimation — timed consumers measure the scoring scan."""
+    from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build() -> list[float]:
         d = Catalog(spark, sf_dir).table("documents")
-        _LM_FREQS[key] = LM.train_unigram_freqs(d, "text").persist()
-    return _LM_FREQS[key]
+        target_src = d.select("source").orderBy("source").first()["source"]
+        target = d.where(F.col("source") == target_src)
+        return IMP.log_ratio_lut(IMP.bucket_counts(target, "text"),
+                                 IMP.bucket_counts(d, "text"))
 
-
-#: Session-level cache of fitted DSIR log-ratio LUTs, keyed by
-#: (applicationId, sf_dir): the fit (two B-row count shuffles + a B-row
-#: parameter fetch) is train-once model estimation, like the IVF/PQ
-#: index builds — the timed bench run measures the corpus-wide scoring
-#: scan, not refitting.
-_DSIR_LUTS: dict[tuple[str, str], list[float]] = {}
+    return session_memo(spark, sf_dir, "dsir_lut", build)
 
 
 def importance_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,14 +431,8 @@ def importance_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-selection scoring pass at bench SF."""
     from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DSIR_LUTS:
-        target_src = d.select("source").orderBy("source").first()["source"]
-        target = d.where(F.col("source") == target_src)
-        _DSIR_LUTS[key] = IMP.log_ratio_lut(
-            IMP.bucket_counts(target, "text"),
-            IMP.bucket_counts(d, "text"))
-    scored = IMP.importance_weights(d, "doc_id", "text", _DSIR_LUTS[key])
+    scored = IMP.importance_weights(d, "doc_id", "text",
+                                    _dsir_lut(spark, sf_dir))
     return (scored.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("log_weight").alias("sum_log_weight"))
@@ -455,20 +455,17 @@ def span_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens")))
 
 
-#: Session cache for the portable DSIR favored-bucket bitmap (same
-#: train-once contract as _DSIR_LUTS; the fit is two B-row md5-bucket
-#: count shuffles + integer comparisons).
-_DSIR_FAV: dict[tuple[str, str], list[int]] = {}
-
-
 def _dsir_favored(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Portable DSIR favored-bucket bitmap, once per (session, corpus) —
+    same train-once contract as the LUT; the fit is two B-row md5-bucket
+    count shuffles + integer comparisons."""
     from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DSIR_FAV:
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build() -> list[int]:
         d = Catalog(spark, sf_dir).table("documents")
-        tgt = d.where(F.col("source")
-                      == d.agg(F.min("source")).first()[0])
-        _DSIR_FAV[key] = IMP.favored_buckets(
-            IMP.bucket_counts_md5(tgt, "text"),
-            IMP.bucket_counts_md5(d, "text"))
-    return _DSIR_FAV[key]
+        tgt = d.where(F.col("source") == d.agg(F.min("source")).first()[0])
+        return IMP.favored_buckets(IMP.bucket_counts_md5(tgt, "text"),
+                                   IMP.bucket_counts_md5(d, "text"))
+
+    return session_memo(spark, sf_dir, "dsir_favored", build)

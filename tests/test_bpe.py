@@ -73,14 +73,34 @@ def test_decode_round_trip(spark):
     assert got[3] == "lower case"                    # lowercasing is lossy
 
 
-def test_token_count_and_null_passthrough(spark):
+def test_token_count_and_null_counts_zero(spark):
     merges = B.train_merges_from_counts(SENNRICH, 2)
     df = spark.createDataFrame([(1, "newest low"), (2, None)], ["id", "t"])
-    got = {r["id"]: (r["n_bpe"], ) for r in
+    got = {r["id"]: r["n_bpe"] for r in
            B.bpe_token_count(df, "t", merges).collect()}
     # newest -> n e w est </w> (5), low -> l o w </w> (4)
-    assert got[1] == (9,)
-    assert got[2][0] is None or got[2][0] == -1      # null stays null
+    assert got[1] == 9
+    # NULL text counts a concrete 0 — budget arithmetic downstream
+    # (packing cumsum, manifest totals) must never see NULL/-1
+    assert got[2] == 0
+
+
+def test_encode_tokenizes_like_training(spark):
+    """Java \\s (training's words()) is ASCII-only; the encoder must not
+    split on Unicode whitespace the statistics treated as word chars."""
+    nbsp_word = "foo bar"
+    df = spark.createDataFrame([(1, nbsp_word), (2, "foo bar")], ["id", "t"])
+    merges: list[tuple[str, str]] = []
+    got = {r["id"]: r["bpe"] for r in B.encode(df, "t", merges).collect()}
+    # one token sequence for the nbsp word (nbsp is a CHARACTER), two for
+    # the spaced version
+    assert got[1].count(B.END) == 1 and " " in "".join(got[1])
+    assert got[2].count(B.END) == 2
+    # and the spark-side tokenizer agrees
+    from realtime_olap_spark.operators.text import words
+    ws = df.select("id", words(F.col("t")).alias("w")).collect()
+    n = {r["id"]: len(r["w"]) for r in ws}
+    assert n[1] == 1 and n[2] == 2
 
 
 def test_documents_end_to_end(spark):

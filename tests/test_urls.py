@@ -21,6 +21,8 @@ URLS = [
     "https://example.com/?gclid=abc",
     "http://localhost/test",
     "https://shop.com.au/item?ref_=tag&size=9",
+    "https://site.com/page#/a?id=5",      # '?' inside the fragment: NOT a query
+    "https://site.com/p?q=1#also?x=2",    # real query + '?' in fragment
 ]
 
 _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -43,7 +45,7 @@ WITH p AS (
                    '^www\\.', '') AS host,
     regexp_extract(url, '{_PORT_RE}', 1) AS port,
     regexp_extract(url, '{_PATH_RE}', 1) AS path0,
-    regexp_extract(url, '\\?([^#]*)', 1) AS q
+    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS q
   FROM urls),
 b AS (
   SELECT url, scheme, host,
@@ -99,6 +101,9 @@ def test_normalize_url_expected_values(spark):
     assert got["not a url at all"] == "not a url at all"   # passthrough
     assert got["https://example.com"] == "https://example.com/"
     assert got["https://example.com/?gclid=abc"] == "https://example.com/"
+    # a '?' AFTER '#' belongs to the (dropped) fragment — never a query
+    assert got["https://site.com/page#/a?id=5"] == "https://site.com/page"
+    assert got["https://site.com/p?q=1#also?x=2"] == "https://site.com/p?q=1"
 
 
 def test_registered_domain_matches_duckdb(spark):
@@ -201,6 +206,34 @@ def test_domain_cap_rate_scan_side(spark):
     # the corpus is never sorted: no Sort/Window in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_caps_keep_domainless_rows(spark):
+    """NULL and unparseable urls form one '' pseudo-domain in BOTH cap
+    variants — capped as a group, never silently dropped (the rate cap's
+    inner join must not NULL-eliminate them)."""
+    rows = [(i, None if i % 2 else "junk url", f"t{i}") for i in range(10)]
+    rows += [(100 + i, f"https://ok.org/{i}", f"u{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "url", "text"])
+    for out in (U.domain_frequency_cap(df, "url", F.col("text"), cap=50),
+                U.domain_cap_rate(df, "url", F.col("text"), cap=50)):
+        assert out.count() == 15          # cap above group sizes: all kept
+    capped = U.domain_frequency_cap(df, "url", F.col("text"), cap=3)
+    # the 10 domain-less rows are ONE group, capped to 3
+    assert capped.where(F.col("id") < 100).count() == 3
+
+
+def test_exact_cap_deterministic_on_key_ties(spark):
+    """Identical (key, url) pairs inside a domain tie on the hash; the
+    tiebreak column pins which row survives across re-layouts."""
+    rows = [(i, "https://a.com/x", "same text") for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "url", "text"])
+    a = U.domain_frequency_cap(df, "url", F.col("text"), cap=5,
+                               tiebreak=F.col("id"))
+    b = U.domain_frequency_cap(df.repartition(7), "url", F.col("text"),
+                               cap=5, tiebreak=F.col("id"))
+    assert sorted(r["id"] for r in a.collect()) == \
+        sorted(r["id"] for r in b.collect())
 
 
 def test_exact_cap_plan_has_single_domain_shuffle(spark):
