@@ -57,6 +57,8 @@ HEADLINE = [
     "bench_importance_scan",
     "bench_span_dedup",
     "bench_pq_probe",
+    "bench_classifier_scan",
+    "bench_bpe_count",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
@@ -64,13 +66,17 @@ HEADLINE = [
 # oracled queries, timed so their scale claims have a recorded number.
 def _extra_queries():
     from realtime_olap_spark.suite.similarity import pq_probe_bench
-    from realtime_olap_spark.suite.text import (decontam_scan_bench,
+    from realtime_olap_spark.suite.text import (bpe_count_bench,
+                                                classifier_scan_bench,
+                                                decontam_scan_bench,
                                                 importance_scan_bench,
                                                 span_dedup_bench)
     return {"bench_decontam_scan": decontam_scan_bench,
             "bench_importance_scan": importance_scan_bench,
             "bench_span_dedup": span_dedup_bench,
-            "bench_pq_probe": pq_probe_bench}
+            "bench_pq_probe": pq_probe_bench,
+            "bench_classifier_scan": classifier_scan_bench,
+            "bench_bpe_count": bpe_count_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {
@@ -167,6 +173,12 @@ def main() -> None:
     importance_scan_bench(spark, sf_dir).count()
     from realtime_olap_spark.suite.text import _dsir_favored  # noqa: E402,PLC0415
     _dsir_favored(spark, sf_dir)
+    # The distilled quality classifier and the BPE merge table are the
+    # same train-once artifacts: fit untimed so the timed entries record
+    # the scoring / encoding scans.
+    from realtime_olap_spark.suite.text import _bpe_merges, _quality_model  # noqa: E402,PLC0415
+    _quality_model(spark, sf_dir)
+    _bpe_merges(spark, sf_dir)
 
     # min of RUNS executions per query: this host shows random 3-8x
     # per-query spikes from outside CPU contention; the minimum is the

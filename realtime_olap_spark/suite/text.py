@@ -439,6 +439,65 @@ def importance_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _quality_model(spark: SparkSession, sf_dir: str):
+    """Distilled quality classifier, once per (session, corpus): labels
+    come from the heuristic gate (the DCLM-style teacher), training is
+    the train-once model fit — timed consumers measure the scoring
+    scan."""
+    from realtime_olap_spark.operators import classifier as CL  # noqa: PLC0415
+    from realtime_olap_spark.operators.text import quality_score  # noqa: PLC0415
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build():
+        d = Catalog(spark, sf_dir).table("documents")
+        teacher = quality_score(F.col("text"))
+        return CL.fit_quality_classifier(
+            d.where(teacher >= 0.3), d.where(teacher < 0.3), "text",
+            n_buckets=1024, iters=10, lr=2.0)
+
+    return session_memo(spark, sf_dir, "quality_model", build)
+
+
+def classifier_scan_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only learned-quality scoring scan (NOT in the driver
+    window): sigmoid-fold every document against the fitted literal
+    weight LUT — zero shuffle until the per-source reduction. Records
+    the throughput of the classifier gate at bench SF."""
+    from realtime_olap_spark.operators import classifier as CL  # noqa: PLC0415
+    d = Catalog(spark, sf_dir).table("documents")
+    model = _quality_model(spark, sf_dir)
+    scored = d.withColumn("q", CL.quality_score(F.col("text"), model))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("q").alias("sum_q"),
+                 F.sum((F.col("q") >= 0.5).cast("long")).alias("n_pass"))
+            .orderBy("source"))
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Trained BPE merge table, once per (session, corpus) — tokenizer
+    training is the canonical train-once artifact."""
+    from realtime_olap_spark.operators import bpe as B  # noqa: PLC0415
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+    return session_memo(
+        spark, sf_dir, "bpe_merges",
+        lambda: B.train_bpe(Catalog(spark, sf_dir).table("documents"),
+                            "text", num_merges=200, max_vocab=20_000))
+
+
+def bpe_count_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only real-BPE tokenization scan (NOT in the driver window):
+    Arrow-batched greedy encode + count over every document, reduced to
+    per-source token totals — the exact-budget pass a shard build runs."""
+    from realtime_olap_spark.operators import bpe as B  # noqa: PLC0415
+    d = Catalog(spark, sf_dir).table("documents")
+    counted = B.bpe_token_count(d, "text", _bpe_merges(spark, sf_dir))
+    return (counted.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe"))
+            .orderBy("source"))
+
+
 def span_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only exact-substring span-dedup audit (NOT in the driver
     window): corpus-level duplication totals over the per-doc span audit
