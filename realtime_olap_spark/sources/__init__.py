@@ -2,7 +2,8 @@
 jobs (SURVEY.md §2.1)."""
 
 from realtime_olap_spark.sources.readers import (read_avro, read_csv,
-                                                 read_json, read_segments)
+                                                 read_json, read_segments,
+                                                 read_thrift)
 from realtime_olap_spark.sources.segments import (SegmentWriter, write_bucketed,
                                                   with_virtual_columns)
 from realtime_olap_spark.sources.transformers import (CompoundTransformer,
@@ -13,7 +14,7 @@ from realtime_olap_spark.sources.transformers import (CompoundTransformer,
                                                       TimeTransformer)
 
 __all__ = [
-    "read_avro", "read_csv", "read_json", "read_segments",
+    "read_avro", "read_csv", "read_json", "read_segments", "read_thrift",
     "SegmentWriter", "with_virtual_columns", "write_bucketed",
     "CompoundTransformer", "DataTypeTransformer", "ExpressionTransformer",
     "NullDefaultTransformer", "SanitationTransformer", "TimeTransformer",

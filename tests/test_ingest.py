@@ -45,6 +45,31 @@ def test_read_json_schema_declared(spark, tmp_path):
     assert df.schema == _SCHEMA and df.count() == 2
 
 
+def test_read_thrift_through_transformer_chain(spark, tmp_path):
+    """The full reference ingest path for a Thrift data file: decode →
+    NullDefaultTransformer — a record missing a field lands as the
+    per-role SENTINEL in the final table, matching
+    ThriftRecordReader+RecordReaderUtils end-to-end semantics."""
+    from realtime_olap_spark.sources import read_thrift
+    from realtime_olap_spark.sources import thrift_codec as TC
+
+    recs = [
+        [(1, TC.I64, 1), (2, TC.STRING, "a"), (3, TC.DOUBLE, 2.0)],
+        [(1, TC.I64, 2)],                       # name + metric missing
+    ]
+    (tmp_path / "d.thrift").write_bytes(TC.encode_file(recs))
+    schema = StructType([StructField("k", LongType()),
+                         StructField("name", StringType()),
+                         StructField("v", DoubleType())])
+    raw = read_thrift(spark, str(tmp_path), schema,
+                      {"k": 1, "name": 2, "v": 3})
+    cfg = TableConfig("t", dimensions=("k", "name"), metrics=("v",))
+    out = {r["k"]: r for r in NullDefaultTransformer(cfg)(raw).collect()}
+    assert out[1]["name"] == "a" and out[1]["v"] == 2.0
+    assert out[2]["name"] == "null"             # dimension sentinel
+    assert out[2]["v"] == 0.0                   # metric sentinel
+
+
 def test_expression_transformer(spark):
     df = spark.createDataFrame([Row(a=2, b=3)])
     out = ExpressionTransformer({"c": "a * b + 1"})(df)
