@@ -34,17 +34,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """O(1) change-detector for an edge set: (count, sum of row hashes).
-    Collision odds over 64-bit xxhash sums are negligible for a
-    convergence check (and a false 'stable' only ends one round early on
-    a graph that was one rewrite from a fixpoint)."""
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                   F.lit(0).cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the (child u, root v) edge set is a STAR FOREST — every
+    child appears exactly once and no node is both child and root. The
+    star rounds' fixpoint is exactly a star forest (large-star and
+    small-star are both identities on one — Kiveris et al. §3), so this
+    detects convergence THE round it happens, one round earlier than a
+    changed-nothing fingerprint comparison. One map-combined shuffle of
+    (node, flags) rows per round — the same O(nodes) cost as the old
+    fingerprint, and it doubles as the lazy checkpoint's materializing
+    action."""
+    nodes = edges.select(F.col("u").alias("n"), F.lit(1).alias("c"),
+                         F.lit(0).alias("r")).union(
+        edges.select(F.col("v").alias("n"), F.lit(0).alias("c"),
+                     F.lit(1).alias("r")))
+    bad = (nodes.groupBy("n")
+           .agg(F.sum("c").alias("c"), F.max("r").alias("r"))
+           .where((F.col("c") > 1) | ((F.col("c") >= 1) & (F.col("r") == 1))))
+    return bad.limit(1).count() == 0
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -85,7 +92,6 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def _star_rounds(e: DataFrame, max_iter: int,
                  use_local_checkpoint: bool) -> tuple[DataFrame, int | None]:
-    prev_fp = None
     for it in range(max_iter):
         # -- large-star: connect every larger neighbor to the local min --
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -114,10 +120,8 @@ def _star_rounds(e: DataFrame, max_iter: int,
             # would run a second, redundant job per round
             e = e.localCheckpoint(eager=False)
 
-        fp = _fingerprint(e)
-        if fp == prev_fp:
+        if _is_star_forest(e):
             return e, it
-        prev_fp = fp
     return e, None
 
 
