@@ -213,6 +213,17 @@ def encode_ids(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     return enc.withColumn(out_col, ids).drop("__tok")
 
 
+def merges_to_json(merges: list[tuple[str, str]]) -> str:
+    """Portable tokenizer artifact — merge order IS the model."""
+    import json
+    return json.dumps([[a, b] for a, b in merges])
+
+
+def merges_from_json(s: str) -> list[tuple[str, str]]:
+    import json
+    return [(a, b) for a, b in json.loads(s)]
+
+
 def decode(tokens: Column) -> Column:
     """Inverse of ``encode`` up to whitespace normalization: concatenate
     and turn END markers back into single spaces — scan-side."""

@@ -59,6 +59,21 @@ class QualityModel:
     def n_buckets(self) -> int:
         return len(self.weights)
 
+    def to_json(self) -> str:
+        """Portable artifact: ``repr`` round-trips every finite double
+        exactly (shortest-representation), so a reloaded model scores
+        bit-identically."""
+        import json
+        return json.dumps({"weights": [repr(x) for x in self.weights],
+                           "bias": repr(self.bias)})
+
+    @classmethod
+    def from_json(cls, s: str) -> QualityModel:
+        import json
+        d = json.loads(s)
+        return cls(tuple(float(x) for x in d["weights"]),
+                   float(d["bias"]))
+
 
 def _lut_expr(values: list[float]) -> Column:
     """B doubles -> ONE parsed array literal (VARCHAR->DOUBLE casts are

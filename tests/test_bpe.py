@@ -148,3 +148,13 @@ def test_encode_deterministic_under_relayout(spark):
     b = {r["doc_id"]: r["bpe"] for r in
          B.encode(d.repartition(5), "text", merges).collect()}
     assert a == b
+
+
+def test_merges_json_round_trip(spark):
+    merges = B.train_merges_from_counts(SENNRICH, 4)
+    loaded = B.merges_from_json(B.merges_to_json(merges))
+    assert loaded == merges
+    df = spark.createDataFrame([(1, "newest lowest")], ["id", "t"])
+    a = B.encode(df, "t", merges).collect()[0]["bpe"]
+    b = B.encode(df, "t", loaded).collect()[0]["bpe"]
+    assert a == b

@@ -117,3 +117,16 @@ def test_scoring_deterministic_under_relayout(spark, model):
     b = {r["id"]: r["s"] for r in df.repartition(7).select(
         "id", CL.quality_score(F.col("text"), model).alias("s")).collect()}
     assert a == b
+
+
+def test_model_json_round_trip_scores_identically(spark, model):
+    from realtime_olap_spark.operators.classifier import QualityModel
+
+    loaded = QualityModel.from_json(model.to_json())
+    assert loaded.weights == model.weights and loaded.bias == model.bias
+    df = spark.createDataFrame([(t,) for t in POS + NEG], ["text"])
+    a = [r["s"] for r in df.select(
+        CL.quality_score(F.col("text"), model).alias("s")).collect()]
+    b = [r["s"] for r in df.select(
+        CL.quality_score(F.col("text"), loaded).alias("s")).collect()]
+    assert a == b          # bit-identical after the repr round trip
