@@ -62,17 +62,21 @@ class QualityModel:
     def to_json(self) -> str:
         """Portable artifact: ``repr`` round-trips every finite double
         exactly (shortest-representation), so a reloaded model scores
-        bit-identically."""
+        bit-identically AND compares equal to the original (the loss
+        trace is part of the frozen dataclass's equality, so it ships
+        too)."""
         import json
         return json.dumps({"weights": [repr(x) for x in self.weights],
-                           "bias": repr(self.bias)})
+                           "bias": repr(self.bias),
+                           "losses": [repr(x) for x in self.losses]})
 
     @classmethod
     def from_json(cls, s: str) -> QualityModel:
         import json
         d = json.loads(s)
         return cls(tuple(float(x) for x in d["weights"]),
-                   float(d["bias"]))
+                   float(d["bias"]),
+                   tuple(float(x) for x in d.get("losses", [])))
 
 
 def _lut_expr(values: list[float]) -> Column:

@@ -18,8 +18,9 @@ to the edge list — NO ``collect_list`` of neighbor sets, so a hot node
 its neighborhood in one task. Lineage is truncated every round with
 ``localCheckpoint`` (on a real cluster point ``spark.sparkContext
 .setCheckpointDir`` at durable storage and flip ``use_local=False``);
-convergence is detected with an O(1)-size fingerprint aggregate (count +
-xor-ish hash sum), one tiny job per round instead of a full subtract.
+convergence is detected by a star-forest test (one map-combined
+O(nodes)-row aggregation per round) that fires THE round the fixpoint is
+reached — see ``_is_star_forest``.
 
 Scale notes: every shuffle keys on a node id; rounds strictly shrink edge
 count toward one star edge per non-root node, so the heaviest round is the
@@ -73,7 +74,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # off a deep plan (e.g. the whole MinHash verify pipeline), and every
     # round re-analyzes that logical plan otherwise — round 0's cost was
     # ~4 s of Catalyst re-analysis on a 300-edge graph. The checkpoint is
-    # lazy; the convergence fingerprint's first action materializes it, so
+    # lazy; the convergence check's first action materializes it, so
     # this adds no extra job. (Measured: sizing the loop's shuffle
     # partitions to the graph on top of this gains nothing — planning
     # time, not task count, was the overhead — so the session conf is
@@ -115,9 +116,9 @@ def _star_rounds(e: DataFrame, max_iter: int,
              .union(mins.select(F.col("u"), F.col("m").alias("v")))
              .distinct())
         if use_local_checkpoint:
-            # LAZY checkpoint: the fingerprint aggregate right below is
-            # this round's materializing action, so an eager checkpoint
-            # would run a second, redundant job per round
+            # LAZY checkpoint: the star-forest convergence check below
+            # is this round's materializing action, so an eager
+            # checkpoint would run a second, redundant job per round
             e = e.localCheckpoint(eager=False)
 
         if _is_star_forest(e):

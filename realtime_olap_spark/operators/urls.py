@@ -135,15 +135,18 @@ def normalize_url(url: Column | str,
     scheme = url_scheme(u)
     host = url_host(u)
     if strip_www:
-        host = F.regexp_replace(host, "^www\\.", "")
+        # (www.)+ — 'www.www.x' must reach its fixpoint in ONE pass, or
+        # normalization is not idempotent (the dedup-key contract)
+        host = F.regexp_replace(host, "^(www\\.)+", "")
     port = F.regexp_extract(u, _PORT, 1)
     default_port = ((scheme == "http") & (port == "80")) | \
                    ((scheme == "https") & (port == "443"))
     port_part = F.when((port == "") | default_port, F.lit("")) \
                  .otherwise(F.concat(F.lit(":"), port))
     path = url_path(u)
+    # '/+$' not '/$': '/a//' must reach '/a' in one pass (idempotence)
     path = F.when(path == "", F.lit("/")) \
-            .otherwise(F.regexp_replace(path, "/$", ""))
+            .otherwise(F.regexp_replace(path, "/+$", ""))
     path = F.when(path == "", F.lit("/")).otherwise(path)  # "/" stripped to ""
     kept = _kept_params(url_query(u), drop_prefixes)
     query_part = F.when(F.size(kept) > 0,

@@ -123,7 +123,7 @@ def test_model_json_round_trip_scores_identically(spark, model):
     from realtime_olap_spark.operators.classifier import QualityModel
 
     loaded = QualityModel.from_json(model.to_json())
-    assert loaded.weights == model.weights and loaded.bias == model.bias
+    assert loaded == model          # full dataclass equality, losses incl.
     df = spark.createDataFrame([(t,) for t in POS + NEG], ["text"])
     a = [r["s"] for r in df.select(
         CL.quality_score(F.col("text"), model).alias("s")).collect()]

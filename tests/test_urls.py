@@ -42,7 +42,7 @@ WITH p AS (
   SELECT url,
     lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
     regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
-                   '^www\\.', '') AS host,
+                   '^(www\\.)+', '') AS host,
     regexp_extract(url, '{_PORT_RE}', 1) AS port,
     regexp_extract(url, '{_PATH_RE}', 1) AS path0,
     regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS q
@@ -53,10 +53,10 @@ b AS (
               OR (scheme = 'https' AND port = '443')
          THEN '' ELSE ':' || port END AS pp,
     CASE WHEN regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END,
-                             '/$', '') = ''
+                             '/+$', '') = ''
          THEN '/'
          ELSE regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END,
-                             '/$', '') END AS path,
+                             '/+$', '') END AS path,
     list_sort(list_filter(list_filter(string_split(q, '&'), x -> x <> ''),
       x -> NOT {_TRACK.format(k="string_split(x, '=')[1]")}
     )) AS kept
