@@ -198,11 +198,43 @@ def _time_bucket_agg(rng: random.Random) -> tuple[str, str]:
     return pql, sql
 
 
+def _docs_agg(rng: random.Random) -> tuple[str, str]:
+    """Aggregation over the documents table — STRING dimensions with
+    IN/REGEXP predicates and the n_chars metric, exercising the PQL
+    front end on a second string-heavy table (text curation's home)."""
+    preds = []
+    if rng.random() < 0.7:
+        langs = rng.sample(["en", "de", "fr", "es"], k=rng.randint(1, 3))
+        neg = rng.random() < 0.3
+        preds.append(f"lang {'NOT IN' if neg else 'IN'} ("
+                     + ", ".join(f"'{x}'" for x in langs) + ")")
+    if rng.random() < 0.5:
+        a, b = sorted(rng.randint(0, 4000) for _ in range(2))
+        preds.append(f"n_chars BETWEEN {a} AND {b}")
+    if rng.random() < 0.3:
+        d = rng.randint(0, 9)
+        preds.append(f"REGEXP_LIKE(source, '^src[0-9]*{d}$')")
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    sql_where = where.replace("REGEXP_LIKE(", "regexp_matches(")
+    keys = rng.choice([["lang"], ["source"], ["lang", "source"]])
+    kl = ", ".join(keys)
+    aggs_pql = "count(*), sum(n_chars), max(n_chars), min(doc_id)"
+    aggs_sql = (f"COUNT(*) AS count_star, {OSUM('n_chars')} AS sum_n_chars, "
+                "MAX(n_chars) AS max_n_chars, MIN(doc_id) AS min_doc_id")
+    pql = (f"SELECT {kl}, {aggs_pql} FROM documents{where} "
+           f"GROUP BY {kl} TOP 1000")
+    sql = (f"SELECT {kl}, {aggs_sql} FROM documents{sql_where} "
+           f"GROUP BY {kl}")
+    return pql, sql
+
+
 def generate(seed: int) -> tuple[str, str]:
     """One differential pair (pql, duckdb_sql) for the given seed."""
     rng = random.Random(seed)
     shape = rng.choice(["selection", "scalar_agg", "group_by", "events_agg",
-                        "time_bucket"])
+                        "time_bucket", "docs_agg"])
+    if shape == "docs_agg":
+        return _docs_agg(rng)
     if shape == "time_bucket":
         return _time_bucket_agg(rng)
     if shape == "events_agg":
