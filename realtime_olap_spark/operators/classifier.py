@@ -196,6 +196,30 @@ def quality_score(text: Column, model: QualityModel) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
 
 
+def quality_margin_portable(text: Column, n_buckets: int = 1024,
+                            bias: float = 0.0) -> Column:
+    """The scoring fold in ORACLE-CHECKABLE form: the linear margin
+    ``bias + (Σ_grams w[bucket(gram)]) / n_grams`` over the PORTABLE md5
+    bucket space (``importance.gram_buckets_md5`` — byte-identical in any
+    engine with md5), with DETERMINISTIC weights computed inline from the
+    bucket id, ``w[b] = ((3·b) mod 7 − 3) / 5`` — exact integer
+    arithmetic then one correctly-rounded division, so any SQL engine
+    renders the identical doubles and the sequential in-order fold is
+    bit-equal (the ``favored_hits`` / fingerprint discipline). The
+    sigmoid is deliberately omitted: engine ``exp`` is not cross-engine
+    reproducible (the log2 lesson), and the margin's SIGN already is the
+    keep decision. Zero shuffle; zero-gram docs carry the bias alone."""
+    from realtime_olap_spark.operators.importance import gram_buckets_md5
+    b = gram_buckets_md5(text, n_buckets)
+    s = F.aggregate(
+        b, F.lit(0.0),
+        lambda acc, bk: acc + ((bk * F.lit(3)) % F.lit(7) - F.lit(3))
+        .cast("double") / F.lit(5.0))
+    n = F.size(b)
+    return F.lit(float(bias)) + F.when(
+        n > 0, s / n.cast("double")).otherwise(F.lit(0.0))
+
+
 def quality_filter(df: DataFrame, text_col: str, model: QualityModel,
                    threshold: float = 0.5,
                    score_col: str | None = None) -> DataFrame:

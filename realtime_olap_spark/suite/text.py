@@ -36,6 +36,19 @@ _TRIGRAMS = (f"list_transform(generate_series(1, greatest({_NTOK} - 2, 0)), "
 #: always exercises non-zero hit counts.
 DECONTAM_BENCH_DOCS = 5
 
+# unigram+bigram gram list (DSIR/classifier feature space) and the
+# deterministic-weight classifier margin — the portable twin of
+# classifier.quality_margin_portable: md5 bucket, inline integer weight
+# arithmetic, in-order left fold, one division (bias 0)
+_GRAMS12 = f"list_concat({_WS}, {_BIGRAMS})"
+_CLF_TERM = ("CAST((CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 "
+             "AS INT) * 3) % 7 - 3 AS DOUBLE) / 5.0")
+_CLF_MARGIN = (f"(CASE WHEN len({_GRAMS12}) > 0 THEN "
+               f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               f"list_transform({_GRAMS12}, g -> {_CLF_TERM})), "
+               f"(acc, x) -> acc + x) / CAST(len({_GRAMS12}) AS DOUBLE) "
+               f"ELSE 0.0 END)")
+
 _LANGS = sorted(T.LANG_MARKERS)
 _SCORES = "[" + ", ".join(
     " + ".join(
@@ -60,12 +73,15 @@ WITH scored AS (
          {_NTOK} AS tot1,
          len({_BIGRAMS}) - len(list_distinct({_BIGRAMS})) AS dup2,
          len({_BIGRAMS}) AS tot2,
-         {_BIGRAMS} AS bg
+         {_BIGRAMS} AS bg,
+         {_CLF_MARGIN} AS clfm
   FROM documents),
 agg AS (
   SELECT detected,
          COUNT(*) AS n_docs,
          CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN clfm >= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS clf_kept,
          CAST(SUM(dup1) AS BIGINT) AS dup_word_occ,
          CAST(SUM(tot1) AS BIGINT) AS total_words,
          CAST(CAST(SUM(dup2) AS BIGINT) AS DOUBLE)
@@ -93,7 +109,15 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition signals (duplicated word occurrences; repeated-bigram
     fraction). Numerators and denominators are summed as integers and
     divided once per group, so the corpus-level fractions are exact in
-    any engine."""
+    any engine.
+
+    ``clf_kept`` puts the LEARNED-classifier scoring path under the
+    driver oracle end-to-end: the per-doc linear margin
+    (classifier.quality_margin_portable — md5 bucket space,
+    deterministic inline weights, bit-equal in-order fold) thresholded
+    at ≥ 0 and counted per language, the integer reduction of the
+    sigmoid gate a production run applies."""
+    from realtime_olap_spark.operators import classifier as CL  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
     # ONE split per row, shared by language ID, quality, and repetition —
     # CollapseProject keeps multi-referenced non-cheap aliases materialized
@@ -108,10 +132,13 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("ws") - F.size("wsd")).cast("long").alias("dup1"),
         F.size("ws").cast("long").alias("tot1"),
         dup2.alias("dup2"), tot2.alias("tot2"),
-        F.col("bg"))
+        F.col("bg"),
+        CL.quality_margin_portable(F.col("text")).alias("clfm"))
     agg = (scored.groupBy("detected")
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_kept"),
+                F.sum(F.when(F.col("clfm") >= 0.0, 1).otherwise(0))
+                .cast("long").alias("clf_kept"),
                 F.sum("dup1").alias("dup_word_occ"),
                 F.sum("tot1").alias("total_words"),
                 (F.sum("dup2").cast("double") / F.sum("tot2").cast("double"))

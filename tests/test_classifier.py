@@ -130,3 +130,27 @@ def test_model_json_round_trip_scores_identically(spark, model):
     b = [r["s"] for r in df.select(
         CL.quality_score(F.col("text"), loaded).alias("s")).collect()]
     assert a == b          # bit-identical after the repr round trip
+
+
+def test_portable_margin_contract(spark):
+    from realtime_olap_spark.catalog import Catalog
+
+    d = Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    m = d.select("doc_id",
+                 CL.quality_margin_portable(F.col("text")).alias("m"))
+    rows = {r["doc_id"]: r["m"] for r in m.collect()}
+    assert len(rows) == d.count()
+    # non-degenerate: both keep and drop decisions occur on the corpus
+    signs = {v >= 0 for v in rows.values()}
+    assert signs == {True, False}
+    # deterministic under re-layout (row property)
+    again = {r["doc_id"]: r["m"] for r in
+             d.repartition(7).select(
+                 "doc_id",
+                 CL.quality_margin_portable(F.col("text")).alias("m"))
+             .collect()}
+    assert rows == again
+    # zero-gram docs carry the bias alone
+    empty = spark.createDataFrame([("",)], ["text"]).select(
+        CL.quality_margin_portable(F.col("text"), bias=0.25).alias("m"))
+    assert empty.collect()[0]["m"] == 0.25
