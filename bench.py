@@ -198,18 +198,28 @@ def main() -> None:
     timings = {name: min(rs) for name, rs in query_runs.items()}
 
     total = round(sum(timings.values()), 4)
-    out = {
+    # The driver records only the LAST ~2000 chars of stdout and parses a
+    # JSON line out of that window (r6's single ~4.8 KB line had its head
+    # truncated -> BENCH_r06.json parsed:null). Emit a compact summary line
+    # (gate-relevant: total + per-query mins) FIRST and again LAST, with
+    # the bulky per-run detail on its own middle line, so the tail window
+    # always ends with a complete parseable summary no matter where the
+    # capture cuts.
+    summary = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "query_runs": query_runs,
-        "max_spread": round(max(max(r) / max(min(r), 1e-9)
-                                for r in query_runs.values()), 2),
         "sf": sf,
         "runs_per_query": RUNS,
         "aggregation": "min",
         "schedule": "round_robin",
+    }
+    detail = {
+        "metric": "headline_suite_detail",
+        "query_runs": query_runs,
+        "max_spread": round(max(max(r) / max(min(r), 1e-9)
+                                for r in query_runs.values()), 2),
     }
     # Regression check against the previous round's record (>2x per query).
     prev = _load_prev_bench()
@@ -222,8 +232,14 @@ def main() -> None:
                 regressions[old_name] = {
                     "prev": old_sec, "now": cur,
                     "scope_changed": new_name in SCOPE_CHANGED}
-        out["regressions_vs_prev"] = regressions
-    print(json.dumps(out))
+        detail["regressions_vs_prev"] = regressions
+    line = json.dumps(summary)
+    if len(line) > 1800:  # keep the summary inside the 2000-char tail window
+        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(summary)
+    print(line)
+    print(json.dumps(detail))
+    print(line)
     spark.stop()
 
 
@@ -234,16 +250,18 @@ def _load_prev_bench() -> dict[str, float]:
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not paths:
-        return {}
-    try:
-        with open(paths[-1]) as f:
-            d = json.load(f)
-        if "queries" in d:
-            return dict(d["queries"])
-        return dict(d.get("parsed", {}).get("queries", {}))
-    except (OSError, ValueError, AttributeError):
-        return {}
+    # Newest first; fall through records whose 'parsed' is null (r6's line
+    # was truncated by the driver's tail capture) to the newest usable one.
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            q = d.get("queries") or (d.get("parsed") or {}).get("queries")
+            if q:
+                return dict(q)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return {}
 
 
 if __name__ == "__main__":
