@@ -33,10 +33,12 @@ _SCHEME = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)"
 _PORT = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?[^/:?#]+:([0-9]+)"
 _PATH = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
-# anchored through the pre-fragment prefix: a '?' AFTER the first '#'
-# belongs to the fragment (which normalization drops) and must not be
-# promoted into a canonical query string
-_QUERY = "^[^#]*\\?([^#]*)"
+# anchored on the FIRST '?' before the first '#': RFC 3986 permits '?'
+# INSIDE a query, so `?a=1?b=2` is one query string "a=1?b=2" (a greedy
+# `^[^#]*\?` would re-anchor on the LAST '?' and silently drop a=1 —
+# advice r6), while a '?' AFTER the first '#' belongs to the fragment
+# (which normalization drops) and must not be promoted into a query
+_QUERY = "^[^?#]*\\?([^#]*)"
 
 #: Query parameters that identify a click, not a resource — stripped during
 #: normalization (the standard tracking-param scrub).
@@ -136,8 +138,18 @@ def normalize_url(url: Column | str,
     host = url_host(u)
     if strip_www:
         # (www.)+ — 'www.www.x' must reach its fixpoint in ONE pass, or
-        # normalization is not idempotent (the dedup-key contract)
-        host = F.regexp_replace(host, "^(www\\.)+", "")
+        # normalization is not idempotent (the dedup-key contract). The
+        # strip is all-or-nothing, GUARDED: it only applies when the
+        # stripped host still has >= 2 labels and is not a bare public
+        # suffix, so a registrable host whose second-level label IS
+        # 'www' ('www.com', 'www.co.uk') keeps its identity instead of
+        # collapsing onto a different host (advice r6). All-or-nothing
+        # keeps the one-pass fixpoint property (hypothesis-tested).
+        stripped = F.regexp_replace(host, "^(www\\.)+", "")
+        bare_suffix = F.array_contains(
+            F.array(*[F.lit(s) for s in MULTIPART_SUFFIXES]), stripped)
+        ok = (F.size(F.split(stripped, "\\.")) >= 2) & ~bare_suffix
+        host = F.when(ok, stripped).otherwise(host)
     port = F.regexp_extract(u, _PORT, 1)
     default_port = ((scheme == "http") & (port == "80")) | \
                    ((scheme == "https") & (port == "443"))
@@ -198,8 +210,17 @@ def domain_frequency_cap(df: DataFrame, url_col: str, key: Column | str,
                          tiebreak: Column | str | None = None) -> DataFrame:
     """EXACT per-registered-domain cap: keep the ``cap`` rows with the
     smallest content hash per domain — a row property given the domain's
-    membership, stable across re-layouts. One shuffle on the domain + a
-    per-domain rank.
+    membership, stable across re-layouts.
+
+    TWO-PHASE (skew guard, r6 directive): one per-domain count first;
+    domains at-or-under cap PASS THROUGH untouched (a broadcast
+    anti-probe of the over-cap domain set — on real corpora that is
+    almost every row), and only the over-cap remainder enters the
+    windowed rank. The window therefore consumes |over-cap rows|, not
+    the corpus, and Spark's WindowGroupLimit additionally prunes each
+    mapper's contribution to ``cap`` rows per domain before the shuffle,
+    so even a domain holding a double-digit share of the corpus never
+    materializes a full per-domain sort.
 
     Ties on ``hash(key)`` (true duplicate content inside one domain)
     would otherwise break by partition arrival order; the rank therefore
@@ -207,17 +228,24 @@ def domain_frequency_cap(df: DataFrame, url_col: str, key: Column | str,
     id as ``tiebreak`` for full determinism when url+key pairs can
     repeat exactly.
 
-    Skew note: the rank sorts each domain inside one task; for a domain
-    holding a double-digit percentage of the corpus, use
-    ``domain_cap_rate`` (scan-side, never sorts) instead."""
+    ``domain_cap_rate`` remains the recommended 100 TB default (never
+    shuffles or sorts the corpus at all); this exact variant is for
+    cap contracts that must hold exactly."""
     from pyspark.sql.window import Window
     h = F.xxhash64(_c(key))
     tb = _c(tiebreak) if tiebreak is not None else F.col(url_col)
+    with_dom = df.withColumn("__dom", _cap_domain(url_col))
+    counts = with_dom.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    over = (counts.where(F.col("__n") > cap)
+            .select("__dom", F.lit(True).alias("__over")))
+    flagged = with_dom.join(F.broadcast(over), "__dom", "left")
+    under = flagged.where(F.col("__over").isNull()).drop("__over", "__dom")
     w = Window.partitionBy("__dom").orderBy(h.asc(), tb.asc())
-    return (df.withColumn("__dom", _cap_domain(url_col))
-            .withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= cap)
-            .drop("__dom", "__rk"))
+    capped = (flagged.where(F.col("__over").isNotNull())
+              .withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= cap)
+              .drop("__rk", "__over", "__dom"))
+    return under.unionByName(capped)
 
 
 _MOD = 1_000_000

@@ -23,6 +23,10 @@ URLS = [
     "https://shop.com.au/item?ref_=tag&size=9",
     "https://site.com/page#/a?id=5",      # '?' inside the fragment: NOT a query
     "https://site.com/p?q=1#also?x=2",    # real query + '?' in fragment
+    "https://x.com/p?a=1?b=2",            # '?' INSIDE the query (RFC 3986)
+    "http://www.com/",                    # registrable 2nd-level label 'www'
+    "https://www.www.a.com/x",            # strippable stack of www labels
+    "https://www.co.uk/x",                # www + bare public suffix: keep
 ]
 
 _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -37,16 +41,26 @@ _TRACK = ("(starts_with({k}, 'utm_') OR starts_with({k}, 'ref_') OR "
           "{k} IN ('fbclid','gclid','msclkid','mc_eid','igshid',"
           "'ref','utm'))")
 
+_SUFFIX_SQL = ", ".join(f"'{s}'" for s in U.MULTIPART_SUFFIXES)
+
 _NORM_SQL = f"""
-WITH p AS (
+WITH p0 AS (
   SELECT url,
     lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
-    regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
-                   '^(www\\.)+', '') AS host,
+    lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host0,
     regexp_extract(url, '{_PORT_RE}', 1) AS port,
     regexp_extract(url, '{_PATH_RE}', 1) AS path0,
-    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS q
+    regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS q
   FROM urls),
+p AS (
+  SELECT url, scheme, port, path0, q,
+    CASE WHEN len(string_split(regexp_replace(host0, '^(www\\.)+', ''),
+                               '.')) >= 2
+          AND regexp_replace(host0, '^(www\\.)+', '')
+              NOT IN ({_SUFFIX_SQL})
+         THEN regexp_replace(host0, '^(www\\.)+', '')
+         ELSE host0 END AS host
+  FROM p0),
 b AS (
   SELECT url, scheme, host,
     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
@@ -104,6 +118,14 @@ def test_normalize_url_expected_values(spark):
     # a '?' AFTER '#' belongs to the (dropped) fragment — never a query
     assert got["https://site.com/page#/a?id=5"] == "https://site.com/page"
     assert got["https://site.com/p?q=1#also?x=2"] == "https://site.com/p?q=1"
+    # the query starts at the FIRST '?': a later '?' is query CONTENT
+    assert got["https://x.com/p?a=1?b=2"] == "https://x.com/p?a=1?b=2"
+    # 'www' as the registrable second-level label survives the strip
+    assert got["http://www.com/"] == "http://www.com/"
+    # stacked www labels strip when >= 2 labels remain
+    assert got["https://www.www.a.com/x"] == "https://a.com/x"
+    # stripping down to a bare public suffix would invent a key: keep
+    assert got["https://www.co.uk/x"] == "https://www.co.uk/x"
 
 
 def test_registered_domain_matches_duckdb(spark):
@@ -134,6 +156,36 @@ def test_registered_domain_matches_duckdb(spark):
     assert got["news.bbc.co.uk"] == "bbc.co.uk"
     assert got["a.b.c.example.com"] == "example.com"
     assert got["localhost"] == "localhost"
+
+
+def test_registered_domain_lookalike_suffixes(spark):
+    """Edge semantics pinned (r6 directive #8): the multipart check looks
+    only at the TRUE TAIL of the host, so a suffix string embedded
+    mid-host ('co.uk' inside 'foo.co.uk.evil.com') never triggers the
+    three-label rule; bare public suffixes pass through unchanged (the
+    operator never returns fewer labels than the host has)."""
+    hosts = {
+        # lookalike: 'co.uk' appears mid-host — tail is evil.com
+        "foo.co.uk.evil.com": "evil.com",
+        "co.uk.evil.com": "evil.com",
+        # tail IS multipart: last THREE labels, even when deeper labels
+        # contain another suffix string
+        "evil.com.co.uk": "com.co.uk",
+        "a.b.evil.com.co.uk": "com.co.uk",
+        # bare suffixes and single labels: returned as-is (n <= 2 or
+        # n == 1 — never sliced below the host's own label count)
+        "co.uk": "co.uk",
+        "uk": "uk",
+        "com": "com",
+        # 'www' is an ordinary label to THIS operator (normalize_url
+        # owns www handling)
+        "www.co.uk": "www.co.uk",
+        "www.example.com": "example.com",
+    }
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    got = {r["h"]: r["d"] for r in
+           df.select("h", U.registered_domain("h").alias("d")).collect()}
+    assert got == hosts
 
 
 def _url_corpus(spark, n=400, domains=("a.com", "b.com", "hot.com")):
@@ -241,3 +293,32 @@ def test_exact_cap_plan_has_single_domain_shuffle(spark):
     out = U.domain_frequency_cap(df, "url", F.col("text"), cap=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan or "WindowGroupLimit" in plan
+
+
+def test_exact_cap_two_phase_skew_guard(spark):
+    """The windowed rank consumes ONLY the over-cap remainder: under-cap
+    domains pass through on the no-window branch (r6 directive #4)."""
+    rows = [(i, "https://hot.com/p", f"t{i}") for i in range(200)]
+    rows += [(1000 + i, f"https://cold{i % 7}.org/p{i}", f"u{i}")
+             for i in range(35)]
+    df = spark.createDataFrame(rows, ["id", "url", "text"])
+    out = U.domain_frequency_cap(df, "url", F.col("text"), cap=10,
+                                 tiebreak=F.col("id"))
+    got = out.collect()
+    assert sum(1 for r in got if r["id"] < 1000) == 10   # hot capped exactly
+    assert sum(1 for r in got if r["id"] >= 1000) == 35  # cold untouched
+    # plan: the Window's input is an INNER join with the broadcast
+    # over-cap domain set (the optimizer folds the marker filter into the
+    # join), so it consumes the over-cap subset, not the corpus — and
+    # WindowGroupLimit bounds each mapper to cap rows per domain
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    window_part = plan[plan.index("Window ["):]
+    assert "WindowGroupLimit" in window_part
+    assert "Join Inner" in window_part
+    # determinism across re-layouts (two-phase must not reintroduce
+    # arrival-order sensitivity)
+    again = U.domain_frequency_cap(df.repartition(9), "url", F.col("text"),
+                                   cap=10, tiebreak=F.col("id"))
+    assert sorted(r["id"] for r in got) == \
+        sorted(r["id"] for r in again.collect())
