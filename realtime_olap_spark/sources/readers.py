@@ -146,7 +146,13 @@ def read_thrift(spark: SparkSession, path: str, schema: StructType,
             return float(v)
         if t == "binary":
             return v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-        s = str(v)
+        # thrift STRING values that are not valid UTF-8 surface from the
+        # codec as bytes: decode with replacement instead of leaking the
+        # Python repr "b'..'" into a string column (advice r6)
+        if isinstance(v, (bytes, bytearray)):
+            s = bytes(v).decode("utf-8", errors="replace")
+        else:
+            s = str(v)
         return s if s != "" else None
 
     def conv(v, dt):

@@ -65,12 +65,18 @@ class ThriftReader:
         self._pos = 0
 
     def _unpack(self, fmt: str) -> Any:
+        # bounds-checked like _take, so truncation INSIDE a fixed-width
+        # value raises the codec's documented ValueError, not a bare
+        # struct.error callers catching ValueError would miss (advice r6)
+        n = struct.calcsize(fmt)
+        if self._pos + n > len(self._buf):
+            raise ValueError("truncated thrift data")
         v = struct.unpack_from(fmt, self._buf, self._pos)[0]
-        self._pos += struct.calcsize(fmt)
+        self._pos += n
         return v
 
     def _take(self, n: int) -> bytes:
-        if self._pos + n > len(self._buf):
+        if n < 0 or self._pos + n > len(self._buf):
             raise ValueError("truncated thrift data")
         b = self._buf[self._pos:self._pos + n]
         self._pos += n

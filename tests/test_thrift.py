@@ -60,6 +60,49 @@ def test_truncated_raises():
         list(TC.iter_structs(out.getvalue()[:-3]))
 
 
+def test_every_truncation_point_raises_valueerror():
+    """Truncation at EVERY byte offset — including inside fixed-width
+    values — raises the codec's documented ValueError, never a bare
+    struct.error (advice r6: _unpack is bounds-checked like _take)."""
+    out = io.BytesIO()
+    TC.write_struct(out, [(1, TC.I32, 7), (2, TC.DOUBLE, 1.5),
+                          (3, TC.I16, 3), (4, TC.STRING, "hey"),
+                          (5, TC.LIST, (TC.I64, [1, 2]))])
+    buf = out.getvalue()
+    for cut in range(1, len(buf) - 1):
+        try:
+            list(TC.iter_structs(buf[:cut]))
+        except ValueError:
+            pass  # the documented failure mode
+        # a clean parse is fine too (cut exactly on a STOP boundary)
+
+
+def test_negative_length_raises_valueerror():
+    """A corrupt negative string length must not silently slice."""
+    buf = bytes([TC.STRING, 0, 1, 0xFF, 0xFF, 0xFF, 0xFB]) + b"x" * 8
+    with pytest.raises(ValueError):
+        list(TC.iter_structs(buf))
+
+
+def test_invalid_utf8_string_decodes_with_replacement(spark, tmp_path):
+    """A thrift STRING whose bytes are not valid UTF-8 lands in a string
+    column as a replacement-decoded string, not the Python bytes repr
+    (advice r6 on readers.conv_sv)."""
+    out = io.BytesIO()
+    TC.write_struct(out, [(1, TC.I32, 1), (2, TC.STRING, b"ok\xff\xfe!")])
+    path = tmp_path / "bad.thrift"
+    path.write_bytes(out.getvalue())
+    schema = T.StructType([T.StructField("id", T.IntegerType()),
+                           T.StructField("name", T.StringType())])
+    rows = read_thrift(spark, str(tmp_path), schema,
+                       {"id": 1, "name": 2}, glob="*.thrift").collect()
+    assert len(rows) == 1
+    got = rows[0]["name"]
+    assert isinstance(got, str)
+    assert got.startswith("ok")
+    assert "b'" not in got  # never the bytes repr
+
+
 _scalars = (st.integers(-2**31, 2**31 - 1).map(lambda v: (TC.I32, v))
             | st.integers(-2**63, 2**63 - 1).map(lambda v: (TC.I64, v))
             | st.booleans().map(lambda v: (TC.BOOL, v))
