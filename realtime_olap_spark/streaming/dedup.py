@@ -74,3 +74,31 @@ def corpus_key_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct content keys of a historical corpus — the small static
     side of :func:`dedup_against_corpus` (store this, not the text)."""
     return corpus.select(content_key(text_col).alias("__ck")).distinct()
+
+
+def span_marks_against_corpus(docs: DataFrame, corpus_windows: DataFrame,
+                              id_col: str, text_col: str,
+                              k: int) -> DataFrame:
+    """Exact-substring span-dedup probe against a STATIC corpus window
+    table (``operators/spans.window_table`` materialized by the batch
+    ingest): emits one ``(id, pos)`` row per k-token window of ``docs``
+    that already exists in the corpus — the streaming decision table for
+    span removal.
+
+    Stateless by construction (scan-side window hashing + a
+    stream-static LEFT SEMI join on the 8-byte hash), so the SAME call
+    transforms a streaming frame or a batch frame and an availableNow
+    drain equals the batch run row-for-row. Duplicates BETWEEN stream
+    documents that are not yet in the corpus are out of scope here by
+    design — they are the incremental-batch path's job
+    (``spans.duplicated_positions_against`` after appending the batch's
+    windows to the corpus table, tested equal to a from-scratch build),
+    exactly like ``dedup_against_corpus`` vs in-stream dedup above.
+    On marks equality: for documents whose duplicated windows all come
+    from the corpus, these rows are precisely the exploded
+    ``duplicated_positions_against`` position lists (tested)."""
+    from realtime_olap_spark.operators.spans import window_table
+    occ = window_table(docs, id_col, text_col, k)
+    hashes = corpus_windows.select("h").distinct()
+    return (occ.join(hashes, "h", "left_semi")
+            .select(id_col, "pos"))

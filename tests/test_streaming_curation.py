@@ -1,9 +1,10 @@
 """Streaming curation parity: the scan-side curation scorers (DSIR
 importance weights, C4 line filters) are stateless row transforms, so
 they apply to a Structured Streaming ingest unchanged — an availableNow
-drain must equal the batch operator on the same files. (Span dedup and
-corpus-wide line dedup need corpus-global counts and stay batch/
-incremental-batch operators by design.)"""
+drain must equal the batch operator on the same files. Span dedup joins
+the story as a stream-static probe of the materialized corpus window
+table (within-stream-only duplicates remain the incremental-batch
+path's job, like in-stream content dedup vs against-corpus dedup)."""
 
 from __future__ import annotations
 
@@ -122,6 +123,60 @@ def test_streaming_url_normalize_matches_batch(spark, tmp_path):
     assert got == want
     assert got[1][0] == "https://example.com/a?q=1"
     assert got[2][1] == "shop.co.uk"
+
+
+def test_streaming_span_dedup_probe_matches_batch(spark, tmp_path):
+    """Span dedup at ingest (r6 directive #6): the corpus window table is
+    static (batch-materialized ``spans.window_table``); the stream probes
+    it with a stateless scan-side window hash + stream-static LEFT SEMI
+    join. The availableNow drain equals (a) the same probe run as a
+    batch, row-for-row, and (b) the exploded
+    ``duplicated_positions_against`` marks for docs whose duplicated
+    windows all come from the corpus."""
+    from realtime_olap_spark.operators import spans as SP
+    from realtime_olap_spark.streaming.dedup import span_marks_against_corpus
+
+    K = 3
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    corpus_windows = SP.window_table(corpus, "doc_id", "text", K)
+    # materialize like an ingest pipeline would (static side of the join)
+    corpus_windows = spark.createDataFrame(
+        corpus_windows.collect(), corpus_windows.schema)
+
+    src = f"{tmp_path}/src"
+    # doc 1: one corpus window ('quick brown fox') at pos 1; doc 2 clean;
+    # doc 3: two corpus windows from the second corpus doc
+    _write_batch(spark, src, [(1, 1, "a quick brown fox ran far"),
+                              (2, 2, "completely novel words only here")])
+    _write_batch(spark, src, [(3, 3, "pack my box with care")])
+
+    marked = span_marks_against_corpus(_stream(spark, src), corpus_windows,
+                                       "doc_id", "text", K)
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(marked, sink, ckpt)
+    got = {(r["doc_id"], r["pos"])
+           for r in spark.read.parquet(sink).collect()}
+
+    batch_docs = spark.read.schema(SCHEMA).parquet(src)
+    want = {(r["doc_id"], r["pos"])
+            for r in span_marks_against_corpus(
+                batch_docs, corpus_windows, "doc_id", "text", K).collect()}
+    assert got == want
+    assert (1, 1) in got                      # 'quick brown fox'
+    assert all(d != 2 for d, _ in got)        # clean doc: no marks
+    assert {p for d, p in got if d == 3} == {0, 1}  # 'pack my box (with)'
+
+    # (b) ties the probe to the canonical batch semantics: these docs
+    # share no NEW duplicated window among themselves, so the marks are
+    # exactly the exploded incremental position lists
+    inc = SP.duplicated_positions_against(batch_docs, corpus_windows,
+                                          "doc_id", "text", K)
+    want_inc = {(r["doc_id"], p) for r in inc.collect()
+                for p in r["dup_pos"]}
+    assert got == want_inc
 
 
 def test_streaming_line_filter_matches_batch(spark, tmp_path):
