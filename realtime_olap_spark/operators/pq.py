@@ -252,6 +252,31 @@ def ivfpq_index_write(df: DataFrame, path: str,
     out.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def ivfpq_index_append(df: DataFrame, path: str,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       vec_col: str = "embedding",
+                       files_per_cell: int = 1) -> None:
+    """Append NEW vectors to an existing IVF-PQ index WITHOUT
+    retraining or rewriting it (r6 directive #7) — the consuming→
+    immutable segment analog for the vector index: the batch is encoded
+    against the EXISTING codebooks, assigned to its coarse cells with
+    the EXISTING centroids, and written ``mode=append`` into the cell
+    partition directories. Existing files are never touched (tested),
+    the probe sees old ∪ new immediately (same partition pruning), and
+    probe results equal a full rebuild whenever the model
+    (centroids + codebooks) is unchanged — which is exactly the PQ
+    deployment contract: retrain on drift, append otherwise. Cost is
+    O(batch), one scan-side encode + a cell repartition of the batch
+    only; the corpus is never read."""
+    from realtime_olap_spark.operators.similarity import ivf_assign_norm
+    out = pq_encode(df, vec_col, codebooks)
+    out = out.withColumn("cell", ivf_assign_norm(vec_col, centroids)["cell"])
+    out = out.repartition(files_per_cell * max(len(centroids), 1),
+                          F.col("cell"))
+    out.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivfpq_topk(spark, path: str, query: list[float],
                centroids: list[list[float]],
                codebooks: list[list[list[float]]], k: int = 10,

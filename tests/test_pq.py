@@ -170,6 +170,48 @@ def test_ivfpq_index_probe(spark, books, tmp_path):
     assert "cell" in plan
 
 
+def test_ivfpq_incremental_append_equals_rebuild(spark, books, tmp_path):
+    """r6 directive #7: appending a new batch against the EXISTING
+    centroids+codebooks (no retrain, no corpus read) gives a probe
+    identical to a full rebuild of old ∪ new, and never rewrites the
+    existing index files — the consuming→immutable segment analog for
+    the vector index."""
+    import os
+
+    from realtime_olap_spark.operators.pq import (ivfpq_index_append,
+                                                  ivfpq_index_write,
+                                                  ivfpq_topk)
+    from realtime_olap_spark.suite.similarity import CENTROIDS
+
+    df = _emb(spark)
+    n = df.count()
+    base = df.where(F.col("vec_id") % 5 != 0)      # ~80% initial corpus
+    batch = df.where(F.col("vec_id") % 5 == 0)     # the new ingest batch
+
+    inc_path = str(tmp_path / "inc")
+    ivfpq_index_write(base, inc_path, CENTROIDS, books)
+    before = {os.path.join(r, f) for r, _, fs in os.walk(inc_path)
+              for f in fs if f.endswith(".parquet")}
+    ivfpq_index_append(batch, inc_path, CENTROIDS, books)
+    after = {os.path.join(r, f) for r, _, fs in os.walk(inc_path)
+             for f in fs if f.endswith(".parquet")}
+    assert before <= after                 # old files untouched
+    assert len(after) > len(before)        # batch files landed
+    assert spark.read.parquet(inc_path).count() == n
+
+    full_path = str(tmp_path / "full")
+    ivfpq_index_write(df, full_path, CENTROIDS, books)
+
+    for probe_row in df.orderBy("vec_id").limit(3).collect():
+        query = [float(x) for x in probe_row["embedding"]]
+        got = ivfpq_topk(spark, inc_path, query, CENTROIDS, books,
+                         k=10, nprobe=2, shortlist=50).collect()
+        want = ivfpq_topk(spark, full_path, query, CENTROIDS, books,
+                          k=10, nprobe=2, shortlist=50).collect()
+        assert [(r["vec_id"], round(r["score"], 9)) for r in got] == \
+            [(r["vec_id"], round(r["score"], 9)) for r in want]
+
+
 def test_joint_training_equals_per_subspace(spark):
     """pq_train's one-scan-per-iteration joint trainer must reproduce
     the per-subspace kmeans_fit codebooks (same seeds, same update
