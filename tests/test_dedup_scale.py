@@ -169,19 +169,20 @@ def test_verify_join_broadcast_modes(spark):
 def test_suite_minhash_queries_share_one_materialization(spark):
     """Both suite minhash queries must read the SAME persisted scored-pair
     table — signatures/bands/verify are computed once per session, the r6
-    fix for the r5 bench's double computation. dedup_minhash_lsh's plan
-    shows the in-memory scan directly; dedup_keep_representative consumes
-    the same cached frame inside the CC driver loop (its final plan is
-    rebuilt from checkpointed components, so assert identity + storage
-    level instead)."""
+    fix for the r5 bench's double computation. The memo materializes via
+    localCheckpoint (r7: consumers plan against a flat scan of the cached
+    partitions instead of re-analyzing the deep build lineage), so the
+    evidence is the truncated lineage — an ExistingRDD scan with no
+    parquet read and no band/verify recomputation in the plan."""
     from realtime_olap_spark.suite.dedup import shared_scored_pairs
     s1 = shared_scored_pairs(spark, SF_DIR)
     s2 = shared_scored_pairs(spark, SF_DIR)
     assert s1 is s2  # one build per (session, corpus)
-    assert s1.storageLevel.useMemory or s1.storageLevel.useDisk
     a = suite.QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
-    assert "InMemoryTableScan" in \
-        a._jdf.queryExecution().executedPlan().toString()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert "FileScan" not in plan      # never rebuilds from the corpus
+    assert "xxhash64" not in plan      # signatures not recomputed
     # and the full keep/cluster query still composes on top of it
     assert suite.QUERIES["dedup_keep_representative"](spark, SF_DIR).count() > 0
 
