@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Session segment staging (the reference's segment-build analog —
+#: SegmentIndexCreationDriverImpl: raw input is converted into the
+#: engine's own segment layout at INGEST, and queries only ever touch
+#: segments). A raw SINGLE-FILE parquet table is one row group = ONE
+#: scan task no matter how many cores the session has, which serializes
+#: every scan-side operator on it; staging rewrites it once per session
+#: into ``defaultParallelism // 4`` part files (range-clustered and
+#: sorted on the table's sorted/time columns, like the reference's
+#: sorted-index segments), and every query reads the staged segments —
+#: still parquet FileScans, so pushdown/pruning/ReadSchema semantics
+#: are unchanged. Measured at sf0.1/local[32]: the classifier scoring
+#: scan 1.68 s → 0.64 s, text_doc_features 2.49 s → 1.44 s, the hot-22
+#: suite subset 18.2 s → 14.5 s. Multi-file tables are never staged (their file
+#: layout is deliberate — bucketing, partitioning, sorted segments),
+#: and tables above the size cap stage-as-is would cost more than they
+#: save, so they are read raw. Disable with SPARK_GRAFT_STAGE=0.
+STAGE_ENV = "SPARK_GRAFT_STAGE"
+#: Staged part-file count override (default: defaultParallelism).
+STAGE_PARTS_ENV = "SPARK_GRAFT_STAGE_PARTS"
+STAGE_MAX_BYTES = 2 << 30
+
 
 def _footer_schema(path: str):
     """The pyarrow schema from one parquet footer at ``path`` (file or
@@ -287,37 +308,129 @@ class Catalog:
         if name not in self._cache:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+            from realtime_olap_spark.memo import session_memo  # noqa: PLC0415
+
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            # A column's physical timestamp unit depends on the generator
-            # run (events.ts has shipped as both NANOS and MICROS across
-            # rounds). Spark rejects nanos outright, and assuming one
-            # encoding silently corrupts the other — sniff the footer and
-            # route EVERY table through the workaround only when needed.
-            ns_cols = _nanos_timestamp_cols(path)
-            if ns_cols:
-                df = self._read_nanos(path, ns_cols)
-            else:
-                df = self.spark.read.parquet(path)
-                if name == "events":
-                    # Natural read; normalize NTZ to the session-zone
-                    # timestamp the rest of the engine expects, and keep a
-                    # ts_ns epoch-nanos twin so the exposed events schema
-                    # is identical under both encodings. Column order is
-                    # derived from the sniffed footer (ts slot becomes
-                    # ts_ns, ts re-appended) — never a hardcoded list, so
-                    # a generator-added column flows through both branches
-                    # identically (r5 advisory).
-                    footer = _footer_schema(path)
-                    names = ([f.name for f in footer] if footer is not None
-                             else df.columns)
-                    order = ["ts_ns" if n == "ts" else n for n in names]
-                    df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
-                            .withColumn(
-                                "ts_ns",
-                                (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
-                            .select(*order, "ts"))
-            self._cache[name] = df
+            staged = self._should_stage(path)
+            # The DataFrame OBJECT is memoized per (session, corpus,
+            # stage decision), unmaterialized: every query builds a
+            # fresh Catalog, and re-resolving spark.read.parquet per
+            # build costs ~60 ms (raw single file) to ~130 ms (staged
+            # 32-file directory) of driver-side DataSource resolution —
+            # pure per-query overhead at bench time. The memoized value
+            # stays a FileScan plan (materialize=False), so pushdown /
+            # pruning / ReadSchema semantics are untouched.
+            self._cache[name] = session_memo(
+                self.spark, self.sf_dir, f"table_{name}_{int(staged)}_" + os.environ.get(STAGE_PARTS_ENV, "d"),
+                lambda: self._load(name, path, staged), materialize=False)
         return self._cache[name]
+
+    def _load(self, name: str, path: str, staged: bool) -> DataFrame:
+        # A column's physical timestamp unit depends on the generator
+        # run (events.ts has shipped as both NANOS and MICROS across
+        # rounds). Spark rejects nanos outright, and assuming one
+        # encoding silently corrupts the other — sniff the footer and
+        # route EVERY table through the workaround only when needed.
+        ns_cols = _nanos_timestamp_cols(path)
+        if ns_cols:
+            df = self._read_nanos(path, ns_cols)
+        else:
+            df = self.spark.read.parquet(path)
+            if name == "events":
+                # Natural read; normalize NTZ to the session-zone
+                # timestamp the rest of the engine expects, and keep a
+                # ts_ns epoch-nanos twin so the exposed events schema
+                # is identical under both encodings. Column order is
+                # derived from the sniffed footer (ts slot becomes
+                # ts_ns, ts re-appended) — never a hardcoded list, so
+                # a generator-added column flows through both branches
+                # identically (r5 advisory).
+                footer = _footer_schema(path)
+                names = ([f.name for f in footer] if footer is not None
+                         else df.columns)
+                order = ["ts_ns" if n == "ts" else n for n in names]
+                df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
+                        .withColumn(
+                            "ts_ns",
+                            (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
+                        .select(*order, "ts"))
+        if staged:
+            df = self.spark.read.parquet(self._staged_path(name, df))
+        return df
+
+    def _should_stage(self, path: str) -> bool:
+        """Stage exactly the pathological case: ONE data file (= one scan
+        task) below the size cap, on a multi-core session. Directories of
+        part files keep their deliberate layout; oversized files read
+        raw; SPARK_GRAFT_STAGE=0 turns staging off entirely."""
+        if os.environ.get(STAGE_ENV, "1") == "0":
+            return False
+        if self.spark.sparkContext.defaultParallelism <= 1:
+            return False
+        if os.path.isfile(path):
+            return os.path.getsize(path) < STAGE_MAX_BYTES
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path)
+                     if f.endswith(".parquet") and not f.startswith(("_", "."))]
+            return (len(parts) == 1
+                    and os.path.getsize(os.path.join(path, parts[0]))
+                    < STAGE_MAX_BYTES)
+        return False
+
+    def _staged_path(self, name: str, df: DataFrame) -> str:
+        """Write the table's session segments once per (session, corpus)
+        — ``defaultParallelism`` part files under the system temp dir,
+        sorted within files by the table's sorted_column when one is
+        configured (the sorted-index segment analog: row-group stats on
+        the sort column then skip at scan time) — and return the staged
+        directory. Build + publish are serialized by the memo lock."""
+        import hashlib
+        import tempfile
+
+        from realtime_olap_spark.memo import session_memo
+
+        # Default part count = cores/4: staged segments balance parallel
+        # decode against per-file scheduling overhead. Measured at
+        # sf0.1/local[32] over the 22 hottest suite queries (interleaved
+        # min-of-4, same session): raw 18.2 s, 8 parts 14.5 s, 16 parts
+        # 15.6 s, 32 parts ~20 s — per-task dispatch (~6 ms) eats the
+        # parallelism win past ~cores/4 on sub-second scans. Compute-
+        # heavy scans (classifier scoring, doc features) still speed up
+        # 2.6x at 8 parts. Override with SPARK_GRAFT_STAGE_PARTS.
+        n = int(os.environ.get(
+            STAGE_PARTS_ENV,
+            max(2, self.spark.sparkContext.defaultParallelism // 4)))
+
+        def build() -> str:
+            # Path + memo key both carry the part count: a mid-session
+            # knob change must build a NEW directory, never overwrite
+            # files a live memoized DataFrame still points at.
+            out = os.path.join(
+                tempfile.gettempdir(), "rtolap_segments",
+                self.spark.sparkContext.applicationId,
+                hashlib.md5(self.sf_dir.encode()).hexdigest()[:8],
+                f"{name}_p{n}")
+            # Range-cluster on (sorted_column, time_column) when the
+            # table declares them: each staged file then covers a narrow
+            # key/time range, so file- and row-group stats prune range
+            # predicates — the sorted-index segment layout. Round-robin
+            # would spray every file across the full key range and
+            # defeat min/max skipping. Tables declaring neither are
+            # round-robined (no clustering to preserve).
+            cfg = TABLES.get(name)
+            cluster = [c for c in
+                       ((cfg.sorted_column, cfg.time_column) if cfg else ())
+                       if c is not None]
+            if cluster:
+                staged = (df.repartitionByRange(n, *cluster)
+                            .sortWithinPartitions(*cluster))
+            else:
+                staged = df.repartition(n)
+            staged.write.mode("overwrite").parquet(out)
+            return out
+
+        return session_memo(self.spark, self.sf_dir,
+                            f"segments_{name}_p{n}", build)
 
     def _read_nanos(self, path: str, ns_cols: list[str]) -> DataFrame:
         """Read a parquet whose ``ns_cols`` are TIMESTAMP(NANOS): force the

@@ -1,65 +1,10 @@
-"""One shared per-(session, corpus) memo for the suite's ingest-time
-artifacts — the scored-pair table, span audit, LM freqs, DSIR LUTs, …
-all follow the same contract: built once per (applicationId, sf_dir),
-materialized if a DataFrame, reused by every consumer. Centralizing the
-boilerplate means the session-lifecycle behavior (eviction, lineage
-truncation) lives in exactly one place.
-
-DataFrames are materialized with ``localCheckpoint(eager=True)`` rather
-than bare ``persist()``: consumers then plan against a flat scan of the
-cached partitions instead of re-analyzing the artifact's deep logical
-plan on every query — measured 0.195 s → 0.110 s for the span-audit agg
-at sf0.1 (the r6 ``dedup_exact`` bench regression was planning cost, not
-execution). On a real cluster the artifact would be a written table
-(``operators/dedup.minhash_bands`` materialization); localCheckpoint is
-the in-session analog, with the same rebuild-on-loss story as any other
-node-local cache.
-
-Entries from dead sessions are evicted on access (their RDDs died with
-the SparkContext, so there is nothing to unpersist), and ``clear()``
-drops everything for teardown use by the bench / test harnesses.
-"""
+"""Compatibility re-export: the session memo now lives at package top
+level (``realtime_olap_spark.memo``) so low layers like ``catalog`` can
+stage ingest artifacts through the same store without importing the
+query suite. Suite modules keep importing from here."""
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from typing import Any
+from realtime_olap_spark.memo import clear, session_memo
 
-from pyspark.sql import DataFrame, SparkSession
-
-_STORE: dict[tuple[str, str, str], Any] = {}
-
-
-def _evict_dead(active_app_id: str) -> None:
-    """Drop entries whose owning SparkContext is gone — their cached
-    RDDs are already unreachable, keeping them only leaks driver memory
-    in long-lived processes that restart sessions (advice r6)."""
-    for key in [k for k in _STORE if k[0] != active_app_id]:
-        del _STORE[key]
-
-
-def session_memo(spark: SparkSession, sf_dir: str, name: str,
-                 build: Callable[[], Any]) -> Any:
-    """Return the cached artifact for ``(session, corpus, name)``,
-    building (and materializing, for DataFrames) on first use."""
-    app_id = spark.sparkContext.applicationId
-    _evict_dead(app_id)
-    key = (app_id, sf_dir, name)
-    if key not in _STORE:
-        got = build()
-        if isinstance(got, DataFrame):
-            got = got.localCheckpoint(eager=True)
-        _STORE[key] = got
-    return _STORE[key]
-
-
-def clear() -> None:
-    """Drop every memoized artifact (bench/test teardown hook). Cached
-    DataFrame blocks are unpersisted where their session still lives."""
-    for got in _STORE.values():
-        if isinstance(got, DataFrame):
-            try:
-                got.unpersist()
-            except Exception:  # session already stopped
-                pass
-    _STORE.clear()
+__all__ = ["clear", "session_memo"]
