@@ -379,11 +379,12 @@ class Catalog:
 
     def _staged_path(self, name: str, df: DataFrame) -> str:
         """Write the table's session segments once per (session, corpus)
-        — ``defaultParallelism`` part files under the system temp dir,
-        sorted within files by the table's sorted_column when one is
-        configured (the sorted-index segment analog: row-group stats on
-        the sort column then skip at scan time) — and return the staged
-        directory. Build + publish are serialized by the memo lock."""
+        — ``defaultParallelism // 4`` part files under the system temp
+        dir, range-clustered + sorted on the table's declared
+        sorted/time columns when present (the sorted-index segment
+        analog: file and row-group stats on the cluster columns then
+        skip at scan time) — and return the staged directory. Build +
+        publish are serialized by the memo lock."""
         import hashlib
         import tempfile
 

@@ -55,20 +55,75 @@ def _is_star_forest(edges: DataFrame) -> bool:
     return bad.limit(1).count() == 0
 
 
+#: Broadcast-solve cutoff: graphs at or below this many (deduplicated)
+#: edges are resolved driver-side with union-find instead of distributed
+#: star rounds. The star rounds cost ~0.3 s/round of planning +
+#: convergence checking regardless of size (measured: 1.8 s for a
+#: 344-edge graph at sf0.1), so small graphs — the common case for
+#: τ-filtered near-dup edge sets — pay pure iteration overhead. This is
+#: the CC analog of a broadcast join: below the threshold the data
+#: provably fits one node (≤ ~16 MB of edge pairs), above it the
+#: O(log n)-round distributed path runs. Bounded driver fetch via
+#: ``take(threshold + 1)`` — never an unbounded collect.
+SMALL_GRAPH_EDGES = 1 << 20
+
+
+def _union_find_local(spark, rows) -> DataFrame:
+    """Driver-side union-find (path-halving, min-id roots) over an edge
+    list that fit the broadcast threshold; same output contract as the
+    star rounds: one (node, component=min member) row per non-isolated
+    node, roots omitted (they appear only on the component side)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root is always the smallest member
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(
+        [(n, c) for n, c in out if n != c], "node long, component long")
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 25,
-                         use_local_checkpoint: bool = True) -> DataFrame:
+                         use_local_checkpoint: bool = True,
+                         small_graph_edges: int | None = SMALL_GRAPH_EDGES,
+                         ) -> DataFrame:
     """Resolve the undirected graph given by (src, dst) pairs into
     components. Returns one row per non-isolated node:
     ``(node, component)`` where ``component`` is the smallest node id in
     the node's component (the root maps to itself). Self-loops are
     ignored; edge direction and duplication don't matter.
+
+    Adaptive strategy: graphs with ≤ ``small_graph_edges`` distinct
+    edges are broadcast-solved driver-side (union-find — exact same
+    min-id semantics); larger graphs run the distributed star rounds.
+    Pass ``small_graph_edges=None`` (or 0) to force the distributed
+    path.
     """
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .where(F.col("u") != F.col("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
+
+    if small_graph_edges:
+        head = e.take(small_graph_edges + 1)
+        if len(head) <= small_graph_edges:
+            return _union_find_local(e.sparkSession, head)
+        # over threshold: fall through to the star rounds (recomputing
+        # the distinct edge set — the take() above was a bounded probe)
 
     # Truncate the INPUT lineage before looping: the edge list often hangs
     # off a deep plan (e.g. the whole MinHash verify pipeline), and every

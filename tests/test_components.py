@@ -88,10 +88,33 @@ def test_duplicate_clusters_includes_roots(spark):
 
 def test_cc_plan_has_no_collect_list(spark):
     """Scale guard: the rounds must be agg+join only — a hot node's
-    neighborhood must never be materialized into one task."""
+    neighborhood must never be materialized into one task. Forces the
+    distributed path (small graphs broadcast-solve by default)."""
     df = spark.createDataFrame([(i % 5, i) for i in range(10, 60)],
                                "src long, dst long")
-    out = connected_components(df)
+    out = connected_components(df, small_graph_edges=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_cc_small_and_distributed_paths_agree(spark, seed):
+    """The broadcast union-find and the star rounds are the SAME
+    operator: identical (node, component) sets on random graphs, and
+    the threshold boundary routes correctly both ways."""
+    rnd = random.Random(seed)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(int(r["node"]), int(r["component"]))
+            for r in connected_components(df).collect()}
+    slow = {(int(r["node"]), int(r["component"]))
+            for r in connected_components(
+                df, small_graph_edges=None).collect()}
+    assert fast == slow
+    # a threshold below the edge count must route to the star rounds
+    # and still produce the same answer
+    tiny = {(int(r["node"]), int(r["component"]))
+            for r in connected_components(
+                df, small_graph_edges=1).collect()}
+    assert tiny == slow
