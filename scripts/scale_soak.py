@@ -131,6 +131,26 @@ def main() -> None:
             D.minhash_bands(docs, "doc_id", "text",
                             num_hashes=8, band_size=2))))
 
+        # Adaptive CC, distributed path FORCED (small_graph_edges=None):
+        # graphs over the 2^20-edge broadcast threshold run the star
+        # rounds, and this measures that path on a deterministic
+        # hash-derived random graph (60k*k edges over 20k*k nodes,
+        # staged to parquet like every other input). pmod keeps ANSI
+        # happy on negative hashes.
+        from realtime_olap_spark.operators.components import \
+            connected_components
+        edge_path = f"{STAGE}/edges_x{k}"
+        if not os.path.exists(f"{edge_path}/_SUCCESS"):
+            n_nodes = F.lit(20_000 * k)
+            (spark.range(60_000 * k)
+             .select(F.pmod(F.xxhash64(F.col("id")), n_nodes).alias("src"),
+                     F.pmod(F.xxhash64(F.col("id"), F.lit(1)), n_nodes)
+                     .alias("dst"))
+             .write.mode("overwrite").parquet(edge_path))
+        cc_edges = spark.read.parquet(edge_path)
+        record("cc_star_rounds", k, timed(lambda: noop(
+            connected_components(cc_edges, small_graph_edges=None))))
+
         # IVF-PQ: index build is ingest-time (untimed); the probe is the
         # recurring op. Codebooks/centroids from the 1x suite literals.
         emb = staged(spark, "embeddings", "vec_id", k)
