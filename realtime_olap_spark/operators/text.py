@@ -94,8 +94,18 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def quality_features(text: Column) -> list[Column]:
     """Curation-style quality signals: length, token stats, punctuation and
-    stopword ratios, uppercase ratio."""
-    ws = words(text)
+    stopword ratios, uppercase ratio. Convenience over
+    ``quality_features_from``; the pasted ``words(text)`` subtrees are
+    deduplicated by codegen subexpression elimination WITHIN this one
+    projection (measured: staging the array as a projection alias is
+    perf-neutral here), unlike interpreted HOF lambdas where the paste
+    is a real per-element cost."""
+    return quality_features_from(text, words(text))
+
+
+def quality_features_from(text: Column, ws: Column) -> list[Column]:
+    """``quality_features`` over a caller-supplied word array (e.g. a
+    projection alias shared with other word-consuming expressions)."""
     n_tok = F.size(ws)
     n_chars = F.length(text)
     n_stop = stopword_occurrences(ws, LANG_MARKERS["en"])
