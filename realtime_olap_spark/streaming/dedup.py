@@ -76,6 +76,79 @@ def corpus_key_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     return corpus.select(content_key(text_col).alias("__ck")).distinct()
 
 
+def near_dup_pairs_against(docs: DataFrame, corpus_bands: DataFrame,
+                           corpus_words: DataFrame, id_col: str,
+                           text_col: str, num_hashes: int = 8,
+                           band_size: int = 2, threshold: float = 0.5,
+                           max_bucket_size: int | None = None,
+                           ts_col: str | None = None,
+                           delay: str | None = None) -> DataFrame:
+    """NEAR-dup probe of (streaming or batch) docs against a STATIC
+    corpus: ``(id, id_corpus, jaccard)`` for every corpus document whose
+    exact Jaccard with the incoming doc is ≥ ``threshold`` — the
+    streaming twin of ``operators/dedup.minhash_lsh_pairs_against``,
+    completing the parity story exact dedup and span dedup already have.
+
+    Shape: per-row MinHash bands (scan-side, ``minhash_bands`` — a
+    stateless select+explode, streaming-legal), stream-static equi-join
+    on ``band_key`` against the pre-materialized (and here pre-capped,
+    mirroring the batch op's hot-bucket discipline) corpus band table,
+    stream-static equi-join on ``id_corpus`` against the corpus
+    hashed-word-set table, scan-side Jaccard filter. A doc that collides
+    with the same corpus doc in several bands would emit the pair once
+    per band, so the tail is first-arrival-wins on the pair key — the
+    module's standard state story: ``ts_col=None`` keeps exact
+    per-pair-key state (``dropDuplicates``; bounded by emitted MATCHES,
+    which LSH keeps ≪ batch×corpus), else watermark-TTL state
+    (``dropDuplicatesWithinWatermark``). An availableNow drain equals
+    the batch operator row-for-row (tested); within-stream-only
+    near-dups stay the incremental-batch path's job, exactly like the
+    exact and span variants above."""
+    from realtime_olap_spark.operators.dedup import (lsh_band_keys,
+                                                     minhash_signature,
+                                                     word_hash60, word_set)
+
+    cb = corpus_bands
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("band_key").agg(F.count(F.lit(1)).alias("__n"))
+        cb = (cb.join(sizes.where(F.col("__n") <= max_bucket_size),
+                      "band_key").drop("__n"))
+    # Signature, hashed word set, and band keys all in ONE projection
+    # over the stream — joining separately-derived band and word frames
+    # back together would be a stream-stream self-join (illegal without
+    # watermark gymnastics); one lineage keeps every join below
+    # stream-STATIC.
+    carry = [F.col(ts_col)] if ts_col is not None else []
+    base = docs.select(
+        F.col(id_col), *carry,
+        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("wh"),
+        F.size(word_set(text_col)).alias("nw"),
+        *minhash_signature(word_set(text_col), num_hashes))
+    probe = (base.select(
+        F.col(id_col), *carry, "wh", "nw",
+        F.explode(F.array(*lsh_band_keys(
+            [f"mh{i}" for i in range(num_hashes)], band_size)))
+        .alias("band_key"))
+        .join(cb.select(F.col(id_col).alias("id_corpus"), "band_key"),
+              "band_key")
+        .where(F.col(id_col) != F.col("id_corpus")))
+    cw = corpus_words.select(
+        F.col(id_col).alias("id_corpus"),
+        F.col("wh").alias("wh_b"), F.size("wh").alias("nw_b"))
+    inter = F.size(F.array_intersect(F.col("wh"), F.col("wh_b")))
+    jac = (inter.cast("double")
+           / (F.col("nw") + F.col("nw_b") - inter).cast("double"))
+    matched = (probe.join(cw, "id_corpus")
+               .withColumn("jaccard", jac)
+               .where(F.col("jaccard") >= threshold))
+    if ts_col is not None and delay is not None:
+        return (matched.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark([id_col, "id_corpus"])
+                .select(id_col, "id_corpus", "jaccard"))
+    return (matched.dropDuplicates([id_col, "id_corpus"])
+            .select(id_col, "id_corpus", "jaccard"))
+
+
 def span_marks_against_corpus(docs: DataFrame, corpus_windows: DataFrame,
                               id_col: str, text_col: str,
                               k: int) -> DataFrame:

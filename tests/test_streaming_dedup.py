@@ -127,3 +127,87 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     assert got == want
     # 1,3 hit 'alpha beta gamma'; 2,5 hit 'zeta eta theta' — only 4 is clean
     assert got == {4}
+
+
+def test_streaming_near_dup_probe_matches_batch(spark, tmp_path):
+    """NEAR-dup parity: an availableNow drain of the streaming LSH probe
+    against a static corpus band/word table equals the batch incremental
+    operator (minhash_lsh_pairs_against) on the same files — pair for
+    pair, Jaccard for Jaccard."""
+    from realtime_olap_spark.operators.dedup import (hashed_word_sets,
+                                                     minhash_bands,
+                                                     minhash_lsh_pairs_against)
+    from realtime_olap_spark.streaming.dedup import near_dup_pairs_against
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs"),
+         (102, "sphinx of black quartz judge my vow")],
+        ["doc_id", "text"])
+    corpus_bands = minhash_bands(corpus, "doc_id", "text")
+    corpus_words = hashed_word_sets(corpus, "doc_id", "text")
+    # materialize static sides (the ingest-time contract)
+    cb_path, cw_path = f"{tmp_path}/cb", f"{tmp_path}/cw"
+    corpus_bands.write.parquet(cb_path)
+    corpus_words.select("doc_id", "wh").write.parquet(cw_path)
+    cb = spark.read.parquet(cb_path)
+    cw = spark.read.parquet(cw_path)
+
+    src, sink, ckpt = f"{tmp_path}/src", f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _write_batch(spark, src, [
+        (1, 1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, 2, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (3, 3, "completely unrelated text about nothing")])
+    _write_batch(spark, src, [
+        (4, 4, "pack my box with five dozen liquor jugs today"), # near dup
+        (5, 5, "sphinx of black quartz judge my vow"),           # exact dup
+        (6, 6, "another totally different document entirely")])
+
+    flagged = near_dup_pairs_against(
+        _stream(spark, src), cb, cw, "doc_id", "text", threshold=0.5)
+    _drain(flagged, sink, ckpt)
+    got = {(r["doc_id"], r["id_corpus"], round(r["jaccard"], 12))
+           for r in spark.read.parquet(sink).collect()}
+
+    batch = minhash_lsh_pairs_against(
+        spark.read.schema(SCHEMA).parquet(src), cb, cw,
+        "doc_id", "text", threshold=0.5)
+    want = {(r["id_new"], r["id_corpus"], round(r["jaccard"], 12))
+            for r in batch.collect()}
+    assert got == want
+    assert {d for d, _, _ in got} >= {1, 5}  # the exact dups must flag
+    assert 3 not in {d for d, _, _ in got}
+    assert 6 not in {d for d, _, _ in got}
+
+
+def test_streaming_near_dup_probe_watermarked_state(spark, tmp_path):
+    """The watermark-TTL variant drains the same matches on in-order
+    data and its plan uses dedup-within-watermark state, not unbounded
+    pair-key state."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from realtime_olap_spark.operators.dedup import (hashed_word_sets,
+                                                     minhash_bands)
+    from realtime_olap_spark.streaming.dedup import near_dup_pairs_against
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    cb = minhash_bands(corpus, "doc_id", "text")
+    cw = hashed_word_sets(corpus, "doc_id", "text").select("doc_id", "wh")
+
+    src = f"{tmp_path}/src"
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _write_batch(spark, src, [
+        (1, 1, "the quick brown fox jumps over the lazy dog"),
+        (2, 2, "nothing shared with anything else here")])
+    flagged = near_dup_pairs_against(
+        _stream(spark, src), cb, cw, "doc_id", "text",
+        threshold=0.5, ts_col="ts", delay="10 minutes")
+    plan = flagged._jdf.queryExecution().analyzed().toString()
+    assert "dropDuplicatesWithinWatermark" in plan.lower() \
+        or "DeduplicateWithinWatermark".lower() in plan.lower()
+    _drain(flagged, sink, ckpt)
+    got = {(r["doc_id"], r["id_corpus"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, 100)}
