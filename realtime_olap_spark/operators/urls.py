@@ -45,9 +45,12 @@ _QUERY = "^[^?#]*\\?([^#]*)"
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid",
                            "ref_", "igshid")
 
-#: Common multi-part public suffixes (a deliberately small embedded subset
-#: of the public-suffix list; a production deploy broadcasts the full PSL
-#: as a lookup table — same operator shape, bigger literal set).
+#: Common multi-part public suffixes — the embedded fast-path subset used
+#: by :func:`registered_domain` (pure literal, zero joins). The FULL
+#: publicsuffix.org semantics (arbitrary-depth, wildcard and exception
+#: rules, PSL shipped as a broadcast TABLE so updates are data changes)
+#: live in :func:`registered_domain_psl` / :func:`parse_psl` /
+#: :func:`psl_table`.
 MULTIPART_SUFFIXES = ("co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp",
                       "ne.jp", "or.jp", "com.au", "net.au", "org.au",
                       "com.br", "com.cn", "com.mx", "co.in", "co.kr",
@@ -94,6 +97,117 @@ def registered_domain(host: Column | str,
     return (F.when(n <= 2, h)
             .when(is_multi, last3)
             .otherwise(last2))
+
+
+def parse_psl(lines) -> list[tuple[str, int, int, bool]]:
+    """Parse public-suffix-list text (publicsuffix.org format: one rule
+    per line, ``//`` comments, ``*.`` wildcard rules, ``!`` exception
+    rules) into join-ready rows ``(match_key, key_depth, suffix_len,
+    is_exception)``:
+
+    - plain rule ``co.uk``      -> ("co.uk",  2, 2, False)
+    - wildcard ``*.ck``         -> ("ck",     1, 2, False) — the known
+      tail is the join key; the ``*`` label is implied by suffix_len
+    - exception ``!www.ck``     -> ("www.ck", 2, 1, True) — the suffix
+      is the rule minus its leftmost label (PSL algorithm step 5)
+
+    The implicit default rule ``*`` (every bare TLD is a suffix) is NOT
+    emitted — ``registered_domain_psl`` applies it as the fallback."""
+    rules: list[tuple[str, int, int, bool]] = []
+    for ln in lines:
+        s = ln.strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        exc = s.startswith("!")
+        if exc:
+            s = s[1:]
+        labels = s.split(".")
+        if labels[0] == "*":
+            tail = ".".join(labels[1:])
+            if tail:
+                rules.append((tail, len(labels) - 1, len(labels), False))
+        elif exc:
+            rules.append((s, len(labels), len(labels) - 1, True))
+        else:
+            rules.append((s, len(labels), len(labels), False))
+    return rules
+
+
+def psl_table(spark, rules) -> DataFrame:
+    """The broadcast side of :func:`registered_domain_psl`: one row per
+    PSL rule, deduplicated on the join key (exceptions outrank, then the
+    longest suffix — mirroring the PSL's own precedence)."""
+    df = spark.createDataFrame(
+        rules, "match_key string, key_depth int, suffix_len int, "
+               "is_exc boolean")
+    w_best = F.struct(F.col("is_exc").cast("int").alias("p"),
+                      F.col("suffix_len").alias("s"))
+    return (df.groupBy("match_key", "key_depth")
+            .agg(F.max(w_best).alias("b"))
+            .select("match_key", "key_depth",
+                    F.col("b.s").alias("suffix_len"),
+                    (F.col("b.p") == 1).alias("is_exc")))
+
+
+#: PSL rules never exceed a handful of labels; 4 covers every published
+#: rule depth (3-label rules + the wildcard position).
+_PSL_MAX_DEPTH = 4
+
+
+def registered_domain_psl(df: DataFrame, host_col: Column | str,
+                          psl: DataFrame,
+                          out_col: str = "registered_domain",
+                          max_depth: int = _PSL_MAX_DEPTH) -> DataFrame:
+    """Registrable domain under a FULL public-suffix list — the
+    production twin of :func:`registered_domain` (which embeds a small
+    literal subset): the PSL ships as a broadcast TABLE, so updating it
+    is a data change, not a code change.
+
+    Implements the publicsuffix.org algorithm: among matching rules an
+    exception wins, else the longest suffix, else the implicit ``*``
+    default (bare TLD); the registrable domain is the suffix plus one
+    label, and a host that IS a public suffix yields NULL (stricter than
+    ``registered_domain``, which passes bare hosts through for dedup-key
+    stability).
+
+    Plan shape: the host's last-d label tails (d ≤ ``max_depth``) are
+    scan-side slices; each depth left-joins the broadcast PSL slice for
+    that depth; the winner folds with when/greatest. ≤ ``max_depth``
+    broadcast joins, the corpus is never shuffled."""
+    h = F.lower(_c(host_col))
+    parts = F.split(h, "\\.")
+    n = F.size(parts)
+    out = df.withColumn("__h", h).withColumn("__n", n)
+    for d in range(1, max_depth + 1):
+        tail = F.array_join(
+            F.slice(F.split(F.col("__h"), "\\."),
+                    F.greatest(F.col("__n") - F.lit(d - 1), F.lit(1)),
+                    F.lit(d)), ".")
+        out = out.withColumn(f"__t{d}", F.when(F.col("__n") >= d, tail))
+        side = (psl.where(F.col("key_depth") == d)
+                .select(F.col("match_key").alias(f"__t{d}"),
+                        F.col("suffix_len").alias(f"__sl{d}"),
+                        F.col("is_exc").alias(f"__exc{d}")))
+        out = out.join(F.broadcast(side), f"__t{d}", "left")
+    # a rule only applies when the host has at least suffix_len labels
+    # (a wildcard's * must bind a real label)
+    valid = [F.when((F.col(f"__sl{d}").isNotNull())
+                    & (F.col("__n") >= F.col(f"__sl{d}")), F.col(f"__sl{d}"))
+             for d in range(1, max_depth + 1)]
+    exc = F.coalesce(
+        *[F.when(F.col(f"__exc{d}"), v) for d, v in enumerate(valid, 1)],
+        F.lit(None).cast("int"))
+    best = F.greatest(*[F.coalesce(v, F.lit(0)) for v in valid], F.lit(1))
+    sl = F.coalesce(exc, best)
+    parts2 = F.split(F.col("__h"), "\\.")
+    reg = F.when(F.col("__n") > sl,
+                 F.array_join(
+                     F.slice(parts2, F.col("__n") - sl, sl + F.lit(1)), "."))
+    out = out.withColumn(out_col, reg)
+    drop = (["__h", "__n"]
+            + [c for d in range(1, max_depth + 1)
+               for c in (f"__t{d}", f"__sl{d}", f"__exc{d}")])
+    return out.drop(*drop)
 
 
 def _kept_params(query: Column,

@@ -322,3 +322,88 @@ def test_exact_cap_two_phase_skew_guard(spark):
                                    cap=10, tiebreak=F.col("id"))
     assert sorted(r["id"] for r in got) == \
         sorted(r["id"] for r in again.collect())
+
+
+# ---------------------------------------------------------------------------
+# Table-driven PSL (registered_domain_psl): full publicsuffix.org semantics
+# ---------------------------------------------------------------------------
+
+_PSL_TEXT = """\
+// excerpt in publicsuffix.org format
+com
+uk
+co.uk
+jp
+ac.jp
+pref.aichi.jp
+*.ck
+!www.ck
+"""
+
+
+def _psl_df(spark):
+    from realtime_olap_spark.operators.urls import parse_psl, psl_table
+    return psl_table(spark, parse_psl(_PSL_TEXT.splitlines()))
+
+
+def test_psl_algorithm_vectors(spark):
+    """publicsuffix.org algorithm on plain / multi-label / wildcard /
+    exception rules, plus the implicit '*' default for unknown TLDs.
+    A host that IS a public suffix yields NULL."""
+    from realtime_olap_spark.operators.urls import registered_domain_psl
+
+    cases = {
+        "www.example.com": "example.com",
+        "example.com": "example.com",
+        "com": None,                      # bare suffix
+        "b.example.co.uk": "example.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "co.uk": None,
+        "test.ck": None,                  # *.ck makes test.ck a suffix
+        "a.b.test.ck": "b.test.ck",
+        "www.ck": "www.ck",               # !www.ck exception
+        "x.www.ck": "www.ck",
+        "y.pref.aichi.jp": "y.pref.aichi.jp",  # 3-label plain rule
+        "pref.aichi.jp": None,
+        "foo.ac.jp": "foo.ac.jp",
+        "example.zz": "example.zz",       # implicit '*' default rule
+        "zz": None,
+        "foo.co.uk.evil.com": "evil.com", # lookalike suffix mid-host
+        "WWW.Example.COM": "example.com", # case-folded
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    out = registered_domain_psl(df, "host", _psl_df(spark))
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    # host column is lowercased only in the output domain, keys unchanged
+    assert got == cases
+
+
+def test_psl_matches_embedded_subset_where_both_apply(spark):
+    """On hosts the embedded-literal fast path handles (known multipart
+    suffix, >2 labels), the PSL table variant agrees with it."""
+    from realtime_olap_spark.operators.urls import (registered_domain,
+                                                    registered_domain_psl)
+
+    hosts = ["news.bbc.co.uk", "a.b.c.example.com", "www.example.com",
+             "sub.example.co.uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    both = (registered_domain_psl(df, "host", _psl_df(spark))
+            .withColumn("emb", registered_domain(F.col("host"))))
+    for r in both.collect():
+        assert r["registered_domain"] == r["emb"], r["host"]
+
+
+def test_psl_plan_is_broadcast_no_corpus_shuffle(spark, tmp_path):
+    """Scale contract: every PSL join broadcasts the rule table; the
+    corpus side is never exchanged. The rule table is materialized (the
+    production shape — psl_table's dedup agg runs once at publish, not
+    per query), so the executed plan must carry ZERO hash exchanges."""
+    from realtime_olap_spark.operators.urls import registered_domain_psl
+
+    p = f"{tmp_path}/psl"
+    _psl_df(spark).write.parquet(p)
+    df = spark.createDataFrame([("www.example.com",)], ["host"])
+    out = registered_domain_psl(df, "host", spark.read.parquet(p))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
