@@ -44,6 +44,36 @@ STAGE_ENV = "SPARK_GRAFT_STAGE"
 STAGE_PARTS_ENV = "SPARK_GRAFT_STAGE_PARTS"
 STAGE_MAX_BYTES = 2 << 30
 
+_STAGE_CLEANUP_DONE: set[str] = set()
+
+
+def _register_stage_cleanup(root: str, own_dir: str) -> None:
+    """Staging-area hygiene, best-effort, once per session: remove THIS
+    session's staged segments at interpreter exit (staged data is a
+    pure cache — any later session rebuilds it), and sweep sibling
+    session directories whose mtime is older than a day. The age gate
+    means a CONCURRENTLY running session's files are never touched —
+    only directories no live session can still reference (staging
+    happens at session start, so a day-old dir belongs to a dead
+    applicationId)."""
+    if own_dir in _STAGE_CLEANUP_DONE:
+        return
+    _STAGE_CLEANUP_DONE.add(own_dir)
+    import atexit
+    import shutil
+    import time
+
+    atexit.register(lambda: shutil.rmtree(own_dir, ignore_errors=True))
+    cutoff = time.time() - 24 * 3600
+    try:
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if (p != own_dir and os.path.isdir(p)
+                    and os.path.getmtime(p) < cutoff):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
 
 def _footer_schema(path: str):
     """The pyarrow schema from one parquet footer at ``path`` (file or
@@ -406,10 +436,11 @@ class Catalog:
             # Path + memo key both carry the part count: a mid-session
             # knob change must build a NEW directory, never overwrite
             # files a live memoized DataFrame still points at.
+            root = os.path.join(tempfile.gettempdir(), "rtolap_segments")
+            own = os.path.join(root, self.spark.sparkContext.applicationId)
+            _register_stage_cleanup(root, own)
             out = os.path.join(
-                tempfile.gettempdir(), "rtolap_segments",
-                self.spark.sparkContext.applicationId,
-                hashlib.md5(self.sf_dir.encode()).hexdigest()[:8],
+                own, hashlib.md5(self.sf_dir.encode()).hexdigest()[:8],
                 f"{name}_p{n}")
             # Range-cluster on (sorted_column, time_column) when the
             # table declares them: each staged file then covers a narrow

@@ -18,11 +18,25 @@ the in-session analog, with the same rebuild-on-loss story as any other
 node-local cache. Non-DataFrame artifacts (fitted models, LUTs, staged
 paths) are stored verbatim.
 
+Locking: the global lock guards only STORE bookkeeping (dict reads and
+writes — microseconds); each build runs under its own per-key gate, so
+a cache HIT never blocks behind another artifact's multi-second Spark
+build (a PQLServer planner reading a memoized table proceeds while a
+sibling thread builds the span audit). Same-key racers serialize on the
+gate and the loser finds the winner's entry. Gates are reentrant and
+builds may NEST (a suite artifact's build reads catalog tables whose
+segment staging is itself memoized); the nesting graph is acyclic
+(suite artifacts → catalog stagings), so distinct-key gates cannot
+deadlock.
+
 Entries from dead sessions are evicted on access (their RDDs died with
 the SparkContext, so there is nothing to unpersist), and ``clear()``
-drops everything for teardown use by the bench / test harnesses. Builds
-are serialized under one lock so concurrent planners (PQLServer
-threads) never double-build or race a staged write.
+drops every reference for teardown use by the bench / test harnesses.
+Dropping the reference IS the release mechanism for checkpointed
+blocks: localCheckpoint data lives in the RDD block store, which
+Spark's ContextCleaner frees asynchronously once the RDD is
+unreferenced (DataFrame.unpersist() would be a no-op on it — it only
+touches the CacheManager).
 """
 
 from __future__ import annotations
@@ -34,10 +48,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 _STORE: dict[tuple[str, str, str], Any] = {}
-#: Reentrant: builds nest (a suite artifact's build reads catalog
-#: tables, whose segment staging is itself memoized), so the same
-#: thread re-enters session_memo mid-build. Serializing across threads
-#: is what matters (PQLServer planners racing a staged write).
+_GATES: dict[tuple[str, str, str], threading.RLock] = {}
 _LOCK = threading.RLock()
 
 
@@ -47,6 +58,7 @@ def _evict_dead(active_app_id: str) -> None:
     in long-lived processes that restart sessions (advice r6)."""
     for key in [k for k in _STORE if k[0] != active_app_id]:
         del _STORE[key]
+        _GATES.pop(key, None)
 
 
 def session_memo(spark: SparkSession, sf_dir: str, name: str,
@@ -62,32 +74,42 @@ def session_memo(spark: SparkSession, sf_dir: str, name: str,
     checkpointing would replace the scan with an ExistingRDD and lose
     pushdown/pruning)."""
     app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     with _LOCK:
         _evict_dead(app_id)
-        key = (app_id, sf_dir, name)
-        if key not in _STORE:
-            got = build()
-            if isinstance(got, DataFrame) and materialize:
-                got = got.localCheckpoint(eager=True)
-                # Artifacts inherit their parent scan's partitioning
-                # (32-way when built from staged segments), but they are
-                # small (10³-10⁵ rows) and their consumers run cheap
-                # aggs — at ~10 ms/task of local-mode overhead, 32
-                # near-empty partitions tax every downstream query.
-                # Coalesce the CHECKPOINTED frame (narrow op over cached
-                # blocks, no data movement; build parallelism already
-                # happened) to ~8k rows/partition.
-                n = got.rdd.getNumPartitions()
-                target = max(1, min(n, got.count() // 8192 + 1))
-                if target < n:
-                    got = got.coalesce(target)
+        if key in _STORE:
+            return _STORE[key]
+        gate = _GATES.setdefault(key, threading.RLock())
+    with gate:
+        with _LOCK:  # a same-key racer may have built while we waited
+            if key in _STORE:
+                return _STORE[key]
+        got = build()
+        if isinstance(got, DataFrame) and materialize:
+            got = got.localCheckpoint(eager=True)
+            # Artifacts inherit their parent scan's partitioning
+            # (multi-part when built from staged segments), but they
+            # are small (10³-10⁵ rows) and their consumers run cheap
+            # aggs — at ~10 ms/task of local-mode overhead, dozens of
+            # near-empty partitions tax every downstream query.
+            # Coalesce the CHECKPOINTED frame (narrow op over cached
+            # blocks, no data movement; build parallelism already
+            # happened) to ~8k rows/partition.
+            n = got.rdd.getNumPartitions()
+            target = max(1, min(n, got.count() // 8192 + 1))
+            if target < n:
+                got = got.coalesce(target)
+        with _LOCK:
             _STORE[key] = got
-        return _STORE[key]
+        return got
 
 
 def clear() -> None:
-    """Drop every memoized artifact (bench/test teardown hook). Cached
-    DataFrame blocks are unpersisted where their session still lives."""
+    """Drop every memoized reference (bench/test teardown hook).
+    Checkpointed block cleanup is asynchronous: ContextCleaner frees an
+    RDD's blocks once nothing references it, so dropping the store is
+    the whole job. ``unpersist()`` is still attempted for any artifact
+    that happens to sit in the CacheManager (persist()-style)."""
     with _LOCK:
         for got in _STORE.values():
             if isinstance(got, DataFrame):
@@ -96,3 +118,4 @@ def clear() -> None:
                 except Exception:  # session already stopped
                     pass
         _STORE.clear()
+        _GATES.clear()

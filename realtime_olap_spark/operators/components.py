@@ -61,11 +61,14 @@ def _is_star_forest(edges: DataFrame) -> bool:
 #: convergence checking regardless of size (measured: 1.8 s for a
 #: 344-edge graph at sf0.1), so small graphs — the common case for
 #: τ-filtered near-dup edge sets — pay pure iteration overhead. This is
-#: the CC analog of a broadcast join: below the threshold the data
-#: provably fits one node (≤ ~16 MB of edge pairs), above it the
+#: the CC analog of a broadcast join, and the cutoff is sized for the
+#: PYTHON driver, not the raw bytes: 2^17 edges ≈ 130k Row objects
+#: (tens of MB with object headers) plus a ≤2·2^17-entry union-find
+#: dict — comfortably inside a default driver heap, while still orders
+#: of magnitude above real τ-filtered near-dup edge sets. Above it the
 #: O(log n)-round distributed path runs. Bounded driver fetch via
 #: ``take(threshold + 1)`` — never an unbounded collect.
-SMALL_GRAPH_EDGES = 1 << 20
+SMALL_GRAPH_EDGES = 1 << 17
 
 
 def _union_find_local(spark, rows) -> DataFrame:
@@ -118,25 +121,28 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
 
+    # Truncate the INPUT lineage BEFORE the size probe: the edge list
+    # often hangs off a deep plan (e.g. the whole MinHash verify
+    # pipeline), and every star round re-analyzes that logical plan
+    # otherwise — round 0's cost was ~4 s of Catalyst re-analysis on a
+    # 300-edge graph. Checkpointing first also makes the take() probe
+    # below the checkpoint's materializing action, so an over-threshold
+    # graph's distinct edge set is computed ONCE and the star rounds
+    # reuse the cached partitions instead of recomputing the heaviest
+    # stage. (Measured: sizing the loop's shuffle partitions to the
+    # graph on top of this gains nothing — planning time, not task
+    # count, was the overhead — so the session conf is deliberately
+    # left alone: a global shuffle-partition mutation would corrupt
+    # concurrently-planned queries, e.g. the PQL server's.)
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+
     if small_graph_edges:
         head = e.take(small_graph_edges + 1)
         if len(head) <= small_graph_edges:
             return _union_find_local(e.sparkSession, head)
-        # over threshold: fall through to the star rounds (recomputing
-        # the distinct edge set — the take() above was a bounded probe)
-
-    # Truncate the INPUT lineage before looping: the edge list often hangs
-    # off a deep plan (e.g. the whole MinHash verify pipeline), and every
-    # round re-analyzes that logical plan otherwise — round 0's cost was
-    # ~4 s of Catalyst re-analysis on a 300-edge graph. The checkpoint is
-    # lazy; the convergence check's first action materializes it, so
-    # this adds no extra job. (Measured: sizing the loop's shuffle
-    # partitions to the graph on top of this gains nothing — planning
-    # time, not task count, was the overhead — so the session conf is
-    # deliberately left alone: a global shuffle-partition mutation would
-    # corrupt concurrently-planned queries, e.g. the PQL server's.)
-    if use_local_checkpoint:
-        e = e.localCheckpoint(eager=False)
+        # over threshold: fall through to the star rounds, which reuse
+        # the (now partially materialized) checkpointed edge set
     e, rounds = _star_rounds(e, max_iter, use_local_checkpoint)
     if rounds is None:
         raise RuntimeError(

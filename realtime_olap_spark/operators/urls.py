@@ -149,15 +149,10 @@ def psl_table(spark, rules) -> DataFrame:
                     (F.col("b.p") == 1).alias("is_exc")))
 
 
-#: PSL rules never exceed a handful of labels; 4 covers every published
-#: rule depth (3-label rules + the wildcard position).
-_PSL_MAX_DEPTH = 4
-
-
 def registered_domain_psl(df: DataFrame, host_col: Column | str,
                           psl: DataFrame,
                           out_col: str = "registered_domain",
-                          max_depth: int = _PSL_MAX_DEPTH) -> DataFrame:
+                          max_depth: int | None = None) -> DataFrame:
     """Registrable domain under a FULL public-suffix list — the
     production twin of :func:`registered_domain` (which embeds a small
     literal subset): the PSL ships as a broadcast TABLE, so updating it
@@ -170,10 +165,16 @@ def registered_domain_psl(df: DataFrame, host_col: Column | str,
     ``registered_domain``, which passes bare hosts through for dedup-key
     stability).
 
-    Plan shape: the host's last-d label tails (d ≤ ``max_depth``) are
-    scan-side slices; each depth left-joins the broadcast PSL slice for
-    that depth; the winner folds with when/greatest. ≤ ``max_depth``
-    broadcast joins, the corpus is never shuffled."""
+    Plan shape: the host's last-d label tails are scan-side slices; each
+    depth left-joins the broadcast PSL slice for that depth; the winner
+    folds with when/greatest. One broadcast join per distinct rule key
+    depth PRESENT IN THE TABLE (``max_depth`` defaults to the table's
+    own max — one driver-side aggregate over the tiny rule table at plan
+    build, so a list with 5-label rules gets 5 joins and none is
+    silently ignored); the corpus is never shuffled."""
+    if max_depth is None:
+        row = psl.agg(F.max("key_depth")).first()[0]
+        max_depth = int(row) if row is not None else 1
     h = F.lower(_c(host_col))
     parts = F.split(h, "\\.")
     n = F.size(parts)
@@ -327,14 +328,18 @@ def domain_frequency_cap(df: DataFrame, url_col: str, key: Column | str,
     membership, stable across re-layouts.
 
     TWO-PHASE (skew guard, r6 directive): one per-domain count first;
-    domains at-or-under cap PASS THROUGH untouched (a broadcast
-    anti-probe of the over-cap domain set — on real corpora that is
-    almost every row), and only the over-cap remainder enters the
-    windowed rank. The window therefore consumes |over-cap rows|, not
-    the corpus, and Spark's WindowGroupLimit additionally prunes each
-    mapper's contribution to ``cap`` rows per domain before the shuffle,
-    so even a domain holding a double-digit share of the corpus never
-    materializes a full per-domain sort.
+    domains at-or-under cap PASS THROUGH untouched (a probe join against
+    the over-cap domain set — on real corpora that is almost every row),
+    and only the over-cap remainder enters the windowed rank. The window
+    therefore consumes |over-cap rows|, not the corpus, and Spark's
+    WindowGroupLimit additionally prunes each mapper's contribution to
+    ``cap`` rows per domain before the shuffle, so even a domain holding
+    a double-digit share of the corpus never materializes a full
+    per-domain sort. The over-cap set is NOT broadcast-hinted: its size
+    is corpus-dependent (cap=1 on a dup-heavy corpus makes it ~|distinct
+    domains|), so Catalyst/AQE picks broadcast vs shuffle from the true
+    runtime size — the same size-aware discipline as
+    ``dedup.jaccard_verify``.
 
     Ties on ``hash(key)`` (true duplicate content inside one domain)
     would otherwise break by partition arrival order; the rank therefore
@@ -352,7 +357,7 @@ def domain_frequency_cap(df: DataFrame, url_col: str, key: Column | str,
     counts = with_dom.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
     over = (counts.where(F.col("__n") > cap)
             .select("__dom", F.lit(True).alias("__over")))
-    flagged = with_dom.join(F.broadcast(over), "__dom", "left")
+    flagged = with_dom.join(over, "__dom", "left")
     under = flagged.where(F.col("__over").isNull()).drop("__over", "__dom")
     w = Window.partitionBy("__dom").orderBy(h.asc(), tb.asc())
     capped = (flagged.where(F.col("__over").isNotNull())

@@ -307,10 +307,12 @@ def test_exact_cap_two_phase_skew_guard(spark):
     got = out.collect()
     assert sum(1 for r in got if r["id"] < 1000) == 10   # hot capped exactly
     assert sum(1 for r in got if r["id"] >= 1000) == 35  # cold untouched
-    # plan: the Window's input is an INNER join with the broadcast
-    # over-cap domain set (the optimizer folds the marker filter into the
-    # join), so it consumes the over-cap subset, not the corpus — and
-    # WindowGroupLimit bounds each mapper to cap rows per domain
+    # plan: the Window's input is an INNER join with the over-cap domain
+    # set (the optimizer folds the marker filter into the join; the join
+    # strategy is left to Catalyst/AQE — the over-cap set is unbounded
+    # under small caps, so no broadcast hint), so it consumes the
+    # over-cap subset, not the corpus — and WindowGroupLimit bounds each
+    # mapper to cap rows per domain
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan
     window_part = plan[plan.index("Window ["):]
@@ -407,3 +409,22 @@ def test_psl_plan_is_broadcast_no_corpus_shuffle(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_psl_deep_rules_not_silently_ignored(spark):
+    """Join depth follows the TABLE's own max rule depth (review r7):
+    a 5-label private-section rule (e.g. AWS dualstack S3 suffixes)
+    must resolve, not silently fall back to last-2."""
+    from realtime_olap_spark.operators.urls import (parse_psl, psl_table,
+                                                    registered_domain_psl)
+
+    psl = psl_table(spark, parse_psl([
+        "com", "s3.dualstack.ap-south-1.amazonaws.com"]))
+    df = spark.createDataFrame(
+        [("bucket.s3.dualstack.ap-south-1.amazonaws.com",),
+         ("www.example.com",)], ["host"])
+    got = {r["host"]: r["registered_domain"]
+           for r in registered_domain_psl(df, "host", psl).collect()}
+    assert got["bucket.s3.dualstack.ap-south-1.amazonaws.com"] == \
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com"
+    assert got["www.example.com"] == "example.com"
