@@ -128,3 +128,27 @@ def test_staging_builds_once_per_session(spark):
     assert files_a == files_b
     assert max(os.path.getmtime(f.removeprefix("file:"))
                for f in files_b) == pytest.approx(mtime)
+
+
+def test_stage_predicate_single_part_directory(spark, tmp_path):
+    """The generator may ship a table as a DIRECTORY holding one part
+    file (layout regeneration insurance): that is the same one-scan-task
+    pathology and must stage; staged values equal the raw read."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "documents.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("web").alias("source"),
+        F.lit(7).alias("n_chars")).coalesce(1).write.parquet(src)
+    cat = Catalog(spark, str(tmp_path))
+    assert cat._should_stage(src)
+    staged = cat.table("documents")
+    assert len(staged.inputFiles()) >= 2
+    os.environ[STAGE_ENV] = "0"
+    try:
+        raw = Catalog(spark, str(tmp_path)).table("documents")
+    finally:
+        os.environ.pop(STAGE_ENV, None)
+    assert rows_of_spark(staged) == rows_of_spark(raw)
