@@ -15,7 +15,9 @@ a training-data pipeline needs real one-per-content semantics at ingest:
   Spark broadcasts the corpus side when small; at 100 TB the corpus side
   is a pre-bucketed key table and the anti join stays shuffle-free on the
   stream side (the static side is loaded per-bucket), or a Bloom filter
-  built offline prunes first.
+  built offline prunes first (``operators/bloom.dedup_exact_against_bloom``
+  — stateless scan-side gate, streaming-legal as-is, availableNow ≡ batch
+  tested in ``tests/test_bloom.py``).
 
 All state is per-key-hash, so the stream side never holds documents in
 state — ``content_key`` reduces each row to one 32-byte hash.
