@@ -131,6 +131,36 @@ def main() -> None:
             D.minhash_bands(docs, "doc_id", "text",
                             num_hashes=8, band_size=2))))
 
+        # Bloom-gated corpus dedup: the CORPUS is what grows here, so key
+        # on doc_id (distinct across shifted copies; the union duplicates
+        # text verbatim, which would pin content-key cardinality at 1x).
+        # Expected shape: filter BUILD linear in corpus keys (ingest-time,
+        # alongside the key table); gated PROBE of a FIXED batch ~flat as
+        # the corpus grows (probe cost is O(batch * k) hashes + the
+        # anti-join over ~half the batch, independent of corpus rows).
+        # Broadcast mode forced so all scales measure the same code path.
+        from realtime_olap_spark.operators import bloom as BL
+        ck_path = f"{STAGE}/bloom_keys_x{k}"
+        if not os.path.exists(f"{ck_path}/_SUCCESS"):
+            (docs.select(F.md5(F.col("doc_id").cast("string"))
+                         .alias("__ck"))
+             .write.mode("overwrite").parquet(ck_path))
+        ckeys = spark.read.parquet(ck_path)
+        n_keys = ckeys.count()
+        m_bits, n_h = BL.optimal_params(n_keys, 1e-3)
+        bf_holder = {}
+        record("bloom_build", k, timed(lambda: bf_holder.__setitem__(
+            "bf", BL.bloom_build(ckeys, "__ck", m_bits, n_h))))
+        # fixed 1x batch, half re-arrivals (even doc_ids, in-corpus keys)
+        # and half fresh (odd doc_ids shifted out of every corpus range)
+        batch_key = F.md5(F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+                          .otherwise(F.col("doc_id") + F.lit(10 ** 12))
+                          .cast("string"))
+        record("bloom_gated_dedup", k, timed(lambda: noop(
+            BL.dedup_exact_against_bloom(base_docs, ckeys, batch_key,
+                                         bf_holder["bf"],
+                                         mode="broadcast"))))
+
         # Adaptive CC, distributed path FORCED (small_graph_edges=None):
         # graphs over the 2^20-edge broadcast threshold run the star
         # rounds, and this measures that path on a deterministic
