@@ -185,22 +185,43 @@ def bloom_might_contain(spark: SparkSession, key: Column | str,
 def dedup_exact_against_bloom(new_df: DataFrame, corpus_keys: DataFrame,
                               key: Column | str, bf: BloomFilter,
                               key_col: str = "__ck",
-                              mode: str = "auto") -> DataFrame:
+                              mode: str = "auto",
+                              large_corpus: bool = False) -> DataFrame:
     """EXACT against-corpus dedup with the Bloom gate: rows the filter
     rejects (plus NULL-key rows) bypass the join as definitely-new; only
-    "maybe" rows anti-join ``corpus_keys`` (whose ``key_col`` must hold
-    the same key expression the filter was built over). Result is
-    row-identical to the ungated anti-join — the filter moves cost, not
-    semantics. At scale the candidate side is |re-arrivals| + fpp·|batch|
-    rows, so the join (and, composed with a bucketed corpus key table,
-    the corpus-side probe) is proportional to actual duplication."""
+    "maybe" rows are checked against ``corpus_keys`` (whose ``key_col``
+    must hold the same key expression the filter was built over). Result
+    is row-identical to the ungated anti-join — the filter moves cost,
+    not semantics. The candidate side is |re-arrivals| + fpp·|batch|
+    rows, so the exact check is proportional to actual duplication.
+
+    ``large_corpus=False`` anti-joins candidates directly (right side
+    broadcast or shuffled by Catalyst — fine when the key table fits a
+    join). ``large_corpus=True`` is the 100 TB shape: the corpus key
+    table is NEVER shuffled — candidate keys (tiny, post-gate) broadcast
+    INTO a semi-join that scans the corpus once to extract the actually-
+    duplicated keys, which then broadcast back into the final anti-join:
+
+        dup_keys  = corpus_keys ⋉ broadcast(candidate_keys)   (scan-only)
+        survivors = candidates ▷ broadcast(dup_keys)
+
+    Both joins are broadcast-hash on the SMALL side; a plain anti-join
+    against a 100 TB key table would sort-merge-shuffle the corpus per
+    ingest batch. Equality of the two shapes is tested."""
     spark = new_df.sparkSession
     c = F.col(key) if isinstance(key, str) else key
     keyed = new_df.withColumn(key_col, c)
     maybe = (c.isNotNull()
              & bloom_might_contain(spark, F.col(key_col), bf, mode))
     definite_new = keyed.where(~maybe)
-    survivors = (keyed.where(maybe)
-                 .join(corpus_keys.select(F.col(key_col)),
-                       on=key_col, how="left_anti"))
+    candidates = keyed.where(maybe)
+    ck = corpus_keys.select(F.col(key_col))
+    if large_corpus:
+        cand_keys = candidates.select(key_col).distinct()
+        dup_keys = ck.join(F.broadcast(cand_keys), on=key_col,
+                           how="left_semi")
+        survivors = candidates.join(F.broadcast(dup_keys), on=key_col,
+                                    how="left_anti")
+    else:
+        survivors = candidates.join(ck, on=key_col, how="left_anti")
     return definite_new.unionByName(survivors).drop(key_col)

@@ -45,16 +45,29 @@ def with_shard(df: DataFrame, key: str, n_shards: int,
         F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int"))
 
 
+#: File holding the published content Bloom filter (JSON), when requested.
+BLOOM_FILE = "content_bloom.json"
+
+
 def write_training_shards(df: DataFrame, path: str, key: str,
                           n_shards: int,
                           token_col: str | None = None,
                           files_per_shard: int = 1,
-                          overwrite: bool = False) -> None:
+                          overwrite: bool = False,
+                          content_key: str | None = None,
+                          bloom_fpp: float = 1e-3) -> None:
     """Write ``df`` as ``path/data/shard=K/…parquet`` + a per-shard
     manifest at ``path/manifest`` + the completion marker, atomically.
 
     ``token_col`` (optional) adds exact per-shard token totals to the
     manifest — the number a training job actually schedules by.
+
+    ``content_key`` (optional) publishes a Bloom filter of
+    ``md5(content_key)`` next to the manifest (``content_bloom.json``,
+    inside the same atomic stage): the ingest-time artifact the NEXT
+    batch gates against (``dedup_against_dataset``) without re-shuffling
+    this dataset — the sketch analog of the segment sink's per-column
+    parquet bloom filters, at dataset grain.
 
     An existing dataset at ``path`` FAILS the publish unless
     ``overwrite=True`` (which swaps the staged build into place and
@@ -74,6 +87,15 @@ def write_training_shards(df: DataFrame, path: str, key: str,
      .parquet(os.path.join(stage, "data")))
     manifest.coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(stage, "manifest"))
+    if content_key is not None:
+        from realtime_olap_spark.operators.bloom import (bloom_build,
+                                                         optimal_params)
+        keys = (df.select(F.md5(F.col(content_key).cast("string"))
+                          .alias("__ck"))
+                .where(F.col("__ck").isNotNull()).distinct())
+        m, k = optimal_params(keys.count(), bloom_fpp)
+        with open(os.path.join(stage, BLOOM_FILE), "w") as f:
+            f.write(bloom_build(keys, "__ck", m, k).to_json())
     open(os.path.join(stage, MARKER), "w").close()
     if os.path.exists(path):
         if not overwrite:
@@ -111,3 +133,43 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, MARKER)):
         raise FileNotFoundError(f"{path} has no {MARKER} marker")
     return spark.read.parquet(os.path.join(path, "manifest"))
+
+
+def read_bloom(path: str):
+    """The dataset's published content Bloom filter, or None if the
+    publish didn't request one. Refuses unmarked datasets like the other
+    readers."""
+    from realtime_olap_spark.operators.bloom import BloomFilter
+    if not os.path.exists(os.path.join(path, MARKER)):
+        raise FileNotFoundError(f"{path} has no {MARKER} marker")
+    bpath = os.path.join(path, BLOOM_FILE)
+    if not os.path.exists(bpath):
+        return None
+    with open(bpath) as f:
+        return BloomFilter.from_json(f.read())
+
+
+def dedup_against_dataset(batch: DataFrame, path: str, content_key: str,
+                          large_corpus: bool = False) -> DataFrame:
+    """Drop batch rows whose ``md5(content_key)`` already shipped in the
+    published dataset at ``path`` — the cross-round incremental-ingest
+    gate. With a published filter (``content_key=`` at write time), most
+    of the batch never touches the dataset: only filter-passing
+    candidates read the dataset's key column (column-pruned scan) for
+    the exact check; without one, it falls back to the plain anti-join.
+    ``large_corpus=True`` selects the never-shuffle-the-corpus join
+    shape (see ``operators/bloom.dedup_exact_against_bloom``).
+    Exactness is inherited: result ≡ the ungated anti-join (tested)."""
+    from realtime_olap_spark.operators.bloom import dedup_exact_against_bloom
+    spark = batch.sparkSession
+    kexpr = F.md5(F.col(content_key).cast("string"))
+    corpus_keys = (read_shards(spark, path)
+                   .select(F.md5(F.col(content_key).cast("string"))
+                           .alias("__ck")))
+    bf = read_bloom(path)
+    if bf is None:
+        return (batch.withColumn("__ck", kexpr)
+                .join(corpus_keys, on="__ck", how="left_anti")
+                .drop("__ck"))
+    return dedup_exact_against_bloom(batch, corpus_keys, kexpr, bf,
+                                     large_corpus=large_corpus)

@@ -90,3 +90,58 @@ def test_republish_requires_overwrite(spark, tmp_path):
                           overwrite=True)
     assert read_shards(spark, path).count() == 20
     assert os.path.exists(os.path.join(path, MARKER))
+
+
+def test_published_bloom_gates_next_batch(spark, tmp_path):
+    """Publish with a content bloom; gate an overlapping second batch
+    against the dataset — result must equal the plain anti-join, and the
+    filter file must live inside the atomic publish."""
+    from realtime_olap_spark.sources.shards import (BLOOM_FILE,
+                                                    dedup_against_dataset,
+                                                    read_bloom)
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text"))
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "ds")
+    write_training_shards(corpus, path, "doc_id", 4, content_key="text")
+    assert os.path.exists(os.path.join(path, BLOOM_FILE))
+    assert read_bloom(path) is not None
+
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    want = sorted(r["doc_id"] for r in batch
+                  .withColumn("__ck", F.md5(F.col("text")))
+                  .join(corpus.select(F.md5("text").alias("__ck"))
+                        .distinct(), "__ck", "left_anti").collect())
+    for large in (False, True):
+        got = sorted(r["doc_id"] for r in dedup_against_dataset(
+            batch, path, "text", large_corpus=large).collect())
+        assert got == want, f"large_corpus={large}"
+    assert 0 < len(want) < batch.count()  # overlap is real both ways
+
+
+def test_dataset_without_bloom_still_gates_exactly(spark, tmp_path):
+    from realtime_olap_spark.sources.shards import (dedup_against_dataset,
+                                                    read_bloom)
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text").limit(60))
+    path = str(tmp_path / "ds")
+    write_training_shards(docs, path, "doc_id", 2)
+    assert read_bloom(path) is None
+    got = dedup_against_dataset(docs, path, "text").count()
+    assert got == 0  # every batch row already shipped
+
+
+def test_large_corpus_shape_never_shuffles_the_corpus(spark, tmp_path):
+    """In the large-corpus join shape both joins must be broadcast-hash:
+    no sort-merge exchange may touch the dataset key scan."""
+    from realtime_olap_spark.sources.shards import dedup_against_dataset
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text"))
+    path = str(tmp_path / "ds")
+    write_training_shards(docs.where(F.col("doc_id") % 3 == 0), path,
+                          "doc_id", 4, content_key="text")
+    out = dedup_against_dataset(docs.where(F.col("doc_id") % 2 == 0),
+                                path, "text", large_corpus=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
