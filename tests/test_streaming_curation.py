@@ -203,3 +203,42 @@ def test_streaming_line_filter_matches_batch(spark, tmp_path):
     assert got == want
     assert 2 not in got          # every line under min_words
     assert "javascript" not in got[3]
+
+
+def test_streaming_cms_boilerplate_flag_matches_batch(spark, tmp_path):
+    """Hot-key flagging at ingest: a CMS built OFFLINE over yesterday's
+    corpus flags stream rows whose boilerplate line estimate clears the
+    threshold — stateless scan-side work (literal or broadcast lookup,
+    no join, no state), so the SAME cms_estimate call transforms the
+    stream and an availableNow drain equals the batch flags exactly."""
+    from realtime_olap_spark.operators.cms import cms_build, cms_estimate
+
+    boiler = "SUBSCRIBE NOW"
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, f"alpha beta\n{boiler}"),
+                              (2, 2, "unique text one"),
+                              (3, 3, f"gamma delta\n{boiler}")])
+    _write_batch(spark, src, [(4, 4, f"{boiler}\nmore words"),
+                              (5, 5, "unique text two")])
+
+    # offline sketch over the historical corpus's exploded lines
+    hist = spark.createDataFrame(
+        [(boiler,)] * 40 + [(f"noise {i}",) for i in range(60)], ["line"])
+    sk = cms_build(hist, "line", width=512, depth=3)
+
+    def flag(df):
+        lines = df.select("doc_id",
+                          F.explode(F.split("text", "\n")).alias("line"))
+        return lines.withColumn(
+            "hot", cms_estimate(df.sparkSession, "line", sk,
+                                "literal") >= 40)
+
+    sink, ckpt = f"{tmp_path}/sink", f"{tmp_path}/ckpt"
+    _drain(flag(_stream(spark, src)), sink, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(map(tuple,
+                      flag(spark.read.schema(SCHEMA).parquet(src))
+                      .collect()))
+    assert got == want
+    hot_docs = {d for d, _, h in got if h}
+    assert hot_docs == {1, 3, 4}
