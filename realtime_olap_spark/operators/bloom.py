@@ -87,6 +87,18 @@ class BloomFilter:
         return BloomFilter(tuple(d["words"]), d["num_bits"], d["num_hashes"])
 
 
+def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """Union by bitwise OR — Bloom filters over the same (m, k) family
+    are closed under union, so per-batch filters built at ingest fold
+    into one corpus filter with no corpus re-scan (the consuming→
+    immutable segment analog for the sketch). ``merge(build(A),
+    build(B)) == build(A ∪ B)`` bit-for-bit (tested)."""
+    if (a.num_bits, a.num_hashes) != (b.num_bits, b.num_hashes):
+        raise ValueError("cannot merge filters with different (m, k)")
+    return BloomFilter(tuple(x | y for x, y in zip(a.words, b.words)),
+                       a.num_bits, a.num_hashes)
+
+
 def bloom_positions(key: Column | str, num_bits: int,
                     num_hashes: int) -> Column:
     """The k probe positions of a key as ``array<long>`` — k independent

@@ -61,6 +61,17 @@ class CMSketch:
         return CMSketch(tuple(d["counters"]), d["width"], d["depth"])
 
 
+def cms_merge(a: CMSketch, b: CMSketch) -> CMSketch:
+    """Union by elementwise sum — CMS is a linear sketch, so per-batch
+    sketches built at ingest fold into one corpus sketch with no corpus
+    re-scan. ``merge(build(A), build(B)) == build(A ⊎ B)`` bit-for-bit
+    (tested); estimates stay overestimates of the combined counts."""
+    if (a.width, a.depth) != (b.width, b.depth):
+        raise ValueError("cannot merge sketches with different (w, d)")
+    return CMSketch(tuple(x + y for x, y in zip(a.counters, b.counters)),
+                    a.width, a.depth)
+
+
 def cms_positions(key: Column | str, width: int, depth: int) -> Column:
     """The d probe columns of a key as ``array<long>`` — row i probes
     flat position i·w + xxhash64(key, i) pmod w. Same seeded-xxhash64

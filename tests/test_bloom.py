@@ -135,3 +135,18 @@ def test_streaming_gate_equals_batch(spark, tmpdir):
     want = sorted(r["doc_id"] for r in dedup_exact_against_bloom(
         batch, corpus_keys, F.md5("text"), bf, mode="literal").collect())
     assert got == want == [2, 4]
+
+
+def test_merge_equals_build_over_union(spark):
+    from realtime_olap_spark.operators.bloom import bloom_merge
+    import pytest
+    a = _corpus_keys(spark, 200)
+    b = (spark.range(150)
+         .select(F.md5(F.concat(F.lit("other-"), F.col("id")))
+                 .alias("__ck")))
+    m, k = optimal_params(350, 1e-2)
+    merged = bloom_merge(bloom_build(a, "__ck", m, k),
+                         bloom_build(b, "__ck", m, k))
+    assert merged == bloom_build(a.unionByName(b), "__ck", m, k)
+    with pytest.raises(ValueError):
+        bloom_merge(merged, bloom_build(a, "__ck", m + 64, k))

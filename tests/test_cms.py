@@ -104,3 +104,16 @@ def test_gate_sits_before_the_aggregate(spark):
 def test_json_round_trip():
     sk = CMSketch((5, 0, 7, 1, 2, 3), 3, 2)
     assert CMSketch.from_json(sk.to_json()) == sk
+
+
+def test_merge_equals_build_over_union(spark):
+    from realtime_olap_spark.operators.cms import cms_merge
+    import pytest
+    a = _skewed(spark, 3_000)
+    b = _skewed(spark, 2_000).select(
+        F.concat(F.lit("x"), F.col("key")).alias("key"))
+    merged = cms_merge(cms_build(a, "key", 512, 3),
+                       cms_build(b, "key", 512, 3))
+    assert merged == cms_build(a.unionByName(b), "key", 512, 3)
+    with pytest.raises(ValueError):
+        cms_merge(merged, cms_build(a, "key", 256, 3))
