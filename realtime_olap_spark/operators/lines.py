@@ -95,7 +95,8 @@ def c4_line_filter(docs: DataFrame, text_col: str, sep: str = "\n",
 
 def duplicate_line_removals(docs: DataFrame, id_col: str, text_col: str,
                             sep: str = "\n", min_count: int = 2,
-                            keep: str = "first") -> DataFrame:
+                            keep: str = "first",
+                            gate=None) -> DataFrame:
     """Per-document removal lists for corpus-wide duplicate lines:
     ``(id, drop_pos array<int>)`` — 0-based positions (within the
     trimmed/non-empty line array) to delete.
@@ -107,13 +108,27 @@ def duplicate_line_removals(docs: DataFrame, id_col: str, text_col: str,
     boilerplate).
 
     Only documents that actually lose a line appear in the output, so the
-    result is join-side small on real corpora."""
+    result is join-side small on real corpora.
+
+    ``gate`` (optional ``operators/cms.CMSketch`` built over the corpus
+    LINES) pre-filters occurrences scan-side before the hash shuffle:
+    a line whose estimate is below ``min_count`` can't truly reach it
+    (CMS never undercounts), and every occurrence of a qualifying line
+    shares the estimate, so per-hash counts and the canonical occurrence
+    stay complete — the result is identical with or without the gate
+    (tested), but only possibly-duplicated lines shuffle. The 100 TB
+    default for mostly-unique corpora."""
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     occ = docs.select(
         F.col(id_col),
         F.posexplode(doc_lines(F.col(text_col), sep)).alias("pos", "line"),
-    ).select(id_col, "pos", F.xxhash64("line").alias("h"))
+    )
+    if gate is not None:
+        from realtime_olap_spark.operators.cms import cms_estimate
+        occ = occ.where(cms_estimate(docs.sparkSession, F.col("line"),
+                                     gate) >= F.lit(int(min_count)))
+    occ = occ.select(id_col, "pos", F.xxhash64("line").alias("h"))
     per_hash = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.struct(id_col, "pos")).alias("canon"))
@@ -131,7 +146,8 @@ def dedup_duplicate_lines(docs: DataFrame, id_col: str, text_col: str,
                           sep: str = "\n", min_count: int = 2,
                           keep: str = "first",
                           broadcast_removals: bool | None = None,
-                          out_col: str | None = None) -> DataFrame:
+                          out_col: str | None = None,
+                          gate=None) -> DataFrame:
     """Remove corpus-duplicated lines from every document and rebuild its
     text. The corpus is never shuffled: the one shuffle is over
     (hash, id, pos) tuples inside ``duplicate_line_removals``; the final
@@ -145,7 +161,7 @@ def dedup_duplicate_lines(docs: DataFrame, id_col: str, text_col: str,
     ``c4_line_filter(min_lines=...)`` to drop them; the operator itself
     is lossless on document identity."""
     removals = duplicate_line_removals(docs, id_col, text_col, sep,
-                                       min_count, keep)
+                                       min_count, keep, gate=gate)
     if broadcast_removals is None or broadcast_removals:
         removals = F.broadcast(removals)
     else:

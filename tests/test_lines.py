@@ -185,3 +185,28 @@ def test_line_dedup_plan_is_scan_side_on_corpus(spark, lined):
                                  broadcast_removals=False)
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+
+def test_cms_gate_preserves_line_dedup_exactly(spark):
+    """Gated duplicate-line removal ≡ ungated: the sketch never
+    undercounts, so no qualifying line is lost, and every occurrence of
+    a qualifying line passes the gate, so counts/canon stay complete."""
+    from realtime_olap_spark.operators.cms import cms_build
+    from realtime_olap_spark.operators.lines import (
+        dedup_duplicate_lines, doc_lines)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn("text", F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit("\nBOILER FOOTER")))
+                .otherwise(F.col("text"))))
+    lines = docs.select(F.explode(doc_lines(F.col("text"))).alias("line"))
+    sk = cms_build(lines, "line", width=4096, depth=4)
+    for keep in ("first", "none"):
+        want = sorted(map(tuple, dedup_duplicate_lines(
+            docs, "doc_id", "text", min_count=3, keep=keep).collect()))
+        got = sorted(map(tuple, dedup_duplicate_lines(
+            docs, "doc_id", "text", min_count=3, keep=keep,
+            gate=sk).collect()))
+        assert got == want, keep
