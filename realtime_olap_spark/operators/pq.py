@@ -232,6 +232,21 @@ def pq_topk_rerank(df: DataFrame, query: list[float],
               .limit(k))
 
 
+def suggest_cells(n_vectors: int, min_cells: int = 8,
+                  max_cells: int = 65536) -> int:
+    """Coarse-quantizer cell count for an IVF index: the nearest power
+    of two to √n (the FAISS rule of thumb), clamped. With nprobe fixed,
+    per-probe reads are O(nprobe·n/cells); keeping cells ~ √n keeps the
+    probe flat as the corpus grows — measured on the 1000× soak: the
+    fixed 8-cell geometry degraded the probe 1.1 → 7.8 s while a 64-cell
+    re-train restored 1.67 s (COVERAGE.md \"1000× soak\")."""
+    import math
+    if n_vectors <= 0:
+        return min_cells
+    cells = 2 ** round(math.log2(max(1.0, math.sqrt(n_vectors))))
+    return max(min_cells, min(max_cells, cells))
+
+
 def ivfpq_index_write(df: DataFrame, path: str,
                       centroids: list[list[float]],
                       codebooks: list[list[list[float]]],

@@ -228,3 +228,14 @@ def test_joint_training_equals_per_subspace(spark):
         for cj, cs in zip(joint[i], sep):
             assert all(abs(a - b) <= 1e-9 * max(1.0, abs(b))
                        for a, b in zip(cj, cs))
+
+
+def test_suggest_cells_sqrt_rule():
+    from realtime_olap_spark.operators.pq import suggest_cells
+    assert suggest_cells(0) == 8
+    assert suggest_cells(2_000) == 32       # sqrt(2000) ~ 45 -> 32
+    assert suggest_cells(2_000_000) == 1024  # sqrt(2M) ~ 1414 -> 1024
+    assert suggest_cells(10**12) == 65536    # clamped
+    # monotone non-decreasing over decades
+    vals = [suggest_cells(10**e) for e in range(0, 13)]
+    assert vals == sorted(vals)

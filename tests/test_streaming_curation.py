@@ -242,3 +242,47 @@ def test_streaming_cms_boilerplate_flag_matches_batch(spark, tmp_path):
     assert got == want
     hot_docs = {d for d, _, h in got if h}
     assert hot_docs == {1, 3, 4}
+
+
+def test_streaming_sketch_ingest_merges_to_batch_sketch(spark, tmp_path):
+    """Ingest-time sketch accumulation: each microbatch builds its own
+    Bloom filter / CMS (foreachBatch), folded into the running corpus
+    artifact via the merge laws (OR / sum). After an availableNow drain
+    the merged sketches equal the ones built over the whole corpus in
+    one batch pass, bit-for-bit — so a streaming ingest can publish the
+    same dataset-grain artifacts the batch shard sink does."""
+    from realtime_olap_spark.operators.bloom import (bloom_build,
+                                                     bloom_merge,
+                                                     optimal_params)
+    from realtime_olap_spark.operators.cms import cms_build, cms_merge
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "alpha beta"), (2, 2, "gamma delta")])
+    _write_batch(spark, src, [(3, 3, "alpha beta"), (4, 4, "epsilon")])
+    _write_batch(spark, src, [(5, 5, "zeta eta theta")])
+
+    m, k = optimal_params(8, 1e-2)
+    acc = {"bf": None, "cms": None}
+
+    def fold(batch_df, _batch_id):
+        keys = batch_df.select(F.md5("text").alias("__ck"))
+        words = batch_df.select(
+            F.explode(F.split("text", " ")).alias("w"))
+        bf = bloom_build(keys, "__ck", m, k)
+        cs = cms_build(words, "w", width=64, depth=2)
+        acc["bf"] = bf if acc["bf"] is None else bloom_merge(acc["bf"], bf)
+        acc["cms"] = cs if acc["cms"] is None else cms_merge(acc["cms"], cs)
+
+    q = (_stream(spark, src).writeStream.foreachBatch(fold)
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    corpus = spark.read.schema(SCHEMA).parquet(src)
+    want_bf = bloom_build(corpus.select(F.md5("text").alias("__ck")),
+                          "__ck", m, k)
+    want_cms = cms_build(corpus.select(
+        F.explode(F.split("text", " ")).alias("w")), "w",
+        width=64, depth=2)
+    assert acc["bf"] == want_bf
+    assert acc["cms"] == want_cms
