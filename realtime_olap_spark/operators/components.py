@@ -199,3 +199,40 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
              .distinct()
              .withColumn("component", F.col("node")))
     return comps.unionByName(roots)
+
+
+def keep_best_representative(docs: DataFrame, pairs: DataFrame,
+                             id_col: str, score: Column | str,
+                             id_a: str = "id_a",
+                             id_b: str = "id_b") -> DataFrame:
+    """Near-dup keep-one with a QUALITY rule: within each duplicate
+    cluster, keep the member with the highest ``score`` (ties broken by
+    min id so the choice is deterministic); documents in no cluster
+    survive untouched. The min-id keep rule (``node == component``) is
+    what exact/LSH pipelines default to, but curation recipes routinely
+    keep the best-quality member instead (e.g. the longest, the highest
+    classifier score) — this operator makes that a one-call composition
+    of the cluster table and any score column.
+
+    Shape at scale: clusters come from the adaptive connected components
+    (edges only — the corpus never enters the iteration); the keeper
+    election is ONE ``max_by`` groupBy over clustered docs only (LSH
+    keeps that ≪ corpus); survivors = anti-join of the (small) loser
+    list, broadcast-side. Tie-break is encoded in the max_by key
+    ``struct(score, -id)``: lexicographic struct ordering compares score
+    first, then the negated id, so equal scores elect the SMALLEST id —
+    deterministic under re-runs and re-partitioning."""
+    c = F.col(score) if isinstance(score, str) else score
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    scored = (docs.select(F.col(id_col), c.alias("__score"))
+              .join(clusters, on=F.col(id_col) == F.col("node"))
+              .select(id_col, "__score", "component"))
+    keepers = (scored.groupBy("component")
+               .agg(F.max_by(
+                   F.col(id_col),
+                   F.struct(F.col("__score"), (-F.col(id_col)).cast("long")))
+                   .alias("__keep")))
+    losers = (scored.join(keepers, "component")
+              .where(F.col(id_col) != F.col("__keep"))
+              .select(id_col))
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")

@@ -118,3 +118,36 @@ def test_cc_small_and_distributed_paths_agree(spark, seed):
             for r in connected_components(
                 df, small_graph_edges=1).collect()}
     assert tiny == slow
+
+
+def test_keep_best_representative_elects_max_score(spark):
+    from realtime_olap_spark.operators.components import \
+        keep_best_representative
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7), (9, 0.0)],
+        "doc_id long, q double")
+    # cluster A = {1,2,3} (max q tie 2 vs 3 -> min id 2 wins),
+    # cluster B = {4,5} (5 wins), 9 is a singleton (survives)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in keep_best_representative(
+        docs, pairs, "doc_id", "q").collect())
+    assert kept == [2, 5, 9]
+
+
+def test_keep_best_with_constant_score_equals_min_id_rule(spark):
+    from realtime_olap_spark.operators.components import (
+        duplicate_clusters, keep_best_representative)
+    import pyspark.sql.functions as F
+    docs = spark.createDataFrame([(i,) for i in range(1, 40)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30, 3)], "id_a long, id_b long")
+    got = sorted(r["doc_id"] for r in keep_best_representative(
+        docs, pairs, "doc_id", F.lit(1.0)).collect())
+    # min-id rule: drop every clustered node that is not its component
+    clusters = duplicate_clusters(pairs)
+    losers = {r["node"] for r in clusters
+              .where(F.col("node") != F.col("component")).collect()}
+    want = sorted(i for i in range(1, 40) if i not in losers)
+    assert got == want
