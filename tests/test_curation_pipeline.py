@@ -359,3 +359,41 @@ def test_pipeline_tail_ships_shards(spark, tmp_path):
             == chunks.agg(F.sum("chunk_ntok")).first()[0])
     assert read_shards(spark, path, shards=[2]).count() \
         == man.where(F.col("shard") == 2).first()["n_rows"]
+
+
+def test_cross_round_ingest_gate_via_published_bloom(spark, tmp_path):
+    """The cross-ROUND loop: round 1 curates and publishes shards with a
+    content Bloom filter; round 2's raw batch gates against the
+    PUBLISHED dataset (never the in-memory round-1 state), ships only
+    genuinely-new docs, and the union of both rounds' datasets contains
+    every distinct content exactly once — the incremental-ingest
+    contract at dataset grain."""
+    from realtime_olap_spark.sources.shards import (dedup_against_dataset,
+                                                    read_shards,
+                                                    write_training_shards)
+
+    docs = Catalog(spark, SF_DIR).table("documents") \
+        .select("doc_id", "text")
+    round1 = docs.where(F.col("doc_id") % 3 != 2)
+    p1 = str(tmp_path / "round1")
+    write_training_shards(round1, p1, "doc_id", 4, content_key="text")
+
+    # round 2 arrives as a mix: re-crawled round-1 docs + new docs
+    round2_raw = docs.where(F.col("doc_id") % 2 == 0)
+    fresh = dedup_against_dataset(round2_raw, p1, "text",
+                                  large_corpus=True)
+    # nothing shipped in round 1 re-ships
+    r1_keys = {r[0] for r in round1.select(F.md5("text")).collect()}
+    f_keys = {r[0] for r in fresh.select(F.md5("text")).collect()}
+    assert not (f_keys & r1_keys)
+    p2 = str(tmp_path / "round2")
+    write_training_shards(fresh, p2, "doc_id", 2, content_key="text")
+
+    # union of the two published datasets covers round2's content with
+    # no duplicate content keys across rounds
+    shipped = read_shards(spark, p1).select("text").unionByName(
+        read_shards(spark, p2).select("text"))
+    want = round1.select("text").unionByName(round2_raw.select("text")) \
+        .select(F.md5("text").alias("k")).distinct().count()
+    assert shipped.select(F.md5("text").alias("k")).distinct().count() \
+        == want
