@@ -173,3 +173,35 @@ def dedup_against_dataset(batch: DataFrame, path: str, content_key: str,
                 .drop("__ck"))
     return dedup_exact_against_bloom(batch, corpus_keys, kexpr, bf,
                                      large_corpus=large_corpus)
+
+
+def dataset_diff(spark: SparkSession, path_a: str, path_b: str,
+                 content_key: str, dims: list[str] | None = None
+                 ) -> DataFrame:
+    """Content-level diff of two published datasets: one row per
+    ``(status, *dims)`` with ``n_contents`` distinct content keys, where
+    status ∈ {added, removed, common} (B relative to A) — the ops-facing
+    answer to "what changed between yesterday's corpus and today's".
+
+    Shape: each side reduces to its DISTINCT ``md5(content_key)`` keys
+    (column-pruned scan — the text column never moves if the key is
+    already a digest column), then ONE full-outer join on the key and a
+    map-side-combined count. At 100 TB both sides are key tables a few
+    percent the corpus size; with both datasets written by
+    ``write_training_shards`` on the same ``key`` the join can also run
+    shard-by-shard (the deterministic hash assignment makes equal shard
+    ids co-locatable)."""
+    dims = dims or []
+    def keys(path):
+        df = read_shards(spark, path)
+        return (df.select(F.md5(F.col(content_key).cast("string"))
+                          .alias("__ck"), *dims).distinct())
+    a = keys(path_a).withColumn("__in_a", F.lit(True))
+    b = keys(path_b).withColumn("__in_b", F.lit(True))
+    joined = a.join(b, on=["__ck", *dims], how="full_outer")
+    status = (F.when(F.col("__in_a").isNull(), F.lit("added"))
+              .when(F.col("__in_b").isNull(), F.lit("removed"))
+              .otherwise(F.lit("common")))
+    return (joined.select(status.alias("status"), *dims)
+            .groupBy("status", *dims)
+            .agg(F.count(F.lit(1)).alias("n_contents")))

@@ -145,3 +145,30 @@ def test_large_corpus_shape_never_shuffles_the_corpus(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dataset_diff_counts(spark, tmp_path):
+    from realtime_olap_spark.sources.shards import dataset_diff
+    docs = (Catalog(spark, SF_DIR).table("documents")
+            .select("doc_id", "text", "source"))
+    a = docs.where(F.col("doc_id") % 3 != 2)         # yesterday
+    b = docs.where(F.col("doc_id") % 2 == 0)         # today
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(a, pa, "doc_id", 2)
+    write_training_shards(b, pb, "doc_id", 2)
+    got = {r["status"]: r["n_contents"] for r in
+           dataset_diff(spark, pa, pb, "text").collect()}
+    ka = {r[0] for r in a.select(F.md5("text")).collect()}
+    kb = {r[0] for r in b.select(F.md5("text")).collect()}
+    assert got.get("added", 0) == len(kb - ka)
+    assert got.get("removed", 0) == len(ka - kb)
+    assert got.get("common", 0) == len(ka & kb)
+    # dimensional breakdown sums to the flat counts
+    by_src = dataset_diff(spark, pa, pb, "text", dims=["source"])
+    flat = {r["status"]: r["n"] for r in
+            by_src.groupBy("status").agg(F.sum("n_contents").alias("n"))
+            .collect()}
+    # per-(status, source) rows can exceed flat content counts only if a
+    # content key appears under several sources; the synthetic corpus
+    # keys are source-unique, so totals must agree exactly
+    assert flat == got
