@@ -87,6 +87,24 @@ class BloomFilter:
         return BloomFilter(tuple(d["words"]), d["num_bits"], d["num_hashes"])
 
 
+def bloom_fill_ratio(bf: BloomFilter) -> float:
+    """Fraction of set bits — the filter's saturation. The OBSERVED
+    false-positive probability is ``fill^k`` (each of the k probes must
+    hit a set bit independently), so ops can decide when an OR-merged,
+    long-lived filter has drifted past its design fpp and needs a
+    rebuild at larger m. At design load the fill is ≈ 1 − e^(−kn/m) ≈
+    0.5 for optimal sizing."""
+    set_bits = sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1")
+                   for w in bf.words)
+    return set_bits / bf.num_bits
+
+
+def bloom_fpp_estimate(bf: BloomFilter) -> float:
+    """Expected false-positive probability at the CURRENT fill —
+    ``fill_ratio ** k``."""
+    return bloom_fill_ratio(bf) ** bf.num_hashes
+
+
 def bloom_merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     """Union by bitwise OR — Bloom filters over the same (m, k) family
     are closed under union, so per-batch filters built at ingest fold

@@ -61,6 +61,24 @@ class CMSketch:
         return CMSketch(tuple(d["counters"]), d["width"], d["depth"])
 
 
+def cms_total_mass(sk: CMSketch) -> int:
+    """Total insertions (sum of any one row — every row holds the full
+    mass). With it, the classic error bound is concrete: a point
+    estimate overshoots the true count by more than ``(e/width)·mass``
+    with probability ≤ e^(−depth) — the number an ops pipeline checks
+    before trusting a threshold gate on a long-lived, sum-merged
+    sketch."""
+    return sum(sk.counters[:sk.width])
+
+
+def cms_error_bound(sk: CMSketch) -> float:
+    """The ε·N additive bound at the current mass: ``(e/width)·mass``
+    (Cormode & Muthukrishnan's ε = e/w), exceeded with probability
+    ≤ e^(−depth)."""
+    import math
+    return (math.e / sk.width) * cms_total_mass(sk)
+
+
 def cms_merge(a: CMSketch, b: CMSketch) -> CMSketch:
     """Union by elementwise sum — CMS is a linear sketch, so per-batch
     sketches built at ingest fold into one corpus sketch with no corpus

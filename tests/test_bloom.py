@@ -150,3 +150,19 @@ def test_merge_equals_build_over_union(spark):
     assert merged == bloom_build(a.unionByName(b), "__ck", m, k)
     with pytest.raises(ValueError):
         bloom_merge(merged, bloom_build(a, "__ck", m + 64, k))
+
+
+def test_fill_ratio_and_fpp_estimate_track_measured_rate(spark):
+    from realtime_olap_spark.operators.bloom import (bloom_fill_ratio,
+                                                     bloom_fpp_estimate)
+    keys, bf = _build(spark, n=400, fpp=1e-2)
+    fill = bloom_fill_ratio(bf)
+    assert 0.3 < fill < 0.7  # optimal sizing lands near 0.5
+    est = bloom_fpp_estimate(bf)
+    fresh = (spark.range(20_000)
+             .select(F.md5(F.concat(F.lit("probe-"), F.col("id")))
+                     .alias("__ck")))
+    measured = fresh.where(bloom_might_contain(spark, "__ck", bf)) \
+        .count() / 20_000
+    # estimate and measurement agree within a loose multiplicative band
+    assert est / 4 < max(measured, 1e-4) < est * 4 + 1e-3

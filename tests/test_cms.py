@@ -117,3 +117,20 @@ def test_merge_equals_build_over_union(spark):
     assert merged == cms_build(a.unionByName(b), "key", 512, 3)
     with pytest.raises(ValueError):
         cms_merge(merged, cms_build(a, "key", 256, 3))
+
+
+def test_total_mass_and_error_bound(spark):
+    from realtime_olap_spark.operators.cms import (cms_error_bound,
+                                                   cms_total_mass)
+    df = _skewed(spark, 10_000)
+    sk = cms_build(df, "key", width=1024, depth=4)
+    assert cms_total_mass(sk) == 10_000
+    # every row of the matrix holds the full mass
+    for r in range(sk.depth):
+        assert sum(sk.counters[r * sk.width:(r + 1) * sk.width]) == 10_000
+    # the additive bound covers every observed overshoot (prob e^-4)
+    import pyspark.sql.functions as F2
+    true = df.groupBy("key").agg(F2.count(F2.lit(1)).alias("t"))
+    est = true.withColumn("e", cms_estimate(spark, "key", sk))
+    worst = est.agg(F2.max(F2.col("e") - F2.col("t"))).first()[0]
+    assert worst <= cms_error_bound(sk)
