@@ -61,12 +61,14 @@ HEADLINE = [
     "bench_bpe_count",
     "bench_bloom_gate",
     "bench_cms_hot_grams",
+    "bench_theta_overlap",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
 # NOT in the driver's 50-entry correctness window: full-corpus variants of
 # oracled queries, timed so their scale claims have a recorded number.
 def _extra_queries():
+    from realtime_olap_spark.suite.aggs import theta_overlap_bench
     from realtime_olap_spark.suite.dedup import (bloom_gate_bench,
                                                  cms_hot_grams_bench)
     from realtime_olap_spark.suite.similarity import pq_probe_bench
@@ -82,7 +84,8 @@ def _extra_queries():
             "bench_classifier_scan": classifier_scan_bench,
             "bench_bpe_count": bpe_count_bench,
             "bench_bloom_gate": bloom_gate_bench,
-            "bench_cms_hot_grams": cms_hot_grams_bench}
+            "bench_cms_hot_grams": cms_hot_grams_bench,
+            "bench_theta_overlap": theta_overlap_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {

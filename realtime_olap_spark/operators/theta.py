@@ -1,0 +1,209 @@
+"""Theta (KMV) distinct-count sketches with full set algebra.
+
+HLL answers "how many distinct?" but only composes under UNION. The
+reference additionally ships Theta sketches precisely because analysts
+need set EXPRESSIONS over distinct sets — audience overlap ("users who
+did A and B"), exclusion ("did A but never B") — across segments and
+time windows (``DistinctCountThetaSketchAggregationFunction.java`` in
+``pinot-core``'s aggregation registry evaluates a filtered-sketch merge
+expression; public theory: Bar-Yossef et al. KMV 2002, Dasgupta et al.
+"The Theta-Sketch Framework" 2016, Apache DataSketches). This module is
+the Spark-first formulation:
+
+- **Hash domain.** ``shiftrightunsigned(xxhash64(key), 1)`` — a uniform
+  64-bit hash folded to the non-negative signed range [0, 2^63). Pure
+  JVM expressions, ANSI-safe (no ``abs(min_long)`` overflow), one hash
+  family shared by ungrouped and grouped builds so sketches built
+  anywhere compose.
+- **Sketch.** The k+1 smallest DISTINCT hashes of the keys: the k
+  smallest are retained as ``entries``, the (k+1)-th becomes ``theta``
+  (exclusive). Fewer than k+1 distinct ⇒ exact mode (``theta`` = 2^63,
+  estimate = len(entries) exactly). Estimate = |entries| / (theta/2^63)
+  — the standard KMV/theta estimator.
+- **Build shape at 100 TB.** ``select(hash).distinct().orderBy.limit``:
+  the distinct is ONE shuffle with map-side partial aggregation (volume
+  = per-partition distinct hashes, not rows), and the sort+limit plans
+  as TakeOrderedAndProject — per-partition top-(k+1) merged on the
+  driver, never a global sort. The driver collects k+1 longs, never
+  keys (the same bounded-collect contract as ``bloom_build``'s m/64
+  words and ``cms_build``'s d·w counters).
+- **Set algebra is driver-side exact math on ≤k-entry tuples.** Union
+  is BIT-IDENTICAL to building over the unioned input (tested — the k
+  smallest distinct hashes of A∪B are recoverable from the two
+  sketches; same merge-law discipline as ``bloom_merge``/``cms_merge``),
+  so per-batch / per-segment sketches fold into corpus sketches with no
+  re-scan. Intersection and A-NOT-B restrict both sketches to the
+  common theta = min(theta_a, theta_b) — each sketch retains EVERY
+  union element below its own theta, so below the common theta both
+  are exhaustive samples and the set op is exact ON THE SAMPLE.
+
+Unlike :mod:`operators/bloom` / :mod:`operators/cms` (sketch-GATED
+exact operators), the theta estimates are the deliverable — the whole
+point is answering set-expression cardinalities without ever shuffling
+the raw key sets together. Accuracy is bound-tested (RSE ≈ 1/sqrt(k-1))
+in ``tests/test_theta.py``, the same quantitative-bounds discipline as
+``tests/test_sketch_bounds.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Exclusive upper bound of the hash domain; also the "exact mode"
+#: theta sentinel (every hash is below it).
+HASH_DOMAIN = 1 << 63
+
+
+def theta_hash(key: Column | str) -> Column:
+    """The sketch's hash: xxhash64 logically-right-shifted into
+    [0, 2^63). NULL keys map to NULL EXPLICITLY (xxhash64 itself hashes
+    a NULL input to the seed's hash, not NULL) and are dropped by the
+    build — matching COUNT(DISTINCT)'s NULL semantics."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.when(c.isNotNull(), F.shiftrightunsigned(F.xxhash64(c), 1))
+
+
+@dataclass(frozen=True)
+class ThetaSketch:
+    """``entries``: ascending distinct hashes, all < ``theta``;
+    ``theta``: exclusive bound (== HASH_DOMAIN ⇒ exact mode);
+    ``k``: nominal entries (resolution)."""
+
+    entries: tuple[int, ...]
+    theta: int
+    k: int
+
+    def to_json(self) -> str:
+        return json.dumps({"k": self.k, "theta": self.theta,
+                           "entries": list(self.entries)})
+
+    @staticmethod
+    def from_json(s: str) -> "ThetaSketch":
+        d = json.loads(s)
+        return ThetaSketch(tuple(d["entries"]), d["theta"], d["k"])
+
+
+def theta_estimate(s: ThetaSketch) -> float:
+    """|entries| / (theta / 2^63); exact when theta == HASH_DOMAIN."""
+    if s.theta >= HASH_DOMAIN:
+        return float(len(s.entries))
+    return len(s.entries) * (HASH_DOMAIN / s.theta)
+
+
+def theta_bounds(s: ThetaSketch, num_std: float = 2.0) -> tuple[float, float]:
+    """(lower, upper) confidence bounds. Exact mode ⇒ degenerate bounds.
+    Estimation mode: normal approximation with RSE = 1/sqrt(retained-1)
+    (the KMV estimator's relative standard error; DataSketches quotes
+    the same first-order term for theta sketches)."""
+    est = theta_estimate(s)
+    if s.theta >= HASH_DOMAIN or len(s.entries) < 2:
+        return est, est
+    rse = 1.0 / math.sqrt(len(s.entries) - 1)
+    return est / (1.0 + num_std * rse), est / max(1e-12, 1.0 - num_std * rse)
+
+
+def _from_sorted(entries: list[int], theta: int, k: int) -> ThetaSketch:
+    """Normalize (sorted distinct candidate entries, provisional theta)
+    to the canonical ≤k-entry form: trim to the k smallest, the (k+1)-th
+    becoming the new exclusive theta."""
+    below = [e for e in entries if e < theta]
+    if len(below) > k:
+        theta = below[k]
+        below = below[:k]
+    return ThetaSketch(tuple(below), theta, k)
+
+
+def theta_build(df: DataFrame, key: Column | str, k: int = 4096) -> ThetaSketch:
+    """Build over a key column. One map-side-combined distinct shuffle
+    over hashes, then TakeOrderedAndProject(k+1) — the driver sees k+1
+    longs. k is the accuracy knob (RSE ≈ 1/sqrt(k-1); 4096 ⇒ ~1.6%)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = theta_hash(key)
+    rows = (df.select(h.alias("h")).where(F.col("h").isNotNull())
+            .distinct().orderBy("h").limit(k + 1).collect())
+    hashes = [r["h"] for r in rows]
+    return _from_sorted(hashes, HASH_DOMAIN, k)
+
+
+def theta_build_grouped(df: DataFrame, group_cols: list[str],
+                        key: Column | str, k: int = 4096
+                        ) -> dict[tuple, ThetaSketch]:
+    """One sketch per group value — the reference's group-by
+    DistinctCountThetaSketch shape. Distinct (group, hash) pairs, then a
+    per-group row_number window keeps ≤ k+1 hashes per group before
+    anything reaches the driver: the collect is bounded by
+    |groups|·(k+1), never by the corpus. (The window sorts only the
+    distinct pairs, already one shuffle's worth of reduction; at 100 TB
+    with millions of groups, shrink k or pre-filter groups.)
+
+    Returned sketches share the ungrouped build's hash family, so
+    cross-group set ops (audience overlap between two event types) and
+    unions against ungrouped corpus sketches are all well-defined —
+    tested bit-identical to per-group ``theta_build`` calls."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window  # noqa: PLC0415
+    h = theta_hash(key)
+    pairs = (df.select(*group_cols, h.alias("h"))
+             .where(F.col("h").isNotNull()).distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    rows = (pairs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k + 1).collect())
+    by_group: dict[tuple, list[int]] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in group_cols), []).append(r["h"])
+    return {g: _from_sorted(sorted(hs), HASH_DOMAIN, k)
+            for g, hs in by_group.items()}
+
+
+def theta_union(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A ∪ B. Bit-identical to ``theta_build`` over the unioned input
+    (tested): below min(theta_a, theta_b) both sketches are exhaustive,
+    so the merged entry set contains the true k+1 smallest of the union
+    whenever they exist below that bound."""
+    k = min(a.k, b.k)
+    theta = min(a.theta, b.theta)
+    merged = sorted(set(a.entries) | set(b.entries))
+    return _from_sorted(merged, theta, k)
+
+
+def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A ∩ B: entries present in BOTH sketches below the common theta.
+    No trim — the intersection sample is already ≤ min(|a|, |b|)."""
+    theta = min(a.theta, b.theta)
+    common = sorted(x for x in set(a.entries) & set(b.entries) if x < theta)
+    return ThetaSketch(tuple(common), theta, min(a.k, b.k))
+
+
+def theta_a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A \\ B: entries of A below the common theta that B (exhaustive
+    below that same theta) does not contain."""
+    theta = min(a.theta, b.theta)
+    only = sorted(x for x in set(a.entries) - set(b.entries) if x < theta)
+    return ThetaSketch(tuple(only), theta, min(a.k, b.k))
+
+
+def theta_union_all(sketches: list[ThetaSketch]) -> ThetaSketch:
+    """Fold of :func:`theta_union` — the per-batch / per-segment rollup
+    path (streaming foreachBatch, segment merges)."""
+    if not sketches:
+        raise ValueError("cannot union zero sketches")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = theta_union(acc, s)
+    return acc
+
+
+def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
+    """|A∩B| / |A∪B| from the sketches — near-dup/overlap scoring
+    without the raw sets. Returns 0.0 for two empty sets."""
+    u = theta_estimate(theta_union(a, b))
+    if u == 0.0:
+        return 0.0
+    return theta_estimate(theta_intersect(a, b)) / u

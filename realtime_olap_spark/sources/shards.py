@@ -48,6 +48,9 @@ def with_shard(df: DataFrame, key: str, n_shards: int,
 #: File holding the published content Bloom filter (JSON), when requested.
 BLOOM_FILE = "content_bloom.json"
 
+#: File holding per-shard Theta sketches (JSON), when requested.
+THETA_FILE = "theta_sketches.json"
+
 
 def write_training_shards(df: DataFrame, path: str, key: str,
                           n_shards: int,
@@ -55,7 +58,9 @@ def write_training_shards(df: DataFrame, path: str, key: str,
                           files_per_shard: int = 1,
                           overwrite: bool = False,
                           content_key: str | None = None,
-                          bloom_fpp: float = 1e-3) -> None:
+                          bloom_fpp: float = 1e-3,
+                          theta_columns: tuple[str, ...] = (),
+                          theta_k: int = 4096) -> None:
     """Write ``df`` as ``path/data/shard=K/…parquet`` + a per-shard
     manifest at ``path/manifest`` + the completion marker, atomically.
 
@@ -68,6 +73,15 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     batch gates against (``dedup_against_dataset``) without re-shuffling
     this dataset — the sketch analog of the segment sink's per-column
     parquet bloom filters, at dataset grain.
+
+    ``theta_columns`` (optional) publishes one Theta (KMV) sketch PER
+    SHARD per named column (``theta_sketches.json``, same atomic
+    stage) — the distinct-count metadata the reference keeps per
+    segment, at shard grain. Because the union merge law is exact
+    (``operators/theta``), readers answer "how many distinct X?" for
+    the dataset, any shard SUBSET, or a UNION of datasets by merging
+    sketches — metadata only, zero data read
+    (:func:`dataset_distinct_estimate`, :func:`dataset_key_overlap`).
 
     An existing dataset at ``path`` FAILS the publish unless
     ``overwrite=True`` (which swaps the staged build into place and
@@ -96,6 +110,18 @@ def write_training_shards(df: DataFrame, path: str, key: str,
         m, k = optimal_params(keys.count(), bloom_fpp)
         with open(os.path.join(stage, BLOOM_FILE), "w") as f:
             f.write(bloom_build(keys, "__ck", m, k).to_json())
+    if theta_columns:
+        import json  # noqa: PLC0415
+        from realtime_olap_spark.operators.theta import theta_build_grouped
+        blob = {}
+        for col in theta_columns:
+            per_shard = theta_build_grouped(sharded, ["shard"],
+                                            F.col(col).cast("string"),
+                                            k=theta_k)
+            blob[col] = {str(shard): json.loads(sk.to_json())
+                         for (shard,), sk in per_shard.items()}
+        with open(os.path.join(stage, THETA_FILE), "w") as f:
+            json.dump(blob, f)
     open(os.path.join(stage, MARKER), "w").close()
     if os.path.exists(path):
         if not overwrite:
@@ -147,6 +173,78 @@ def read_bloom(path: str):
         return None
     with open(bpath) as f:
         return BloomFilter.from_json(f.read())
+
+
+def read_theta(path: str, col: str):
+    """The dataset's published per-shard Theta sketches for ``col`` as
+    ``{shard: ThetaSketch}`` (sketches are over the STRING form of the
+    column, matching the write). None when the publish didn't request
+    theta for this column."""
+    import json  # noqa: PLC0415
+    from realtime_olap_spark.operators.theta import ThetaSketch
+    if not os.path.exists(os.path.join(path, MARKER)):
+        raise FileNotFoundError(f"{path} has no {MARKER} marker")
+    tpath = os.path.join(path, THETA_FILE)
+    if not os.path.exists(tpath):
+        return None
+    with open(tpath) as f:
+        blob = json.load(f)
+    if col not in blob:
+        return None
+    return {int(s): ThetaSketch(tuple(d["entries"]), d["theta"], d["k"])
+            for s, d in blob[col].items()}
+
+
+def _merged_theta(path: str, col: str, shards: list[int] | None = None):
+    from realtime_olap_spark.operators.theta import theta_union_all
+    per_shard = read_theta(path, col)
+    if per_shard is None:
+        raise FileNotFoundError(
+            f"{path} published no theta sketch for column {col!r}")
+    picked = (list(per_shard.values()) if shards is None
+              else [per_shard[int(s)] for s in shards if int(s) in per_shard])
+    if not picked:
+        from realtime_olap_spark.operators.theta import (HASH_DOMAIN,
+                                                         ThetaSketch)
+        return ThetaSketch((), HASH_DOMAIN, 2)
+    return theta_union_all(picked)
+
+
+def dataset_distinct_estimate(path: str, col: str,
+                              shards: list[int] | None = None) -> float:
+    """Distinct-count estimate for ``col`` over the dataset (or a shard
+    subset) from published metadata ONLY — no data files are read. The
+    shard-subset answer is exact sketch algebra, not a scale-down: the
+    hash shard assignment partitions rows, so the union of the subset's
+    sketches IS the sketch of the subset's rows (merge law, tested).
+    The reference answers metadata-only COUNT the same way
+    (``SegmentMetadata`` totalDocs fast path); this extends it to
+    DISTINCTCOUNT at bounded error."""
+    from realtime_olap_spark.operators.theta import theta_estimate
+    return theta_estimate(_merged_theta(path, col, shards))
+
+
+def dataset_key_overlap(path_a: str, path_b: str, col: str) -> dict:
+    """Metadata-only overlap preview between two published datasets:
+    estimated distinct ``col`` values in A, B, A∪B, A∩B, A\\B, B\\A and
+    Jaccard — the instant answer to "how much of today's corpus is
+    yesterday's?" before running the content-level :func:`dataset_diff`
+    (which reads and joins both key sets). Both datasets must have
+    published theta for ``col``; cross-dataset algebra is well-defined
+    because every publish uses one hash family."""
+    from realtime_olap_spark.operators.theta import (jaccard_estimate,
+                                                     theta_a_not_b,
+                                                     theta_estimate,
+                                                     theta_intersect,
+                                                     theta_union)
+    a = _merged_theta(path_a, col)
+    b = _merged_theta(path_b, col)
+    return {"a": theta_estimate(a), "b": theta_estimate(b),
+            "union": theta_estimate(theta_union(a, b)),
+            "intersect": theta_estimate(theta_intersect(a, b)),
+            "a_not_b": theta_estimate(theta_a_not_b(a, b)),
+            "b_not_a": theta_estimate(theta_a_not_b(b, a)),
+            "jaccard": jaccard_estimate(a, b)}
 
 
 def dedup_against_dataset(batch: DataFrame, path: str, content_key: str,

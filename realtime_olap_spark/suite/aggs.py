@@ -176,3 +176,31 @@ def agg_topn_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                            Agg("sum", "o_totalprice", "total")])
     g = having(g, (F.col("n_orders") >= 8) & (F.col("total") > 800000))
     return top_n(g, "total", 10, key_names=["o_custkey"])
+
+
+def theta_overlap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only Theta-sketch audience overlap (``operators/theta``):
+    one KMV sketch of active user-days per event type (grouped build =
+    one distinct shuffle + per-group top-(k+1) window), then the full
+    pairwise set algebra — union / intersection / A-NOT-B / Jaccard —
+    driver-side on ≤k-entry sketches. The reference's
+    DistinctCountThetaSketch query shape (set-expression cardinalities
+    across filter groups) with the raw key sets never co-shuffled;
+    accuracy bounds are pytest-enforced (tests/test_theta.py)."""
+    from realtime_olap_spark.operators import theta as TH  # noqa: PLC0415
+    ev = Catalog(spark, sf_dir).table("events")
+    key = F.concat_ws("@", F.col("user_id"), F.to_date("ts"))
+    by_type = TH.theta_build_grouped(ev, ["event_type"], key, k=2048)
+    types = sorted(t for (t,) in by_type)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            sa, sb = by_type[(a,)], by_type[(b,)]
+            rows.append((a, b,
+                         TH.theta_estimate(TH.theta_union(sa, sb)),
+                         TH.theta_estimate(TH.theta_intersect(sa, sb)),
+                         TH.theta_estimate(TH.theta_a_not_b(sa, sb)),
+                         TH.jaccard_estimate(sa, sb)))
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, union_est double, "
+              "intersect_est double, a_not_b_est double, jaccard double")

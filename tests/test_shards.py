@@ -172,3 +172,57 @@ def test_dataset_diff_counts(spark, tmp_path):
     # content key appears under several sources; the synthetic corpus
     # keys are source-unique, so totals must agree exactly
     assert flat == got
+
+
+def test_published_theta_metadata_answers_distinct(spark, tmp_path):
+    """Per-shard theta publish: merged sketches are BIT-IDENTICAL to a
+    direct build over the dataset (merge law over the shard partition of
+    rows), shard-subset estimates equal direct builds over the subset,
+    and the metadata-only distinct estimate lands within bounds — all
+    without reading a single data file after the publish."""
+    from realtime_olap_spark.operators.theta import (theta_build,
+                                                     theta_estimate,
+                                                     theta_union_all)
+    from realtime_olap_spark.sources.shards import (
+        dataset_distinct_estimate, read_theta)
+    df = (spark.range(6000)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("u"), (F.col("id") % 3700))
+                  .alias("author")))
+    path = str(tmp_path / "ds")
+    write_training_shards(df, path, "doc_id", 4,
+                          theta_columns=("author",), theta_k=512)
+    per_shard = read_theta(path, "author")
+    assert set(per_shard) == {0, 1, 2, 3}
+    direct = theta_build(df, F.col("author").cast("string"), k=512)
+    assert theta_union_all(list(per_shard.values())) == direct
+    est = dataset_distinct_estimate(path, "author")
+    assert abs(est - 3700) / 3700 < 4.0 / (512 - 1) ** 0.5
+    # shard-subset estimate == direct build over exactly those rows
+    sub = with_shard(df, "doc_id", 4).where(F.col("shard").isin([0, 2]))
+    sub_direct = theta_build(sub, F.col("author").cast("string"), k=512)
+    assert (dataset_distinct_estimate(path, "author", shards=[0, 2])
+            == theta_estimate(sub_direct))
+    assert read_theta(path, "other_col") is None
+
+
+def test_dataset_key_overlap_metadata_only(spark, tmp_path):
+    from realtime_olap_spark.sources.shards import dataset_key_overlap
+    a = (spark.range(4000)
+         .select(F.col("id").alias("doc_id"),
+                 F.concat(F.lit("k"), F.col("id")).alias("ck")))
+    b = (spark.range(2500, 5500)
+         .select(F.col("id").alias("doc_id"),
+                 F.concat(F.lit("k"), F.col("id")).alias("ck")))
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(a, pa, "doc_id", 3, theta_columns=("ck",),
+                          theta_k=1024)
+    write_training_shards(b, pb, "doc_id", 5, theta_columns=("ck",),
+                          theta_k=1024)
+    ov = dataset_key_overlap(pa, pb, "ck")
+    tol = 6.0 / (1024 - 1) ** 0.5 * 5500  # RSE over the union size
+    assert abs(ov["union"] - 5500) < tol
+    assert abs(ov["intersect"] - 1500) < tol
+    assert abs(ov["a_not_b"] - 2500) < tol
+    assert abs(ov["b_not_a"] - 1500) < tol
+    assert abs(ov["jaccard"] - 1500 / 5500) < 0.06
