@@ -62,6 +62,7 @@ HEADLINE = [
     "bench_bloom_gate",
     "bench_cms_hot_grams",
     "bench_theta_overlap",
+    "bench_pca_shortlist",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
@@ -71,7 +72,8 @@ def _extra_queries():
     from realtime_olap_spark.suite.aggs import theta_overlap_bench
     from realtime_olap_spark.suite.dedup import (bloom_gate_bench,
                                                  cms_hot_grams_bench)
-    from realtime_olap_spark.suite.similarity import pq_probe_bench
+    from realtime_olap_spark.suite.similarity import (pca_shortlist_bench,
+                                                      pq_probe_bench)
     from realtime_olap_spark.suite.text import (bpe_count_bench,
                                                 classifier_scan_bench,
                                                 decontam_scan_bench,
@@ -85,7 +87,8 @@ def _extra_queries():
             "bench_bpe_count": bpe_count_bench,
             "bench_bloom_gate": bloom_gate_bench,
             "bench_cms_hot_grams": cms_hot_grams_bench,
-            "bench_theta_overlap": theta_overlap_bench}
+            "bench_theta_overlap": theta_overlap_bench,
+            "bench_pca_shortlist": pca_shortlist_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {
@@ -201,6 +204,10 @@ def main() -> None:
     from realtime_olap_spark.suite.dedup import _content_bloom, _gram_cms  # noqa: E402,PLC0415
     _content_bloom(spark, sf_dir)
     _gram_cms(spark, sf_dir)
+    # The PCA model is the same train-once artifact: fit untimed so the
+    # timed entry records the projected-shortlist probe.
+    from realtime_olap_spark.suite.similarity import _pca_model  # noqa: E402,PLC0415
+    _pca_model(spark, sf_dir)
 
     # min of RUNS executions per query: this host shows random 3-8x
     # per-query spikes from outside CPU contention; the minimum is the

@@ -235,3 +235,31 @@ def pq_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_olap_spark.operators import pq as PQ
     idx = spark.read.parquet(path)
     return PQ.pq_topk_rerank(idx, QUERY_VEC, books, 10, shortlist=100)
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Exact-Gram PCA model over the embedding corpus (r=8 of 64), once
+    per (session, corpus) — the train-once dimensionality-reduction
+    artifact consumed by the projected-shortlist probe. One scan,
+    bounded P·d² collect (``operators/pca.pca_fit``)."""
+    from realtime_olap_spark.operators import pca as PC  # noqa: PLC0415
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+
+    def build():
+        emb = Catalog(spark, sf_dir).table("embeddings")
+        return PC.pca_fit(emb, "embedding", d=64, r=8, center=False)
+
+    return session_memo(spark, sf_dir, "pca_model", build)
+
+
+def pca_shortlist_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only projected-shortlist ANN (``operators/pca``): score the
+    corpus in 8-dim projected space (scan-side zip_with folds), shortlist
+    top-100 via TakeOrderedAndProject, exact-rerank only those in full
+    64-dim space through a broadcast join — times the probe-side cost of
+    the reduced-dimension ANN layout (the PCA fit is ingest-time,
+    session-memoized and warmed untimed)."""
+    from realtime_olap_spark.operators import pca as PC  # noqa: PLC0415
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return PC.pca_shortlist_topk(emb, QUERY_VEC, _pca_model(spark, sf_dir),
+                                 "vec_id", "embedding", 10, shortlist=100)
