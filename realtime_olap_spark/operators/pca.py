@@ -79,6 +79,60 @@ class PCAModel:
                         o["n_rows"], o["centered"])
 
 
+@dataclass(frozen=True)
+class GramStats:
+    """The sufficient statistics of a PCA fit — (ΣxxᵀT flat, Σx, n) —
+    which are ADDITIVE: stats of a union are the elementwise sum of the
+    parts, so per-batch / per-segment stats fold into corpus stats with
+    no re-scan (``merge``; the consuming→immutable analog for PCA,
+    matching ``bloom_merge``/``theta_union``/``cms_merge``), and a model
+    refit from merged stats equals a from-scratch fit (tested)."""
+
+    g: tuple[float, ...]  # d*d row-major
+    s: tuple[float, ...]
+    n: int
+
+    @property
+    def d(self) -> int:
+        return len(self.s)
+
+    def merge(self, other: "GramStats") -> "GramStats":
+        if self.d != other.d:
+            raise ValueError("cannot merge GramStats of different dims")
+        return GramStats(tuple(a + b for a, b in zip(self.g, other.g)),
+                         tuple(a + b for a, b in zip(self.s, other.s)),
+                         self.n + other.n)
+
+    def to_json(self) -> str:
+        return json.dumps({"g": list(self.g), "s": list(self.s),
+                           "n": self.n})
+
+    @staticmethod
+    def from_json(txt: str) -> "GramStats":
+        o = json.loads(txt)
+        return GramStats(tuple(o["g"]), tuple(o["s"]), o["n"])
+
+
+def collect_gram_stats(df: DataFrame, vec_col: str, d: int) -> GramStats:
+    """:func:`gram_stats` packaged as the mergeable artifact."""
+    g, s, n = gram_stats(df, vec_col, d)
+    return GramStats(tuple(float(x) for x in g.ravel()),
+                     tuple(float(x) for x in s), int(n))
+
+
+def pca_from_stats(stats: GramStats, r: int, center: bool = True
+                   ) -> PCAModel:
+    """Fit from (possibly merged) sufficient statistics — zero scans."""
+    d = stats.d
+    if not 1 <= r <= d:
+        raise ValueError(f"need 1 <= r <= d, got r={r}, d={d}")
+    if stats.n < 2:
+        raise ValueError(f"need >= 2 rows to fit, got {stats.n}")
+    g = np.asarray(stats.g, dtype=np.float64).reshape(d, d)
+    s = np.asarray(stats.s, dtype=np.float64)
+    return _fit_from_moments(g, s, stats.n, r, center)
+
+
 def gram_stats(df: DataFrame, vec_col: str, d: int
                ) -> tuple[np.ndarray, np.ndarray, int]:
     """One-pass exact (Gram, sum, count): per-partition numpy folds via
@@ -124,6 +178,12 @@ def pca_fit(df: DataFrame, vec_col: str, d: int, r: int,
     g, s, n = gram_stats(df, vec_col, d)
     if n < 2:
         raise ValueError(f"need >= 2 rows to fit, got {n}")
+    return _fit_from_moments(g, s, n, r, center)
+
+
+def _fit_from_moments(g: np.ndarray, s: np.ndarray, n: int, r: int,
+                      center: bool) -> PCAModel:
+    d = len(s)
     mu = s / n if center else np.zeros(d)
     cov = g / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)  # ascending
@@ -149,15 +209,22 @@ def explained_variance_ratio(m: PCAModel) -> tuple[float, ...]:
 
 
 def project(df: DataFrame, vec_col: str, model: PCAModel,
-            out_col: str = "proj") -> DataFrame:
+            out_col: str = "proj", whiten: bool = False) -> DataFrame:
     """Scan-side projection ``(x − μ) @ componentsᵀ`` — an Arrow-batched
     pandas UDF over a broadcast (r×d) matrix; zero shuffle (plan-asserted
     Exchange-free in tests), streaming-legal. NULL / wrong-length
-    vectors project to NULL."""
+    vectors project to NULL. ``whiten=True`` additionally scales each
+    coordinate by 1/√eigenvalue (unit variance per direction — the PCA
+    whitening SemDeDup-style cosine pipelines cluster in, so no single
+    dominant direction owns the similarity)."""
     spark = df.sparkSession
+    comps = np.asarray(model.components, dtype=np.float64)
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(
+            np.asarray(model.explained_variance, dtype=np.float64), 1e-12))
+        comps = scale[:, None] * comps
     bc = spark.sparkContext.broadcast(
-        (np.asarray(model.components, dtype=np.float64),
-         np.asarray(model.mean, dtype=np.float64)))
+        (comps, np.asarray(model.mean, dtype=np.float64)))
     d = model.d
 
     def _proj(col):  # closure; unannotated (stringized-hints rule)
@@ -175,6 +242,22 @@ def project(df: DataFrame, vec_col: str, model: PCAModel,
 
     udf = F.pandas_udf(_proj, "array<double>")
     return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def suggest_rank(model: PCAModel, target: float = 0.9) -> int:
+    """Smallest r whose cumulative explained-variance ratio reaches
+    ``target`` — fit once at full (or generous) rank, then pick the
+    projection width from the spectrum instead of guessing (the analog
+    of ``similarity.suggest_cells``'s √n rule for IVF geometry)."""
+    if not 0.0 < target <= 1.0:
+        raise ValueError("target must be in (0, 1]")
+    ratios = explained_variance_ratio(model)
+    acc = 0.0
+    for i, r in enumerate(ratios):
+        acc += r
+        if acc >= target - 1e-12:
+            return i + 1
+    return len(ratios)
 
 
 # ---------------------------------------------------------------- FD --

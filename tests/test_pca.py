@@ -151,3 +151,91 @@ def test_reconstruction_identity_and_json(spark, xdf):
     dropped = sum(full.explained_variance) - sum(m3.explained_variance)
     assert abs(mse - dropped) < 1e-8
     assert PCAModel.from_json(m3.to_json()) == m3
+
+
+def test_whitened_projection_unit_variance(spark, xdf):
+    x, df = xdf
+    m = pca_fit(df, "vec", D, r=3)
+    rows = project(df, "vec", m, whiten=True).collect()
+    p = np.asarray([r["proj"] for r in rows])
+    # each whitened coordinate has ~unit variance (exactly 1 up to the
+    # fit's own float error, since the fit and the data coincide)
+    assert np.allclose(p.var(axis=0), 1.0, atol=1e-6)
+    # and whitening is exactly a per-coordinate rescale of the plain
+    # projection by 1/sqrt(eigenvalue)
+    plain = np.asarray([r["proj"] for r in
+                        project(df, "vec", m).collect()])
+    scale = 1.0 / np.sqrt(np.asarray(m.explained_variance))
+    assert np.allclose(p, plain * scale, atol=1e-9)
+
+
+def test_suggest_rank(spark, xdf):
+    from realtime_olap_spark.operators.pca import suggest_rank
+    _, df = xdf
+    full = pca_fit(df, "vec", D, r=D)
+    # the fixture corpus is rank-3 + small noise: 3 components carry
+    # ~all variance
+    assert suggest_rank(full, 0.95) == 3
+    assert suggest_rank(full, 1.0) == D
+    r9 = suggest_rank(full, 0.9)
+    assert 1 <= r9 <= 3
+    with pytest.raises(ValueError):
+        suggest_rank(full, 0.0)
+
+
+def test_gram_stats_merge_refit_equals_scratch(spark):
+    from realtime_olap_spark.operators.pca import (GramStats,
+                                                   collect_gram_stats,
+                                                   pca_from_stats)
+    a, b = _lowrank(seed=21), _lowrank(seed=22)
+    da = spark.createDataFrame([(r.tolist(),) for r in a],
+                               "vec array<double>")
+    db = spark.createDataFrame([(r.tolist(),) for r in b],
+                               "vec array<double>")
+    merged = collect_gram_stats(da, "vec", D).merge(
+        collect_gram_stats(db, "vec", D))
+    scratch = pca_fit(da.unionAll(db), "vec", D, r=3)
+    refit = pca_from_stats(merged, r=3)
+    assert merged.n == 2 * a.shape[0]
+    assert np.allclose(refit.components, scratch.components, atol=1e-9)
+    assert np.allclose(refit.mean, scratch.mean, atol=1e-12)
+    assert np.allclose(refit.explained_variance,
+                       scratch.explained_variance, atol=1e-9)
+    assert GramStats.from_json(merged.to_json()) == merged
+    with pytest.raises(ValueError):
+        merged.merge(GramStats((0.0,), (0.0,), 1))
+
+
+def test_gram_stats_streaming_fold_equals_batch(spark, tmpdir):
+    """Per-microbatch sufficient statistics folded in foreachBatch refit
+    to the same model as one batch fit — PCA's consuming->immutable
+    path, like the Bloom/CMS/theta per-batch merges."""
+    import pyspark.sql.types as T
+    from realtime_olap_spark.operators.pca import (collect_gram_stats,
+                                                   pca_from_stats)
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    x = _lowrank(n=300, seed=31)
+    df = spark.createDataFrame([(r.tolist(),) for r in x],
+                               "vec array<double>")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    schema = T.StructType([T.StructField("vec",
+                                         T.ArrayType(T.DoubleType()))])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    folded = []
+
+    def fold(batch_df, _bid):
+        folded.append(collect_gram_stats(batch_df, "vec", D))
+
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(folded) >= 2
+    acc = folded[0]
+    for st in folded[1:]:
+        acc = acc.merge(st)
+    got = pca_from_stats(acc, r=3)
+    want = pca_fit(spark.read.schema(schema).parquet(src), "vec", D, r=3)
+    assert np.allclose(got.components, want.components, atol=1e-8)
+    assert got.n_rows == want.n_rows == 300
