@@ -72,3 +72,42 @@ def test_empty_corpus_filter_rejects_everything(spark):
                                   "doc_id long, text string")
     out = dedup_exact_against_bloom(batch, empty, F.md5("text"), bf)
     assert out.count() == 2  # nothing can be a duplicate of nothing
+
+
+def test_theta_algebra_random_sweep():
+    """Pure-algebra sweep (no Spark): on random hash sets, sketch set
+    ops must agree with ground truth computed on the full sets —
+    build(A) from entries, union ≡ build(A∪B), and below the common
+    theta the intersect/a-not-b samples are EXACTLY the true sets'
+    restrictions."""
+    from realtime_olap_spark.operators.theta import (HASH_DOMAIN,
+                                                     _from_sorted,
+                                                     theta_a_not_b,
+                                                     theta_estimate,
+                                                     theta_intersect,
+                                                     theta_union)
+
+    rng = random.Random(1234)
+    for trial in range(200):
+        k = rng.choice([2, 3, 8, 64])
+        na, nb = rng.randint(0, 300), rng.randint(0, 300)
+        pool = rng.randint(1, 400)  # small pool forces collisions/overlap
+        A = {rng.randrange(HASH_DOMAIN // pool) for _ in range(na)}
+        B = {rng.randrange(HASH_DOMAIN // pool) for _ in range(nb)}
+        sa = _from_sorted(sorted(A), HASH_DOMAIN, k)
+        sb = _from_sorted(sorted(B), HASH_DOMAIN, k)
+        # build-from-entries invariants
+        assert list(sa.entries) == sorted(A)[:len(sa.entries)]
+        assert all(e < sa.theta for e in sa.entries)
+        # union merge law vs direct build over A ∪ B
+        assert theta_union(sa, sb) == _from_sorted(sorted(A | B),
+                                                   HASH_DOMAIN, k), trial
+        # below the common theta the set-op samples are exact
+        tc = min(sa.theta, sb.theta)
+        inter = theta_intersect(sa, sb)
+        anb = theta_a_not_b(sa, sb)
+        assert set(inter.entries) == {x for x in A & B if x < tc}, trial
+        assert set(anb.entries) == {x for x in A - B if x < tc}, trial
+        # exact mode: estimates are exact counts
+        if sa.theta >= HASH_DOMAIN:
+            assert theta_estimate(sa) == len(A)
