@@ -162,6 +162,29 @@ def theta_build_grouped(df: DataFrame, group_cols: list[str],
             for g, hs in by_group.items()}
 
 
+def theta_profile(df: DataFrame, cols: list[str], k: int = 4096
+                  ) -> dict[str, ThetaSketch]:
+    """Per-column cardinality profile in ONE pass: explode each row to
+    (column_name, string(value)) pairs and run the grouped build keyed
+    by column name — every column's distinct-count sketch from a single
+    map-side-combined distinct shuffle, instead of |cols| separate
+    distinct jobs. This is the ingest-time input to the reference's
+    per-column encoding decision (its segment builder picks dictionary
+    vs raw from column cardinality — ``SegmentDictionaryCreator`` /
+    index-creation path in ``pinot-segment-local``); here it also sizes
+    Bloom filters (``optimal_params`` wants n_keys) and IVF geometry.
+    Values are sketched AS STRINGS (one hash family across types);
+    NULLs are dropped per column, matching COUNT(DISTINCT)."""
+    if not cols:
+        raise ValueError("need at least one column")
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("__col"),
+                 F.col(c).cast("string").alias("__val"))
+        for c in cols])).alias("p")).select("p.__col", "p.__val")
+    grouped = theta_build_grouped(pairs, ["__col"], "__val", k=k)
+    return {c: grouped[(c,)] for c in cols if (c,) in grouped}
+
+
 def theta_union(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
     """A ∪ B. Bit-identical to ``theta_build`` over the unioned input
     (tested): below min(theta_a, theta_b) both sketches are exhaustive,

@@ -170,3 +170,18 @@ def test_streaming_foreachbatch_fold_equals_batch(spark, tmpdir):
     assert len(folded) >= 2  # genuinely incremental
     batch = theta_build(spark.read.schema(schema).parquet(src), "key", 256)
     assert theta_union_all(folded) == batch
+
+
+def test_theta_profile_one_pass_equals_per_column(spark):
+    from realtime_olap_spark.operators.theta import theta_profile
+    from tests.conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = ["lang", "source", "doc_id"]
+    prof = theta_profile(docs, cols, k=512)
+    assert set(prof) == set(cols)
+    for c in cols:
+        direct = theta_build(docs, F.col(c).cast("string"), k=512)
+        assert prof[c] == direct, c  # same hash family, bit-identical
+        exact = docs.select(c).na.drop().distinct().count()
+        est = theta_estimate(prof[c])
+        assert abs(est - exact) <= max(3, 4.0 * exact / (512 - 1) ** 0.5), c
