@@ -1,0 +1,171 @@
+"""Primary-key upsert tables — latest-record-wins keyed ingestion.
+
+Modern realtime OLAP stores materialize a PRIMARY-KEY view of a keyed
+stream: each key shows only its newest record (by a version/event-time
+column), with late or replayed lower-version records ignored. (Pinot
+grew this as upsert-enabled realtime tables after the reference fork's
+vintage — public docs/design "Upsert in Pinot"; this module is the
+EXTENSION analog, flagged as beyond strict reference parity, built the
+Spark-first way.)
+
+Two pieces:
+
+- :func:`latest_by_key` — the batch semantics: ONE aggregation,
+  ``max(struct(version, …tiebreak…, full_row))`` per key. Struct
+  comparison is lexicographic field-by-field, and the full row embedded
+  LAST makes the order total, so the winner is deterministic even on
+  exact version ties — no window sort, no shuffle beyond the one
+  map-side-combined groupBy (the same never-sort discipline as
+  ``groupby.top_n``).
+- :func:`upsert_batch` / :func:`read_upsert` — the incremental state:
+  the materialized view lives as parquet hash-bucketed by key
+  (``bucket=K/`` partition dirs, ``pmod(xxhash64(key), N)`` — the
+  deterministic row-property assignment of ``sources/shards``). A new
+  batch touches only its own buckets: read THOSE partitions
+  (partition-pruned scan), merge latest-wins with the batch, swap the
+  rebuilt bucket dirs atomically. Per-batch cost is
+  O(batch + state in touched buckets), never O(state) — at 100 TB,
+  size N so a bucket is a few GB and a typical batch touches a small
+  fraction. Streaming ingestion is ``foreachBatch(upsert_batch)``
+  (exactly-once via the idempotent latest-wins merge: replaying a batch
+  reproduces the same winners — tested), the consuming→immutable path
+  for keyed tables.
+
+Single-writer discipline (one upsert stream per table, like the
+reference's one consuming segment per partition); readers see a
+complete published state through the completion marker. Version column
+must be NON-NULL (enforced) — a NULL version has no place in a total
+order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MARKER = "_UPSERT_COMPLETE"
+
+
+def latest_by_key(df: DataFrame, keys: list[str], version_col: str,
+                  tiebreak: list[str] | None = None) -> DataFrame:
+    """One row per key: the max-(version, tiebreak…, whole-row) record.
+    Deterministic under ties (the embedded full row totalizes the
+    order); NULL-version rows are rejected loudly rather than silently
+    losing."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    cols = df.columns
+    # NULL versions fail loudly at runtime (inside the comparison key
+    # itself, so no filter Catalyst could fold away) — a NULL has no
+    # place in the total order.
+    v = F.when(F.col(version_col).isNotNull(), F.col(version_col)) \
+         .otherwise(F.raise_error(F.lit(
+             f"NULL {version_col} in upsert input")))
+    ordered = F.struct(
+        v.alias("__v"),
+        *[F.col(t).alias(f"__t{i}") for i, t in enumerate(tiebreak or [])],
+        F.struct(*[F.col(c) for c in cols]).alias("__row"))
+    return (df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.max(ordered).alias("__m"))
+            .select("__m.__row.*"))
+
+
+def _bucket(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                  F.lit(n_buckets)).cast("int")
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, MARKER)
+
+
+def read_upsert(spark: SparkSession, path: str,
+                buckets: list[int] | None = None) -> DataFrame:
+    """The materialized latest-per-key view (optionally a partition-
+    pruned bucket subset). Refuses unpublished state."""
+    if not os.path.exists(_meta_path(path)):
+        raise FileNotFoundError(f"{path} has no {MARKER} marker")
+    df = spark.read.parquet(os.path.join(path, "data"))
+    if buckets is not None:
+        df = df.where(F.col("__bucket").isin([int(b) for b in buckets]))
+    return df.drop("__bucket")
+
+
+def upsert_batch(spark: SparkSession, path: str, batch: DataFrame,
+                 keys: list[str], version_col: str,
+                 n_buckets: int = 64,
+                 tiebreak: list[str] | None = None) -> None:
+    """Fold one keyed batch into the state at ``path``. First call
+    publishes the initial state; later calls read ONLY the batch's
+    touched bucket partitions, merge latest-wins, and atomically swap
+    those bucket dirs. Replays are idempotent (same winners)."""
+    if os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+        if (meta["keys"], meta["version_col"], meta["n_buckets"]) != \
+                (keys, version_col, n_buckets):
+            raise ValueError(
+                f"upsert state at {path} was built with "
+                f"{meta['keys']}/{meta['version_col']}/{meta['n_buckets']}"
+                f" — cannot fold {keys}/{version_col}/{n_buckets}")
+        exists = True
+    else:
+        exists = False
+
+    data_dir = os.path.join(path, "data")
+    if not exists:
+        out = latest_by_key(batch, keys, version_col, tiebreak)
+        (out.withColumn("__bucket", _bucket(keys, n_buckets))
+         .repartition(F.col("__bucket"))
+         .write.mode("overwrite").partitionBy("__bucket")
+         .parquet(data_dir))
+        with open(_meta_path(path), "w") as f:
+            json.dump({"keys": keys, "version_col": version_col,
+                       "n_buckets": n_buckets}, f)
+        return
+
+    keyed = batch.withColumn("__bucket", _bucket(keys, n_buckets))
+    touched = sorted(r["__bucket"] for r in
+                     keyed.select("__bucket").distinct().collect())
+    if not touched:
+        return
+    # partition-pruned read of ONLY the touched buckets
+    state = (spark.read.parquet(data_dir)
+             .where(F.col("__bucket").isin(touched)))
+    merged = latest_by_key(state.drop("__bucket")
+                           .unionByName(batch), keys, version_col, tiebreak)
+    staged = (merged.withColumn("__bucket", _bucket(keys, n_buckets))
+              .repartition(F.col("__bucket")))
+    stage_dir = f"{data_dir}.stage-{os.getpid()}"
+    staged.write.mode("overwrite").partitionBy("__bucket").parquet(stage_dir)
+    for b in touched:
+        src = os.path.join(stage_dir, f"__bucket={b}")
+        dst = os.path.join(data_dir, f"__bucket={b}")
+        retired = f"{dst}.old"
+        if not os.path.exists(src):
+            # every batch row for this bucket lost to existing state and
+            # deduped into... cannot happen (merge includes state), but
+            # guard: keep the existing bucket untouched
+            continue
+        if os.path.exists(dst):
+            os.rename(dst, retired)
+        os.rename(src, dst)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def upsert_sink(spark: SparkSession, path: str, keys: list[str],
+                version_col: str, n_buckets: int = 64,
+                tiebreak: list[str] | None = None):
+    """The foreachBatch callable: ``stream.writeStream.foreachBatch(
+    upsert_sink(...))`` materializes the stream's latest-per-key view
+    incrementally — availableNow drain ≡ one batch latest_by_key over
+    all the files (tested)."""
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_batch(spark, path, batch_df, keys, version_col,
+                     n_buckets, tiebreak)
+    return fold
