@@ -84,14 +84,26 @@ def _meta_path(path: str) -> str:
 
 
 def read_upsert(spark: SparkSession, path: str,
-                buckets: list[int] | None = None) -> DataFrame:
+                buckets: list[int] | None = None,
+                tombstone_col: str | None = None) -> DataFrame:
     """The materialized latest-per-key view (optionally a partition-
-    pruned bucket subset). Refuses unpublished state."""
+    pruned bucket subset). Refuses unpublished state.
+
+    ``tombstone_col`` implements DELETE markers the upsert way (the
+    reference family's delete-record support): a delete is just an
+    upserted record whose tombstone flag is true — it WINS its key like
+    any other version (so later re-inserts resurrect the key, and
+    replay stays idempotent), and this reader filters tombstoned keys
+    out of the visible view. State keeps the tombstones (they must keep
+    out-versioning stale late arrivals); compaction = rewriting a
+    bucket without its tombstones once no older record can arrive."""
     if not os.path.exists(_meta_path(path)):
         raise FileNotFoundError(f"{path} has no {MARKER} marker")
     df = spark.read.parquet(os.path.join(path, "data"))
     if buckets is not None:
         df = df.where(F.col("__bucket").isin([int(b) for b in buckets]))
+    if tombstone_col is not None:
+        df = df.where(~F.coalesce(F.col(tombstone_col), F.lit(False)))
     return df.drop("__bucket")
 
 

@@ -154,3 +154,33 @@ def test_streaming_upsert_stream_parity_shuffled_batches(spark, tmpdir):
     a = sorted(map(tuple, read_upsert(spark, paths[0]).collect()))
     b = sorted(map(tuple, read_upsert(spark, paths[1]).collect()))
     assert a == b
+
+
+def test_tombstone_delete_and_resurrect(spark, tmp_path):
+    """Deletes are winning records with a tombstone flag: they hide the
+    key from the visible view, out-version stale late arrivals, and a
+    later re-insert resurrects the key."""
+    path = str(tmp_path / "state")
+    schema = "k long, v long, payload string, deleted boolean"
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", False), (2, 1, "b", False)], schema)
+    upsert_batch(spark, path, b1, ["k"], "v", 4)
+    # delete key 1 at v=2
+    upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 2, None, True)], schema), ["k"], "v", 4)
+    vis = {r["k"] for r in
+           read_upsert(spark, path, tombstone_col="deleted").collect()}
+    assert vis == {2}
+    # stale v=1 late arrival cannot resurrect it
+    upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 1, "stale", False)], schema), ["k"], "v", 4)
+    assert {r["k"] for r in read_upsert(
+        spark, path, tombstone_col="deleted").collect()} == {2}
+    # a NEWER insert does resurrect
+    upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 3, "back", False)], schema), ["k"], "v", 4)
+    got = {r["k"]: r["payload"] for r in read_upsert(
+        spark, path, tombstone_col="deleted").collect()}
+    assert got == {1: "back", 2: "b"}
+    # raw view (no tombstone filter) still shows both keys
+    assert {r["k"] for r in read_upsert(spark, path).collect()} == {1, 2}
