@@ -226,3 +226,33 @@ def test_dataset_key_overlap_metadata_only(spark, tmp_path):
     assert abs(ov["a_not_b"] - 2500) < tol
     assert abs(ov["b_not_a"] - 1500) < tol
     assert abs(ov["jaccard"] - 1500 / 5500) < 0.06
+
+
+def test_theta_metadata_preview_agrees_with_content_diff(spark, tmp_path):
+    """The metadata-only overlap preview and the content-level
+    dataset_diff must tell the same story on the same two snapshots:
+    here both sides are below k so the sketches are EXACT and the
+    preview equals the diff's counts exactly (at scale the preview is
+    the same numbers at RSE 1/sqrt(k-1), instantly and scan-free)."""
+    from realtime_olap_spark.sources.shards import (dataset_diff,
+                                                    dataset_key_overlap)
+    day1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(120)], "doc_id long, text string")
+    day2 = spark.createDataFrame(  # drop 20, keep 100, add 40
+        [(i, f"doc {i}") for i in range(20, 160)],
+        "doc_id long, text string")
+    p1, p2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    # NOTE: overlap compares the same key column on both sides; publish
+    # sketches over the md5 content key, the diff's own key expression
+    for df, p in ((day1.withColumn("ck", F.md5("text")), p1),
+                  (day2.withColumn("ck", F.md5("text")), p2)):
+        write_training_shards(df, p, "doc_id", 4, theta_columns=("ck",),
+                              theta_k=512)
+    diff = {r["status"]: r["n_contents"] for r in
+            dataset_diff(spark, p1, p2, "text").collect()}
+    ov = dataset_key_overlap(p1, p2, "ck")
+    assert diff == {"common": 100, "removed": 20, "added": 40}
+    assert ov["intersect"] == 100.0
+    assert ov["a_not_b"] == 20.0
+    assert ov["b_not_a"] == 40.0
+    assert ov["union"] == 160.0
