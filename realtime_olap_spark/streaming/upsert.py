@@ -181,3 +181,185 @@ def upsert_sink(spark: SparkSession, path: str, keys: list[str],
         upsert_batch(spark, path, batch_df, keys, version_col,
                      n_buckets, tiebreak)
     return fold
+
+
+# ------------------------------------------------- partial upsert ----
+
+#: Per-column merge strategies (the reference family's partial-upsert
+#: config): how a key's NEW record combines with its existing state.
+PARTIAL_STRATEGIES = ("overwrite", "ignore", "increment", "append",
+                     "max", "min")
+
+
+def _guarded_version(version_col: str):
+    return F.when(F.col(version_col).isNotNull(), F.col(version_col)) \
+            .otherwise(F.raise_error(F.lit(
+                f"NULL {version_col} in upsert input")))
+
+
+def partial_latest_by_key(df: DataFrame, keys: list[str],
+                          version_col: str,
+                          strategies: dict[str, str],
+                          default: str = "overwrite") -> DataFrame:
+    """Per-key combine with PER-COLUMN strategies — the batch twin of
+    the incremental partial fold (Pinot's partial upsert: per-column
+    OVERWRITE / IGNORE / INCREMENT / APPEND / MAX / MIN, applied here
+    as one aggregation):
+
+    - ``overwrite``: value from the HIGHEST version (in-row value ties
+      broken by value — ``max(struct(version, col))``)
+    - ``ignore``: value from the LOWEST version (first write wins)
+    - ``increment``: SUM of all arriving values
+    - ``append``: ALL values as an array in version order
+    - ``max`` / ``min``: extreme over all arriving values
+    The result's ``version_col`` is the key's max version. One
+    map-side-combined groupBy; no windows."""
+    for c, s in strategies.items():
+        if s not in PARTIAL_STRATEGIES:
+            raise ValueError(f"unknown strategy {s!r} for column {c!r}")
+    if default not in PARTIAL_STRATEGIES:
+        raise ValueError(f"unknown default strategy {default!r}")
+    v = _guarded_version(version_col)
+    aggs = [F.max(v).alias(version_col)]
+    for c in df.columns:
+        if c in keys or c == version_col:
+            continue
+        s = strategies.get(c, default)
+        if s == "overwrite":
+            agg = F.max(F.struct(v.alias("__v"),
+                                 F.col(c).alias("__c")))["__c"]
+        elif s == "ignore":
+            agg = F.min(F.struct(v.alias("__v"),
+                                 F.col(c).alias("__c")))["__c"]
+        elif s == "increment":
+            agg = F.sum(c)
+        elif s == "append":
+            agg = F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(v.alias("__v"), F.col(c).alias("__c")))),
+                lambda x: x["__c"])
+        elif s == "max":
+            agg = F.max(c)
+        else:  # min
+            agg = F.min(c)
+        aggs.append(agg.alias(c))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def _combine_partial(state: DataFrame, batch_agg: DataFrame,
+                     keys: list[str], version_col: str,
+                     strategies: dict[str, str], default: str) -> DataFrame:
+    """Full-outer join state rows with batch-aggregated rows and apply
+    each column's strategy. Written so folding batches in version order
+    reproduces the one-shot batch answer (parity-tested); for
+    INCREMENT / APPEND / MAX / MIN the fold is order-insensitive
+    outright, for OVERWRITE the higher version wins regardless of
+    arrival, and IGNORE is first-ARRIVAL-wins across batches (the
+    ingestion-time semantics the reference family also applies)."""
+    sv, bv = F.col(f"__s.{version_col}"), F.col(f"__b.{version_col}")
+    joined = (state.alias("__s").join(batch_agg.alias("__b"),
+                                      on=keys, how="full_outer"))
+    out_cols = [F.col(k) for k in keys]
+    out_cols.append(F.when(sv.isNull(), bv)
+                    .when(bv.isNull(), sv)
+                    .otherwise(F.greatest(sv, bv)).alias(version_col))
+    for c in state.columns:
+        if c in keys or c == version_col:
+            continue
+        s = strategies.get(c, default)
+        sc, bc = F.col(f"__s.{c}"), F.col(f"__b.{c}")
+        if s == "overwrite":
+            val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
+                   .when(bv >= sv, bc).otherwise(sc))
+        elif s == "ignore":
+            val = F.when(sv.isNotNull(), sc).otherwise(bc)
+        elif s == "increment":
+            val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
+                   .otherwise(F.coalesce(sc, F.lit(0)) +
+                              F.coalesce(bc, F.lit(0))))
+        elif s == "append":
+            val = F.concat(F.coalesce(sc, F.array()),
+                           F.coalesce(bc, F.array()))
+        elif s == "max":
+            val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
+                   .otherwise(F.greatest(sc, bc)))
+        else:  # min
+            val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
+                   .otherwise(F.least(sc, bc)))
+        out_cols.append(val.alias(c))
+    return joined.select(*out_cols)
+
+
+def partial_upsert_batch(spark: SparkSession, path: str, batch: DataFrame,
+                         keys: list[str], version_col: str,
+                         strategies: dict[str, str],
+                         n_buckets: int = 64,
+                         default: str = "overwrite") -> None:
+    """The incremental partial fold: aggregate the batch per key with
+    :func:`partial_latest_by_key`, then join-combine against ONLY the
+    touched bucket partitions and atomically swap them — the same
+    O(batch + touched buckets) state discipline as :func:`upsert_batch`.
+    APPEND columns are stored as version-ordered arrays from the first
+    publish on."""
+    if os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+        if (meta["keys"], meta["version_col"], meta["n_buckets"],
+                meta.get("strategies"), meta.get("default")) != \
+                (keys, version_col, n_buckets, strategies, default):
+            raise ValueError(
+                f"partial-upsert state at {path} was built with a "
+                f"different (keys, version, buckets, strategies) config")
+        exists = True
+    else:
+        exists = False
+
+    agg = partial_latest_by_key(batch, keys, version_col, strategies,
+                                default)
+    data_dir = os.path.join(path, "data")
+    if not exists:
+        (agg.withColumn("__bucket", _bucket(keys, n_buckets))
+         .repartition(F.col("__bucket"))
+         .write.mode("overwrite").partitionBy("__bucket")
+         .parquet(data_dir))
+        with open(_meta_path(path), "w") as f:
+            json.dump({"keys": keys, "version_col": version_col,
+                       "n_buckets": n_buckets, "strategies": strategies,
+                       "default": default, "partial": True}, f)
+        return
+
+    keyed = agg.withColumn("__bucket", _bucket(keys, n_buckets))
+    touched = sorted(r["__bucket"] for r in
+                     keyed.select("__bucket").distinct().collect())
+    if not touched:
+        return
+    state = (spark.read.parquet(data_dir)
+             .where(F.col("__bucket").isin(touched)).drop("__bucket"))
+    merged = _combine_partial(state, agg, keys, version_col,
+                              strategies, default)
+    staged = (merged.withColumn("__bucket", _bucket(keys, n_buckets))
+              .repartition(F.col("__bucket")))
+    stage_dir = f"{data_dir}.stage-{os.getpid()}"
+    staged.write.mode("overwrite").partitionBy("__bucket").parquet(stage_dir)
+    for b in touched:
+        src = os.path.join(stage_dir, f"__bucket={b}")
+        dst = os.path.join(data_dir, f"__bucket={b}")
+        if not os.path.exists(src):
+            continue
+        retired = f"{dst}.old"
+        if os.path.exists(dst):
+            os.rename(dst, retired)
+        os.rename(src, dst)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def partial_upsert_sink(spark: SparkSession, path: str, keys: list[str],
+                        version_col: str, strategies: dict[str, str],
+                        n_buckets: int = 64, default: str = "overwrite"):
+    """foreachBatch callable for the partial fold (availableNow drain ≡
+    version-ordered batch composition — tested)."""
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        partial_upsert_batch(spark, path, batch_df, keys, version_col,
+                             strategies, n_buckets, default)
+    return fold

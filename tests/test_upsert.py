@@ -184,3 +184,106 @@ def test_tombstone_delete_and_resurrect(spark, tmp_path):
     assert got == {1: "back", 2: "b"}
     # raw view (no tombstone filter) still shows both keys
     assert {r["k"] for r in read_upsert(spark, path).collect()} == {1, 2}
+
+
+def test_partial_latest_by_key_strategies(spark):
+    from realtime_olap_spark.streaming.upsert import partial_latest_by_key
+    schema = ("k long, v long, name string, clicks long, note string, "
+              "best double, first_seen long")
+    df = spark.createDataFrame(
+        [(1, 3, "newer", 10, "a", 2.5, 300),
+         (1, 1, "older", 5, "b", 7.5, 100),
+         (1, 2, "mid", None, "c", 1.0, 200)], schema)
+    got = partial_latest_by_key(
+        df, ["k"], "v",
+        {"name": "overwrite", "clicks": "increment", "note": "append",
+         "best": "max", "first_seen": "ignore"}).first()
+    assert got["v"] == 3
+    assert got["name"] == "newer"          # highest version
+    assert got["clicks"] == 15             # sum, nulls skipped
+    assert got["note"] == ["b", "c", "a"]  # version order
+    assert got["best"] == 7.5              # max over all
+    assert got["first_seen"] == 100        # lowest version
+    with pytest.raises(ValueError, match="unknown strategy"):
+        partial_latest_by_key(df, ["k"], "v", {"name": "nope"})
+
+
+def test_partial_fold_parity_with_batch(spark, tmp_path):
+    """Version-ordered incremental folds == the one-shot batch combine,
+    for every strategy at once; order-insensitive strategies
+    (increment/max/min) also survive out-of-order folding."""
+    from realtime_olap_spark.streaming.upsert import (partial_latest_by_key,
+                                                      partial_upsert_batch,
+                                                      read_upsert)
+    schema = "k long, v long, name string, clicks long, best double"
+    strategies = {"name": "overwrite", "clicks": "increment",
+                  "best": "max"}
+    batches = [
+        [(1, 1, "a1", 2, 0.5), (2, 1, "b1", 1, 9.0)],
+        [(1, 2, "a2", 3, 4.0), (3, 2, "c1", 7, 1.0)],
+        [(2, 3, "b2", None, 2.0), (1, 3, None, 1, 8.0)],
+    ]
+    path = str(tmp_path / "state")
+    for rows in batches:
+        partial_upsert_batch(spark, path,
+                             spark.createDataFrame(rows, schema),
+                             ["k"], "v", strategies, n_buckets=4)
+    got = sorted(map(tuple, read_upsert(spark, path).collect()))
+    flat = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(map(tuple, partial_latest_by_key(
+        flat, ["k"], "v", strategies).collect()))
+    assert got == want
+    # k=1: name from v=3 is NULL (overwrite takes the latest even if
+    # null), clicks 2+3+1, best max 8.0
+    by_k = {r[0]: r for r in got}
+    assert by_k[1][2] is None and by_k[1][3] == 6 and by_k[1][4] == 8.0
+
+
+def test_partial_append_accumulates_across_folds(spark, tmp_path):
+    from realtime_olap_spark.streaming.upsert import (partial_upsert_batch,
+                                                      read_upsert)
+    schema = "k long, v long, note string"
+    path = str(tmp_path / "state")
+    partial_upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "w")], schema), ["k"], "v",
+        {"note": "append"}, n_buckets=2)
+    partial_upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 3, "y")], schema), ["k"], "v", {"note": "append"},
+        n_buckets=2)
+    got = read_upsert(spark, path).first()
+    assert got["note"] == ["w", "x", "y"] and got["v"] == 3
+    # config mismatch refused
+    with pytest.raises(ValueError, match="different"):
+        partial_upsert_batch(spark, path, spark.createDataFrame(
+            [(1, 4, "z")], schema), ["k"], "v", {"note": "overwrite"},
+            n_buckets=2)
+
+
+def test_partial_streaming_sink_parity(spark, tmpdir):
+    from realtime_olap_spark.streaming.upsert import (partial_latest_by_key,
+                                                      partial_upsert_sink,
+                                                      read_upsert)
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    path = f"{tmpdir}/state"
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType()),
+                           T.StructField("clicks", T.LongType())])
+    rows = [(i % 7, j, 1) for j in range(1, 5) for i in range(14)]
+    df = spark.createDataFrame(rows, schema)
+    df.orderBy("v").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(partial_upsert_sink(spark, path, ["k"], "v",
+                                           {"clicks": "increment"},
+                                           n_buckets=4))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_upsert(spark, path).collect()))
+    want = sorted(map(tuple, partial_latest_by_key(
+        spark.read.schema(schema).parquet(src), ["k"], "v",
+        {"clicks": "increment"}).collect()))
+    assert got == want
+    # 7 keys, 8 arrivals each at 1 click
+    assert all(r[2] == 8 for r in got)
