@@ -363,3 +363,49 @@ def partial_upsert_sink(spark: SparkSession, path: str, keys: list[str],
         partial_upsert_batch(spark, path, batch_df, keys, version_col,
                              strategies, n_buckets, default)
     return fold
+
+
+def compact_upsert(spark: SparkSession, path: str, tombstone_col: str,
+                   before_version) -> int:
+    """Drop tombstones whose version is below ``before_version`` — the
+    retention step once no record older than the horizon can still
+    arrive (the same contract as the segment retention sweep in
+    ``sources/maintenance``: a tombstone only exists to out-version
+    stale late arrivals, so past the lateness horizon it is dead
+    weight). Rewrites ONLY buckets that actually hold expirable
+    tombstones (partition-pruned probe first), atomic per-bucket swap.
+    Returns the number of tombstones removed."""
+    if not os.path.exists(_meta_path(path)):
+        raise FileNotFoundError(f"{path} has no {MARKER} marker")
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    vcol = meta["version_col"]
+    data_dir = os.path.join(path, "data")
+    dead = (F.coalesce(F.col(tombstone_col), F.lit(False))
+            & (F.col(vcol) < F.lit(before_version)))
+    full = spark.read.parquet(data_dir)
+    touched = sorted(r["__bucket"] for r in
+                     full.where(dead).select("__bucket")
+                     .distinct().collect())
+    if not touched:
+        return 0
+    sub = full.where(F.col("__bucket").isin(touched))
+    n_dead = sub.where(dead).count()
+    staged = sub.where(~dead).repartition(F.col("__bucket"))
+    stage_dir = f"{data_dir}.stage-{os.getpid()}"
+    staged.write.mode("overwrite").partitionBy("__bucket").parquet(stage_dir)
+    for b in touched:
+        src = os.path.join(stage_dir, f"__bucket={b}")
+        dst = os.path.join(data_dir, f"__bucket={b}")
+        retired = f"{dst}.old"
+        if os.path.exists(dst):
+            os.rename(dst, retired)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        else:
+            # every row in this bucket was an expirable tombstone —
+            # the bucket is now legitimately empty
+            os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return int(n_dead)

@@ -287,3 +287,24 @@ def test_partial_streaming_sink_parity(spark, tmpdir):
     assert got == want
     # 7 keys, 8 arrivals each at 1 click
     assert all(r[2] == 8 for r in got)
+
+
+def test_compact_upsert_drops_only_expired_tombstones(spark, tmp_path):
+    from realtime_olap_spark.streaming.upsert import compact_upsert
+    path = str(tmp_path / "state")
+    schema = "k long, v long, payload string, deleted boolean"
+    upsert_batch(spark, path, spark.createDataFrame(
+        [(1, 1, "a", False), (2, 2, None, True), (3, 9, None, True),
+         (4, 3, "d", False)], schema), ["k"], "v", 4)
+    # horizon 5: k=2's tombstone (v=2) expires, k=3's (v=9) survives
+    removed = compact_upsert(spark, path, "deleted", before_version=5)
+    assert removed == 1
+    raw = {r["k"]: r["v"] for r in read_upsert(spark, path).collect()}
+    assert set(raw) == {1, 3, 4}
+    vis = {r["k"] for r in read_upsert(spark, path,
+                                       tombstone_col="deleted").collect()}
+    assert vis == {1, 4}
+    # idempotent; and a later v=1 stale arrival for k=2 now RE-INSERTS
+    # (documented horizon contract: compaction is only safe past the
+    # lateness bound)
+    assert compact_upsert(spark, path, "deleted", before_version=5) == 0
