@@ -230,3 +230,23 @@ def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
     if u == 0.0:
         return 0.0
     return theta_estimate(theta_intersect(a, b)) / u
+
+
+def suggest_encodings(df: DataFrame, cols: list[str], k: int = 4096,
+                      dict_ratio: float = 0.5) -> dict[str, str]:
+    """Per-column ``"dictionary"`` / ``"raw"`` encoding advice from ONE
+    :func:`theta_profile` pass plus one count: dictionary-encode when
+    the estimated cardinality is below ``dict_ratio``·rows (few distinct
+    values repeated often — the dictionary pays for itself), raw
+    otherwise. This is the reference's segment-build heuristic
+    (dictionary vs raw-forward index chosen from column cardinality in
+    ``pinot-segment-local``'s index creation) surfaced as an ingest-time
+    advisor; feed the same profile to ``bloom.optimal_params`` (n_keys)
+    and ``similarity.suggest_cells`` (√n) so one scan sizes every
+    per-column artifact."""
+    n = df.count()
+    prof = theta_profile(df, cols, k=k)
+    return {c: ("dictionary"
+                if theta_estimate(prof[c]) < dict_ratio * max(1, n)
+                else "raw")
+            for c in cols if c in prof}

@@ -185,3 +185,12 @@ def test_theta_profile_one_pass_equals_per_column(spark):
         exact = docs.select(c).na.drop().distinct().count()
         est = theta_estimate(prof[c])
         assert abs(est - exact) <= max(3, 4.0 * exact / (512 - 1) ** 0.5), c
+
+
+def test_suggest_encodings(spark):
+    from realtime_olap_spark.operators.theta import suggest_encodings
+    df = (spark.range(4000)
+          .select((F.col("id") % 5).cast("string").alias("lang"),
+                  F.md5(F.col("id").cast("string")).alias("content")))
+    got = suggest_encodings(df, ["lang", "content"], k=512)
+    assert got == {"lang": "dictionary", "content": "raw"}
