@@ -170,16 +170,48 @@ def upsert_batch(spark: SparkSession, path: str, batch: DataFrame,
     shutil.rmtree(stage_dir, ignore_errors=True)
 
 
+def _replayed(path: str, batch_id: int) -> bool:
+    """foreachBatch is AT-LEAST-once: after a crash the last batch can
+    be re-delivered. Latest-wins folds are replay-idempotent, but
+    INCREMENT/APPEND are not — so every sink records the last applied
+    batch id in the marker and skips ids it has already folded. (The
+    id is written AFTER the bucket swaps; a crash exactly between swap
+    and record re-applies one batch — the same bounded at-least-once
+    window the reference family's partial upsert documents. The
+    latest-wins sink keeps exactly-once outright.)"""
+    if not os.path.exists(_meta_path(path)):
+        return False
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    last = meta.get("last_batch_id")
+    return last is not None and batch_id <= last
+
+
+def _record_batch_id(path: str, batch_id: int) -> None:
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    meta["last_batch_id"] = batch_id
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))
+
+
 def upsert_sink(spark: SparkSession, path: str, keys: list[str],
                 version_col: str, n_buckets: int = 64,
                 tiebreak: list[str] | None = None):
     """The foreachBatch callable: ``stream.writeStream.foreachBatch(
     upsert_sink(...))`` materializes the stream's latest-per-key view
     incrementally — availableNow drain ≡ one batch latest_by_key over
-    all the files (tested)."""
-    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+    all the files (tested). Re-delivered batch ids are skipped
+    (:func:`_replayed`; redundant here since latest-wins is idempotent
+    anyway, but it keeps both sinks on one contract)."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed(path, batch_id):
+            return
         upsert_batch(spark, path, batch_df, keys, version_col,
                      n_buckets, tiebreak)
+        _record_batch_id(path, batch_id)
     return fold
 
 
@@ -358,10 +390,16 @@ def partial_upsert_sink(spark: SparkSession, path: str, keys: list[str],
                         version_col: str, strategies: dict[str, str],
                         n_buckets: int = 64, default: str = "overwrite"):
     """foreachBatch callable for the partial fold (availableNow drain ≡
-    version-ordered batch composition — tested)."""
-    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+    version-ordered batch composition — tested). Re-delivered batch ids
+    are SKIPPED — essential here, not just hygiene: INCREMENT/APPEND
+    would double-apply under foreachBatch's at-least-once re-delivery
+    (replay-skip tested)."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed(path, batch_id):
+            return
         partial_upsert_batch(spark, path, batch_df, keys, version_col,
                              strategies, n_buckets, default)
+        _record_batch_id(path, batch_id)
     return fold
 
 

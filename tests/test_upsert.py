@@ -308,3 +308,21 @@ def test_compact_upsert_drops_only_expired_tombstones(spark, tmp_path):
     # (documented horizon contract: compaction is only safe past the
     # lateness bound)
     assert compact_upsert(spark, path, "deleted", before_version=5) == 0
+
+
+def test_partial_sink_skips_replayed_batch_ids(spark, tmp_path):
+    """foreachBatch re-delivery must not double-apply INCREMENT: the
+    sink records the last applied batch id and skips replays; a genuine
+    NEW batch id still folds."""
+    from realtime_olap_spark.streaming.upsert import (partial_upsert_sink,
+                                                      read_upsert)
+    path = str(tmp_path / "state")
+    sink = partial_upsert_sink(spark, path, ["k"], "v",
+                               {"clicks": "increment"}, n_buckets=2)
+    schema = "k long, v long, clicks long"
+    sink(spark.createDataFrame([(1, 1, 5)], schema), 0)
+    sink(spark.createDataFrame([(1, 2, 3)], schema), 1)
+    sink(spark.createDataFrame([(1, 2, 3)], schema), 1)  # replay: skip
+    assert read_upsert(spark, path).first()["clicks"] == 8
+    sink(spark.createDataFrame([(1, 3, 2)], schema), 2)
+    assert read_upsert(spark, path).first()["clicks"] == 10
