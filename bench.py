@@ -63,6 +63,9 @@ HEADLINE = [
     "bench_cms_hot_grams",
     "bench_theta_overlap",
     "bench_pca_shortlist",
+    "bench_gapfill",
+    "bench_funnel",
+    "bench_mg_topk",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
@@ -71,7 +74,9 @@ HEADLINE = [
 def _extra_queries():
     from realtime_olap_spark.suite.aggs import theta_overlap_bench
     from realtime_olap_spark.suite.dedup import (bloom_gate_bench,
-                                                 cms_hot_grams_bench)
+                                                 cms_hot_grams_bench,
+                                                 mg_hot_words_bench)
+    from realtime_olap_spark.suite.ext import funnel_bench, gapfill_bench
     from realtime_olap_spark.suite.similarity import (pca_shortlist_bench,
                                                       pq_probe_bench)
     from realtime_olap_spark.suite.text import (bpe_count_bench,
@@ -88,7 +93,10 @@ def _extra_queries():
             "bench_bloom_gate": bloom_gate_bench,
             "bench_cms_hot_grams": cms_hot_grams_bench,
             "bench_theta_overlap": theta_overlap_bench,
-            "bench_pca_shortlist": pca_shortlist_bench}
+            "bench_pca_shortlist": pca_shortlist_bench,
+            "bench_gapfill": gapfill_bench,
+            "bench_funnel": funnel_bench,
+            "bench_mg_topk": mg_hot_words_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {

@@ -1,0 +1,141 @@
+"""Misra-Gries / SpaceSaving heavy hitters: deterministic bounded-memory
+top-k, and a deterministically-gated exact heavy-hitter plan.
+
+Third member of the sketch-gate family (:mod:`operators/bloom` gates
+membership, :mod:`operators/cms` gates counts probabilistically); this
+one gates counts DETERMINISTICALLY. A Misra-Gries summary (Misra &
+Gries 1982; SpaceSaving is the same guarantee, Metwally et al. 2005)
+keeps at most k counters: merge incoming exact counts, and whenever more
+than k keys are live, subtract the (k+1)-th largest value from every
+counter and drop the non-positive ones. Each trim removes ≥ (k+1)·t
+mass, so the total decrement per partition is ≤ n_p/(k+1), and for every
+key ``true − Σdec ≤ est ≤ true`` — a two-sided deterministic sandwich
+(Agarwal et al., Mergeable Summaries, PODS'12: MG summaries merge by
+adding counters and re-trimming, bounds add).
+
+Distributed shape: ``mapInPandas`` builds one MG summary per partition
+(memory k counters, one pass, no shuffle), emitting ≤ k rows plus a
+1-row decrement record per partition; the merge is a groupBy over
+≤ k·P rows — bounded by the SKETCH size, never the corpus or its key
+cardinality. The only full-data operation is the scan.
+
+``heavy_hitters_mg`` then mirrors the CMS-gate plan with a deterministic
+guarantee: every key whose true count ≥ T satisfies
+``est + Σdec ≥ T`` (no false negatives, unconditionally), so the exact
+groupBy runs only over the ≤ k·P candidate keys, broadcast into a
+semi-join — row-identical to the plain plan (equality-tested in
+tests/test_mg.py). Keys absent from every summary have true ≤ Σdec, so
+a threshold T > Σdec certifies absence outright; the function raises if
+k was too small for that certificate rather than silently under-gating.
+
+Worker closures capture everything by value (no module-level helper
+references — the driver runs from outside the repo).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_key(key: Column | str) -> Column:
+    return F.col(key) if isinstance(key, str) else key
+
+
+def mg_partials(df: DataFrame, key: Column | str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: rows ``(key, est, dec)``.
+
+    ``key IS NULL`` rows are per-partition decrement records (``dec`` =
+    that partition's total trim); data rows carry ``dec = 0``. Output
+    size ≤ (k+1) rows per partition. NULL input keys are dropped (like
+    COUNT(key))."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+    src = df.select(_as_key(key).cast("string").alias("_k")) \
+            .where(F.col("_k").isNotNull())
+
+    def build(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        dec_total = 0
+        for pdf in batches:
+            for key_, c in pdf["_k"].value_counts().items():
+                counts[key_] = counts.get(key_, 0) + int(c)
+            if len(counts) > kk:
+                t = sorted(counts.values(), reverse=True)[kk]
+                counts = {K: v - t for K, v in counts.items() if v > t}
+                dec_total += t
+        out = pd.DataFrame({
+            "key": list(counts.keys()) + [None],
+            "est": [int(v) for v in counts.values()] + [0],
+            "dec": [0] * len(counts) + [dec_total],
+        })
+        yield out.astype({"est": "int64", "dec": "int64"})
+
+    return src.mapInPandas(build, schema="key string, est long, dec long")
+
+
+def mg_topk(df: DataFrame, key: Column | str, k: int,
+            top: Optional[int] = None) -> DataFrame:
+    """Merged heavy-hitter estimates ``(key, est, upper)`` with the
+    deterministic sandwich ``est ≤ true ≤ upper = est + Σdec``, ordered
+    by est descending. ``top`` trims to the first N rows
+    (TakeOrderedAndProject). One pass + a ≤ k·P-row merge."""
+    parts = mg_partials(df, key, k)
+    dec_total = F.sum("dec")
+    merged = (parts.groupBy("key")
+              .agg(F.sum("est").alias("est"), dec_total.alias("_d")))
+    # one tiny cross-attach of the global decrement (1 row)
+    total = merged.agg(F.sum("_d").alias("_dec"))
+    out = (merged.where(F.col("key").isNotNull())
+           .crossJoin(F.broadcast(total))
+           .select("key", "est", (F.col("est") + F.col("_dec"))
+                   .alias("upper"))
+           .orderBy(F.col("est").desc(), F.col("key")))
+    return out.limit(int(top)) if top is not None else out
+
+
+def heavy_hitters_mg(df: DataFrame, key: Column | str, threshold: int,
+                     k: int = 4096) -> DataFrame:
+    """Exact heavy hitters ``(key, n)`` with ``n ≥ threshold``, gated by
+    a Misra-Gries candidate set instead of a full-key shuffle.
+
+    Row-identical to ``groupBy(key).count().where(n ≥ T)``: candidates
+    are complete because ``est + Σdec ≥ true`` for every key, and keys
+    absent from every summary have ``true ≤ Σdec < threshold`` (the
+    function raises when ``Σdec ≥ threshold`` — pick a larger k). The
+    exact count touches only rows whose key is in the ≤ k·P-key
+    broadcast candidate list."""
+    kexpr = _as_key(key).cast("string")
+    parts = mg_partials(df, kexpr, k).localCheckpoint()
+    dec = parts.agg(F.sum("dec")).first()[0] or 0
+    if dec >= threshold:
+        raise ValueError(
+            f"MG gate too coarse: total decrement {dec} >= threshold "
+            f"{threshold}; increase k (absent keys can no longer be "
+            "certified below the threshold)")
+    cand = (parts.where(F.col("key").isNotNull())
+            .groupBy("key").agg(F.sum("est").alias("est"))
+            .where(F.col("est") + F.lit(int(dec)) >= F.lit(int(threshold)))
+            .select("key"))
+    src = df.select(kexpr.alias("key")).where(F.col("key").isNotNull())
+    return (src.join(F.broadcast(cand), "key", "left_semi")
+            .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= F.lit(int(threshold))))
+
+
+def mg_merge_counts(a: dict, b: dict, k: int) -> tuple[dict, int]:
+    """Driver-side MG merge (Agarwal et al.): add counters, re-trim to k.
+    Returns (merged counters, decrement incurred BY THIS MERGE). Used to
+    fold per-microbatch summaries in streaming ingest."""
+    out = dict(a)
+    for key_, v in b.items():
+        out[key_] = out.get(key_, 0) + int(v)
+    if len(out) <= int(k):
+        return out, 0
+    t = sorted(out.values(), reverse=True)[int(k)]
+    return {K: v - t for K, v in out.items() if v > t}, t

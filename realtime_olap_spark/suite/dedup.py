@@ -417,3 +417,14 @@ def cms_hot_grams_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CM.heavy_hitters_exact(grams, "gram", CMS_GRAM_THRESHOLD,
                                   _gram_cms(spark, sf_dir),
                                   key_out="gram")
+
+
+def mg_hot_words_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only Misra-Gries top-k: hottest corpus words from one
+    bounded-memory pass (``operators/mg.mg_topk``, k=1024 counters per
+    partition, ≤ k·P-row merge — never a full word shuffle)."""
+    from realtime_olap_spark.operators import mg as MG  # noqa: PLC0415
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w")) \
+             .where(F.length("w") > 0)
+    return MG.mg_topk(words, "w", k=1024, top=100)

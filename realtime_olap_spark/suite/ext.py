@@ -172,3 +172,26 @@ def ext_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(k).alias("sum_k"),
                  F.max(k).alias("max_k"))
             .orderBy("event_type"))
+
+
+def gapfill_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only gapfill: hourly per-type value curve densified with
+    linear interpolation — the zero-join emit shape
+    (``operators/gapfill.gapfill``) end-to-end at bench SF."""
+    from realtime_olap_spark.operators.gapfill import gapfill, time_bucket  # noqa: PLC0415
+    ev = Catalog(spark, sf_dir).table("events")
+    b = time_bucket(ev, "ts", 3600, ["event_type"],
+                    [F.avg("value").alias("v"),
+                     F.count(F.lit(1)).cast("double").alias("n")])
+    return gapfill(b, "bucket", ["event_type"], ["v", "n"], 3600,
+                   how="linear")
+
+
+def funnel_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only funnel: 4-step windowed funnel over the events table —
+    one user_id shuffle + HOF fold (``operators/funnel.funnel_match``)
+    plus the per-step conversion aggregate."""
+    from realtime_olap_spark.operators.funnel import funnel_counts  # noqa: PLC0415
+    ev = Catalog(spark, sf_dir).table("events")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"],
+                         window_seconds=7 * 24 * 3600)
