@@ -286,3 +286,55 @@ def test_streaming_sketch_ingest_merges_to_batch_sketch(spark, tmp_path):
         width=64, depth=2)
     assert acc["bf"] == want_bf
     assert acc["cms"] == want_cms
+
+
+def test_streaming_mg_fold_keeps_sandwich_bound(spark, tmp_path):
+    """Ingest-time Misra-Gries accumulation: each microbatch's partial
+    summaries fold into one running summary via the driver-side merge
+    law (operators/mg.mg_merge_counts). MG is not bit-stable across
+    partitionings, but its deterministic guarantee is: after the drain,
+    every merged estimate sandwiches the true corpus count
+    (est <= true <= est + total decrement) and every key hotter than the
+    accumulated decrement is present — the same certificate the batch
+    build carries."""
+    from collections import Counter
+
+    from realtime_olap_spark.operators.mg import mg_merge_counts, mg_partials
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "alpha beta alpha"),
+                              (2, 2, "alpha gamma delta")])
+    _write_batch(spark, src, [(3, 3, "alpha beta epsilon zeta"),
+                              (4, 4, "alpha eta theta iota kappa")])
+    _write_batch(spark, src, [(5, 5, "alpha beta lambda mu nu xi")])
+
+    K = 4
+    acc = {"counts": {}, "dec": 0}
+
+    def fold(batch_df, _batch_id):
+        words = batch_df.select(
+            F.explode(F.split("text", " ")).alias("w"))
+        for r in mg_partials(words, "w", K).collect():
+            if r["key"] is None:
+                acc["dec"] += r["dec"]
+            else:
+                merged, d = mg_merge_counts(acc["counts"],
+                                            {r["key"]: r["est"]}, K)
+                acc["counts"] = merged
+                acc["dec"] += d
+
+    q = (_stream(spark, src).writeStream.foreachBatch(fold)
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    corpus = spark.read.schema(SCHEMA).parquet(src)
+    true = Counter(w for r in corpus.select("text").collect()
+                   for w in r["text"].split(" ") if w)
+    assert len(acc["counts"]) <= K
+    for w, est in acc["counts"].items():
+        assert est <= true[w] <= est + acc["dec"], (w, est, true[w])
+    for w, c in true.items():
+        if c > acc["dec"]:
+            assert w in acc["counts"], (w, c, acc["dec"])
+    assert "alpha" in acc["counts"]
