@@ -120,6 +120,7 @@ SCOPE_CHANGED = {
     "mv_all_aggs",              # 3 MV aggs -> 9 incl. element percentiles
     "dedup_exact",              # + corpus cardinality stats
     "rollup_routed_agg",        # + filter + 4 more agg kinds
+    "ext_window_running",       # + hourly gapfill-LOCF branch (r7)
 }
 
 

@@ -100,27 +100,84 @@ def ext_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ext_window_running", f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, {OSUM('value')} AS day_value
-  FROM events GROUP BY day)
-SELECT day, day_value,
-       CAST(CAST(SUM(CAST(CAST(day_value AS VARCHAR) AS DECIMAL(38,10)))
-                 OVER (ORDER BY day) AS VARCHAR) AS DOUBLE) AS running_value
-FROM daily
-ORDER BY day
+  FROM events GROUP BY day),
+old AS (
+  SELECT 'daily' AS marker, CAST(day AS TIMESTAMP) AS bucket, day_value,
+         CAST(CAST(SUM(CAST(CAST(day_value AS VARCHAR) AS DECIMAL(38,10)))
+                   OVER (ORDER BY day) AS VARCHAR) AS DOUBLE) AS running_value,
+         CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS running_n, CAST(NULL AS BIGINT) AS is_filled
+  FROM daily),
+hb AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM hb GROUP BY 1),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds),
+filled AS (
+  SELECT g.event_type, g.bucket,
+         last_value(hb.n_obs IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS n,
+         CAST(hb.n_obs IS NULL AS BIGINT) AS is_filled
+  FROM grid g LEFT JOIN hb USING (event_type, bucket))
+SELECT * FROM old
+UNION ALL
+SELECT 'hourly_gapfill' AS marker, bucket, CAST(NULL AS DOUBLE) AS day_value,
+       CAST(NULL AS DOUBLE) AS running_value, event_type, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT)
+         AS running_n,
+       is_filled
+FROM filled
 """)
 def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window analytics: daily totals + running cumulative sum. The window
-    sums DECIMAL partials (associative → deterministic at any parallelism);
-    unbounded-preceding frames scale because days, not raw events, enter
-    the window after the pre-aggregation."""
+    """Window analytics, marker union of two branches:
+
+    - ``daily``: daily totals + running cumulative sum (the original
+      query, unchanged). The window sums DECIMAL partials (associative →
+      deterministic at any parallelism); unbounded-preceding frames
+      scale because days, not raw events, enter the window after the
+      pre-aggregation.
+    - ``hourly_gapfill``: hourly per-type counts densified by the
+      zero-join gapfill emit shape (``operators/gapfill.gapfill``, LOCF)
+      + a per-type running sum over the FILLED series — the r7 gapfill
+      operator under the oracle hash (the DuckDB twin rebuilds the grid
+      independently via generate_series + IGNORE-NULLS windows).
+
+    Integer counts and decimal-routed doubles keep both branches
+    hash-exact cross-engine."""
+    from realtime_olap_spark.operators.gapfill import gapfill, time_bucket
     ev = Catalog(spark, sf_dir).table("events")
     daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
              .agg(F.sum(F.col("value").cast("decimal(38,10)")).alias("dec_value")))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return (daily.select(
-                "day",
-                F.col("dec_value").cast("double").alias("day_value"),
-                F.sum("dec_value").over(w).cast("double").alias("running_value"))
-            .orderBy("day"))
+    old = daily.select(
+        F.lit("daily").alias("marker"),
+        F.col("day").cast("timestamp").alias("bucket"),
+        F.col("dec_value").cast("double").alias("day_value"),
+        F.sum("dec_value").over(w).cast("double").alias("running_value"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("running_n"),
+        F.lit(None).cast("long").alias("is_filled"))
+    hb = time_bucket(ev, "ts", 3600, ["event_type"],
+                     [F.count(F.lit(1)).alias("n_obs")])
+    filled = gapfill(hb, "bucket", ["event_type"], ["n_obs"], 3600,
+                     how="locf")
+    wrun = (Window.partitionBy("event_type").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    new = filled.select(
+        F.lit("hourly_gapfill").alias("marker"), "bucket",
+        F.lit(None).cast("double").alias("day_value"),
+        F.lit(None).cast("double").alias("running_value"),
+        "event_type",
+        F.col("n_obs").alias("n"),
+        F.sum("n_obs").over(wrun).alias("running_n"),
+        F.col("is_filled").cast("long").alias("is_filled"))
+    return old.unionByName(new).orderBy("marker", "event_type", "bucket")
 
 
 @query("ext_sessionize", """
