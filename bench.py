@@ -121,6 +121,7 @@ SCOPE_CHANGED = {
     "dedup_exact",              # + corpus cardinality stats
     "rollup_routed_agg",        # + filter + 4 more agg kinds
     "ext_window_running",       # + hourly gapfill-LOCF branch (r7)
+    "ext_sessionize",           # + funnel + retention branches (r7)
 }
 
 

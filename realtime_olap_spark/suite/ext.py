@@ -190,22 +190,113 @@ s AS (
          CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM t)
-SELECT user_id, session_id,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
-       COUNT(*) AS n_events,
-       MAX(us) - MIN(us) AS duration_us
-FROM s
-GROUP BY user_id, session_id
-ORDER BY user_id, session_id
+, sess AS (
+  SELECT 'session' AS marker, user_id, session_id AS idx,
+         MIN(ts) AS ts_a, MAX(ts) AS ts_b,
+         COUNT(*) AS n,
+         CAST(MAX(us) - MIN(us) AS DOUBLE) AS val
+  FROM s GROUP BY user_id, session_id)
+, fe AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE event_type IN ('signup','view','click','purchase'))
+, fg AS (
+  SELECT user_id,
+    list_sort(list(us) FILTER (WHERE event_type='signup'))   AS a0,
+    list_sort(list(us) FILTER (WHERE event_type='view'))     AS a1,
+    list_sort(list(us) FILTER (WHERE event_type='click'))    AS a2,
+    list_sort(list(us) FILTER (WHERE event_type='purchase')) AS a3
+  FROM fe GROUP BY 1)
+, fm1 AS (SELECT user_id, a1, a2, a3, a0[1] AS t_1 FROM fg)
+, fm2 AS (SELECT user_id, a2, a3, t_1,
+                 (list_filter(a1, x -> x > t_1))[1] AS t_2 FROM fm1)
+, fm3 AS (SELECT user_id, a3, t_1, t_2,
+                 (list_filter(a2, x -> x > t_2))[1] AS t_3 FROM fm2)
+, fm4 AS (SELECT user_id, t_1, t_2, t_3,
+                 (list_filter(a3, x -> x > t_3))[1] AS t_4 FROM fm3
+          WHERE t_1 IS NOT NULL)
+, fm AS (
+  SELECT user_id, t_1, t_2, t_3, t_4,
+         CASE WHEN t_4 IS NOT NULL THEN 4 WHEN t_3 IS NOT NULL THEN 3
+              WHEN t_2 IS NOT NULL THEN 2 ELSE 1 END AS max_step
+  FROM fm4)
+, funnel AS (
+  SELECT 'funnel' AS marker, user_id, u.step AS idx,
+         make_timestamp(u.t) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
+         CAST(max_step AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS val
+  FROM fm, LATERAL (
+    SELECT 1 AS step, t_1 AS t UNION ALL SELECT 2, t_2
+    UNION ALL SELECT 3, t_3 UNION ALL SELECT 4, t_4) u
+  WHERE u.t IS NOT NULL)
+, rb AS (
+  SELECT user_id, epoch_us(ts) - (epoch_us(ts) % 604800000000) AS b_us
+  FROM events)
+, rfu AS (SELECT user_id, MIN(b_us) AS cohort_us FROM rb GROUP BY 1)
+, ract AS (SELECT DISTINCT user_id, b_us FROM rb)
+, rtall AS (
+  SELECT cohort_us, (a.b_us - cohort_us) // 604800000000 AS off,
+         COUNT(*) AS n_users
+  FROM ract a JOIN rfu USING (user_id) GROUP BY 1, 2)
+, retention AS (
+  SELECT 'retention' AS marker, CAST(NULL AS BIGINT) AS user_id,
+         off AS idx, make_timestamp(cohort_us) AS ts_a,
+         CAST(NULL AS TIMESTAMP) AS ts_b, n_users AS n,
+         n_users / MAX(CASE WHEN off = 0 THEN n_users END)
+                     OVER (PARTITION BY cohort_us) AS val
+  FROM rtall)
+SELECT * FROM sess
+UNION ALL SELECT * FROM funnel
+UNION ALL SELECT * FROM retention
 """)
 def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (30-min inactivity gap): lag + running-sum windows
-    sharing ONE user_id shuffle, then a group-by that reuses the same
-    partitioning — scale cost is a single exchange of the events table."""
+    """Behavioral analytics over events, marker union of three branches
+    (each an r7 first-class operator under the oracle hash):
+
+    - ``session``: 30-min inactivity-gap sessionization (the original
+      query, unchanged mapping: idx=session_id, ts_a/ts_b=start/end,
+      n=n_events, val=duration_us). lag + running-sum windows sharing
+      ONE user_id shuffle.
+    - ``funnel``: 4-step ordered funnel (``operators/funnel.py``),
+      unpivoted tall — one row per user per matched step (idx=step,
+      ts_a=matched time, n=max_step). Single user shuffle + HOF fold;
+      the oracle mirrors the list algebra independently.
+    - ``retention``: weekly first-activity cohorts
+      (``operators/retention.py``; idx=offset, ts_a=cohort, n=n_users,
+      val=retention ratio). Join-free single user shuffle.
+
+    All three branches share the events scan; integer times (epoch
+    micros) and int/int ratio divisions keep every value hash-exact
+    cross-engine."""
+    from realtime_olap_spark.operators.funnel import funnel_match
+    from realtime_olap_spark.operators.retention import cohort_retention
     from realtime_olap_spark.operators.sessions import sessionize
     ev = Catalog(spark, sf_dir).table("events")
-    return (sessionize(ev, "user_id", "ts", gap_minutes=30)
-            .orderBy("user_id", "session_id"))
+    sess = (sessionize(ev, "user_id", "ts", gap_minutes=30)
+            .select(F.lit("session").alias("marker"), "user_id",
+                    F.col("session_id").alias("idx"),
+                    F.col("session_start").alias("ts_a"),
+                    F.col("session_end").alias("ts_b"),
+                    F.col("n_events").alias("n"),
+                    F.col("duration_us").cast("double").alias("val")))
+    m = funnel_match(ev, ["signup", "view", "click", "purchase"])
+    funnel = (m.select(F.col("user").alias("user_id"), "max_step",
+                       F.expr("stack(4, 1L, t_1, 2L, t_2, 3L, t_3, 4L, t_4)")
+                       .alias("idx", "t"))
+              .where(F.col("t").isNotNull())
+              .select(F.lit("funnel").alias("marker"), "user_id", "idx",
+                      F.timestamp_micros(F.col("t")).alias("ts_a"),
+                      F.lit(None).cast("timestamp").alias("ts_b"),
+                      F.col("max_step").cast("long").alias("n"),
+                      F.lit(None).cast("double").alias("val")))
+    ret = (cohort_retention(ev, bucket_seconds=7 * 86400)
+           .select(F.lit("retention").alias("marker"),
+                   F.lit(None).cast("long").alias("user_id"),
+                   F.col("offset").alias("idx"),
+                   F.col("cohort").alias("ts_a"),
+                   F.lit(None).cast("timestamp").alias("ts_b"),
+                   F.col("n_users").alias("n"),
+                   F.col("retention").alias("val")))
+    return (sess.unionByName(funnel).unionByName(ret)
+            .orderBy("marker", "user_id", "idx", "ts_a"))
 
 
 @query("ext_json_ingest", """
