@@ -47,6 +47,7 @@ in ``tests/test_theta.py``, the same quantitative-bounds discipline as
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import math
 from dataclasses import dataclass
@@ -250,3 +251,35 @@ def suggest_encodings(df: DataFrame, cols: list[str], k: int = 4096,
                 if theta_estimate(prof[c]) < dict_ratio * max(1, n)
                 else "raw")
             for c in cols if c in prof}
+
+
+def sliding_distinct(df: DataFrame, ts_col: str, key: Column | str,
+                     bucket_seconds: int, window_buckets: int,
+                     k: int = 4096) -> list[dict]:
+    """Trailing-window distinct counts ("distinct users over the last N
+    days, per day") from ONE pass: a per-bucket sketch build
+    (``theta_build_grouped`` — a single distinct shuffle, ≤ |buckets|·(k+1)
+    hashes collected) + driver-side window unions (the merge law makes
+    each trailing union bit-identical to a sketch built over the window's
+    raw rows). The exact plan — one COUNT(DISTINCT) per (bucket, window)
+    pair — rescans every row ``window_buckets`` times; this never rescans
+    and composes with per-segment published sketches.
+
+    Returns one dict per observed bucket: ``{bucket, estimate, lo, hi}``
+    (4σ bounds; exact whenever the window's distinct count < k, tested).
+    Empty trailing buckets contribute nothing (their sketch is absent)."""
+    step_us = int(bucket_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucketed = df.withColumn("__b_us", us - (us % F.lit(step_us)))
+    per_bucket = theta_build_grouped(bucketed, ["__b_us"], key, k)
+    out = []
+    for (b_us,), _sk in sorted(per_bucket.items()):
+        lo_us = b_us - (int(window_buckets) - 1) * step_us
+        in_win = [s for (bb,), s in per_bucket.items()
+                  if lo_us <= bb <= b_us]
+        u = theta_union_all(in_win)
+        lo, hi = theta_bounds(u, num_std=4.0)
+        out.append({"bucket": _dt.datetime.fromtimestamp(
+                        b_us / 1_000_000, tz=_dt.timezone.utc),
+                    "estimate": theta_estimate(u), "lo": lo, "hi": hi})
+    return out

@@ -1,0 +1,126 @@
+"""OHLC + time-weighted average: hand candles, DuckDB differentials
+(struct-min open/close — arithmetic-free, hash-exact on doubles), TWA
+python reference on integral values (exact float ops), tie semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from realtime_olap_spark.operators.downsample import ohlc, time_weighted_avg
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+T0 = dt.datetime(2024, 1, 1)
+HOUR = 3600
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(g, T0 + dt.timedelta(seconds=s), float(v)) for g, s, v in rows],
+        "g string, ts timestamp, v double")
+
+
+def test_ohlc_hand(spark):
+    df = _ev(spark, [
+        ("a", 0, 10), ("a", 100, 50), ("a", 200, 5), ("a", 3599, 30),
+        ("a", 3600, 99),
+    ])
+    got = {r["bucket"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+           for r in ohlc(df, "ts", HOUR, ["g"], "v").collect()}
+    assert got[T0] == (10.0, 50.0, 5.0, 30.0, 4)
+    assert got[T0 + dt.timedelta(hours=1)] == (99.0, 99.0, 99.0, 99.0, 1)
+
+
+def test_ohlc_tie_break(spark):
+    # two events at the same first/last microsecond: struct ordering makes
+    # open the SMALLER tied value and close the LARGER tied value
+    df = _ev(spark, [("a", 0, 7), ("a", 0, 3), ("a", 50, 9), ("a", 50, 4)])
+    r = ohlc(df, "ts", HOUR, ["g"], "v").collect()[0]
+    assert (r["open"], r["close"]) == (3.0, 9.0)
+
+
+def test_ohlc_matches_duckdb(spark, duck):
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ohlc(ev, "ts", HOUR, ["event_type"], "value")
+    oracle = """
+SELECT event_type,
+       make_timestamp(epoch_us(ts) - (epoch_us(ts) % 3600000000)) AS bucket,
+       (min({'t': epoch_us(ts), 'v': value})).v AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       (max({'t': epoch_us(ts), 'v': value})).v AS close,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+    assert_matches_oracle(out, con, oracle, "ohlc")
+
+
+def test_twa_hand(spark):
+    # v=10 held 100 s, v=20 held 3500 s of the 3600 s span from t=0
+    df = _ev(spark, [("a", 0, 10), ("a", 100, 20)])
+    r = time_weighted_avg(df, "ts", HOUR, ["g"], "v").collect()[0]
+    want = (10 * 100 + 20 * 3500) / 3600
+    assert r["twa"] == want
+    assert r["span_us"] == 3600 * 1_000_000
+    # single observation holds to bucket end -> twa = v
+    df1 = _ev(spark, [("b", 1800, 42)])
+    r1 = time_weighted_avg(df1, "ts", HOUR, ["g"], "v").collect()[0]
+    assert r1["twa"] == 42.0 and r1["span_us"] == 1800 * 1_000_000
+
+
+def test_twa_tie_last_value_carries(spark):
+    # tied timestamps: zero duration except the LAST tie (max value)
+    df = _ev(spark, [("a", 0, 5), ("a", 0, 1)])
+    r = time_weighted_avg(df, "ts", HOUR, ["g"], "v").collect()[0]
+    assert r["twa"] == 5.0
+
+
+def test_twa_random_sweep_vs_python(spark):
+    """Integral values and micro-aligned times keep every float op exact,
+    so the python reference must match bit-for-bit."""
+    rng = random.Random(5)
+    cases, rows = {}, []
+    for g in range(150):
+        n = rng.randint(1, 10)
+        obs = sorted(rng.sample(range(0, HOUR), n))
+        vals = [float(rng.randint(-50, 50)) for _ in obs]
+        cases[str(g)] = list(zip(obs, vals))
+        rows += [(str(g), s, v) for s, v in zip(obs, vals)]
+    df = _ev(spark, rows)
+    got = {r["g"]: (r["twa"], r["span_us"])
+           for r in time_weighted_avg(df, "ts", HOUR, ["g"], "v").collect()}
+    for g, obs in cases.items():
+        num, den = 0.0, 0
+        for i, (t, v) in enumerate(obs):
+            end = obs[i + 1][0] if i + 1 < len(obs) else HOUR
+            num += v * float((end - t) * 1_000_000)
+            den += (end - t) * 1_000_000
+        assert got[g] == (num / float(den), den), g
+
+
+def test_twa_matches_duckdb_integral(spark, duck):
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("value", F.round("value").cast("double"))
+    out = time_weighted_avg(ev, "ts", HOUR, ["event_type"], "value")
+    # mirror construction (lead + telescoping span); integral values make
+    # the products exact, and the sums stay < 2^53 so order cannot matter
+    oracle = """
+WITH b AS (
+  SELECT event_type, ROUND(value) AS v, epoch_us(ts) AS us,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS b_us
+  FROM events),
+d AS (
+  SELECT event_type, b_us, v,
+         COALESCE(lead(us) OVER (PARTITION BY event_type, b_us
+                                 ORDER BY us, v),
+                  b_us + 3600000000) - us AS w
+  FROM b)
+SELECT event_type, make_timestamp(b_us) AS bucket,
+       SUM(v * CAST(w AS DOUBLE)) / CAST(SUM(w) AS DOUBLE) AS twa,
+       CAST(SUM(w) AS BIGINT) AS span_us, COUNT(*) AS n
+FROM d GROUP BY 1, 2
+"""
+    assert_matches_oracle(out, con, oracle, "twa")

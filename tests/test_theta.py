@@ -194,3 +194,40 @@ def test_suggest_encodings(spark):
                   F.md5(F.col("id").cast("string")).alias("content")))
     got = suggest_encodings(df, ["lang", "content"], k=512)
     assert got == {"lang": "dictionary", "content": "raw"}
+
+
+def test_sliding_distinct_exact_below_k(spark):
+    """Trailing 7-day distinct users per day: with k above the key
+    cardinality every sketch stays exact, so the window unions must
+    EQUAL the exact trailing COUNT(DISTINCT) — and the bounds bracket
+    it at small k."""
+    import datetime as dt
+
+    from realtime_olap_spark.operators.theta import sliding_distinct
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    DAY = 86400
+    got = sliding_distinct(ev, "ts", F.col("user_id").cast("string"),
+                           DAY, 7, k=65536)
+    rows = ev.select(
+        F.col("user_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))
+         % (DAY * 1_000_000)).alias("b")).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], set()).add(r["user_id"])
+    assert len(got) == len(by_bucket) > 5
+    for rec in got:
+        b_us = int(rec["bucket"].timestamp() * 1_000_000)
+        want = set()
+        for bb, users in by_bucket.items():
+            if b_us - 6 * DAY * 1_000_000 <= bb <= b_us:
+                want |= users
+        assert rec["estimate"] == float(len(want)), rec
+    # small-k run: estimates may deviate but 4-sigma bounds must bracket
+    small = sliding_distinct(ev, "ts", F.col("user_id").cast("string"),
+                             DAY, 7, k=16)
+    for rec, exact_rec in zip(small, got):
+        assert rec["lo"] <= exact_rec["estimate"] <= rec["hi"], (rec, exact_rec)
