@@ -40,6 +40,8 @@ def main() -> None:
 
     from realtime_olap_spark.operators import funnel as FN
     from realtime_olap_spark.operators import mg as MG
+    from realtime_olap_spark.operators.downsample import (ohlc,
+                                                          time_weighted_avg)
     from realtime_olap_spark.operators.gapfill import gapfill, gapfill_join, time_bucket
 
     results: dict[str, dict[int, float]] = {}
@@ -71,6 +73,10 @@ def main() -> None:
             FN.funnel_match(ev, STEPS))))
         record("funnel_counts_windowed", k, timed(lambda: noop(
             FN.funnel_counts(ev, STEPS, window_seconds=7 * 24 * 3600))))
+        record("ohlc_hourly", k, timed(lambda: noop(
+            ohlc(ev, "ts", 3600, ["event_type"], "value"))))
+        record("twa_hourly", k, timed(lambda: noop(
+            time_weighted_avg(ev, "ts", 3600, ["event_type"], "value"))))
         record("mg_topk_words", k, timed(lambda: noop(
             MG.mg_topk(words, "w", k=1024, top=100))))
         thr = 500 * k

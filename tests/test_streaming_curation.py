@@ -338,3 +338,54 @@ def test_streaming_mg_fold_keeps_sandwich_bound(spark, tmp_path):
         if c > acc["dec"]:
             assert w in acc["counts"], (w, c, acc["dec"])
     assert "alpha" in acc["counts"]
+
+
+def test_streaming_ohlc_fold_merges_to_batch(spark, tmp_path):
+    """OHLC candles are mergeable aggregates (open/close = struct
+    min/max, high/low/n = min/max/sum), so per-microbatch candles fold
+    into the batch candle exactly — the same publish-per-segment,
+    merge-at-read contract as the Bloom/CMS/theta artifacts."""
+    from realtime_olap_spark.operators.downsample import ohlc
+
+    src = f"{tmp_path}/src"
+    _write_batch(spark, src, [(1, 1, "a"), (2, 2, "b")])
+    _write_batch(spark, src, [(3, 1, "c"), (4, 5, "d")])
+    _write_batch(spark, src, [(5, 9, "e")])
+
+    acc = {}
+
+    def fold(batch_df, _batch_id):
+        # per-batch partials carry (t, v) struct extremes — the open/close
+        # merge needs the TIME of each batch's candle edges, which the
+        # plain candle row drops
+        part = batch_df.withColumn("v", F.col("doc_id") * 10.0).select(
+            F.window("ts", "5 minutes").start.alias("bucket"),
+            F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                     F.col("v").alias("v")).alias("tv"),
+            F.col("v"))
+        for r in (part.groupBy("bucket")
+                  .agg(F.min("tv").alias("mn"), F.max("tv").alias("mx"),
+                       F.max("v").alias("h"), F.min("v").alias("l"),
+                       F.count(F.lit(1)).alias("n")).collect()):
+            b = r["bucket"]
+            rec = (tuple(r["mn"]), tuple(r["mx"]), r["h"], r["l"], r["n"])
+            cur = acc.get(b)
+            if cur is None:
+                acc[b] = rec
+            else:
+                acc[b] = (min(cur[0], rec[0]), max(cur[1], rec[1]),
+                          max(cur[2], rec[2]), min(cur[3], rec[3]),
+                          cur[4] + rec[4])
+
+    q = (_stream(spark, src).writeStream.foreachBatch(fold)
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    corpus = spark.read.schema(SCHEMA).parquet(src) \
+        .withColumn("v", F.col("doc_id") * 10.0)
+    want = {r["bucket"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+            for r in ohlc(corpus, "ts", 300, [], "v").collect()}
+    got = {b: (rec[0][1], rec[2], rec[3], rec[1][1], rec[4])
+           for b, rec in acc.items()}
+    assert got == want and len(want) >= 2
