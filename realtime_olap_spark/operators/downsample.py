@@ -78,3 +78,57 @@ def time_weighted_avg(df: DataFrame, ts_col: str, step_seconds: int,
             .agg((F.sum("_vw") / F.sum("_w").cast("double")).alias("twa"),
                  F.sum("_w").alias("span_us"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def sliding_quantile(df: DataFrame, ts_col: str, value_col: str,
+                     bucket_seconds: int, window_buckets: int,
+                     quantiles: Sequence[float] = (0.5, 0.95),
+                     group_cols: Sequence[str] = (),
+                     k: int = 200) -> DataFrame:
+    """Trailing-window quantiles ("p95 latency over the last N hours,
+    per hour") from per-bucket KLL sketches — the quantile sibling of
+    ``theta.sliding_distinct``.
+
+    Shape: ONE (group, bucket) aggregation builds a KLL sketch per
+    bucket (Spark's DataSketches ``kll_sketch_agg_double``); each bucket
+    row then *emits* itself into the ``window_buckets`` trailing targets
+    it contributes to (``explode(sequence(...))`` — the gapfill emit
+    trick, so there is no bucket×bucket join), and one merge aggregation
+    (``kll_merge_agg_double``) folds each target's contributions.
+    Data-plane cost: raw rows are touched ONCE; everything after is
+    sketch-row algebra (|buckets| × window rows of ~KB sketches). The
+    exact plan would rescan every row ``window_buckets`` times.
+
+    Targets that have no observations of their own are dropped (same
+    contract as ``sliding_distinct``). Output: group cols + ``bucket``,
+    ``n`` (windowed row count), and one ``q_<pct>`` column per requested
+    quantile. KLL normalized rank error at k=200 is ~1.7% (99% conf) —
+    rank-bound-tested, exact when a window holds ≤ k rows."""
+    step_us = int(bucket_seconds) * _US
+    gcols = list(group_cols)
+    b_us = _bucket(ts_col, step_us)
+    per_bucket = (df.groupBy(*gcols, b_us.alias("_b"))
+                  .agg(F.kll_sketch_agg_double(
+                           F.col(value_col).cast("double"), F.lit(int(k)))
+                       .alias("_sk"),
+                       F.count(F.lit(1)).alias("_n")))
+    w = int(window_buckets)
+    contrib = (per_bucket
+               .withColumn("_i", F.explode(F.sequence(F.lit(0),
+                                                      F.lit(w - 1))))
+               .select(*gcols,
+                       (F.col("_b") + F.col("_i") * F.lit(step_us))
+                       .alias("_t"),
+                       (F.col("_i") == 0).alias("_own"),
+                       "_sk", "_n"))
+    merged = (contrib.groupBy(*gcols, "_t")
+              .agg(F.kll_merge_agg_double("_sk").alias("_sk"),
+                   F.sum("_n").alias("n"),
+                   F.max(F.col("_own").cast("int")).alias("_has_own")))
+    out_cols = [*gcols, F.timestamp_micros(F.col("_t")).alias("bucket"),
+                "n"]
+    for q in quantiles:
+        out_cols.append(
+            F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(float(q)))
+            .alias(f"q_{int(round(q * 100))}"))
+    return merged.where(F.col("_has_own") == 1).select(*out_cols)

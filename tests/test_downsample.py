@@ -124,3 +124,52 @@ SELECT event_type, make_timestamp(b_us) AS bucket,
 FROM d GROUP BY 1, 2
 """
     assert_matches_oracle(out, con, oracle, "twa")
+
+
+def test_sliding_quantile_rank_bounds(spark):
+    """Trailing 6-hour p50/p95 per hour: windowed row counts must be
+    exact; each quantile estimate's EXACT rank inside the true window
+    population must sit within the KLL rank-error bound (and be exact
+    when the window holds <= k rows)."""
+    from realtime_olap_spark.operators.downsample import sliding_quantile
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    W = 6
+    out = sliding_quantile(ev, "ts", "value", HOUR, W,
+                           quantiles=(0.5, 0.95), k=200).collect()
+    rows = ev.select(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))
+         % (HOUR * 1_000_000)).alias("b"), "value").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["value"])
+    assert len(out) == len(by_bucket) > 10
+    for rec in out:
+        b_us = int(rec["bucket"].replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        window = sorted(v for bb, vs in by_bucket.items()
+                        if b_us - (W - 1) * HOUR * 1_000_000 <= bb <= b_us
+                        for v in vs)
+        assert rec["n"] == len(window)
+        for q, col in [(0.5, "q_50"), (0.95, "q_95")]:
+            est = rec[col]
+            import bisect
+            lo = bisect.bisect_left(window, est) / len(window)
+            hi = bisect.bisect_right(window, est) / len(window)
+            tol = 0.0 if len(window) <= 200 else 0.05
+            assert lo - tol <= q <= hi + tol, (rec["bucket"], q, est, lo, hi)
+
+
+def test_sliding_quantile_window_one_is_per_bucket(spark):
+    """window_buckets=1 degenerates to plain per-bucket quantiles."""
+    from realtime_olap_spark.operators.downsample import sliding_quantile
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = {(r["bucket"], r["n"]): r["q_50"]
+         for r in sliding_quantile(ev, "ts", "value", HOUR, 1,
+                                   quantiles=(0.5,)).collect()}
+    b = {(r["bucket"], r["n"]): r["q_50"]
+         for r in sliding_quantile(ev, "ts", "value", HOUR, 1,
+                                   quantiles=(0.5,)).collect()}
+    assert a == b and len(a) > 10  # deterministic, per-bucket grain
