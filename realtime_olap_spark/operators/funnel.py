@@ -210,3 +210,34 @@ def funnel_match_pandas(df: DataFrame, steps: Sequence[str],
                     us.alias("_us"),
                     F.col(event_col).alias("_ev")))
     return base.groupBy("_user").applyInPandas(per_user, schema=schema)
+
+
+def funnel_time_to_convert(df: DataFrame, steps: Sequence[str],
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           event_col: str = "event_type",
+                           window_seconds: Optional[int] = None,
+                           strict: bool = True) -> DataFrame:
+    """Step-to-step conversion latency: for each adjacent step pair,
+    ``(step, n, min_s, median_s, p95_s, max_s)`` over the users who made
+    that transition (durations in seconds, from the greedy-earliest
+    match). Post-match data is ≤ 1 row per converting user per step, so
+    the percentile aggregation is over tiny per-step groups; Spark's
+    exact ``percentile`` matches DuckDB's ``quantile_cont``
+    interpolation bit-for-bit on these integer-micro durations."""
+    k = len(steps)
+    m = funnel_match(df, steps, user_col, ts_col, event_col,
+                     window_seconds, strict)
+    pairs = ", ".join(
+        f"{i + 1}L, t_{i + 2} - t_{i + 1}" for i in range(k - 1))
+    tall = (m.select(F.expr(f"stack({k - 1}, {pairs})")
+                     .alias("step", "dur_us"))
+            .where(F.col("dur_us").isNotNull())
+            .select("step", (F.col("dur_us") / F.lit(1_000_000.0))
+                    .alias("dur_s")))
+    return (tall.groupBy("step")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("dur_s").alias("min_s"),
+                 F.expr("percentile(dur_s, 0.5)").alias("median_s"),
+                 F.expr("percentile(dur_s, 0.95)").alias("p95_s"),
+                 F.max("dur_s").alias("max_s"))
+            .orderBy("step"))

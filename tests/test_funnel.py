@@ -172,3 +172,49 @@ def test_match_single_exchange(spark):
     plan = (funnel_match(ev, STEPS)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+def test_time_to_convert_matches_duckdb(spark, duck):
+    """Adjacent-step latency percentiles, differential against the list
+    algebra + quantile_cont (bit-identical exact interpolation)."""
+    from realtime_olap_spark.operators.funnel import funnel_time_to_convert
+
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = funnel_time_to_convert(ev, STEPS)
+    oracle = _oracle().replace(
+        'SELECT "user", t_1, t_2, t_3, t_4,', "SELECT").replace(
+        """       CASE WHEN t_4 IS NOT NULL THEN 4 WHEN t_3 IS NOT NULL THEN 3
+            WHEN t_2 IS NOT NULL THEN 2 ELSE 1 END AS max_step
+FROM m4 WHERE t_1 IS NOT NULL""", """ * FROM m4 WHERE t_1 IS NOT NULL""")
+    oracle = f"""
+WITH base AS ({oracle}),
+tall AS (
+  SELECT 1 AS step, (t_2 - t_1) / 1000000.0 AS dur_s FROM base
+  UNION ALL SELECT 2, (t_3 - t_2) / 1000000.0 FROM base
+  UNION ALL SELECT 3, (t_4 - t_3) / 1000000.0 FROM base)
+SELECT step, COUNT(*) AS n, MIN(dur_s) AS min_s,
+       quantile_cont(dur_s, 0.5) AS median_s,
+       quantile_cont(dur_s, 0.95) AS p95_s,
+       MAX(dur_s) AS max_s
+FROM tall WHERE dur_s IS NOT NULL GROUP BY step
+"""
+    assert_matches_oracle(out, con, oracle, "time_to_convert")
+
+
+def test_time_to_convert_consistency(spark):
+    from realtime_olap_spark.operators.funnel import funnel_time_to_convert
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    m = funnel_match(ev, STEPS).collect()
+    got = {r["step"]: r for r in funnel_time_to_convert(ev, STEPS).collect()}
+    for i in (1, 2, 3):
+        durs = [(r[f"t_{i + 1}"] - r[f"t_{i}"]) / 1e6 for r in m
+                if r[f"t_{i + 1}"] is not None]
+        if not durs:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r["n"] == len(durs)
+        assert r["min_s"] == min(durs) and r["max_s"] == max(durs)
+        assert min(durs) <= r["median_s"] <= r["p95_s"] <= max(durs)
