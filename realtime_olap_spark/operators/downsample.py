@@ -132,3 +132,36 @@ def sliding_quantile(df: DataFrame, ts_col: str, value_col: str,
             F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(float(q)))
             .alias(f"q_{int(round(q * 100))}"))
     return merged.where(F.col("_has_own") == 1).select(*out_cols)
+
+
+def counter_rate(df: DataFrame, ts_col: str, step_seconds: int,
+                 series_cols: Sequence[str], value_col: str) -> DataFrame:
+    """Monotonic-counter increase/rate per bucket with reset handling
+    (the PromQL ``increase``/``rate`` contract): per series ordered by
+    time, each sample contributes ``v − prev`` when the counter grew and
+    ``v`` when it shrank (a reset restarted it from zero); contributions
+    are summed into the CURRENT sample's bucket and divided by the
+    bucket length for the per-second rate.
+
+    One series-key shuffle (the lag window); the bucket aggregation
+    reuses rows already partitioned by series. A series' first sample
+    ever contributes nothing (no baseline). Tied timestamps order by
+    value (deterministic). Output: series cols + ``bucket, increase,
+    rate_per_s, n_samples``."""
+    step_us = int(step_seconds) * _US
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(*series_cols, F.col(value_col).alias("_v"),
+                     us.alias("_us"))
+    w = Window.partitionBy(*series_cols).orderBy("_us", "_v")
+    prev = F.lag("_v").over(w)
+    delta = (F.when(prev.isNull(), F.lit(None))
+             .when(F.col("_v") >= prev, F.col("_v") - prev)
+             .otherwise(F.col("_v")))
+    b = F.col("_us") - (F.col("_us") % F.lit(step_us))
+    return (base.select(*series_cols, b.alias("_b"), delta.alias("_d"))
+            .groupBy(*[F.col(c) for c in series_cols],
+                     F.timestamp_micros(F.col("_b")).alias("bucket"))
+            .agg(F.coalesce(F.sum("_d"), F.lit(0.0)).alias("increase"),
+                 (F.coalesce(F.sum("_d"), F.lit(0.0))
+                  / F.lit(float(step_seconds))).alias("rate_per_s"),
+                 F.count(F.lit(1)).alias("n_samples")))

@@ -173,3 +173,77 @@ def test_sliding_quantile_window_one_is_per_bucket(spark):
          for r in sliding_quantile(ev, "ts", "value", HOUR, 1,
                                    quantiles=(0.5,)).collect()}
     assert a == b and len(a) > 10  # deterministic, per-bucket grain
+
+
+def test_counter_rate_hand_and_resets(spark):
+    from realtime_olap_spark.operators.downsample import counter_rate
+
+    # counter 0 -> 10 -> 25 -> reset -> 5 -> 30 across two buckets
+    df = _ev(spark, [("a", 0, 0), ("a", 100, 10), ("a", 200, 25),
+                     ("a", 3700, 5), ("a", 3800, 30)])
+    got = {r["bucket"]: (r["increase"], r["rate_per_s"], r["n_samples"])
+           for r in counter_rate(df, "ts", HOUR, ["g"], "v").collect()}
+    # bucket 0: deltas 10, 15 (first sample contributes nothing)
+    assert got[T0] == (25.0, 25.0 / 3600, 3)
+    # bucket 1: reset sample contributes its own value 5, then +25
+    assert got[T0 + dt.timedelta(hours=1)] == (30.0, 30.0 / 3600, 2)
+
+
+def test_counter_rate_matches_duckdb(spark, duck):
+    from realtime_olap_spark.operators.downsample import counter_rate
+
+    con = duck(SF_DIR)
+    # synthesize integral cumulative counters per event_type from events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("value", F.round("value").cast("double"))
+    out = counter_rate(ev, "ts", HOUR, ["event_type"], "value")
+    oracle = """
+WITH b AS (
+  SELECT event_type, ROUND(value) AS v, epoch_us(ts) AS us FROM events),
+d AS (
+  SELECT event_type, us,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN v >= prev THEN v - prev ELSE v END AS delta
+  FROM (SELECT *, lag(v) OVER (PARTITION BY event_type
+                               ORDER BY us, v) AS prev FROM b))
+SELECT event_type,
+       make_timestamp(us - (us % 3600000000)) AS bucket,
+       COALESCE(SUM(delta), 0.0) AS increase,
+       COALESCE(SUM(delta), 0.0) / 3600.0 AS rate_per_s,
+       COUNT(*) AS n_samples
+FROM d GROUP BY 1, 2
+"""
+    assert_matches_oracle(out, con, oracle, "counter_rate")
+
+
+def test_counter_rate_random_sweep(spark):
+    """Random integral counter walks with resets vs a python reference
+    (exact float ops on integral deltas)."""
+    from realtime_olap_spark.operators.downsample import counter_rate
+
+    rng = random.Random(11)
+    cases, rows = {}, []
+    for g in range(120):
+        t, v, samples = 0, 0, []
+        for _ in range(rng.randint(2, 15)):
+            t += rng.randint(1, 1200)
+            if rng.random() < 0.15:
+                v = rng.randint(0, 5)      # reset
+            else:
+                v += rng.randint(0, 100)   # growth
+            samples.append((t, float(v)))
+        cases[str(g)] = samples
+        rows += [(str(g), s, v) for s, v in samples]
+    df = _ev(spark, rows)
+    got = {(r["g"], r["bucket"]): (r["increase"], r["n_samples"])
+           for r in counter_rate(df, "ts", HOUR, ["g"], "v").collect()}
+    want = {}
+    for g, samples in cases.items():
+        prev = None
+        for t, v in samples:
+            b = T0 + dt.timedelta(seconds=(t // HOUR) * HOUR)
+            inc, n = want.get((g, b), (0.0, 0))
+            d = 0.0 if prev is None else (v - prev if v >= prev else v)
+            want[(g, b)] = (inc + d, n + 1)
+            prev = v
+    assert got == want
