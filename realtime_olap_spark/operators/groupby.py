@@ -192,3 +192,45 @@ def top_n(df: DataFrame, agg_alias: str, n: int = DEFAULT_TOP_N,
     service, but exact)."""
     order = [F.col(agg_alias).desc()] + [F.col(k).asc() for k in key_names]
     return df.orderBy(*order).limit(n)
+
+
+def top_n_with_others(agg_df: DataFrame, key_cols: Sequence[str],
+                      measure_cols: Sequence[str], n: int,
+                      others_label: str = "OTHERS",
+                      order_by: str | None = None) -> DataFrame:
+    """Presentation rollup: the top-n groups (by ``order_by``, default
+    the first measure, descending with key tie-break) plus ONE synthetic
+    row aggregating every remaining group — the "top 10 + others" shape
+    dashboards build on the reference's TOP-N.
+
+    Scale shape: NO global rank window — the top-n rows come from
+    ``orderBy().limit(n)`` (TakeOrderedAndProject), and the others row
+    is computed as total − top via two 1-row aggregates, so group
+    cardinality never funnels through one task. The others row carries
+    ``others_label`` in the FIRST key column (which must be a string
+    column) and NULL for the rest; it is omitted when nothing remains.
+    Measures are re-aggregated by SUM — exact for integer/decimal
+    measures; for doubles the total−top subtraction is one rounding
+    step away from directly summing the tail (use decimal measures when
+    hash-exactness matters)."""
+    keys = list(key_cols)
+    measures = list(measure_cols)
+    dtypes = dict(agg_df.dtypes)
+    if dtypes[keys[0]] != "string":
+        raise ValueError("first key column must be string to hold "
+                         f"others_label; got {dtypes[keys[0]]}")
+    order = [F.col(order_by or measures[0]).desc()] \
+        + [F.col(k).asc() for k in keys]
+    top = agg_df.orderBy(*order).limit(int(n))
+    totals = agg_df.agg(
+        F.count(F.lit(1)).alias("__n_groups"),
+        *[F.sum(m).alias(f"__tot_{m}") for m in measures])
+    top_tot = top.agg(*[F.sum(m).alias(f"__top_{m}") for m in measures])
+    others = (totals.crossJoin(top_tot)
+              .where(F.col("__n_groups") > int(n))
+              .select(
+                  F.lit(others_label).alias(keys[0]),
+                  *[F.lit(None).cast(dtypes[k]).alias(k) for k in keys[1:]],
+                  *[(F.col(f"__tot_{m}") - F.col(f"__top_{m}"))
+                    .cast(dtypes[m]).alias(m) for m in measures]))
+    return top.select(*keys, *measures).unionByName(others)
