@@ -165,3 +165,37 @@ def counter_rate(df: DataFrame, ts_col: str, step_seconds: int,
                  (F.coalesce(F.sum("_d"), F.lit(0.0))
                   / F.lit(float(step_seconds))).alias("rate_per_s"),
                  F.count(F.lit(1)).alias("n_samples")))
+
+
+def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
+              n_bins: int, group_cols: Sequence[str] = (),
+              clamp: bool = True) -> DataFrame:
+    """Equi-width histogram: ``(…group, bin, bin_lo, bin_hi, n)`` over
+    [lo, hi) — one partial→final aggregation over ≤ n_bins groups per
+    key. ``clamp=True`` folds out-of-range values into the edge bins
+    (bin 0 / n_bins−1, the dashboard convention); ``clamp=False`` drops
+    them. Bin assignment is one double divide + floor — identical IEEE
+    ops in any engine (DuckDB differential). Empty bins are absent
+    (compose with ``gapfill``-style densification when a dense axis is
+    needed; bins are integers, so ``sequence`` + anti-join or the
+    is_filled union is trivial)."""
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    nb = int(n_bins)
+    width = (float(hi) - float(lo)) / nb
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+    if clamp:
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+        src = df.where(v.isNotNull())
+    else:
+        b = raw
+        src = df.where(v.isNotNull() & (v >= float(lo)) & (v < float(hi)))
+    return (src.groupBy(*[F.col(c) for c in group_cols], b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(*group_cols, "bin",
+                    (F.lit(float(lo)) + F.col("bin") * F.lit(width))
+                    .alias("bin_lo"),
+                    (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width))
+                    .alias("bin_hi"),
+                    "n"))

@@ -247,3 +247,45 @@ def test_counter_rate_random_sweep(spark):
             want[(g, b)] = (inc + d, n + 1)
             prev = v
     assert got == want
+
+
+def test_histogram_hand_and_clamp(spark):
+    from realtime_olap_spark.operators.downsample import histogram
+
+    df = _ev(spark, [("a", 0, v) for v in
+                     [-5, 0, 1, 9.99, 10, 55, 99.9, 100, 250]])
+    got = {r["bin"]: r["n"]
+           for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # clamp: -5 joins bin 0; 100 and 250 join bin 9
+    assert got == {0: 4, 1: 1, 5: 1, 9: 3}
+    nd = {r["bin"]: r["n"] for r in
+          histogram(df, "v", 0.0, 100.0, 10, clamp=False).collect()}
+    assert nd == {0: 3, 1: 1, 5: 1, 9: 1}
+
+
+def test_histogram_matches_duckdb(spark, duck):
+    from realtime_olap_spark.operators.downsample import histogram
+
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = histogram(ev, "value", 0.0, 50.0, 16, group_cols=["event_type"])
+    oracle = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 3.125) AS BIGINT), 0),
+               15) AS bin
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, bin, 0.0 + bin * 3.125 AS bin_lo,
+       0.0 + (bin + 1) * 3.125 AS bin_hi, COUNT(*) AS n
+FROM b GROUP BY 1, 2
+"""
+    assert_matches_oracle(out, con, oracle, "histogram")
+
+
+def test_histogram_total_preserved(spark):
+    from realtime_olap_spark.operators.downsample import histogram
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total = ev.where(F.col("value").isNotNull()).count()
+    got = histogram(ev, "value", 0.0, 50.0, 16).agg(F.sum("n")).first()[0]
+    assert got == total  # clamp loses nothing
