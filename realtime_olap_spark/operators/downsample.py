@@ -199,3 +199,57 @@ def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
                     (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width))
                     .alias("bin_hi"),
                     "n"))
+
+
+def counter_rate_fold(batch: DataFrame, state: DataFrame | None,
+                      ts_col: str, step_seconds: int,
+                      series_cols: Sequence[str], value_col: str
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Incremental ``counter_rate``: process one TIME-ORDERED microbatch
+    against carried state (the last sample per series) and return
+    ``(bucket_increments, new_state)``.
+
+    Each series' first in-batch sample takes its baseline from the
+    state, so folding batches yields increments that sum per bucket to
+    exactly the one-shot ``counter_rate`` over the concatenated data
+    (equality-tested). State is ≤ one row per series — the same bounded
+    artifact contract as the Bloom/CMS/theta per-batch folds. Batches
+    must arrive in time order per series (the availableNow file-ingest
+    contract everywhere else in the engine); late data needs the batch
+    rebuild. ``new_state`` merges series untouched by this batch."""
+    step_us = int(step_seconds) * _US
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keys = list(series_cols)
+    base = batch.select(*keys, F.col(value_col).alias("_v"),
+                        us.alias("_us"))
+    w = Window.partitionBy(*keys).orderBy("_us", "_v")
+    prev_in_batch = F.lag("_v").over(w)
+    if state is not None:
+        st = state.select(*keys, F.col("_us").alias("_pus"),
+                          F.col("_v").alias("_pv"))
+        base2 = base.join(F.broadcast(st), on=keys, how="left")
+    else:
+        base2 = base.withColumn("_pv", F.lit(None).cast("double"))
+    prev = F.coalesce(prev_in_batch, F.col("_pv"))
+    delta = (F.when(prev.isNull(), F.lit(None))
+             .when(F.col("_v") >= prev, F.col("_v") - prev)
+             .otherwise(F.col("_v")))
+    b = F.col("_us") - (F.col("_us") % F.lit(step_us))
+    inc = (base2.select(*keys, b.alias("_b"), delta.alias("_d"))
+           .groupBy(*[F.col(c) for c in keys],
+                    F.timestamp_micros(F.col("_b")).alias("bucket"))
+           .agg(F.coalesce(F.sum("_d"), F.lit(0.0)).alias("increase"),
+                F.count(F.lit(1)).alias("n_samples")))
+    last = (base.groupBy(*keys)
+            .agg(F.max(F.struct("_us", "_v")).alias("_m"))
+            .select(*keys, F.col("_m._us").alias("_us"),
+                    F.col("_m._v").alias("_v")))
+    if state is not None:
+        merged = (state.unionByName(last)
+                  .groupBy(*keys)
+                  .agg(F.max(F.struct("_us", "_v")).alias("_m"))
+                  .select(*keys, F.col("_m._us").alias("_us"),
+                          F.col("_m._v").alias("_v")))
+    else:
+        merged = last
+    return inc, merged

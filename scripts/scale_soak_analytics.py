@@ -77,6 +77,19 @@ def main() -> None:
             ohlc(ev, "ts", 3600, ["event_type"], "value"))))
         record("twa_hourly", k, timed(lambda: noop(
             time_weighted_avg(ev, "ts", 3600, ["event_type"], "value"))))
+        from realtime_olap_spark.operators.attribution import \
+            last_touch_attribution
+        from realtime_olap_spark.operators.downsample import (counter_rate,
+                                                              histogram)
+        record("counter_rate_hourly", k, timed(lambda: noop(
+            counter_rate(ev, "ts", 3600, ["event_type"], "value"))))
+        record("histogram_16bins", k, timed(lambda: noop(
+            histogram(ev, "value", 0.0, 50.0, 16,
+                      group_cols=["event_type"]))))
+        record("attribution_last_touch", k, timed(lambda: noop(
+            last_touch_attribution(ev, "purchase",
+                                   ["view", "click", "signup"],
+                                   lookback_seconds=7 * 24 * 3600))))
         record("mg_topk_words", k, timed(lambda: noop(
             MG.mg_topk(words, "w", k=1024, top=100))))
         thr = 500 * k

@@ -289,3 +289,34 @@ def test_histogram_total_preserved(spark):
     total = ev.where(F.col("value").isNotNull()).count()
     got = histogram(ev, "value", 0.0, 50.0, 16).agg(F.sum("n")).first()[0]
     assert got == total  # clamp loses nothing
+
+
+def test_counter_rate_fold_equals_batch(spark):
+    """Time-ordered microbatch folds of counter_rate_fold sum per bucket
+    to the one-shot batch counter_rate (state carries each series' last
+    sample across batch boundaries)."""
+    from realtime_olap_spark.operators.downsample import (counter_rate,
+                                                          counter_rate_fold)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("value", F.round("value").cast("double"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    batches = [ev.where(F.col("ts") <= cuts[0]),
+               ev.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+               ev.where(F.col("ts") > cuts[1])]
+    state = None
+    acc = {}
+    for bdf in batches:
+        inc, state = counter_rate_fold(bdf, state, "ts", HOUR,
+                                       ["event_type"], "value")
+        state = state.localCheckpoint()
+        for r in inc.collect():
+            key = (r["event_type"], r["bucket"])
+            i, n = acc.get(key, (0.0, 0))
+            acc[key] = (i + r["increase"], n + r["n_samples"])
+    want = {(r["event_type"], r["bucket"]): (r["increase"], r["n_samples"])
+            for r in counter_rate(ev, "ts", HOUR,
+                                  ["event_type"], "value").collect()}
+    assert acc == want and len(want) > 100
