@@ -143,11 +143,54 @@ def counter_rate(df: DataFrame, ts_col: str, step_seconds: int,
     are summed into the CURRENT sample's bucket and divided by the
     bucket length for the per-second rate.
 
-    One series-key shuffle (the lag window); the bucket aggregation
-    reuses rows already partitioned by series. A series' first sample
-    ever contributes nothing (no baseline). Tied timestamps order by
-    value (deterministic). Output: series cols + ``bucket, increase,
-    rate_per_s, n_samples``."""
+    Shape (skew-safe for LOW-cardinality series): adjacent deltas are
+    split at bucket boundaries. In-bucket deltas come from a window
+    partitioned by (series, bucket) — parallelism series×buckets, so a
+    5-series corpus never funnels through 5 tasks (the naive
+    series-only window measured 16× growth at 100× rows; this shape is
+    flat) — and the one cross-bucket delta per bucket comes from a lag
+    over the per-bucket first/last summary (|buckets| rows per series,
+    tiny). Equality with the naive single-window fold is tested.
+    A series' first sample ever contributes nothing (no baseline). Tied
+    timestamps order by value (deterministic). Output: series cols +
+    ``bucket, increase, rate_per_s, n_samples``."""
+    step_us = int(step_seconds) * _US
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keys = list(series_cols)
+    base = df.select(*keys, F.col(value_col).alias("_v"), us.alias("_us"))
+    base = base.withColumn("_b", F.col("_us") - (F.col("_us")
+                                                 % F.lit(step_us)))
+    w_in = Window.partitionBy(*keys, "_b").orderBy("_us", "_v")
+    prev_in = F.lag("_v").over(w_in)
+    delta_in = (F.when(prev_in.isNull(), F.lit(None))
+                .when(F.col("_v") >= prev_in, F.col("_v") - prev_in)
+                .otherwise(F.col("_v")))
+    per_bucket = (base.withColumn("_d", delta_in)
+                  .groupBy(*[F.col(c) for c in keys], F.col("_b"))
+                  .agg(F.sum("_d").alias("_in"),
+                       F.count(F.lit(1)).alias("_n"),
+                       F.min(F.struct("_us", "_v")).alias("_first"),
+                       F.max(F.struct("_us", "_v")).alias("_last")))
+    w_b = Window.partitionBy(*keys).orderBy("_b")
+    prev_last = F.lag(F.col("_last._v")).over(w_b)
+    first_v = F.col("_first._v")
+    boundary = (F.when(prev_last.isNull(), F.lit(None))
+                .when(first_v >= prev_last, first_v - prev_last)
+                .otherwise(first_v))
+    inc = F.coalesce(F.col("_in"), F.lit(0.0)) + F.coalesce(boundary,
+                                                            F.lit(0.0))
+    return (per_bucket
+            .select(*keys, F.timestamp_micros(F.col("_b")).alias("bucket"),
+                    inc.alias("increase"),
+                    (inc / F.lit(float(step_seconds))).alias("rate_per_s"),
+                    F.col("_n").alias("n_samples")))
+
+
+def _counter_rate_naive(df: DataFrame, ts_col: str, step_seconds: int,
+                        series_cols: Sequence[str],
+                        value_col: str) -> DataFrame:
+    """Single series-wide lag window (the textbook fold) — kept as the
+    equality twin for ``counter_rate``; skewed when series are few."""
     step_us = int(step_seconds) * _US
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.select(*series_cols, F.col(value_col).alias("_v"),

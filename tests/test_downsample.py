@@ -320,3 +320,21 @@ def test_counter_rate_fold_equals_batch(spark):
             for r in counter_rate(ev, "ts", HOUR,
                                   ["event_type"], "value").collect()}
     assert acc == want and len(want) > 100
+
+
+def test_counter_rate_equals_naive_window(spark):
+    """The skew-safe (series,bucket)-window shape equals the textbook
+    series-wide lag fold exactly (integral values keep the regrouped
+    float adds exact)."""
+    from realtime_olap_spark.operators.downsample import (
+        _counter_rate_naive, counter_rate)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("value", F.round("value").cast("double"))
+    a = {(r["event_type"], r["bucket"]): (r["increase"], r["n_samples"])
+         for r in counter_rate(ev, "ts", HOUR,
+                               ["event_type"], "value").collect()}
+    b = {(r["event_type"], r["bucket"]): (r["increase"], r["n_samples"])
+         for r in _counter_rate_naive(ev, "ts", HOUR,
+                                      ["event_type"], "value").collect()}
+    assert a == b and len(a) > 100
