@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.operators.joins import asof_join
@@ -69,4 +69,83 @@ def attribution_report(df: DataFrame, conversion_event: str,
                     (F.col("n_conversions") / F.col("__total"))
                     .alias("share"))
             .orderBy(F.col("n_conversions").desc(),
+                     F.col("channel").asc_nulls_last()))
+
+
+def multi_touch_attribution(df: DataFrame, conversion_event: str,
+                            touch_events: Sequence[str],
+                            model: str = "linear",
+                            user_col: str = "user_id", ts_col: str = "ts",
+                            event_col: str = "event_type",
+                            conv_id_col: str = "event_id",
+                            lookback_seconds: int = 7 * 86400,
+                            half_life_seconds: Optional[int] = None
+                            ) -> DataFrame:
+    """Fractional credit across EVERY touch in the lookback window:
+
+    - ``linear``: each of the n touches gets 1/n (exact rational —
+      DuckDB-differential in tests).
+    - ``position`` (U-shape): first 0.4, last 0.4, middles share 0.2
+      (n=1 → 1.0, n=2 → 0.5/0.5) — also engine-exact.
+    - ``time_decay``: weight 0.5^(Δt/half_life), normalized per
+      conversion. pow is a libm call and NOT bit-reproducible across
+      engines (the round-6 log lesson), so this model is verified
+      against a python reference at 1e-9, not hash-compared.
+
+    Output: one row per (conversion, touch) with ``credit``; a
+    conversion with no touches yields one NULL-channel row with credit
+    1. Shape: user-key equi-join + range predicate (touches per
+    conversion bounded by the lookback), then ONE window over conv_id
+    partitions (size = touches-per-conversion) for n/rank/normalizer."""
+    if model not in ("linear", "position", "time_decay"):
+        raise ValueError(f"unknown model {model!r}")
+    if model == "time_decay" and not half_life_seconds:
+        raise ValueError("time_decay needs half_life_seconds")
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    look_us = int(lookback_seconds) * 1_000_000
+    c_us = F.unix_micros(F.col(ts_col))
+    conv = (df.where(F.col(event_col) == conversion_event)
+            .select(F.col(user_col).alias("__u"),
+                    F.col(conv_id_col).alias("conv_id"),
+                    c_us.alias("__c_us")))
+    touch = (df.where(F.col(event_col).isin(list(touch_events)))
+             .select(F.col(user_col).alias("__u"),
+                     F.col(event_col).alias("channel"),
+                     c_us.alias("__t_us")))
+    j = conv.join(touch, on=((conv["__u"] == touch["__u"])
+                             & (F.col("__t_us") <= F.col("__c_us"))
+                             & (F.col("__t_us")
+                                >= F.col("__c_us") - F.lit(look_us))),
+                  how="left").drop(touch["__u"])
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("__t_us", "channel")
+    n = F.count("__t_us").over(w)
+    rk = F.row_number().over(wo)
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "position":
+        credit = (F.when(n == 1, F.lit(1.0))
+                  .when(n == 2, F.lit(0.5))
+                  .when(rk == 1, F.lit(0.4))
+                  .when(rk == n, F.lit(0.4))
+                  .otherwise(F.lit(0.2) / (n - F.lit(2))))
+    else:
+        hl = float(half_life_seconds) * 1_000_000.0
+        raw = F.pow(F.lit(0.5), (F.col("__c_us") - F.col("__t_us")) / hl)
+        credit = raw / F.sum(raw).over(w)
+    credit = F.when(F.col("__t_us").isNull(), F.lit(1.0)).otherwise(credit)
+    return (j.select(F.col("__u").alias(user_col), "conv_id", "channel",
+                     F.timestamp_micros(F.col("__t_us")).alias("touch_ts"),
+                     credit.alias("credit")))
+
+
+def multi_touch_report(df: DataFrame, conversion_event: str,
+                       touch_events: Sequence[str], model: str = "linear",
+                       **kwargs) -> DataFrame:
+    """Per-channel fractional credit totals (NULL = unattributed);
+    credits sum to the number of conversions by construction."""
+    a = multi_touch_attribution(df, conversion_event, touch_events,
+                                model, **kwargs)
+    return (a.groupBy("channel").agg(F.sum("credit").alias("credit"))
+            .orderBy(F.col("credit").desc(),
                      F.col("channel").asc_nulls_last()))

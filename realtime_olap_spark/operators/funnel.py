@@ -51,7 +51,8 @@ def funnel_match(df: DataFrame, steps: Sequence[str],
                  event_col: str = "event_type",
                  window_seconds: Optional[int] = None,
                  strict: bool = True,
-                 cap_per_step: Optional[int] = None) -> DataFrame:
+                 cap_per_step: Optional[int] = None,
+                 step_window_seconds: Optional[int] = None) -> DataFrame:
     """Per-user funnel match: one row per user that performed step 1,
     with ``t_1 .. t_k`` (epoch micros of the greedy-earliest match, NULL
     once the funnel breaks) and ``max_step`` (deepest step reached).
@@ -60,6 +61,12 @@ def funnel_match(df: DataFrame, steps: Sequence[str],
     (``>``); ``strict=False`` allows ties (``>=``). ``window_seconds``
     bounds the whole funnel to ``t1 + window`` (anchored at the matched
     first step — see ``funnel_match_pandas`` for anchor re-scan).
+    ``step_window_seconds`` bounds each ADJACENT gap instead
+    (``t_i ≤ t_{i-1} + W`` — the reference family's maxStepDuration
+    mode); unlike the anchored whole-funnel window, greedy-earliest
+    stays optimal here (taking the earliest feasible ``t_i`` minimizes
+    the left end of the next step's window too), so no rescan twin is
+    needed. Both windows may be combined.
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
@@ -88,11 +95,18 @@ def funnel_match(df: DataFrame, steps: Sequence[str],
     # NB: the predicates must be SINGLE-arg callables — F.filter treats a
     # two-parameter callback as (element, index), so a captured-default
     # `lambda x, p=prev:` silently compares against the array index.
+    step_us = None if step_window_seconds is None \
+        else int(step_window_seconds) * 1_000_000
+
     def _after(p, d):
-        if d is None:
-            return (lambda x: x > p) if strict else (lambda x: x >= p)
-        return ((lambda x: (x > p) & (x <= d)) if strict
-                else (lambda x: (x >= p) & (x <= d)))
+        def pred(x):
+            c = (x > p) if strict else (x >= p)
+            if d is not None:
+                c = c & (x <= d)
+            if step_us is not None:
+                c = c & (x <= p + F.lit(step_us))
+            return c
+        return pred
 
     dl = F.col("_deadline") if window_seconds is not None else None
     for i in range(1, k):

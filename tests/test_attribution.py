@@ -67,3 +67,87 @@ def test_report_shares(spark):
     assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-12
     for r in rep:
         assert r["share"] == r["n_conversions"] / total
+
+
+def test_multi_touch_linear_matches_duckdb(spark, duck):
+    from realtime_olap_spark.operators.attribution import \
+        multi_touch_attribution
+
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = (multi_touch_attribution(ev, "purchase", TOUCHES, "linear",
+                                   lookback_seconds=2 * 86400)
+           .select("conv_id", "channel", "touch_ts", "credit"))
+    oracle = f"""
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ({', '.join(repr(t) for t in TOUCHES)})),
+j AS (
+  SELECT c.conv_id, t.channel, t.t_us
+  FROM conv c LEFT JOIN touch t
+    ON c.user_id = t.user_id AND t.t_us <= c.c_us
+   AND t.t_us >= c.c_us - {2 * 86400 * 1_000_000})
+SELECT conv_id, channel, make_timestamp(t_us) AS touch_ts,
+       CASE WHEN t_us IS NULL THEN 1.0
+            ELSE 1.0 / COUNT(t_us) OVER (PARTITION BY conv_id) END AS credit
+FROM j
+"""
+    assert_matches_oracle(out, con, oracle, "multi_touch_linear")
+
+
+def test_multi_touch_position_hand(spark):
+    from realtime_olap_spark.operators.attribution import \
+        multi_touch_attribution
+
+    df = _ev(spark, [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "view"), (1, 25, "click"),
+        (1, 30, "purchase"),
+        (2, 5, "view"), (2, 40, "purchase"),
+        (3, 50, "purchase"),
+    ]).withColumn("event_id", F.monotonically_increasing_id())
+    rows = multi_touch_attribution(df, "purchase", ["view", "click"],
+                                   "position",
+                                   lookback_seconds=3600).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["touch_ts"])
+    assert [round(r["credit"], 10) for r in u1] == [0.4, 0.1, 0.1, 0.4]
+    assert [r["credit"] for r in by_user[2]] == [1.0]
+    assert by_user[3][0]["channel"] is None
+    assert by_user[3][0]["credit"] == 1.0
+
+
+def test_multi_touch_time_decay_vs_python(spark):
+    from realtime_olap_spark.operators.attribution import \
+        multi_touch_attribution
+
+    df = _ev(spark, [
+        (1, 0, "view"), (1, 1800, "click"), (1, 3600, "purchase"),
+    ]).withColumn("event_id", F.monotonically_increasing_id())
+    rows = sorted(multi_touch_attribution(
+        df, "purchase", ["view", "click"], "time_decay",
+        lookback_seconds=7200, half_life_seconds=1800).collect(),
+        key=lambda r: r["touch_ts"])
+    w_view = 0.5 ** (3600 / 1800)
+    w_click = 0.5 ** (1800 / 1800)
+    tot = w_view + w_click
+    assert abs(rows[0]["credit"] - w_view / tot) < 1e-9
+    assert abs(rows[1]["credit"] - w_click / tot) < 1e-9
+
+
+def test_multi_touch_credits_sum_to_conversions(spark):
+    from realtime_olap_spark.operators.attribution import \
+        multi_touch_report
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_conv = ev.where(F.col("event_type") == "purchase").count()
+    for model, kw in [("linear", {}), ("position", {}),
+                      ("time_decay", {"half_life_seconds": 3600})]:
+        rep = multi_touch_report(ev, "purchase", TOUCHES, model,
+                                 lookback_seconds=86400, **kw)
+        total = rep.agg(F.sum("credit")).first()[0]
+        assert abs(total - n_conv) < 1e-6, model

@@ -218,3 +218,33 @@ def test_time_to_convert_consistency(spark):
         assert r["n"] == len(durs)
         assert r["min_s"] == min(durs) and r["max_s"] == max(durs)
         assert min(durs) <= r["median_s"] <= r["p95_s"] <= max(durs)
+
+
+def test_step_window(spark):
+    # adjacent gaps: 0->40 (breaks a 30 s step window), 0->20->40 passes
+    df = _ev(spark, [(1, 0, "signup"), (1, 40, "view"), (1, 50, "click"),
+                     (2, 0, "signup"), (2, 20, "view"), (2, 45, "click")])
+    got = {r["user"]: r["max_step"]
+           for r in funnel_match(df, STEPS,
+                                 step_window_seconds=30).collect()}
+    assert got == {1: 1, 2: 3}
+    # combined with the anchored whole-funnel window
+    got2 = {r["user"]: r["max_step"]
+            for r in funnel_match(df, STEPS, window_seconds=40,
+                                  step_window_seconds=30).collect()}
+    assert got2 == {1: 1, 2: 2}
+
+
+def test_step_window_matches_duckdb(spark, duck):
+    con = duck(SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = 12 * 3600 * 1_000_000
+    oracle = (_ORACLE_MATCH.replace("{DL}", "").replace("{DLC}", "")
+              .replace("{WIN}", ""))
+    # per-step deadline references the PREVIOUS step's time
+    for prev in ("t_1", "t_2", "t_3"):
+        oracle = oracle.replace(f"x -> x > {prev}",
+                                f"x -> x > {prev} AND x <= {prev} + {w}")
+    assert_matches_oracle(
+        funnel_match(ev, STEPS, step_window_seconds=12 * 3600), con,
+        oracle, "funnel_step_window")
