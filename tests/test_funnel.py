@@ -248,3 +248,13 @@ def test_step_window_matches_duckdb(spark, duck):
     assert_matches_oracle(
         funnel_match(ev, STEPS, step_window_seconds=12 * 3600), con,
         oracle, "funnel_step_window")
+
+
+def test_cap_per_step_truncates_matchable_events(spark):
+    # user 1's only feasible view is their 3rd view event; cap=2 keeps
+    # just the first two sorted views, so the funnel breaks at step 2
+    df = _ev(spark, [(1, 30, "signup"), (1, 5, "view"), (1, 10, "view"),
+                     (1, 40, "view")])
+    assert funnel_match(df, STEPS).collect()[0]["max_step"] == 2
+    r = funnel_match(df, STEPS, cap_per_step=2).collect()[0]
+    assert r["max_step"] == 1 and r["t_2"] is None
