@@ -90,6 +90,15 @@ def main() -> None:
             last_touch_attribution(ev, "purchase",
                                    ["view", "click", "signup"],
                                    lookback_seconds=7 * 24 * 3600))))
+        from realtime_olap_spark.operators.attribution import \
+            multi_touch_attribution
+        record("attribution_multi_linear", k, timed(lambda: noop(
+            multi_touch_attribution(ev, "purchase",
+                                    ["view", "click", "signup"],
+                                    "linear",
+                                    lookback_seconds=24 * 3600))))
+        record("funnel_step_window", k, timed(lambda: noop(
+            FN.funnel_match(ev, STEPS, step_window_seconds=12 * 3600))))
         record("mg_topk_words", k, timed(lambda: noop(
             MG.mg_topk(words, "w", k=1024, top=100))))
         thr = 500 * k
