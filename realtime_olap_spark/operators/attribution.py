@@ -120,7 +120,7 @@ def multi_touch_attribution(df: DataFrame, conversion_event: str,
                      c_us.alias("__t_us")))
     # exact int64 band (double-division floor can wobble at multiples)
     def band(col):
-        return ((col - (col % F.lit(look_us))) / F.lit(look_us)) \
+        return ((col - F.pmod(col, F.lit(look_us))) / F.lit(look_us)) \
             .cast("long")
 
     conv_probe = conv.withColumn(

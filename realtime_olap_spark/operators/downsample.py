@@ -35,7 +35,8 @@ _US = 1_000_000
 
 def _bucket(ts_col: str, step_us: int):
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    return us - (us % F.lit(step_us))
+    # pmod: floor for negative (pre-1970) epochs too, matching SQL //
+    return us - F.pmod(us, F.lit(step_us))
 
 
 def ohlc(df: DataFrame, ts_col: str, step_seconds: int,
@@ -158,8 +159,8 @@ def counter_rate(df: DataFrame, ts_col: str, step_seconds: int,
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     keys = list(series_cols)
     base = df.select(*keys, F.col(value_col).alias("_v"), us.alias("_us"))
-    base = base.withColumn("_b", F.col("_us") - (F.col("_us")
-                                                 % F.lit(step_us)))
+    base = base.withColumn("_b", F.col("_us")
+                           - F.pmod(F.col("_us"), F.lit(step_us)))
     w_in = Window.partitionBy(*keys, "_b").orderBy("_us", "_v")
     prev_in = F.lag("_v").over(w_in)
     delta_in = (F.when(prev_in.isNull(), F.lit(None))
@@ -200,7 +201,7 @@ def _counter_rate_naive(df: DataFrame, ts_col: str, step_seconds: int,
     delta = (F.when(prev.isNull(), F.lit(None))
              .when(F.col("_v") >= prev, F.col("_v") - prev)
              .otherwise(F.col("_v")))
-    b = F.col("_us") - (F.col("_us") % F.lit(step_us))
+    b = F.col("_us") - F.pmod(F.col("_us"), F.lit(step_us))
     return (base.select(*series_cols, b.alias("_b"), delta.alias("_d"))
             .groupBy(*[F.col(c) for c in series_cols],
                      F.timestamp_micros(F.col("_b")).alias("bucket"))
@@ -277,7 +278,7 @@ def counter_rate_fold(batch: DataFrame, state: DataFrame | None,
     delta = (F.when(prev.isNull(), F.lit(None))
              .when(F.col("_v") >= prev, F.col("_v") - prev)
              .otherwise(F.col("_v")))
-    b = F.col("_us") - (F.col("_us") % F.lit(step_us))
+    b = F.col("_us") - F.pmod(F.col("_us"), F.lit(step_us))
     inc = (base2.select(*keys, b.alias("_b"), delta.alias("_d"))
            .groupBy(*[F.col(c) for c in keys],
                     F.timestamp_micros(F.col("_b")).alias("bucket"))

@@ -55,10 +55,12 @@ def time_bucket(df: DataFrame, ts_col: str, step_seconds: int,
     step grid (epoch-anchored, so buckets from different inputs align).
     """
     step_us = int(step_seconds) * _US
-    # exact int64 floor via modulo — `/` would round through double and
-    # can flip the last microsecond of a bucket into the next one
+    # exact int64 floor via pmod — `/` would round through double and
+    # can flip the last microsecond of a bucket into the next one, and
+    # `%` truncates toward zero for pre-1970 (negative-epoch) stamps,
+    # landing them one bucket high vs SQL floor division
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    b = F.timestamp_micros(us - (us % F.lit(step_us)))
+    b = F.timestamp_micros(us - F.pmod(us, F.lit(step_us)))
     return (df.groupBy(*[F.col(c) for c in group_cols],
                        b.alias("bucket"))
             .agg(*aggs))
@@ -71,14 +73,27 @@ def _to_us(bound) -> int:
     return int(bound)
 
 
-def _aligned_or_die(delta_us: Column, step_us: int, what: str) -> Column:
+def _aligned_or_die(delta_us: Column, step_us: int, what: str,
+                    forbid_zero: bool = False) -> Column:
     """Integer bucket count delta/step, runtime-asserting grid alignment.
 
     ``raise_error`` lives inside the expression (the un-foldable house
-    pattern) so the check cannot be constant-folded away."""
+    pattern) so the check cannot be constant-folded away.
+
+    ``forbid_zero`` guards the lead-bucket delta: two rows in the same
+    (group, bucket) give delta 0, which passes the modulo check but
+    would make ``sequence(0, n-1)`` = ``sequence(0, -1)`` — a
+    *descending* sequence emitting a phantom row one step before the
+    bucket, flagged as observed. Duplicate buckets violate the input
+    contract (bucket first with ``time_bucket``), so raise — the
+    module's documented raise-don't-snap policy."""
     ok = (delta_us % F.lit(step_us)) == 0
+    msg = f"gapfill: {what} not aligned to step grid"
+    if forbid_zero:
+        ok = ok & (delta_us != 0)
+        msg += " (or duplicate rows in one (group, bucket))"
     return F.when(ok, (delta_us / F.lit(step_us)).cast("long")).otherwise(
-        F.raise_error(F.lit(f"gapfill: {what} not aligned to step grid")))
+        F.raise_error(F.lit(msg)))
 
 
 def gapfill(df: DataFrame, bucket_col: str, group_cols: Sequence[str],
@@ -122,7 +137,7 @@ def gapfill(df: DataFrame, bucket_col: str, group_cols: Sequence[str],
         n_tail = F.lit(1)
     n = F.when(F.col("_lead_us").isNotNull(),
                _aligned_or_die(F.col("_lead_us") - F.col("_b_us"),
-                               step_us, "bucket delta")
+                               step_us, "bucket delta", forbid_zero=True)
                ).otherwise(n_tail)
 
     body = base.withColumn("_i", F.explode(F.sequence(F.lit(0),
@@ -188,11 +203,19 @@ def gapfill_join(df: DataFrame, bucket_col: str, group_cols: Sequence[str],
         lo = F.least(lo, F.lit(_to_us(start)))
     if end is not None:
         hi = F.greatest(hi, F.lit(_to_us(end)))
-    bounds = df.groupBy(*group_cols).agg(lo.alias("_lo"), hi.alias("_hi"))
-    # alignment guard on the observed extremes vs the grid
+    bounds = df.groupBy(*group_cols).agg(
+        lo.alias("_lo"), hi.alias("_hi"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(b_us).alias("_dcnt"))
+    # alignment guard on the observed extremes vs the grid, plus the
+    # duplicate-bucket contract shared with the emit shape: two rows in
+    # one (group, bucket) would double the grid row after the left join.
     bounds = bounds.withColumn(
-        "_n", _aligned_or_die(F.col("_hi") - F.col("_lo"), step_us,
-                              "bounds delta"))
+        "_n", F.when(F.col("_cnt") == F.col("_dcnt"),
+                     _aligned_or_die(F.col("_hi") - F.col("_lo"), step_us,
+                                     "bounds delta")).otherwise(
+            F.raise_error(F.lit(
+                "gapfill: duplicate rows in one (group, bucket)"))))
     grid = (bounds
             .withColumn("_k", F.explode(F.sequence(F.lit(0), F.col("_n"))))
             .select(*group_cols,

@@ -43,7 +43,7 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
     counting, so retained rows are unaffected)."""
     step_us = int(bucket_seconds) * _US
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    bucket = us - (us % F.lit(step_us))
+    bucket = us - F.pmod(us, F.lit(step_us))  # pmod: pre-1970 safe
 
     per_user = (df.select(F.col(user_col).alias("u"),
                           bucket.alias("b"))

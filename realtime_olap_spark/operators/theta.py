@@ -270,7 +270,7 @@ def sliding_distinct(df: DataFrame, ts_col: str, key: Column | str,
     Empty trailing buckets contribute nothing (their sketch is absent)."""
     step_us = int(bucket_seconds) * 1_000_000
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    bucketed = df.withColumn("__b_us", us - (us % F.lit(step_us)))
+    bucketed = df.withColumn("__b_us", us - F.pmod(us, F.lit(step_us)))
     per_bucket = theta_build_grouped(bucketed, ["__b_us"], key, k)
     out = []
     for (b_us,), _sk in sorted(per_bucket.items()):

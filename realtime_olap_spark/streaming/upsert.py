@@ -301,8 +301,14 @@ def _combine_partial(state: DataFrame, batch_agg: DataFrame,
         s = strategies.get(c, default)
         sc, bc = F.col(f"__s.{c}"), F.col(f"__b.{c}")
         if s == "overwrite":
+            # exact version tie → greatest(value), matching the
+            # struct-max tie-break of partial_latest_by_key's one-shot
+            # twin; without it, folding batches diverges from the
+            # one-shot answer on duplicated versions (fold ≡ one-shot
+            # parity contract)
             val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
-                   .when(bv >= sv, bc).otherwise(sc))
+                   .when(bv > sv, bc).when(sv > bv, sc)
+                   .otherwise(F.greatest(sc, bc)))
         elif s == "ignore":
             val = F.when(sv.isNotNull(), sc).otherwise(bc)
         elif s == "increment":

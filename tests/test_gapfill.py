@@ -218,3 +218,42 @@ def test_emit_shape_single_exchange(spark):
                           how="locf")
              ._jdf.queryExecution().executedPlan().toString())
     assert planj.count("Exchange") >= base + 2, planj
+
+
+def test_duplicate_bucket_raises_emit(spark):
+    """Two rows in one (group, bucket): the lead delta is 0, which used
+    to pass the modulo alignment guard and make sequence(0, -1) emit a
+    phantom row one step BEFORE the bucket flagged is_filled=false.
+    Contract says raise, not corrupt (r8 verdict / ADVICE medium)."""
+    dup = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(0), 2.0), ("a", _ts(2), 3.0)],
+        "g string, bucket timestamp, v double")
+    with pytest.raises(Exception, match="duplicate"):
+        gapfill(dup, "bucket", ["g"], ["v"], HOUR, how="locf").collect()
+
+
+def test_duplicate_bucket_raises_join(spark):
+    dup = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(0), 2.0), ("a", _ts(2), 3.0)],
+        "g string, bucket timestamp, v double")
+    with pytest.raises(Exception, match="duplicate"):
+        gapfill_join(dup, "bucket", ["g"], ["v"], HOUR,
+                     how="locf").collect()
+
+
+def test_time_bucket_pre_1970_floor(spark):
+    """Negative (pre-1970) epochs must floor DOWN to the bucket grid
+    (SQL // semantics), not truncate toward zero into the ceil bucket."""
+    ts = dt.datetime(1969, 12, 31, 23, 30, 0)  # epoch -1800s
+    df = spark.createDataFrame([(ts, 1.0)], "t timestamp, v double")
+    out = time_bucket(df, "t", HOUR, [], [F.sum("v").alias("s")]).first()
+    assert out["bucket"] == dt.datetime(1969, 12, 31, 23, 0, 0)
+    # and the bucketed frame gapfills on-grid across the epoch boundary
+    df2 = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 0, 0), 1.0),
+         (dt.datetime(1970, 1, 1, 1, 0, 0), 3.0)],
+        "bucket timestamp, v double")
+    got = gapfill(df2.withColumn("g", F.lit("x")), "bucket", ["g"], ["v"],
+                  HOUR, how="linear").collect()
+    mid = [r for r in got if r["is_filled"]]
+    assert len(mid) == 1 and mid[0]["v"] == 2.0

@@ -326,3 +326,34 @@ def test_partial_sink_skips_replayed_batch_ids(spark, tmp_path):
     assert read_upsert(spark, path).first()["clicks"] == 8
     sink(spark.createDataFrame([(1, 3, 2)], schema), 2)
     assert read_upsert(spark, path).first()["clicks"] == 10
+
+
+def test_partial_fold_parity_on_version_ties(spark, tmp_path):
+    """Duplicated versions per key across batches: OVERWRITE must break
+    exact version ties by greatest(value) so folding batches reproduces
+    the one-shot struct-max answer regardless of which batch carried
+    the winning row (r8 verdict / ADVICE: fold != one-shot on ties)."""
+    from realtime_olap_spark.streaming.upsert import (partial_latest_by_key,
+                                                      partial_upsert_batch,
+                                                      read_upsert)
+    schema = "k long, v long, name string, best double"
+    strategies = {"name": "overwrite", "best": "max"}
+    # k=1: tie at v=2 split across batches, greater value "z" arrives
+    # FIRST (state side) so the old bv>=sv rule would wrongly keep "a".
+    # k=2: tie inside a single batch (one-shot path already struct-max).
+    batches = [
+        [(1, 2, "z", 1.0), (2, 5, "m", 2.0)],
+        [(1, 2, "a", 3.0), (2, 5, "q", 1.0)],
+    ]
+    path = str(tmp_path / "state")
+    for rows in batches:
+        partial_upsert_batch(spark, path,
+                             spark.createDataFrame(rows, schema),
+                             ["k"], "v", strategies, n_buckets=2)
+    got = sorted(map(tuple, read_upsert(spark, path).collect()))
+    flat = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(map(tuple, partial_latest_by_key(
+        flat, ["k"], "v", strategies).collect()))
+    assert got == want
+    by_k = {r[0]: r for r in got}
+    assert by_k[1][2] == "z" and by_k[2][2] == "q"
