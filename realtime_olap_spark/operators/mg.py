@@ -128,6 +128,80 @@ def heavy_hitters_mg(df: DataFrame, key: Column | str, threshold: int,
             .where(F.col("n") >= F.lit(int(threshold))))
 
 
+def _route_heavy_hitters(n_rows: int, n_keys: int, k: int,
+                         mg_min_keys: Optional[int],
+                         mg_key_row_ratio: float) -> str:
+    """Pure routing rule (unit-tested directly): ``"mg"`` when the key
+    cardinality is large enough that the MG gate's bounded shuffle pays
+    for its Python summary pass, else ``"groupby"``.
+
+    Rationale: a plain JVM groupBy partial-aggregates to ≤ D rows per
+    partition before the exchange, so at low cardinality its shuffle is
+    already no bigger than the MG merge's own k·P rows — and it skips
+    the Arrow/pandas pass over every row entirely (measured 15× faster
+    on a low-cardinality corpus, COVERAGE.md analytics soak). The gate
+    only wins when D is within a small factor of the row count, where
+    the plain exchange would carry ~n rows."""
+    if n_keys < (mg_min_keys if mg_min_keys is not None else 32 * int(k)):
+        return "groupby"
+    if n_keys < mg_key_row_ratio * n_rows:
+        return "groupby"
+    return "mg"
+
+
+def heavy_hitters_auto(df: DataFrame, key: Column | str, threshold: int,
+                       k: int = 4096,
+                       n_keys_hint: Optional[int] = None,
+                       mg_min_keys: Optional[int] = None,
+                       mg_key_row_ratio: float = 0.125) -> DataFrame:
+    """Cardinality-adaptive exact heavy hitters ``(key, n)``: one cheap
+    JVM-side probe (``approx_count_distinct`` + ``count`` in a single
+    partial-aggregated scan) picks the physical plan, the way the
+    reference's plan maker picks metadata/dictionary fast paths per
+    segment (`InstancePlanMakerImplV2.java:148-211`):
+
+    - tiny key space → plain ``groupBy(key).count().where(n >= T)``
+      (whole-stage-codegen, partial agg bounds the shuffle at D·P rows);
+    - keys ~ rows → :func:`heavy_hitters_mg` (shuffle bounded at k·P
+      summary rows + candidate-key rows, never the corpus).
+
+    Row-identical either way — both plans are exact, and the MG branch
+    raises rather than under-gates when k is too small. Pass
+    ``n_keys_hint`` (e.g. from table stats or a prior theta profile) to
+    skip the probe scan; HLL's ±2.3 % default error is irrelevant at the
+    orders-of-magnitude scale the route decision needs."""
+    route = probe_route(df, key, k, n_keys_hint=n_keys_hint,
+                        mg_min_keys=mg_min_keys,
+                        mg_key_row_ratio=mg_key_row_ratio)
+    if route == "mg":
+        return heavy_hitters_mg(df, key, threshold, k=k)
+    kexpr = _as_key(key).cast("string")
+    src = df.select(kexpr.alias("_k")).where(F.col("_k").isNotNull())
+    return (src.groupBy(F.col("_k").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= F.lit(int(threshold))))
+
+
+def probe_route(df: DataFrame, key: Column | str, k: int = 4096,
+                n_keys_hint: Optional[int] = None,
+                mg_min_keys: Optional[int] = None,
+                mg_key_row_ratio: float = 0.125) -> str:
+    """The probe + decision half of :func:`heavy_hitters_auto`,
+    exposed so soaks/diagnostics can report which plan a corpus gets."""
+    kexpr = _as_key(key).cast("string")
+    src = df.select(kexpr.alias("_k")).where(F.col("_k").isNotNull())
+    if n_keys_hint is not None:
+        # hinted path: only the absolute guard applies (no row count)
+        n_keys = int(n_keys_hint)
+        return "groupby" if n_keys < (mg_min_keys if mg_min_keys
+                                      is not None else 32 * int(k)) \
+            else "mg"
+    probe = src.agg(F.approx_count_distinct("_k").alias("d"),
+                    F.count(F.lit(1)).alias("n")).first()
+    return _route_heavy_hitters(probe["n"], probe["d"], k, mg_min_keys,
+                                mg_key_row_ratio)
+
+
 def mg_merge_counts(a: dict, b: dict, k: int) -> tuple[dict, int]:
     """Driver-side MG merge (Agarwal et al.): add counters, re-trim to k.
     Returns (merged counters, decrement incurred BY THIS MERGE). Used to

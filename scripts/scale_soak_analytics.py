@@ -107,6 +107,26 @@ def main() -> None:
         record("plain_heavy (reference)", k, timed(lambda: noop(
             words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") >= thr))))
+        # adaptive router: tiny-vocab words must route to the plain JVM
+        # groupBy (the 15x-faster plan here); a keys~rows stream (word
+        # tagged with its doc) must route to the MG gate. Probe included
+        # in the timing.
+        tagged = (docs.select(
+            F.posexplode(F.split(F.col("text"), r"\s+"))
+            .alias("pos", "w"), F.col("doc_id"))
+            .where(F.length("w") > 0)
+            .select(F.concat_ws("-", "w", "doc_id", "pos").alias("wk")))
+        print(f"  route(words)  -> {MG.probe_route(words, 'w')}",
+              flush=True)
+        print(f"  route(tagged) -> {MG.probe_route(tagged, 'wk')}",
+              flush=True)
+        record("hh_auto_lowcard", k, timed(lambda: noop(
+            MG.heavy_hitters_auto(words, "w", thr, k=4096))))
+        # unique-ish keys (keys = rows): threshold sits above the MG
+        # decrement bound n/(k+1) so the gate certifies the (empty)
+        # answer without a full-key shuffle
+        record("hh_auto_highcard", k, timed(lambda: noop(
+            MG.heavy_hitters_auto(tagged, "wk", 1500 * k, k=4096))))
 
     print(json.dumps(results))
     lo, hi = min(scales), max(scales)

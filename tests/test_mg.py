@@ -130,3 +130,52 @@ def test_gated_plan_broadcast_semi(words):
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_route_decision_both_regimes():
+    from realtime_olap_spark.operators.mg import _route_heavy_hitters
+    # tiny key space -> plain JVM groupBy, regardless of row count
+    assert _route_heavy_hitters(10**9, 5_000, 4096, None, 0.125) \
+        == "groupby"
+    # keys ~ rows -> MG gate (shuffle bounded at k*P, not cardinality)
+    assert _route_heavy_hitters(10**9, 6 * 10**8, 4096, None, 0.125) \
+        == "mg"
+    # moderate cardinality but tiny fraction of rows: partial agg
+    # already bounds the plain shuffle -> groupby
+    assert _route_heavy_hitters(10**12, 10**7, 4096, None, 0.125) \
+        == "groupby"
+    # custom thresholds respected
+    assert _route_heavy_hitters(100, 90, 4, mg_min_keys=50,
+                                mg_key_row_ratio=0.5) == "mg"
+
+
+def test_auto_row_identical_both_routes(words):
+    from realtime_olap_spark.operators.mg import heavy_hitters_auto
+    want = sorted((k, n) for k, n in _exact(words).items() if n >= 40)
+    # hint forces each route deterministically; results must be identical
+    plain = heavy_hitters_auto(words, "w", 40, k=4096, n_keys_hint=100)
+    gated = heavy_hitters_auto(words, "w", 40, k=4096,
+                               n_keys_hint=10**9, mg_min_keys=1)
+    assert sorted(map(tuple, plain.collect())) == want
+    assert sorted(map(tuple, gated.collect())) == want
+    # probe path (no hint): tiny-vocab corpus must route to groupby and
+    # still match
+    auto = heavy_hitters_auto(words, "w", 40, k=4096)
+    assert sorted(map(tuple, auto.collect())) == want
+
+
+def test_auto_picks_plan_by_regime(words):
+    from realtime_olap_spark.operators.mg import heavy_hitters_auto
+    # plain route: one whole-stage-codegen count, no gate join and no
+    # checkpointed summary scan
+    plan_plain = heavy_hitters_auto(
+        words, "w", 40, n_keys_hint=100
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_plain
+    assert "ExistingRDD" not in plan_plain
+    # MG route: localCheckpointed summary partials (ExistingRDD scan)
+    # broadcast into the candidate semi-join gate
+    plan_mg = heavy_hitters_auto(
+        words, "w", 40, n_keys_hint=10**9, mg_min_keys=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_mg and "ExistingRDD" in plan_mg
