@@ -29,24 +29,85 @@ def last_touch_attribution(df: DataFrame, conversion_event: str,
                            touch_events: Sequence[str],
                            user_col: str = "user_id", ts_col: str = "ts",
                            event_col: str = "event_type",
-                           lookback_seconds: Optional[int] = None
-                           ) -> DataFrame:
+                           lookback_seconds: Optional[int] = None,
+                           banded: Optional[bool] = None) -> DataFrame:
     """One row per conversion event: all conversion columns +
     ``channel`` (the attributed touch's event value, NULL when
-    unattributed) + ``touch_ts`` (its timestamp)."""
+    unattributed) + ``touch_ts`` (its timestamp).
+
+    Physical shapes (``banded=None`` picks automatically):
+
+    - **banded** (default whenever a finite lookback exists): the same
+      one-sided lookback banding as :func:`multi_touch_attribution` —
+      touches keyed by floor(t/L), conversions probing bands {b−1, b},
+      then a per-(user, conv-ts) ``max(struct(t, channel))`` reduce and
+      a join back onto the conversions. Every shuffle is band-local or
+      bounded by touches-per-conversion-window; the 1000× soak measured
+      the un-banded as-of shape at 8.2×-per-10× because its running-last
+      window funnels each user's FULL history through one partition.
+    - **as-of** (``lookback_seconds is None``, or ``banded=False``): the
+      :func:`operators.joins.asof_join` union + running-last window —
+      required for the unbounded lookback, where no band width exists.
+
+    Both shapes are result-identical on a finite lookback
+    (equality-tested against each other and DuckDB ASOF in
+    tests/test_attribution.py); conversions sharing an identical
+    (user, ts) instant necessarily share the same last touch, which is
+    what lets the banded reduce key on (user, conv-ts) instead of a
+    synthetic row id."""
     # asof_join's tolerance path needs TIMESTAMP (unix_micros rejects
     # the NTZ type raw parquet reads produce); session TZ is UTC
     df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     conv = df.where(F.col(event_col) == conversion_event)
     touch = (df.where(F.col(event_col).isin(list(touch_events)))
              .select(user_col, ts_col, F.col(event_col).alias("__touch")))
-    tol = None if lookback_seconds is None \
-        else int(lookback_seconds) * 1_000_000
-    out = asof_join(conv, touch, on=[user_col], left_ts=ts_col,
-                    right_ts=ts_col, values=["__touch"],
-                    tolerance_us=tol, suffix="", direction="backward")
-    return (out.withColumnRenamed("__touch", "channel")
-            .withColumnRenamed("asof_ts", "touch_ts"))
+    if banded is None:
+        banded = lookback_seconds is not None
+    if banded and lookback_seconds is None:
+        raise ValueError("banded last-touch needs a finite "
+                         "lookback_seconds (the band width)")
+    if not banded:
+        tol = None if lookback_seconds is None \
+            else int(lookback_seconds) * 1_000_000
+        out = asof_join(conv, touch, on=[user_col], left_ts=ts_col,
+                        right_ts=ts_col, values=["__touch"],
+                        tolerance_us=tol, suffix="", direction="backward")
+        return (out.withColumnRenamed("__touch", "channel")
+                .withColumnRenamed("asof_ts", "touch_ts"))
+
+    look_us = int(lookback_seconds) * 1_000_000
+
+    def band(col):
+        return ((col - F.pmod(col, F.lit(look_us))) / F.lit(look_us)) \
+            .cast("long")
+
+    c_us = F.unix_micros(F.col(ts_col))
+    conv_probe = (conv.select(F.col(user_col).alias("__u"),
+                              c_us.alias("__c_us"))
+                  .distinct()
+                  .withColumn("__band",
+                              F.explode(F.array(band(F.col("__c_us")) - 1,
+                                                band(F.col("__c_us"))))))
+    touch_b = (touch.select(F.col(user_col).alias("__u"),
+                            F.col("__touch"),
+                            c_us.alias("__t_us"))
+               .withColumn("__band", band(F.col("__t_us"))))
+    best = (conv_probe.join(touch_b, on=["__u", "__band"], how="inner")
+            .where((F.col("__t_us") <= F.col("__c_us"))
+                   & (F.col("__t_us") >= F.col("__c_us") - F.lit(look_us)))
+            .groupBy("__u", "__c_us")
+            .agg(F.max(F.struct(F.col("__t_us").alias("t"),
+                                F.col("__touch").alias("ch")))
+                 .alias("__m")))
+    joined = conv.join(
+        best,
+        (F.col(user_col) == F.col("__u"))
+        & (F.unix_micros(F.col(ts_col)) == F.col("__c_us")),
+        "left")
+    return joined.select(
+        *conv.columns,
+        F.col("__m")["ch"].alias("channel"),
+        F.timestamp_micros(F.col("__m")["t"]).alias("touch_ts"))
 
 
 def attribution_report(df: DataFrame, conversion_event: str,

@@ -151,3 +151,40 @@ def test_multi_touch_credits_sum_to_conversions(spark):
                                  lookback_seconds=86400, **kw)
         total = rep.agg(F.sum("credit")).first()[0]
         assert abs(total - n_conv) < 1e-6, model
+
+
+def test_last_touch_banded_equals_asof(spark):
+    """The banded shape (default for finite lookbacks) must be
+    row-identical to the as-of shape it replaces — which is itself
+    DuckDB-ASOF-differentialed above — including ties, expiry at the
+    exact lookback edge, and unattributed conversions."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for lb in (3600, 6 * 3600, 86400):
+        a = (last_touch_attribution(ev, "purchase", TOUCHES,
+                                    lookback_seconds=lb, banded=False)
+             .select("event_id", "user_id", "channel", "touch_ts"))
+        b = (last_touch_attribution(ev, "purchase", TOUCHES,
+                                    lookback_seconds=lb)
+             .select("event_id", "user_id", "channel", "touch_ts"))
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect())), lb
+
+
+def test_last_touch_banded_hand_and_guard(spark):
+    df = _ev(spark, [
+        (1, 0, "view"), (1, 50, "click"), (1, 100, "purchase"),
+        (2, 0, "view"), (2, 500, "purchase"),
+        (3, 10, "purchase"),
+        (4, 100, "view"), (4, 200, "purchase"), (4, 200, "purchase"),
+    ])
+    got = sorted((r["user_id"], r["channel"]) for r in
+                 last_touch_attribution(df, "purchase", ["view", "click"],
+                                        lookback_seconds=100).collect())
+    # duplicate conversions at one (user, ts) both attribute to the
+    # same touch; lookback edge is inclusive (u1: touch at c-100, u4:
+    # touch at c-100)
+    assert got == [(1, "click"), (2, None), (3, None),
+                   (4, "view"), (4, "view")]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="finite"):
+        last_touch_attribution(df, "purchase", ["view"], banded=True)
