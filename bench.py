@@ -107,21 +107,24 @@ RENAMES = {
     "tf_datetimeconvert_bucket": "tf_time_all",
 }
 
-# Queries whose r2 scope grew by consolidation (more aggregates/probes per
-# query than their r1 ancestor) — a >2x wall-clock jump here is added work,
-# not a perf regression; flagged entries carry scope_changed: true.
+# Queries whose scope grew by consolidation (more aggregates/probes per
+# query than their ancestor), mapped to the ROUND whose BENCH record first
+# contains the new-scope timing. A >2x wall-clock jump is added work (not
+# a regression) only when the comparison base PREDATES the scope change;
+# once a BENCH_r{N>=round} records the new-scope value as prev, a >2x jump
+# is a real regression and is no longer excused (r7 directive #6).
 SCOPE_CHANGED = {
-    "filter_range_regex_tree",  # 1 predicate -> 4 predicate probes
-    "agg_scalar_all",           # +3 exact distinct counts
-    "agg_approx_sketches",      # 2 sketches -> 6 sketches
-    "agg_topn_having",          # topn + having merged
-    "agg_groupby_keys",         # expr keys + multicol + 3 more aggs
-    "tf_time_all",              # 1 conversion -> 3 co-grouped conversions
-    "mv_all_aggs",              # 3 MV aggs -> 9 incl. element percentiles
-    "dedup_exact",              # + corpus cardinality stats
-    "rollup_routed_agg",        # + filter + 4 more agg kinds
-    "ext_window_running",       # + hourly gapfill-LOCF branch (r7)
-    "ext_sessionize",           # + funnel + retention branches (r7)
+    "filter_range_regex_tree": 2,  # 1 predicate -> 4 predicate probes
+    "agg_scalar_all": 2,           # +3 exact distinct counts
+    "agg_approx_sketches": 2,      # 2 sketches -> 6 sketches
+    "agg_topn_having": 2,          # topn + having merged
+    "agg_groupby_keys": 2,         # expr keys + multicol + 3 more aggs
+    "tf_time_all": 2,              # 1 conversion -> 3 co-grouped conversions
+    "mv_all_aggs": 2,              # 3 MV aggs -> 9 incl. element percentiles
+    "dedup_exact": 2,              # + corpus cardinality stats
+    "rollup_routed_agg": 2,        # + filter + 4 more agg kinds
+    "ext_window_running": 7,       # + hourly gapfill-LOCF branch (r7)
+    "ext_sessionize": 7,           # + funnel + retention branches (r7)
 }
 
 
@@ -261,16 +264,20 @@ def main() -> None:
                                 for r in query_runs.values()), 2),
     }
     # Regression check against the previous round's record (>2x per query).
-    prev = _load_prev_bench()
+    prev, prev_round = _load_prev_bench()
     if prev:
         regressions = {}
         for old_name, old_sec in prev.items():
             new_name = RENAMES.get(old_name, old_name)
             cur = timings.get(new_name)
             if cur is not None and old_sec > 0 and cur > 2.0 * old_sec:
+                changed_in = SCOPE_CHANGED.get(new_name)
                 regressions[old_name] = {
                     "prev": old_sec, "now": cur,
-                    "scope_changed": new_name in SCOPE_CHANGED}
+                    # excused only while the base predates the new scope
+                    "scope_changed": (changed_in is not None
+                                      and prev_round is not None
+                                      and prev_round < changed_in)}
         detail["regressions_vs_prev"] = regressions
     line = json.dumps(summary)
     if len(line) > 1800:  # keep the summary inside the 2000-char tail window
@@ -282,11 +289,14 @@ def main() -> None:
     spark.stop()
 
 
-def _load_prev_bench() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json, if any. The driver
-    wraps our JSON line under a 'parsed' key (with the raw stdout in
-    'tail'); also accept a bare bench JSON."""
+def _load_prev_bench() -> tuple[dict[str, float], int | None]:
+    """(per-query seconds, round number) from the newest usable
+    BENCH_r*.json, if any. The driver wraps our JSON line under a
+    'parsed' key (with the raw stdout in 'tail'); also accept a bare
+    bench JSON. The round number (from the filename) lets the caller
+    decide whether the record predates a query's scope change."""
     import glob
+    import re
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     # Newest first; fall through records whose 'parsed' is null (r6's line
@@ -297,10 +307,11 @@ def _load_prev_bench() -> dict[str, float]:
                 d = json.load(f)
             q = d.get("queries") or (d.get("parsed") or {}).get("queries")
             if q:
-                return dict(q)
+                m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+                return dict(q), (int(m.group(1)) if m else None)
         except (OSError, ValueError, AttributeError):
             continue
-    return {}
+    return {}, None
 
 
 if __name__ == "__main__":

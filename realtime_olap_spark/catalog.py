@@ -46,24 +46,53 @@ STAGE_MAX_BYTES = 2 << 30
 
 _STAGE_CLEANUP_DONE: set[str] = set()
 
+#: Heartbeat period for the live session's staging dir. Must be well
+#: under the 24 h sweep cutoff; 30 min leaves a 48× margin.
+_STAGE_HEARTBEAT_SECONDS = 1800
+
+
+def _touch_stage_heartbeat(own_dir: str) -> None:
+    """Refresh the staging dir's mtime — the liveness signal the sweep
+    honors. Called at registration and from the per-session heartbeat
+    thread, so a >1-day session (soak, notebook, PQL server) whose
+    memoized FileScan plans still reference its staged parquet is never
+    swept by a newly started session."""
+    try:
+        os.utime(own_dir, None)
+    except OSError:
+        pass
+
 
 def _register_stage_cleanup(root: str, own_dir: str) -> None:
     """Staging-area hygiene, best-effort, once per session: remove THIS
     session's staged segments at interpreter exit (staged data is a
     pure cache — any later session rebuilds it), and sweep sibling
-    session directories whose mtime is older than a day. The age gate
-    means a CONCURRENTLY running session's files are never touched —
-    only directories no live session can still reference (staging
-    happens at session start, so a day-old dir belongs to a dead
-    applicationId)."""
+    session directories whose HEARTBEAT (dir mtime) is older than a
+    day. A live session re-touches its dir every
+    ``_STAGE_HEARTBEAT_SECONDS`` from a daemon thread, so only
+    directories whose owning process is gone (no heartbeat for 24 h)
+    are ever removed — a dir's CREATION age alone is not a liveness
+    signal."""
     if own_dir in _STAGE_CLEANUP_DONE:
         return
     _STAGE_CLEANUP_DONE.add(own_dir)
     import atexit
     import shutil
+    import threading
     import time
 
     atexit.register(lambda: shutil.rmtree(own_dir, ignore_errors=True))
+    _touch_stage_heartbeat(own_dir)
+
+    def _beat() -> None:
+        while True:
+            time.sleep(_STAGE_HEARTBEAT_SECONDS)
+            _touch_stage_heartbeat(own_dir)
+
+    threading.Thread(target=_beat, daemon=True,
+                     name=f"stage-heartbeat-{os.path.basename(own_dir)}"
+                     ).start()
+
     cutoff = time.time() - 24 * 3600
     try:
         for d in os.listdir(root):

@@ -151,3 +151,28 @@ def test_keep_best_with_constant_score_equals_min_id_rule(spark):
               .where(F.col("node") != F.col("component")).collect()}
     want = sorted(i for i in range(1, 40) if i not in losers)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_cc_local_contraction_agrees(spark, seed):
+    """The per-partition union-find contraction that now fronts the
+    star rounds must not change the answer: contracted vs uncontracted
+    distributed paths and the broadcast union-find all agree, across
+    partition layouts (contraction quality varies with co-location,
+    correctness must not)."""
+    rnd = random.Random(seed)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {(int(r["node"]), int(r["component"]))
+            for r in connected_components(df).collect()}
+    for parts in (1, 7):
+        got = {(int(r["node"]), int(r["component"]))
+               for r in connected_components(
+                   df.repartition(parts), small_graph_edges=None,
+                   local_contraction=True).collect()}
+        assert got == want, parts
+    off = {(int(r["node"]), int(r["component"]))
+           for r in connected_components(
+               df, small_graph_edges=None,
+               local_contraction=False).collect()}
+    assert off == want

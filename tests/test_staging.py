@@ -152,3 +152,35 @@ def test_stage_predicate_single_part_directory(spark, tmp_path):
     finally:
         os.environ.pop(STAGE_ENV, None)
     assert rows_of_spark(staged) == rows_of_spark(raw)
+
+
+def test_stage_sweep_spares_heartbeated_live_dir(tmp_path):
+    """A >1-day-old staging dir whose owning session is still alive
+    (fresh heartbeat mtime) must survive another session's sweep; a
+    dir with a stale heartbeat is removed (r8 verdict / ADVICE low:
+    the old creation-age sweep could delete a live soak/notebook/PQL
+    session's staged parquet out from under its memoized plans)."""
+    import os
+    import time
+
+    from realtime_olap_spark.catalog import (_register_stage_cleanup,
+                                             _touch_stage_heartbeat)
+
+    root = tmp_path / "stage_root"
+    live = root / "app-live-old"
+    dead = root / "app-dead-old"
+    mine = root / "app-me"
+    for d in (live, dead, mine):
+        d.mkdir(parents=True)
+    old = time.time() - 48 * 3600
+    os.utime(live, (old, old))
+    os.utime(dead, (old, old))
+    # the live session's heartbeat thread refreshes its dir mtime —
+    # simulate one beat having happened since
+    _touch_stage_heartbeat(str(live))
+    _register_stage_cleanup(str(root), str(mine))
+    assert live.exists()        # fresh heartbeat -> spared
+    assert not dead.exists()    # stale heartbeat -> swept
+    assert mine.exists()
+    # registration also touched our own dir (first heartbeat)
+    assert os.path.getmtime(mine) > time.time() - 60
