@@ -30,24 +30,31 @@ def last_touch_attribution(df: DataFrame, conversion_event: str,
                            user_col: str = "user_id", ts_col: str = "ts",
                            event_col: str = "event_type",
                            lookback_seconds: Optional[int] = None,
-                           banded: Optional[bool] = None) -> DataFrame:
+                           banded: bool = False) -> DataFrame:
     """One row per conversion event: all conversion columns +
     ``channel`` (the attributed touch's event value, NULL when
     unattributed) + ``touch_ts`` (its timestamp).
 
-    Physical shapes (``banded=None`` picks automatically):
+    Physical shapes:
 
-    - **banded** (default whenever a finite lookback exists): the same
-      one-sided lookback banding as :func:`multi_touch_attribution` —
-      touches keyed by floor(t/L), conversions probing bands {b−1, b},
-      then a per-(user, conv-ts) ``max(struct(t, channel))`` reduce and
-      a join back onto the conversions. Every shuffle is band-local or
-      bounded by touches-per-conversion-window; the 1000× soak measured
-      the un-banded as-of shape at 8.2×-per-10× because its running-last
-      window funnels each user's FULL history through one partition.
-    - **as-of** (``lookback_seconds is None``, or ``banded=False``): the
-      :func:`operators.joins.asof_join` union + running-last window —
-      required for the unbounded lookback, where no band width exists.
+    - **as-of** (default): the :func:`operators.joins.asof_join` union
+      + running-last window — ONE shuffle on the user key. Interleaved
+      A/B at the 1000× soak (100M events, min-of-2, warmed): 12.2 s at
+      10M users, 11.8 s skewed to 10k users × 10k events, 25.7 s at
+      100 users × 1M events — the window's parallelism is
+      min(users, cores) but the sort is linear, so even heavy skew
+      degrades gently.
+    - **banded** (``banded=True``, needs a finite lookback): the
+      multi-touch lookback banding — touches keyed by floor(t/L),
+      conversions probing bands {b−1, b}, a per-(user, conv-ts)
+      ``max(struct(t, channel))`` reduce, and a join back onto the
+      conversions. MEASURED SLOWER than as-of in every tested regime
+      (20.3 s uniform, 259 s at 100 users — its equi-join key
+      cardinality is users × bands-in-range, which collapses exactly
+      when the window would, and it pays 3 shuffles to the window's 1).
+      Its niche is a lookback much SMALLER than the data's time span
+      (bands ≫ 1 per user) combined with per-user histories too large
+      to sort in one partition; outside that, keep the default.
 
     Both shapes are result-identical on a finite lookback
     (equality-tested against each other and DuckDB ASOF in
@@ -61,8 +68,6 @@ def last_touch_attribution(df: DataFrame, conversion_event: str,
     conv = df.where(F.col(event_col) == conversion_event)
     touch = (df.where(F.col(event_col).isin(list(touch_events)))
              .select(user_col, ts_col, F.col(event_col).alias("__touch")))
-    if banded is None:
-        banded = lookback_seconds is not None
     if banded and lookback_seconds is None:
         raise ValueError("banded last-touch needs a finite "
                          "lookback_seconds (the band width)")

@@ -1,0 +1,349 @@
+"""Parameter-randomized python-reference differential sweeps for the
+attribution and downsample families — the analytics analog of the PQL
+querygen sweeps (mirroring the reference's QueryGenerator strategy,
+`pinot-integration-tests/.../QueryGenerator.java:65`): thousands of
+random (data, parameter) cases, each checked against an independent
+pure-python evaluation of the documented semantics.
+
+Randomized per chunk: attribution model (linear/position/time_decay),
+lookback, half-life, bucket step; per seed: user/series count, event
+counts, timestamp granularity (coarse grids force same-µs ties and
+exact lookback/bucket-edge hits), pre-1970 offsets (negative epochs),
+counter resets, duplicate conversions at one instant, and conversions
+with no touches.
+
+Batching: a seed's users/series are NAMESPACED into the key column
+(user_id = seed*1000 + u), so one Spark job evaluates a whole chunk of
+seeds at once — per-user/per-series operators can't see across seeds.
+
+Usage: python scripts/randomized_sweep_analytics.py [n_chunks] [seeds_per_chunk] [base_seed]
+Defaults: 20 chunks x 100 seeds from base 0. Prints one summary line;
+non-zero exit on any mismatch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_soak import build_session  # noqa: E402
+
+US = 1_000_000
+EPOCH = dt.datetime(1970, 1, 1)
+
+TOUCHES = ["view", "click", "signup"]
+CONV = "purchase"
+
+
+def _ts(us: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(microseconds=us)
+
+
+def _gen_attr_rows(rnd: random.Random, seed: int, look_us: int):
+    """Events for one seed: (user, us, event_type, event_id)."""
+    rows = []
+    gran = rnd.choice([1, US, look_us // 7 or 1, look_us // 2 or 1, look_us])
+    base = rnd.choice([0, -5 * look_us, 3 * look_us]) + rnd.randrange(4) * gran
+    eid = seed * 100_000
+    for u in range(rnd.randrange(2, 6)):
+        user = seed * 1000 + u
+        n = rnd.randrange(3, 18)
+        for _ in range(n):
+            us = base + rnd.randrange(-20, 40) * gran
+            ev = rnd.choice(TOUCHES + [CONV, CONV, "noise"])
+            rows.append((user, us, ev, eid))
+            eid += 1
+        # force edge cases: touch exactly at lookback edge + duplicate
+        # conversions at one instant + same-µs touch/conversion
+        c0 = base + rnd.randrange(0, 30) * gran
+        rows.append((user, c0 - look_us, rnd.choice(TOUCHES), eid)); eid += 1
+        rows.append((user, c0, CONV, eid)); eid += 1
+        if rnd.random() < 0.5:
+            rows.append((user, c0, CONV, eid)); eid += 1
+        if rnd.random() < 0.5:
+            rows.append((user, c0, rnd.choice(TOUCHES), eid)); eid += 1
+    return rows
+
+
+def _ref_multi_touch(rows, model, look_us, hl_us):
+    """(conv_id, channel, t_us, credit) set per the documented model."""
+    by_user: dict = {}
+    for user, us, ev, eid in rows:
+        by_user.setdefault(user, []).append((us, ev, eid))
+    out = []
+    for user, evs in by_user.items():
+        convs = [(us, eid) for us, ev, eid in evs if ev == CONV]
+        touches = [(us, ev) for us, ev, eid in evs if ev in TOUCHES]
+        for c_us, cid in convs:
+            hits = sorted((t, ch) for t, ch in touches
+                          if c_us - look_us <= t <= c_us)
+            n = len(hits)
+            if n == 0:
+                out.append((cid, None, None, 1.0))
+                continue
+            if model == "time_decay":
+                ws = [0.5 ** ((c_us - t) / hl_us) for t, _ in hits]
+                tot = sum(ws)
+            for i, (t, ch) in enumerate(hits):
+                if model == "linear":
+                    cr = 1.0 / n
+                elif model == "position":
+                    cr = (1.0 if n == 1 else 0.5 if n == 2
+                          else 0.4 if i in (0, n - 1) else 0.2 / (n - 2))
+                else:
+                    cr = ws[i] / tot
+                out.append((cid, ch, t, cr))
+    return out
+
+
+def _ref_last_touch(rows, look_us):
+    """(conv event_id, channel, t_us) with the banded tie-break
+    (max t, then max channel)."""
+    by_user: dict = {}
+    for user, us, ev, eid in rows:
+        by_user.setdefault(user, []).append((us, ev, eid))
+    out = []
+    for user, evs in by_user.items():
+        touches = [(us, ev) for us, ev, eid in evs if ev in TOUCHES]
+        for c_us, ev, cid in [(us, ev, eid) for us, ev, eid in evs
+                              if ev == CONV]:
+            hits = [(t, ch) for t, ch in touches
+                    if c_us - look_us <= t <= c_us]
+            if hits:
+                t, ch = max(hits)
+                out.append((cid, ch, t))
+            else:
+                out.append((cid, None, None))
+    return out
+
+
+def _gen_series_rows(rnd: random.Random, seed: int, step_us: int):
+    """Samples for one seed: (series, us, value) with resets and ties."""
+    rows = []
+    for s in range(rnd.randrange(1, 4)):
+        series = f"{seed}:{s}"
+        gran = rnd.choice([1, US, step_us // 5 or 1, step_us // 2 or 1,
+                           step_us])
+        base = rnd.choice([0, -7 * step_us, 2 * step_us])
+        v = rnd.uniform(0, 50)
+        us0 = base
+        for _ in range(rnd.randrange(4, 25)):
+            us0 += rnd.randrange(0, 4) * gran  # 0-step => same-µs ties
+            if rnd.random() < 0.2:
+                v = rnd.uniform(0, 5)  # counter reset
+            else:
+                v += rnd.uniform(0, 10)
+            rows.append((series, us0, round(v, 6)))
+    return rows
+
+
+def _bucket(us: int, step_us: int) -> int:
+    return (us // step_us) * step_us  # python // floors like pmod
+
+
+def _ref_counter_rate(rows, step_us, step_seconds):
+    by_s: dict = {}
+    for s, us, v in rows:
+        by_s.setdefault(s, []).append((us, v))
+    out = {}
+    for s, samples in by_s.items():
+        samples.sort()
+        prev = None
+        incs: dict = {}
+        cnts: dict = {}
+        for us, v in samples:
+            b = _bucket(us, step_us)
+            cnts[b] = cnts.get(b, 0) + 1
+            incs.setdefault(b, 0.0)
+            if prev is not None:
+                d = v - prev if v >= prev else v
+                incs[b] = incs[b] + d
+            prev = v
+        for b in incs:
+            out[(s, b)] = (incs[b], incs[b] / float(step_seconds), cnts[b])
+    return out
+
+
+def _ref_ohlc(rows, step_us):
+    agg: dict = {}
+    for s, us, v in rows:
+        b = _bucket(us, step_us)
+        agg.setdefault((s, b), []).append((us, v))
+    out = {}
+    for key, tv in agg.items():
+        tv.sort()
+        out[key] = (tv[0][1], max(v for _, v in tv), min(v for _, v in tv),
+                    tv[-1][1], len(tv))
+    return out
+
+
+def _ref_twa(rows, step_us):
+    agg: dict = {}
+    for s, us, v in rows:
+        b = _bucket(us, step_us)
+        agg.setdefault((s, b), []).append((us, v))
+    out = {}
+    for (s, b), tv in agg.items():
+        tv.sort()
+        num = 0.0
+        den = 0
+        for i, (us, v) in enumerate(tv):
+            nxt = tv[i + 1][0] if i + 1 < len(tv) else b + step_us
+            num += v * float(nxt - us)
+            den += nxt - us
+        out[(s, b)] = (num / float(den) if den else None, den, len(tv))
+    return out
+
+
+def _close(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is None and b is None
+    return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+
+
+def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
+    from realtime_olap_spark.operators.attribution import (
+        last_touch_attribution, multi_touch_attribution)
+    from realtime_olap_spark.operators.downsample import (counter_rate,
+                                                          ohlc,
+                                                          time_weighted_avg)
+    fails = []
+    model = rnd_master.choice(["linear", "position", "time_decay"])
+    look_s = rnd_master.choice([30, 100, 3600, 86400])
+    hl_s = rnd_master.choice([10, 1800, 7200])
+    step_s = rnd_master.choice([1, 7, 60, 3600, 86400])
+    look_us, step_us, hl_us = look_s * US, step_s * US, hl_s * US * 1.0
+
+    attr_rows, series_rows = [], []
+    for seed in seeds:
+        rnd = random.Random(seed)
+        attr_rows += _gen_attr_rows(rnd, seed, look_us)
+        series_rows += _gen_series_rows(rnd, seed, step_us)
+
+    ev = spark.createDataFrame(
+        [(u, _ts(us), e, i) for u, us, e, i in attr_rows],
+        "user_id long, ts timestamp, event_type string, event_id long")
+
+    # multi-touch
+    got = {}
+    for r in multi_touch_attribution(
+            ev, CONV, TOUCHES, model, lookback_seconds=look_s,
+            half_life_seconds=hl_s).collect():
+        t = (None if r["touch_ts"] is None else
+             int((r["touch_ts"] - EPOCH).total_seconds() * US + 0.5)
+             if r["touch_ts"] >= EPOCH else
+             -int((EPOCH - r["touch_ts"]).total_seconds() * US + 0.5))
+        got.setdefault((r["conv_id"], r["channel"], t), []).append(
+            r["credit"])
+    want = {}
+    for cid, ch, t, cr in _ref_multi_touch(attr_rows, model, look_us,
+                                           hl_us):
+        want.setdefault((cid, ch, t), []).append(cr)
+    if set(got) != set(want):
+        fails.append((chunk, "multi_touch keys",
+                      sorted(set(got) ^ set(want))[:3]))
+    else:
+        tol = 1e-9 if model == "time_decay" else 0.0
+        for k in want:
+            g, w = sorted(got[k]), sorted(want[k])
+            if len(g) != len(w) or any(
+                    not _close(a, b, tol) if tol else a != b
+                    for a, b in zip(g, w)):
+                fails.append((chunk, "multi_touch credit", k, g, w))
+                break
+
+    # last-touch, banded shape
+    got_lt = {(r["event_id"],
+               r["channel"],
+               None if r["touch_ts"] is None else
+               int((r["touch_ts"] - EPOCH).total_seconds() * US + 0.5)
+               if r["touch_ts"] >= EPOCH else
+               -int((EPOCH - r["touch_ts"]).total_seconds() * US + 0.5))
+              for r in last_touch_attribution(
+                  ev, CONV, TOUCHES, lookback_seconds=look_s, banded=True)
+              .select("event_id", "channel", "touch_ts").collect()}
+    want_lt = set(_ref_last_touch(attr_rows, look_us))
+    if got_lt != want_lt:
+        fails.append((chunk, "last_touch", sorted(got_lt ^ want_lt)[:3]))
+
+    sf = spark.createDataFrame(
+        [(s, _ts(us), v) for s, us, v in series_rows],
+        "series string, ts timestamp, value double")
+
+    def _bus(b):
+        return (int((b - EPOCH).total_seconds() * US + 0.5) if b >= EPOCH
+                else -int((EPOCH - b).total_seconds() * US + 0.5))
+
+    got_cr = {(r["series"], _bus(r["bucket"])):
+              (r["increase"], r["rate_per_s"], r["n_samples"])
+              for r in counter_rate(sf, "ts", step_s, ["series"],
+                                    "value").collect()}
+    want_cr = _ref_counter_rate(series_rows, step_us, step_s)
+    if set(got_cr) != set(want_cr) or any(
+            not (_close(got_cr[k][0], want_cr[k][0])
+                 and _close(got_cr[k][1], want_cr[k][1])
+                 and got_cr[k][2] == want_cr[k][2]) for k in want_cr):
+        bad = [k for k in set(got_cr) | set(want_cr)
+               if got_cr.get(k) != want_cr.get(k)][:3]
+        fails.append((chunk, "counter_rate", bad,
+                      [got_cr.get(k) for k in bad],
+                      [want_cr.get(k) for k in bad]))
+
+    got_oh = {(r["series"], _bus(r["bucket"])):
+              (r["open"], r["high"], r["low"], r["close"], r["n"])
+              for r in ohlc(sf, "ts", step_s, ["series"],
+                            "value").collect()}
+    want_oh = _ref_ohlc(series_rows, step_us)
+    if got_oh != want_oh:
+        bad = [k for k in set(got_oh) | set(want_oh)
+               if got_oh.get(k) != want_oh.get(k)][:3]
+        fails.append((chunk, "ohlc", bad))
+
+    got_tw = {(r["series"], _bus(r["bucket"])):
+              (r["twa"], r["span_us"], r["n"])
+              for r in time_weighted_avg(sf, "ts", step_s, ["series"],
+                                         "value").collect()}
+    want_tw = _ref_twa(series_rows, step_us)
+    if set(got_tw) != set(want_tw) or any(
+            not (_close(got_tw[k][0], want_tw[k][0])
+                 and got_tw[k][1] == want_tw[k][1]
+                 and got_tw[k][2] == want_tw[k][2]) for k in want_tw):
+        bad = [k for k in set(got_tw) | set(want_tw)
+               if k not in got_tw or k not in want_tw
+               or not _close(got_tw[k][0], want_tw[k][0])][:3]
+        fails.append((chunk, "twa", bad, [got_tw.get(k) for k in bad],
+                      [want_tw.get(k) for k in bad]))
+    return fails
+
+
+def main() -> None:
+    n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    base = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = []
+    for c in range(n_chunks):
+        seeds = range(base + c * per, base + (c + 1) * per)
+        fails += run_chunk(spark, c, seeds, random.Random(base + c))
+        print(f"chunk {c}: seeds {seeds.start}-{seeds.stop - 1} "
+              f"{'OK' if not fails else 'FAIL'}", flush=True)
+        if fails:
+            break
+    print(f"SWEEP {'CLEAN' if not fails else 'FAILED'}: "
+          f"{n_chunks * per} seeds from {base}")
+    for f in fails:
+        print("  ", f)
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -154,17 +154,17 @@ def test_multi_touch_credits_sum_to_conversions(spark):
 
 
 def test_last_touch_banded_equals_asof(spark):
-    """The banded shape (default for finite lookbacks) must be
-    row-identical to the as-of shape it replaces — which is itself
-    DuckDB-ASOF-differentialed above — including ties, expiry at the
-    exact lookback edge, and unattributed conversions."""
+    """The opt-in banded shape must be row-identical to the default
+    as-of shape — which is itself DuckDB-ASOF-differentialed above —
+    including ties, expiry at the exact lookback edge, and unattributed
+    conversions."""
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     for lb in (3600, 6 * 3600, 86400):
         a = (last_touch_attribution(ev, "purchase", TOUCHES,
-                                    lookback_seconds=lb, banded=False)
+                                    lookback_seconds=lb)
              .select("event_id", "user_id", "channel", "touch_ts"))
         b = (last_touch_attribution(ev, "purchase", TOUCHES,
-                                    lookback_seconds=lb)
+                                    lookback_seconds=lb, banded=True)
              .select("event_id", "user_id", "channel", "touch_ts"))
         assert sorted(map(tuple, a.collect())) \
             == sorted(map(tuple, b.collect())), lb
@@ -179,7 +179,8 @@ def test_last_touch_banded_hand_and_guard(spark):
     ])
     got = sorted((r["user_id"], r["channel"]) for r in
                  last_touch_attribution(df, "purchase", ["view", "click"],
-                                        lookback_seconds=100).collect())
+                                        lookback_seconds=100,
+                                        banded=True).collect())
     # duplicate conversions at one (user, ts) both attribute to the
     # same touch; lookback edge is inclusive (u1: touch at c-100, u4:
     # touch at c-100)

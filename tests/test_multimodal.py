@@ -120,3 +120,134 @@ def test_payload_checksum_matches_python_reference(spark):
         for ch in p.hex().upper():
             h = (h * 31 + ord(ch)) % mod
         assert got[i] == h, (i, got[i], h)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python PNG decoder (clean-room, PNG spec / RFC 2083)
+# ---------------------------------------------------------------------------
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _encode_png(pixels, filters, ctype):
+    """Minimal golden-image ENCODER (independent of the decoder): apply
+    the chosen filter per scanline, deflate, wrap in chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = pixels[y].reshape(w * ch).astype(np.int32)
+        out = line.copy()
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prior[x])
+            c = int(prior[x - ch]) if x >= ch else 0
+            if f == 1:
+                out[x] = line[x] - a
+            elif f == 2:
+                out[x] = line[x] - b
+            elif f == 3:
+                out[x] = line[x] - ((a + b) >> 1)
+            elif f == 4:
+                out[x] = line[x] - _paeth(a, b, c)
+        raw.append(f)
+        raw += (out & 0xFF).astype(np.uint8).tobytes()
+        prior = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ctype,ch,filters", [
+    (2, 3, [0, 1, 2, 3, 4]),   # RGB, every filter type in one image
+    (0, 1, [4, 3, 1]),         # grayscale
+    (6, 4, [2, 4]),            # RGBA
+    (4, 2, [1, 3, 4]),         # gray+alpha
+])
+def test_png_decode_golden_roundtrip(ctype, ch, filters):
+    import numpy as np
+
+    rng = np.random.RandomState(ctype * 10 + ch)
+    pixels = rng.randint(0, 256, size=(7, 5, ch), dtype=np.uint8)
+    png = _encode_png(pixels, filters, ctype)
+    decode = M._make_png_decoder()
+    w, h, nch, out = decode(png)
+    assert (w, h, nch) == (5, 7, ch)
+    assert (out == pixels).all()
+
+
+def test_png_decode_split_idat_and_rejects():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    pixels = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    png = _encode_png(pixels, [0, 1, 4], 2)
+    # split the IDAT into two chunks — decoders must concatenate before
+    # inflating (the spec allows arbitrary IDAT segmentation)
+    sig, rest = png[:8], png[8:]
+    ln = struct.unpack(">I", rest[:4])[0]
+    ihdr, idat = rest[:ln + 12], rest[ln + 12:]
+    dlen = struct.unpack(">I", idat[:4])[0]
+    payload = idat[8:8 + dlen]
+    a, b = payload[:5], payload[5:]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    split = (sig + ihdr + chunk(b"IDAT", a) + chunk(b"IDAT", b)
+             + chunk(b"IEND", b""))
+    w, h, nch, out = decode(split)
+    assert (w, h) == (4, 3) and (out == pixels).all()
+    # malformed inputs: NULL, never a crash
+    assert decode(b"not a png at all") is None
+    assert decode(png[:20]) is None
+    assert decode(b"") is None
+    # unsupported depth raises the honest gate
+    ihdr16 = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    png16 = (sig + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", b"x")
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode(png16)
+
+
+def test_png_decoder_through_map_in_pandas(spark):
+    """decode_media(decoder='png'): real PNG payloads decode to their
+    true dims through the Arrow path; non-PNG payloads NULL out."""
+    import numpy as np
+
+    pngs = []
+    for i, (hh, ww) in enumerate([(3, 4), (6, 2), (5, 5)]):
+        px = np.full((hh, ww, 3), i * 20, dtype=np.uint8)
+        px[:, :, 0] = np.arange(ww, dtype=np.uint8)
+        pngs.append((i, "image", bytearray(_encode_png(px, [0, 1, 2, 3, 4],
+                                                       2)),
+                     (ww, hh)))
+    rows = [(i, t, bytes(p)) for i, t, p, _ in pngs]
+    rows.append((99, "image", b"corrupt payload"))
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: (r["decoded_width"], r["decoded_height"],
+                           r["n_bytes"])
+           for r in M.decode_media(df, decoder="png").collect()}
+    for i, _, p, (ww, hh) in pngs:
+        assert got[i] == (ww, hh, len(p)), i
+    assert got[99] == (None, None, len(b"corrupt payload"))
