@@ -66,6 +66,7 @@ HEADLINE = [
     "bench_gapfill",
     "bench_funnel",
     "bench_mg_topk",
+    "bench_hh_auto",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
@@ -75,6 +76,7 @@ def _extra_queries():
     from realtime_olap_spark.suite.aggs import theta_overlap_bench
     from realtime_olap_spark.suite.dedup import (bloom_gate_bench,
                                                  cms_hot_grams_bench,
+                                                 hh_auto_bench,
                                                  mg_hot_words_bench)
     from realtime_olap_spark.suite.ext import funnel_bench, gapfill_bench
     from realtime_olap_spark.suite.similarity import (pca_shortlist_bench,
@@ -96,7 +98,8 @@ def _extra_queries():
             "bench_pca_shortlist": pca_shortlist_bench,
             "bench_gapfill": gapfill_bench,
             "bench_funnel": funnel_bench,
-            "bench_mg_topk": mg_hot_words_bench}
+            "bench_mg_topk": mg_hot_words_bench,
+            "bench_hh_auto": hh_auto_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {

@@ -30,8 +30,11 @@ Emitted rows carry ``is_filled = true`` so downstream consumers can
 distinguish data from fill.
 
 Input contract: bucket timestamps must lie on the ``step_seconds`` grid
-(use ``time_bucket``). Misaligned input raises at run time through an
-in-expression ``raise_error`` guard rather than silently snapping.
+(use ``time_bucket``), with at most ONE row per (group, bucket) — the
+output of a bucketed aggregation. Misaligned input and duplicate
+(group, bucket) rows raise at run time through in-expression
+``raise_error`` guards rather than silently snapping or emitting
+phantom fill rows.
 """
 
 from __future__ import annotations

@@ -428,3 +428,19 @@ def mg_hot_words_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w")) \
              .where(F.length("w") > 0)
     return MG.mg_topk(words, "w", k=1024, top=100)
+
+
+def hh_auto_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only cardinality-adaptive heavy hitters
+    (``operators/mg.heavy_hitters_auto``): the probe (one JVM
+    approx_count_distinct+count scan) routes this tiny-vocab corpus to
+    the plain whole-stage-codegen groupBy — the timed number therefore
+    includes the probe AND proves the router avoids the ~15× MG-gate
+    penalty measured for low-cardinality keys (COVERAGE.md analytics
+    soak). The keys~rows regime's `mg` route is soak-timed in
+    scripts/scale_soak_analytics.py."""
+    from realtime_olap_spark.operators import mg as MG  # noqa: PLC0415
+    d = Catalog(spark, sf_dir).table("documents")
+    words = d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w")) \
+             .where(F.length("w") > 0)
+    return MG.heavy_hitters_auto(words, "w", threshold=500)
