@@ -218,7 +218,19 @@ def multi_touch_attribution(df: DataFrame, conversion_event: str,
                   .otherwise(F.lit(0.2) / (n - F.lit(2))))
     else:
         hl = float(half_life_seconds) * 1_000_000.0
-        raw = F.pow(F.lit(0.5), (F.col("__c_us") - F.col("__t_us")) / hl)
+        age = F.col("__c_us") - F.col("__t_us")
+        # Shift ages by the window minimum (the log-sum-exp trick):
+        # algebraically identical — 0.5^(a/h)/Σ 0.5^(b/h) ==
+        # 0.5^((a−m)/h)/Σ 0.5^((b−m)/h) — but the youngest touch's
+        # weight is now exactly 1.0, so the normalizer is ≥ 1 and a
+        # half-life tiny relative to the touch ages can no longer
+        # underflow the WHOLE window to 0 and hit ANSI DIVIDE_BY_ZERO
+        # (found by scripts/randomized_sweep_analytics.py: hl=10 s,
+        # lookback=24 h → 0.5^8640 ≡ 0.0 for every touch). Touches far
+        # older than the youngest still underflow individually to
+        # credit 0 — the correct limit distribution.
+        m = F.min(age).over(w)
+        raw = F.pow(F.lit(0.5), (age - m) / hl)
         credit = raw / F.sum(raw).over(w)
     credit = F.when(F.col("__t_us").isNull(), F.lit(1.0)).otherwise(credit)
     return (j.select(F.col("__u").alias(user_col), "conv_id", "channel",

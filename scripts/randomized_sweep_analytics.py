@@ -89,7 +89,11 @@ def _ref_multi_touch(rows, model, look_us, hl_us):
                 out.append((cid, None, None, 1.0))
                 continue
             if model == "time_decay":
-                ws = [0.5 ** ((c_us - t) / hl_us) for t, _ in hits]
+                # same min-age shift as the operator (log-sum-exp):
+                # unshifted python would itself hit 0.0/0.0 at tiny
+                # half-lives
+                m = min(c_us - t for t, _ in hits)
+                ws = [0.5 ** ((c_us - t - m) / hl_us) for t, _ in hits]
                 tot = sum(ws)
             for i, (t, ch) in enumerate(hits):
                 if model == "linear":

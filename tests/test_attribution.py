@@ -189,3 +189,24 @@ def test_last_touch_banded_hand_and_guard(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="finite"):
         last_touch_attribution(df, "purchase", ["view"], banded=True)
+
+
+def test_multi_touch_time_decay_tiny_half_life(spark):
+    """Half-life tiny vs touch age: unshifted 0.5^(age/hl) underflows
+    EVERY weight to 0.0 and the normalizer divide hits ANSI
+    DIVIDE_BY_ZERO (found by the randomized sweep). The min-age shift
+    keeps the youngest touch's weight at exactly 1.0; far-older touches
+    correctly collapse to credit 0 (the limit distribution)."""
+    from realtime_olap_spark.operators.attribution import \
+        multi_touch_attribution
+
+    df = _ev(spark, [
+        (1, 0, "view"), (1, 50_000, "click"), (1, 86_000, "purchase"),
+    ]).withColumn("event_id", F.monotonically_increasing_id())
+    rows = sorted(multi_touch_attribution(
+        df, "purchase", ["view", "click"], "time_decay",
+        lookback_seconds=86_400, half_life_seconds=1).collect(),
+        key=lambda r: r["touch_ts"])
+    assert abs(sum(r["credit"] for r in rows) - 1.0) < 1e-12
+    assert rows[-1]["credit"] == 1.0      # youngest touch takes all
+    assert rows[0]["credit"] == 0.0       # 36000 half-lives older
