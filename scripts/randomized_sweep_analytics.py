@@ -212,6 +212,117 @@ def _close(a, b, tol=1e-9):
     return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
 
 
+def _gen_gapfill_rows(rnd: random.Random, seed: int, step_us: int):
+    """Pre-bucketed rows for one seed: (group, bucket_us, value) —
+    distinct buckets per group (the gapfill input contract)."""
+    rows = []
+    for g in range(rnd.randrange(1, 4)):
+        group = f"{seed}:{g}"
+        base = rnd.choice([0, -9, 5]) * step_us
+        ks = sorted(rnd.sample(range(0, 14), rnd.randrange(1, 7)))
+        for k in ks:
+            rows.append((group, base + k * step_us,
+                         round(rnd.uniform(-5, 50), 6)))
+    return rows
+
+
+def _ref_gapfill(rows, step_us, how, fill_value, start_us, end_us):
+    by_g: dict = {}
+    for g, b, v in rows:
+        by_g.setdefault(g, []).append((b, v))
+    const = 0.0 if how == "zero" else fill_value
+    out = set()
+    for g, obs in by_g.items():
+        obs.sort()
+        for i, (b, v) in enumerate(obs):
+            lead = obs[i + 1] if i + 1 < len(obs) else None
+            if lead is not None:
+                n = (lead[0] - b) // step_us
+            elif end_us is not None:
+                n = (end_us - b) // step_us + 1
+            else:
+                n = 1
+            for j in range(n):
+                bucket = b + j * step_us
+                if j == 0:
+                    val = v
+                elif how in ("zero", "const"):
+                    val = const
+                elif how == "locf":
+                    val = v
+                else:  # linear
+                    val = (v + (lead[1] - v) * (j / n)
+                           if lead is not None else None)
+                out.add((g, bucket, val, j > 0))
+        if start_us is not None and obs[0][0] > start_us:
+            n_head = (obs[0][0] - start_us) // step_us
+            hv = const if how in ("zero", "const") else None
+            for j in range(n_head):
+                out.add((g, start_us + j * step_us, hv, True))
+    return out
+
+
+def _gen_funnel_rows(rnd: random.Random, seed: int, steps):
+    rows = []
+    evs = steps + ["noise"]
+    for u in range(rnd.randrange(2, 6)):
+        user = seed * 1000 + u
+        gran = rnd.choice([1, US, 60 * US])
+        t = rnd.choice([0, -100 * US])
+        for _ in range(rnd.randrange(4, 22)):
+            t += rnd.randrange(0, 5) * gran  # 0 => same-us ties
+            rows.append((user, t, rnd.choice(evs)))
+    return rows
+
+
+def _ref_funnel(rows, steps, strict, window_us, step_window_us):
+    by_u: dict = {}
+    for u, t, ev in rows:
+        by_u.setdefault(u, {})
+        if ev in steps:
+            by_u[u].setdefault(ev, []).append(t)
+    out = set()
+    for u, arrs in by_u.items():
+        a0 = sorted(arrs.get(steps[0], []))
+        if not a0:
+            continue
+        ts = [a0[0]]
+        deadline = ts[0] + window_us if window_us is not None else None
+        for s in steps[1:]:
+            prev = ts[-1]
+            if prev is None:
+                ts.append(None)
+                continue
+            cand = [x for x in sorted(arrs.get(s, []))
+                    if (x > prev if strict else x >= prev)
+                    and (deadline is None or x <= deadline)
+                    and (step_window_us is None
+                         or x <= prev + step_window_us)]
+            ts.append(cand[0] if cand else None)
+        max_step = max(i + 1 for i, t in enumerate(ts) if t is not None)
+        out.add((u, *ts, max_step))
+    return out
+
+
+def _ref_retention(rows, step_us, max_offset):
+    per_user: dict = {}
+    for u, us_ in rows:
+        b = (us_ // step_us) * step_us
+        per_user.setdefault(u, set()).add(b)
+    counts: dict = {}
+    for u, bs in per_user.items():
+        cohort = min(bs)
+        for b in bs:
+            off = (b - cohort) // step_us
+            counts[(cohort, off)] = counts.get((cohort, off), 0) + 1
+    out = set()
+    for (cohort, off), n in counts.items():
+        if max_offset is not None and off > max_offset:
+            continue
+        out.add((cohort, off, n, n / counts[(cohort, 0)]))
+    return out
+
+
 def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
     from realtime_olap_spark.operators.attribution import (
         last_touch_attribution, multi_touch_attribution)
@@ -324,6 +435,87 @@ def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
                or not _close(got_tw[k][0], want_tw[k][0])][:3]
         fails.append((chunk, "twa", bad, [got_tw.get(k) for k in bad],
                       [want_tw.get(k) for k in bad]))
+
+    # ---- gapfill (emit shape; bit-exact incl. linear interpolation) ----
+    from realtime_olap_spark.operators.gapfill import gapfill
+    gf_step_s = rnd_master.choice([60, 3600, 86400])
+    gf_step_us = gf_step_s * US
+    how = rnd_master.choice(["zero", "const", "locf", "linear"])
+    fv = round(rnd_master.uniform(-3, 3), 3) if how == "const" else None
+    bounds = rnd_master.choice(["none", "start", "end", "both"])
+    gf_rows = []
+    for seed in seeds:
+        gf_rows += _gen_gapfill_rows(random.Random(seed + 10**7), seed,
+                                     gf_step_us)
+    lo = min(b for _, b, _ in gf_rows)
+    hi = max(b for _, b, _ in gf_rows)
+    start_us = lo - 2 * gf_step_us if bounds in ("start", "both") else None
+    end_us = hi + 2 * gf_step_us if bounds in ("end", "both") else None
+    gdf = spark.createDataFrame(
+        [(g, _ts(b), v) for g, b, v in gf_rows],
+        "g string, bucket timestamp, v double")
+    got_gf = {(r["g"], _bus(r["bucket"]), r["v"], r["is_filled"])
+              for r in gapfill(gdf, "bucket", ["g"], ["v"], gf_step_s,
+                               how=how, fill_value=fv,
+                               start=(None if start_us is None
+                                      else _ts(start_us)),
+                               end=(None if end_us is None
+                                    else _ts(end_us))).collect()}
+    want_gf = _ref_gapfill(gf_rows, gf_step_us, how, fv, start_us, end_us)
+    if got_gf != want_gf:
+        fails.append((chunk, f"gapfill {how}/{bounds}",
+                      sorted(got_gf ^ want_gf)[:4]))
+    # duplicate-bucket contract: must raise, never emit phantom rows
+    dup = spark.createDataFrame(
+        [("d", _ts(0), 1.0), ("d", _ts(0), 2.0), ("d", _ts(gf_step_us), 3.0)],
+        "g string, bucket timestamp, v double")
+    try:
+        gapfill(dup, "bucket", ["g"], ["v"], gf_step_s, how=how,
+                fill_value=fv).collect()
+        fails.append((chunk, "gapfill duplicate-bucket did NOT raise"))
+    except Exception:
+        pass
+
+    # ---- funnel (greedy-earliest, strict/ties, whole+step windows) ----
+    from realtime_olap_spark.operators.funnel import funnel_match
+    steps = ["s1", "s2", "s3", "s4"][:rnd_master.choice([3, 4])]
+    strict = rnd_master.random() < 0.5
+    wmode = rnd_master.choice(["none", "whole", "step", "both"])
+    w_s = rnd_master.choice([120, 3600]) if wmode in ("whole", "both") \
+        else None
+    sw_s = rnd_master.choice([60, 600]) if wmode in ("step", "both") \
+        else None
+    fn_rows = []
+    for seed in seeds:
+        fn_rows += _gen_funnel_rows(random.Random(seed + 2 * 10**7), seed,
+                                    steps)
+    fdf = spark.createDataFrame(
+        [(u, _ts(t), ev) for u, t, ev in fn_rows],
+        "user_id long, ts timestamp, event_type string")
+    tcols = [f"t_{i + 1}" for i in range(len(steps))]
+    got_fn = {tuple(r[c] for c in ["user", *tcols, "max_step"])
+              for r in funnel_match(fdf, steps, window_seconds=w_s,
+                                    strict=strict,
+                                    step_window_seconds=sw_s).collect()}
+    want_fn = _ref_funnel(fn_rows, steps, strict,
+                          None if w_s is None else w_s * US,
+                          None if sw_s is None else sw_s * US)
+    if got_fn != want_fn:
+        fails.append((chunk, f"funnel {wmode}/strict={strict}",
+                      sorted(got_fn ^ want_fn)[:4]))
+
+    # ---- cohort retention (whole chunk = one dataset) ----
+    from realtime_olap_spark.operators.retention import cohort_retention
+    rt_step_s = rnd_master.choice([3600, 86400, 7 * 86400])
+    rt_max = rnd_master.choice([None, 3, 8])
+    rt_rows = [(u, t) for u, t, ev in fn_rows]
+    got_rt = {(_bus(r["cohort"]), r["offset"], r["n_users"], r["retention"])
+              for r in cohort_retention(fdf, bucket_seconds=rt_step_s,
+                                        max_offset=rt_max).collect()}
+    want_rt = _ref_retention(rt_rows, rt_step_s * US, rt_max)
+    if got_rt != want_rt:
+        fails.append((chunk, f"retention {rt_step_s}/{rt_max}",
+                      sorted(got_rt ^ want_rt)[:4]))
     return fails
 
 
