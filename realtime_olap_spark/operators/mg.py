@@ -182,6 +182,40 @@ def heavy_hitters_auto(df: DataFrame, key: Column | str, threshold: int,
             .where(F.col("n") >= F.lit(int(threshold))))
 
 
+def top_k_auto(df: DataFrame, key: Column | str, top: int,
+               k: int = 4096,
+               n_keys_hint: Optional[int] = None,
+               mg_min_keys: Optional[int] = None,
+               mg_key_row_ratio: float = 0.125) -> DataFrame:
+    """Cardinality-adaptive top-k frequency report ``(key, est, upper)``
+    ordered by est desc — the :func:`heavy_hitters_auto` routing rule
+    applied to the TOP-K shape (the analytics soak measured the blind
+    MG pass at 8.6 s vs a sub-second JVM groupBy on a tiny-vocab corpus
+    at 100×):
+
+    - tiny key space → exact ``groupBy(key).count()`` +
+      TakeOrderedAndProject; ``est == upper == true count``.
+    - keys ~ rows → :func:`mg_topk`; ``est ≤ true ≤ upper`` is the
+      Misra-Gries deterministic sandwich.
+
+    Unlike ``heavy_hitters_auto`` the two routes are NOT row-identical
+    (the MG route reports sandwich estimates, and near-tied tail keys
+    may order differently within the bound) — the router trades that
+    slack only where the exact plan's shuffle would grow with the key
+    cardinality. Ties order by key ascending on both routes."""
+    route = probe_route(df, key, k, n_keys_hint=n_keys_hint,
+                        mg_min_keys=mg_min_keys,
+                        mg_key_row_ratio=mg_key_row_ratio)
+    if route == "mg":
+        return mg_topk(df, key, k, top=top)
+    kexpr = _as_key(key).cast("string")
+    src = df.select(kexpr.alias("key")).where(F.col("key").isNotNull())
+    exact = (src.groupBy("key").agg(F.count(F.lit(1)).alias("est"))
+             .select("key", "est", F.col("est").alias("upper"))
+             .orderBy(F.col("est").desc(), F.col("key")))
+    return exact.limit(int(top))
+
+
 def probe_route(df: DataFrame, key: Column | str, k: int = 4096,
                 n_keys_hint: Optional[int] = None,
                 mg_min_keys: Optional[int] = None,

@@ -122,6 +122,8 @@ def main() -> None:
               flush=True)
         record("hh_auto_lowcard", k, timed(lambda: noop(
             MG.heavy_hitters_auto(words, "w", thr, k=4096))))
+        record("topk_auto_lowcard", k, timed(lambda: noop(
+            MG.top_k_auto(words, "w", 100, k=1024))))
         # unique-ish keys (keys = rows): threshold sits above the MG
         # decrement bound n/(k+1) so the gate certifies the (empty)
         # answer without a full-key shuffle

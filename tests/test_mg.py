@@ -179,3 +179,26 @@ def test_auto_picks_plan_by_regime(words):
         words, "w", 40, n_keys_hint=10**9, mg_min_keys=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan_mg and "ExistingRDD" in plan_mg
+
+
+def test_top_k_auto_exact_route_matches_plain(words):
+    from realtime_olap_spark.operators.mg import top_k_auto
+    exact = _exact(words)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["key"], r["est"], r["upper"]) for r in
+           top_k_auto(words, "w", 20, n_keys_hint=100).collect()]
+    assert [(k, n, n) for k, n in want] == got
+    # probe path on the tiny-vocab corpus also routes exact
+    got_auto = [(r["key"], r["est"]) for r in
+                top_k_auto(words, "w", 20).collect()]
+    assert got_auto == [(k, n) for k, n in want]
+
+
+def test_top_k_auto_mg_route_sandwich(words):
+    from realtime_olap_spark.operators.mg import top_k_auto
+    exact = _exact(words)
+    rows = top_k_auto(words, "w", 20, k=2048,
+                      n_keys_hint=10**9, mg_min_keys=1).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est"] <= exact[r["key"]] <= r["upper"]
