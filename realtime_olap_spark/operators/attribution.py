@@ -58,10 +58,14 @@ def last_touch_attribution(df: DataFrame, conversion_event: str,
 
     Both shapes are result-identical on a finite lookback
     (equality-tested against each other and DuckDB ASOF in
-    tests/test_attribution.py); conversions sharing an identical
-    (user, ts) instant necessarily share the same last touch, which is
-    what lets the banded reduce key on (user, conv-ts) instead of a
-    synthetic row id."""
+    tests/test_attribution.py) — INCLUDING two different touch channels
+    at one identical (user, ts) instant: asof_join breaks the tie
+    deterministically as max(struct(ts, channel)), exactly the banded
+    reduce's ``max(struct(t, channel))``, so the shapes agree on
+    ``channel`` too (tie repro in tests/test_attribution.py).
+    Conversions sharing an identical (user, ts) instant necessarily
+    share the same last touch, which is what lets the banded reduce key
+    on (user, conv-ts) instead of a synthetic row id."""
     # asof_join's tolerance path needs TIMESTAMP (unix_micros rejects
     # the NTZ type raw parquet reads produce); session TZ is UTC
     df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

@@ -283,7 +283,11 @@ def _star_rounds(e: DataFrame, max_iter: int,
         settled = (prev_cnt is not None
                    and abs(prev_cnt - cnt) <= 0.02 * max(cnt, 1))
         prev_cnt = cnt
-        if settled and _is_star_forest(e):
+        # the deferral is an optimization, never a correctness gate: a
+        # fixpoint landing on the FINAL allowed round with a still-moving
+        # count (>2% delta) must not be reported as non-convergence, so
+        # the last iteration always pays the forest check
+        if (settled or it == max_iter - 1) and _is_star_forest(e):
             return e, it
     return e, None
 

@@ -208,17 +208,24 @@ def gapfill_join(df: DataFrame, bucket_col: str, group_cols: Sequence[str],
         hi = F.greatest(hi, F.lit(_to_us(end)))
     bounds = df.groupBy(*group_cols).agg(
         lo.alias("_lo"), hi.alias("_hi"),
-        F.count(F.lit(1)).alias("_cnt"),
+        F.count(F.lit(1)).alias("_tot"),
+        F.count(b_us).alias("_cnt"),
         F.count_distinct(b_us).alias("_dcnt"))
     # alignment guard on the observed extremes vs the grid, plus the
     # duplicate-bucket contract shared with the emit shape: two rows in
     # one (group, bucket) would double the grid row after the left join.
+    # Both the duplicate count and its distinct twin ignore NULL buckets
+    # (count_distinct skips NULLs), so a NULL bucket gets its OWN
+    # diagnostic instead of masquerading as a duplicate.
     bounds = bounds.withColumn(
-        "_n", F.when(F.col("_cnt") == F.col("_dcnt"),
-                     _aligned_or_die(F.col("_hi") - F.col("_lo"), step_us,
-                                     "bounds delta")).otherwise(
-            F.raise_error(F.lit(
-                "gapfill: duplicate rows in one (group, bucket)"))))
+        "_n",
+        F.when(F.col("_tot") != F.col("_cnt"), F.raise_error(F.lit(
+            "gapfill: NULL bucket value in input (bucket column must be "
+            "non-null)")))
+        .when(F.col("_cnt") != F.col("_dcnt"), F.raise_error(F.lit(
+            "gapfill: duplicate rows in one (group, bucket)")))
+        .otherwise(_aligned_or_die(F.col("_hi") - F.col("_lo"), step_us,
+                                   "bounds delta")))
     grid = (bounds
             .withColumn("_k", F.explode(F.sequence(F.lit(0), F.col("_n"))))
             .select(*group_cols,

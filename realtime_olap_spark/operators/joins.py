@@ -51,8 +51,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     is still the match — ``last(ignorenulls)`` never reaches past it.
 
     Right rows should be unique per (key, right_ts); with duplicates the
-    winner among the tied timestamps is unspecified (same as the SQL ASOF
-    JOIN this is differentially tested against).
+    winner among the tied timestamps is DETERMINISTIC: the max of the
+    ``(right_ts, *values)`` struct under Spark's lexicographic struct
+    ordering (the tied-``__r`` rows are part of the window's sort key, so
+    two runs — and the banded last-touch twin, which reduces with
+    ``max(struct(t, value))`` — always agree). SQL ASOF leaves the tie
+    unspecified, so differential tests against it must use tie-free
+    inputs or compare only the timestamp. Value columns must be of
+    orderable types (no maps) when ties are possible.
     """
     on = list(on)
     payload = [c for c in left.columns]
@@ -82,7 +88,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # forward mirrors the sort so 'before' in window order means 'at or
     # after' in time
     t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (Window.partitionBy(*on).orderBy(t_ord, F.col("__is_l").asc())
+    # __r asc_nulls_last: right rows tied on (key, __t) sort by their
+    # (rt, *values) struct, so last() deterministically picks the max —
+    # and left rows (__r IS NULL) still sort AFTER the right rows they
+    # must see (inclusive match); __is_l then orders the left rows only
+    w = (Window.partitionBy(*on)
+         .orderBy(t_ord, F.col("__r").asc_nulls_last(), F.col("__is_l").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = F.last("__r", ignorenulls=True).over(w)
     if tolerance_us is not None:

@@ -170,6 +170,26 @@ def test_last_touch_banded_equals_asof(spark):
             == sorted(map(tuple, b.collect())), lb
 
 
+def test_last_touch_tied_instant_deterministic(spark):
+    """Two DIFFERENT touch channels at one identical (user, ts) instant:
+    both shapes must pick the same winner — max(struct(ts, channel)),
+    i.e. the lexicographically larger channel among the tied timestamps
+    (asof_join orders tied right rows by their (rt, value) struct inside
+    the window; the banded reduce is max(struct(t, ch)) outright). This
+    is the exact input ADVICE r9 flagged as a potential flake."""
+    df = _ev(spark, [
+        (1, 50, "click"), (1, 50, "view"), (1, 100, "purchase"),
+        (2, 50, "view"), (2, 50, "click"), (2, 100, "purchase"),
+    ])
+    for banded in (False, True):
+        got = {r["user_id"]: r["channel"] for r in
+               last_touch_attribution(df, "purchase", ["view", "click"],
+                                      lookback_seconds=100,
+                                      banded=banded).collect()}
+        # 'view' > 'click' lexicographically, input order irrelevant
+        assert got == {1: "view", 2: "view"}, f"banded={banded}"
+
+
 def test_last_touch_banded_hand_and_guard(spark):
     df = _ev(spark, [
         (1, 0, "view"), (1, 50, "click"), (1, 100, "purchase"),

@@ -50,6 +50,20 @@ def _check(spark, edge_list):
     assert got == want
 
 
+def test_cc_fixpoint_on_final_round_converges(spark):
+    """Fixpoint landing on the LAST allowed iteration with a still-large
+    edge-count delta (K4: 6 edges -> 3-edge star forest in one round,
+    50% delta so the deferred check would skip) must return success, not
+    'did not converge' (ADVICE r9). The last round always pays the
+    forest check."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {int(r["node"]): int(r["component"]) for r in
+           connected_components(df, max_iter=1,
+                                small_graph_edges=None).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
 def test_cc_shapes(spark):
     # chain (depth stress), cycle, two stars bridged, isolated pair,
     # duplicates + reversed + self-loops

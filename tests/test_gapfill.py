@@ -241,6 +241,28 @@ def test_duplicate_bucket_raises_join(spark):
                      how="locf").collect()
 
 
+def test_null_bucket_raises_join_own_message(spark):
+    """A single NULL-bucket row is a contract violation but NOT a
+    duplicate — count_distinct skips NULLs, so the old guard flagged it
+    with the misleading 'duplicate' message (ADVICE r9). It now gets its
+    own null-bucket diagnostic."""
+    bad = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", None, 2.0), ("a", _ts(2), 3.0)],
+        "g string, bucket timestamp, v double")
+    with pytest.raises(Exception, match="NULL bucket"):
+        gapfill_join(bad, "bucket", ["g"], ["v"], HOUR,
+                     how="locf").collect()
+    # and a genuine duplicate alongside a null still reports duplicate
+    # or null (never silent corruption); the null check fires first
+    bad2 = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(0), 2.0), ("a", None, 9.9),
+         ("a", _ts(2), 3.0)],
+        "g string, bucket timestamp, v double")
+    with pytest.raises(Exception, match="NULL bucket"):
+        gapfill_join(bad2, "bucket", ["g"], ["v"], HOUR,
+                     how="locf").collect()
+
+
 def test_time_bucket_pre_1970_floor(spark):
     """Negative (pre-1970) epochs must floor DOWN to the bucket grid
     (SQL // semantics), not truncate toward zero into the ceil bucket."""
