@@ -312,7 +312,13 @@ def _combine_partial(state: DataFrame, batch_agg: DataFrame,
         elif s == "ignore":
             val = F.when(sv.isNotNull(), sc).otherwise(bc)
         elif s == "increment":
+            # both-NULL stays NULL: the one-shot twin is F.sum, which
+            # returns NULL when every arriving value is NULL — folding
+            # to 0 here would break fold ≡ one-shot (caught by the r10
+            # randomized upsert sweep's design probe)
             val = (F.when(sv.isNull(), bc).when(bv.isNull(), sc)
+                   .when(sc.isNull() & bc.isNull(),
+                         F.lit(None).cast(state.schema[c].dataType))
                    .otherwise(F.coalesce(sc, F.lit(0)) +
                               F.coalesce(bc, F.lit(0))))
         elif s == "append":

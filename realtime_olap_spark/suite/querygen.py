@@ -14,7 +14,9 @@ Determinism rules baked into generation:
 - group-by emits TOP 100 with group cardinality ≤ 42×(expr-key fanout) →
   no trimming, the whole result set compares order-insensitively;
 - SUM/AVG run in DECIMAL(38,10) on both sides (engine dsum/davg ↔ OSUM/OAVG);
-- HAVING compares the integer count_star only;
+- HAVING compares the integer-exact aggregates only (count_star /
+  distinctcount_*), through the parser's full predicate grammar
+  (comparison / BETWEEN / [NOT] IN / AND-OR compounds);
 - DISTINCTCOUNT is exact both sides; PERCENTILE<N> is the exact
   interpolated quantile (Spark `percentile` ↔ DuckDB `quantile_cont`,
   bit-identical); arithmetic-expression aggregation args and group-by keys
@@ -57,14 +59,33 @@ EXPR_KEYS = [
 ]
 
 
+def _regexp_pred(rng: random.Random) -> str:
+    """REGEXP_LIKE on a dim; patterns kept in the Java∩RE2∩DuckDB common
+    subset: anchored character classes, anchored parenthesized
+    alternation, and the '.' wildcard."""
+    col = rng.choice(["l_returnflag", "l_linestatus"])
+    style = rng.choice(["class", "class", "alt", "dot"])
+    if style == "dot":
+        return f"REGEXP_LIKE({col}, '^.$')"
+    picks = [v.strip("'") for v in rng.sample(DIMS[col], k=rng.randint(1, 2))]
+    if style == "alt":
+        alt = "|".join(picks)
+        return f"REGEXP_LIKE({col}, '^({alt})$')"
+    cls = "".join(picks)
+    return f"REGEXP_LIKE({col}, '^[{cls}]$')"
+
+
 def _predicate(rng: random.Random) -> str:
-    kind = rng.choice(["cmp_dim", "in_dim", "cmp_metric", "between", "regexp"])
+    kind = rng.choice(["cmp_dim", "in_dim", "cmp_metric", "between",
+                       "regexp", "boundary"])
     if kind == "cmp_dim":
         col = rng.choice(list(DIMS))
         return f"{col} {rng.choice(['=', '<>'])} {rng.choice(DIMS[col])}"
     if kind == "in_dim":
         col = rng.choice(list(DIMS))
         vals = rng.sample(DIMS[col], k=min(len(DIMS[col]), rng.randint(1, 3)))
+        if rng.random() < 0.2:  # duplicated IN values are legal
+            vals.append(vals[0])
         neg = rng.random() < 0.3
         return f"{col} {'NOT IN' if neg else 'IN'} ({', '.join(vals)})"
     if kind == "cmp_metric":
@@ -76,21 +97,44 @@ def _predicate(rng: random.Random) -> str:
         col = rng.choice(list(METRICS))
         lo, hi = METRICS[col]
         a, b = sorted(round(rng.uniform(lo, hi), 2) for _ in range(2))
+        if rng.random() < 0.15:
+            b = a  # degenerate single-point BETWEEN
+        elif rng.random() < 0.15:
+            a, b = b, a + 1  # inverted bounds → empty in both engines
         return f"{col} BETWEEN {a} AND {b}"
-    # REGEXP_LIKE on a dim; patterns kept in the Java∩RE2 common subset
-    col = rng.choice(["l_returnflag", "l_linestatus"])
-    chars = "".join(v.strip("'") for v in rng.sample(DIMS[col], k=rng.randint(1, 2)))
-    return f"REGEXP_LIKE({col}, '^[{chars}]$')"
+    if kind == "boundary":
+        # negative / zero / exact-edge literals: always-true and
+        # always-false comparisons must agree too, and the PQL unary
+        # minus must parse in comparisons, BETWEENs and IN lists
+        col = rng.choice(list(METRICS) + ["l_linenumber"])
+        lo, hi = METRICS.get(col, (1, 7))
+        v = rng.choice([0, -1, lo, hi, -lo, hi + 1])
+        shape = rng.choice(["cmp", "between", "in"])
+        if shape == "between":
+            return f"{col} BETWEEN {min(-1, -v)} AND {v}"
+        if shape == "in" and col == "l_linenumber":
+            return f"{col} IN (-1, 0, {rng.randint(1, 7)})"
+        return f"{col} {rng.choice(CMP_OPS)} {v}"
+    return _regexp_pred(rng)
 
 
 def _where(rng: random.Random) -> str:
     n = rng.randint(0, 3)
     if n == 0:
         return ""
+    if n == 3 and rng.random() < 0.25:
+        # REGEXP_LIKE inside a nested OR tree (r9 verdict grammar corner)
+        p1, p2 = _regexp_pred(rng), _predicate(rng)
+        p3 = _predicate(rng)
+        return f" WHERE ({p1} OR {p2}) AND {p3}"
     preds = [_predicate(rng) for _ in range(n)]
     if n == 3 and rng.random() < 0.5:
         # nested boolean tree with explicit parens (FilterQueryTree nesting)
         inner, outer = rng.choice(["AND", "OR"]), rng.choice(["AND", "OR"])
+        if rng.random() < 0.3:  # deeper: two parenthesized subtrees
+            p4 = _predicate(rng)
+            return (f" WHERE ({preds[0]} {inner} {preds[1]}) "
+                    f"{outer} ({preds[2]} {rng.choice(['AND', 'OR'])} {p4})")
         return (f" WHERE ({preds[0]} {inner} {preds[1]}) "
                 f"{outer} {preds[2]}")
     op = rng.choice([" AND ", " OR "])
@@ -136,6 +180,40 @@ def _agg(rng: random.Random) -> tuple[str, str, str]:
         return f"avg({arg})", f"{OAVG(sql_arg)} AS {alias}", alias
     return (f"{fn}({arg})",
             f"{fn.upper()}({sql_arg}) AS {alias}", alias)
+
+
+def _having(rng: random.Random, int_aggs) -> tuple[str, str]:
+    """HAVING over the integer-exact aggregates (count_star /
+    distinctcount_*): simple comparison, BETWEEN, [NOT] IN, and two-term
+    AND/OR compounds — the full predicate grammar the PQL parser accepts
+    in HAVING position (r9 verdict grammar corner). Values span selective
+    to empty; both engines must agree either way."""
+    def one_cond(a):
+        alias, sql_expr = a[2], a[1].split(" AS ")[0]
+        kind = rng.choice(["cmp", "cmp", "between", "in", "not_in"])
+        if kind == "cmp":
+            k = rng.randint(1, 3000)
+            op = rng.choice(CMP_OPS)
+            return f"{alias} {op} {k}", f"{sql_expr} {op} {k}"
+        if kind == "between":
+            a_, b_ = sorted(rng.randint(0, 3000) for _ in range(2))
+            return (f"{alias} BETWEEN {a_} AND {b_}",
+                    f"{sql_expr} BETWEEN {a_} AND {b_}")
+        vals = sorted({rng.randint(0, 2500) for _ in range(rng.randint(1, 4))})
+        lst = ", ".join(map(str, vals))
+        neg = "NOT IN" if kind == "not_in" else "IN"
+        return f"{alias} {neg} ({lst})", f"{sql_expr} {neg} ({lst})"
+
+    conds = [one_cond(a) for a in
+             rng.sample(int_aggs, k=min(len(int_aggs),
+                                        1 if rng.random() < 0.6 else 2))]
+    if len(conds) == 1:
+        p, s = conds[0]
+    else:
+        op = rng.choice(["AND", "OR"])
+        p = f"{conds[0][0]} {op} {conds[1][0]}"
+        s = f"{conds[0][1]} {op} {conds[1][1]}"
+    return f" HAVING {p}", f" HAVING {s}"
 
 
 def _events_agg(rng: random.Random) -> tuple[str, str]:
@@ -288,10 +366,10 @@ def generate(seed: int) -> tuple[str, str]:
         sql_sel_keys.append(f"{ksql} AS {kname}")
         sql_grp_keys.append(ksql)
     having_pql = having_sql = ""
-    if any(a[2] == "count_star" for a in aggs) and rng.random() < 0.5:
-        k = rng.randint(1, 50)
-        having_pql = f" HAVING count_star > {k}"
-        having_sql = f" HAVING COUNT(*) > {k}"
+    int_aggs = [a for a in aggs
+                if a[2] == "count_star" or a[2].startswith("distinctcount_")]
+    if int_aggs and rng.random() < 0.5:
+        having_pql, having_sql = _having(rng, int_aggs)
     pql = (f"SELECT {', '.join(pql_keys)}, {pql_aggs} FROM lineitem{where} "
            f"GROUP BY {', '.join(pql_keys)}{having_pql} TOP 100")
     sql = (f"SELECT {', '.join(sql_sel_keys)}, {sql_aggs} "

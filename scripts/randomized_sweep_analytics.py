@@ -323,6 +323,89 @@ def _ref_retention(rows, step_us, max_offset):
     return out
 
 
+PARTIAL_STRATS = ["overwrite", "ignore", "increment", "append", "max", "min"]
+
+#: strategies whose fold is order-insensitive (any batch split is legal);
+#: ignore/append additionally need version-boundary splits for parity
+ORDER_FREE = {"overwrite", "increment", "max", "min"}
+
+
+def _gen_upsert_rows(rnd: random.Random, seed: int):
+    """(key, version, a, b) rows: heavy version duplication (ties), NULL
+    values (~25%), negative versions, singleton and fat keys."""
+    rows = []
+    for k in range(rnd.randrange(2, 6)):
+        key = seed * 1000 + k
+        for _ in range(rnd.randrange(1, 12)):
+            v = rnd.randrange(-3, 6)
+            a = None if rnd.random() < 0.25 else rnd.randrange(-50, 50)
+            b = None if rnd.random() < 0.25 else rnd.randrange(0, 100)
+            rows.append((key, v, a, b))
+    return rows
+
+
+def _nf(x):
+    """None-first sort key — Spark struct comparison orders NULL fields
+    smallest, so the python reference must too."""
+    return (0, 0) if x is None else (1, x)
+
+
+def _ref_partial(rows, strategies):
+    """Python reference for partial_latest_by_key's documented
+    semantics: per key, per column, fold (version, value) pairs."""
+    by_key: dict = {}
+    for key, v, a, b in rows:
+        by_key.setdefault(key, []).append((v, a, b))
+    out = {}
+    for key, recs in by_key.items():
+        res = [max(v for v, _, _ in recs)]
+        for ci, col in enumerate(["a", "b"]):
+            pairs = [(v, rec[ci]) for v, *rec in recs]
+            s = strategies[col]
+            if s == "overwrite":
+                val = max(pairs, key=lambda p: (p[0], _nf(p[1])))[1]
+            elif s == "ignore":
+                val = min(pairs, key=lambda p: (p[0], _nf(p[1])))[1]
+            elif s == "increment":
+                vals = [c for _, c in pairs if c is not None]
+                val = sum(vals) if vals else None
+            elif s == "append":
+                val = tuple(c for _, c in sorted(
+                    pairs, key=lambda p: (p[0], _nf(p[1]))))
+            elif s == "max":
+                vals = [c for _, c in pairs if c is not None]
+                val = max(vals) if vals else None
+            else:  # min
+                vals = [c for _, c in pairs if c is not None]
+                val = min(vals) if vals else None
+            res.append(val)
+        out[key] = tuple(res)
+    return out
+
+
+def _split_batches(rnd: random.Random, rows, version_boundary: bool):
+    """Split rows into 2-4 fold batches. With version_boundary, all rows
+    of one version land in one batch and batches ascend by version (the
+    ordering under which ignore/append parity is defined); otherwise the
+    split is arbitrary (order-insensitive strategies only)."""
+    n = rnd.randrange(2, 5)
+    if version_boundary:
+        versions = sorted({v for _, v, _, _ in rows})
+        cuts = sorted(rnd.sample(range(1, len(versions)),
+                                 min(n - 1, len(versions) - 1))) \
+            if len(versions) > 1 else []
+        groups = []
+        prev = 0
+        for c in cuts + [len(versions)]:
+            groups.append(set(versions[prev:c]))
+            prev = c
+        return [[r for r in rows if r[1] in g] for g in groups]
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+    size = -(-len(shuffled) // n)
+    return [shuffled[i:i + size] for i in range(0, len(shuffled), size)]
+
+
 def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
     from realtime_olap_spark.operators.attribution import (
         last_touch_attribution, multi_touch_attribution)
@@ -516,6 +599,57 @@ def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
     if got_rt != want_rt:
         fails.append((chunk, f"retention {rt_step_s}/{rt_max}",
                       sorted(got_rt ^ want_rt)[:4]))
+
+    # ---- upsert partial-merge folds (r9 verdict directive #5):
+    # randomized strategies x duplicated versions x batch splits;
+    # one-shot vs the python reference AND the chained fold vs one-shot
+    from realtime_olap_spark.streaming.upsert import (_combine_partial,
+                                                      partial_latest_by_key)
+    strategies = {"a": rnd_master.choice(PARTIAL_STRATS),
+                  "b": rnd_master.choice(PARTIAL_STRATS)}
+    version_boundary = not set(strategies.values()) <= ORDER_FREE \
+        or rnd_master.random() < 0.3
+    up_rows = []
+    for seed in seeds:
+        up_rows += _gen_upsert_rows(random.Random(seed + 3 * 10**7), seed)
+    up_schema = "k long, version long, a long, b long"
+    udf_all = spark.createDataFrame(up_rows, up_schema)
+
+    def canon_up(df):
+        return {r["k"]: (r["version"],
+                         *[tuple(r[c]) if isinstance(r[c], list) else r[c]
+                           for c in ("a", "b")]) for r in df.collect()}
+
+    got_one = canon_up(partial_latest_by_key(udf_all, ["k"], "version",
+                                             strategies))
+    want_up = _ref_partial(up_rows, strategies)
+    if got_one != want_up:
+        bad = [k for k in set(got_one) | set(want_up)
+               if got_one.get(k) != want_up.get(k)][:3]
+        fails.append((chunk, f"upsert one-shot {strategies}", bad,
+                      [got_one.get(k) for k in bad],
+                      [want_up.get(k) for k in bad]))
+
+    batches = _split_batches(random.Random(seeds.start + 7), up_rows,
+                             version_boundary)
+    state = None
+    for b_rows in batches:
+        if not b_rows:
+            continue
+        agg = partial_latest_by_key(
+            spark.createDataFrame(b_rows, up_schema),
+            ["k"], "version", strategies)
+        state = agg if state is None else _combine_partial(
+            state, agg, ["k"], "version", strategies, "overwrite")
+    got_fold = canon_up(state)
+    if got_fold != want_up:
+        bad = [k for k in set(got_fold) | set(want_up)
+               if got_fold.get(k) != want_up.get(k)][:3]
+        fails.append((chunk,
+                      f"upsert fold {strategies} vb={version_boundary} "
+                      f"n={len(batches)}", bad,
+                      [got_fold.get(k) for k in bad],
+                      [want_up.get(k) for k in bad]))
     return fails
 
 

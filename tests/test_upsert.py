@@ -357,3 +357,29 @@ def test_partial_fold_parity_on_version_ties(spark, tmp_path):
     assert got == want
     by_k = {r[0]: r for r in got}
     assert by_k[1][2] == "z" and by_k[2][2] == "q"
+
+
+def test_partial_fold_increment_all_null_stays_null(spark, tmp_path):
+    """A key whose INCREMENT column is NULL in every arriving row: the
+    one-shot twin is F.sum = NULL, but the fold used to coalesce both
+    sides to 0 and answer 0 (found by the r10 randomized upsert sweep's
+    design probe). Both-NULL must stay NULL across folds."""
+    from realtime_olap_spark.streaming.upsert import (partial_latest_by_key,
+                                                      partial_upsert_batch,
+                                                      read_upsert)
+    schema = "k long, v long, clicks long"
+    strategies = {"clicks": "increment"}
+    batches = [[(1, 1, None), (2, 1, None)],
+               [(1, 2, None), (2, 2, 5)]]
+    path = str(tmp_path / "state")
+    for rows in batches:
+        partial_upsert_batch(spark, path,
+                             spark.createDataFrame(rows, schema),
+                             ["k"], "v", strategies, n_buckets=2)
+    got = sorted(map(tuple, read_upsert(spark, path).collect()))
+    flat = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(map(tuple, partial_latest_by_key(
+        flat, ["k"], "v", strategies).collect()))
+    assert got == want
+    by_k = {r[0]: r for r in got}
+    assert by_k[1][2] is None and by_k[2][2] == 5
