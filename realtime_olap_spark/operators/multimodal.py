@@ -238,25 +238,31 @@ def _make_png_decoder():
 
 
 def _make_jpeg_decoder():
-    """Build the clean-room baseline-JPEG decoder (public ITU T.81 /
-    JFIF spec: marker segments → quant/Huffman tables → per-MCU entropy
-    decode → dequant → 2-D IDCT → chroma upsample → YCbCr→RGB). Nested
-    function, captured by value by worker closures (house rule).
+    """Build the clean-room JPEG decoder (public ITU T.81 / JFIF spec:
+    marker segments → quant/Huffman tables → per-scan entropy decode
+    into per-component COEFFICIENT arrays → dequant → vectorized 2-D
+    IDCT → chroma upsample → YCbCr→RGB). Nested function, captured by
+    value by worker closures (house rule).
 
-    Supports baseline and extended-sequential Huffman scans (SOF0/SOF1),
-    8-bit precision, 1 or 3 components, any h/v sampling factors ≤ 4
-    (4:4:4, 4:2:2, 4:2:0, …), restart markers. Progressive (SOF2),
-    arithmetic coding, 12-bit precision and hierarchical modes return an
+    Supports Huffman-coded baseline, extended-sequential AND progressive
+    frames (SOF0/SOF1/SOF2) — progressive covers the full spectral-
+    selection + successive-approximation scan scripts real encoders emit
+    (DC first/refine, AC first with EOB runs, AC refinement with
+    correction bits; interleaved and single-component scans; restart
+    markers per scan). 8-bit precision, 1 or 3 components, any integer
+    h/v sampling ratios ≤ 4 (4:4:4, 4:2:2, 4:2:0, …). Arithmetic
+    coding, 12-bit precision and hierarchical modes return an
     ``"unsupported: …"`` reason; malformed bytes return ``None`` — same
     three-valued contract as the PNG decoder, nothing raises per-row.
 
-    Numerics: float separable IDCT (numpy basis matmul) and
-    nearest-neighbor chroma upsampling — within ±1-2 levels of libjpeg's
-    fixed-point pipeline, which is why the external golden test compares
-    against a lossless PPM dump of the source image with a tolerance,
-    not bit-exactly. Throughput is pure-Python-bounded (~the entropy
-    decode loop); it is the correctness baseline the mapInPandas
-    plumbing is tested through, not a libjpeg-turbo replacement.
+    Numerics: float separable IDCT (one numpy einsum over all blocks)
+    and nearest-neighbor chroma upsampling — within ±1-2 levels of
+    libjpeg's fixed-point pipeline, which is why the external golden
+    test compares against a lossless PPM dump of the source image with
+    a tolerance, not bit-exactly. Throughput is pure-Python-bounded
+    (~the entropy decode loop); it is the correctness baseline the
+    mapInPandas plumbing is tested through, not a libjpeg-turbo
+    replacement.
 
     Reference analog: Pinot ingests bytes columns opaque and decodes at
     the reader layer (core/data/readers/); this is the Spark-side
@@ -271,11 +277,11 @@ def _make_jpeg_decoder():
     basis[0] *= 1 / np.sqrt(2)
     basis *= 0.5  # orthonormal scaling: block = C.T @ coef @ C
 
-    ZZ = np.array([  # zig-zag order -> row-major index
+    ZZ = [  # zig-zag order -> row-major index
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
         12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
 
     def build_huff(bits, vals):
         """Canonical Huffman: {(bit_length, code): value}."""
@@ -323,6 +329,157 @@ def _make_jpeg_decoder():
         # T.81 EXTEND: size-bit magnitude to signed value
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
+    class Comp:
+        """One frame component: sampling factors, quant id, coefficient
+        store sized to the MCU-padded block grid, per-scan DC pred."""
+        __slots__ = ("cid", "hs", "vs", "tq", "bw", "bh", "nbw", "nbh",
+                     "coef", "pred")
+
+        def __init__(self, cid, hs, vs, tq):
+            self.cid, self.hs, self.vs, self.tq = cid, hs, vs, tq
+
+    def _scan_segments(data, pos):
+        """Extract one scan's entropy bytes from `pos`: unstuff FF00,
+        split at RSTn. Returns (segments, position of next marker)."""
+        segs, cur, i = [], bytearray(), pos
+        while i < len(data) - 1:
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # real marker ends the scan
+            cur.append(b)
+            i += 1
+        segs.append(bytes(cur))
+        return segs, i
+
+    def _decode_scan(comps, scan_comps, segs, ri, huff_dc, huff_ac,
+                     ss, se, ah, al, mcux, mcuy):
+        """Decode one scan (baseline = progressive with Ss=0, Se=63,
+        Ah=Al=0) into the components' coefficient arrays. T.81 F.2 /
+        G.1.2: interleaved MCU order when the scan has >1 component,
+        the component's own ceil-block grid otherwise."""
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            c = scan_comps[0][0]
+            units = c.nbw * c.nbh
+        seg_i = 0
+        bits = Bits(segs[0])
+        for c, _, _ in scan_comps:
+            c.pred = 0
+        eobrun = 0
+
+        def one_block(c, tdc, tac, by, bx):
+            nonlocal eobrun
+            coef = c.coef[by][bx]
+            if ss == 0:                         # DC (first or refine)
+                if ah == 0:
+                    s = bits.huff(tdc)
+                    diff = extend(bits.read(s), s) if s else 0
+                    c.pred += diff
+                    coef[0] = c.pred << al
+                else:                            # DC refinement: 1 bit
+                    if bits.read(1):
+                        coef[0] |= (1 << al)
+                if se == 0:
+                    return
+                # baseline scan continues into AC below
+            k = max(ss, 1)
+            if ah == 0:                          # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                while k <= se:
+                    rs = bits.huff(tac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16              # ZRL
+                            continue
+                        eobrun = (1 << r) - 1    # EOBn
+                        if r:
+                            eobrun += bits.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise EOFError
+                    coef[ZZ[k]] = extend(bits.read(s), s) << al
+                    k += 1
+                return
+            # AC refinement (T.81 G.1.2.3): correction bits for
+            # already-nonzero coefficients, ±1<<Al for new ones
+            p1, m1 = 1 << al, -1 << al
+
+            def correct(idx):
+                v = coef[idx]
+                if bits.read(1) and not (v & p1):
+                    coef[idx] = v + (p1 if v >= 0 else m1)
+
+            if eobrun == 0:
+                while k <= se:
+                    rs = bits.huff(tac)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += bits.read(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise EOFError       # malformed refinement
+                        val = p1 if bits.read(1) else m1
+                    while k <= se:
+                        if coef[ZZ[k]] != 0:
+                            correct(ZZ[k])
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        coef[ZZ[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if coef[ZZ[k]] != 0:
+                        correct(ZZ[k])
+                    k += 1
+                eobrun -= 1
+
+        for ui in range(units):
+            if ri and ui and ui % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise EOFError
+                bits = Bits(segs[seg_i])
+                for c, _, _ in scan_comps:
+                    c.pred = 0
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(ui, mcux)
+                for c, tdc, tac in scan_comps:
+                    for iy in range(c.vs):
+                        for ix in range(c.hs):
+                            one_block(c, tdc, tac, my * c.vs + iy,
+                                      mx * c.hs + ix)
+            else:
+                c, tdc, tac = scan_comps[0]
+                by, bx = divmod(ui, c.nbw)
+                one_block(c, tdc, tac, by, bx)
+
     def decode(data):
         if not isinstance(data, (bytes, bytearray)):
             return None
@@ -330,15 +487,27 @@ def _make_jpeg_decoder():
         if len(data) < 4 or data[:2] != b"\xff\xd8":
             return None
         qt, huff_dc, huff_ac = {}, {}, {}
-        frame, ri = None, 0
+        comps, dims, ri, n_scans = None, None, 0, 0
+        hmax = vmax = mcux = mcuy = 0
         pos = 2
         try:
-            while pos + 4 <= len(data):
+            while pos + 2 <= len(data):
                 if data[pos] != 0xFF:
+                    return None
+                # T.81: markers may be preceded by any number of FF fill
+                # bytes
+                while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 2 > len(data):
                     return None
                 m = data[pos + 1]
                 if m == 0xD9:
-                    return None  # EOI before any scan
+                    break  # EOI
+                if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+                    pos += 2
+                    continue
+                if pos + 4 > len(data):
+                    return None
                 ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
                 seg = data[pos + 4:pos + 2 + ln]
                 if len(seg) != ln - 2:
@@ -365,143 +534,105 @@ def _make_jpeg_decoder():
                     i = 0
                     while i + 17 <= len(seg):
                         cls, tid = seg[i] >> 4, seg[i] & 15
-                        bits = seg[i + 1:i + 17]
-                        nv = sum(bits)
+                        bits_ = seg[i + 1:i + 17]
+                        nv = sum(bits_)
                         vals = seg[i + 17:i + 17 + nv]
                         if len(vals) != nv:
                             return None
                         (huff_dc if cls == 0 else huff_ac)[tid] = \
-                            build_huff(bits, vals)
+                            build_huff(bits_, vals)
                         i += 17 + nv
-                elif m in (0xC0, 0xC1):  # baseline / extended sequential
+                elif m in (0xC0, 0xC1, 0xC2):  # SOF: sequential/progressive
                     prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                     if prec != 8:
                         return f"unsupported: {prec}-bit precision"
                     if nc not in (1, 3):
                         return f"unsupported: {nc}-component image"
+                    if w == 0 or h == 0:
+                        return None
                     comps = []
-                    for c in range(nc):
-                        cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                    for ci in range(nc):
+                        cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
                         hs, vs = hv >> 4, hv & 15
                         if not (1 <= hs <= 4 and 1 <= vs <= 4):
                             return None
-                        comps.append([cid, hs, vs, tq])
-                    frame = (w, h, comps)
-                elif m == 0xC2:
-                    return "unsupported: progressive JPEG"
+                        comps.append(Comp(cid, hs, vs, tq))
+                    hmax = max(c.hs for c in comps)
+                    vmax = max(c.vs for c in comps)
+                    if any(hmax % c.hs or vmax % c.vs for c in comps):
+                        return "unsupported: non-integer sampling ratio"
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for c in comps:
+                        c.bw = mcux * c.hs          # MCU-padded grid
+                        c.bh = mcuy * c.vs
+                        # non-interleaved scans cover the ceil grid only
+                        c.nbw = -(-(-(-w * c.hs // hmax)) // 8)
+                        c.nbh = -(-(-(-h * c.vs // vmax)) // 8)
+                        c.coef = [[[0] * 64 for _ in range(c.bw)]
+                                  for _ in range(c.bh)]
+                    dims = (w, h)
                 elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                            0xCD, 0xCE, 0xCF):
                     return "unsupported: non-baseline JPEG mode"
                 elif m == 0xDD:  # DRI
                     ri = struct.unpack(">H", seg[:2])[0]
-                elif m == 0xDA:  # SOS → entropy-coded data follows
-                    if frame is None:
+                elif m == 0xDA:  # SOS: decode this scan inline
+                    if comps is None:
                         return None
                     ns = seg[0]
-                    scan = {}
-                    for c in range(ns):
-                        cid, tt = seg[1 + c * 2:3 + c * 2]
-                        scan[cid] = (tt >> 4, tt & 15)
-                    break
+                    scan_comps = []
+                    by_id = {c.cid: c for c in comps}
+                    for ci in range(ns):
+                        cid, tt = seg[1 + ci * 2:3 + ci * 2]
+                        if cid not in by_id:
+                            return None
+                        c = by_id[cid]
+                        tdc = huff_dc.get(tt >> 4)
+                        tac = huff_ac.get(tt & 15)
+                        scan_comps.append((c, tdc, tac))
+                    ss_, se_, a_ = seg[1 + ns * 2:4 + ns * 2]
+                    ah_, al_ = a_ >> 4, a_ & 15
+                    if ss_ == 0 and ah_ == 0 and any(
+                            t[1] is None for t in scan_comps):
+                        return None  # DC scan needs its DC table
+                    if se_ > ss_ == 0 or ss_ > 0:
+                        if any(t[2] is None for t in scan_comps):
+                            return None  # AC positions need an AC table
+                    segs, pos = _scan_segments(data, pos)
+                    _decode_scan(comps, scan_comps, segs, ri,
+                                 huff_dc, huff_ac, ss_, se_, ah_, al_,
+                                 mcux, mcuy)
+                    n_scans += 1
                 # APPn / COM / others: skipped
             else:
-                return None
-        except (struct.error, IndexError):
-            return None
-        if frame is None:
-            return None
-        w, h, comps = frame
-        if w == 0 or h == 0 or set(scan) != {c[0] for c in comps}:
-            return None
-
-        # -- split the scan into restart segments, unstuffing FF00 --
-        segs, cur, i = [], bytearray(), pos
-        while i < len(data) - 1:
-            b = data[i]
-            if b == 0xFF:
-                nxt = data[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-                if nxt == 0xD9:
-                    break
-                return None  # unexpected marker mid-scan (multi-scan?)
-            cur.append(b)
-            i += 1
-        segs.append(bytes(cur))
-
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        if any(hmax % c[1] or vmax % c[2] for c in comps):
-            return "unsupported: non-integer sampling ratio"
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        planes = []
-        for cid, hs, vs, tq in comps:
-            planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                                   np.float64))
-        try:
-            for c in comps:
-                if c[3] not in qt:
+                # ran off the end without EOI: reject unless at least
+                # one scan decoded (truncated tails are routine in web
+                # corpora; render what arrived, like a lenient viewer)
+                if not n_scans:
                     return None
-            preds = [0] * len(comps)
-            seg_i = 0
-            bits = Bits(segs[0])
-            for mi in range(mcux * mcuy):
-                if ri and mi and mi % ri == 0:
-                    seg_i += 1
-                    if seg_i >= len(segs):
-                        return None
-                    bits = Bits(segs[seg_i])
-                    preds = [0] * len(comps)
-                my, mx = divmod(mi, mcux)
-                for ci, (cid, hs, vs, tq) in enumerate(comps):
-                    dct, act = scan[cid]
-                    tdc, tac = huff_dc.get(dct), huff_ac.get(act)
-                    if tdc is None or tac is None:
-                        return None
-                    for by in range(vs):
-                        for bx in range(hs):
-                            coef = np.zeros(64, np.float64)
-                            s = bits.huff(tdc)
-                            diff = extend(bits.read(s), s) if s else 0
-                            preds[ci] += diff
-                            coef[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = bits.huff(tac)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    return None
-                                coef[ZZ[k]] = extend(bits.read(s), s)
-                                k += 1
-                            block = coef.reshape(8, 8) * qt[tq]
-                            px = basis.T @ block @ basis + 128.0
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-        except EOFError:
+        except (struct.error, IndexError, EOFError):
             return None
+        if comps is None or dims is None or not n_scans:
+            return None
+        w, h = dims
 
-        # -- upsample to full resolution, crop, color-convert --
+        # -- dequant + vectorized IDCT + assemble planes --
         full = []
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            p = planes[ci]
-            if hs != hmax or vs != vmax:
-                p = p.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
-            full.append(p[:h, :w])
+        for c in comps:
+            if c.tq not in qt:
+                return None
+            q = qt[c.tq].reshape(64)
+            arr = (np.asarray(c.coef, np.float64).reshape(-1, 64)
+                   * q).reshape(-1, 8, 8)
+            px = np.einsum("ji,njk,kl->nil", basis, arr, basis) + 128.0
+            plane = (px.reshape(c.bh, c.bw, 8, 8)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(c.bh * 8, c.bw * 8))
+            if c.hs != hmax or c.vs != vmax:
+                plane = plane.repeat(vmax // c.vs, axis=0) \
+                             .repeat(hmax // c.hs, axis=1)
+            full.append(plane[:h, :w])
         if len(comps) == 1:
             out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
             return int(w), int(h), 1, out[:, :, None]
@@ -520,12 +651,13 @@ def decode_media(df: DataFrame, decoder: str = "real",
     """Decode payloads via ``mapInPandas``:
 
     - ``decoder='png'`` / ``'jpeg'`` — the REAL pure-Python codecs
-      (:func:`_make_png_decoder` / :func:`_make_jpeg_decoder`). Rows
-      that don't decode get NULL dims — malformed bytes AND
-      valid-but-unsupported variants (16-bit/interlaced PNG,
-      progressive JPEG) alike, so one odd file never kills a
-      corpus-scale job; ``with_status=True`` appends a ``status``
-      column ('ok' / 'corrupt' / 'unsupported: …') to tell them apart.
+      (:func:`_make_png_decoder` / :func:`_make_jpeg_decoder`; JPEG
+      covers baseline AND progressive). Rows that don't decode get
+      NULL dims — malformed bytes AND valid-but-unsupported variants
+      (16-bit/interlaced PNG, arithmetic-coded JPEG) alike, so one odd
+      file never kills a corpus-scale job; ``with_status=True`` appends
+      a ``status`` column ('ok' / 'corrupt' / 'unsupported: …') to tell
+      them apart.
     - ``decoder='real'`` — general codecs need PIL/librosa/ffmpeg
       (absent in this container → NotImplementedError at plan-build
       time, not mid-job).

@@ -361,13 +361,21 @@ def test_png_decoder_through_map_in_pandas(spark):
 # Pure-Python baseline JPEG decoder (clean-room, ITU T.81)
 # ---------------------------------------------------------------------------
 
-def _encode_flat_jpeg(blocks, w, h, sampling=None, restart=0):
+def _encode_flat_jpeg(blocks, w, h, sampling=None, restart=0,
+                      progressive=False, dc_split=False):
     """Minimal synthetic JPEG ENCODER for flat 8x8 blocks (DC-only, unit
     quant) — independent of the decoder and ANALYTIC: a flat block of
     level v is exactly DC = 8*(v-128) under the orthonormal DCT, so the
     decoder must reproduce v bit-exactly. `blocks` is one list per
     component of per-MCU-scan-order DC levels (0-255); `sampling` gives
-    (h, v) factors per component (None = single grayscale component)."""
+    (h, v) factors per component (None = single grayscale component).
+
+    ``progressive=True`` emits SOF2 with a spectral-selection script:
+    one interleaved DC scan, then one single-component AC scan per
+    component whose entire block run is a single EOBn (exercising the
+    EOB-run path); ``dc_split=True`` additionally splits the DC scan
+    into a first pass at Al=1 plus an Ah=1 refinement pass of raw
+    low-order bits (successive approximation)."""
     import struct
 
     if sampling is None:
@@ -381,22 +389,19 @@ def _encode_flat_jpeg(blocks, w, h, sampling=None, restart=0):
 
     # unit quant table (id 0): all ones in zigzag order
     seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
-    # DC table 0: values 0..11 as 4-bit codes; AC table 0: EOB as 1-bit
+    # DC table 0: values 0..11 as 4-bit codes; AC table 0: the fifteen
+    # EOBn run/size codes (r<<4) as 4-bit codes (EOB0 = plain EOB)
     seg(b"\xff\xc4", bytes([0x00, 0, 0, 0, 12] + [0] * 12
                            + list(range(12))))
-    seg(b"\xff\xc4", bytes([0x10, 1] + [0] * 15 + [0x00]))
+    seg(b"\xff\xc4", bytes([0x10, 0, 0, 0, 15] + [0] * 12
+                           + [r << 4 for r in range(15)]))
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
     for c in range(ncomp):
         hs, vs = sampling[c]
         sof += bytes([c + 1, (hs << 4) | vs, 0])
-    seg(b"\xff\xc0", bytes(sof))
+    seg(b"\xff\xc2" if progressive else b"\xff\xc0", bytes(sof))
     if restart:
         seg(b"\xff\xdd", struct.pack(">H", restart))
-    sos = bytearray([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    seg(b"\xff\xda", bytes(sos))
 
     bits = []
 
@@ -421,27 +426,76 @@ def _encode_flat_jpeg(blocks, w, h, sampling=None, restart=0):
                 out.append(0x00)        # byte stuffing
         bits.clear()
 
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        seg(b"\xff\xda", bytes(hdr))
+
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     n_mcu = (-(-w // (8 * hmax))) * (-(-h // (8 * vmax)))
+
+    def dc_of(c, i):
+        return 8 * (blocks[c][i] - 128)
+
+    if not progressive:
+        sos(list(range(1, ncomp + 1)), 0, 63, 0, 0)
+        idx = [0] * ncomp
+        preds = [0] * ncomp
+        rst = 0
+        for mi in range(n_mcu):
+            if restart and mi and mi % restart == 0:
+                flush_entropy()
+                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                preds = [0] * ncomp
+            for c in range(ncomp):
+                hs, vs = sampling[c]
+                for _ in range(hs * vs):
+                    dc = dc_of(c, idx[c])
+                    put_dc(dc - preds[c])
+                    preds[c] = dc
+                    idx[c] += 1
+                    put(0, 4)           # EOB0 (4-bit canonical code 0)
+        flush_entropy()
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    # progressive: interleaved DC scan (values arithmetic-shifted by Al)
+    al0 = 1 if dc_split else 0
+    sos(list(range(1, ncomp + 1)), 0, 0, 0, al0)
     idx = [0] * ncomp
     preds = [0] * ncomp
-    rst = 0
     for mi in range(n_mcu):
-        if restart and mi and mi % restart == 0:
-            flush_entropy()
-            out.extend(bytes([0xFF, 0xD0 + rst % 8]))
-            rst += 1
-            preds = [0] * ncomp
         for c in range(ncomp):
             hs, vs = sampling[c]
             for _ in range(hs * vs):
-                dc = 8 * (blocks[c][idx[c]] - 128)
-                put_dc(dc - preds[c])
-                preds[c] = dc
+                v = dc_of(c, idx[c]) >> al0
+                put_dc(v - preds[c])
+                preds[c] = v
                 idx[c] += 1
-                put(0, 1)               # EOB (1-bit code 0)
     flush_entropy()
+    if dc_split:  # DC refinement: one raw low-order bit per block
+        sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+        idx = [0] * ncomp
+        for mi in range(n_mcu):
+            for c in range(ncomp):
+                hs, vs = sampling[c]
+                for _ in range(hs * vs):
+                    put(dc_of(c, idx[c]) & 1, 1)
+                    idx[c] += 1
+        flush_entropy()
+    # one AC scan per component: all blocks end in ONE EOBn run
+    for c in range(ncomp):
+        sos([c + 1], 1, 63, 0, 0)
+        n = len(blocks[c])
+        r = n.bit_length() - 1          # largest r with 2^r <= n
+        put(r, 4)                       # canonical CODE for symbol r<<4
+        if r:
+            put(n - (1 << r), r)        # EOBRUN = 2^r - 1 + extra = n-1
+        flush_entropy()
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -492,6 +546,119 @@ def test_jpeg_synthetic_exact_420_color():
     assert (out == want.astype(np.uint8)).all()
 
 
+def test_jpeg_progressive_synthetic_exact():
+    """Spectral-selection progressive (SOF2): interleaved DC scan + one
+    EOBn-run AC scan per component must reproduce the flat levels
+    bit-exactly — grayscale multi-MCU (EOB-run spanning 6 blocks) and
+    one 4:2:0 color MCU."""
+    levels = [40, 213, 128, 7, 255, 90]
+    data = _encode_flat_jpeg([levels], 24, 16, progressive=True)
+    w, h, ch, out = M._make_jpeg_decoder()(data)
+    assert (w, h, ch) == (24, 16, 1)
+    for i, v in enumerate(levels):
+        y, x = divmod(i, 3)
+        assert (out[y * 8:(y + 1) * 8, x * 8:(x + 1) * 8, 0] == v).all(), i
+    yv, cb, cr = 90, 160, 100
+    import numpy as np
+
+    data = _encode_flat_jpeg([[yv] * 4, [cb], [cr]], 16, 16,
+                             sampling=[(2, 2), (1, 1), (1, 1)],
+                             progressive=True)
+    w, h, ch, out = M._make_jpeg_decoder()(data)
+    assert (w, h, ch) == (16, 16, 3)
+    want = np.clip(np.rint([yv + 1.402 * (cr - 128),
+                            yv - 0.344136 * (cb - 128)
+                            - 0.714136 * (cr - 128),
+                            yv + 1.772 * (cb - 128)]), 0, 255)
+    assert (out == want.astype(np.uint8)).all()
+
+
+def test_jpeg_progressive_dc_successive_approximation_exact():
+    """DC successive approximation: first pass sends dc>>1 (arithmetic
+    shift, negative DCs exercise the two's-complement low bit), the
+    Ah=1 refinement pass sends raw low-order bits; the reassembled DC
+    must be exact for every parity/sign combination."""
+    levels = [40, 213, 127, 128, 0, 255]  # DCs: even/odd, neg/pos
+    data = _encode_flat_jpeg([levels], 48, 8, progressive=True,
+                             dc_split=True)
+    w, h, ch, out = M._make_jpeg_decoder()(data)
+    assert (w, h, ch) == (48, 8, 1)
+    for i, v in enumerate(levels):
+        assert (out[:, i * 8:(i + 1) * 8, 0] == v).all(), i
+
+
+def test_jpeg_progressive_ac_refinement_hand_assembled():
+    """AC successive approximation, hand-assembled bit-for-bit (T.81
+    G.1.2.3): a single 8x8 block whose AC coefficient at zigzag 1 is 3,
+    sent as 3>>1 = 1 in the Al=1 first pass and corrected with one
+    refinement bit in the Ah=1 pass. The expected pixels come from an
+    independent IDCT computed here."""
+    import struct
+
+    import numpy as np
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
+    seg(b"\xff\xc4", bytes([0x00, 0, 0, 0, 12] + [0] * 12
+                           + list(range(12))))
+    # AC table: EOB0 -> '0' (1 bit), 0x01 (r0 s1) -> '10' (2 bits)
+    seg(b"\xff\xc4", bytes([0x10, 1, 1] + [0] * 14 + [0x00, 0x01]))
+    seg(b"\xff\xc2", struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+
+    def scan(hdr_bits, ss, se, ah, al):
+        seg(b"\xff\xda", bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        padded = hdr_bits + "1" * (-len(hdr_bits) % 8)
+        for i in range(0, len(padded), 8):
+            b = int(padded[i:i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    scan("0000", 0, 0, 0, 0)          # DC scan: category 0 -> DC = 0
+    # AC first pass at Al=1: rs=0x01 ('10'), value bit '1' -> +1 at
+    # zigzag 1, then EOB0 ('0')
+    scan("10" + "1" + "0", 1, 63, 0, 1)
+    # AC refinement at Ah=1: EOB0 ('0') sets EOBRUN=1, then one
+    # correction bit '1' for the nonzero-history coefficient -> 2+1 = 3
+    scan("0" + "1", 1, 63, 1, 0)
+    out.extend(b"\xff\xd9")
+
+    w, h, ch, px = M._make_jpeg_decoder()(bytes(out))
+    assert (w, h, ch) == (8, 8, 1)
+    n = np.arange(8)
+    basis = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    basis[0] *= 1 / np.sqrt(2)
+    basis *= 0.5
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 3.0                  # zigzag index 1 == row 0 col 1
+    want = np.clip(np.rint(basis.T @ coef @ basis + 128), 0, 255)
+    assert (px[:, :, 0] == want.astype(np.uint8)).all()
+
+
+def test_jpeg_progressive_real_files_decode():
+    """Real-encoder progressive files (Spark's mllib sample data + the
+    Node.js docs, both shipped in this container): full successive-
+    approximation scan scripts (DC Al=1 + Ah=1 refine; AC first + Ah=1
+    refinement with EOB runs) must decode to the documented dims, and
+    the white-stripe graphics must come out predominantly white."""
+    decode = M._make_jpeg_decoder()
+    p1 = ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+          "multi-channel/grayscale.jpg")
+    p2 = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not (os.path.exists(p1) and os.path.exists(p2)):
+        pytest.skip("container sample images not present")
+    w, h, ch, px = decode(open(p1, "rb").read())
+    assert (w, h, ch) == (300, 215, 1)
+    assert 100 < px.mean() < 200  # a photo, not a constant field
+    w, h, ch, px = decode(open(p2, "rb").read())
+    assert (w, h, ch) == (493, 312, 3)
+    assert float((px > 240).mean()) > 0.8  # a white stripe graphic
+
+
 def test_jpeg_external_golden_vs_ppm():
     """True external golden: python.jpg (CPython test data, a real
     encoder's baseline 4:2:0 output) against python.ppm, the LOSSLESS
@@ -519,8 +686,6 @@ def test_jpeg_external_golden_vs_ppm():
 def test_jpeg_rejects_and_gates():
     """Malformed -> None; valid-but-unsupported -> reason string; never
     a per-row raise (same three-valued contract as PNG)."""
-    import struct
-
     decode = M._make_jpeg_decoder()
     good = _encode_flat_jpeg([[128]], 8, 8)
     assert isinstance(decode(good), tuple)
@@ -528,9 +693,9 @@ def test_jpeg_rejects_and_gates():
     assert decode(b"\xff\xd8\xff") is None
     assert decode(good[:40]) is None
     assert decode(b"not a jpeg") is None
-    # flip SOF0 -> SOF2 (progressive)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    assert decode(prog) == "unsupported: progressive JPEG"
+    # arithmetic-coded sequential (SOF9) — honestly gated
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9")
+    assert decode(arith) == "unsupported: non-baseline JPEG mode"
     # 12-bit precision
     i = good.index(b"\xff\xc0")
     deep = good[:i + 4] + bytes([12]) + good[i + 5:]
@@ -540,14 +705,14 @@ def test_jpeg_rejects_and_gates():
 def test_jpeg_decoder_through_map_in_pandas(spark):
     """decode_media(decoder='jpeg', with_status=True): real JPEG decodes
     to true dims; corrupt rows NULL out with status='corrupt';
-    progressive rows NULL out with the unsupported reason — the job
+    arithmetic-coded rows NULL out with the unsupported reason — the job
     always completes (ADVICE r9: no executor-side raise)."""
     good = _encode_flat_jpeg([[77]], 8, 8)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9")
     ext = open(os.path.join(FIXTURES, "python.jpg"), "rb").read()
     df = spark.createDataFrame(
         [(1, "image", good), (2, "image", b"garbage"),
-         (3, "image", prog), (4, "image", ext)],
+         (3, "image", arith), (4, "image", ext)],
         "media_id long, media_type string, payload binary")
     got = {r["media_id"]: (r["decoded_width"], r["decoded_height"],
                            r["status"])
@@ -555,7 +720,7 @@ def test_jpeg_decoder_through_map_in_pandas(spark):
                                    with_status=True).collect()}
     assert got[1] == (8, 8, "ok")
     assert got[2] == (None, None, "corrupt")
-    assert got[3] == (None, None, "unsupported: progressive JPEG")
+    assert got[3] == (None, None, "unsupported: non-baseline JPEG mode")
     assert got[4] == (16, 16, "ok")
     # and without the flag the schema is the unchanged 5-column contract
     out = M.decode_media(df, decoder="jpeg")
