@@ -237,6 +237,231 @@ def _make_png_decoder():
     return decode
 
 
+def _make_gif_decoder():
+    """Build the clean-room GIF decoder (public GIF87a/89a spec: logical
+    screen descriptor → color tables → LZW-compressed index stream →
+    palette expansion; first image frame of an animation). Nested
+    function, captured by value (house rule).
+
+    Handles global and local color tables, the 4-pass Adam-style row
+    interlace, variable-width LSB-first LZW codes with CLEAR/EOI and the
+    12-bit dictionary cap, and the 89a graphic-control transparency
+    index (emits RGBA with alpha 0 at that index, RGB otherwise).
+    Same three-valued return contract as the PNG/JPEG decoders:
+    ``(w, h, ch, ndarray)`` / ``None`` for malformed / ``"unsupported:
+    …"`` reason (nothing raises per-row)."""
+    import struct
+
+    import numpy as np
+
+    def lzw(data, min_code, npix):
+        """GIF LZW: codes packed LSB-first, dictionary of index tuples."""
+        clear = 1 << min_code
+        eoi = clear + 1
+        code_size = min_code + 1
+        table = [(i,) for i in range(clear)] + [None, None]
+        out = []
+        prev = None
+        bitpos, total = 0, len(data) * 8
+        while len(out) < npix:
+            if bitpos + code_size > total:
+                return None
+            c = 0
+            for i in range(code_size):
+                c |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+                bitpos += 1
+            if c == clear:
+                code_size = min_code + 1
+                del table[clear + 2:]
+                prev = None
+                continue
+            if c == eoi:
+                break
+            if prev is None:
+                if c >= len(table):
+                    return None
+                entry = table[c]
+            elif c < len(table):
+                entry = table[c]
+                table.append(prev + (entry[0],))
+            elif c == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        return out[:npix]
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        try:
+            sw, sh = struct.unpack("<HH", data[6:10])
+            flags = data[10]
+            pos = 13
+            gct = None
+            if flags & 0x80:
+                n = 2 << (flags & 7)
+                gct = np.frombuffer(data[pos:pos + 3 * n],
+                                    np.uint8).reshape(-1, 3)
+                if len(gct) != n:
+                    return None
+                pos += 3 * n
+            transparent = None
+            while pos < len(data):
+                b = data[pos]
+                if b == 0x3B:  # trailer before any image
+                    return None
+                if b == 0x21:  # extension
+                    label = data[pos + 1]
+                    pos += 2
+                    while data[pos]:
+                        if label == 0xF9 and (data[pos + 1] & 1):
+                            transparent = data[pos + 4]
+                        pos += data[pos] + 1
+                    pos += 1
+                    continue
+                if b != 0x2C:
+                    return None
+                left, top, w, h = struct.unpack("<HHHH",
+                                                data[pos + 1:pos + 9])
+                ifl = data[pos + 9]
+                pos += 10
+                pal = gct
+                if ifl & 0x80:  # local color table
+                    n = 2 << (ifl & 7)
+                    pal = np.frombuffer(data[pos:pos + 3 * n],
+                                        np.uint8).reshape(-1, 3)
+                    if len(pal) != n:
+                        return None
+                    pos += 3 * n
+                if pal is None or w == 0 or h == 0:
+                    return None
+                min_code = data[pos]
+                pos += 1
+                if not (2 <= min_code <= 11):
+                    return None
+                lz = bytearray()
+                while pos < len(data) and data[pos]:
+                    ln = data[pos]
+                    lz += data[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                idx = lzw(bytes(lz), min_code, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.array(idx, np.int32)
+                if int(arr.max()) >= len(pal):
+                    return None
+                grid = arr.reshape(h, w)
+                if (ifl >> 6) & 1:  # 4-pass interlace row order
+                    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                             + [*range(2, h, 4)] + [*range(1, h, 2)])
+                    un = np.empty_like(grid)
+                    un[order] = grid
+                    grid = un
+                if transparent is not None and transparent < len(pal):
+                    alpha = np.full(len(pal), 255, np.uint8)
+                    alpha[transparent] = 0
+                    px = np.dstack([pal[grid], alpha[grid]])
+                    return int(w), int(h), 4, px
+                return int(w), int(h), 3, pal[grid]
+        except (struct.error, IndexError):
+            return None
+        return None
+
+    return decode
+
+
+def _make_bmp_decoder():
+    """Build the clean-room BMP decoder (public BITMAPINFOHEADER family:
+    V1/V4/V5 headers; 8-bit palette, 24-bit BGR and 32-bit BGRA/
+    BI_BITFIELDS pixels; bottom-up and top-down rows; 4-byte row
+    padding). Nested function, captured by value (house rule). RLE
+    compression returns an ``"unsupported: …"`` reason; same
+    three-valued contract as the other codecs."""
+    import struct
+
+    import numpy as np
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 54 or data[:2] != b"BM":
+            return None
+        try:
+            ofs = struct.unpack("<I", data[10:14])[0]
+            hsz = struct.unpack("<I", data[14:18])[0]
+            if hsz < 40:
+                return "unsupported: BITMAPCOREHEADER"
+            w, h = struct.unpack("<ii", data[18:26])
+            bpp = struct.unpack("<H", data[28:30])[0]
+            comp = struct.unpack("<I", data[30:34])[0]
+            top_down = h < 0
+            h = abs(h)
+            if w <= 0 or h == 0:
+                return None
+            if comp in (1, 2):
+                return "unsupported: RLE-compressed BMP"
+            if comp not in (0, 3) or bpp not in (8, 24, 32):
+                return f"unsupported: BMP bpp={bpp} compression={comp}"
+            if bpp == 8:
+                n_colors = struct.unpack("<I", data[46:50])[0] or 256
+                pal_ofs = 14 + hsz
+                pal = np.frombuffer(
+                    data[pal_ofs:pal_ofs + 4 * n_colors],
+                    np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+                if len(pal) != n_colors:
+                    return None
+                stride = (w + 3) & ~3
+                raw = np.frombuffer(data[ofs:ofs + stride * h], np.uint8)
+                if len(raw) != stride * h:
+                    return None
+                grid = raw.reshape(h, stride)[:, :w]
+                if int(grid.max()) >= len(pal):
+                    return None
+                px = pal[grid]
+            else:
+                nb = bpp // 8
+                stride = (w * nb + 3) & ~3
+                raw = np.frombuffer(data[ofs:ofs + stride * h], np.uint8)
+                if len(raw) != stride * h:
+                    return None
+                rows = raw.reshape(h, stride)[:, :w * nb] \
+                    .reshape(h, w, nb)
+                if bpp == 32 and comp == 3:
+                    # BI_BITFIELDS: per-channel masks follow the header
+                    masks = struct.unpack("<III", data[54:66])
+                    words = rows.astype(np.uint32)
+                    v = (words[:, :, 0] | (words[:, :, 1] << 8)
+                         | (words[:, :, 2] << 16) | (words[:, :, 3] << 24))
+                    chans = []
+                    for mask in masks:
+                        if mask == 0:
+                            return None
+                        shift = (mask & -mask).bit_length() - 1
+                        span = mask >> shift
+                        c = ((v & mask) >> shift).astype(np.float64)
+                        chans.append(np.rint(c * 255 / span)
+                                     .astype(np.uint8))
+                    px = np.stack(chans, axis=-1)
+                else:
+                    px = rows[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+            if not top_down:
+                px = px[::-1]
+            return int(w), int(h), 3, np.ascontiguousarray(px)
+        except (struct.error, IndexError):
+            return None
+
+    return decode
+
+
 def _make_jpeg_decoder():
     """Build the clean-room JPEG decoder (public ITU T.81 / JFIF spec:
     marker segments → quant/Huffman tables → per-scan entropy decode
@@ -650,13 +875,15 @@ def decode_media(df: DataFrame, decoder: str = "real",
                  with_status: bool = False) -> DataFrame:
     """Decode payloads via ``mapInPandas``:
 
-    - ``decoder='png'`` / ``'jpeg'`` — the REAL pure-Python codecs
-      (:func:`_make_png_decoder` / :func:`_make_jpeg_decoder`; JPEG
-      covers baseline AND progressive). Rows that don't decode get
-      NULL dims — malformed bytes AND valid-but-unsupported variants
-      (16-bit/interlaced PNG, arithmetic-coded JPEG) alike, so one odd
-      file never kills a corpus-scale job; ``with_status=True`` appends
-      a ``status`` column ('ok' / 'corrupt' / 'unsupported: …') to tell
+    - ``decoder='png'`` / ``'jpeg'`` / ``'gif'`` / ``'bmp'`` — the REAL
+      pure-Python codecs (:func:`_make_png_decoder` /
+      :func:`_make_jpeg_decoder` — baseline AND progressive — /
+      :func:`_make_gif_decoder` / :func:`_make_bmp_decoder`). Rows that
+      don't decode get NULL dims — malformed bytes AND
+      valid-but-unsupported variants (16-bit/interlaced PNG,
+      arithmetic-coded JPEG, RLE BMP) alike, so one odd file never
+      kills a corpus-scale job; ``with_status=True`` appends a
+      ``status`` column ('ok' / 'corrupt' / 'unsupported: …') to tell
       them apart.
     - ``decoder='real'`` — general codecs need PIL/librosa/ffmpeg
       (absent in this container → NotImplementedError at plan-build
@@ -673,9 +900,10 @@ def decode_media(df: DataFrame, decoder: str = "real",
                 "container); use decoder='png'/'jpeg' for the pure-Python "
                 "codecs or decoder='fake' for the deterministic stub"
             ) from exc
-    if decoder in ("png", "jpeg"):
-        codec = (_make_png_decoder() if decoder == "png"
-                 else _make_jpeg_decoder())  # driver-built, by value
+    if decoder in ("png", "jpeg", "gif", "bmp"):
+        codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
+                 "gif": _make_gif_decoder,
+                 "bmp": _make_bmp_decoder}[decoder]()  # driver-built
         schema = DECODED_SCHEMA
         if with_status:
             schema = StructType(DECODED_SCHEMA.fields
