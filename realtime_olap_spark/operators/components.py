@@ -109,16 +109,23 @@ def _local_contract(e: DataFrame) -> DataFrame:
     implied by (u → r) + (v → r) — so the star rounds that follow
     compute identical components over the contracted forest.
 
-    When it pays: the shrink per partition is exactly
+    The shrink per partition is exactly
     ``E_local − (V_local − C_local)`` — the number of partition-visible
-    CYCLE edges. Near-dup cluster graphs (dense local structure — many
-    pairs among the same ids, which banding co-locates) shrink
-    massively. A SPARSE random graph does not: measured at the 100×
+    CYCLE edges. A SPARSE random graph has ~none: measured at the 100×
     soak (6M edges, avg degree 6), a u-keyed pass emitted 5,999,994 of
     5,999,996 edges — partitions see trees, so there is nothing to
-    contract, and the pass is a wasted full shuffle. Hence
-    ``local_contraction=False`` by default; enable it for clustered
-    edge sets (near-dup pairs, social graphs), not hash-random ones.
+    contract, and the pass is a wasted full shuffle. The CLUSTERED
+    regime this pass was built for was then measured too
+    (r10, scripts/scale_soak_components_clustered.py: dense 32-node
+    blocks × 6 intra edges/node + sparse bridges, 1.5M/12M/49M edges):
+    contraction LOSES there as well — 1.10× / 1.40× / 2.43× slower —
+    because the window-min star rounds already collapse dense blocks in
+    their first one or two exchanges (49M clustered edges solve in
+    ~25 s where 60M random edges need ~120 s), and the python
+    union-find pass adds a full extra shuffle + Arrow round-trip ahead
+    of them. Hence ``local_contraction=False`` by default and NO known
+    regime earns default-on; the knob stays for edge sets with
+    partition-visible cycle density far beyond the measured shapes.
     (Dual-keying every edge to both endpoints exposes neighborhoods but
     was measured WORSE: the per-partition node copies grow the row set
     ~2× per pass — 6M → 11.8M → 15.6M at 100× — and convergence took 4
