@@ -237,6 +237,122 @@ def _make_png_decoder():
     return decode
 
 
+def _make_tiff_decoder():
+    """Build the clean-room baseline-TIFF decoder (public TIFF 6.0 spec:
+    II/MM byte orders, first IFD, strip-organized 8-bit samples;
+    uncompressed and PackBits; photometric gray (0/1, incl. the
+    white-is-zero inversion), RGB(A) and palette via ColorMap). Nested
+    function, captured by value (house rule). LZW/JPEG-in-TIFF, tiled
+    layouts and non-8-bit depths return an ``"unsupported: …"`` reason;
+    same three-valued contract as the other codecs."""
+    import struct
+
+    import numpy as np
+
+    def unpackbits(src, want):
+        out = bytearray()
+        i = 0
+        while i < len(src) and len(out) < want:
+            n = src[i]
+            i += 1
+            if n < 128:
+                out += src[i:i + n + 1]
+                i += n + 1
+            elif n > 128:
+                if i >= len(src):
+                    return None
+                out += bytes([src[i]]) * (257 - n)
+                i += 1
+            # n == 128: no-op per spec
+        return bytes(out[:want]) if len(out) >= want else None
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+            return None
+        bo = "<" if data[:2] == b"II" else ">"
+        try:
+            magic, ifd_ofs = struct.unpack(bo + "HI", data[2:8])
+            if magic != 42:
+                return None
+            n = struct.unpack(bo + "H", data[ifd_ofs:ifd_ofs + 2])[0]
+            TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+            tags = {}
+            for i in range(n):
+                e = data[ifd_ofs + 2 + i * 12:ifd_ofs + 14 + i * 12]
+                if len(e) != 12:
+                    return None
+                tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+                if typ not in TYPE_SIZE:
+                    continue
+                size = TYPE_SIZE[typ] * cnt
+                raw = e[8:12] if size <= 4 else data[
+                    struct.unpack(bo + "I", e[8:12])[0]:][:size]
+                if len(raw) < size:
+                    return None
+                fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+                if fmt:
+                    tags[tag] = struct.unpack(bo + fmt * cnt, raw[:size])
+            w = tags.get(256, (0,))[0]
+            h = tags.get(257, (0,))[0]
+            if w == 0 or h == 0:
+                return None
+            comp = tags.get(259, (1,))[0]
+            photo = tags.get(262, (1,))[0]
+            spp = tags.get(277, (1,))[0]
+            bits = tags.get(258, (8,) * spp)
+            if 322 in tags or 323 in tags:
+                return "unsupported: tiled TIFF"
+            if comp not in (1, 32773):
+                return f"unsupported: TIFF compression {comp}"
+            if photo not in (0, 1, 2, 3) or any(b != 8 for b in bits):
+                return (f"unsupported: TIFF photometric {photo}"
+                        if photo not in (0, 1, 2, 3)
+                        else "unsupported: non-8-bit TIFF")
+            offsets = tags.get(273)
+            counts = tags.get(279)
+            if not offsets or not counts or len(offsets) != len(counts):
+                return None
+            rps = tags.get(278, (h,))[0] or h
+            want_rows = [min(rps, h - i * rps)
+                         for i in range(len(offsets))]
+            body = bytearray()
+            for (ofs, cnt), rows in zip(zip(offsets, counts), want_rows):
+                chunk = data[ofs:ofs + cnt]
+                if len(chunk) != cnt:
+                    return None
+                if comp == 32773:
+                    chunk = unpackbits(chunk, rows * w * spp)
+                    if chunk is None:
+                        return None
+                body += chunk
+            if len(body) < h * w * spp:
+                return None
+            px = np.frombuffer(bytes(body[:h * w * spp]),
+                               np.uint8).reshape(h, w, spp)
+            if photo == 0:  # white-is-zero: invert
+                px = 255 - px
+            if photo == 3:  # palette via ColorMap (16-bit per entry)
+                cm = tags.get(320)
+                if not cm or len(cm) != 3 * 256 and len(cm) % 3:
+                    return None
+                third = len(cm) // 3
+                pal = (np.array(cm, np.uint32).reshape(3, third).T
+                       // 257).astype(np.uint8)
+                idx = px[:, :, 0]
+                if int(idx.max()) >= third:
+                    return None
+                px = pal[idx]
+                spp = 3
+            return int(w), int(h), int(px.shape[2]), px
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode
+
+
 def _make_wav_decoder():
     """Build the clean-room WAV decoder (public RIFF/WAVE spec: chunk
     walk → fmt → data; PCM 8/16/24/32-bit and IEEE float 32/64, plus
@@ -1035,11 +1151,12 @@ def decode_media(df: DataFrame, decoder: str = "real",
                  with_status: bool = False) -> DataFrame:
     """Decode payloads via ``mapInPandas``:
 
-    - ``decoder='png'`` / ``'jpeg'`` / ``'gif'`` / ``'bmp'`` — the REAL
-      pure-Python codecs (:func:`_make_png_decoder` /
-      :func:`_make_jpeg_decoder` — baseline AND progressive — /
-      :func:`_make_gif_decoder` / :func:`_make_bmp_decoder`). Rows that
-      don't decode get NULL dims — malformed bytes AND
+    - ``decoder='png'`` / ``'jpeg'`` / ``'gif'`` / ``'bmp'`` /
+      ``'tiff'`` — the REAL pure-Python codecs
+      (:func:`_make_png_decoder` / :func:`_make_jpeg_decoder` —
+      baseline AND progressive — / :func:`_make_gif_decoder` /
+      :func:`_make_bmp_decoder` / :func:`_make_tiff_decoder`). Rows
+      that don't decode get NULL dims — malformed bytes AND
       valid-but-unsupported variants (16-bit/interlaced PNG,
       arithmetic-coded JPEG, RLE BMP) alike, so one odd file never
       kills a corpus-scale job; ``with_status=True`` appends a
@@ -1060,10 +1177,10 @@ def decode_media(df: DataFrame, decoder: str = "real",
                 "container); use decoder='png'/'jpeg' for the pure-Python "
                 "codecs or decoder='fake' for the deterministic stub"
             ) from exc
-    if decoder in ("png", "jpeg", "gif", "bmp"):
+    if decoder in ("png", "jpeg", "gif", "bmp", "tiff"):
         codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
-                 "gif": _make_gif_decoder,
-                 "bmp": _make_bmp_decoder}[decoder]()  # driver-built
+                 "gif": _make_gif_decoder, "bmp": _make_bmp_decoder,
+                 "tiff": _make_tiff_decoder}[decoder]()  # driver-built
         schema = DECODED_SCHEMA
         if with_status:
             schema = StructType(DECODED_SCHEMA.fields

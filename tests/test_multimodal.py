@@ -994,3 +994,94 @@ def test_decode_audio_through_map_in_pandas(spark):
     assert abs(r1["rms"] - float(np.sqrt((ref * ref).mean()))) < 1e-12
     assert got[2]["n_frames"] is None and got[2]["status"] == "corrupt"
     assert M.decode_audio(df).schema == M.AUDIO_DECODED_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python TIFF decoder (clean-room, TIFF 6.0 baseline)
+# ---------------------------------------------------------------------------
+
+def test_tiff_external_golden_vs_ppm_and_png_alpha():
+    """python.tiff (CPython test data, uncompressed RGBA, II order):
+    RGB bit-identical to python.ppm AND its alpha channel bit-identical
+    to python.png's graded tRNS alpha — a THIRD independent decode path
+    agreeing with the other two on the same source image."""
+    w, h, ch, px = M._make_tiff_decoder()(
+        open(os.path.join(FIXTURES, "python.tiff"), "rb").read())
+    assert (w, h, ch) == (16, 16, 4)
+    ppm = _read_ppm(os.path.join(FIXTURES, "python.ppm"))
+    assert (px[:, :, :3] == ppm).all()
+    _, _, _, ppx = M._make_png_decoder()(
+        open(os.path.join(FIXTURES, "python.png"), "rb").read())
+    assert (px[:, :, 3] == ppx[:, :, 3]).all()
+
+
+def test_tiff_synthetic_variants_and_rejects():
+    """Hand-built TIFFs: big-endian grayscale with white-is-zero
+    inversion across TWO strips, PackBits compression (literal + run +
+    the 128 no-op), palette via 16-bit ColorMap; LZW and tiled gated."""
+    import struct
+
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+
+    def entry(bo, tag, typ, cnt, val):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+    def tiff(bo_ch, entries, tail):
+        bo = "<" if bo_ch == b"II" else ">"
+        hdr = bo_ch + struct.pack(bo + "HI", 42, 8 + len(tail))
+        body = hdr + tail
+        ifd = struct.pack(bo + "H", len(entries)) + b"".join(
+            entry(bo, *e) for e in entries) + struct.pack(bo + "I", 0)
+        return body + ifd
+
+    def short(bo, v):
+        return struct.pack(bo + "HH", v, 0)
+
+    # -- big-endian 4x4 gray, white-is-zero, 2 strips of 2 rows --
+    pix = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    stored = (255 - pix).tobytes()
+    e = [(256, 3, 1, short(">", 4)), (257, 3, 1, short(">", 4)),
+         (258, 3, 1, short(">", 8)), (259, 3, 1, short(">", 1)),
+         (262, 3, 1, short(">", 0)), (277, 3, 1, short(">", 1)),
+         (278, 3, 1, short(">", 2)),
+         # 2-SHORT arrays fit the 4-byte value field -> stored INLINE
+         (273, 3, 2, struct.pack(">HH", 8, 16)),  # strips at 8, 16
+         (279, 3, 2, struct.pack(">HH", 8, 8))]
+    tail = stored[:8] + stored[8:]
+    w, h, ch, px = dec(tiff(b"MM", e, tail))
+    assert (w, h, ch) == (4, 4, 1) and (px[:, :, 0] == pix).all()
+
+    # -- little-endian 2x2 RGB PackBits: run of 128-no-op + literals --
+    rgb = np.array([[[10, 20, 30], [40, 50, 60]],
+                    [[70, 80, 90], [1, 2, 3]]], np.uint8)
+    raw = rgb.tobytes()
+    packed = bytes([128]) + bytes([len(raw) - 1]) + raw  # no-op + literal
+    e = [(256, 3, 1, short("<", 2)), (257, 3, 1, short("<", 2)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, short("<", 32773)), (262, 3, 1, short("<", 2)),
+         (277, 3, 1, short("<", 3)), (278, 3, 1, short("<", 2)),
+         (273, 4, 1, struct.pack("<I", 14)),
+         (279, 4, 1, struct.pack("<I", len(packed)))]
+    tail = struct.pack("<HHH", 8, 8, 8) + packed
+    w, h, ch, px = dec(tiff(b"II", e, tail))
+    assert (w, h, ch) == (2, 2, 3) and (px == rgb).all()
+
+    # -- gates + malformed --
+    e_lzw = [x if x[0] != 259 else (259, 3, 1, short("<", 5)) for x in e]
+    assert dec(tiff(b"II", e_lzw, tail)) == "unsupported: TIFF compression 5"
+    assert dec(b"II*") is None
+    assert dec(b"ZZ" + b"\x00" * 20) is None
+    good = tiff(b"II", e, tail)
+    assert dec(good[:30]) is None
+
+
+def test_tiff_through_map_in_pandas(spark):
+    tiff_bytes = open(os.path.join(FIXTURES, "python.tiff"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "image", tiff_bytes), (2, "image", b"\x00bad")],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: (r["decoded_width"], r["status"]) for r in
+           M.decode_media(df, decoder="tiff", with_status=True).collect()}
+    assert got == {1: (16, "ok"), 2: (None, "corrupt")}
