@@ -406,6 +406,45 @@ def _split_batches(rnd: random.Random, rows, version_boundary: bool):
     return [shuffled[i:i + size] for i in range(0, len(shuffled), size)]
 
 
+def _gen_asof_rows(rnd: random.Random, seed: int):
+    """(user, us, side, value) with HEAVY (user, ts) ties on both sides
+    — the regime the r10 deterministic tie-break covers."""
+    left, right = [], []
+    gran = rnd.choice([1, US])
+    for u in range(rnd.randrange(1, 4)):
+        user = seed * 1000 + u
+        for _ in range(rnd.randrange(1, 8)):
+            t = rnd.randrange(-5, 15) * gran
+            left.append((user, t))
+        for _ in range(rnd.randrange(0, 10)):
+            t = rnd.randrange(-5, 15) * gran
+            right.append((user, t, rnd.choice("abcdef")))
+        if left and rnd.random() < 0.7:   # force exact tie instants
+            t = left[-1][1]
+            right.append((user, t, rnd.choice("abcdef")))
+            right.append((user, t, rnd.choice("abcdef")))
+    return left, right
+
+
+def _ref_asof(left, right, tol_us):
+    """Backward as-of with the DOCUMENTED deterministic tie rule:
+    winner = max (ts, value) among right rows at-or-before, within
+    tolerance."""
+    by_user: dict = {}
+    for user, t, v in right:
+        by_user.setdefault(user, []).append((t, v))
+    out = set()
+    for user, t in left:
+        cand = [(rt, v) for rt, v in by_user.get(user, [])
+                if rt <= t and (tol_us is None or t - rt <= tol_us)]
+        if cand:
+            rt, v = max(cand)
+            out.add((user, t, rt, v))
+        else:
+            out.add((user, t, None, None))
+    return out
+
+
 def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
     from realtime_olap_spark.operators.attribution import (
         last_touch_attribution, multi_touch_attribution)
@@ -650,6 +689,32 @@ def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
                       f"n={len(batches)}", bad,
                       [got_fold.get(k) for k in bad],
                       [want_up.get(k) for k in bad]))
+
+    # ---- as-of join deterministic ties (r10): heavy same-instant
+    # duplicates on the right side must resolve to max(struct(ts, val))
+    from realtime_olap_spark.operators.joins import asof_join
+    tol_s = rnd_master.choice([None, 3, 10])
+    a_left, a_right = [], []
+    for seed in seeds:
+        l, r = _gen_asof_rows(random.Random(seed + 4 * 10**7), seed)
+        a_left += l
+        a_right += r
+    ldf = spark.createDataFrame([(u, _ts(t)) for u, t in a_left],
+                                "user_id long, ts timestamp")
+    rdf = spark.createDataFrame([(u, _ts(t), v) for u, t, v in a_right],
+                                "user_id long, ts timestamp, v string")
+    got_as = {(r["user_id"], _bus(r["ts"]),
+               None if r["asof_ts"] is None else _bus(r["asof_ts"]),
+               r["v_m"])
+              for r in asof_join(
+                  ldf.distinct(), rdf, on=["user_id"], values=["v"],
+                  tolerance_us=None if tol_s is None else tol_s * US,
+                  suffix="_m").collect()}
+    want_as = _ref_asof(sorted(set(a_left)), a_right,
+                        None if tol_s is None else tol_s * US)
+    if got_as != want_as:
+        fails.append((chunk, f"asof ties tol={tol_s}",
+                      sorted(got_as ^ want_as)[:4]))
     return fails
 
 
