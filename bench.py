@@ -67,6 +67,7 @@ HEADLINE = [
     "bench_funnel",
     "bench_mg_topk",
     "bench_hh_auto",
+    "bench_media_decode",
 ]
 
 # Bench-only callables (same (spark, sf_dir) -> DataFrame shape) that are
@@ -79,6 +80,7 @@ def _extra_queries():
                                                  hh_auto_bench,
                                                  mg_hot_words_bench)
     from realtime_olap_spark.suite.ext import funnel_bench, gapfill_bench
+    from realtime_olap_spark.suite.multimodal import media_decode_bench
     from realtime_olap_spark.suite.similarity import (pca_shortlist_bench,
                                                       pq_probe_bench)
     from realtime_olap_spark.suite.text import (bpe_count_bench,
@@ -99,7 +101,8 @@ def _extra_queries():
             "bench_gapfill": gapfill_bench,
             "bench_funnel": funnel_bench,
             "bench_mg_topk": mg_hot_words_bench,
-            "bench_hh_auto": hh_auto_bench}
+            "bench_hh_auto": hh_auto_bench,
+            "bench_media_decode": media_decode_bench}
 
 # r1 names → r2 names for cross-round comparability (consolidated registry)
 RENAMES = {

@@ -157,3 +157,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy(F.col("media_id").asc(), F.col("frame_ts_ms").asc()).limit(100)
 
 
+
+
+def _bench_template_pngs(k: int = 16, w: int = 48, h: int = 16) -> list:
+    """k small deterministic filter-0 RGB PNGs rendered driver-side —
+    the payload templates the decode bench fans out over the corpus.
+    Pure stdlib zlib + numpy; byte layout per the public PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    out = []
+    for i in range(k):
+        rng = np.random.RandomState(1000 + i)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        out.append(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+    return out
+
+
+def media_decode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not in the 50-query correctness window): the REAL
+    pure-Python PNG codec over one payload per corpus document — 16
+    template PNGs fanned out by ``element_at(literal array,
+    pmod(doc_id, 16))`` (constant-folded; the per-row cost measured is
+    the mapInPandas decode itself). Result is the tiny
+    (width, height) → count histogram; every row must decode, so a NULL
+    group appearing here would flag a codec regression in the bench
+    record itself."""
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    arr = F.array(*[F.lit(p) for p in _bench_template_pngs()])
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.element_at(arr, (F.pmod(F.col("doc_id"), F.lit(16)) + 1)
+                     .cast("int")).alias("payload"))
+    out = M.decode_media(media, decoder="png")
+    return (out.groupBy("decoded_width", "decoded_height")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("total_bytes"))
+            .orderBy("decoded_width"))
