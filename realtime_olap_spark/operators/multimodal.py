@@ -504,7 +504,9 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
                              "duration_ms")},
                 "peak": pd.array(cols["peak"], dtype="float64"),
                 "rms": pd.array(cols["rms"], dtype="float64"),
-                "n_bytes": pdf["payload"].map(len),
+                "n_bytes": pd.array(
+                    [len(b) if b is not None else None
+                     for b in pdf["payload"]], dtype="Int64"),
             }
             if with_status:
                 out["status"] = cols["status"]
@@ -1204,7 +1206,9 @@ def decode_media(df: DataFrame, decoder: str = "real",
                     "media_type": pdf["media_type"],
                     "decoded_width": pd.array(ws, dtype="Int64"),
                     "decoded_height": pd.array(hs, dtype="Int64"),
-                    "n_bytes": pdf["payload"].map(len),
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None
+                         for b in pdf["payload"]], dtype="Int64"),
                 }
                 if with_status:
                     cols["status"] = sts
@@ -1216,7 +1220,8 @@ def decode_media(df: DataFrame, decoder: str = "real",
         import pandas as pd
 
         for pdf in it:
-            n = pdf["payload"].map(len)
+            n = pd.array([len(b) if b is not None else None
+                          for b in pdf["payload"]], dtype="Int64")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],

@@ -389,3 +389,45 @@ def test_streaming_ohlc_fold_merges_to_batch(spark, tmp_path):
     got = {b: (rec[0][1], rec[2], rec[3], rec[1][1], rec[4])
            for b, rec in acc.items()}
     assert got == want and len(want) >= 2
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """decode_media is a stateless mapInPandas, so the SAME call
+    transforms a streaming ingest: decoding a mixed PNG/JPEG/corrupt
+    payload stream via availableNow equals the batch decode row-for-row
+    (dims, status), proving the real codecs ride the streaming
+    consuming-segment path unchanged."""
+    import os as _os
+
+    from realtime_olap_spark.operators.multimodal import decode_media
+    from tests.test_multimodal import (FIXTURES, _encode_flat_jpeg,
+                                       _encode_png)
+    import numpy as np
+
+    png = _encode_png(np.arange(4 * 3 * 3, dtype=np.uint8)
+                      .reshape(3, 4, 3), [0, 1, 2], 2)
+    ext = open(_os.path.join(FIXTURES, "python.png"), "rb").read()
+    rows = [(1, "image", png), (2, "image", ext),
+            (3, "image", b"corrupt"), (4, "image", None)]
+    src = str(tmp_path / "src")
+    mdf = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary")
+    mdf.coalesce(1).write.parquet(src)
+
+    want = sorted(map(tuple, decode_media(
+        spark.read.parquet(src), decoder="png",
+        with_status=True).collect()))
+
+    stream = (spark.readStream.schema(mdf.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = decode_media(stream, decoder="png", with_status=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert got == want and len(got) == 4
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][2:4] == (16, 16) and by_id[2][-1] == "ok"
+    assert by_id[3][-1] == "corrupt"
