@@ -787,7 +787,12 @@ def _make_jpeg_decoder():
         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
 
     def build_huff(bits, vals):
-        """Canonical Huffman: {(bit_length, code): value}."""
+        """Canonical Huffman as (slow dict, 8-bit prefix LUT): the dict
+        maps (bit_length, code) → symbol for arbitrary lengths; the LUT
+        resolves every code of ≤ 8 bits from one peeked byte (the vast
+        majority of symbols in real tables — JPEG puts frequent symbols
+        at short lengths by construction), turning the per-symbol decode
+        from a bit loop into one table hit."""
         table, code, k = {}, 0, 0
         for ln in range(1, 17):
             for _ in range(bits[ln - 1]):
@@ -795,36 +800,68 @@ def _make_jpeg_decoder():
                 code += 1
                 k += 1
             code <<= 1
-        return table
+        lut = [(0, 0)] * 256
+        for (ln, code), sym in table.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    lut[base | suffix] = (sym, ln)
+        return table, lut
 
     class Bits:
-        """MSB-first bit reader over one unstuffed entropy segment."""
-        __slots__ = ("d", "pos", "n")
+        """MSB-first bit reader over one unstuffed entropy segment —
+        byte-fed accumulator (read(k) is one shift+mask, not k single-
+        bit extractions)."""
+        __slots__ = ("d", "n", "acc", "nbits", "i")
 
         def __init__(self, d):
-            self.d, self.pos, self.n = d, 0, len(d) * 8
+            self.d, self.n = d, len(d)
+            self.acc = 0
+            self.nbits = 0
+            self.i = 0
+
+        def _fill(self, k):
+            while self.nbits < k:
+                if self.i >= self.n:
+                    raise EOFError
+                self.acc = (self.acc << 8) | self.d[self.i]
+                self.i += 1
+                self.nbits += 8
 
         def read(self, k):
-            v = 0
-            d, pos = self.d, self.pos
-            if pos + k > self.n:
-                raise EOFError
-            for _ in range(k):
-                v = (v << 1) | ((d[pos >> 3] >> (7 - (pos & 7))) & 1)
-                pos += 1
-            self.pos = pos
+            if k == 0:
+                return 0
+            self._fill(k)
+            self.nbits -= k
+            v = (self.acc >> self.nbits) & ((1 << k) - 1)
+            self.acc &= (1 << self.nbits) - 1
             return v
 
-        def huff(self, table):
-            code, d, pos = 0, self.d, self.pos
+        def huff(self, t):
+            table, lut = t
+            if self.nbits < 8:
+                try:
+                    self._fill(8)
+                except EOFError:
+                    pass  # < 8 bits left: the tail loop below decides
+            if self.nbits >= 8:
+                sym, ln = lut[(self.acc >> (self.nbits - 8)) & 0xFF]
+                if ln:
+                    self.nbits -= ln
+                    self.acc &= (1 << self.nbits) - 1
+                    return sym
+                code = self.read(8)  # >8-bit code: continue bitwise
+                for ln in range(9, 17):
+                    code = (code << 1) | self.read(1)
+                    v = table.get((ln, code))
+                    if v is not None:
+                        return v
+                raise EOFError
+            code = 0
             for ln in range(1, 17):
-                if pos >= self.n:
-                    raise EOFError
-                code = (code << 1) | ((d[pos >> 3] >> (7 - (pos & 7))) & 1)
-                pos += 1
+                code = (code << 1) | self.read(1)
                 v = table.get((ln, code))
                 if v is not None:
-                    self.pos = pos
                     return v
             raise EOFError  # no 17-bit codes exist
 
