@@ -1186,6 +1186,43 @@ def _make_jpeg_decoder():
     return decode
 
 
+def _make_auto_decoder():
+    """Route each payload to the right image codec by its MAGIC BYTES —
+    real web-corpus media columns are mixed-format, so the practical
+    decode pass sniffs per row inside ONE mapInPandas instead of asking
+    the caller to pre-partition by format. Signatures are the public
+    file-format magics (PNG 8-byte signature, JPEG FFD8, GIF87a/89a,
+    BMP 'BM', TIFF 'II*\\0'/'MM\\0*'). Unrecognized magic returns an
+    ``"unsupported: unrecognized format"`` reason (NOT corrupt — the
+    bytes may be a format we simply don't carry, e.g. WebP); each
+    routed codec then applies its own three-valued contract."""
+    codecs = {
+        "png": _make_png_decoder(),
+        "jpeg": _make_jpeg_decoder(),
+        "gif": _make_gif_decoder(),
+        "bmp": _make_bmp_decoder(),
+        "tiff": _make_tiff_decoder(),
+    }
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        head = bytes(data[:8])
+        if head.startswith(b"\x89PNG\r\n\x1a\n"):
+            return codecs["png"](data)
+        if head.startswith(b"\xff\xd8"):
+            return codecs["jpeg"](data)
+        if head.startswith((b"GIF87a", b"GIF89a")):
+            return codecs["gif"](data)
+        if head.startswith(b"BM"):
+            return codecs["bmp"](data)
+        if head.startswith((b"II*\x00", b"MM\x00*")):
+            return codecs["tiff"](data)
+        return "unsupported: unrecognized format"
+
+    return decode
+
+
 def decode_media(df: DataFrame, decoder: str = "real",
                  with_status: bool = False) -> DataFrame:
     """Decode payloads via ``mapInPandas``:
@@ -1216,10 +1253,13 @@ def decode_media(df: DataFrame, decoder: str = "real",
                 "container); use decoder='png'/'jpeg' for the pure-Python "
                 "codecs or decoder='fake' for the deterministic stub"
             ) from exc
-    if decoder in ("png", "jpeg", "gif", "bmp", "tiff"):
-        codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
-                 "gif": _make_gif_decoder, "bmp": _make_bmp_decoder,
-                 "tiff": _make_tiff_decoder}[decoder]()  # driver-built
+    if decoder in ("png", "jpeg", "gif", "bmp", "tiff", "auto"):
+        if decoder == "auto":
+            codec = _make_auto_decoder()  # magic-byte router
+        else:
+            codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
+                     "gif": _make_gif_decoder, "bmp": _make_bmp_decoder,
+                     "tiff": _make_tiff_decoder}[decoder]()  # driver-built
         schema = DECODED_SCHEMA
         if with_status:
             schema = StructType(DECODED_SCHEMA.fields

@@ -1085,3 +1085,30 @@ def test_tiff_through_map_in_pandas(spark):
     got = {r["media_id"]: (r["decoded_width"], r["status"]) for r in
            M.decode_media(df, decoder="tiff", with_status=True).collect()}
     assert got == {1: (16, "ok"), 2: (None, "corrupt")}
+
+
+def test_auto_decoder_routes_mixed_formats(spark):
+    """decoder='auto': one mixed-format payload column (the real
+    web-corpus shape) routes every row to the right codec by magic
+    bytes in a single mapInPandas; every external golden decodes to its
+    known dims, unrecognized magic is 'unsupported', garbage with no
+    magic too, and a valid-magic-but-corrupt payload is 'corrupt'."""
+    payloads = {
+        1: open(os.path.join(FIXTURES, "python.png"), "rb").read(),
+        2: open(os.path.join(FIXTURES, "python.jpg"), "rb").read(),
+        3: open(os.path.join(FIXTURES, "python.gif"), "rb").read(),
+        4: open(os.path.join(FIXTURES, "python.bmp"), "rb").read(),
+        5: open(os.path.join(FIXTURES, "python.tiff"), "rb").read(),
+        6: b"RIFF....WEBPVP8 ",          # recognizable non-image magic
+        7: b"\x89PNG\r\n\x1a\ntruncated",  # PNG magic, corrupt body
+    }
+    df = spark.createDataFrame(
+        [(k, "image", v) for k, v in payloads.items()],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: (r["decoded_width"], r["decoded_height"],
+                           r["status"]) for r in
+           M.decode_media(df, decoder="auto", with_status=True).collect()}
+    for mid in (1, 2, 3, 4, 5):
+        assert got[mid] == (16, 16, "ok"), mid
+    assert got[6] == (None, None, "unsupported: unrecognized format")
+    assert got[7] == (None, None, "corrupt")
