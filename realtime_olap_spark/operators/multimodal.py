@@ -1228,7 +1228,9 @@ def decode_media(df: DataFrame, decoder: str = "real",
     """Decode payloads via ``mapInPandas``:
 
     - ``decoder='png'`` / ``'jpeg'`` / ``'gif'`` / ``'bmp'`` /
-      ``'tiff'`` — the REAL pure-Python codecs
+      ``'tiff'`` / ``'auto'`` (per-row magic-byte routing across all
+      five — the mixed-format corpus shape) — the REAL pure-Python
+      codecs
       (:func:`_make_png_decoder` / :func:`_make_jpeg_decoder` —
       baseline AND progressive — / :func:`_make_gif_decoder` /
       :func:`_make_bmp_decoder` / :func:`_make_tiff_decoder`). Rows
