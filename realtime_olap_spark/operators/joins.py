@@ -34,7 +34,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               values: Sequence[str] = ("value",),
               tolerance_us: int | None = None,
               suffix: str = "_asof",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              deterministic_ties: bool = True) -> DataFrame:
     """For every left row, attach the nearest right row at-or-before it
     (``direction="backward"``, the market-data/telemetry standard:
     ``right_ts <= left_ts`` inclusive) or at-or-after it
@@ -51,16 +52,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     is still the match — ``last(ignorenulls)`` never reaches past it.
 
     Right rows should be unique per (key, right_ts); with duplicates the
-    winner among the tied timestamps is DETERMINISTIC: the max of the
-    ``(right_ts, *values)`` struct under Spark's lexicographic struct
-    ordering (the tied-``__r`` rows are part of the window's sort key, so
-    two runs — and the banded last-touch twin, which reduces with
-    ``max(struct(t, value))`` — always agree). SQL ASOF leaves the tie
-    unspecified, so differential tests against it must use tie-free
-    inputs or compare only the timestamp. Value columns must be of
-    orderable types (no maps) when ties are possible.
+    winner among the tied timestamps is DETERMINISTIC by default
+    (``deterministic_ties=True``): the max of the ``(right_ts, *values)``
+    struct under Spark's lexicographic struct ordering (the tied-``__r``
+    rows are part of the window's sort key, so two runs — and the banded
+    last-touch twin, which reduces with ``max(struct(t, value))`` —
+    always agree). SQL ASOF leaves the tie unspecified, so differential
+    tests against it must use tie-free inputs or compare only the
+    timestamp.
+
+    Deterministic tie-breaking requires every value column to be of an
+    ORDERABLE type — a map-typed value column raises a clear error at
+    plan-build time (not a mid-job analysis failure). Pass
+    ``deterministic_ties=False`` to carry unorderable value columns:
+    ``__r`` then leaves the sort key, and the winner among tied right
+    timestamps is whichever the sort happens to place last (matching
+    SQL ASOF's unspecified-tie contract). Tie-free inputs are identical
+    under both settings.
     """
     on = list(on)
+    if deterministic_ties:
+        unorderable = [v for v in values
+                       if isinstance(right.schema[v].dataType, T.MapType)]
+        if unorderable:
+            raise ValueError(
+                f"deterministic_ties=True needs orderable value columns; "
+                f"map-typed {unorderable} cannot enter the tie-break sort "
+                f"key — pass deterministic_ties=False to accept an "
+                f"unspecified winner among tied right timestamps")
     payload = [c for c in left.columns]
     rstruct = T.StructType(
         [T.StructField("rt", right.schema[right_ts].dataType)]
@@ -91,9 +110,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # __r asc_nulls_last: right rows tied on (key, __t) sort by their
     # (rt, *values) struct, so last() deterministically picks the max —
     # and left rows (__r IS NULL) still sort AFTER the right rows they
-    # must see (inclusive match); __is_l then orders the left rows only
+    # must see (inclusive match); __is_l then orders the left rows only.
+    # Without deterministic_ties, __r leaves the sort key (unorderable
+    # value types allowed) and __is_l alone keeps the inclusive-match
+    # ordering: right rows (0) before left rows (1) at equal time.
+    tie_keys = ([F.col("__r").asc_nulls_last()] if deterministic_ties
+                else [])
     w = (Window.partitionBy(*on)
-         .orderBy(t_ord, F.col("__r").asc_nulls_last(), F.col("__is_l").asc())
+         .orderBy(t_ord, *tie_keys, F.col("__is_l").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = F.last("__r", ignorenulls=True).over(w)
     if tolerance_us is not None:

@@ -149,3 +149,39 @@ def test_asof_join_multi_key(spark):
     got = {(r["id"], r["k"]): (r["asof_ts"], r["v_asof"])
            for r in out.collect()}
     assert got == {(1, "a"): (t(5), 1.0), (1, "b"): (t(7), 2.0)}
+
+
+def test_asof_join_map_values_need_opt_out(spark):
+    """Map-typed value columns can't enter the deterministic tie-break
+    sort key (maps aren't orderable): the default raises a CLEAR error
+    at plan-build time; deterministic_ties=False carries them fine and
+    on tie-free data produces exactly the documented match."""
+    import datetime as dt
+
+    import pytest
+
+    def t(minutes):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame([(1, t(10))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(5), {"k": 1.0}), (1, t(7), {"k": 2.0})],
+        "id long, ts timestamp, v map<string,double>")
+    with pytest.raises(ValueError, match="deterministic_ties=False"):
+        asof_join(left, right, on=["id"], values=["v"])
+    out = asof_join(left, right, on=["id"], values=["v"],
+                    deterministic_ties=False).collect()
+    assert len(out) == 1
+    assert out[0]["asof_ts"] == t(7) and out[0]["v_asof"] == {"k": 2.0}
+
+
+def test_asof_join_tie_free_identical_under_both_settings(spark):
+    """On tie-free inputs the deterministic and opt-out paths return the
+    SAME rows (the tie-break key is inert when (key, ts) is unique)."""
+    clicks, errors = _clicks_errors(spark)
+    a = sorted(map(tuple, asof_join(
+        clicks, errors, on=["user_id"], values=["value"]).collect()))
+    b = sorted(map(tuple, asof_join(
+        clicks, errors, on=["user_id"], values=["value"],
+        deterministic_ties=False).collect()))
+    assert a == b and len(a) > 0
