@@ -107,7 +107,10 @@ def _make_png_decoder():
     executors.
 
     Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB, palette,
-    gray+alpha, RGBA), non-interlaced. Palette images (ctype 3) are
+    gray+alpha, RGBA), both non-interlaced and Adam7-interlaced (PNG
+    spec 8.2: seven sub-images, each filtered as its own scanline run,
+    scattered back on the fixed offset/step grid — empty passes
+    contribute no bytes). Palette images (ctype 3) are
     expanded through the ``PLTE`` chunk to RGB — or RGBA when a
     ``tRNS`` chunk supplies per-entry alpha (entries beyond the tRNS
     length are opaque, per spec); a tRNS color-key on ctype 0/2 is
@@ -121,8 +124,8 @@ def _make_png_decoder():
     - ``(w, h, channels, ndarray[h, w, channels])`` on success;
     - ``None`` for malformed/corrupt bytes;
     - a ``str`` reason (``"unsupported: …"``) for valid-but-unsupported
-      variants (bit depth ≠ 8, Adam7 interlace) — the caller NULLs the
-      row and can surface the reason via a status column.
+      variants (bit depth ≠ 8) — the caller NULLs the row and can
+      surface the reason via a status column.
 
     Filters: none/up/sub vectorized in numpy (sub via per-channel-stripe
     cumulative sum mod 256); average/paeth are inherently sequential in
@@ -171,54 +174,95 @@ def _make_png_decoder():
             return None
         if ctype not in CHANNELS:
             return f"unsupported: color type {ctype}"
-        if depth != 8 or interlace != 0:
-            return (f"unsupported: bit depth {depth}" if depth != 8
-                    else "unsupported: Adam7 interlace")
+        if depth != 8:
+            return f"unsupported: bit depth {depth}"
+        if interlace not in (0, 1):
+            return None
         if ctype == 3 and plte is None:
             return None  # palette image without PLTE is malformed
         ch = CHANNELS[ctype]
-        stride = w * ch
         try:
             raw = zlib.decompress(b"".join(idat))
         except zlib.error:
             return None
-        if len(raw) != (stride + 1) * h or w == 0 or h == 0:
+        if w == 0 or h == 0:
             return None
-        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        filters = rows[:, 0]
-        out = np.zeros((h, stride), dtype=np.uint8)
-        for y in range(h):
-            f = int(filters[y])
-            line = rows[y, 1:].astype(np.int32)
-            prior = out[y - 1].astype(np.int32) if y else np.zeros(
-                stride, np.int32)
-            if f == 0:
-                rec = line
-            elif f == 1:  # sub: cumulative sum per channel stripe
-                rec = line.reshape(w, ch).cumsum(axis=0).reshape(stride)
-            elif f == 2:  # up
-                rec = line + prior
-            elif f == 3:  # average (sequential: needs reconstructed left)
-                rec = line
-                for x in range(stride):
-                    left = rec[x - ch] & 0xFF if x >= ch else 0
-                    rec[x] += (left + prior[x]) >> 1
-            elif f == 4:  # paeth (sequential)
-                rec = line
-                pu = prior
-                for x in range(stride):
-                    a = rec[x - ch] & 0xFF if x >= ch else 0
-                    b = pu[x]
-                    c = int(out[y - 1, x - ch]) if (y and x >= ch) else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else \
-                        (b if pb <= pc else c)
-                    rec[x] += pr
-            else:
+
+        def defilter(block, ww, hh):
+            """Reconstruct one filtered scanline run (a whole image, or
+            one Adam7 pass — each pass filters against ITS OWN previous
+            scanline, never across passes, per PNG spec 4.5.3)."""
+            stride = ww * ch
+            rows = np.frombuffer(block, dtype=np.uint8) \
+                .reshape(hh, stride + 1)
+            filters = rows[:, 0]
+            out = np.zeros((hh, stride), dtype=np.uint8)
+            for y in range(hh):
+                f = int(filters[y])
+                line = rows[y, 1:].astype(np.int32)
+                prior = out[y - 1].astype(np.int32) if y else np.zeros(
+                    stride, np.int32)
+                if f == 0:
+                    rec = line
+                elif f == 1:  # sub: cumulative sum per channel stripe
+                    rec = line.reshape(ww, ch).cumsum(axis=0) \
+                        .reshape(stride)
+                elif f == 2:  # up
+                    rec = line + prior
+                elif f == 3:  # average (sequential: needs recon. left)
+                    rec = line
+                    for x in range(stride):
+                        left = rec[x - ch] & 0xFF if x >= ch else 0
+                        rec[x] += (left + prior[x]) >> 1
+                elif f == 4:  # paeth (sequential)
+                    rec = line
+                    pu = prior
+                    for x in range(stride):
+                        a = rec[x - ch] & 0xFF if x >= ch else 0
+                        b = pu[x]
+                        c = int(out[y - 1, x - ch]) \
+                            if (y and x >= ch) else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else \
+                            (b if pb <= pc else c)
+                        rec[x] += pr
+                else:
+                    return None
+                out[y] = (rec & 0xFF).astype(np.uint8)
+            return out.reshape(hh, ww, ch)
+
+        if interlace == 0:
+            if len(raw) != (w * ch + 1) * h:
                 return None
-            out[y] = (rec & 0xFF).astype(np.uint8)
-        px = out.reshape(h, w, ch)
+            px = defilter(raw, w, h)
+            if px is None:
+                return None
+        else:
+            # Adam7 (PNG spec 8.2): seven sub-images at fixed offsets/
+            # steps, concatenated in the IDAT stream, each its own
+            # filtered scanline run; empty passes contribute NO bytes
+            px = np.zeros((h, w, ch), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                   (0, 4, 4, 8), (2, 0, 4, 4),
+                                   (0, 2, 2, 4), (1, 0, 2, 2),
+                                   (0, 1, 1, 2)):
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                need = (pw * ch + 1) * ph
+                block = raw[pos:pos + need]
+                if len(block) != need:
+                    return None
+                pos += need
+                sub = defilter(block, pw, ph)
+                if sub is None:
+                    return None
+                px[y0::dy, x0::dx] = sub
+            if pos != len(raw):
+                return None
         if ctype == 3:
             idx = px[:, :, 0]
             if int(idx.max()) >= len(plte):
@@ -1264,7 +1308,7 @@ def decode_media(df: DataFrame, decoder: str = "real",
       baseline AND progressive — / :func:`_make_gif_decoder` /
       :func:`_make_bmp_decoder` / :func:`_make_tiff_decoder`). Rows
       that don't decode get NULL dims — malformed bytes AND
-      valid-but-unsupported variants (16-bit/interlaced PNG,
+      valid-but-unsupported variants (16-bit PNG,
       arithmetic-coded JPEG, RLE BMP) alike, so one odd file never
       kills a corpus-scale job; ``with_status=True`` appends a
       ``status`` column ('ok' / 'corrupt' / 'unsupported: …') to tell
