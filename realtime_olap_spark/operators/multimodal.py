@@ -1387,6 +1387,238 @@ def decode_media(df: DataFrame, decoder: str = "real",
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def _make_bmff_prober():
+    """Build the clean-room ISO-BMFF (MP4/MOV/3GP — ISO/IEC 14496-12)
+    metadata PROBER: a box walk over ``ftyp`` → ``moov`` →
+    ``mvhd``/``trak``/``tkhd``/``mdia``/``mdhd``/``hdlr``/…/``stsd``,
+    metadata-only — no frame decode, no mdat read, so cost is O(moov
+    size), not O(payload). Nested function, captured by value (house
+    rule).
+
+    Returns ``(major_brand, duration_ms, width, height, video_codec,
+    audio_codec, track_count)`` on success — dims from the first video
+    track's ``tkhd`` (16.16 fixed point), duration preferring ``mvhd``
+    (movie timescale) and falling back to the longest track's ``mdhd``,
+    codec fourccs from each handler's first ``stsd`` sample entry —
+    ``None`` for malformed boxes (sizes inconsistent, truncated moov,
+    missing mvhd) and ``"unsupported: not ISO-BMFF"`` for payloads
+    without a leading ``ftyp``: the shared three-valued contract, so a
+    corrupt container NULLs its row instead of killing the corpus job.
+
+    Reference analog: the reference engine stores BYTES opaque with no
+    container introspection at all (SURVEY.md §1.3); this is the
+    metadata pass that makes ``sample_frames`` real for actual video
+    payloads (see :func:`sample_frames_probed`)."""
+    import struct
+
+    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def boxes(data, start, end):
+        """Yield (type, body_start, body_end) for sibling boxes in
+        [start, end); raises ValueError on inconsistent sizes (caught
+        by probe's contract wrapper)."""
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack(">I4s", data[pos:pos + 8])
+            body = pos + 8
+            if size == 1:
+                if body + 8 > end:
+                    raise ValueError("truncated largesize")
+                size = struct.unpack(">Q", data[body:body + 8])[0]
+                body += 8
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError("box overruns scope")
+            yield typ, body, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes inside scope")
+
+    def fullbox(data, start):
+        version = data[start]
+        return version, start + 4  # version(1) + flags(3)
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 16 or data[4:8] != b"ftyp":
+            return "unsupported: not ISO-BMFF"
+        try:
+            brand = data[8:12].decode("ascii", "replace")
+            mvhd_ms = None
+            tracks = []  # (handler, width, height, fourcc, dur_ms)
+            moov = None
+            for typ, b0, b1 in boxes(data, 0, len(data)):
+                if typ == b"moov":
+                    moov = (b0, b1)
+                    break
+            if moov is None:
+                return None
+            for typ, b0, b1 in boxes(data, *moov):
+                if typ == b"mvhd":
+                    v, p = fullbox(data, b0)
+                    p += 16 if v == 1 else 8
+                    ts = struct.unpack(">I", data[p:p + 4])[0]
+                    dur = struct.unpack(
+                        ">Q" if v == 1 else ">I",
+                        data[p + 4:p + 12 if v == 1 else p + 8])[0]
+                    if ts:
+                        mvhd_ms = dur * 1000 // ts
+                elif typ == b"trak":
+                    handler = fourcc = None
+                    tw = th = 0
+                    dur_ms = None
+                    for t2, c0, c1 in boxes(data, b0, b1):
+                        if t2 == b"tkhd":
+                            v, p = fullbox(data, c0)
+                            # v1 widens creation/modification/duration
+                            p += (8 + 8 + 4 + 4 + 8) if v == 1 else \
+                                (4 + 4 + 4 + 4 + 4)
+                            p += 8 + 2 + 2 + 2 + 2 + 36  # to width
+                            tw = struct.unpack(
+                                ">I", data[p:p + 4])[0] >> 16
+                            th = struct.unpack(
+                                ">I", data[p + 4:p + 8])[0] >> 16
+                        elif t2 == b"mdia":
+                            for t3, d0, d1 in boxes(data, c0, c1):
+                                if t3 == b"mdhd":
+                                    v, p = fullbox(data, d0)
+                                    p += 16 if v == 1 else 8
+                                    ts = struct.unpack(
+                                        ">I", data[p:p + 4])[0]
+                                    dur = struct.unpack(
+                                        ">Q" if v == 1 else ">I",
+                                        data[p + 4:
+                                             p + 12 if v == 1
+                                             else p + 8])[0]
+                                    if ts:
+                                        dur_ms = dur * 1000 // ts
+                                elif t3 == b"hdlr":
+                                    _, p = fullbox(data, d0)
+                                    handler = data[p + 4:p + 8] \
+                                        .decode("ascii", "replace")
+                                elif t3 == b"minf":
+                                    for t4, e0, e1 in boxes(data, d0, d1):
+                                        if t4 != b"stbl":
+                                            continue
+                                        for t5, f0, f1 in boxes(
+                                                data, e0, e1):
+                                            if t5 != b"stsd":
+                                                continue
+                                            _, p = fullbox(data, f0)
+                                            n = struct.unpack(
+                                                ">I", data[p:p + 4])[0]
+                                            if n >= 1 and p + 12 <= f1:
+                                                fourcc = data[
+                                                    p + 8:p + 12].decode(
+                                                    "ascii", "replace")
+                    tracks.append((handler, tw, th, fourcc, dur_ms))
+            if not tracks and mvhd_ms is None:
+                return None
+            vid = next((t for t in tracks if t[0] == "vide"), None)
+            aud = next((t for t in tracks if t[0] == "soun"), None)
+            dur = mvhd_ms
+            if dur is None:
+                durs = [t[4] for t in tracks if t[4] is not None]
+                dur = max(durs) if durs else None
+            return (brand, dur,
+                    vid[1] if vid else None, vid[2] if vid else None,
+                    vid[3] if vid else None, aud[3] if aud else None,
+                    len(tracks))
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return probe
+
+
+PROBE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("major_brand", StringType()),
+    StructField("duration_ms", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("video_codec", StringType()),
+    StructField("audio_codec", StringType()),
+    StructField("track_count", LongType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def probe_media(df: DataFrame, with_status: bool = False) -> DataFrame:
+    """Container-metadata probe over opaque video payloads: ISO-BMFF box
+    walk (:func:`_make_bmff_prober`) through ``mapInPandas`` — per row
+    the major brand, movie duration, first-video-track dims and codec
+    fourcc, first-audio-track codec, and track count. Metadata-only: no
+    frame decode, no ``mdat`` scan, so the per-row cost is bounded by
+    the ``moov`` size regardless of payload bytes. Rows that aren't
+    ISO-BMFF (or whose boxes are malformed) NULL out;
+    ``with_status=True`` appends the ok/corrupt/unsupported reason —
+    the same contract as :func:`decode_media`/:func:`decode_audio`."""
+    prober = _make_bmff_prober()  # driver-built, captured by value
+    schema = PROBE_SCHEMA
+    if with_status:
+        schema = StructType(PROBE_SCHEMA.fields
+                            + [StructField("status", StringType())])
+    field_names = ("major_brand", "duration_ms", "width", "height",
+                   "video_codec", "audio_codec", "track_count")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            cols: dict = {k: [] for k in field_names}
+            sts = []
+            for payload in pdf["payload"]:
+                r = prober(payload)
+                if isinstance(r, tuple):
+                    for k, v in zip(field_names, r):
+                        cols[k].append(v)
+                    sts.append("ok")
+                else:
+                    for k in field_names:
+                        cols[k].append(None)
+                    sts.append("corrupt" if r is None else r)
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "major_brand": cols["major_brand"],
+                **{k: pd.array(cols[k], dtype="Int64")
+                   for k in ("duration_ms", "width", "height")},
+                "video_codec": cols["video_codec"],
+                "audio_codec": cols["audio_codec"],
+                "track_count": pd.array(cols["track_count"],
+                                        dtype="Int64"),
+                "n_bytes": pd.array(
+                    [len(b) if b is not None else None
+                     for b in pdf["payload"]], dtype="Int64"),
+            }
+            if with_status:
+                out["status"] = sts
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def sample_frames_probed(df: DataFrame, every_ms: int) -> DataFrame:
+    """:func:`sample_frames` for REAL video payloads: the frame grid
+    comes from the container's own probed duration (ISO-BMFF ``mvhd``)
+    instead of the synthetic metadata struct. Probe once (mapInPandas,
+    payload-bounded), then the explosion is pure JVM ``sequence`` +
+    ``explode`` over (media_id, duration_ms) — the payload column is
+    dropped before the explode, so blob bytes are never copied per
+    frame row."""
+    probed = probe_media(df).select("media_id", "duration_ms")
+    ts = F.sequence(F.lit(0).cast("long"),
+                    F.col("duration_ms") - 1,
+                    F.lit(every_ms).cast("long"))
+    return (probed.where(F.col("duration_ms").isNotNull()
+                         & (F.col("duration_ms") > 0))
+            .select("media_id", F.explode(ts).alias("frame_ts_ms")))
+
+
 # ---------------------------------------------------------------------------
 # Feature extraction (vectorized numpy over Arrow batches)
 # ---------------------------------------------------------------------------

@@ -54,6 +54,7 @@ GOLDENS = {
     "tiff": ["python.tiff"],
     "wav": ["pluck-pcm8.wav", "pluck-pcm16.wav",
             "pluck-pcm24.wav", "pluck-pcm32.wav"],
+    "mp4": ["probe.mp4"],
 }
 
 MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",
@@ -94,7 +95,8 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "gif": mm._make_gif_decoder(),
                 "bmp": mm._make_bmp_decoder(),
                 "tiff": mm._make_tiff_decoder(),
-                "wav": mm._make_wav_decoder()}
+                "wav": mm._make_wav_decoder(),
+                "mp4": mm._make_bmff_prober()}
     auto = mm._make_auto_decoder()
     payloads = [(fmt, name,
                  open(os.path.join(FIXTURES, name), "rb").read())

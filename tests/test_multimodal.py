@@ -1373,3 +1373,137 @@ def test_png_adam7_truncation_contract():
     assert decode(rebuild(lambda r: r[:-10])) is None
     assert decode(rebuild(lambda r: r + b"\x00\x01")) is None
     assert isinstance(decode(rebuild(lambda r: r)), tuple)
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF metadata probe (r10 verdict directive #5)
+# ---------------------------------------------------------------------------
+
+def _assemble_probe_mp4():
+    """Hand-assembled-from-spec MP4 (ISO/IEC 14496-12): ftyp + moov
+    (mvhd v0; a 640x360 avc1 video trak with v0 tkhd/mdhd at timescale
+    30000; an mp4a audio trak exercising the v1 tkhd/mdhd wide layout)
+    + free + a stub mdat. Deterministic — the committed
+    tests/fixtures/probe.mp4 is asserted byte-equal, so the fixture's
+    provenance IS this function."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, version, payload):
+        return box(typ, bytes([version, 0, 0, 0]) + payload)
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, 1000, 3000)                 # times, ts, duration
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)  # rate, volume, rsvd
+        + b"\x00" * 8 + matrix + b"\x00" * 24
+        + struct.pack(">I", 3))                    # next_track_ID
+
+    def tkhd(version, track_id, w, h):
+        if version == 1:
+            head = struct.pack(">QQII Q", 0, 0, track_id, 0, 3000)
+        else:
+            head = struct.pack(">IIIII", 0, 0, track_id, 0, 3000)
+        return full(b"tkhd", version, head + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0x0100, 0) + matrix
+                    + struct.pack(">II", w << 16, h << 16))
+
+    def mdhd(version, timescale, duration):
+        if version == 1:
+            body = struct.pack(">QQIQ", 0, 0, timescale, duration)
+        else:
+            body = struct.pack(">IIII", 0, 0, timescale, duration)
+        return full(b"mdhd", version, body + struct.pack(">HH", 0x55C4, 0))
+
+    def hdlr(handler):
+        return full(b"hdlr", 0, b"\x00" * 4 + handler + b"\x00" * 12
+                    + b"probe\x00")
+
+    def stsd(fourcc):
+        entry = box(fourcc, b"\x00" * 8)  # minimal sample entry stub
+        return full(b"stsd", 0, struct.pack(">I", 1) + entry)
+
+    def trak(tk, md, handler, fourcc):
+        stbl = box(b"stbl", stsd(fourcc))
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", md + hdlr(handler) + minf)
+        return box(b"trak", tk + mdia)
+
+    video = trak(tkhd(0, 1, 640, 360), mdhd(0, 30000, 90000),
+                 b"vide", b"avc1")
+    audio = trak(tkhd(1, 2, 0, 0), mdhd(1, 48000, 144000),
+                 b"soun", b"mp4a")
+    moov = box(b"moov", mvhd + video + audio)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
+               + b"isomavc1mp41")
+    return ftyp + moov + box(b"free", b"") + box(b"mdat", b"\x00" * 32)
+
+
+def test_probe_mp4_fixture_matches_assembler():
+    """The committed golden is bit-reproducible from the spec assembly
+    above — its provenance is code, not a download."""
+    want = _assemble_probe_mp4()
+    got = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    assert got == want
+
+
+def test_probe_mp4_golden_metadata():
+    probe = M._make_bmff_prober()
+    data = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    assert probe(data) == ("isom", 3000, 640, 360, "avc1", "mp4a", 2)
+    # non-BMFF payloads are named, not corrupt
+    assert probe(b"\x89PNG\r\n\x1a\n" + b"x" * 20) \
+        == "unsupported: not ISO-BMFF"
+    assert probe(b"") == "unsupported: not ISO-BMFF"
+
+
+def test_probe_mp4_truncation_and_bitflip_contract():
+    """Same raise contract as the image codecs: every truncation offset
+    and seeded bit flips return tuple/None/'unsupported: …'."""
+    import random
+
+    probe = M._make_bmff_prober()
+    data = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    for k in range(len(data) + 1):
+        _assert_contract(probe, data[:k], f"probe.mp4 trunc@{k}")
+    rnd = random.Random("r11-probe.mp4")
+    for _ in range(300):
+        i = rnd.randrange(len(data))
+        mutated = bytearray(data)
+        mutated[i] ^= 1 << rnd.randrange(8)
+        _assert_contract(probe, bytes(mutated), f"probe.mp4 flip@{i}")
+
+
+def test_probe_media_through_map_in_pandas(spark):
+    data = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "video", data), (2, "video", b"not a container"),
+         (3, "video", data[:40])],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.probe_media(df, with_status=True).collect()}
+    r1 = got[1]
+    assert (r1["major_brand"], r1["duration_ms"], r1["width"],
+            r1["height"], r1["video_codec"], r1["audio_codec"],
+            r1["track_count"]) == ("isom", 3000, 640, 360,
+                                   "avc1", "mp4a", 2)
+    assert r1["status"] == "ok" and r1["n_bytes"] == len(data)
+    assert got[2]["status"] == "unsupported: not ISO-BMFF"
+    assert got[2]["duration_ms"] is None
+    # ftyp present but moov truncated away -> corrupt
+    assert got[3]["status"] == "corrupt"
+
+
+def test_sample_frames_probed_uses_container_duration(spark):
+    data = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "video", data), (2, "video", b"garbage")],
+        "media_id long, media_type string, payload binary")
+    rows = M.sample_frames_probed(df, every_ms=1000).collect()
+    got = sorted((r["media_id"], r["frame_ts_ms"]) for r in rows)
+    # 3000 ms at 1000 ms steps -> frames at 0/1000/2000; the garbage
+    # row contributes nothing instead of failing the job
+    assert got == [(1, 0), (1, 1000), (1, 2000)]
