@@ -1,0 +1,310 @@
+"""Media-decode soak at REALISTIC image sizes (r10 verdict directive
+#3): the r10 soak measured 48x16 tiles, where the fixed per-row
+overhead dominates; real web images are 0.1-2 MP, where the pure-Python
+entropy/defilter loops dominate. This measures decode_media (PNG and
+JPEG) at ~0.3 MP and ~1 MP through the same mapInPandas path and
+reports BOTH wall rows/s and s/MP/core (cpu-seconds per megapixel at
+full occupancy — the honest unit for "what does a 100 TB image corpus
+cost").
+
+Payload realism:
+- PNG: RGB photo-like field (smooth low-frequency + noise), filter
+  types cycling [paeth, up, sub, average] like a real optimizing
+  encoder — paeth/average rows are the decoder's sequential
+  (per-byte Python) path, so this measures the true wall, not the
+  vectorized best case.
+- JPEG: baseline grayscale, standard Annex-K luminance quant table,
+  per-image OPTIMIZED canonical Huffman tables (symbols assigned to
+  the standard BITS length profile by frequency — what jpegtran -o
+  emits), full run/size AC coding. ~10-20 symbols per block like a
+  real photo, so the entropy loop does representative work.
+
+Both encoders are driver-side numpy (forward DCT via the decoder's own
+orthonormal basis transposed — independent code path; PNG filters
+vectorized on the ORIGINAL pixels, which encoding allows). Decoded
+output is verified against the source (JPEG: mean abs error < 3 levels;
+PNG: bit-exact) before anything is timed.
+
+Usage: python scripts/scale_soak_media_mp.py [rows_03mp] [rows_1mp]
+Defaults: 96 rows at 0.3 MP, 48 at 1 MP.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_soak import build_session  # noqa: E402
+
+K = 4  # distinct templates per (format, size)
+
+ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# ITU T.81 Annex K.1 luminance quantization table (public spec)
+QLUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.float64)
+
+# standard DC/AC BITS length profiles (Annex K.3) — symbols are assigned
+# to this shape by descending frequency (an "optimized tables" encoder)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+
+
+def photo_field(w, h, seed):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = (128 + 55 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+           + 30 * np.sin((xx + yy) / 101.0)
+           + rng.normal(0, 10, (h, w)))
+    return np.clip(img, 0, 255)
+
+
+def _canonical(bits_profile, symbols_by_freq):
+    """Assign symbols (most frequent first) to the standard length
+    profile, truncating unused TAIL slots; return (bits, vals, codes)
+    with codes built exactly like the decoder's build_huff."""
+    n = len(symbols_by_freq)
+    bits = list(bits_profile)
+    total = sum(bits)
+    assert n <= total, (n, total)
+    drop = total - n
+    for ln in range(15, -1, -1):  # trim longest-code slots first
+        take = min(drop, bits[ln])
+        bits[ln] -= take
+        drop -= take
+    vals = list(symbols_by_freq)
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return bits, vals, codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def make_photo_jpeg(w, h, seed):
+    """Baseline grayscale JPEG of a photo-like field with optimized
+    canonical Huffman tables — returns (bytes, source_pixels)."""
+    img = photo_field(w, h, seed)
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, H8 - h), (0, W8 - w)), mode="edge")
+    blocks = (padded.reshape(H8 // 8, 8, W8 // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+    # forward DCT with the orthonormal basis (decoder uses C.T @ c @ C)
+    n_ = np.arange(8)
+    basis = np.cos((2 * n_[None, :] + 1) * n_[:, None] * np.pi / 16)
+    basis[0] *= 1 / np.sqrt(2)
+    basis *= 0.5
+    coef = np.einsum("ij,njk,lk->nil", basis, blocks, basis)
+    # quality ~75: half the Annex-K steps (libjpeg's scaling), the
+    # common web default — more surviving AC coefficients per block
+    qtab = np.maximum(np.rint(QLUM * 0.5), 1.0)
+    q = np.rint(coef / qtab).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZZ]
+
+    # gather symbols: DC size categories on diffs, AC (run, size)
+    def size_of(v):
+        return int(abs(v)).bit_length()
+
+    dc = zz[:, 0]
+    diffs = np.diff(dc, prepend=0)
+    dc_syms = [size_of(d) for d in diffs]
+    ac_runs = []  # per block: list of (sym, value) with EOB/ZRL
+    for row in zz:
+        runs, zeros = [], 0
+        last_nz = 0
+        nz = np.nonzero(row[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        for kk in range(1, last_nz + 1):
+            v = int(row[kk])
+            if v == 0:
+                zeros += 1
+                if zeros == 16:
+                    runs.append((0xF0, 0))
+                    zeros = 0
+                continue
+            runs.append(((zeros << 4) | size_of(v), v))
+            zeros = 0
+        if last_nz < 63:
+            runs.append((0x00, 0))
+        ac_runs.append(runs)
+    from collections import Counter
+    dc_freq = Counter(dc_syms)
+    ac_freq = Counter(s for runs in ac_runs for s, _ in runs)
+    dc_bits, dc_vals, dc_codes = _canonical(
+        DC_BITS, [s for s, _ in dc_freq.most_common()])
+    ac_bits, ac_vals, ac_codes = _canonical(
+        AC_BITS, [s for s, _ in ac_freq.most_common()])
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2) + payload)
+
+    qzz = np.maximum(np.rint(QLUM * 0.5), 1.0).astype(np.uint8) \
+        .reshape(64)[ZZ]
+    seg(b"\xff\xdb", bytes([0]) + bytes(qzz.tolist()))
+    seg(b"\xff\xc4", bytes([0x00] + dc_bits + dc_vals))
+    seg(b"\xff\xc4", bytes([0x10] + ac_bits + ac_vals))
+    seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    for bi, (d, runs) in enumerate(zip(diffs, ac_runs)):
+        s = size_of(d)
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(int(d) if d >= 0 else int(d) + (1 << s) - 1, s)
+        for sym, v in runs:
+            ln, code = ac_codes[sym]
+            bw.put(code, ln)
+            sz = sym & 15
+            if sz:
+                bw.put(int(v) if v >= 0 else int(v) + (1 << sz) - 1, sz)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+def make_photo_png(w, h, seed):
+    """RGB photo-like PNG with filter types cycling [4,2,1,3] (paeth/
+    up/sub/average) — encoding filters are computed on the ORIGINAL
+    pixels, which numpy vectorizes; decode must be bit-exact."""
+    r = photo_field(w, h, seed)
+    g = photo_field(w, h, seed + 1000)
+    b = photo_field(w, h, seed + 2000)
+    px = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                 255).astype(np.uint8)
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    up = np.vstack([np.zeros((1, w * 3), np.int32), flat[:-1]])
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    upleft = np.zeros_like(flat)
+    upleft[1:, 3:] = flat[:-1, :-3]
+    p = left + up - upleft
+    pa, pb, pc = (np.abs(p - left), np.abs(p - up), np.abs(p - upleft))
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, up, upleft))
+    preds = {1: left, 2: up, 3: (left + up) >> 1, 4: paeth}
+    raw = bytearray()
+    cycle = [4, 2, 1, 3]
+    for y in range(h):
+        f = cycle[y % 4]
+        raw.append(f)
+        raw += ((flat[y] - preds[f][y]) & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+           + chunk(b"IEND", b""))
+    return png, px
+
+
+def corpus(spark, n_rows, payloads):
+    arr = F.array(*[F.lit(p) for p in payloads])
+    return (spark.range(n_rows)
+            .select(F.col("id").alias("media_id"),
+                    F.lit("image").alias("media_type"),
+                    F.element_at(arr, (F.pmod(F.col("id"), F.lit(len(payloads)))
+                                       + 1).cast("int")).alias("payload")))
+
+
+def timed_noop(df):
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main():
+    rows_03 = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    rows_1 = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    sizes = [("0.3MP", 640, 480, rows_03), ("1.0MP", 1152, 864, rows_1)]
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    ncores = spark.sparkContext.defaultParallelism
+    from realtime_olap_spark.operators import multimodal as mm
+    png_dec = mm._make_png_decoder()
+    jpg_dec = mm._make_jpeg_decoder()
+
+    for label, w, h, rows in sizes:
+        mp = w * h / 1e6
+        pngs, jpgs = [], []
+        for i in range(K):
+            png, src = make_photo_png(w, h, 7 * i + 1)
+            got = png_dec(png)
+            assert isinstance(got, tuple) and (got[3] == src).all(), \
+                ("png verify", label, i)
+            pngs.append(png)
+            jpg, src = make_photo_jpeg(w, h, 11 * i + 3)
+            got = jpg_dec(jpg)
+            assert isinstance(got, tuple), ("jpeg verify", label, i)
+            err = np.abs(got[3][:, :, 0].astype(float) - src.astype(float))
+            # quality-75 quantization of sigma-10 texture loses ~4
+            # levels on average — codec loss, not decoder error
+            assert err.mean() < 6.0, ("jpeg err", label, i, err.mean())
+            jpgs.append(jpg)
+        for name, payloads, dec in [("png", pngs, "png"),
+                                    ("jpeg", jpgs, "jpeg")]:
+            plan = lambda d: mm.decode_media(d, decoder=dec)  # noqa: E731
+            df = corpus(spark, rows, payloads).repartition(ncores)
+            timed_noop(plan(df))  # warm untimed
+            bad = plan(df).where(F.col("decoded_width").isNull()).count()
+            assert bad == 0, (name, label, bad)
+            secs = min(timed_noop(plan(df)) for _ in range(2))
+            per_mp_core = secs * ncores / (rows * mp)
+            kb = sum(len(p) for p in payloads) / K / 1024
+            print(f"{name} {label} ({w}x{h}, ~{kb:.0f} KiB/file): "
+                  f"rows={rows} wall={secs:.2f}s "
+                  f"{rows / secs:.1f} rows/s "
+                  f"{per_mp_core:.2f} s/MP/core", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
