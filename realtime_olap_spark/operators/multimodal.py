@@ -501,6 +501,268 @@ def _make_wav_decoder():
     return decode
 
 
+def _g711_tables():
+    """Clean-room G.711 decompanding tables (ITU-T G.711): 256-entry
+    int16 lookup for mu-law and A-law bytes. Derived from the spec's
+    segment/mantissa layout; the gated cross-test pins all 512 entries
+    against stdlib ``audioop`` where available. Driver-side helper —
+    the RESULT arrays are captured by the decoder closures (house
+    rule: workers never reference module functions)."""
+    import numpy as np
+
+    ulaw = np.zeros(256, np.int16)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.zeros(256, np.int16)
+    for byte in range(256):
+        a = byte ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        alaw[byte] = t if (a & 0x80) else -t
+    # both formulas above already yield the 16-bit scale (the spec's
+    # 14-bit mu / 13-bit A values are 1/4 resp. 1/8 of these)
+    return ulaw, alaw
+
+
+def _make_aiff_decoder():
+    """Build the clean-room AIFF / AIFC decoder (public EA-IFF-85 +
+    AIFF-1.3/AIFC-1989 specs: big-endian FORM container, COMM chunk
+    with an 80-bit extended-float sample rate, SSND data chunk).
+    Nested function, captured by value (house rule).
+
+    PCM 8/16/24/32 (big-endian SIGNED, per AIFF — unlike WAV's
+    unsigned 8-bit), the ``sowt`` little-endian-16 AIFC variant,
+    IEEE float ``fl32``/``fl64``, and G.711 ``ulaw``/``alaw``
+    companding (decompanded through the spec tables, scaled like a
+    16-bit stream). Other compression types return an
+    ``"unsupported: …"`` reason; same return shape and three-valued
+    contract as :func:`_make_wav_decoder`."""
+    import struct
+
+    import numpy as np
+
+    ULAW, ALAW = _g711_tables()
+
+    def f80(b):
+        """80-bit IEEE 754 extended float (sign+15-bit exponent,
+        64-bit explicit-integer-bit mantissa) — the COMM sample rate.
+        Exponents outside double range return 0.0 (an invalid rate the
+        caller rejects) instead of overflowing: a fuzzed COMM with
+        se=0x7FFE raised OverflowError out of 2.0**16320 (caught by
+        the r11 media fuzz sweep before shipping)."""
+        se = int.from_bytes(b[:2], "big")
+        mant = int.from_bytes(b[2:10], "big")
+        e = se & 0x7FFF
+        if mant == 0 and e == 0:
+            return 0.0
+        if not (15383 < e < 17383):  # sane double-range window
+            return 0.0  # inf/NaN/denormal-extended: no valid rate
+        val = mant * 2.0 ** (e - 16383 - 63)
+        return -val if se & 0x8000 else val
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"FORM" \
+                or data[8:12] not in (b"AIFF", b"AIFC"):
+            return None
+        is_aifc = data[8:12] == b"AIFC"
+        try:
+            pos, comm, ssnd = 12, None, None
+            while pos + 8 <= len(data):
+                cid, ln = struct.unpack(">4sI", data[pos:pos + 8])
+                body = data[pos + 8:pos + 8 + ln]
+                if len(body) != ln:
+                    # tolerate a truncated FINAL sound chunk only
+                    if cid != b"SSND" or not body:
+                        return None
+                pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+                if cid == b"COMM":
+                    if len(body) < 18:
+                        return None
+                    nch, nframes, bits = struct.unpack(">HIH", body[:8])
+                    rate = f80(body[8:18])
+                    comp = b"NONE"
+                    if is_aifc:
+                        if len(body) < 22:
+                            return None
+                        comp = body[18:22]
+                    comm = (nch, bits, rate, comp)
+                elif cid == b"SSND":
+                    if len(body) < 8:
+                        return None
+                    ofs, _blk = struct.unpack(">II", body[:8])
+                    ssnd = body[8 + ofs:]
+                    if comm is not None:
+                        break
+            if comm is None or ssnd is None:
+                return None
+            nch, bits, rate, comp = comm
+            if not (0.0 < rate < 2.0 ** 31):
+                return None
+            rate = int(round(rate))
+            if nch == 0 or rate <= 0:
+                return None
+            comp_l = comp.lower()
+            if comp_l in (b"ulaw", b"alaw"):
+                bits = 8  # one companded byte per sample, 16-bit scale
+            if comp_l == b"sowt" and bits != 16:
+                return None  # sowt is defined as 16-bit little-endian
+            if comp_l in (b"fl32", b"fl64"):
+                bits = 32 if comp_l == b"fl32" else 64
+            if comp_l not in (b"none", b"sowt", b"ulaw", b"alaw",
+                              b"fl32", b"fl64"):
+                return ("unsupported: AIFC compression "
+                        + comp.decode("ascii", "replace"))
+            if comp_l in (b"none", b"sowt") and bits not in (8, 16,
+                                                             24, 32):
+                return f"unsupported: {bits}-bit AIFF PCM"
+            bstep = bits // 8
+            frame = bstep * nch
+            n = len(ssnd) // frame
+            if n == 0:
+                return None
+            raw = ssnd[:n * frame]
+            if comp_l == b"ulaw":
+                x = ULAW[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif comp_l == b"alaw":
+                x = ALAW[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif comp_l == b"fl32":
+                x = np.frombuffer(raw, ">f4").astype(np.float64)
+            elif comp_l == b"fl64":
+                x = np.frombuffer(raw, ">f8").astype(np.float64)
+            elif bits == 8:  # AIFF PCM-8 is SIGNED
+                x = (np.frombuffer(raw, np.int8).astype(np.float64)
+                     / 128.0)
+            elif bits == 24:
+                b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                v = ((b3[:, 0].astype(np.int32) << 16)
+                     | (b3[:, 1].astype(np.int32) << 8)
+                     | b3[:, 2].astype(np.int32))
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            else:
+                dt = ("<i2" if comp_l == b"sowt"
+                      else (">i2" if bits == 16 else ">i4"))
+                x = (np.frombuffer(raw, dt).astype(np.float64)
+                     / float(1 << (bits - 1)))
+            return int(n), int(nch), rate, x.reshape(n, nch)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode
+
+
+def _make_au_decoder():
+    """Build the clean-room Sun AU (.snd / NeXT) decoder — public
+    format: 24-byte big-endian header (magic, data offset, data size,
+    encoding, sample rate, channels) + sample data. Nested function,
+    captured by value (house rule).
+
+    Encodings: 1 = G.711 mu-law, 2-5 = signed linear PCM 8/16/24/32
+    (big-endian), 6/7 = IEEE float 32/64, 27 = G.711 A-law. Others
+    (ADPCM families, DSP programs) return ``"unsupported: …"``;
+    same return shape and contract as the WAV/AIFF decoders."""
+    import struct
+
+    import numpy as np
+
+    ULAW, ALAW = _g711_tables()
+    WIDTH = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8, 27: 1}
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 24 or data[:4] != b".snd":
+            return None
+        try:
+            ofs, size, enc, rate, nch = struct.unpack(
+                ">IIIII", data[4:24])
+            if ofs < 24 or nch == 0 or rate == 0:
+                return None
+            if enc not in WIDTH:
+                return f"unsupported: AU encoding {enc}"
+            body = data[ofs:]
+            if size != 0xFFFFFFFF:
+                body = body[:size]
+            frame = WIDTH[enc] * nch
+            n = len(body) // frame
+            if n == 0:
+                return None
+            raw = body[:n * frame]
+            if enc == 1:
+                x = ULAW[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif enc == 27:
+                x = ALAW[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif enc == 2:  # AU PCM-8 is SIGNED
+                x = (np.frombuffer(raw, np.int8).astype(np.float64)
+                     / 128.0)
+            elif enc == 4:
+                b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                v = ((b3[:, 0].astype(np.int32) << 16)
+                     | (b3[:, 1].astype(np.int32) << 8)
+                     | b3[:, 2].astype(np.int32))
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            elif enc in (6, 7):
+                x = np.frombuffer(
+                    raw, ">f4" if enc == 6 else ">f8").astype(np.float64)
+            else:
+                dt = ">i2" if enc == 3 else ">i4"
+                bits = 16 if enc == 3 else 32
+                x = (np.frombuffer(raw, dt).astype(np.float64)
+                     / float(1 << (bits - 1)))
+            return int(n), int(nch), int(rate), x.reshape(n, nch)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode
+
+
+def _make_audio_auto_decoder():
+    """Route audio payloads by magic bytes — the audio twin of
+    :func:`_make_auto_decoder`: RIFF/WAVE → WAV, FORM/AIFF|AIFC →
+    AIFF, ``.snd`` → AU; image magics are pointed at ``decode_media``;
+    anything else is ``"unsupported: unrecognized format"``."""
+    wav = _make_wav_decoder()
+    aiff = _make_aiff_decoder()
+    au = _make_au_decoder()
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        head = bytes(data[:12])
+        if head.startswith(b"RIFF") and head[8:12] == b"WAVE":
+            return wav(data)
+        if head.startswith(b"FORM") and head[8:12] in (b"AIFF", b"AIFC"):
+            return aiff(data)
+        if head.startswith(b".snd"):
+            return au(data)
+        if head.startswith((b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+                            b"GIF87a", b"GIF89a", b"BM",
+                            b"II*\x00", b"MM\x00*")):
+            return "unsupported: image payload (use decode_media)"
+        return "unsupported: unrecognized format"
+
+    return decode
+
+
 AUDIO_DECODED_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("media_type", StringType()),
@@ -517,18 +779,25 @@ AUDIO_DECODED_SCHEMA = StructType([
 def decode_audio(df: DataFrame, decoder: str = "wav",
                  with_status: bool = False) -> DataFrame:
     """Audio twin of :func:`decode_media`: mapInPandas over opaque
-    payloads with the REAL pure-Python WAV codec
-    (:func:`_make_wav_decoder`) — per row the frame/channel/rate shape
-    plus peak and RMS amplitude (the cheap signal features a curation
-    pipeline gates on: silence, clipping). Rows that don't decode NULL
-    out; ``with_status=True`` appends the ok/corrupt/unsupported
-    reason. Compressed formats beyond RIFF PCM/float need librosa/ffmpeg
-    and stay honestly gated via the status."""
-    if decoder != "wav":
+    payloads with the REAL pure-Python audio codecs — per row the
+    frame/channel/rate shape plus peak and RMS amplitude (the cheap
+    signal features a curation pipeline gates on: silence, clipping).
+
+    ``decoder`` picks the container: ``'wav'`` (RIFF PCM/float),
+    ``'aiff'`` (AIFF/AIFC incl. sowt, fl32/fl64 and G.711 ulaw/alaw
+    companding), ``'au'`` (Sun/NeXT, PCM + float + G.711), or
+    ``'auto'`` (per-row magic-byte routing across all three — the
+    mixed-corpus shape). Rows that don't decode NULL out;
+    ``with_status=True`` appends the ok/corrupt/unsupported reason.
+    Perceptual codecs (mp3/ogg/flac) need librosa/ffmpeg and stay
+    honestly gated via NotImplementedError here."""
+    makers = {"wav": _make_wav_decoder, "aiff": _make_aiff_decoder,
+              "au": _make_au_decoder, "auto": _make_audio_auto_decoder}
+    if decoder not in makers:
         raise NotImplementedError(
-            "audio decode beyond WAV (mp3/ogg/flac) needs librosa/ffmpeg "
-            "(not in this container)")
-    wav = _make_wav_decoder()  # driver-built, captured by value
+            "audio decode beyond WAV/AIFF/AU (mp3/ogg/flac) needs "
+            "librosa/ffmpeg (not in this container)")
+    wav = makers[decoder]()  # driver-built, captured by value
     schema = AUDIO_DECODED_SCHEMA
     if with_status:
         schema = StructType(AUDIO_DECODED_SCHEMA.fields
@@ -1464,14 +1733,18 @@ def _make_auto_decoder():
             return codecs["bmp"](data)
         if head.startswith((b"II*\x00", b"MM\x00*")):
             return codecs["tiff"](data)
-        if head.startswith(b"RIFF") and head[8:12] == b"WEBP":
-            return "unsupported: WebP"
+        if head.startswith(b"RIFF"):
+            if head[8:12] == b"WEBP":
+                return "unsupported: WebP"
+            if head[8:12] == b"WAVE":
+                return "unsupported: WAV audio (use decode_audio)"
         if len(head) >= 12 and head[4:8] == b"ftyp":
             brand = head[8:12]
             if brand in AVIF_BRANDS:
                 return "unsupported: AVIF"
             if brand in HEIC_BRANDS:
                 return "unsupported: HEIC"
+            return "unsupported: ISO-BMFF container (use probe_media)"
         return "unsupported: unrecognized format"
 
     return decode

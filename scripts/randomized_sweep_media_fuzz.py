@@ -54,6 +54,9 @@ GOLDENS = {
     "tiff": ["python.tiff"],
     "wav": ["pluck-pcm8.wav", "pluck-pcm16.wav",
             "pluck-pcm24.wav", "pluck-pcm32.wav"],
+    "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",
+             "pluck-ulaw.aifc", "pluck-alaw.aifc"],
+    "au": ["pluck-ulaw.au"],
     "mp4": ["probe.mp4"],
 }
 
@@ -96,8 +99,11 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "bmp": mm._make_bmp_decoder(),
                 "tiff": mm._make_tiff_decoder(),
                 "wav": mm._make_wav_decoder(),
+                "aiff": mm._make_aiff_decoder(),
+                "au": mm._make_au_decoder(),
                 "mp4": mm._make_bmff_prober()}
-    auto = mm._make_auto_decoder()
+    img_auto = mm._make_auto_decoder()
+    aud_auto = mm._make_audio_auto_decoder()
     payloads = [(fmt, name,
                  open(os.path.join(FIXTURES, name), "rb").read())
                 for fmt, names in GOLDENS.items() for name in names]
@@ -108,6 +114,7 @@ def run(n_seeds: int, base_seed: int) -> int:
         fmt, name, data = payloads[rnd.randrange(len(payloads))]
         _, _, other = payloads[rnd.randrange(len(payloads))]
         mutated = _mutate(rnd, data, other)
+        auto = aud_auto if fmt in ("wav", "aiff", "au") else img_auto
         for dname, dec in (fmt, decoders[fmt]), ("auto", auto):
             try:
                 r = dec(mutated)

@@ -1112,6 +1112,7 @@ def test_auto_decoder_routes_mixed_formats(spark):
         9: b"\x00\x00\x00\x18ftypavif\x00\x00\x00\x00",  # AVIF brand
         10: b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00",  # HEIC brand
         11: b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00",  # plain mp4 brand
+        12: b"RIFF\x24\x00\x00\x00WAVEfmt ",  # audio in the image router
     }
     df = spark.createDataFrame(
         [(k, "image", v) for k, v in payloads.items()],
@@ -1128,8 +1129,11 @@ def test_auto_decoder_routes_mixed_formats(spark):
     assert got[8] == (None, None, "unsupported: WebP")
     assert got[9] == (None, None, "unsupported: AVIF")
     assert got[10] == (None, None, "unsupported: HEIC")
-    # a brand we don't name stays in the catch-all bucket
-    assert got[11] == (None, None, "unsupported: unrecognized format")
+    # other ftyp brands / RIFF-WAVE are pointed at the right operator
+    assert got[11] == (None, None,
+                       "unsupported: ISO-BMFF container (use probe_media)")
+    assert got[12] == (None, None,
+                       "unsupported: WAV audio (use decode_audio)")
 
 
 # ---------------------------------------------------------------------------
@@ -1507,3 +1511,193 @@ def test_sample_frames_probed_uses_container_duration(spark):
     # 3000 ms at 1000 ms steps -> frames at 0/1000/2000; the garbage
     # row contributes nothing instead of failing the job
     assert got == [(1, 0), (1, 1000), (1, 2000)]
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AU / G.711 audio decoders (r11 extension: the multi-format
+# audio twin of the image codec suite, on CPython's own external goldens)
+# ---------------------------------------------------------------------------
+
+def test_g711_tables_match_stdlib_audioop():
+    """All 512 decompanding entries pinned against stdlib audioop
+    (present on this Python; gated for 3.13+ where it was removed)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    ulaw, alaw = M._g711_tables()
+    want_u = np.frombuffer(
+        audioop.ulaw2lin(bytes(range(256)), 2), "<i2" if
+        np.little_endian else ">i2")
+    want_a = np.frombuffer(
+        audioop.alaw2lin(bytes(range(256)), 2), "<i2" if
+        np.little_endian else ">i2")
+    assert (ulaw == want_u).all()
+    assert (alaw == want_a).all()
+
+
+def test_aiff_pcm16_golden_vs_stdlib_and_wav():
+    """pluck-pcm16.aiff (CPython fixture, real third-party encoder)
+    decodes bit-exact against stdlib aifc's frame bytes; the sibling
+    WAV fixture is an INDEPENDENTLY dithered conversion of the same
+    clip (known gotcha), so cross-format agreement is near, not
+    exact."""
+    import numpy as np
+
+    decode = M._make_aiff_decoder()
+    path = os.path.join(FIXTURES, "pluck-pcm16.aiff")
+    n, nch, rate, x = decode(open(path, "rb").read())
+    assert (n, nch, rate) == (3307, 2, 11025)
+    aifc = pytest.importorskip("aifc")
+    a = aifc.open(path)
+    want = (np.frombuffer(a.readframes(a.getnframes()), ">i2")
+            .astype(np.float64) / 32768.0).reshape(-1, 2)
+    assert (x == want).all()
+    wav = M._make_wav_decoder()
+    wn, wc, wr, wx = wav(open(os.path.join(
+        FIXTURES, "pluck-pcm16.wav"), "rb").read())
+    assert (wn, wc, wr) == (n, nch, rate)
+    assert np.abs(wx - x).max() <= 16 / 32768.0  # independent dithers
+    # (measured 10 LSB16 max; same class as the known pcm16-vs-24
+    # fixture dither gap)
+
+
+def test_aiff_pcm8_golden_signed():
+    """AIFF PCM-8 is SIGNED (unlike WAV's unsigned 8-bit): the 8-bit
+    fixture must track the 16-bit one, which a sign error would break
+    catastrophically (half the samples off by 1.0)."""
+    import numpy as np
+
+    decode = M._make_aiff_decoder()
+    n8, c8, r8, x8 = decode(open(os.path.join(
+        FIXTURES, "pluck-pcm8.aiff"), "rb").read())
+    n16, c16, r16, x16 = decode(open(os.path.join(
+        FIXTURES, "pluck-pcm16.aiff"), "rb").read())
+    assert (n8, c8, r8) == (n16, c16, r16)
+    assert np.abs(x8 - x16).max() < 1.5 / 128.0
+
+
+def test_au_ulaw_golden_vs_stdlib():
+    """pluck-ulaw.au: header fields parsed per spec, payload
+    decompanded bit-exact against audioop.ulaw2lin, and the result is
+    the same clip as the PCM fixtures (within mu-law quantization)."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    decode = M._make_au_decoder()
+    raw = open(os.path.join(FIXTURES, "pluck-ulaw.au"), "rb").read()
+    n, nch, rate, x = decode(raw)
+    assert (n, nch, rate) == (3307, 2, 11025)
+    want = (np.frombuffer(audioop.ulaw2lin(raw[24:24 + 6614], 2),
+                          "<i2" if np.little_endian else ">i2")
+            .astype(np.float64) / 32768.0).reshape(-1, 2)
+    assert (x == want).all()
+    aiff = M._make_aiff_decoder()
+    _, _, _, pcm = aiff(open(os.path.join(
+        FIXTURES, "pluck-pcm16.aiff"), "rb").read())
+    # mu-law quantization error bound: ~1/32 of full scale worst-case,
+    # much tighter on this clip
+    assert np.abs(x - pcm).max() < 0.04
+
+
+def test_aifc_ulaw_alaw_goldens():
+    """The companded AIFC fixtures decode through the same G.711
+    tables; ulaw.aifc tracks ulaw.au within ONE companding step (the
+    two containers were companded by independent encoder runs — 313
+    of 6614 samples differ by a single mu-law level, measured)."""
+    import numpy as np
+
+    aiff = M._make_aiff_decoder()
+    au = M._make_au_decoder()
+    n, nch, rate, xu = aiff(open(os.path.join(
+        FIXTURES, "pluck-ulaw.aifc"), "rb").read())
+    assert (n, nch, rate) == (3307, 2, 11025)
+    _, _, _, xau = au(open(os.path.join(
+        FIXTURES, "pluck-ulaw.au"), "rb").read())
+    assert np.abs(xu - xau).max() <= 0.016  # one step at these levels
+    assert (xu == xau).mean() > 0.9
+    _, _, _, xa = aiff(open(os.path.join(
+        FIXTURES, "pluck-alaw.aifc"), "rb").read())
+    _, _, _, pcm = aiff(open(os.path.join(
+        FIXTURES, "pluck-pcm16.aiff"), "rb").read())
+    assert np.abs(xa - pcm).max() < 0.04  # A-law quantization bound
+
+
+def test_aiff_au_rejects_and_gates():
+    aiff = M._make_aiff_decoder()
+    au = M._make_au_decoder()
+    good_aiff = open(os.path.join(FIXTURES, "pluck-pcm16.aiff"),
+                     "rb").read()
+    good_au = open(os.path.join(FIXTURES, "pluck-ulaw.au"), "rb").read()
+    assert aiff(b"FORM....AIFF") is None
+    assert aiff(good_aiff[:40]) is None
+    assert au(good_au[:20]) is None
+    assert au(b"not audio") is None
+    # unknown AIFC compression is NAMED, not corrupt
+    import struct
+    mutated = bytearray(open(os.path.join(
+        FIXTURES, "pluck-ulaw.aifc"), "rb").read())
+    i = bytes(mutated).index(b"ulaw", 12)
+    mutated[i:i + 4] = b"ima4"
+    got = aiff(bytes(mutated))
+    assert got == "unsupported: AIFC compression ima4"
+    # unknown AU encoding likewise
+    mutated = bytearray(good_au)
+    mutated[12:16] = struct.pack(">I", 23)  # G.721 ADPCM
+    assert au(bytes(mutated)) == "unsupported: AU encoding 23"
+
+
+def test_decode_audio_auto_routes_mixed_corpus(spark):
+    """decoder='auto': WAV + AIFF + AU + companded AIFC rows in ONE
+    payload column all decode in a single mapInPandas; image payloads
+    are pointed at decode_media; garbage is unrecognized."""
+    payloads = {
+        1: open(os.path.join(FIXTURES, "pluck-pcm16.wav"), "rb").read(),
+        2: open(os.path.join(FIXTURES, "pluck-pcm16.aiff"), "rb").read(),
+        3: open(os.path.join(FIXTURES, "pluck-ulaw.au"), "rb").read(),
+        4: open(os.path.join(FIXTURES, "pluck-alaw.aifc"), "rb").read(),
+        5: open(os.path.join(FIXTURES, "python.png"), "rb").read(),
+        6: b"\x00\x01no magic here",
+    }
+    df = spark.createDataFrame(
+        [(k, "audio", v) for k, v in payloads.items()],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.decode_audio(df, decoder="auto", with_status=True).collect()}
+    for mid in (1, 2, 3, 4):
+        r = got[mid]
+        assert (r["n_frames"], r["n_channels"], r["sample_rate"],
+                r["status"]) == (3307, 2, 11025, "ok"), mid
+        assert r["duration_ms"] == 3307 * 1000 // 11025
+        assert 0 < r["peak"] <= 1.0 and 0 < r["rms"] < r["peak"]
+    assert got[5]["status"] == "unsupported: image payload (use decode_media)"
+    assert got[6]["status"] == "unsupported: unrecognized format"
+
+
+@pytest.mark.parametrize("codec,fname", [
+    ("aiff", "pluck-pcm16.aiff"), ("aiff", "pluck-pcm8.aiff"),
+    ("aiff", "pluck-ulaw.aifc"), ("aiff", "pluck-alaw.aifc"),
+    ("au", "pluck-ulaw.au"),
+])
+def test_fuzz_audio_goldens_truncation_and_flips(codec, fname):
+    """Same raise contract as the image codecs: every truncation
+    offset + seeded bit flips, through the format codec AND the audio
+    auto-router."""
+    import random
+
+    data = open(os.path.join(FIXTURES, fname), "rb").read()
+    own = {"aiff": M._make_aiff_decoder,
+           "au": M._make_au_decoder}[codec]()
+    auto = M._make_audio_auto_decoder()
+    for k in range(len(data) + 1):
+        _assert_contract(own, data[:k], f"{fname} own trunc@{k}")
+        _assert_contract(auto, data[:k], f"{fname} auto trunc@{k}")
+    rnd = random.Random(f"r11-{fname}")
+    for _ in range(300):
+        i = rnd.randrange(len(data))
+        mutated = bytearray(data)
+        mutated[i] ^= 1 << rnd.randrange(8)
+        mutated = bytes(mutated)
+        _assert_contract(own, mutated, f"{fname} own flip@{i}")
+        _assert_contract(auto, mutated, f"{fname} auto flip@{i}")
+    assert isinstance(own(data), tuple)
+    assert isinstance(auto(data), tuple)
