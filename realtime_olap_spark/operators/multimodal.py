@@ -2106,14 +2106,159 @@ def extract_features(df: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def _make_png_encoder():
+    """Build the minimal lossless PNG ENCODER for transcode output
+    (PNG spec: IHDR + one IDAT + IEND; per-scanline 'up' filter —
+    vectorized one-shot numpy diff, strong on photographic rows — and
+    zlib level 6). ctype from the channel count (1/2/3/4 → gray,
+    gray+alpha, RGB, RGBA). Nested function, captured by value (house
+    rule). Lossless by construction: the package's own decoder
+    round-trips it bit-exactly (tested), so a transcoded corpus can be
+    re-decoded by any standards-compliant reader."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    def encode(px):
+        h, w, ch = px.shape
+        flat = px.reshape(h, w * ch)
+        # filter 2 (up): row minus previous row, mod 256 — uint8
+        # subtraction wraps natively; first row is 'none'
+        filtered = np.empty((h, w * ch + 1), np.uint8)
+        filtered[0, 0] = 0
+        filtered[0, 1:] = flat[0]
+        if h > 1:
+            filtered[1:, 0] = 2
+            filtered[1:, 1:] = flat[1:] - flat[:-1]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, CTYPE[ch], 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
+                + chunk(b"IEND", b""))
+
+    return encode
+
+
+def _resize_pixels(px, tw, th, method, np):
+    """Aspect-fit resize of an (h, w, ch) uint8 array into the
+    (tw, th) box — never upscales (thumbnailing semantics). 'nearest'
+    picks center-of-pixel sources; 'bilinear' is the standard
+    half-pixel-center mapping with edge clamping, vectorized."""
+    h, w = px.shape[:2]
+    scale = min(tw / w, th / h, 1.0)
+    ow = max(1, int(round(w * scale)))
+    oh = max(1, int(round(h * scale)))
+    if (ow, oh) == (w, h):
+        return px
+    sx = w / ow
+    sy = h / oh
+    if method == "nearest":
+        xs = np.minimum(((np.arange(ow) + 0.5) * sx).astype(np.int64),
+                        w - 1)
+        ys = np.minimum(((np.arange(oh) + 0.5) * sy).astype(np.int64),
+                        h - 1)
+        return px[ys][:, xs]
+    # bilinear
+    fx = np.clip((np.arange(ow) + 0.5) * sx - 0.5, 0, w - 1)
+    fy = np.clip((np.arange(oh) + 0.5) * sy - 0.5, 0, h - 1)
+    x0 = fx.astype(np.int64)
+    y0 = fy.astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (fx - x0)[None, :, None]
+    wy = (fy - y0)[:, None, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+TRANSCODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_bytes_in", LongType()),
+    StructField("n_bytes_out", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def transcode_images(df: DataFrame, target_w: int, target_h: int,
+                     method: str = "bilinear") -> DataFrame:
+    """REAL transcode pass (the thumbnailing step of a training-data
+    pipeline): decode any carried image format (magic-byte routing),
+    aspect-fit resize into the (target_w, target_h) box — never
+    upscaling — and re-encode as lossless PNG, all inside ONE
+    ``mapInPandas``. Rows that don't decode keep a NULL payload and
+    carry the usual ok/corrupt/unsupported reason in ``status``, so a
+    100 TB corpus pass completes whatever the input mix is; payload
+    bytes never enter a shuffle (scan → scan shape).
+
+    Replaces the r4 metadata-only ``resize_images`` story with real
+    pixels: output is re-decodable by any compliant PNG reader
+    (the package's own decoder round-trips it bit-exactly — tested)."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear: {method!r}")
+    codec = _make_auto_decoder()
+    encode = _make_png_encoder()
+    resize = _resize_pixels
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            outs, ws, hs, nouts, sts = [], [], [], [], []
+            for payload in pdf["payload"]:
+                d = codec(payload)
+                if isinstance(d, tuple):
+                    px = resize(d[3], target_w, target_h, method, np)
+                    enc = encode(px)
+                    outs.append(enc)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    nouts.append(len(enc))
+                    sts.append("ok")
+                else:
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    nouts.append(None)
+                    sts.append("corrupt" if d is None else d)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload": outs,
+                "width": pd.array(ws, dtype="Int64"),
+                "height": pd.array(hs, dtype="Int64"),
+                "n_bytes_in": pd.array(
+                    [len(b) if b is not None else None
+                     for b in pdf["payload"]], dtype="Int64"),
+                "n_bytes_out": pd.array(nouts, dtype="Int64"),
+                "status": sts,
+            })
+
+    return df.mapInPandas(batches, schema=TRANSCODED_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Resize (stub) and frame sampling (pure JVM)
 # ---------------------------------------------------------------------------
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize pass: real pipelines re-encode payload bytes; the stub keeps
-    the payload and rewrites the metadata struct (letterbox-preserving
-    aspect is the decoder's job). Metadata-only → pure JVM expressions."""
+    """METADATA-ONLY resize (pure JVM expressions, no payload touch) —
+    kept for metadata-layer pipelines and oracle-comparable suite
+    queries. For the real pixel pass (decode → aspect-fit resize →
+    lossless PNG re-encode) use :func:`transcode_images`."""
     meta = F.col("meta")
     scaled = F.struct(
         F.least(meta["width"], F.lit(target_w)).alias("width"),

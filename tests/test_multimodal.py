@@ -1701,3 +1701,99 @@ def test_fuzz_audio_goldens_truncation_and_flips(codec, fname):
         _assert_contract(auto, mutated, f"{fname} auto flip@{i}")
     assert isinstance(own(data), tuple)
     assert isinstance(auto(data), tuple)
+
+
+# ---------------------------------------------------------------------------
+# Real transcode pass: decode -> aspect-fit resize -> lossless PNG
+# ---------------------------------------------------------------------------
+
+def test_png_encoder_roundtrips_bit_exact():
+    """The transcode PNG encoder is lossless: our own decoder (itself
+    pinned against external goldens) round-trips every channel count
+    bit-exactly."""
+    import numpy as np
+
+    encode = M._make_png_encoder()
+    decode = M._make_png_decoder()
+    rng = np.random.RandomState(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        w, h, och, out = decode(encode(px))
+        assert (w, h, och) == (9, 13, ch)
+        assert (out == px).all()
+
+
+def test_resize_pixels_semantics():
+    """Aspect-fit, never-upscale, and exact nearest/bilinear values on
+    hand-checkable cases."""
+    import numpy as np
+
+    # aspect fit: 100x50 into 64x64 -> 64x32; never upscale: 10x10
+    # into 64x64 stays 10x10
+    px = np.zeros((50, 100, 3), np.uint8)
+    out = M._resize_pixels(px, 64, 64, "nearest", np)
+    assert out.shape == (32, 64, 3)
+    small = np.zeros((10, 10, 1), np.uint8)
+    assert M._resize_pixels(small, 64, 64, "bilinear", np).shape \
+        == (10, 10, 1)
+    # nearest 2x downscale picks the pixel-center source: rows 1,3
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    got = M._resize_pixels(grid, 2, 2, "nearest", np)
+    assert got[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # bilinear 2x downscale of a 2x2-block image = block averages
+    blocks = np.zeros((4, 4, 1), np.uint8)
+    blocks[:2, :2] = 10
+    blocks[:2, 2:] = 20
+    blocks[2:, :2] = 30
+    blocks[2:, 2:] = 40
+    got = M._resize_pixels(blocks, 2, 2, "bilinear", np)
+    assert got[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+
+def test_transcode_images_through_map_in_pandas(spark):
+    """Mixed-format corpus in, thumbnail PNGs out: every golden decodes
+    and re-encodes to a valid PNG at the aspect-fit size (re-decoded
+    HERE to prove it); corrupt rows NULL out with a reason."""
+    import numpy as np
+
+    payloads = {
+        1: open(os.path.join(FIXTURES, "python.png"), "rb").read(),
+        2: open(os.path.join(FIXTURES, "python.jpg"), "rb").read(),
+        3: open(os.path.join(FIXTURES, "python.gif"), "rb").read(),
+        4: open(os.path.join(FIXTURES, "python.bmp"), "rb").read(),
+        5: open(os.path.join(FIXTURES, "python.tiff"), "rb").read(),
+        6: b"\x89PNG\r\n\x1a\nbroken",
+        7: b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+    }
+    df = spark.createDataFrame(
+        [(k, "image", v) for k, v in payloads.items()],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.transcode_images(df, 8, 8).collect()}
+    decode = M._make_png_decoder()
+    for mid in (1, 2, 3, 4, 5):
+        r = got[mid]
+        assert r["status"] == "ok" and (r["width"], r["height"]) == (8, 8)
+        w, h, ch, px = decode(bytes(r["payload"]))
+        assert (w, h) == (8, 8) and px.dtype == np.uint8
+        assert r["n_bytes_out"] == len(r["payload"])
+        assert r["n_bytes_in"] == len(payloads[mid])
+    assert got[6]["status"] == "corrupt" and got[6]["payload"] is None
+    assert got[7]["status"] == "unsupported: WebP"
+
+
+def test_transcode_preserves_content_not_just_shape():
+    """Downscaling the palette golden must average the real colors:
+    transcode the 16x16 golden to 8x8 and compare against a direct
+    block-average of the decoded source (bilinear at exactly 2x is the
+    2x2 block mean)."""
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    src = decode(open(os.path.join(FIXTURES, "python.png"), "rb").read())
+    px = src[3].astype(np.float64)
+    want = np.clip(np.rint(
+        (px[0::2, 0::2] + px[0::2, 1::2] + px[1::2, 0::2]
+         + px[1::2, 1::2]) / 4.0), 0, 255).astype(np.uint8)
+    got = M._resize_pixels(src[3], 8, 8, "bilinear", np)
+    assert (got == want).all()
