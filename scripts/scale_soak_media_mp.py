@@ -289,12 +289,19 @@ def main():
             # levels on average — codec loss, not decoder error
             assert err.mean() < 6.0, ("jpeg err", label, i, err.mean())
             jpgs.append(jpg)
-        for name, payloads, dec in [("png", pngs, "png"),
-                                    ("jpeg", jpgs, "jpeg")]:
-            plan = lambda d: mm.decode_media(d, decoder=dec)  # noqa: E731
+        plans = [
+            ("png", pngs,
+             lambda d: mm.decode_media(d, decoder="png"), "decoded_width"),
+            ("jpeg", jpgs,
+             lambda d: mm.decode_media(d, decoder="jpeg"), "decoded_width"),
+            # full transcode: decode + bilinear thumbnail + PNG encode
+            ("transcode-jpeg", jpgs,
+             lambda d: mm.transcode_images(d, 256, 256), "width"),
+        ]
+        for name, payloads, plan, ok_col in plans:
             df = corpus(spark, rows, payloads).repartition(ncores)
             timed_noop(plan(df))  # warm untimed
-            bad = plan(df).where(F.col("decoded_width").isNull()).count()
+            bad = plan(df).where(F.col(ok_col).isNull()).count()
             assert bad == 0, (name, label, bad)
             secs = min(timed_noop(plan(df)) for _ in range(2))
             per_mp_core = secs * ncores / (rows * mp)
