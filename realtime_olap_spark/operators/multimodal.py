@@ -2180,6 +2180,80 @@ def _resize_pixels(px, tw, th, method, np):
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def _make_exif_orientation_parser():
+    """Build the clean-room EXIF-orientation reader for JPEG payloads
+    (EXIF 2.x: APP1 segment tagged ``Exif\\0\\0`` carrying a TIFF IFD;
+    tag 274 = orientation 1..8). Returns 1 (normal) for anything it
+    cannot parse — missing APP1, truncated IFD, non-JPEG bytes — and
+    NEVER raises (per-row contract). Nested function, captured by
+    value (house rule)."""
+    import struct
+
+    def orientation(data):
+        try:
+            if not isinstance(data, (bytes, bytearray)):
+                return 1
+            data = bytes(data)
+            if len(data) < 4 or data[:2] != b"\xff\xd8":
+                return 1
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return 1
+                m = data[pos + 1]
+                if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                    pos += 2
+                    continue
+                if m in (0xDA, 0xD9):  # scan data / EOI: no EXIF ahead
+                    return 1
+                ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+                seg = data[pos + 4:pos + 2 + ln]
+                pos += 2 + ln
+                if m != 0xE1 or not seg.startswith(b"Exif\x00\x00"):
+                    continue
+                t = seg[6:]  # embedded TIFF
+                if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                    return 1
+                bo = "<" if t[:2] == b"II" else ">"
+                ifd = struct.unpack(bo + "I", t[4:8])[0]
+                n = struct.unpack(bo + "H", t[ifd:ifd + 2])[0]
+                for i in range(n):
+                    e = t[ifd + 2 + i * 12:ifd + 14 + i * 12]
+                    if len(e) != 12:
+                        return 1
+                    tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+                    if tag == 274 and typ == 3 and cnt >= 1:
+                        v = struct.unpack(bo + "H", e[8:10])[0]
+                        return v if 1 <= v <= 8 else 1
+                return 1
+            return 1
+        except (struct.error, IndexError, ValueError):
+            return 1
+
+    return orientation
+
+
+def _apply_exif_orientation(px, ori, np):
+    """Map EXIF orientation 1..8 to the numpy transform that renders
+    the pixels upright (EXIF 2.x table: 2=flip-H, 3=rot180, 4=flip-V,
+    5=transpose, 6=rot90 CW, 7=transverse, 8=rot90 CCW)."""
+    if ori == 2:
+        return px[:, ::-1]
+    if ori == 3:
+        return px[::-1, ::-1]
+    if ori == 4:
+        return px[::-1]
+    if ori == 5:
+        return px.transpose(1, 0, 2)
+    if ori == 6:
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if ori == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if ori == 8:
+        return px.transpose(1, 0, 2)[::-1]
+    return px
+
+
 TRANSCODED_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("media_type", StringType()),
@@ -2193,7 +2267,8 @@ TRANSCODED_SCHEMA = StructType([
 
 
 def transcode_images(df: DataFrame, target_w: int, target_h: int,
-                     method: str = "bilinear") -> DataFrame:
+                     method: str = "bilinear",
+                     apply_exif_orientation: bool = True) -> DataFrame:
     """REAL transcode pass (the thumbnailing step of a training-data
     pipeline): decode any carried image format (magic-byte routing),
     aspect-fit resize into the (target_w, target_h) box — never
@@ -2203,6 +2278,12 @@ def transcode_images(df: DataFrame, target_w: int, target_h: int,
     100 TB corpus pass completes whatever the input mix is; payload
     bytes never enter a shuffle (scan → scan shape).
 
+    JPEG rows honor their EXIF orientation tag by default (phone-camera
+    corpora are majority-rotated): the pixels are righted BEFORE the
+    fit, so the target box applies to the displayed geometry and the
+    PNG output needs no tag. ``apply_exif_orientation=False`` keeps
+    sensor order.
+
     Replaces the r4 metadata-only ``resize_images`` story with real
     pixels: output is re-decodable by any compliant PNG reader
     (the package's own decoder round-trips it bit-exactly — tested)."""
@@ -2211,6 +2292,9 @@ def transcode_images(df: DataFrame, target_w: int, target_h: int,
     codec = _make_auto_decoder()
     encode = _make_png_encoder()
     resize = _resize_pixels
+    exif = _make_exif_orientation_parser() if apply_exif_orientation \
+        else None
+    orient = _apply_exif_orientation
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2221,7 +2305,13 @@ def transcode_images(df: DataFrame, target_w: int, target_h: int,
             for payload in pdf["payload"]:
                 d = codec(payload)
                 if isinstance(d, tuple):
-                    px = resize(d[3], target_w, target_h, method, np)
+                    px = d[3]
+                    if exif is not None:
+                        ori = exif(payload)
+                        if ori != 1:
+                            px = np.ascontiguousarray(
+                                orient(px, ori, np))
+                    px = resize(px, target_w, target_h, method, np)
                     enc = encode(px)
                     outs.append(enc)
                     hs.append(px.shape[0])

@@ -1797,3 +1797,88 @@ def test_transcode_preserves_content_not_just_shape():
          + px[1::2, 1::2]) / 4.0), 0, 255).astype(np.uint8)
     got = M._resize_pixels(src[3], 8, 8, "bilinear", np)
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (phone-camera corpora are majority-rotated)
+# ---------------------------------------------------------------------------
+
+def _with_exif_orientation(jpeg_bytes, ori, byte_order=b"MM"):
+    """Insert a spec-layout APP1 Exif segment (TIFF IFD with tag 274)
+    right after SOI — independent of the parser under test."""
+    import struct
+
+    bo = ">" if byte_order == b"MM" else "<"
+    ifd = (struct.pack(bo + "H", 1)
+           + struct.pack(bo + "HHI", 274, 3, 1)
+           + struct.pack(bo + "H", ori) + b"\x00\x00"
+           + struct.pack(bo + "I", 0))
+    tiff = byte_order + struct.pack(bo + "HI", 42, 8) + ifd
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg_bytes[:2] + app1 + jpeg_bytes[2:]
+
+
+def test_exif_orientation_parser():
+    import itertools
+
+    parse = M._make_exif_orientation_parser()
+    base = open(os.path.join(FIXTURES, "python.jpg"), "rb").read()
+    assert parse(base) == 1  # golden carries no EXIF
+    for ori, bo in itertools.product(range(1, 9), (b"MM", b"II")):
+        assert parse(_with_exif_orientation(base, ori, bo)) == ori
+    # out-of-range value, garbage, and non-JPEG all default to 1
+    assert parse(_with_exif_orientation(base, 9)) == 1
+    assert parse(b"\xff\xd8\xff\xe1\x00\x04Ex") == 1
+    assert parse(b"not jpeg") == 1
+    assert parse(None) == 1
+
+
+def test_exif_orientation_transforms_are_inverses():
+    """Orienting by `ori` must undo the camera transform: composing
+    the EXIF table's forward transform with our renderer yields the
+    original pixels for every orientation 1..8."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # forward: how a sensor image ends up stored for each tag value
+    fwd = {
+        1: lambda p: p,
+        2: lambda p: p[:, ::-1],
+        3: lambda p: p[::-1, ::-1],
+        4: lambda p: p[::-1],
+        5: lambda p: p.transpose(1, 0, 2),
+        6: lambda p: p.transpose(1, 0, 2)[::-1],        # stored rot90 CCW
+        7: lambda p: p.transpose(1, 0, 2)[::-1, ::-1],
+        8: lambda p: p.transpose(1, 0, 2)[:, ::-1],     # stored rot90 CW
+    }
+    for ori, f in fwd.items():
+        stored = f(img)
+        righted = M._apply_exif_orientation(stored, ori, np)
+        assert (righted == img).all(), ori
+
+
+def test_transcode_honors_exif_orientation(spark):
+    """A rotated phone photo (orientation 6) transcodes UPRIGHT: the
+    output equals the transcode of the untagged image rotated 90° CW,
+    and the aspect fit applies to the displayed geometry; opting out
+    keeps sensor order."""
+    import numpy as np
+
+    base = open(os.path.join(FIXTURES, "python.jpg"), "rb").read()
+    decode = M._make_png_decoder()
+    jdec = M._make_jpeg_decoder()
+    tagged = _with_exif_orientation(base, 6)
+    df = spark.createDataFrame(
+        [(1, "image", tagged)],
+        "media_id long, media_type string, payload binary")
+    r = M.transcode_images(df, 16, 16, method="nearest").collect()[0]
+    assert r["status"] == "ok"
+    _, _, _, got = decode(bytes(r["payload"]))
+    want = jdec(base)[3].transpose(1, 0, 2)[:, ::-1]  # rot90 CW
+    assert (got == want).all()
+    r2 = M.transcode_images(df, 16, 16, method="nearest",
+                            apply_exif_orientation=False).collect()[0]
+    _, _, _, raw = decode(bytes(r2["payload"]))
+    assert (raw == jdec(base)[3]).all()
