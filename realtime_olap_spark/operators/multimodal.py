@@ -1850,14 +1850,16 @@ def _make_bmff_prober():
     rule).
 
     Returns ``(major_brand, duration_ms, width, height, video_codec,
-    audio_codec, track_count)`` on success — dims from the first video
-    track's ``tkhd`` (16.16 fixed point), duration preferring ``mvhd``
-    (movie timescale) and falling back to the longest track's ``mdhd``,
-    codec fourccs from each handler's first ``stsd`` sample entry —
-    ``None`` for malformed boxes (sizes inconsistent, truncated moov,
-    missing mvhd) and ``"unsupported: not ISO-BMFF"`` for payloads
-    without a leading ``ftyp``: the shared three-valued contract, so a
-    corrupt container NULLs its row instead of killing the corpus job.
+    audio_codec, track_count, frame_count)`` on success — dims from
+    the first video track's ``tkhd`` (16.16 fixed point), duration
+    preferring ``mvhd`` (movie timescale) and falling back to the
+    longest track's ``mdhd``, codec fourccs from each handler's first
+    ``stsd`` sample entry, frame count = the video track's ``stts``
+    sample total (NULL when the table is absent) — ``None`` for
+    malformed boxes (sizes inconsistent, truncated moov, missing mvhd)
+    and ``"unsupported: not ISO-BMFF"`` for payloads without a leading
+    ``ftyp``: the shared three-valued contract, so a corrupt container
+    NULLs its row instead of killing the corpus job.
 
     Reference analog: the reference engine stores BYTES opaque with no
     container introspection at all (SURVEY.md §1.3); this is the
@@ -1923,7 +1925,7 @@ def _make_bmff_prober():
                 elif typ == b"trak":
                     handler = fourcc = None
                     tw = th = 0
-                    dur_ms = None
+                    dur_ms = nsamples = None
                     for t2, c0, c1 in boxes(data, b0, b1):
                         if t2 == b"tkhd":
                             v, p = fullbox(data, c0)
@@ -1959,16 +1961,35 @@ def _make_bmff_prober():
                                             continue
                                         for t5, f0, f1 in boxes(
                                                 data, e0, e1):
-                                            if t5 != b"stsd":
-                                                continue
-                                            _, p = fullbox(data, f0)
-                                            n = struct.unpack(
-                                                ">I", data[p:p + 4])[0]
-                                            if n >= 1 and p + 12 <= f1:
-                                                fourcc = data[
-                                                    p + 8:p + 12].decode(
-                                                    "ascii", "replace")
-                    tracks.append((handler, tw, th, fourcc, dur_ms))
+                                            if t5 == b"stsd":
+                                                _, p = fullbox(data, f0)
+                                                n = struct.unpack(
+                                                    ">I",
+                                                    data[p:p + 4])[0]
+                                                if n >= 1 and \
+                                                        p + 12 <= f1:
+                                                    fourcc = data[
+                                                        p + 8:p + 12] \
+                                                        .decode("ascii",
+                                                                "replace")
+                                            elif t5 == b"stts":
+                                                # sum of per-entry
+                                                # sample counts
+                                                _, p = fullbox(data, f0)
+                                                ne = struct.unpack(
+                                                    ">I",
+                                                    data[p:p + 4])[0]
+                                                if p + 4 + 8 * ne > f1:
+                                                    return None
+                                                nsamples = sum(
+                                                    struct.unpack(
+                                                        ">I", data[
+                                                            p + 4 + 8 * j:
+                                                            p + 8 + 8 * j]
+                                                    )[0]
+                                                    for j in range(ne))
+                    tracks.append((handler, tw, th, fourcc, dur_ms,
+                                   nsamples))
             if not tracks and mvhd_ms is None:
                 return None
             vid = next((t for t in tracks if t[0] == "vide"), None)
@@ -1980,7 +2001,75 @@ def _make_bmff_prober():
             return (brand, dur,
                     vid[1] if vid else None, vid[2] if vid else None,
                     vid[3] if vid else None, aud[3] if aud else None,
-                    len(tracks))
+                    len(tracks), vid[5] if vid else None)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return probe
+
+
+def _make_gif_prober():
+    """Build the clean-room GIF ANIMATION prober (GIF89a spec):
+    metadata-only block walk — logical-screen dims, frame count (image
+    descriptors), total duration (graphic-control delays, centiseconds
+    → ms) — without running LZW, so cost is O(block headers), not
+    O(pixels). Returns the same tuple shape as the BMFF prober with
+    ``major_brand`` = the GIF version and ``video_codec`` = 'gif';
+    ``None`` for malformed streams, ``"unsupported: not GIF"``
+    otherwise. Nested function, captured by value (house rule)."""
+    import struct
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+            return "unsupported: not GIF"
+        try:
+            sw, sh = struct.unpack("<HH", data[6:10])
+            flags = data[10]
+            pos = 13
+            if flags & 0x80:
+                pos += 3 * (2 << (flags & 7))
+            frames, total_ms = 0, 0
+            while pos < len(data):
+                b = data[pos]
+                if b == 0x3B:  # trailer
+                    break
+                if b == 0x21:  # extension: walk sub-blocks
+                    label = data[pos + 1]
+                    pos += 2
+                    while data[pos]:
+                        ln = data[pos]
+                        blk = data[pos + 1:pos + 1 + ln]
+                        if len(blk) != ln:
+                            return None
+                        if label == 0xF9 and ln >= 3:
+                            total_ms += struct.unpack(
+                                "<H", blk[1:3])[0] * 10
+                        pos += 1 + ln
+                    pos += 1
+                elif b == 0x2C:  # image descriptor
+                    if pos + 10 > len(data):
+                        return None
+                    frames += 1
+                    ifl = data[pos + 9]
+                    pos += 10
+                    if ifl & 0x80:
+                        pos += 3 * (2 << (ifl & 7))
+                    pos += 1  # LZW min code size
+                    while pos < len(data) and data[pos]:
+                        pos += 1 + data[pos]
+                    if pos >= len(data):
+                        return None
+                    pos += 1
+                else:
+                    return None
+            if frames == 0:
+                return None
+            return (data[:6].decode("ascii"),
+                    total_ms if total_ms else None,
+                    int(sw), int(sh), "gif", None, 1, frames)
         except (struct.error, IndexError, ValueError):
             return None
 
@@ -1997,27 +2086,51 @@ PROBE_SCHEMA = StructType([
     StructField("video_codec", StringType()),
     StructField("audio_codec", StringType()),
     StructField("track_count", LongType()),
+    StructField("frame_count", LongType()),
     StructField("n_bytes", LongType()),
 ])
 
 
-def probe_media(df: DataFrame, with_status: bool = False) -> DataFrame:
-    """Container-metadata probe over opaque video payloads: ISO-BMFF box
-    walk (:func:`_make_bmff_prober`) through ``mapInPandas`` — per row
-    the major brand, movie duration, first-video-track dims and codec
-    fourcc, first-audio-track codec, and track count. Metadata-only: no
-    frame decode, no ``mdat`` scan, so the per-row cost is bounded by
-    the ``moov`` size regardless of payload bytes. Rows that aren't
-    ISO-BMFF (or whose boxes are malformed) NULL out;
+def probe_media(df: DataFrame, with_status: bool = False,
+                container: str = "auto") -> DataFrame:
+    """Container-metadata probe over opaque video/animation payloads
+    through ``mapInPandas`` — per row the brand/version, duration,
+    first-video-track dims and codec fourcc, first-audio-track codec,
+    track count and frame count. ``container`` picks the walk:
+    ``'bmff'`` (ISO-BMFF box walk, :func:`_make_bmff_prober`),
+    ``'gif'`` (GIF89a animation block walk,
+    :func:`_make_gif_prober`), or ``'auto'`` (per-row magic routing
+    across both). Metadata-only: no frame decode, no ``mdat``/LZW
+    scan, so the per-row cost is bounded by the header size regardless
+    of payload bytes. Unrecognized/malformed rows NULL out;
     ``with_status=True`` appends the ok/corrupt/unsupported reason —
     the same contract as :func:`decode_media`/:func:`decode_audio`."""
-    prober = _make_bmff_prober()  # driver-built, captured by value
+    if container not in ("auto", "bmff", "gif"):
+        raise ValueError(f"container must be auto|bmff|gif: {container!r}")
+    bmff = _make_bmff_prober() if container in ("auto", "bmff") else None
+    gif = _make_gif_prober() if container in ("auto", "gif") else None
+
+    def prober(payload):
+        if container == "bmff":
+            return bmff(payload)
+        if container == "gif":
+            return gif(payload)
+        if isinstance(payload, (bytes, bytearray)):
+            head = bytes(payload[:12])
+            if head[:6] in (b"GIF87a", b"GIF89a"):
+                return gif(payload)
+            if len(head) >= 8 and head[4:8] == b"ftyp":
+                return bmff(payload)
+            return "unsupported: unrecognized container"
+        return None
+
     schema = PROBE_SCHEMA
     if with_status:
         schema = StructType(PROBE_SCHEMA.fields
                             + [StructField("status", StringType())])
     field_names = ("major_brand", "duration_ms", "width", "height",
-                   "video_codec", "audio_codec", "track_count")
+                   "video_codec", "audio_codec", "track_count",
+                   "frame_count")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2044,6 +2157,8 @@ def probe_media(df: DataFrame, with_status: bool = False) -> DataFrame:
                 "video_codec": cols["video_codec"],
                 "audio_codec": cols["audio_codec"],
                 "track_count": pd.array(cols["track_count"],
+                                        dtype="Int64"),
+                "frame_count": pd.array(cols["frame_count"],
                                         dtype="Int64"),
                 "n_bytes": pd.array(
                     [len(b) if b is not None else None

@@ -1430,14 +1430,22 @@ def _assemble_probe_mp4():
         entry = box(fourcc, b"\x00" * 8)  # minimal sample entry stub
         return full(b"stsd", 0, struct.pack(">I", 1) + entry)
 
-    def trak(tk, md, handler, fourcc):
-        stbl = box(b"stbl", stsd(fourcc))
+    def stts(entries):
+        return full(b"stts", 0, struct.pack(">I", len(entries))
+                    + b"".join(struct.pack(">II", c, d)
+                               for c, d in entries))
+
+    def trak(tk, md, handler, fourcc, timing=None):
+        stbl = box(b"stbl", stsd(fourcc)
+                   + (stts(timing) if timing else b""))
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", md + hdlr(handler) + minf)
         return box(b"trak", tk + mdia)
 
+    # 90 video samples: two stts runs (60 + 30) summing to the mdhd
+    # duration 90000 at timescale 30000
     video = trak(tkhd(0, 1, 640, 360), mdhd(0, 30000, 90000),
-                 b"vide", b"avc1")
+                 b"vide", b"avc1", timing=[(60, 1000), (30, 1000)])
     audio = trak(tkhd(1, 2, 0, 0), mdhd(1, 48000, 144000),
                  b"soun", b"mp4a")
     moov = box(b"moov", mvhd + video + audio)
@@ -1457,7 +1465,8 @@ def test_probe_mp4_fixture_matches_assembler():
 def test_probe_mp4_golden_metadata():
     probe = M._make_bmff_prober()
     data = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
-    assert probe(data) == ("isom", 3000, 640, 360, "avc1", "mp4a", 2)
+    assert probe(data) == ("isom", 3000, 640, 360, "avc1", "mp4a",
+                           2, 90)
     # non-BMFF payloads are named, not corrupt
     assert probe(b"\x89PNG\r\n\x1a\n" + b"x" * 20) \
         == "unsupported: not ISO-BMFF"
@@ -1492,10 +1501,10 @@ def test_probe_media_through_map_in_pandas(spark):
     r1 = got[1]
     assert (r1["major_brand"], r1["duration_ms"], r1["width"],
             r1["height"], r1["video_codec"], r1["audio_codec"],
-            r1["track_count"]) == ("isom", 3000, 640, 360,
-                                   "avc1", "mp4a", 2)
+            r1["track_count"], r1["frame_count"]) \
+        == ("isom", 3000, 640, 360, "avc1", "mp4a", 2, 90)
     assert r1["status"] == "ok" and r1["n_bytes"] == len(data)
-    assert got[2]["status"] == "unsupported: not ISO-BMFF"
+    assert got[2]["status"] == "unsupported: unrecognized container"
     assert got[2]["duration_ms"] is None
     # ftyp present but moov truncated away -> corrupt
     assert got[3]["status"] == "corrupt"
@@ -1882,3 +1891,48 @@ def test_transcode_honors_exif_orientation(spark):
                             apply_exif_orientation=False).collect()[0]
     _, _, _, raw = decode(bytes(r2["payload"]))
     assert (raw == jdec(base)[3]).all()
+
+
+def test_probe_gif_animation_metadata():
+    """GIF probing: the single-frame external golden reports 1 frame
+    at its LSD dims; a spec-assembled 3-frame animation reports frame
+    count and the summed graphic-control delays; truncation/garbage
+    keep the contract."""
+    import struct
+
+    probe = M._make_gif_prober()
+    golden = open(os.path.join(FIXTURES, "python.gif"), "rb").read()
+    assert probe(golden) == ("GIF89a", None, 16, 16, "gif", None, 1, 1)
+
+    def frame(w, h, delay_cs):
+        gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        # 2-bit LZW: one sub-block with CLEAR+index0+EOI fits a byte
+        lzw = b"\x02\x02\x44\x01\x00"
+        return gce + desc + lzw
+
+    anim = (b"GIF89a" + struct.pack("<HH", 4, 3)
+            + b"\x80\x00\x00"              # GCT flag, 2 entries
+            + b"\x00\x00\x00\xff\xff\xff"  # the 2-entry GCT
+            + frame(4, 3, 10) + frame(4, 3, 20) + frame(4, 3, 30)
+            + b"\x3b")
+    assert probe(anim) == ("GIF89a", 600, 4, 3, "gif", None, 1, 3)
+    for k in range(len(anim) + 1):
+        _assert_contract(probe, anim[:k], f"gif-anim trunc@{k}")
+    assert probe(b"not gif") == "unsupported: not GIF"
+
+
+def test_probe_media_auto_routes_gif_and_bmff(spark):
+    golden = open(os.path.join(FIXTURES, "python.gif"), "rb").read()
+    mp4 = open(os.path.join(FIXTURES, "probe.mp4"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "video", mp4), (2, "image", golden), (3, "image", b"??")],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.probe_media(df, with_status=True).collect()}
+    assert (got[1]["major_brand"], got[1]["frame_count"]) == ("isom", 90)
+    assert (got[2]["major_brand"], got[2]["width"], got[2]["height"],
+            got[2]["frame_count"], got[2]["video_codec"]) \
+        == ("GIF89a", 16, 16, 1, "gif")
+    assert got[3]["status"] == "unsupported: unrecognized container"
