@@ -65,6 +65,16 @@ DECODED_SCHEMA = StructType([
 
 FEATURE_BINS = 16
 
+#: Decode-side zip-bomb guard: an image DECLARING more pixels than this
+#: is refused with an ``"unsupported: image too large"`` reason BEFORE
+#: any pixel buffer is allocated or byte stream inflated. 16-bit dims
+#: allow a crafted 65535x65535 header (4.3 G pixels -> tens of GB of
+#: executor memory) inside a kilobyte-sized file; at corpus scale one
+#: such file must cost a NULL row, not an executor OOM. 2^26 = 67 MP
+#: covers every real photograph (a 100 MP medium-format file is rarer
+#: than the attack).
+MAX_DECODE_PIXELS = 1 << 26
+
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -98,7 +108,7 @@ def media_view(documents: DataFrame) -> DataFrame:
 # Decode (PNG: real pure-Python codec; other formats stubbed)
 # ---------------------------------------------------------------------------
 
-def _make_png_decoder():
+def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room PNG decoder (PNG spec / RFC 2083: chunk
     stream → IHDR dims → concatenated-IDAT zlib inflate → per-scanline
     defilter → palette expansion). Returned as a NESTED function so
@@ -181,11 +191,29 @@ def _make_png_decoder():
         if ctype == 3 and plte is None:
             return None  # palette image without PLTE is malformed
         ch = CHANNELS[ctype]
-        try:
-            raw = zlib.decompress(b"".join(idat))
-        except zlib.error:
-            return None
         if w == 0 or h == 0:
+            return None
+        if w * h > max_pixels:
+            return f"unsupported: image too large ({w}x{h})"
+        # expected inflated size, computed BEFORE inflating: the bound
+        # turns a crafted high-ratio IDAT (a kilobyte declaring small
+        # dims but inflating to gigabytes) into a cheap reject instead
+        # of an executor OOM
+        if interlace == 0:
+            expected = (w * ch + 1) * h
+        else:
+            expected = sum((((w - x0 + dx - 1) // dx) * ch + 1)
+                           * ((h - y0 + dy - 1) // dy)
+                           for x0, y0, dx, dy in
+                           ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                            (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                            (0, 1, 1, 2))
+                           if (w - x0 + dx - 1) // dx > 0
+                           and (h - y0 + dy - 1) // dy > 0)
+        try:
+            raw = zlib.decompressobj().decompress(
+                b"".join(idat), expected + 1)
+        except zlib.error:
             return None
 
         def defilter(block, ww, hh):
@@ -294,7 +322,7 @@ def _make_png_decoder():
     return decode
 
 
-def _make_tiff_decoder():
+def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room baseline-TIFF decoder (public TIFF 6.0 spec:
     II/MM byte orders, first IFD, strip-organized 8-bit samples;
     uncompressed and PackBits; photometric gray (0/1, incl. the
@@ -356,6 +384,11 @@ def _make_tiff_decoder():
             h = tags.get(257, (0,))[0]
             if w == 0 or h == 0:
                 return None
+            if w * h > max_pixels:
+                # BEFORE PackBits expansion: a crafted 65535x65535
+                # header would otherwise make unpackbits build a
+                # multi-GB buffer from a repeated-run strip
+                return f"unsupported: image too large ({w}x{h})"
             comp = tags.get(259, (1,))[0]
             photo = tags.get(262, (1,))[0]
             spp = tags.get(277, (1,))[0]
@@ -846,7 +879,7 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
     return df.mapInPandas(batches, schema=schema)
 
 
-def _make_gif_decoder():
+def _make_gif_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room GIF decoder (public GIF87a/89a spec: logical
     screen descriptor → color tables → LZW-compressed index stream →
     palette expansion; first image frame of an animation). Nested
@@ -952,6 +985,9 @@ def _make_gif_decoder():
                     pos += 3 * n
                 if pal is None or w == 0 or h == 0:
                     return None
+                if w * h > max_pixels:
+                    # before the LZW index list is grown to w*h
+                    return f"unsupported: image too large ({w}x{h})"
                 min_code = data[pos]
                 pos += 1
                 if not (2 <= min_code <= 11):
@@ -989,7 +1025,7 @@ def _make_gif_decoder():
     return decode
 
 
-def _make_bmp_decoder():
+def _make_bmp_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room BMP decoder (public BITMAPINFOHEADER family:
     V1/V4/V5 headers; 8-bit palette, 24-bit BGR and 32-bit BGRA/
     BI_BITFIELDS pixels; bottom-up and top-down rows; 4-byte row
@@ -1018,6 +1054,8 @@ def _make_bmp_decoder():
             h = abs(h)
             if w <= 0 or h == 0:
                 return None
+            if w * h > max_pixels:
+                return f"unsupported: image too large ({w}x{h})"
             if comp in (1, 2):
                 return "unsupported: RLE-compressed BMP"
             if comp not in (0, 3) or bpp not in (8, 24, 32):
@@ -1075,7 +1113,7 @@ def _make_bmp_decoder():
     return decode
 
 
-def _make_jpeg_decoder():
+def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room JPEG decoder (public ITU T.81 / JFIF spec:
     marker segments → quant/Huffman tables → per-scan entropy decode
     into per-component COEFFICIENT arrays → dequant → vectorized 2-D
@@ -1589,6 +1627,10 @@ def _make_jpeg_decoder():
                         return f"unsupported: {nc}-component image"
                     if w == 0 or h == 0:
                         return None
+                    if w * h > max_pixels:
+                        # before the per-component coefficient grids
+                        # (64 ints per 8x8 block) are allocated
+                        return f"unsupported: image too large ({w}x{h})"
                     comps = []
                     for ci in range(nc):
                         cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
@@ -1692,7 +1734,7 @@ def _make_jpeg_decoder():
     return decode
 
 
-def _make_auto_decoder():
+def _make_auto_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Route each payload to the right image codec by its MAGIC BYTES —
     real web-corpus media columns are mixed-format, so the practical
     decode pass sniffs per row inside ONE mapInPandas instead of asking
@@ -1708,11 +1750,11 @@ def _make_auto_decoder():
     for genuinely unknown magic). Each routed codec then applies its
     own three-valued contract."""
     codecs = {
-        "png": _make_png_decoder(),
-        "jpeg": _make_jpeg_decoder(),
-        "gif": _make_gif_decoder(),
-        "bmp": _make_bmp_decoder(),
-        "tiff": _make_tiff_decoder(),
+        "png": _make_png_decoder(max_pixels),
+        "jpeg": _make_jpeg_decoder(max_pixels),
+        "gif": _make_gif_decoder(max_pixels),
+        "bmp": _make_bmp_decoder(max_pixels),
+        "tiff": _make_tiff_decoder(max_pixels),
     }
 
     AVIF_BRANDS = (b"avif", b"avis")
@@ -1751,7 +1793,8 @@ def _make_auto_decoder():
 
 
 def decode_media(df: DataFrame, decoder: str = "real",
-                 with_status: bool = False) -> DataFrame:
+                 with_status: bool = False,
+                 max_pixels: int = MAX_DECODE_PIXELS) -> DataFrame:
     """Decode payloads via ``mapInPandas``:
 
     - ``decoder='png'`` / ``'jpeg'`` / ``'gif'`` / ``'bmp'`` /
@@ -1784,11 +1827,12 @@ def decode_media(df: DataFrame, decoder: str = "real",
             ) from exc
     if decoder in ("png", "jpeg", "gif", "bmp", "tiff", "auto"):
         if decoder == "auto":
-            codec = _make_auto_decoder()  # magic-byte router
+            codec = _make_auto_decoder(max_pixels)  # magic-byte router
         else:
             codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
                      "gif": _make_gif_decoder, "bmp": _make_bmp_decoder,
-                     "tiff": _make_tiff_decoder}[decoder]()  # driver-built
+                     "tiff": _make_tiff_decoder}[decoder](
+                max_pixels)  # driver-built
         schema = DECODED_SCHEMA
         if with_status:
             schema = StructType(DECODED_SCHEMA.fields
@@ -2383,7 +2427,8 @@ TRANSCODED_SCHEMA = StructType([
 
 def transcode_images(df: DataFrame, target_w: int, target_h: int,
                      method: str = "bilinear",
-                     apply_exif_orientation: bool = True) -> DataFrame:
+                     apply_exif_orientation: bool = True,
+                     max_pixels: int = MAX_DECODE_PIXELS) -> DataFrame:
     """REAL transcode pass (the thumbnailing step of a training-data
     pipeline): decode any carried image format (magic-byte routing),
     aspect-fit resize into the (target_w, target_h) box — never
@@ -2404,7 +2449,7 @@ def transcode_images(df: DataFrame, target_w: int, target_h: int,
     (the package's own decoder round-trips it bit-exactly — tested)."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"method must be nearest|bilinear: {method!r}")
-    codec = _make_auto_decoder()
+    codec = _make_auto_decoder(max_pixels)
     encode = _make_png_encoder()
     resize = _resize_pixels
     exif = _make_exif_orientation_parser() if apply_exif_orientation \

@@ -1936,3 +1936,109 @@ def test_probe_media_auto_routes_gif_and_bmff(spark):
             got[2]["frame_count"], got[2]["video_codec"]) \
         == ("GIF89a", 16, 16, 1, "gif")
     assert got[3]["status"] == "unsupported: unrecognized container"
+
+
+# ---------------------------------------------------------------------------
+# Decompression-bomb guards: a crafted kilobyte must never cost
+# gigabytes of executor memory (MAX_DECODE_PIXELS + bounded inflate)
+# ---------------------------------------------------------------------------
+
+def test_zip_bomb_guards_reject_huge_declared_dims():
+    """65535x65535 headers (4.3 G pixels from 16/32-bit dim fields) in
+    each format are refused with a NAMED reason before any pixel
+    buffer is allocated — and quickly (the whole sweep must run in
+    well under a second)."""
+    import struct
+    import time
+    import zlib
+
+    t0 = time.time()
+    big = "unsupported: image too large (65535x65535)"
+    # PNG
+    png_dec = M._make_png_decoder()
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+           + chunk(b"IEND", b""))
+    assert png_dec(png) == big
+    # JPEG (SOF dims are 16-bit)
+    jpg = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    jpg += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    jpg += b"\xff\xd9"
+    assert M._make_jpeg_decoder()(bytes(jpg)) == big
+    # GIF (image descriptor dims)
+    gif = (b"GIF89a" + struct.pack("<HH", 65535, 65535) + b"\x80\x00\x00"
+           + b"\x00\x00\x00\xff\xff\xff"
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 65535, 65535)
+           + b"\x00\x02\x01\x00\x00")
+    assert M._make_gif_decoder()(gif) == big
+    # BMP (32-bit dims)
+    bmp = bytearray(b"BM" + b"\x00" * 52)
+    bmp[10:14] = struct.pack("<I", 54)
+    bmp[14:18] = struct.pack("<I", 40)
+    bmp[18:26] = struct.pack("<ii", 65535, 65535)
+    bmp[26:28] = struct.pack("<H", 1)
+    bmp[28:30] = struct.pack("<H", 24)
+    assert M._make_bmp_decoder()(bytes(bmp)) == big
+    # TIFF (the PackBits expansion bomb: repeated-run strips)
+    def tag(t, typ, cnt, val):
+        return struct.pack("<HHII", t, typ, cnt, val)
+
+    entries = (tag(256, 4, 1, 65535) + tag(257, 4, 1, 65535)
+               + tag(258, 3, 1, 8) + tag(259, 3, 1, 32773)
+               + tag(262, 3, 1, 1) + tag(273, 4, 1, 200)
+               + tag(277, 3, 1, 1) + tag(279, 4, 1, 4))
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 8) + entries + struct.pack("<I", 0))
+    tiff = tiff.ljust(200, b"\x00") + b"\x81\x00\x81\x00"  # run bomb
+    assert M._make_tiff_decoder()(tiff) == big
+    # the guard must be CHEAP — this is the whole point
+    assert time.time() - t0 < 1.0
+
+
+def test_png_inflate_bomb_is_bounded():
+    """A PNG declaring SMALL dims whose IDAT inflates far past the
+    expected stream (the classic high-ratio bomb) is rejected by the
+    bounded inflate without materializing the payload: 4x4 dims with
+    a 100 MB-inflating IDAT must reject in milliseconds."""
+    import struct
+    import time
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    bomb = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)  # ~100 KB
+    assert len(bomb) < 1024 * 1024
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    t0 = time.time()
+    assert M._make_png_decoder()(png) is None
+    assert time.time() - t0 < 0.2
+
+
+def test_max_pixels_override_and_normal_files_unaffected(spark):
+    """All goldens decode under the default guard; a tiny override
+    refuses them with the named reason through the Spark path."""
+    payloads = {
+        1: open(os.path.join(FIXTURES, "python.png"), "rb").read(),
+        2: open(os.path.join(FIXTURES, "python.jpg"), "rb").read(),
+    }
+    df = spark.createDataFrame(
+        [(k, "image", v) for k, v in payloads.items()],
+        "media_id long, media_type string, payload binary")
+    ok = {r["media_id"]: r["status"] for r in M.decode_media(
+        df, decoder="auto", with_status=True).collect()}
+    assert ok == {1: "ok", 2: "ok"}
+    tiny = {r["media_id"]: r["status"] for r in M.decode_media(
+        df, decoder="auto", with_status=True, max_pixels=64).collect()}
+    assert tiny == {1: "unsupported: image too large (16x16)",
+                    2: "unsupported: image too large (16x16)"}
