@@ -431,3 +431,53 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     by_id = {r[0]: r for r in got}
     assert by_id[2][2:4] == (16, 16) and by_id[2][-1] == "ok"
     assert by_id[3][-1] == "corrupt"
+
+
+def test_streaming_transcode_probe_audio_match_batch(spark, tmp_path):
+    """The r11 media operators (transcode_images, probe_media,
+    decode_audio decoder='auto') are stateless mapInPandas passes too:
+    an availableNow drain over a mixed stream — including NULL
+    payloads, the r10 bug class — equals the batch result
+    row-for-row."""
+    import os as _os
+
+    from realtime_olap_spark.operators.multimodal import (decode_audio,
+                                                          probe_media,
+                                                          transcode_images)
+    from tests.test_multimodal import FIXTURES
+
+    rows = [
+        (1, "image", open(_os.path.join(FIXTURES, "python.jpg"),
+                          "rb").read()),
+        (2, "video", open(_os.path.join(FIXTURES, "probe.mp4"),
+                          "rb").read()),
+        (3, "image", open(_os.path.join(FIXTURES, "python.gif"),
+                          "rb").read()),
+        (4, "audio", open(_os.path.join(FIXTURES, "pluck-ulaw.au"),
+                          "rb").read()),
+        (5, "audio", open(_os.path.join(FIXTURES, "pluck-pcm16.aiff"),
+                          "rb").read()),
+        (6, "image", b"corrupt bytes"),
+        (7, "image", None),
+    ]
+    src = str(tmp_path / "src")
+    mdf = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary")
+    mdf.coalesce(1).write.parquet(src)
+
+    for name, op in [
+            ("transcode", lambda d: transcode_images(d, 8, 8)),
+            ("probe", lambda d: probe_media(d, with_status=True)),
+            ("audio", lambda d: decode_audio(d, decoder="auto",
+                                             with_status=True))]:
+        want = sorted(map(tuple, op(spark.read.parquet(src)).collect()))
+        stream = (spark.readStream.schema(mdf.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = str(tmp_path / f"sink_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        q = (op(stream).writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        assert got == want and len(got) == 7, name
