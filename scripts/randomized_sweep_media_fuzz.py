@@ -104,18 +104,46 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "mp4": mm._make_bmff_prober()}
     img_auto = mm._make_auto_decoder()
     aud_auto = mm._make_audio_auto_decoder()
+    exif = mm._make_exif_orientation_parser()
+    png_enc = mm._make_png_encoder()
+
+    def transcode(data):
+        """The full transcode closure (decode -> EXIF-orient -> resize
+        -> PNG-encode -> re-decode): a mutated payload that still
+        DECODES must also survive the downstream stages — this guards
+        the stages the plain decoder contract doesn't reach."""
+        import numpy as np
+        d = img_auto(data)
+        if not isinstance(d, tuple):
+            return d
+        px = d[3]
+        ori = exif(data)
+        if ori != 1:
+            px = np.ascontiguousarray(
+                mm._apply_exif_orientation(px, ori, np))
+        px = mm._resize_pixels(px, 64, 64, "bilinear", np)
+        out = png_enc(px)
+        r = decoders["png"](out)
+        assert isinstance(r, tuple), "re-decode of own encode failed"
+        return r
     payloads = [(fmt, name,
                  open(os.path.join(FIXTURES, name), "rb").read())
                 for fmt, names in GOLDENS.items() for name in names]
     failures = 0
+    cases = 0
     t0 = time.time()
     for seed in range(base_seed, base_seed + n_seeds):
         rnd = random.Random(f"media-fuzz-{seed}")
         fmt, name, data = payloads[rnd.randrange(len(payloads))]
         _, _, other = payloads[rnd.randrange(len(payloads))]
         mutated = _mutate(rnd, data, other)
-        auto = aud_auto if fmt in ("wav", "aiff", "au") else img_auto
-        for dname, dec in (fmt, decoders[fmt]), ("auto", auto):
+        audio = fmt in ("wav", "aiff", "au")
+        auto = aud_auto if audio else img_auto
+        checks = [(fmt, decoders[fmt]), ("auto", auto)]
+        if not audio and fmt != "mp4":
+            checks.append(("transcode", transcode))
+        for dname, dec in checks:
+            cases += 1
             try:
                 r = dec(mutated)
             except Exception as exc:  # noqa: BLE001 - the contract
@@ -131,7 +159,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                       f"-> {type(r).__name__}: {r!r}", file=sys.stderr)
     dt = time.time() - t0
     print(f"media-fuzz sweep: seeds={base_seed}..{base_seed + n_seeds - 1} "
-          f"cases={n_seeds * 2} failures={failures} elapsed={dt:.1f}s")
+          f"cases={cases} failures={failures} elapsed={dt:.1f}s")
     return 1 if failures else 0
 
 
