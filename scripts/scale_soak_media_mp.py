@@ -246,6 +246,50 @@ def make_photo_png(w, h, seed):
     return png, px
 
 
+def make_photo_gif(w, h, seed):
+    """Grayscale photo-like GIF (256-entry gray palette). Independent
+    literal-code LZW writer: one 8-bit literal per pixel after an
+    initial CLEAR — a valid GIF89a stream whose decode cost is one
+    dictionary step per pixel, representative of real LZW work.
+    Returns (bytes, source_pixels)."""
+    img = np.clip(np.rint(photo_field(w, h, seed)), 0,
+                  255).astype(np.uint8)
+    out = bytearray()
+    acc = nbits = 0
+    width, next_code, first = 9, 258, True
+
+    def put(c, w_):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += w_
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(256, width)  # CLEAR
+    for v in img.reshape(-1).tolist():
+        put(int(v), width)
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    put(257, width)  # EOI
+    if nbits:
+        out.append(acc & 0xFF)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    sub = bytearray()
+    for i in range(0, len(out), 255):
+        blk = out[i:i + 255]
+        sub += bytes([len(blk)]) + blk
+    gif = (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x87, 0, 0])
+           + gct + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0, 8]) + bytes(sub) + b"\x00\x3b")
+    return gif, img
+
+
 def corpus(spark, n_rows, payloads):
     arr = F.array(*[F.lit(p) for p in payloads])
     return (spark.range(n_rows)
@@ -272,9 +316,10 @@ def main():
     png_dec = mm._make_png_decoder()
     jpg_dec = mm._make_jpeg_decoder()
 
+    gif_dec = mm._make_gif_decoder()
     for label, w, h, rows in sizes:
         mp = w * h / 1e6
-        pngs, jpgs = [], []
+        pngs, jpgs, gifs = [], [], []
         for i in range(K):
             png, src = make_photo_png(w, h, 7 * i + 1)
             got = png_dec(png)
@@ -289,11 +334,18 @@ def main():
             # levels on average — codec loss, not decoder error
             assert err.mean() < 6.0, ("jpeg err", label, i, err.mean())
             jpgs.append(jpg)
+            gif, src = make_photo_gif(w, h, 13 * i + 5)
+            got = gif_dec(gif)
+            assert isinstance(got, tuple) and \
+                (got[3][:, :, 0] == src).all(), ("gif verify", label, i)
+            gifs.append(gif)
         plans = [
             ("png", pngs,
              lambda d: mm.decode_media(d, decoder="png"), "decoded_width"),
             ("jpeg", jpgs,
              lambda d: mm.decode_media(d, decoder="jpeg"), "decoded_width"),
+            ("gif", gifs,
+             lambda d: mm.decode_media(d, decoder="gif"), "decoded_width"),
             # full transcode: decode + bilinear thumbnail + PNG encode
             ("transcode-jpeg", jpgs,
              lambda d: mm.transcode_images(d, 256, 256), "width"),
