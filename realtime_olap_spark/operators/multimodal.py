@@ -116,15 +116,20 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     that module-level package functions must never be referenced from
     executors.
 
-    Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB, palette,
-    gray+alpha, RGBA), both non-interlaced and Adam7-interlaced (PNG
-    spec 8.2: seven sub-images, each filtered as its own scanline run,
-    scattered back on the fixed offset/step grid — empty passes
-    contribute no bytes). Palette images (ctype 3) are
-    expanded through the ``PLTE`` chunk to RGB — or RGBA when a
-    ``tRNS`` chunk supplies per-entry alpha (entries beyond the tRNS
-    length are opaque, per spec); a tRNS color-key on ctype 0/2 is
-    ignored (pixels stay correct, the transparency hint is dropped).
+    Supports the FULL legal (color type, bit depth) space of the spec
+    (11.2.2): gray at 1/2/4/8/16 bits, palette at 1/2/4/8, RGB /
+    gray+alpha / RGBA at 8/16 — both non-interlaced and
+    Adam7-interlaced (PNG spec 8.2: seven sub-images, each filtered as
+    its own scanline run with its own row-end padding bits, scattered
+    back on the fixed offset/step grid — empty passes contribute no
+    bytes). Sub-byte gray expands exactly (255/(2^d−1) is integral);
+    16-bit samples reduce to their high byte (the standard 16→8
+    conversion — a documented precision reduction, applied AFTER any
+    color-key compare). Palette images (ctype 3) are expanded through
+    the ``PLTE`` chunk to RGB — or RGBA when a ``tRNS`` chunk supplies
+    per-entry alpha (entries beyond the tRNS length are opaque, per
+    spec); a tRNS COLOR-KEY on gray/RGB appends an alpha channel with
+    matching pixels fully transparent, compared at the stored depth.
     Externally-encoded goldens in tests/fixtures/ pin this against a
     real encoder's output, pixel-compared to a PPM dump of the same
     image.
@@ -134,8 +139,9 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     - ``(w, h, channels, ndarray[h, w, channels])`` on success;
     - ``None`` for malformed/corrupt bytes;
     - a ``str`` reason (``"unsupported: …"``) for valid-but-unsupported
-      variants (bit depth ≠ 8) — the caller NULLs the row and can
-      surface the reason via a status column.
+      variants (today only the ``max_pixels`` zip-bomb guard) — the
+      caller NULLs the row and can surface the reason via a status
+      column.
 
     Filters: none/up/sub vectorized in numpy (sub via per-channel-stripe
     cumulative sum mod 256); average/paeth are inherently sequential in
@@ -184,8 +190,12 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             return None
         if ctype not in CHANNELS:
             return f"unsupported: color type {ctype}"
-        if depth != 8:
-            return f"unsupported: bit depth {depth}"
+        # full legal depth space (PNG spec 11.2.2); an illegal
+        # (ctype, depth) pair is malformed, not unsupported
+        if depth not in {0: (1, 2, 4, 8, 16), 2: (8, 16),
+                         3: (1, 2, 4, 8), 4: (8, 16),
+                         6: (8, 16)}[ctype]:
+            return None
         if interlace not in (0, 1):
             return None
         if ctype == 3 and plte is None:
@@ -195,14 +205,20 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             return None
         if w * h > max_pixels:
             return f"unsupported: image too large ({w}x{h})"
+        bits_pp = depth * ch
+        bpp = max(1, bits_pp // 8)  # filter byte offset (spec 9.2)
+
+        def scanbytes(ww):
+            return (ww * bits_pp + 7) // 8
+
         # expected inflated size, computed BEFORE inflating: the bound
         # turns a crafted high-ratio IDAT (a kilobyte declaring small
         # dims but inflating to gigabytes) into a cheap reject instead
         # of an executor OOM
         if interlace == 0:
-            expected = (w * ch + 1) * h
+            expected = (scanbytes(w) + 1) * h
         else:
-            expected = sum((((w - x0 + dx - 1) // dx) * ch + 1)
+            expected = sum((scanbytes((w - x0 + dx - 1) // dx) + 1)
                            * ((h - y0 + dy - 1) // dy)
                            for x0, y0, dx, dy in
                            ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
@@ -216,20 +232,39 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
         except zlib.error:
             return None
 
+        def unpack(rows, ww, hh):
+            """Defiltered scanline bytes → per-channel SAMPLES at the
+            stored depth: 8-bit reshapes, 16-bit big-endian pairs stay
+            uint16 (color-key compares happen pre-reduction), 1/2/4-bit
+            rows bit-unpack with the spec's high-bit-first packing and
+            padding bits at row end discarded."""
+            if depth == 8:
+                return rows.reshape(hh, ww, ch)
+            if depth == 16:
+                pairs = rows.reshape(hh, ww * ch, 2).astype(np.uint16)
+                return ((pairs[:, :, 0] << 8)
+                        | pairs[:, :, 1]).reshape(hh, ww, ch)
+            bits = np.unpackbits(rows, axis=1)[:, :ww * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (bits.reshape(hh, ww, depth)
+                    * weights[None, None, :]).sum(axis=2)
+            return vals.astype(np.uint8)[:, :, None]
+
         def defilter(block, ww, hh):
             """Reconstruct one filtered scanline run (a whole image, or
             one Adam7 pass — each pass filters against ITS OWN previous
             scanline, never across passes, per PNG spec 4.5.3).
 
-            none/sub/up stay vectorized numpy; average/paeth are
-            inherently sequential in x (each pixel needs the
-            RECONSTRUCTED left neighbor) and run as plain-int list
-            loops — Python ints measure ~7x faster here than indexing
-            numpy scalars element-wise (r11 megapixel soak found the
-            paeth rows, not JPEG entropy decode, were the corpus
-            decode wall; bit-identity pinned by the external
-            goldens)."""
-            stride = ww * ch
+            Filters operate on scanline BYTES with a left offset of
+            ``bpp`` bytes whatever the bit depth (spec 9.2). none/sub/
+            up stay vectorized numpy; average/paeth are inherently
+            sequential in x (each byte needs the RECONSTRUCTED left
+            neighbor) and run as plain-int list loops — Python ints
+            measure ~7x faster here than indexing numpy scalars
+            element-wise (r11 megapixel soak found the paeth rows, not
+            JPEG entropy decode, were the corpus decode wall;
+            bit-identity pinned by the external goldens)."""
+            stride = scanbytes(ww)
             rows = np.frombuffer(block, dtype=np.uint8) \
                 .reshape(hh, stride + 1)
             filters = rows[:, 0]
@@ -238,9 +273,9 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 f = int(filters[y])
                 if f == 0:
                     out[y] = rows[y, 1:]
-                elif f == 1:  # sub: cumulative sum per channel stripe
+                elif f == 1:  # sub: cumulative sum per byte stripe
                     out[y] = (rows[y, 1:].astype(np.int32)
-                              .reshape(ww, ch).cumsum(axis=0)
+                              .reshape(-1, bpp).cumsum(axis=0)
                               .reshape(stride) & 0xFF)
                 elif f == 2:  # up: uint8 addition wraps mod 256
                     out[y] = rows[y, 1:] + (out[y - 1] if y
@@ -250,14 +285,14 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     prior = out[y - 1].tolist() if y else [0] * stride
                     if f == 3:  # average (needs reconstructed left)
                         for x in range(stride):
-                            left = rec[x - ch] if x >= ch else 0
+                            left = rec[x - bpp] if x >= bpp else 0
                             rec[x] = (rec[x]
                                       + ((left + prior[x]) >> 1)) & 0xFF
                     else:       # paeth
                         for x in range(stride):
-                            if x >= ch:
-                                a = rec[x - ch]
-                                c = prior[x - ch]
+                            if x >= bpp:
+                                a = rec[x - bpp]
+                                c = prior[x - bpp]
                             else:
                                 a = c = 0
                             b = prior[x]
@@ -271,19 +306,22 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     out[y] = rec
                 else:
                     return None
-            return out.reshape(hh, ww, ch)
+            return out
 
+        sample_dt = np.uint16 if depth == 16 else np.uint8
         if interlace == 0:
-            if len(raw) != (w * ch + 1) * h:
+            if len(raw) != (scanbytes(w) + 1) * h:
                 return None
-            px = defilter(raw, w, h)
-            if px is None:
+            rows = defilter(raw, w, h)
+            if rows is None:
                 return None
+            px = unpack(rows, w, h)
         else:
             # Adam7 (PNG spec 8.2): seven sub-images at fixed offsets/
             # steps, concatenated in the IDAT stream, each its own
-            # filtered scanline run; empty passes contribute NO bytes
-            px = np.zeros((h, w, ch), dtype=np.uint8)
+            # filtered scanline run (and its own row-end padding bits
+            # at sub-byte depths); empty passes contribute NO bytes
+            px = np.zeros((h, w, ch), dtype=sample_dt)
             pos = 0
             for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
                                    (0, 4, 4, 8), (2, 0, 4, 4),
@@ -293,19 +331,19 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue
-                need = (pw * ch + 1) * ph
+                need = (scanbytes(pw) + 1) * ph
                 block = raw[pos:pos + need]
                 if len(block) != need:
                     return None
                 pos += need
-                sub = defilter(block, pw, ph)
-                if sub is None:
+                rows = defilter(block, pw, ph)
+                if rows is None:
                     return None
-                px[y0::dy, x0::dx] = sub
+                px[y0::dy, x0::dx] = unpack(rows, pw, ph)
             if pos != len(raw):
                 return None
         if ctype == 3:
-            idx = px[:, :, 0]
+            idx = px[:, :, 0].astype(np.int64)
             if int(idx.max()) >= len(plte):
                 return None  # index past the palette is malformed
             if trns is not None:
@@ -317,6 +355,40 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 return int(w), int(h), 4, px
             px = plte[idx]
             return int(w), int(h), 3, px
+        # tRNS color-key on gray/RGB (spec 11.3.2): one 2-byte sample
+        # per channel, compared at the STORED depth (before any 16-bit
+        # reduction); matching pixels become fully transparent
+        key = None
+        if trns is not None and ctype in (0, 2):
+            if len(trns) != 2 * ch:
+                return None
+            key = np.array(struct.unpack(">" + "H" * ch, trns),
+                           np.uint16)
+            if depth < 16 and int(key.max()) >= (1 << depth):
+                return None  # key out of the sample range
+        if depth == 16:
+            alpha = None
+            if key is not None:
+                alpha = np.where((px == key[None, None, :]).all(axis=2),
+                                 0, 255).astype(np.uint8)
+            # 16-bit samples reduce to their high byte (the standard
+            # 16→8 conversion); documented precision reduction
+            px = (px >> 8).astype(np.uint8)
+            if alpha is not None:
+                px = np.dstack([px, alpha])
+                return int(w), int(h), int(ch) + 1, px
+            return int(w), int(h), int(ch), px
+        if key is not None:
+            alpha = np.where(
+                (px.astype(np.uint16) == key[None, None, :]).all(axis=2),
+                0, 255).astype(np.uint8)
+        if depth < 8:
+            # exact expansion: 255/(2^d - 1) is integral for d=1,2,4
+            px = (px.astype(np.uint16)
+                  * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        if key is not None:
+            px = np.dstack([px, alpha])
+            return int(w), int(h), int(ch) + 1, px
         return int(w), int(h), int(ch), px
 
     return decode
@@ -1821,7 +1893,7 @@ def decode_media(df: DataFrame, decoder: str = "real",
       baseline AND progressive — / :func:`_make_gif_decoder` /
       :func:`_make_bmp_decoder` / :func:`_make_tiff_decoder`). Rows
       that don't decode get NULL dims — malformed bytes AND
-      valid-but-unsupported variants (16-bit PNG,
+      valid-but-unsupported variants (oversized images,
       arithmetic-coded JPEG, RLE BMP) alike, so one odd file never
       kills a corpus-scale job; ``with_status=True`` appends a
       ``status`` column ('ok' / 'corrupt' / 'unsupported: …') to tell

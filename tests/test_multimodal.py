@@ -230,13 +230,17 @@ def test_png_decode_split_idat_and_rejects():
     assert decode(b"not a png at all") is None
     assert decode(png[:20]) is None
     assert decode(b"") is None
-    # valid-but-unsupported variants return a REASON string, never raise
-    # (one 16-bit PNG in a corpus must not kill the job — ADVICE r9);
-    # palette without PLTE is malformed, not unsupported
+    # depth 16 DECODES as of r11 — a 16-bit header over a garbage IDAT
+    # is malformed, not unsupported; palette without PLTE is malformed
     ihdr16 = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
     png16 = (sig + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", b"x")
              + chunk(b"IEND", b""))
-    assert decode(png16) == "unsupported: bit depth 16"
+    assert decode(png16) is None
+    # an ILLEGAL (ctype, depth) pair is malformed per spec 11.2.2
+    ihdr_bad = struct.pack(">IIBBBBB", 4, 3, 4, 2, 0, 0, 0)  # RGB@4
+    png_bad = (sig + chunk(b"IHDR", ihdr_bad) + chunk(b"IDAT", b"x")
+               + chunk(b"IEND", b""))
+    assert decode(png_bad) is None
     # interlace=1 is SUPPORTED now (r11): a garbage IDAT under an
     # interlaced header is malformed, not unsupported
     ihdr_i = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 1)
@@ -735,8 +739,10 @@ def test_jpeg_decoder_through_map_in_pandas(spark):
 
 
 def test_png_unsupported_through_map_in_pandas(spark):
-    """16-bit PNG rows NULL out (with the reason under with_status)
-    instead of killing the job from inside the executor."""
+    """Rows the decoder refuses (here: the zip-bomb guard) NULL out
+    with the reason under with_status instead of killing the job from
+    inside the executor; a 16-bit header with a garbage IDAT is
+    malformed now that depth 16 decodes."""
     import struct
     import zlib
 
@@ -749,14 +755,19 @@ def test_png_unsupported_through_map_in_pandas(spark):
     png16 = (b"\x89PNG\r\n\x1a\n"
              + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
              + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
     ok = _encode_png(np.zeros((2, 2, 3), np.uint8), [0], 2)
     df = spark.createDataFrame(
-        [(1, "image", ok), (2, "image", png16)],
+        [(1, "image", ok), (2, "image", png16), (3, "image", huge)],
         "media_id long, media_type string, payload binary")
     got = {r["media_id"]: (r["decoded_width"], r["status"]) for r in
            M.decode_media(df, decoder="png", with_status=True).collect()}
     assert got[1] == (2, "ok")
-    assert got[2] == (None, "unsupported: bit depth 16")
+    assert got[2] == (None, "corrupt")
+    assert got[3] == (None, "unsupported: image too large (65535x65535)")
 
 
 # ---------------------------------------------------------------------------
@@ -2042,3 +2053,175 @@ def test_max_pixels_override_and_normal_files_unaffected(spark):
         df, decoder="auto", with_status=True, max_pixels=64).collect()}
     assert tiny == {1: "unsupported: image too large (16x16)",
                     2: "unsupported: image too large (16x16)"}
+
+
+# ---------------------------------------------------------------------------
+# Full PNG depth space (r11): 16-bit, sub-byte gray/palette, color-key
+# ---------------------------------------------------------------------------
+
+def _encode_png_any_depth(samples, depth, ctype, palette=None,
+                          trns=None, interlace=False, filt=2):
+    """Independent ENCODER for arbitrary legal depths: packs samples
+    (h, w, ch) at `depth` bits high-bit-first with row-end padding,
+    filters bytes ('up' after the first row, offset-correct for any
+    bpp by construction), optionally Adam7-interleaved."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = samples.shape
+
+    def pack_rows(sub):
+        hh, ww = sub.shape[:2]
+        if depth == 16:
+            be = sub.astype(">u2").tobytes()
+            return np.frombuffer(be, np.uint8).reshape(hh, ww * ch * 2)
+        if depth == 8:
+            return sub.reshape(hh, ww * ch).astype(np.uint8)
+        nbits = ww * depth
+        bits = np.zeros((hh, (nbits + 7) // 8 * 8), np.uint8)
+        for d in range(depth):
+            bits[:, d:nbits:depth] = (sub[:, :, 0] >> (depth - 1 - d)) & 1
+        return np.packbits(bits, axis=1)
+
+    def filter_rows(rows):
+        hh, stride = rows.shape
+        bpp = max(1, depth * ch // 8)
+        out = bytearray()
+        for y in range(hh):
+            if y == 0 or filt == 0:
+                out.append(0)
+                out += rows[y].tobytes()
+            else:  # 'up'
+                out.append(2)
+                out += ((rows[y].astype(np.int32)
+                         - rows[y - 1].astype(np.int32)) & 0xFF) \
+                    .astype(np.uint8).tobytes()
+        assert bpp >= 1  # documented offset, unused by 'up'
+        return bytes(out)
+
+    if not interlace:
+        raw = filter_rows(pack_rows(samples))
+    else:
+        raw = b"".join(
+            filter_rows(pack_rows(samples[y0::dy, x0::dx]))
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].shape[0]
+            and samples[y0::dy, x0::dx].shape[1])
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if trns is not None:
+        mid += chunk(b"tRNS", bytes(trns))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_16bit_decodes_to_high_byte(ctype, ch):
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    rng = np.random.RandomState(16 + ctype)
+    s16 = rng.randint(0, 1 << 16, size=(6, 5, ch)).astype(np.uint16)
+    got = decode(_encode_png_any_depth(s16, 16, ctype))
+    assert got[:3] == (5, 6, ch)
+    assert (got[3] == (s16 >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_exact_expansion(depth):
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    rng = np.random.RandomState(depth)
+    # w=9 exercises row-end padding bits at every depth
+    s = rng.randint(0, 1 << depth, size=(5, 9, 1)).astype(np.uint8)
+    got = decode(_encode_png_any_depth(s, depth, 0))
+    assert got[:3] == (9, 5, 1)
+    want = (s.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+        .astype(np.uint8)
+    assert (got[3] == want).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette(depth):
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    n = 1 << depth
+    palette = np.arange(n * 3, dtype=np.uint8).reshape(n, 3) * 7 % 256
+    rng = np.random.RandomState(depth + 10)
+    idx = rng.randint(0, n, size=(4, 11, 1)).astype(np.uint8)
+    got = decode(_encode_png_any_depth(idx, depth, 3, palette=palette))
+    assert got[:3] == (11, 4, 3)
+    assert (got[3] == palette[idx[:, :, 0]]).all()
+    # index past the palette is malformed (short PLTE)
+    short = palette[:max(1, n // 2)]
+    if n > 1:
+        bad = _encode_png_any_depth(
+            np.full((2, 2, 1), n - 1, np.uint8), depth, 3, palette=short)
+        assert decode(bad) is None
+
+
+def test_png_colorkey_transparency():
+    """tRNS on gray/RGB: matching pixels get alpha 0; for depth 16 the
+    compare happens at FULL precision (two samples sharing a high byte
+    must not alias)."""
+    import struct
+
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    # RGB 8-bit: key = (10, 20, 30)
+    px = np.zeros((2, 3, 3), np.uint8)
+    px[0, 0] = (10, 20, 30)
+    px[1, 2] = (10, 20, 31)  # near-miss stays opaque
+    key = struct.pack(">HHH", 10, 20, 30)
+    got = decode(_encode_png_any_depth(px, 8, 2, trns=key))
+    assert got[:3] == (3, 2, 4)
+    assert got[3][0, 0, 3] == 0 and got[3][1, 2, 3] == 255
+    assert (got[3][:, :, :3] == px).all()
+    # gray 16-bit: 0x1234 is the key; 0x12FF shares the high byte but
+    # must stay opaque (full-precision compare before reduction)
+    s16 = np.array([[[0x1234], [0x12FF]]], np.uint16)
+    got = decode(_encode_png_any_depth(
+        s16, 16, 0, trns=struct.pack(">H", 0x1234)))
+    assert got[:3] == (2, 1, 2)
+    assert got[3][0, 0].tolist() == [0x12, 0]
+    assert got[3][0, 1].tolist() == [0x12, 255]
+    # malformed keys: wrong length, value out of the sample range
+    assert decode(_encode_png_any_depth(px, 8, 2, trns=b"\x00")) is None
+    assert decode(_encode_png_any_depth(
+        np.zeros((1, 1, 1), np.uint8), 4, 0,
+        trns=struct.pack(">H", 16))) is None
+
+
+@pytest.mark.parametrize("depth,ctype,ch,maxv", [
+    (1, 0, 1, 2), (2, 0, 1, 4), (4, 0, 1, 16), (16, 2, 3, 1 << 16),
+])
+def test_png_interlaced_twin_any_depth(depth, ctype, ch, maxv):
+    """Adam7 at every depth class: the interlaced twin decodes
+    bit-identical to the sequential encoding — per-pass row-end
+    padding at sub-byte depths is the regression this pins."""
+    import numpy as np
+
+    decode = M._make_png_decoder()
+    rng = np.random.RandomState(depth * 3 + ctype)
+    dt = np.uint16 if depth == 16 else np.uint8
+    s = rng.randint(0, maxv, size=(11, 13, ch)).astype(dt)
+    plain = decode(_encode_png_any_depth(s, depth, ctype))
+    inter = decode(_encode_png_any_depth(s, depth, ctype,
+                                         interlace=True))
+    assert isinstance(plain, tuple) and isinstance(inter, tuple)
+    assert plain[:3] == inter[:3]
+    assert (plain[3] == inter[3]).all()
