@@ -397,9 +397,11 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
 def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room baseline-TIFF decoder (public TIFF 6.0 spec:
     II/MM byte orders, first IFD, strip-organized 8-bit samples;
-    uncompressed and PackBits; photometric gray (0/1, incl. the
-    white-is-zero inversion), RGB(A) and palette via ColorMap). Nested
-    function, captured by value (house rule). LZW/JPEG-in-TIFF, tiled
+    uncompressed, PackBits AND LZW (§13, MSB-first with the
+    early-change rule) with the horizontal-differencing predictor
+    (tag 317 = 2, §14); photometric gray (0/1, incl. the white-is-zero
+    inversion), RGB(A) and palette via ColorMap). Nested function,
+    captured by value (house rule). JPEG-in-TIFF, tiled
     layouts and non-8-bit depths return an ``"unsupported: …"`` reason;
     same three-valued contract as the other codecs."""
     import struct
@@ -421,6 +423,61 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 out += bytes([src[i]]) * (257 - n)
                 i += 1
             # n == 128: no-op per spec
+        return bytes(out[:want]) if len(out) >= want else None
+
+    def tiff_lzw(src, want):
+        """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, byte
+        strings, ClearCode 256 / EOI 257, and the EARLY-CHANGE rule —
+        the code width grows one code sooner than GIF's LZW (when the
+        next free slot reaches 2^n − 1). Accumulator bit reads like
+        the GIF/JPEG fast paths; output bounded by `want` (the strip's
+        expected byte count), so a crafted stream can't expand past
+        the caller's size check."""
+        table = [bytes([i]) for i in range(256)] + [None, None]
+        append = table.append
+        out = bytearray()
+        acc = nbits = i = 0
+        n = len(src)
+        code_size = 9
+        prev = None
+        tlen = 258
+        while len(out) < want:
+            while nbits < code_size:
+                if i >= n:
+                    return None
+                acc = (acc << 8) | src[i]
+                i += 1
+                nbits += 8
+            nbits -= code_size
+            c = (acc >> nbits) & ((1 << code_size) - 1)
+            acc &= (1 << nbits) - 1
+            if c == 256:  # ClearCode
+                del table[258:]
+                tlen = 258
+                code_size = 9
+                prev = None
+                continue
+            if c == 257:  # EndOfInformation
+                break
+            if prev is None:
+                if c > 255:
+                    return None  # first code after clear is a literal
+                entry = table[c]
+            elif c < tlen:
+                entry = table[c]
+                append(prev + entry[:1])
+                tlen += 1
+            elif c == tlen:
+                entry = prev + prev[:1]
+                append(entry)
+                tlen += 1
+            else:
+                return None
+            out += entry
+            prev = entry
+            # early change: grow when the NEXT free slot is 2^n - 1
+            if tlen == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
         return bytes(out[:want]) if len(out) >= want else None
 
     def decode(data):
@@ -472,8 +529,11 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             # gets an honest reason instead (judge-found r10)
             if tags.get(284, (1,))[0] == 2 and spp > 1:
                 return "unsupported: planar TIFF"
-            if comp not in (1, 32773):
+            if comp not in (1, 5, 32773):
                 return f"unsupported: TIFF compression {comp}"
+            predictor = tags.get(317, (1,))[0]
+            if predictor not in (1, 2):
+                return f"unsupported: TIFF predictor {predictor}"
             if photo not in (0, 1, 2, 3) or any(b != 8 for b in bits):
                 return (f"unsupported: TIFF photometric {photo}"
                         if photo not in (0, 1, 2, 3)
@@ -494,11 +554,21 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     chunk = unpackbits(chunk, rows * w * spp)
                     if chunk is None:
                         return None
+                elif comp == 5:
+                    chunk = tiff_lzw(chunk, rows * w * spp)
+                    if chunk is None:
+                        return None
                 body += chunk
             if len(body) < h * w * spp:
                 return None
             px = np.frombuffer(bytes(body[:h * w * spp]),
                                np.uint8).reshape(h, w, spp)
+            if predictor == 2:
+                # horizontal differencing (§14): each sample stores the
+                # delta from its left neighbor — undo per row/channel
+                # with a cumulative sum mod 256
+                px = (px.astype(np.int32).cumsum(axis=1)
+                      & 0xFF).astype(np.uint8)
             if photo == 0:  # white-is-zero: invert
                 px = 255 - px
             if photo == 3:  # palette via ColorMap (16-bit per entry)

@@ -1086,9 +1086,12 @@ def test_tiff_synthetic_variants_and_rejects():
     w, h, ch, px = dec(tiff(b"II", e, tail))
     assert (w, h, ch) == (2, 2, 3) and (px == rgb).all()
 
-    # -- gates + malformed --
-    e_lzw = [x if x[0] != 259 else (259, 3, 1, short("<", 5)) for x in e]
-    assert dec(tiff(b"II", e_lzw, tail)) == "unsupported: TIFF compression 5"
+    # -- gates + malformed -- (LZW is SUPPORTED as of r11; JPEG-in-TIFF
+    # stays gated, as does an unknown predictor)
+    e_jpg = [x if x[0] != 259 else (259, 3, 1, short("<", 7)) for x in e]
+    assert dec(tiff(b"II", e_jpg, tail)) == "unsupported: TIFF compression 7"
+    e_pred = e + [(317, 3, 1, short("<", 3))]
+    assert dec(tiff(b"II", e_pred, tail)) == "unsupported: TIFF predictor 3"
     assert dec(b"II*") is None
     assert dec(b"ZZ" + b"\x00" * 20) is None
     good = tiff(b"II", e, tail)
@@ -2225,3 +2228,95 @@ def test_png_interlaced_twin_any_depth(depth, ctype, ch, maxv):
     assert isinstance(plain, tuple) and isinstance(inter, tuple)
     assert plain[:3] == inter[:3]
     assert (plain[3] == inter[3]).all()
+
+
+def _tiff_lzw_encode(raw):
+    """Independent TIFF-LZW writer (literal codes only, MSB-first,
+    EARLY-CHANGE width growth, periodic ClearCode before the 12-bit
+    ceiling) — enough to produce arbitrary spec-valid streams without
+    reimplementing the dictionary."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(c, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    width, tlen, first = 9, 258, True
+    put(256, width)  # ClearCode
+    for b in raw:
+        if tlen >= 4093:
+            put(256, width)
+            width, tlen, first = 9, 258, True
+        put(b, width)
+        if first:
+            first = False
+        else:
+            tlen += 1
+        if tlen == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    """LZW strips (crossing the 9->10 early-change boundary AND an
+    intra-stream ClearCode) decode bit-exact; the horizontal
+    differencing predictor (tag 317=2) composes with LZW; truncation
+    keeps the contract."""
+    import struct
+
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+
+    def entry(bo, tag, typ, cnt, val):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+    def short(bo, v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def build(w, h, payload, extra=()):
+        e = [(256, 3, 1, short("<", w)), (257, 3, 1, short("<", h)),
+             (258, 3, 1, short("<", 8)), (259, 3, 1, short("<", 5)),
+             (262, 3, 1, short("<", 1)), (277, 3, 1, short("<", 1)),
+             (278, 3, 1, short("<", h)),
+             (273, 4, 1, struct.pack("<I", 8)),
+             (279, 4, 1, struct.pack("<I", len(payload)))]
+        e += list(extra)
+        bo = "<"
+        hdr = b"II" + struct.pack(bo + "HI", 42, 8 + len(payload))
+        ifd = struct.pack(bo + "H", len(e)) + b"".join(
+            entry(bo, *x) for x in e) + struct.pack(bo + "I", 0)
+        return hdr + payload + ifd
+
+    # 64x80 = 5120 bytes: crosses 9->10->11-bit widths AND (with the
+    # encoder's 4093 cap) one intra-stream ClearCode reset
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(80, 64), dtype=np.uint8)
+    lz = _tiff_lzw_encode(pix.tobytes())
+    w, h, ch, px = dec(build(64, 80, lz))
+    assert (w, h, ch) == (64, 80, 1)
+    assert (px[:, :, 0] == pix).all()
+    # predictor 2: encode the per-row deltas, decoder must cumsum back
+    deltas = np.diff(pix.astype(np.int32), axis=1,
+                     prepend=np.zeros((80, 1), np.int32)) & 0xFF
+    lz2 = _tiff_lzw_encode(deltas.astype(np.uint8).tobytes())
+    w, h, ch, px = dec(build(64, 80, lz2,
+                             extra=[(317, 3, 1, short("<", 2))]))
+    assert (px[:, :, 0] == pix).all()
+    # truncated LZW stream is malformed, never a raise — except the
+    # final byte, which only carries EOI/padding bits: every pixel has
+    # already been decoded, so the lenient decode succeeds (same
+    # philosophy as the WAV truncated-final-data-chunk tolerance)
+    for k in (0, 1, len(lz) // 2):
+        assert dec(build(64, 80, lz[:k])) is None
+    tail_clip = dec(build(64, 80, lz[:-1]))
+    assert isinstance(tail_clip, tuple)
+    assert (tail_clip[3][:, :, 0] == pix).all()
