@@ -1186,13 +1186,63 @@ def _make_gif_decoder(max_pixels: int = MAX_DECODE_PIXELS):
 def _make_bmp_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room BMP decoder (public BITMAPINFOHEADER family:
     V1/V4/V5 headers; 8-bit palette, 24-bit BGR and 32-bit BGRA/
-    BI_BITFIELDS pixels; bottom-up and top-down rows; 4-byte row
-    padding). Nested function, captured by value (house rule). RLE
-    compression returns an ``"unsupported: …"`` reason; same
-    three-valued contract as the other codecs."""
+    BI_BITFIELDS pixels; RLE8 and RLE4 compression — encoded runs,
+    absolute mode with word padding, end-of-line / end-of-bitmap /
+    delta escapes, unreached pixels defaulting to palette index 0;
+    bottom-up and top-down rows; 4-byte row padding). Nested function,
+    captured by value (house rule). Other bpp/compression combinations
+    return an ``"unsupported: …"`` reason; same three-valued contract
+    as the other codecs."""
     import struct
 
     import numpy as np
+
+    def decode_rle(src, w, h, four_bit):
+        """RLE8/RLE4 → (h, w) palette-index grid in BOTTOM-UP row
+        order (the caller flips). Returns None on any overrun."""
+        grid = np.zeros((h, w), np.uint8)
+        x = y = 0
+        i, n = 0, len(src)
+        while i + 1 < n:
+            cnt, val = src[i], src[i + 1]
+            i += 2
+            if cnt > 0:  # encoded run
+                if y >= h or x + cnt > w:
+                    return None
+                if four_bit:
+                    pix = [val >> 4, val & 0xF] * ((cnt + 1) // 2)
+                    grid[y, x:x + cnt] = pix[:cnt]
+                else:
+                    grid[y, x:x + cnt] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                return grid
+            elif val == 2:  # delta: unreached pixels stay 0
+                if i + 2 > n:
+                    return None
+                x += src[i]
+                y += src[i + 1]
+                i += 2
+                if x > w or y > h:
+                    return None
+            else:  # absolute mode: `val` raw pixels, word-aligned
+                if y >= h or x + val > w:
+                    return None
+                nbytes = ((val + 1) // 2) if four_bit else val
+                chunk = src[i:i + nbytes]
+                if len(chunk) != nbytes:
+                    return None
+                i += nbytes + (nbytes & 1)  # pad to 16-bit boundary
+                if four_bit:
+                    pix = [b >> s for b in chunk for s in (4, 0)]
+                    pix = [p & 0xF for p in pix][:val]
+                    grid[y, x:x + val] = pix
+                else:
+                    grid[y, x:x + val] = np.frombuffer(chunk, np.uint8)
+                x += val
+        return grid  # missing EOB escape: render what arrived
 
     def decode(data):
         if not isinstance(data, (bytes, bytearray)):
@@ -1214,8 +1264,26 @@ def _make_bmp_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 return None
             if w * h > max_pixels:
                 return f"unsupported: image too large ({w}x{h})"
+            if (comp, bpp) in ((1, 8), (2, 4)):
+                n_colors = struct.unpack("<I", data[46:50])[0] \
+                    or (16 if comp == 2 else 256)
+                pal_ofs = 14 + hsz
+                pal = np.frombuffer(
+                    data[pal_ofs:pal_ofs + 4 * n_colors],
+                    np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+                if len(pal) != n_colors:
+                    return None
+                grid = decode_rle(data[ofs:], w, h, four_bit=comp == 2)
+                if grid is None:
+                    return None
+                if int(grid.max()) >= len(pal):
+                    return None
+                px = pal[grid]
+                if not top_down:  # RLE rows are stored bottom-up
+                    px = px[::-1]
+                return int(w), int(h), 3, np.ascontiguousarray(px)
             if comp in (1, 2):
-                return "unsupported: RLE-compressed BMP"
+                return f"unsupported: BMP bpp={bpp} compression={comp}"
             if comp not in (0, 3) or bpp not in (8, 24, 32):
                 return f"unsupported: BMP bpp={bpp} compression={comp}"
             if bpp == 8:

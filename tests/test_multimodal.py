@@ -875,11 +875,67 @@ def test_bmp_rejects_and_gates():
     # top row first after bottom-up flip; BGR -> RGB
     assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (30, 20, 10)
     assert tuple(px[1, 0]) == (0, 0, 255) and tuple(px[1, 1]) == (0, 255, 0)
-    # RLE gated, truncated rejected
+    # RLE8 on a 24bpp header is an ILLEGAL combination -> named gate
+    # (RLE8 itself is supported, on 8bpp — see the RLE roundtrip test)
     rle = hdr[:30] + struct.pack("<I", 1) + hdr[34:] + rows
-    assert decode(rle) == "unsupported: RLE-compressed BMP"
+    assert decode(rle) == "unsupported: BMP bpp=24 compression=1"
     assert decode((hdr + rows)[:40]) is None
     assert decode(b"XX whatever") is None
+
+
+def test_bmp_rle8_rle4_roundtrip():
+    """RLE8/RLE4: encoded runs, absolute mode (word-padded), EOL, the
+    delta escape leaving index-0 gaps, EOB; bottom-up flip; truncation
+    keeps the contract."""
+    import struct
+
+    import numpy as np
+
+    decode = M._make_bmp_decoder()
+
+    def build(w, h, bpp, comp, n_colors, rle):
+        pal = b"".join(bytes([i, i * 2 & 0xFF, i * 3 & 0xFF, 0])
+                       for i in range(n_colors))
+        ofs = 54 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", ofs + len(rle), 0, 0, ofs)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                              len(rle), 0, 0, n_colors, 0) + pal + rle)
+
+    # RLE8 4x3 (stored bottom-up): runs, absolute mode (3 px, odd ->
+    # one pad byte), EOL, a delta escape leaving index-0 gaps, EOB
+    rle8 = bytes([
+        3, 5, 1, 6, 0, 0,          # row y0: 5 5 5 6 | EOL
+        0, 3, 7, 8, 9, 0, 1, 4, 0, 0,  # y1: abs(7 8 9)+pad, run 1 of 4, EOL
+        0, 2, 2, 0, 2, 9, 0, 1,    # y2: delta dx=2 (gaps=0), 9 9, EOB
+    ])
+    w, h, ch, px = decode(build(4, 3, 8, 1, 10, rle8))
+    assert (w, h, ch) == (4, 3, 3)
+    # palette entries are stored BGRX: entry i = (B=i, G=2i, R=3i)
+    pal = np.array([[i * 3 & 0xFF, i * 2 & 0xFF, i] for i in range(10)],
+                   np.uint8)
+    want_idx = np.array([[0, 0, 9, 9],      # y2 (top after flip)
+                         [7, 8, 9, 4],      # y1
+                         [5, 5, 5, 6]])     # y0 (bottom)
+    assert (px == pal[want_idx]).all()
+    # RLE4 4x2: nibble runs alternate the two values; absolute packs
+    # nibbles word-padded
+    rle4 = bytes([
+        4, 0x12, 0, 0,        # y0: 1 2 1 2 | EOL
+        0, 3, 0x34, 0x50,     # y1: absolute 3 px (3 4 5); 2 bytes = no pad
+        1, 0x30, 0, 1,        # y1: run 1 alternating (3,0) -> 3; EOB
+    ])
+    w, h, ch, px = decode(build(4, 2, 4, 2, 6, rle4))
+    assert (w, h, ch) == (4, 2, 3)
+    want_idx = np.array([[3, 4, 5, 3],      # y1 (top)
+                         [1, 2, 1, 2]])     # y0
+    assert (px == pal[want_idx]).all()
+    # truncation / overrun: contract, never a raise
+    full = build(4, 3, 8, 1, 10, rle8)
+    for k in range(len(full)):
+        r = decode(full[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+    overrun = build(4, 3, 8, 1, 10, bytes([200, 1]))  # run past width
+    assert decode(overrun) is None
 
 
 def test_gif_bmp_through_map_in_pandas(spark):
