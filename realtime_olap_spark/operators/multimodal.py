@@ -1284,24 +1284,60 @@ def _make_bmp_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 return int(w), int(h), 3, np.ascontiguousarray(px)
             if comp in (1, 2):
                 return f"unsupported: BMP bpp={bpp} compression={comp}"
-            if comp not in (0, 3) or bpp not in (8, 24, 32):
+            if not ((comp == 0 and bpp in (1, 4, 8, 16, 24, 32))
+                    or (comp == 3 and bpp in (16, 32))):
                 return f"unsupported: BMP bpp={bpp} compression={comp}"
-            if bpp == 8:
-                n_colors = struct.unpack("<I", data[46:50])[0] or 256
+            if bpp in (1, 4, 8):
+                n_colors = struct.unpack("<I", data[46:50])[0] \
+                    or (1 << bpp)
                 pal_ofs = 14 + hsz
                 pal = np.frombuffer(
                     data[pal_ofs:pal_ofs + 4 * n_colors],
                     np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
                 if len(pal) != n_colors:
                     return None
-                stride = (w + 3) & ~3
+                stride = ((w * bpp + 31) // 32) * 4  # 4-byte row align
                 raw = np.frombuffer(data[ofs:ofs + stride * h], np.uint8)
                 if len(raw) != stride * h:
                     return None
-                grid = raw.reshape(h, stride)[:, :w]
+                rows = raw.reshape(h, stride)
+                if bpp == 8:
+                    grid = rows[:, :w]
+                else:
+                    # bit-packed indices, high bits first within a byte
+                    bits = np.unpackbits(rows, axis=1)
+                    if bpp == 1:
+                        grid = bits[:, :w]
+                    else:
+                        weights = np.array([8, 4, 2, 1], np.uint8)
+                        grid = (bits.reshape(h, -1, 4)
+                                * weights[None, None, :]) \
+                            .sum(axis=2)[:, :w]
                 if int(grid.max()) >= len(pal):
                     return None
                 px = pal[grid]
+            elif bpp == 16:
+                stride = (w * 2 + 3) & ~3
+                raw = np.frombuffer(data[ofs:ofs + stride * h], np.uint8)
+                if len(raw) != stride * h:
+                    return None
+                pairs = raw.reshape(h, stride)[:, :w * 2] \
+                    .reshape(h, w, 2).astype(np.uint32)
+                v = pairs[:, :, 0] | (pairs[:, :, 1] << 8)
+                # default 16bpp is RGB555; BI_BITFIELDS supplies masks
+                # (565 in practice)
+                masks = ((0x7C00, 0x03E0, 0x001F) if comp == 0
+                         else struct.unpack("<III", data[54:66]))
+                chans = []
+                for mask in masks:
+                    if mask == 0:
+                        return None
+                    shift = (mask & -mask).bit_length() - 1
+                    span = mask >> shift
+                    c = ((v & mask) >> shift).astype(np.float64)
+                    chans.append(np.rint(c * 255 / span)
+                                 .astype(np.uint8))
+                px = np.stack(chans, axis=-1)
             else:
                 nb = bpp // 8
                 stride = (w * nb + 3) & ~3

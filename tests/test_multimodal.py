@@ -2376,3 +2376,51 @@ def test_tiff_lzw_and_predictor_roundtrip():
     tail_clip = dec(build(64, 80, lz[:-1]))
     assert isinstance(tail_clip, tuple)
     assert (tail_clip[3][:, :, 0] == pix).all()
+
+
+def test_bmp_low_bpp_and_16bit():
+    """Uncompressed 1/4-bit palette (bit-packed, 4-byte-aligned rows)
+    and 16-bit RGB555 / BI_BITFIELDS-565 pixels."""
+    import struct
+
+    import numpy as np
+
+    decode = M._make_bmp_decoder()
+
+    def build(w, h, bpp, comp, pal_entries, body, masks=b""):
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_entries)
+        ofs = 54 + len(masks) + len(pal)
+        return (b"BM" + struct.pack("<IHHI", ofs + len(body), 0, 0, ofs)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                              len(body), 0, 0, len(pal_entries), 0)
+                + masks + pal + body)
+
+    # 1-bit, 9px wide (2 data bytes + 2 pad = 4-byte row), bottom-up
+    # bits: 1 0 1 0 1 0 1 0 | 1
+    row = bytes([0b10101010, 0b10000000, 0, 0])
+    colors = [(255, 0, 0), (0, 255, 0)]
+    w, h, ch, px = decode(build(9, 1, 1, 0, colors, row))
+    assert (w, h, ch) == (9, 1, 3)
+    want = [colors[b] for b in (1, 0, 1, 0, 1, 0, 1, 0, 1)]
+    assert [tuple(p) for p in px[0]] == want
+    # 4-bit, 3px wide (2 data bytes: high nibble first + pad)
+    row = bytes([0x12, 0x30, 0, 0])
+    colors4 = [(i * 10, i * 5, i) for i in range(16)]
+    w, h, ch, px = decode(build(3, 1, 4, 0, colors4, row))
+    assert [tuple(p) for p in px[0]] == [colors4[1], colors4[2],
+                                         colors4[3]]
+    # 16-bit RGB555 (comp 0): pure red / mid green / blue
+    words = struct.pack("<HHH", 0x7C00, 0x01E0, 0x001F) + b"\x00\x00"
+    w, h, ch, px = decode(build(3, 1, 16, 0, [], words))
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[0, 1]) == (0, 123, 0)   # rint(15/31*255)=123
+    assert tuple(px[0, 2]) == (0, 0, 255)
+    # 16-bit 565 via BI_BITFIELDS masks
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    words = struct.pack("<HH", 0xF800, 0x07E0)
+    w, h, ch, px = decode(build(2, 1, 16, 3, [], words, masks=masks))
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[0, 1]) == (0, 255, 0)
+    # illegal pairing still gated
+    assert decode(build(2, 1, 2, 0, colors, b"\x00" * 4)) \
+        == "unsupported: BMP bpp=2 compression=0"
