@@ -521,6 +521,12 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             comp = tags.get(259, (1,))[0]
             photo = tags.get(262, (1,))[0]
             spp = tags.get(277, (1,))[0]
+            if spp == 0:
+                return None  # zero samples/pixel is malformed — a
+                # fuzzed spp=0 decoded to a 0-channel array and blew
+                # up the transcode encoder (r11 sweep catch)
+            if spp > 4:
+                return f"unsupported: TIFF {spp} samples/pixel"
             bits = tags.get(258, (8,) * spp)
             if 322 in tags or 323 in tags:
                 return "unsupported: tiled TIFF"

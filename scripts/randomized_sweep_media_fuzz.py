@@ -102,6 +102,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "aiff": mm._make_aiff_decoder(),
                 "au": mm._make_au_decoder(),
                 "mp4": mm._make_bmff_prober()}
+    gif_probe = mm._make_gif_prober()
     img_auto = mm._make_auto_decoder()
     aud_auto = mm._make_audio_auto_decoder()
     exif = mm._make_exif_orientation_parser()
@@ -142,6 +143,8 @@ def run(n_seeds: int, base_seed: int) -> int:
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
         if not audio and fmt != "mp4":
             checks.append(("transcode", transcode))
+        if fmt == "gif":
+            checks.append(("gif-probe", gif_probe))
         for dname, dec in checks:
             cases += 1
             try:
