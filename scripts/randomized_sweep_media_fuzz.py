@@ -103,6 +103,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "au": mm._make_au_decoder(),
                 "mp4": mm._make_bmff_prober()}
     gif_probe = mm._make_gif_prober()
+    gif_anim = mm._make_gif_animation_decoder()
     img_auto = mm._make_auto_decoder()
     aud_auto = mm._make_audio_auto_decoder()
     exif = mm._make_exif_orientation_parser()
@@ -145,6 +146,7 @@ def run(n_seeds: int, base_seed: int) -> int:
             checks.append(("transcode", transcode))
         if fmt == "gif":
             checks.append(("gif-probe", gif_probe))
+            checks.append(("gif-anim", gif_anim))
         for dname, dec in checks:
             cases += 1
             try:

@@ -2424,3 +2424,187 @@ def test_bmp_low_bpp_and_16bit():
     # illegal pairing still gated
     assert decode(build(2, 1, 2, 0, colors, b"\x00" * 4)) \
         == "unsupported: BMP bpp=2 compression=0"
+
+
+def test_probe_cost_is_moov_bounded_not_payload_bounded():
+    """The probe must stay O(moov): a 64 MB mdat costs the same walk
+    as a 32-byte one (the box iterator skips bodies by size). Timed
+    generously — the regression this guards is accidentally scanning
+    or copying the payload."""
+    import struct
+    import time
+
+    probe = M._make_bmff_prober()
+    base = _assemble_probe_mp4()
+    # replace the stub mdat with a 64 MB one
+    small = probe(base)
+    idx = base.index(b"mdat") - 4
+    big = (base[:idx] + struct.pack(">I", 8 + 64 * 1024 * 1024)
+           + b"mdat" + b"\x00" * (64 * 1024 * 1024))
+    t0 = time.time()
+    got = probe(big)
+    dt = time.time() - t0
+    assert got == small
+    assert dt < 0.1, dt  # 64 MB payload, sub-100ms walk
+
+
+# ---------------------------------------------------------------------------
+# GIF animation compositing + real frame sampling (decode_frames)
+# ---------------------------------------------------------------------------
+
+def _gif_anim(frames_spec, sw=4, sh=4, n_colors=8):
+    """Spec-assembled multi-frame GIF: each entry is (left, top, w, h,
+    indices_rowmajor, delay_cs, transparent_idx|None, disposal)."""
+    import struct
+
+    from tests.test_multimodal import _encode_png  # noqa: self-import ok
+
+    def bits_lsb(codes, width0):
+        out, acc, nbits, width = bytearray(), 0, 0, width0
+        next_code, first = (1 << (width0 - 1)) + 2, True
+        clear = 1 << (width0 - 1)
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                width, next_code, first = width0, clear + 2, True
+            elif c != clear + 1:
+                if first:
+                    first = False
+                else:
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    gct = bytes(v for i in range(n_colors)
+                for v in (i * 30 % 256, i * 50 % 256, i * 70 % 256))
+    # pad the table to a power of two
+    size = 1
+    while (2 << size - 1) < n_colors:
+        size += 1
+    gct += b"\x00" * (3 * ((2 << size - 1) - n_colors))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", sw, sh)
+                    + bytes([0x80 | (size - 1), 0, 0]) + gct)
+    min_code = max(2, size)
+    clear = 1 << min_code
+    for left, top, w, h, idx, delay, trans, disposal in frames_spec:
+        gce_flags = (disposal << 2) | (1 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags])
+        out += struct.pack("<H", delay)
+        out += bytes([trans if trans is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        lz = bits_lsb([clear] + list(idx) + [clear + 1], min_code + 1)
+        out += bytes([min_code])
+        for i in range(0, len(lz), 255):
+            blk = lz[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_disposal_model():
+    """Three frames exercising the whole disposal model: draw-over
+    with transparency (underlying pixels show through), disposal 2
+    (region cleared to transparent before the next frame), disposal 3
+    (canvas restored to the pre-frame state)."""
+    import numpy as np
+
+    anim = M._make_gif_animation_decoder()
+    pal = np.array([[i * 30 % 256, i * 50 % 256, i * 70 % 256]
+                    for i in range(8)], np.uint8)
+    # frame A: full 4x4 of color 1, 10cs, no disposal
+    a = [1] * 16
+    # frame B: 2x2 at (1,1): [2, T; 2, 2] with T=7 transparent,
+    # 20cs, disposal 2 (clear its region afterwards)
+    bidx = [2, 7, 2, 2]
+    # frame C: 1x1 at (0,0) color 3, 30cs, disposal 3 (restore before)
+    spec = [(0, 0, 4, 4, a, 10, None, 0),
+            (1, 1, 2, 2, bidx, 20, 7, 2),
+            (0, 0, 1, 1, [3], 30, None, 3)]
+    w, h, frames = anim(_gif_anim(spec))
+    assert (w, h) == (4, 4) and len(frames) == 3
+    t0, d0, c0 = frames[0]
+    assert (t0, d0) == (0, 100)
+    assert (c0[:, :, :3] == pal[1]).all() and (c0[:, :, 3] == 255).all()
+    t1, d1, c1 = frames[1]
+    assert (t1, d1) == (100, 200)
+    # B drew over A except its transparent pixel at (1, 2)
+    assert (c1[1, 1, :3] == pal[2]).all()
+    assert (c1[1, 2, :3] == pal[1]).all()   # shows through
+    assert (c1[2, 1, :3] == pal[2]).all()
+    assert (c1[0, 0, :3] == pal[1]).all()   # outside B untouched
+    t2, d2, c2 = frames[2]
+    assert (t2, d2) == (300, 300)
+    # disposal 2 cleared B's region to TRANSPARENT before C
+    assert (c2[1:3, 1:3, 3] == 0).all()
+    assert (c2[0, 0, :3] == pal[3]).all()   # C's pixel
+    assert (c2[3, 3, :3] == pal[1]).all()   # A persists elsewhere
+
+
+def test_decode_frames_sampling_and_static(spark):
+    """decode_frames: sampled timestamps pick the ACTIVE composited
+    frame; static images yield one frame at ts 0; corrupt rows carry
+    the reason. Output payloads are real PNGs (re-decoded here)."""
+    import numpy as np
+
+    pal = np.array([[i * 30 % 256, i * 50 % 256, i * 70 % 256]
+                    for i in range(8)], np.uint8)
+    spec = [(0, 0, 2, 2, [1] * 4, 10, None, 0),    # [0, 100) color 1
+            (0, 0, 2, 2, [2] * 4, 20, None, 0),    # [100, 300) color 2
+            (0, 0, 2, 2, [3] * 4, 30, None, 0)]    # [300, 600) color 3
+    gif = _gif_anim(spec, sw=2, sh=2)
+    png = open(os.path.join(FIXTURES, "python.png"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "video", gif), (2, "image", png),
+         (3, "image", b"\x89PNG\r\n\x1a\njunk")],
+        "media_id long, media_type string, payload binary")
+    got = M.decode_frames(df, every_ms=100).collect()
+    decode = M._make_png_decoder()
+    g1 = sorted((r["frame_ts_ms"], bytes(r["payload"]))
+                for r in got if r["media_id"] == 1)
+    assert [t for t, _ in g1] == [0, 100, 200, 300, 400, 500]
+    want_color = {0: 1, 100: 2, 200: 2, 300: 3, 400: 3, 500: 3}
+    for ts, payload in g1:
+        _, _, ch, px = decode(payload)
+        assert ch == 4
+        assert (px[:, :, :3] == pal[want_color[ts]]).all(), ts
+    g2 = [r for r in got if r["media_id"] == 2]
+    assert len(g2) == 1 and g2[0]["frame_ts_ms"] == 0
+    assert (g2[0]["width"], g2[0]["height"]) == (16, 16)
+    _, _, _, px = decode(bytes(g2[0]["payload"]))
+    assert px.shape == (16, 16, 4)  # the palette+tRNS golden is RGBA
+    g3 = [r for r in got if r["media_id"] == 3]
+    assert len(g3) == 1 and g3[0]["status"] == "corrupt"
+    assert g3[0]["payload"] is None
+
+
+def test_gif_animation_contract_and_guards():
+    """Truncation at every offset keeps the contract; the frame-count
+    bomb guard names its reject."""
+    anim = M._make_gif_animation_decoder()
+    spec = [(0, 0, 2, 2, [1] * 4, 10, None, 0)] * 5
+    gif = _gif_anim(spec, sw=2, sh=2)
+    for k in range(len(gif) + 1):
+        _assert_contract(anim, gif[:k], f"anim trunc@{k}")
+    tiny = M._make_gif_animation_decoder(max_frames=3)
+    assert tiny(gif) == "unsupported: more than 3 frames"
+    # the single-frame external golden composites to its decode
+    import numpy as np
+
+    data = open(os.path.join(FIXTURES, "python.gif"), "rb").read()
+    w, h, frames = anim(data)
+    single = M._make_gif_decoder()(data)
+    assert (w, h) == single[:2] and len(frames) == 1
+    canvas = frames[0][2]
+    if single[2] == 4:
+        opaque = single[3][:, :, 3] == 255
+        assert (canvas[opaque][:, :3] == single[3][opaque][:, :3]).all()
+        assert (canvas[:, :, 3] == single[3][:, :, 3]).all()
