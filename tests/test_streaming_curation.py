@@ -465,11 +465,14 @@ def test_streaming_transcode_probe_audio_match_batch(spark, tmp_path):
         rows, "media_id long, media_type string, payload binary")
     mdf.coalesce(1).write.parquet(src)
 
+    from realtime_olap_spark.operators.multimodal import decode_frames
+
     for name, op in [
             ("transcode", lambda d: transcode_images(d, 8, 8)),
             ("probe", lambda d: probe_media(d, with_status=True)),
             ("audio", lambda d: decode_audio(d, decoder="auto",
-                                             with_status=True))]:
+                                             with_status=True)),
+            ("frames", lambda d: decode_frames(d, every_ms=1000))]:
         want = sorted(map(tuple, op(spark.read.parquet(src)).collect()))
         stream = (spark.readStream.schema(mdf.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
