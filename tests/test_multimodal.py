@@ -2608,3 +2608,67 @@ def test_gif_animation_contract_and_guards():
         opaque = single[3][:, :, 3] == 255
         assert (canvas[opaque][:, :3] == single[3][opaque][:, :3]).all()
         assert (canvas[:, :, 3] == single[3][:, :, 3]).all()
+
+
+def test_sample_frames_probed_works_for_gif_animations(spark):
+    """probe_media's GIF route feeds sample_frames_probed: an animated
+    GIF gets its frame grid from the summed graphic-control delays,
+    with no pixel decode anywhere in the plan."""
+    spec = [(0, 0, 2, 2, [1] * 4, 150, None, 0),
+            (0, 0, 2, 2, [2] * 4, 150, None, 0)]  # 2 x 1500 ms
+    gif = _gif_anim(spec, sw=2, sh=2)
+    df = spark.createDataFrame(
+        [(1, "video", gif)],
+        "media_id long, media_type string, payload binary")
+    got = sorted(r["frame_ts_ms"] for r in
+                 M.sample_frames_probed(df, every_ms=1000).collect())
+    assert got == [0, 1000, 2000]  # 3000 ms total at 1 s steps
+
+
+def test_media_curation_pipeline_end_to_end(spark):
+    """The full media curation pass a training pipeline runs, on one
+    mixed corpus: inventory statuses via the router -> thumbnails via
+    transcode -> exact near-dup grouping on the THUMBNAIL bytes
+    (payload_checksum over the canonical PNG re-encode): the same
+    source image shipped as PNG/BMP/TIFF (bit-identical pixels) lands
+    in ONE dup group; the JPEG/GIF variants (lossy/quantized) do not;
+    corrupt and unsupported rows are inventoried, not fatal."""
+    from pyspark.sql import functions as F
+    from realtime_olap_spark.operators.multimodal import (
+        payload_checksum, transcode_images)
+
+    payloads = {
+        1: open(os.path.join(FIXTURES, "python.png"), "rb").read(),
+        2: open(os.path.join(FIXTURES, "python.bmp"), "rb").read(),
+        3: open(os.path.join(FIXTURES, "python.tiff"), "rb").read(),
+        4: open(os.path.join(FIXTURES, "python.jpg"), "rb").read(),
+        5: open(os.path.join(FIXTURES, "python.gif"), "rb").read(),
+        6: b"\x89PNG\r\n\x1a\nbroken",
+        7: b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+    }
+    df = spark.createDataFrame(
+        [(k, "image", v) for k, v in payloads.items()],
+        "media_id long, media_type string, payload binary")
+    thumbs = transcode_images(df, 16, 16)  # identity size: lossless
+    # inventory: status counts (the dashboard the router names feed)
+    inv = {r["status"]: r["n"] for r in
+           thumbs.groupBy("status").agg(F.count("*").alias("n"))
+           .collect()}
+    assert inv["ok"] == 5 and inv["corrupt"] == 1
+    assert inv["unsupported: WebP"] == 1
+    # dedup on the canonical thumbnail bytes
+    groups = (thumbs.where(F.col("status") == "ok")
+              .withColumn("fp", payload_checksum(F.col("payload")))
+              .groupBy("fp")
+              .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
+              .collect())
+    id_groups = sorted(tuple(r["ids"]) for r in groups)
+    # PNG (palette+tRNS) and TIFF decode to the SAME RGBA — the r10
+    # external-golden finding (tiff alpha == png tRNS alpha) — so the
+    # canonical re-encodes are byte-identical and they form one dup
+    # group; BMP decodes RGB-only (no alpha) and stands alone, as do
+    # the lossy JPEG and palette-quantized GIF
+    assert (1, 3) in id_groups
+    flat = [i for g in id_groups for i in g]
+    assert sorted(flat) == [1, 2, 3, 4, 5]
+    assert all(len(g) == 1 for g in id_groups if g != (1, 3))
