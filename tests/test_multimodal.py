@@ -2672,3 +2672,44 @@ def test_media_curation_pipeline_end_to_end(spark):
     flat = [i for g in id_groups for i in g]
     assert sorted(flat) == [1, 2, 3, 4, 5]
     assert all(len(g) == 1 for g in id_groups if g != (1, 3))
+
+
+def test_gif_real_world_container_files_decode():
+    """Every GIF shipped in this container (libxslt docs + Tk images —
+    ~20 files from real third-party encoders/eras, various palettes
+    and interlace flags) decodes through BOTH the single-frame codec
+    and the animation compositor, with consistent dims and the first
+    composited frame's opaque pixels equal to the single decode."""
+    import glob
+
+    import numpy as np
+
+    files = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
+                   + glob.glob("/usr/share/tcltk/tk8.6/images/*.gif"))
+    if len(files) < 5:  # pragma: no cover - environment gate
+        pytest.skip("container GIFs not present")
+    single = M._make_gif_decoder()
+    anim = M._make_gif_animation_decoder()
+    probe = M._make_gif_prober()
+    for f in files:
+        data = open(f, "rb").read()
+        s = single(data)
+        a = anim(data)
+        p = probe(data)
+        assert isinstance(s, tuple) and isinstance(a, tuple), f
+        assert isinstance(p, tuple), f
+        w, h, ch, px = s
+        aw, ah, frames = a
+        # frame 1 may be a sub-rectangle of the logical screen; the
+        # single decode covers exactly that rectangle
+        assert (aw, ah) == (p[2], p[3]) and p[7] == len(frames), f
+        canvas = frames[0][2]
+        assert canvas.shape == (ah, aw, 4), f
+        if (w, h) == (aw, ah):
+            if ch == 4:
+                opaque = px[:, :, 3] == 255
+                assert (canvas[:, :, 3] == px[:, :, 3]).all(), f
+            else:
+                opaque = np.ones((h, w), bool)
+                assert (canvas[:, :, 3] == 255).all(), f
+            assert (canvas[opaque][:, :3] == px[opaque][:, :3]).all(), f
