@@ -47,7 +47,11 @@ FIXTURES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "fixtures")
 
 GOLDENS = {
-    "png": ["python.png", "file.png", "minus.png"],
+    "png": ["python.png", "file.png", "minus.png",
+            # spec-assembled depth/interlace/colorkey variants so the
+            # r11 full-depth paths see mutations too
+            "variant-16bit.png", "variant-pal4-adam7.png",
+            "variant-colorkey.png"],
     "jpeg": ["python.jpg"],
     "gif": ["python.gif"],
     "bmp": ["python.bmp"],

@@ -2749,3 +2749,42 @@ def test_every_container_image_decodes_through_the_router():
     # today the whole corpus decodes outright; if a future gate fires,
     # it must at least be NAMED (the assert above already proved that)
     assert ok >= len(files) - len(gated) and ok > 150, (ok, gated)
+
+
+def _assemble_png_variants():
+    """Deterministic spec-assembled PNG variant goldens for the fuzz
+    sweep (committed as fixtures; byte-equality asserted below, so
+    their provenance is this function): 16-bit RGB, 4-bit palette
+    Adam7-interlaced, 8-bit RGB with a tRNS color-key."""
+    import numpy as np
+
+    rng = np.random.RandomState(1101)
+    p16 = _encode_png_any_depth(
+        rng.randint(0, 1 << 16, size=(7, 11, 3)).astype(np.uint16),
+        16, 2)
+    n = 16
+    palette = (np.arange(n * 3, dtype=np.uint8).reshape(n, 3) * 11
+               % 256)
+    p4i = _encode_png_any_depth(
+        rng.randint(0, n, size=(11, 13, 1)).astype(np.uint8),
+        4, 3, palette=palette, interlace=True)
+    import struct
+    px = rng.randint(0, 256, size=(9, 9, 3)).astype(np.uint8)
+    px[2, 3] = (10, 20, 30)
+    pkey = _encode_png_any_depth(px, 8, 2,
+                                 trns=struct.pack(">HHH", 10, 20, 30))
+    return {"variant-16bit.png": p16, "variant-pal4-adam7.png": p4i,
+            "variant-colorkey.png": pkey}
+
+
+def test_png_variant_fixtures_match_assembler():
+    """The committed variant fixtures are bit-reproducible from the
+    spec assembly above and decode to their expected shapes."""
+    decode = M._make_png_decoder()
+    want_shape = {"variant-16bit.png": (11, 7, 3),
+                  "variant-pal4-adam7.png": (13, 11, 3),
+                  "variant-colorkey.png": (9, 9, 4)}
+    for name, data in _assemble_png_variants().items():
+        assert open(os.path.join(FIXTURES, name), "rb").read() == data
+        got = decode(data)
+        assert got[:3] == want_shape[name], name
