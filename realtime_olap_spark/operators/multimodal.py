@@ -2842,11 +2842,31 @@ def _make_png_encoder():
     return encode
 
 
+def _area_weights(n_in, n_out, np):
+    """(n_out, n_in) row-stochastic matrix whose row i averages the
+    source interval [i·s, (i+1)·s), s = n_in/n_out, with exact
+    fractional end-pixel weights — the separable box/area filter."""
+    s = n_in / n_out
+    w = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        lo = i * s
+        hi = (i + 1) * s
+        j0 = int(lo)
+        j1 = min(int(np.ceil(hi)), n_in)
+        for j in range(j0, j1):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / s
+
+
 def _resize_pixels(px, tw, th, method, np):
     """Aspect-fit resize of an (h, w, ch) uint8 array into the
     (tw, th) box — never upscales (thumbnailing semantics). 'nearest'
     picks center-of-pixel sources; 'bilinear' is the standard
-    half-pixel-center mapping with edge clamping, vectorized."""
+    half-pixel-center mapping with edge clamping; 'area' is the exact
+    box/area average (two einsum contractions against row-stochastic
+    weight matrices) — the right filter for the >2x downscales a
+    corpus thumbnail pass is made of, where bilinear's 2x2 taps alias.
+    All vectorized."""
     h, w = px.shape[:2]
     scale = min(tw / w, th / h, 1.0)
     ow = max(1, int(round(w * scale)))
@@ -2855,6 +2875,11 @@ def _resize_pixels(px, tw, th, method, np):
         return px
     sx = w / ow
     sy = h / oh
+    if method == "area":
+        wy = _area_weights(h, oh, np)
+        wx = _area_weights(w, ow, np)
+        out = np.einsum("ij,jkc,lk->ilc", wy, px.astype(np.float64), wx)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
     if method == "nearest":
         xs = np.minimum(((np.arange(ow) + 0.5) * sx).astype(np.int64),
                         w - 1)
@@ -2985,8 +3010,9 @@ def transcode_images(df: DataFrame, target_w: int, target_h: int,
     Replaces the r4 metadata-only ``resize_images`` story with real
     pixels: output is re-decodable by any compliant PNG reader
     (the package's own decoder round-trips it bit-exactly — tested)."""
-    if method not in ("nearest", "bilinear"):
-        raise ValueError(f"method must be nearest|bilinear: {method!r}")
+    if method not in ("nearest", "bilinear", "area"):
+        raise ValueError(
+            f"method must be nearest|bilinear|area: {method!r}")
     codec = _make_auto_decoder(max_pixels)
     encode = _make_png_encoder()
     resize = _resize_pixels

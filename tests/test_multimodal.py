@@ -2788,3 +2788,60 @@ def test_png_variant_fixtures_match_assembler():
         assert open(os.path.join(FIXTURES, name), "rb").read() == data
         got = decode(data)
         assert got[:3] == want_shape[name], name
+
+
+def test_resize_area_filter_laws():
+    """'area' resize: weight rows are a partition of the source (so a
+    constant image stays constant and the GLOBAL mean is preserved
+    exactly pre-rounding); at an integer 2x downscale it equals the
+    2x2 block mean (same law bilinear satisfies only at exactly 2x);
+    at a 4x downscale it averages ALL 16 source pixels where bilinear
+    samples just 4 (the aliasing this method exists to fix)."""
+    import numpy as np
+
+    rng = np.random.RandomState(44)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    # 2x: equals block mean
+    got = M._resize_pixels(px, 8, 8, "area", np)
+    f = px.astype(np.float64)
+    want = np.clip(np.rint((f[0::2, 0::2] + f[0::2, 1::2]
+                            + f[1::2, 0::2] + f[1::2, 1::2]) / 4),
+                   0, 255).astype(np.uint8)
+    assert (got == want).all()
+    # 4x: every source pixel contributes (global mean preserved)
+    got4 = M._resize_pixels(px, 4, 4, "area", np).astype(np.float64)
+    assert abs(got4.mean() - f.mean()) < 0.5
+    # constant stays constant at ANY non-integer scale
+    const = np.full((13, 7, 1), 99, np.uint8)
+    assert (M._resize_pixels(const, 5, 4, "area", np) == 99).all()
+    # a checkerboard at 4x: 'nearest' aliases to pure black/white
+    # phase picks while 'area' converges to the true 50% gray (this
+    # board happens to be benign for bilinear — its 4x taps land
+    # mid-pixel — but nearest shows the aliasing class directly)
+    board = np.indices((16, 16)).sum(axis=0) % 2 * 255
+    board = board.astype(np.uint8)[:, :, None]
+    area = M._resize_pixels(board, 4, 4, "area", np)
+    near = M._resize_pixels(board, 4, 4, "nearest", np)
+    assert (np.abs(area.astype(int) - 128) <= 1).all()
+    assert set(np.unique(near)) <= {0, 255}
+
+
+def test_transcode_area_method_through_spark(spark):
+    """transcode_images(method='area') runs end-to-end and an unknown
+    method is rejected at plan-build time."""
+    png = open(os.path.join(FIXTURES, "python.png"), "rb").read()
+    df = spark.createDataFrame(
+        [(1, "image", png)],
+        "media_id long, media_type string, payload binary")
+    r = M.transcode_images(df, 8, 8, method="area").collect()[0]
+    assert r["status"] == "ok" and (r["width"], r["height"]) == (8, 8)
+    decode = M._make_png_decoder()
+    got = decode(bytes(r["payload"]))
+    # equals the direct area resize of the decoded source
+    import numpy as np
+
+    src = decode(png)
+    want = M._resize_pixels(src[3], 8, 8, "area", np)
+    assert (got[3] == want).all()
+    with pytest.raises(ValueError, match="nearest|bilinear|area"):
+        M.transcode_images(df, 8, 8, method="lanczos")

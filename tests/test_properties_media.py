@@ -58,8 +58,8 @@ def test_adam7_roundtrip_identity_any_geometry(px):
 
 
 @given(_images(max_side=20), st.integers(1, 16), st.integers(1, 16),
-       st.sampled_from(["nearest", "bilinear"]))
-@settings(max_examples=80, deadline=None)
+       st.sampled_from(["nearest", "bilinear", "area"]))
+@settings(max_examples=120, deadline=None)
 def test_resize_invariants(px, tw, th, method):
     out = M._resize_pixels(px, tw, th, method, np)
     h, w = px.shape[:2]
@@ -71,6 +71,7 @@ def test_resize_invariants(px, tw, th, method):
     if method == "nearest":
         assert set(np.unique(out)) <= set(np.unique(px))
     else:
+        # bilinear and area are convex combinations of source values
         assert out.min() >= px.min() and out.max() <= px.max()
 
 
