@@ -16,10 +16,19 @@ Scale design (100 TB of media):
 - frame sampling is a pure JVM `sequence`+`explode` on metadata — row
   explosion never touches the payload bytes.
 
-The actual codec step (PIL/librosa/ffmpeg) is STUBBED: the container has no
-media libraries, so `decode_media` raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested — the Spark-side plumbing (schemas,
-UDF signatures, Arrow batch shapes, partitioning) is real and tested.
+The codecs are REAL clean-room pure-Python implementations (r9-r11):
+PNG (full legal depth space, Adam7, palette/tRNS incl. color-key),
+JPEG (baseline + full progressive), GIF (incl. animation compositing
+per the disposal model), BMP (palette/16/24/32-bit, RLE8/RLE4,
+BI_BITFIELDS), TIFF (strips, PackBits, LZW + predictor, ColorMap),
+WAV/AIFF/AU audio with G.711 mu-law/A-law, an ISO-BMFF/GIF metadata
+prober, an EXIF orientation reader, and a lossless PNG encoder behind
+the transcode/frame-sampling passes — every decoder honoring one
+three-valued per-row contract (tuple / None / "unsupported: …",
+NOTHING raises) and a decompression-bomb guard, fuzz-swept standing
+(`scripts/randomized_sweep_media_fuzz.py`). Only perceptual codecs
+that genuinely need PIL/librosa/ffmpeg (WebP/AVIF, mp3/ogg, video
+frame decode) remain honestly gated with named reasons.
 """
 
 from __future__ import annotations
