@@ -2287,21 +2287,24 @@ def _make_auto_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     decode pass sniffs per row inside ONE mapInPandas instead of asking
     the caller to pre-partition by format. Signatures are the public
     file-format magics (PNG 8-byte signature, JPEG FFD8, GIF87a/89a,
-    BMP 'BM', TIFF 'II*\\0'/'MM\\0*'). Formats the router can NAME but
-    no codec carries are reported as such — ``RIFF....WEBP`` →
-    ``"unsupported: WebP"``, ISO-BMFF ``ftyp`` brands ``avif/avis`` →
-    ``"unsupported: AVIF"`` and ``heic/heix/hevc/heim/heis/hevm/hevs/
-    mif1/msf1`` → ``"unsupported: HEIC"`` — so corpus inventory
-    dashboards count them truthfully instead of lumping them into
-    ``"unsupported: unrecognized format"`` (which remains the catch-all
-    for genuinely unknown magic). Each routed codec then applies its
-    own three-valued contract."""
+    BMP 'BM', TIFF 'II*\\0'/'MM\\0*', RIFF....WEBP → the
+    :mod:`.webp` container decoder). Formats the router can NAME but
+    no codec carries are reported as such — ISO-BMFF ``ftyp`` brands
+    ``avif/avis`` → ``"unsupported: AVIF"`` and ``heic/heix/hevc/heim/
+    heis/hevm/hevs/mif1/msf1`` → ``"unsupported: HEIC"`` — so corpus
+    inventory dashboards count them truthfully instead of lumping them
+    into ``"unsupported: unrecognized format"`` (which remains the
+    catch-all for genuinely unknown magic). Each routed codec then
+    applies its own three-valued contract."""
+    from .webp import _make_webp_decoder
+
     codecs = {
         "png": _make_png_decoder(max_pixels),
         "jpeg": _make_jpeg_decoder(max_pixels),
         "gif": _make_gif_decoder(max_pixels),
         "bmp": _make_bmp_decoder(max_pixels),
         "tiff": _make_tiff_decoder(max_pixels),
+        "webp": _make_webp_decoder(max_pixels),
     }
 
     AVIF_BRANDS = (b"avif", b"avis")
@@ -2324,7 +2327,7 @@ def _make_auto_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             return codecs["tiff"](data)
         if head.startswith(b"RIFF"):
             if head[8:12] == b"WEBP":
-                return "unsupported: WebP"
+                return codecs["webp"](data)
             if head[8:12] == b"WAVE":
                 return "unsupported: WAV audio (use decode_audio)"
         if len(head) >= 12 and head[4:8] == b"ftyp":
@@ -2372,13 +2375,15 @@ def decode_media(df: DataFrame, decoder: str = "real",
                 "container); use decoder='png'/'jpeg' for the pure-Python "
                 "codecs or decoder='fake' for the deterministic stub"
             ) from exc
-    if decoder in ("png", "jpeg", "gif", "bmp", "tiff", "auto"):
+    if decoder in ("png", "jpeg", "gif", "bmp", "tiff", "webp", "auto"):
         if decoder == "auto":
             codec = _make_auto_decoder(max_pixels)  # magic-byte router
         else:
+            from .webp import _make_webp_decoder
             codec = {"png": _make_png_decoder, "jpeg": _make_jpeg_decoder,
                      "gif": _make_gif_decoder, "bmp": _make_bmp_decoder,
-                     "tiff": _make_tiff_decoder}[decoder](
+                     "tiff": _make_tiff_decoder,
+                     "webp": _make_webp_decoder}[decoder](
                 max_pixels)  # driver-built
         schema = DECODED_SCHEMA
         if with_status:
