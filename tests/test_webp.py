@@ -1007,3 +1007,116 @@ def test_alph_filters_roundtrip():
         filt = fwd(plane, method) if method else plane
         got = unfilter(filt, method)
         assert (got == plane).all(), f"method {method}"
+
+
+# --------------------------------------------------------------------
+# real-encoder differential: system libwebp (public, ships in this
+# container) encodes; the pure-Python decoder must match libwebp's own
+# decode bit-for-bit. The production decoder never touches the
+# library — it is a test oracle only, same stance as stdlib wave /
+# audioop for the audio codecs.
+# --------------------------------------------------------------------
+
+def _libwebp():
+    import ctypes
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:  # pragma: no cover - env without libwebp
+        return None
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    return lib
+
+
+def _encode_lossless_rgba(lib, px):
+    import ctypes
+    h, w, _ = px.shape
+    buf = np.ascontiguousarray(px, np.uint8).tobytes()
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.WebPEncodeLosslessRGBA(buf, w, h, w * 4, ctypes.byref(out))
+    assert n > 0
+    data = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    return data
+
+
+def _libwebp_decode_rgba(lib, data, w, h):
+    import ctypes
+    wi, hi = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(wi),
+                           ctypes.byref(hi))
+    assert (wi.value, hi.value) == (w, h)
+    arr = np.ctypeslib.as_array(p, shape=(h, w, 4)).copy()
+    lib.WebPFree(p)
+    return arr
+
+
+def _structured_image(rng, w, h, kind):
+    if kind == "noise":
+        return np.array([[[rng.randrange(256) for _ in range(4)]
+                          for _ in range(w)] for _ in range(h)], np.uint8)
+    if kind == "flat":  # long runs: LZ77 / cache territory
+        px = np.zeros((h, w, 4), np.uint8)
+        px[:, :] = [rng.randrange(256) for _ in range(4)]
+        px[h // 2:, :] = [rng.randrange(256) for _ in range(4)]
+        return px
+    if kind == "gradient":  # predictor-transform territory
+        xs = np.arange(w, dtype=np.uint8)
+        ys = np.arange(h, dtype=np.uint8)[:, None]
+        px = np.zeros((h, w, 4), np.uint8)
+        px[:, :, 0] = (xs * 3 + ys) & 0xFF
+        px[:, :, 1] = (xs + ys * 5) & 0xFF
+        px[:, :, 2] = (xs * 2 ^ ys) & 0xFF
+        px[:, :, 3] = 255
+        return px
+    # "palette": few distinct colors -> color-indexing transform
+    colors = [[rng.randrange(256) for _ in range(4)] for _ in range(5)]
+    return np.array([[colors[rng.randrange(5)] for _ in range(w)]
+                     for _ in range(h)], np.uint8)
+
+
+@pytest.mark.parametrize("kind", ["noise", "flat", "gradient", "palette"])
+def test_vp8l_matches_real_libwebp_encoder(kind):
+    lib = _libwebp()
+    if lib is None:  # pragma: no cover
+        pytest.skip("libwebp.so.7 not present")
+    dec = _make_webp_decoder(MAXPX)
+    rng = random.Random(hash(kind) & 0xFFFF)
+    for trial in range(6):
+        w = rng.randrange(1, 49)
+        h = rng.randrange(1, 41)
+        px = _structured_image(rng, w, h, kind)
+        data = _encode_lossless_rgba(lib, px)
+        want = _libwebp_decode_rgba(lib, data, w, h)
+        got = dec(data)
+        assert isinstance(got, tuple), f"{kind} {w}x{h}: {got}"
+        gw, gh, ch, gpx = got
+        assert (gw, gh) == (w, h)
+        if ch == 3:
+            assert (want[:, :, 3] == 255).all()
+            assert (gpx == want[:, :, :3]).all(), f"{kind} {w}x{h}"
+        else:
+            assert (gpx == want).all(), f"{kind} {w}x{h}"
+
+
+def test_vp8l_matches_libwebp_on_fuzzed_encodes():
+    """One bigger sweep mixing content classes; every byte-stream the
+    real encoder emits must decode bit-identically."""
+    lib = _libwebp()
+    if lib is None:  # pragma: no cover
+        pytest.skip("libwebp.so.7 not present")
+    dec = _make_webp_decoder(MAXPX)
+    rng = random.Random(777)
+    for trial in range(25):
+        kind = ("noise", "flat", "gradient", "palette")[trial % 4]
+        w = rng.randrange(1, 97)
+        h = rng.randrange(1, 65)
+        px = _structured_image(rng, w, h, kind)
+        data = _encode_lossless_rgba(lib, px)
+        want = _libwebp_decode_rgba(lib, data, w, h)
+        got = dec(data)
+        assert isinstance(got, tuple), f"trial {trial} {kind} {w}x{h}"
+        gw, gh, ch, gpx = got
+        if ch == 3:
+            gpx = np.dstack([gpx, np.full((gh, gw), 255, np.uint8)])
+        assert (gpx == want).all(), f"trial {trial} {kind} {w}x{h}"
