@@ -1178,7 +1178,7 @@ def test_auto_decoder_routes_mixed_formats(spark):
         5: open(os.path.join(FIXTURES, "python.tiff"), "rb").read(),
         6: b"\x00BC1\x00\x00\x00\x00",   # no recognizable magic at all
         7: b"\x89PNG\r\n\x1a\ntruncated",  # PNG magic, corrupt body
-        8: b"RIFF\x10\x00\x00\x00WEBPVP8 ",   # WebP: named, not carried
+        8: open(os.path.join(FIXTURES, "python.webp"), "rb").read(),
         9: b"\x00\x00\x00\x18ftypavif\x00\x00\x00\x00",  # AVIF brand
         10: b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00",  # HEIC brand
         11: b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00",  # plain mp4 brand
@@ -1194,9 +1194,9 @@ def test_auto_decoder_routes_mixed_formats(spark):
         assert got[mid] == (16, 16, "ok"), mid
     assert got[6] == (None, None, "unsupported: unrecognized format")
     assert got[7] == (None, None, "corrupt")
-    # formats the router NAMES without carrying a codec — corpus
-    # inventory dashboards must count WebP/AVIF/HEIC truthfully
-    assert got[8] == (None, None, "unsupported: WebP")
+    # WebP is a real codec now (VP8L + RFC 6386 VP8); AVIF/HEIC stay
+    # named gates — corpus inventory dashboards count them truthfully
+    assert got[8] == (16, 16, "ok")
     assert got[9] == (None, None, "unsupported: AVIF")
     assert got[10] == (None, None, "unsupported: HEIC")
     # other ftyp brands / RIFF-WAVE are pointed at the right operator
@@ -1842,7 +1842,7 @@ def test_transcode_images_through_map_in_pandas(spark):
         4: open(os.path.join(FIXTURES, "python.bmp"), "rb").read(),
         5: open(os.path.join(FIXTURES, "python.tiff"), "rb").read(),
         6: b"\x89PNG\r\n\x1a\nbroken",
-        7: b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        7: open(os.path.join(FIXTURES, "python.webp"), "rb").read(),
     }
     df = spark.createDataFrame(
         [(k, "image", v) for k, v in payloads.items()],
@@ -1850,7 +1850,7 @@ def test_transcode_images_through_map_in_pandas(spark):
     got = {r["media_id"]: r for r in
            M.transcode_images(df, 8, 8).collect()}
     decode = M._make_png_decoder()
-    for mid in (1, 2, 3, 4, 5):
+    for mid in (1, 2, 3, 4, 5, 7):
         r = got[mid]
         assert r["status"] == "ok" and (r["width"], r["height"]) == (8, 8)
         w, h, ch, px = decode(bytes(r["payload"]))
@@ -1858,7 +1858,6 @@ def test_transcode_images_through_map_in_pandas(spark):
         assert r["n_bytes_out"] == len(r["payload"])
         assert r["n_bytes_in"] == len(payloads[mid])
     assert got[6]["status"] == "corrupt" and got[6]["payload"] is None
-    assert got[7]["status"] == "unsupported: WebP"
 
 
 def test_transcode_preserves_content_not_just_shape():
@@ -2644,7 +2643,7 @@ def test_media_curation_pipeline_end_to_end(spark):
         4: open(os.path.join(FIXTURES, "python.jpg"), "rb").read(),
         5: open(os.path.join(FIXTURES, "python.gif"), "rb").read(),
         6: b"\x89PNG\r\n\x1a\nbroken",
-        7: b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+        7: open(os.path.join(FIXTURES, "python.webp"), "rb").read(),
     }
     df = spark.createDataFrame(
         [(k, "image", v) for k, v in payloads.items()],
@@ -2654,8 +2653,7 @@ def test_media_curation_pipeline_end_to_end(spark):
     inv = {r["status"]: r["n"] for r in
            thumbs.groupBy("status").agg(F.count("*").alias("n"))
            .collect()}
-    assert inv["ok"] == 5 and inv["corrupt"] == 1
-    assert inv["unsupported: WebP"] == 1
+    assert inv["ok"] == 6 and inv["corrupt"] == 1  # WebP decodes now
     # dedup on the canonical thumbnail bytes
     groups = (thumbs.where(F.col("status") == "ok")
               .withColumn("fp", payload_checksum(F.col("payload")))
@@ -2670,7 +2668,7 @@ def test_media_curation_pipeline_end_to_end(spark):
     # the lossy JPEG and palette-quantized GIF
     assert (1, 3) in id_groups
     flat = [i for g in id_groups for i in g]
-    assert sorted(flat) == [1, 2, 3, 4, 5]
+    assert sorted(flat) == [1, 2, 3, 4, 5, 7]  # 7 = lossy WebP, unique
     assert all(len(g) == 1 for g in id_groups if g != (1, 3))
 
 
