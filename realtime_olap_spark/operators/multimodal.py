@@ -1410,7 +1410,10 @@ def decode_frames(df: DataFrame, every_ms: int,
     carried format yield their single frame at ts 0; undecodable rows
     yield one row with a NULL payload and the usual reason — all in
     ONE ``mapInPandas``, payload bytes never entering a shuffle."""
+    from .webp import _make_webp_animation_decoder
+
     anim = _make_gif_animation_decoder(max_pixels, max_frames)
+    webp_anim = _make_webp_animation_decoder(max_pixels, max_frames)
     still = _make_auto_decoder(max_pixels)
     encode = _make_png_encoder()
 
@@ -1431,11 +1434,20 @@ def decode_frames(df: DataFrame, every_ms: int,
                 rows["status"].append(status)
 
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                is_gif = (isinstance(payload, (bytes, bytearray))
-                          and bytes(payload[:6]) in (b"GIF87a",
-                                                     b"GIF89a"))
-                if is_gif:
-                    r = anim(payload)
+                head = (bytes(payload[:12])
+                        if isinstance(payload, (bytes, bytearray))
+                        else b"")
+                is_gif = head[:6] in (b"GIF87a", b"GIF89a")
+                # animated WebP: VP8X chunk first with the ANIM flag
+                # (bit 1 of its flags byte at offset 20) — an O(1)
+                # check, so stills keep riding the plain codec path
+                is_webp_anim = (head[:4] == b"RIFF"
+                                and head[8:12] == b"WEBP"
+                                and len(payload) >= 21
+                                and bytes(payload[12:16]) == b"VP8X"
+                                and payload[20] & 0x02)
+                if is_gif or is_webp_anim:
+                    r = (anim if is_gif else webp_anim)(payload)
                     if isinstance(r, tuple):
                         w, h, frames = r
                         total = frames[-1][0] + frames[-1][1]
@@ -2687,6 +2699,159 @@ PROBE_SCHEMA = StructType([
 ])
 
 
+def _make_ebml_prober():
+    """Build the clean-room EBML/Matroska (WebM/MKV — RFC 8794 +
+    the public Matroska element registry) metadata PROBER: a
+    variable-length-integer element walk over ``EBML``(DocType) →
+    ``Segment`` → ``Info``(TimestampScale, Duration) →
+    ``Tracks``/``TrackEntry``(TrackType, CodecID,
+    Video/PixelWidth/PixelHeight), metadata-only — ``Cluster``
+    payloads are skipped wholesale, so cost is O(header elements),
+    not O(media bytes). Nested function, captured by value (house
+    rule).
+
+    Returns the probe tuple shape shared with the BMFF/GIF/WebP
+    probers: ``major_brand`` = the DocType ('webm'/'matroska'),
+    duration from Info's float Duration scaled by TimestampScale
+    (ms), dims from the first video TrackEntry, codec IDs lowercased
+    with their 'V_'/'A_' prefixes dropped, ``frame_count`` NULL (a
+    metadata walk cannot know it without reading every Cluster —
+    honest, not guessed). ``None`` for malformed VINTs/truncated
+    elements, ``"unsupported: not EBML"`` for foreign magic."""
+    import struct
+
+    def vint(data, pos, keep_marker):
+        """Read one EBML variable-length integer at ``pos``; returns
+        (value, next_pos). IDs keep the length-marker bit, sizes drop
+        it; an all-ones size is 'unknown' and returned as -1."""
+        if pos >= len(data):
+            raise ValueError("eof")
+        first = data[pos]
+        if first == 0:
+            raise ValueError("bad vint")
+        n = 1
+        mask = 0x80
+        while not (first & mask):
+            mask >>= 1
+            n += 1
+        if pos + n > len(data):
+            raise ValueError("eof")
+        if keep_marker:
+            v = 0
+            for i in range(n):
+                v = (v << 8) | data[pos + i]
+        else:
+            v = first & (mask - 1)
+            all_ones = v == mask - 1
+            for i in range(1, n):
+                v = (v << 8) | data[pos + i]
+                all_ones &= data[pos + i] == 0xFF
+            if all_ones:
+                v = -1  # unknown-size element
+        return v, pos + n
+
+    def elements(data, start, end):
+        """Yield (id, body_start, body_end) for sibling elements."""
+        pos = start
+        while pos < end:
+            eid, pos = vint(data, pos, True)
+            size, pos = vint(data, pos, False)
+            body_end = end if size < 0 else pos + size
+            if body_end > end:
+                raise ValueError("overruns parent")
+            yield eid, pos, body_end
+            pos = body_end
+
+    def uint_at(data, s, e):
+        v = 0
+        for i in range(s, e):
+            v = (v << 8) | data[i]
+        return v
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
+            return "unsupported: not EBML"
+        try:
+            doctype = None
+            duration_raw = None
+            tscale = 1_000_000  # Matroska default: 1 ms ticks
+            width = height = None
+            vcodec = acodec = None
+            tracks = 0
+            for eid, s, e in elements(data, 0, len(data)):
+                if eid == 0x1A45DFA3:  # EBML header
+                    for hid, hs, he in elements(data, s, e):
+                        if hid == 0x4282:  # DocType
+                            doctype = data[hs:he].rstrip(b"\x00") \
+                                .decode("ascii", "replace")
+                elif eid == 0x18538067:  # Segment
+                    for sid, ss, se in elements(data, s, e):
+                        if sid == 0x1549A966:  # Info
+                            for iid, i_s, i_e in elements(data, ss, se):
+                                if iid == 0x2AD7B1:
+                                    tscale = uint_at(data, i_s, i_e)
+                                elif iid == 0x4489:  # float Duration
+                                    n = i_e - i_s
+                                    if n == 4:
+                                        duration_raw = struct.unpack(
+                                            ">f", data[i_s:i_e])[0]
+                                    elif n == 8:
+                                        duration_raw = struct.unpack(
+                                            ">d", data[i_s:i_e])[0]
+                        elif sid == 0x1654AE6B:  # Tracks
+                            for tid, ts, te in elements(data, ss, se):
+                                if tid != 0xAE:  # TrackEntry
+                                    continue
+                                tracks += 1
+                                ttype = None
+                                codec = None
+                                tw = th = None
+                                for fid, fs, fe in elements(
+                                        data, ts, te):
+                                    if fid == 0x83:
+                                        ttype = uint_at(data, fs, fe)
+                                    elif fid == 0x86:
+                                        codec = data[fs:fe] \
+                                            .rstrip(b"\x00").decode(
+                                                "ascii", "replace")
+                                    elif fid == 0xE0:  # Video
+                                        for vid, vs, ve in elements(
+                                                data, fs, fe):
+                                            if vid == 0xB0:
+                                                tw = uint_at(
+                                                    data, vs, ve)
+                                            elif vid == 0xBA:
+                                                th = uint_at(
+                                                    data, vs, ve)
+                                if ttype == 1 and vcodec is None:
+                                    if codec:
+                                        vcodec = codec.removeprefix(
+                                            "V_").lower()
+                                    if width is None:
+                                        width, height = tw, th
+                                elif ttype == 2 and acodec is None \
+                                        and codec:
+                                    acodec = codec.removeprefix(
+                                        "A_").lower()
+                        # Cluster (0x1F43B675) and everything else:
+                        # skipped — metadata-only walk
+            if doctype is None:
+                return None
+            duration_ms = None
+            if duration_raw is not None and duration_raw >= 0 \
+                    and tscale > 0:
+                duration_ms = int(duration_raw * tscale / 1_000_000)
+            return (doctype, duration_ms, width, height, vcodec,
+                    acodec, tracks if tracks else None, None)
+        except (ValueError, struct.error, IndexError):
+            return None
+
+    return probe
+
+
 def probe_media(df: DataFrame, with_status: bool = False,
                 container: str = "auto") -> DataFrame:
     """Container-metadata probe over opaque video/animation payloads
@@ -2695,28 +2860,44 @@ def probe_media(df: DataFrame, with_status: bool = False,
     track count and frame count. ``container`` picks the walk:
     ``'bmff'`` (ISO-BMFF box walk, :func:`_make_bmff_prober`),
     ``'gif'`` (GIF89a animation block walk,
-    :func:`_make_gif_prober`), or ``'auto'`` (per-row magic routing
-    across both). Metadata-only: no frame decode, no ``mdat``/LZW
-    scan, so the per-row cost is bounded by the header size regardless
-    of payload bytes. Unrecognized/malformed rows NULL out;
-    ``with_status=True`` appends the ok/corrupt/unsupported reason —
-    the same contract as :func:`decode_media`/:func:`decode_audio`."""
-    if container not in ("auto", "bmff", "gif"):
-        raise ValueError(f"container must be auto|bmff|gif: {container!r}")
+    :func:`_make_gif_prober`), ``'webp'`` (RIFF chunk walk,
+    :func:`webp._make_webp_prober` — VP8L/VP8/VP8X dims, codec,
+    ``ANMF`` frame count + duration), ``'ebml'`` (Matroska/WebM
+    element walk, :func:`_make_ebml_prober`), or ``'auto'`` (per-row
+    magic routing across all four). Metadata-only: no frame decode, no
+    ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
+    header size regardless of payload bytes. Unrecognized/malformed
+    rows NULL out; ``with_status=True`` appends the
+    ok/corrupt/unsupported reason — the same contract as
+    :func:`decode_media`/:func:`decode_audio`."""
+    if container not in ("auto", "bmff", "gif", "webp", "ebml"):
+        raise ValueError(
+            f"container must be auto|bmff|gif|webp|ebml: {container!r}")
+    from .webp import _make_webp_prober
     bmff = _make_bmff_prober() if container in ("auto", "bmff") else None
     gif = _make_gif_prober() if container in ("auto", "gif") else None
+    webp = _make_webp_prober() if container in ("auto", "webp") else None
+    ebml = _make_ebml_prober() if container in ("auto", "ebml") else None
 
     def prober(payload):
         if container == "bmff":
             return bmff(payload)
         if container == "gif":
             return gif(payload)
+        if container == "webp":
+            return webp(payload)
+        if container == "ebml":
+            return ebml(payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
                 return gif(payload)
             if len(head) >= 8 and head[4:8] == b"ftyp":
                 return bmff(payload)
+            if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+                return webp(payload)
+            if head[:4] == b"\x1a\x45\xdf\xa3":
+                return ebml(payload)
             return "unsupported: unrecognized container"
         return None
 

@@ -1174,30 +1174,29 @@ def _make_vp8_planes_decoder(max_pixels: int):
     return decode
 
 
-def _yuv420_to_rgb(y, u, v):
-    """4:2:0 -> RGB: nearest-neighbor chroma upsample + integer
-    BT.601 limited-range conversion. The RGB rendering is NOT part of
-    RFC 6386 (the codec's output is the YUV planes, which the tests
-    pin bit-exactly); libwebp's fancy upsampler will differ by a few
-    counts on chroma edges — documented, not hidden."""
-    import numpy as np
-
-    h, w = y.shape
-    uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
-    vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
-    c = y.astype(np.int32) - 16
-    r = np.clip((298 * c + 409 * vv + 128) >> 8, 0, 255)
-    g = np.clip((298 * c - 100 * uu - 208 * vv + 128) >> 8, 0, 255)
-    b = np.clip((298 * c + 516 * uu + 128) >> 8, 0, 255)
-    import numpy
-    return numpy.dstack([r, g, b]).astype(numpy.uint8)
-
-
 def _make_vp8_decoder(max_pixels: int):
     """RGB-producing wrapper over the planes decoder:
-    ``decode(payload) -> (w, h, rgb ndarray) | None | reason``."""
+    ``decode(payload) -> (w, h, rgb ndarray) | None | reason``.
+
+    The 4:2:0 -> RGB rendering (nearest-neighbor chroma upsample +
+    integer BT.601 limited-range conversion) is NOT part of RFC 6386 —
+    the codec's output is the YUV planes, which the tests pin
+    bit-exactly; libwebp's fancy upsampler will differ by a few counts
+    on chroma edges. Documented, not hidden. Nested function, captured
+    by value (house rule — no module-level helper references)."""
+    import numpy as np
+
     planes = _make_vp8_planes_decoder(max_pixels)
-    to_rgb = _yuv420_to_rgb
+
+    def to_rgb(y, u, v):
+        h, w = y.shape
+        uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+        vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+        c = y.astype(np.int32) - 16
+        r = np.clip((298 * c + 409 * vv + 128) >> 8, 0, 255)
+        g = np.clip((298 * c - 100 * uu - 208 * vv + 128) >> 8, 0, 255)
+        b = np.clip((298 * c + 516 * uu + 128) >> 8, 0, 255)
+        return np.dstack([r, g, b]).astype(np.uint8)
 
     def decode(data):
         res = planes(data)

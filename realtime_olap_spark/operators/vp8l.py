@@ -86,6 +86,11 @@ def _make_vp8l_stream_decoder(max_pixels: int):
     """
     import numpy as np
 
+    # capture the module tables by value (house closure rule: worker
+    # closures must not depend on the package being importable)
+    cl_order = _CL_ORDER
+    plane_codes = _PLANE_CODES
+
     class _Bad(Exception):
         """Internal malformed-bitstream signal; never escapes."""
 
@@ -184,7 +189,7 @@ def _make_vp8l_stream_decoder(max_pixels: int):
             num_cl = bits(4) + 4
             cl_lengths = [0] * 19
             for i in range(num_cl):
-                cl_lengths[_CL_ORDER[i]] = bits(3)
+                cl_lengths[cl_order[i]] = bits(3)
             cl_tree = build_code(cl_lengths)
             if bits(1):  # explicit token budget
                 length_nbits = 2 + 2 * bits(3)
@@ -286,7 +291,7 @@ def _make_vp8l_stream_decoder(max_pixels: int):
                     if dist_code > 120:
                         dist = dist_code - 120
                     else:
-                        dx, dy = _PLANE_CODES[dist_code - 1]
+                        dx, dy = plane_codes[dist_code - 1]
                         dist = dy * w + dx
                         if dist < 1:
                             dist = 1

@@ -197,3 +197,242 @@ def _make_webp_decoder(max_pixels: int):
             return None
 
     return decode
+
+
+def _make_webp_prober():
+    """Metadata-only WebP prober (container spec): RIFF chunk walk —
+    canvas dims from the VP8L header / VP8 frame tag / VP8X fields,
+    ``video_codec`` = 'vp8' or 'vp8l', animation frame count and total
+    duration from ``ANMF`` headers (24-bit milliseconds each) —
+    without entropy-decoding anything, so cost is O(chunk headers).
+    Same tuple shape as the BMFF/GIF probers, with ``major_brand`` =
+    'webp'; ``None`` for malformed, ``"unsupported: not WebP"`` for
+    foreign magic. Nested function, captured by value (house rule)."""
+    import struct
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" \
+                or data[8:12] != b"WEBP":
+            return "unsupported: not WebP"
+        try:
+            w = h = None
+            codec = None
+            frames = 0
+            total_ms = 0
+            animated = False
+            off = 12
+            while off + 8 <= len(data):
+                tag = data[off:off + 4]
+                ln = struct.unpack("<I", data[off + 4:off + 8])[0]
+                payload = data[off + 8:off + 8 + ln]
+                if len(payload) < ln:
+                    return None
+                if tag == b"VP8X" and ln >= 10:
+                    if w is None:
+                        w = 1 + int.from_bytes(payload[4:7], "little")
+                        h = 1 + int.from_bytes(payload[7:10], "little")
+                    animated = bool(payload[0] & 0x02)
+                elif tag == b"VP8L" and ln >= 5:
+                    if payload[0] != 0x2F:
+                        return None
+                    bits = int.from_bytes(payload[1:5], "little")
+                    if w is None:
+                        w = (bits & 0x3FFF) + 1
+                        h = ((bits >> 14) & 0x3FFF) + 1
+                    if codec is None:
+                        codec = "vp8l"
+                elif tag == b"VP8 " and ln >= 10:
+                    if payload[3:6] != b"\x9d\x01\x2a":
+                        return None
+                    if w is None:
+                        w = (payload[6] | (payload[7] << 8)) & 0x3FFF
+                        h = (payload[8] | (payload[9] << 8)) & 0x3FFF
+                    if codec is None:
+                        codec = "vp8"
+                elif tag == b"ANMF" and ln >= 16:
+                    frames += 1
+                    total_ms += int.from_bytes(payload[12:15],
+                                               "little")
+                    if codec is None and ln >= 24:
+                        sub = payload[16:20]
+                        if sub == b"VP8L":
+                            codec = "vp8l"
+                        elif sub == b"VP8 ":
+                            codec = "vp8"
+                off += 8 + ln + (ln & 1)
+            if w is None:
+                return None
+            if not animated:
+                frames = 1
+            return ("webp", total_ms if total_ms else None,
+                    int(w), int(h), codec, None, 1, frames)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return probe
+
+
+def _make_webp_animation_decoder(max_pixels: int,
+                                 max_frames: int = 1024):
+    """Animated-WebP decoder (container spec ``ANIM``/``ANMF``):
+    composites each frame onto the canvas per its blending method
+    (0 = straight-alpha 'over', the spec's formula; 1 = overwrite)
+    and disposal method (1 = fill the frame rectangle with the
+    ``ANIM`` background color after display). Frame offsets are
+    stored in 2-pixel units; inner image data is VP8L or ALPH+VP8.
+
+    Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
+    the same contract as the GIF animation decoder, so
+    ``decode_frames`` composites both formats identically — ``None``
+    for malformed bytes, ``"unsupported: …"`` for still WebP (route
+    those through ``decode_media``) and past the bomb guards. Nothing
+    raises per-row."""
+    import struct
+
+    import numpy as np
+
+    vp8l = _make_vp8l_stream_decoder(max_pixels)
+    alph = _make_alph_decoder(max_pixels)
+    try:
+        from .vp8 import _make_vp8_decoder
+        vp8 = _make_vp8_decoder(max_pixels)
+    except ImportError:  # pragma: no cover - lossy core not built
+        vp8 = None
+
+    def decode_subimage(chunks):
+        """ALPH?+VP8 or VP8L subchunks of one ANMF -> RGBA or None/str."""
+        alpha_payload = None
+        for tag, payload in chunks:
+            if tag == b"ALPH":
+                alpha_payload = payload
+            elif tag == b"VP8L":
+                res = vp8l(payload)
+                if not isinstance(res, tuple):
+                    return res
+                w, h, arr = res
+                return np.dstack([
+                    ((arr >> 16) & 0xFF).astype(np.uint8),
+                    ((arr >> 8) & 0xFF).astype(np.uint8),
+                    (arr & 0xFF).astype(np.uint8),
+                    (arr >> 24).astype(np.uint8)])
+            elif tag == b"VP8 ":
+                if vp8 is None:  # pragma: no cover
+                    return "unsupported: lossy WebP (VP8)"
+                res = vp8(payload)
+                if not isinstance(res, tuple):
+                    return res
+                w, h, px = res
+                if alpha_payload is None:
+                    a = np.full((h, w), 255, np.uint8)
+                else:
+                    a = alph(alpha_payload, w, h)
+                    if not isinstance(a, np.ndarray):
+                        return a
+                return np.dstack([px, a])
+        return None
+
+    def blend_over(canvas_rect, src):
+        """Container-spec straight-alpha 'over' compositing."""
+        sa = src[:, :, 3].astype(np.float64) / 255.0
+        da = canvas_rect[:, :, 3].astype(np.float64) / 255.0
+        oa = sa + da * (1.0 - sa)
+        out = np.zeros_like(src, np.float64)
+        for c in range(3):
+            num = (src[:, :, c] * sa
+                   + canvas_rect[:, :, c] * da * (1.0 - sa))
+            out[:, :, c] = np.divide(num, oa, out=np.zeros_like(num),
+                                     where=oa > 0)
+        out[:, :, 3] = oa * 255.0
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+            return None
+        try:
+            chunks = []
+            off = 12
+            while off + 8 <= len(data):
+                tag = data[off:off + 4]
+                ln = struct.unpack("<I", data[off + 4:off + 8])[0]
+                payload = data[off + 8:off + 8 + ln]
+                if len(payload) < ln:
+                    return None
+                chunks.append((tag, payload))
+                off += 8 + ln + (ln & 1)
+            if not chunks or chunks[0][0] != b"VP8X" \
+                    or len(chunks[0][1]) < 10 \
+                    or not (chunks[0][1][0] & 0x02):
+                return ("unsupported: still WebP (use decode_media)"
+                        if chunks else None)
+            hdr = chunks[0][1]
+            cw = 1 + int.from_bytes(hdr[4:7], "little")
+            ch = 1 + int.from_bytes(hdr[7:10], "little")
+            if cw * ch > max_pixels:
+                return f"unsupported: image too large ({cw}x{ch})"
+            bg = (0, 0, 0, 0)
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+            frames = []
+            t = 0
+            for tag, payload in chunks[1:]:
+                if tag == b"ANIM":
+                    if len(payload) < 6:
+                        return None
+                    # stored BGRA; keep as RGBA for the fill
+                    bg = (payload[2], payload[1], payload[0],
+                          payload[3])
+                elif tag == b"ANMF":
+                    if len(payload) < 16:
+                        return None
+                    fx = int.from_bytes(payload[0:3], "little") * 2
+                    fy = int.from_bytes(payload[3:6], "little") * 2
+                    fw = 1 + int.from_bytes(payload[6:9], "little")
+                    fh = 1 + int.from_bytes(payload[9:12], "little")
+                    dur = int.from_bytes(payload[12:15], "little")
+                    flags = payload[15]
+                    if fx + fw > cw or fy + fh > ch:
+                        return None
+                    if fw * fh > max_pixels:
+                        return ("unsupported: image too large "
+                                f"({fw}x{fh})")
+                    if len(frames) >= max_frames:
+                        return (f"unsupported: more than {max_frames} "
+                                "frames")
+                    sub = []
+                    p = 16
+                    while p + 8 <= len(payload):
+                        stag = payload[p:p + 4]
+                        sln = struct.unpack("<I",
+                                            payload[p + 4:p + 8])[0]
+                        sp = payload[p + 8:p + 8 + sln]
+                        if len(sp) < sln:
+                            return None
+                        sub.append((stag, sp))
+                        p += 8 + sln + (sln & 1)
+                    px = decode_subimage(sub)
+                    if not isinstance(px, np.ndarray):
+                        return px
+                    if px.shape[:2] != (fh, fw):
+                        return None
+                    rect = canvas[fy:fy + fh, fx:fx + fw]
+                    if flags & 0x02:  # do-not-blend: overwrite
+                        canvas[fy:fy + fh, fx:fx + fw] = px
+                    else:
+                        canvas[fy:fy + fh, fx:fx + fw] = \
+                            blend_over(rect, px)
+                    frames.append((t, dur, canvas.copy()))
+                    t += dur
+                    if flags & 0x01:  # dispose to background color
+                        canvas[fy:fy + fh, fx:fx + fw] = bg
+            if not frames:
+                return None
+            return cw, ch, frames
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode

@@ -22,7 +22,8 @@ every seed draws a golden and a mutation:
 - magic-prefixed noise: a valid signature followed by random bytes.
 
 Every mutation goes through the format's own codec AND the magic-byte
-auto-router (which adds the WebP/AVIF/HEIC naming paths). Pure-Python —
+auto-router (WebP rides the real VP8L/VP8 codecs; AVIF/HEIC stay
+naming paths). Pure-Python —
 no SparkSession; the decoders are the same nested-closure objects the
 mapInPandas workers capture, so driver-side coverage IS executor
 coverage.
@@ -42,6 +43,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from realtime_olap_spark.operators import multimodal as mm  # noqa: E402
+from realtime_olap_spark.operators.webp import (  # noqa: E402
+    _make_webp_animation_decoder,
+    _make_webp_decoder,
+    _make_webp_prober,
+)
 
 FIXTURES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "fixtures")
@@ -62,6 +68,8 @@ GOLDENS = {
              "pluck-ulaw.aifc", "pluck-alaw.aifc"],
     "au": ["pluck-ulaw.au"],
     "mp4": ["probe.mp4"],
+    "webp": ["python.webp"],
+    "webm": ["probe.webm"],
 }
 
 MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",
@@ -105,8 +113,12 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "wav": mm._make_wav_decoder(),
                 "aiff": mm._make_aiff_decoder(),
                 "au": mm._make_au_decoder(),
-                "mp4": mm._make_bmff_prober()}
+                "mp4": mm._make_bmff_prober(),
+                "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
+                "webm": mm._make_ebml_prober()}
     gif_probe = mm._make_gif_prober()
+    webp_probe = _make_webp_prober()
+    webp_anim = _make_webp_animation_decoder(mm.MAX_DECODE_PIXELS)
     gif_anim = mm._make_gif_animation_decoder()
     img_auto = mm._make_auto_decoder()
     aud_auto = mm._make_audio_auto_decoder()
@@ -146,11 +158,14 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
-        if not audio and fmt != "mp4":
+        if not audio and fmt not in ("mp4", "webm"):
             checks.append(("transcode", transcode))
         if fmt == "gif":
             checks.append(("gif-probe", gif_probe))
             checks.append(("gif-anim", gif_anim))
+        if fmt == "webp":
+            checks.append(("webp-probe", webp_probe))
+            checks.append(("webp-anim", webp_anim))
         for dname, dec in checks:
             cases += 1
             try:

@@ -290,6 +290,33 @@ def make_photo_gif(w, h, seed):
     return gif, img
 
 
+
+def make_photo_webp(w, h, seed, lossless):
+    """Photo-field WebP via the SYSTEM libwebp encoder (the realistic
+    bitstream source — transforms/segmentation/partitions as a real
+    encoder emits them). Returns None when the library is absent."""
+    import ctypes
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:  # pragma: no cover - env without libwebp
+        return None, None
+    field = photo_field(w, h, seed)
+    px = np.dstack([field, np.roll(field, 3, 1), np.roll(field, 5, 0)])
+    px = np.ascontiguousarray(px, np.uint8)
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    if lossless:
+        lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+        n = lib.WebPEncodeLosslessRGB(px.tobytes(), w, h, w * 3,
+                                      ctypes.byref(out))
+    else:
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        n = lib.WebPEncodeRGB(px.tobytes(), w, h, w * 3,
+                              ctypes.c_float(75.0), ctypes.byref(out))
+    data = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    return data, px
+
+
 def corpus(spark, n_rows, payloads):
     arr = F.array(*[F.lit(p) for p in payloads])
     return (spark.range(n_rows)
@@ -317,9 +344,14 @@ def main():
     jpg_dec = mm._make_jpeg_decoder()
 
     gif_dec = mm._make_gif_decoder()
+    from realtime_olap_spark.operators.webp import _make_webp_decoder
+    webp_dec = _make_webp_decoder(mm.MAX_DECODE_PIXELS)
     for label, w, h, rows in sizes:
+        if rows <= 0:
+            continue  # skip template build+verify for unmeasured sizes
         mp = w * h / 1e6
         pngs, jpgs, gifs = [], [], []
+        webps_l, webps_y = [], []
         for i in range(K):
             png, src = make_photo_png(w, h, 7 * i + 1)
             got = png_dec(png)
@@ -339,6 +371,20 @@ def main():
             assert isinstance(got, tuple) and \
                 (got[3][:, :, 0] == src).all(), ("gif verify", label, i)
             gifs.append(gif)
+            wl, src_px = make_photo_webp(w, h, 17 * i + 7, True)
+            if wl is not None:
+                got = webp_dec(wl)
+                assert isinstance(got, tuple) and \
+                    (got[3][:, :, :3] == src_px).all(), \
+                    ("webp-lossless verify", label, i)
+                webps_l.append(wl)
+                wy, src_px = make_photo_webp(w, h, 19 * i + 9, False)
+                got = webp_dec(wy)
+                assert isinstance(got, tuple), ("webp verify", label, i)
+                err = np.abs(got[3][:, :, 0].astype(float)
+                             - src_px[:, :, 0].astype(float))
+                assert err.mean() < 8.0, ("webp err", label, i, err.mean())
+                webps_y.append(wy)
         plans = [
             ("png", pngs,
              lambda d: mm.decode_media(d, decoder="png"), "decoded_width"),
@@ -350,6 +396,13 @@ def main():
             ("transcode-jpeg", jpgs,
              lambda d: mm.transcode_images(d, 256, 256), "width"),
         ]
+        if webps_l:
+            plans.append(("webp-lossless", webps_l,
+                          lambda d: mm.decode_media(d, decoder="webp"),
+                          "decoded_width"))
+            plans.append(("webp-lossy", webps_y,
+                          lambda d: mm.decode_media(d, decoder="webp"),
+                          "decoded_width"))
         for name, payloads, plan, ok_col in plans:
             df = corpus(spark, rows, payloads).repartition(ncores)
             timed_noop(plan(df))  # warm untimed

@@ -2843,3 +2843,94 @@ def test_transcode_area_method_through_spark(spark):
     assert (got[3] == want).all()
     with pytest.raises(ValueError, match="nearest|bilinear|area"):
         M.transcode_images(df, 8, 8, method="lanczos")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    """One EBML element: raw ID bytes + minimal-length size VINT."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:  # all-ones is reserved (unknown)
+            marker = 1 << (7 * ln)
+            return idb + (marker | n).to_bytes(ln, "big") + body
+    raise AssertionError("size too large")
+
+
+def _assemble_probe_webm() -> bytes:
+    """Spec-assembled Matroska/WebM golden (RFC 8794 VINTs + the
+    public Matroska element IDs) — same strategy as probe.mp4: no
+    third-party encoder in this container emits WebM, so the fixture
+    is built from the format's normative layout and byte-pinned."""
+    import struct
+
+    header = _ebml_el(0x1A45DFA3, b"".join([
+        _ebml_el(0x4286, b"\x01"),            # EBMLVersion
+        _ebml_el(0x42F7, b"\x01"),            # EBMLReadVersion
+        _ebml_el(0x4282, b"webm"),            # DocType
+        _ebml_el(0x4287, b"\x04"),            # DocTypeVersion
+    ]))
+    info = _ebml_el(0x1549A966, b"".join([
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big")),
+        _ebml_el(0x4489, struct.pack(">d", 3000.0)),  # 3000 ticks
+    ]))
+    video_track = _ebml_el(0xAE, b"".join([
+        _ebml_el(0xD7, b"\x01"),              # TrackNumber
+        _ebml_el(0x83, b"\x01"),              # TrackType: video
+        _ebml_el(0x86, b"V_VP8"),             # CodecID
+        _ebml_el(0xE0, b"".join([
+            _ebml_el(0xB0, (640).to_bytes(2, "big")),
+            _ebml_el(0xBA, (360).to_bytes(2, "big")),
+        ])),
+    ]))
+    audio_track = _ebml_el(0xAE, b"".join([
+        _ebml_el(0xD7, b"\x02"),
+        _ebml_el(0x83, b"\x02"),              # TrackType: audio
+        _ebml_el(0x86, b"A_OPUS"),
+    ]))
+    tracks = _ebml_el(0x1654AE6B, video_track + audio_track)
+    # one Cluster with opaque payload: the prober must SKIP it
+    cluster = _ebml_el(0x1F43B675, b"\xde\xad\xbe\xef" * 8)
+    segment = _ebml_el(0x18538067, info + tracks + cluster)
+    return header + segment
+
+
+def test_probe_webm_fixture_matches_assembler():
+    path = os.path.join(FIXTURES, "probe.webm")
+    with open(path, "rb") as f:
+        assert f.read() == _assemble_probe_webm()
+
+
+def test_ebml_prober_golden_and_contract():
+    probe = M._make_ebml_prober()
+    got = probe(_assemble_probe_webm())
+    assert got == ("webm", 3000, 640, 360, "vp8", "opus", 2, None)
+    assert probe(b"\x00\x01\x02\x03") == "unsupported: not EBML"
+    data = _assemble_probe_webm()
+    # fuzz: every truncation offset + bit flips never raise
+    for cut in range(len(data)):
+        out = probe(data[:cut])
+        assert out is None or isinstance(out, (tuple, str))
+    import random as _random
+    rng = _random.Random(42)
+    for _ in range(2000):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = probe(bytes(b))
+        assert out is None or isinstance(out, (tuple, str))
+
+
+def test_probe_media_auto_routes_ebml(spark):
+    data = _assemble_probe_webm()
+    df = spark.createDataFrame(
+        [(1, "video", data), (2, "video", data[:20])],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.probe_media(df, with_status=True).collect()}
+    r = got[1]
+    assert (r["major_brand"], r["duration_ms"]) == ("webm", 3000)
+    assert (r["width"], r["height"]) == (640, 360)
+    assert (r["video_codec"], r["audio_codec"]) == ("vp8", "opus")
+    assert r["track_count"] == 2 and r["frame_count"] is None
+    assert r["status"] == "ok"
+    assert got[2]["status"] == "corrupt"

@@ -1138,3 +1138,186 @@ def test_vp8l_matches_libwebp_on_fuzzed_encodes():
         if ch == 3:
             gpx = np.dstack([gpx, np.full((gh, gw), 255, np.uint8)])
         assert (gpx == want).all(), f"trial {trial} {kind} {w}x{h}"
+
+
+# --------------------------------------------------------------------
+# metadata prober
+# --------------------------------------------------------------------
+
+def _anmf(payload_ms, inner):
+    body = (b"\x00\x00\x00" * 2             # x, y (24-bit each)
+            + (15).to_bytes(3, "little")    # width-1
+            + (15).to_bytes(3, "little")    # height-1
+            + payload_ms.to_bytes(3, "little") + b"\x00"  # duration+flags
+            + inner)
+    return b"ANMF" + len(body).to_bytes(4, "little") + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def test_webp_prober_still_and_animated():
+    from realtime_olap_spark.operators.webp import _make_webp_prober
+    probe = _make_webp_prober()
+    # real golden: VP8X + ALPH + VP8, still image
+    assert probe(_fix("python.webp")) == \
+        ("webp", None, 16, 16, "vp8", None, 1, 1)
+    # simple lossless: dims from the VP8L header
+    rng = random.Random(900)
+    f = _wrap_riff(_assemble_literal_stream(_rand_argb(rng, 6), 3, 2))
+    assert probe(f) == ("webp", None, 3, 2, "vp8l", None, 1, 1)
+    # hand-assembled animation: VP8X(ANIM) + 2 ANMF frames
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") \
+        + bytes([0x12, 0, 0, 0]) + (15).to_bytes(3, "little") \
+        + (15).to_bytes(3, "little")
+    inner = b"VP8L" + (5).to_bytes(4, "little") + b"\x2f\x0f\x00\x3c\x00" \
+        + b"\x00"
+    body = vp8x + _anmf(40, inner) + _anmf(60, inner)
+    anim = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    assert probe(anim) == ("webp", 100, 16, 16, "vp8l", None, 1, 2)
+    # foreign magic is named, malformed is None
+    assert probe(b"GIF89a") == "unsupported: not WebP"
+    assert probe(b"RIFF\x10\x00\x00\x00WEBPVP8 ") is None
+    # decode_media still gates the animation decode honestly
+    assert _make_webp_decoder(MAXPX)(anim) == "unsupported: animated WebP"
+
+
+def test_probe_media_auto_routes_webp(spark):
+    import pyspark.sql.functions as F
+    payload = _fix("python.webp")
+    df = spark.createDataFrame(
+        [(1, "image", payload), (2, "image", b"RIFFxxxxWEBP")],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.probe_media(df, with_status=True).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (16, 16)
+    assert got[1]["video_codec"] == "vp8"
+    assert got[1]["frame_count"] == 1 and got[1]["status"] == "ok"
+    assert got[2]["status"] == "corrupt"
+
+
+# --------------------------------------------------------------------
+# animated WebP (ANIM/ANMF compositing)
+# --------------------------------------------------------------------
+
+def _vp8l_chunk(argb, w, h):
+    body = _assemble_literal_stream(argb, w, h)
+    return b"VP8L" + len(body).to_bytes(4, "little") + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _anmf_frame(x, y, w, h, dur, flags, inner):
+    assert x % 2 == 0 and y % 2 == 0
+    body = ((x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little") + bytes([flags])
+            + inner)
+    return b"ANMF" + len(body).to_bytes(4, "little") + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _assemble_animation(cw, ch, bg_bgra, frames):
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") \
+        + bytes([0x12, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") \
+        + (ch - 1).to_bytes(3, "little")
+    anim = b"ANIM" + (6).to_bytes(4, "little") + bytes(bg_bgra) \
+        + (0).to_bytes(2, "little")
+    body = vp8x + anim + b"".join(frames)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" \
+        + body
+
+
+def test_webp_animation_composites_blend_and_dispose():
+    from realtime_olap_spark.operators.webp import \
+        _make_webp_animation_decoder
+    dec = _make_webp_animation_decoder(MAXPX)
+    cw, ch = 8, 6
+    # frame 1: full canvas, opaque red, overwrite, no dispose, 40 ms
+    f1_px = [0xFFFF0000] * (cw * ch)
+    f1 = _anmf_frame(0, 0, cw, ch, 40, 0x02, _vp8l_chunk(f1_px, cw, ch))
+    # frame 2: 4x2 sub-rect at (2, 2), half-transparent green,
+    # alpha-blend, dispose-to-background, 60 ms
+    f2_px = [0x8000FF00] * (4 * 2)
+    f2 = _anmf_frame(2, 2, 4, 2, 60, 0x01, _vp8l_chunk(f2_px, 4, 2))
+    # frame 3: 2x2 at (0, 0), opaque blue, overwrite — shows the
+    # disposed background underneath elsewhere
+    f3_px = [0xFF0000FF] * 4
+    f3 = _anmf_frame(0, 0, 2, 2, 50, 0x02, _vp8l_chunk(f3_px, 2, 2))
+    data = _assemble_animation(cw, ch, (10, 20, 30, 255), [f1, f2, f3])
+
+    res = dec(data)
+    assert isinstance(res, tuple), res
+    w, h, frames = res
+    assert (w, h) == (cw, ch)
+    assert [(s, d) for s, d, _ in frames] == [(0, 40), (40, 60),
+                                              (100, 50)]
+    c1, c2, c3 = (f[2] for f in frames)
+    assert (c1 == [255, 0, 0, 255]).all()
+    # spec 'over': src a=128 green over opaque red
+    sa = 128 / 255.0
+    oa = sa + 1.0 * (1 - sa)
+    g = round((255 * sa + 0 * 1.0 * (1 - sa)) / oa)
+    r = round((0 * sa + 255 * 1.0 * (1 - sa)) / oa)
+    assert (c2[2:4, 2:6] == [r, g, 0, 255]).all()
+    assert (c2[0, 0] == [255, 0, 0, 255]).all()  # untouched outside
+    # frame 3: disposed rect shows the ANIM background (BGRA 10,20,30
+    # -> RGBA 30,20,10), rest keeps frame-2 state
+    assert (c3[2:4, 2:6] == [30, 20, 10, 255]).all()
+    assert (c3[0:2, 0:2] == [0, 0, 255, 255]).all()
+    assert (c3[5, 7] == [255, 0, 0, 255]).all()
+
+    # decode_media keeps gating the still-image path on animations,
+    # and the animation decoder names stills
+    assert _make_webp_decoder(MAXPX)(data) == "unsupported: animated WebP"
+    rng = random.Random(901)
+    still = _wrap_riff(_assemble_literal_stream(_rand_argb(rng, 4), 2, 2))
+    assert dec(still) == "unsupported: still WebP (use decode_media)"
+
+
+def test_webp_animation_fuzz_contract():
+    from realtime_olap_spark.operators.webp import \
+        _make_webp_animation_decoder
+    dec = _make_webp_animation_decoder(MAXPX)
+    f1 = _anmf_frame(0, 0, 4, 4, 40, 0x02,
+                     _vp8l_chunk([0xFF102030] * 16, 4, 4))
+    data = _assemble_animation(4, 4, (0, 0, 0, 0), [f1])
+    assert isinstance(dec(data), tuple)
+    for cut in range(len(data)):
+        out = dec(data[:cut])
+        assert out is None or isinstance(out, (tuple, str))
+    rng = random.Random(902)
+    for _ in range(800):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = dec(bytes(b))
+        assert out is None or isinstance(out, (tuple, str))
+
+
+def test_decode_frames_samples_webp_animation(spark):
+    f1 = _anmf_frame(0, 0, 4, 4, 100, 0x02,
+                     _vp8l_chunk([0xFFAA0000] * 16, 4, 4))
+    f2 = _anmf_frame(0, 0, 4, 4, 100, 0x02,
+                     _vp8l_chunk([0xFF00BB00] * 16, 4, 4))
+    anim = _assemble_animation(4, 4, (0, 0, 0, 0), [f1, f2])
+    rng = random.Random(903)
+    still = _wrap_riff(_assemble_literal_stream(
+        [0xFF000000 | rng.getrandbits(24) for _ in range(4)], 2, 2))
+    df = spark.createDataFrame(
+        [(1, "image", anim), (2, "image", still)],
+        "media_id long, media_type string, payload binary")
+    rows = M.decode_frames(df, every_ms=50).collect()
+    by_id = {}
+    for row in rows:
+        by_id.setdefault(row["media_id"], []).append(row)
+    assert len(by_id[1]) == 4  # ts 0,50,100,150 over 200 ms
+    ts = sorted(row["frame_ts_ms"] for row in by_id[1])
+    assert ts == [0, 50, 100, 150]
+    dec = M._make_png_decoder()
+    first = next(row for row in by_id[1] if row["frame_ts_ms"] == 0)
+    last = next(row for row in by_id[1] if row["frame_ts_ms"] == 150)
+    assert dec(bytes(first["payload"]))[3][0, 0].tolist()[:3] == \
+        [0xAA, 0, 0]
+    assert dec(bytes(last["payload"]))[3][0, 0].tolist()[:3] == \
+        [0, 0xBB, 0]
+    assert len(by_id[2]) == 1 and by_id[2][0]["frame_ts_ms"] == 0
