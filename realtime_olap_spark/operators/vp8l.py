@@ -121,8 +121,12 @@ def _make_vp8l_stream_decoder(max_pixels: int):
             """Code lengths -> decode table.
 
             Returns ``("one", sym)`` for a single-symbol code (decodes
-            without consuming bits) or ``("tab", dict, max_len)`` with
-            ``dict[(len, code)] = symbol`` for RFC 1951-canonical codes.
+            without consuming bits) or ``("tab", dict, max_len, lut)``
+            with ``dict[(len, code)] = symbol`` for RFC 1951-canonical
+            codes plus a 256-entry fast table over the next 8 stream
+            bits — the zlib trick: codes of length <= 8 resolve with
+            ONE indexed lookup (entry = sym * 16 + length), longer
+            codes leave ``-1`` and take the bit-walk slow path.
             Over/under-subscribed length sets are malformed.
             """
             nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
@@ -146,14 +150,44 @@ def _make_vp8l_stream_decoder(max_pixels: int):
                 code = (code + count[l - 1]) << 1
                 next_code[l] = code
             table = {}
+            lut = [-1] * 256
             for s, l in nz:
-                table[(l, next_code[l])] = s
+                c = next_code[l]
+                table[(l, c)] = s
                 next_code[l] += 1
-            return ("tab", table, max_l)
+                if l <= 8:
+                    # stream bits arrive LSB-first; the walked code is
+                    # MSB-first — store under the bit-reversed prefix
+                    rev = 0
+                    for i in range(l):
+                        rev |= ((c >> i) & 1) << (l - 1 - i)
+                    entry = s * 16 + l
+                    for filler in range(1 << (8 - l)):
+                        lut[rev | (filler << l)] = entry
+            return ("tab", table, max_l, lut)
 
         def read_sym(tree):
             if tree[0] == "one":
                 return tree[1]
+            # fast path: resolve <=8-bit codes on the next 8 stream
+            # bits in one lookup (padding zeros at stream end only
+            # ever turn "would hit end-of-stream" into _Bad later)
+            acc, nb, pos = state
+            while nb < 8 and pos < len(buf):
+                acc |= buf[pos] << nb
+                pos += 1
+                nb += 8
+            state[0] = acc
+            state[1] = nb
+            state[2] = pos
+            entry = tree[3][acc & 0xFF]
+            if entry >= 0:
+                l = entry & 15
+                if l > nb:
+                    raise _Bad
+                state[0] = acc >> l
+                state[1] = nb - l
+                return entry >> 4
             table, max_l = tree[1], tree[2]
             code = 0
             length = 0
