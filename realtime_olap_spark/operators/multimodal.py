@@ -410,8 +410,9 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     early-change rule) with the horizontal-differencing predictor
     (tag 317 = 2, §14); photometric gray (0/1, incl. the white-is-zero
     inversion), RGB(A) and palette via ColorMap). Nested function,
-    captured by value (house rule). JPEG-in-TIFF, tiled
-    layouts and non-8-bit depths return an ``"unsupported: …"`` reason;
+    captured by value (house rule). Strip AND tiled
+    (§15, full-size edge-padded tiles) layouts; JPEG-in-TIFF and
+    non-8-bit depths return an ``"unsupported: …"`` reason;
     same three-valued contract as the other codecs."""
     import struct
 
@@ -537,8 +538,7 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             if spp > 4:
                 return f"unsupported: TIFF {spp} samples/pixel"
             bits = tags.get(258, (8,) * spp)
-            if 322 in tags or 323 in tags:
-                return "unsupported: tiled TIFF"
+            tiled = 322 in tags or 323 in tags
             # PlanarConfiguration=2 stores channels in separate planes;
             # decoding it chunky would silently interleave garbage, so it
             # gets an honest reason instead (judge-found r10)
@@ -553,37 +553,79 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 return (f"unsupported: TIFF photometric {photo}"
                         if photo not in (0, 1, 2, 3)
                         else "unsupported: non-8-bit TIFF")
-            offsets = tags.get(273)
-            counts = tags.get(279)
-            if not offsets or not counts or len(offsets) != len(counts):
-                return None
-            rps = tags.get(278, (h,))[0] or h
-            want_rows = [min(rps, h - i * rps)
-                         for i in range(len(offsets))]
-            body = bytearray()
-            for (ofs, cnt), rows in zip(zip(offsets, counts), want_rows):
-                chunk = data[ofs:ofs + cnt]
-                if len(chunk) != cnt:
-                    return None
+            def decompress(chunk, want):
                 if comp == 32773:
-                    chunk = unpackbits(chunk, rows * w * spp)
+                    return unpackbits(chunk, want)
+                if comp == 5:
+                    return tiff_lzw(chunk, want)
+                return chunk if len(chunk) >= want else None
+
+            def undiff(arr):
+                # horizontal differencing (§14): each sample stores
+                # the delta from its left neighbor — undo per
+                # row/channel with a cumulative sum mod 256
+                return (arr.astype(np.int32).cumsum(axis=1)
+                        & 0xFF).astype(np.uint8)
+
+            if tiled:
+                # tiled layout (§15): full-size tw x tl tiles in
+                # row-major tile order, edge tiles padded to full size
+                tw = tags.get(322, (0,))[0]
+                tl = tags.get(323, (0,))[0]
+                offsets = tags.get(324)
+                counts = tags.get(325)
+                if not tw or not tl or not offsets or not counts \
+                        or len(offsets) != len(counts):
+                    return None
+                ta = (w + tw - 1) // tw
+                td = (h + tl - 1) // tl
+                if len(offsets) != ta * td:
+                    return None
+                if ta * tw * td * tl > 4 * max_pixels:
+                    return ("unsupported: image too large "
+                            f"({w}x{h} tiled {tw}x{tl})")
+                px = np.zeros((td * tl, ta * tw, spp), np.uint8)
+                want = tl * tw * spp
+                for ti, (ofs, cnt) in enumerate(zip(offsets, counts)):
+                    chunk = data[ofs:ofs + cnt]
+                    if len(chunk) != cnt:
+                        return None
+                    chunk = decompress(chunk, want)
                     if chunk is None:
                         return None
-                elif comp == 5:
-                    chunk = tiff_lzw(chunk, rows * w * spp)
+                    tile = np.frombuffer(bytes(chunk[:want]),
+                                         np.uint8).reshape(tl, tw, spp)
+                    if predictor == 2:
+                        tile = undiff(tile)
+                    ty, tx = divmod(ti, ta)
+                    px[ty * tl:(ty + 1) * tl,
+                       tx * tw:(tx + 1) * tw] = tile
+                px = np.ascontiguousarray(px[:h, :w])
+            else:
+                offsets = tags.get(273)
+                counts = tags.get(279)
+                if not offsets or not counts \
+                        or len(offsets) != len(counts):
+                    return None
+                rps = tags.get(278, (h,))[0] or h
+                want_rows = [min(rps, h - i * rps)
+                             for i in range(len(offsets))]
+                body = bytearray()
+                for (ofs, cnt), rows in zip(zip(offsets, counts),
+                                            want_rows):
+                    chunk = data[ofs:ofs + cnt]
+                    if len(chunk) != cnt:
+                        return None
+                    chunk = decompress(chunk, rows * w * spp)
                     if chunk is None:
                         return None
-                body += chunk
-            if len(body) < h * w * spp:
-                return None
-            px = np.frombuffer(bytes(body[:h * w * spp]),
-                               np.uint8).reshape(h, w, spp)
-            if predictor == 2:
-                # horizontal differencing (§14): each sample stores the
-                # delta from its left neighbor — undo per row/channel
-                # with a cumulative sum mod 256
-                px = (px.astype(np.int32).cumsum(axis=1)
-                      & 0xFF).astype(np.uint8)
+                    body += chunk[:rows * w * spp]
+                if len(body) < h * w * spp:
+                    return None
+                px = np.frombuffer(bytes(body[:h * w * spp]),
+                                   np.uint8).reshape(h, w, spp)
+                if predictor == 2:
+                    px = undiff(px)
             if photo == 0:  # white-is-zero: invert
                 px = 255 - px
             if photo == 3:  # palette via ColorMap (16-bit per entry)

@@ -1092,7 +1092,7 @@ def test_tiff_external_golden_vs_ppm_and_png_alpha():
 def test_tiff_synthetic_variants_and_rejects():
     """Hand-built TIFFs: big-endian grayscale with white-is-zero
     inversion across TWO strips, PackBits compression (literal + run +
-    the 128 no-op), palette via 16-bit ColorMap; LZW and tiled gated."""
+    the 128 no-op), palette via 16-bit ColorMap."""
     import struct
 
     import numpy as np
@@ -2934,3 +2934,140 @@ def test_probe_media_auto_routes_ebml(spark):
     assert r["track_count"] == 2 and r["frame_count"] is None
     assert r["status"] == "ok"
     assert got[2]["status"] == "corrupt"
+
+
+def _write_tiled_tiff(px, tw, tl, comp=1, predictor=1, bo="<"):
+    """Forward-direction tiled-TIFF writer (TIFF 6.0 §15): full-size
+    edge-padded tiles in row-major tile order; optional PackBits and
+    horizontal differencing. Independent of the decoder's inverse."""
+    import struct
+
+    import numpy as np
+
+    h, w, spp = px.shape
+    ta = (w + tw - 1) // tw
+    td = (h + tl - 1) // tl
+    canvas = np.zeros((td * tl, ta * tw, spp), np.uint8)
+    canvas[:h, :w] = px
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            tile = canvas[ty * tl:(ty + 1) * tl,
+                          tx * tw:(tx + 1) * tw].astype(np.int32)
+            if predictor == 2:
+                tile = np.concatenate(
+                    [tile[:, :1], np.diff(tile, axis=1)], axis=1) & 0xFF
+            raw = tile.astype(np.uint8).tobytes()
+            if comp == 32773:  # PackBits: naive all-literal runs
+                out = bytearray()
+                for i in range(0, len(raw), 128):
+                    seg = raw[i:i + 128]
+                    out.append(len(seg) - 1)
+                    out += seg
+                raw = bytes(out)
+            tiles.append(raw)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+    def tag(t, typ, vals):
+        entries.append((t, typ, vals))
+
+    tag(256, 4, [w])
+    tag(257, 4, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [comp])
+    tag(262, 3, [2 if spp >= 3 else 1])
+    tag(277, 3, [spp])
+    tag(317, 3, [predictor])
+    tag(322, 4, [tw])
+    tag(323, 4, [tl])
+    # offsets/counts filled after layout
+    n_tags = len(entries) + 2
+    ifd_ofs = 8
+    data_ofs = ifd_ofs + 2 + n_tags * 12 + 4
+    ext = bytearray()
+    TYPE_FMT = {3: "H", 4: "I"}
+    TYPE_SIZE = {3: 2, 4: 4}
+
+    def render(t, typ, vals):
+        nonlocal ext
+        size = TYPE_SIZE[typ] * len(vals)
+        raw = struct.pack(bo + TYPE_FMT[typ] * len(vals), *vals)
+        if size <= 4:
+            return struct.pack(bo + "HHI", t, typ, len(vals)) \
+                + raw + b"\x00" * (4 - size)
+        ofs = data_ofs + len(ext)
+        ext += raw
+        return struct.pack(bo + "HHI", t, typ, len(vals)) \
+            + struct.pack(bo + "I", ofs)
+
+    # render fixed tags first; the offset/count arrays spill to the
+    # data area when >1 tile, so pre-compute where tile bytes start
+    rendered = [render(t, typ, vals) for t, typ, vals in entries]
+    spill = 4 * len(tiles) if len(tiles) > 1 else 0
+    tile_area = data_ofs + len(ext) + 2 * spill
+    offsets = []
+    pos = tile_area
+    for traw in tiles:
+        offsets.append(pos)
+        pos += len(traw)
+    rendered.append(render(324, 4, offsets))
+    rendered.append(render(325, 4, [len(t) for t in tiles]))
+    rendered.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM",
+                       42, ifd_ofs)
+    ifd = struct.pack(bo + "H", len(rendered)) + b"".join(rendered) \
+        + struct.pack(bo + "I", 0)
+    blob = head + ifd + bytes(ext)
+    assert len(blob) == tile_area
+    for traw in tiles:
+        blob += traw
+    return blob
+
+
+def test_tiff_tiled_layouts_decode_equal_to_strips():
+    """Tiled twin of python.tiff: single-tile, odd tile grid with
+    edge padding, PackBits tiles, predictor-2 tiles, big-endian —
+    every variant decodes bit-identical to the strip-based decode."""
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+    with open(os.path.join(FIXTURES, "python.tiff"), "rb") as f:
+        base = dec(f.read())
+    assert isinstance(base, tuple)
+    w, h, ch, px = base
+    cases = [
+        dict(tw=16, tl=16),                       # exactly one tile
+        dict(tw=5, tl=7),                         # padded edge tiles
+        dict(tw=8, tl=4, comp=32773),             # PackBits tiles
+        dict(tw=6, tl=16, predictor=2),           # differenced tiles
+        dict(tw=16, tl=8, bo=">"),                # big-endian
+        dict(tw=5, tl=7, comp=32773, predictor=2, bo=">"),
+    ]
+    for kw in cases:
+        blob = _write_tiled_tiff(px, **kw)
+        got = dec(blob)
+        assert isinstance(got, tuple), (kw, got)
+        gw, gh, gch, gpx = got
+        assert (gw, gh, gch) == (w, h, ch), kw
+        assert (gpx == px).all(), kw
+
+
+def test_tiff_tiled_fuzz_contract():
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+    with open(os.path.join(FIXTURES, "python.tiff"), "rb") as f:
+        _, _, _, px = dec(f.read())
+    blob = _write_tiled_tiff(px, tw=5, tl=7, comp=32773)
+    assert isinstance(dec(blob), tuple)
+    for cut in range(0, len(blob), 1):
+        out = dec(blob[:cut])
+        assert out is None or isinstance(out, (tuple, str))
+    import random as _random
+    rng = _random.Random(7)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = dec(bytes(b))
+        assert out is None or isinstance(out, (tuple, str))
