@@ -1448,14 +1448,22 @@ def decode_frames(df: DataFrame, every_ms: int,
     timestamp (0, every_ms, 2·every_ms, … within the animation), each
     carrying the COMPOSITED frame re-encoded as lossless PNG. Animated
     GIFs composite per the disposal model
-    (:func:`_make_gif_animation_decoder`); static images in any
+    (:func:`_make_gif_animation_decoder`); animated WebP composites
+    per ANMF blend/dispose; WebM VIDEO samples at keyframe granularity
+    (the RFC 6386 VP8 core decodes every keyframe SimpleBlock; inter
+    frames cannot be reconstructed without reference buffers and are
+    honestly skipped); static images in any
     carried format yield their single frame at ts 0; undecodable rows
     yield one row with a NULL payload and the usual reason — all in
     ONE ``mapInPandas``, payload bytes never entering a shuffle."""
-    from .webp import _make_webp_animation_decoder
+    from .webp import (
+        _make_webm_video_decoder,
+        _make_webp_animation_decoder,
+    )
 
     anim = _make_gif_animation_decoder(max_pixels, max_frames)
     webp_anim = _make_webp_animation_decoder(max_pixels, max_frames)
+    webm_video = _make_webm_video_decoder(max_pixels, max_frames)
     still = _make_auto_decoder(max_pixels)
     encode = _make_png_encoder()
 
@@ -1488,8 +1496,11 @@ def decode_frames(df: DataFrame, every_ms: int,
                                 and len(payload) >= 21
                                 and bytes(payload[12:16]) == b"VP8X"
                                 and payload[20] & 0x02)
-                if is_gif or is_webp_anim:
-                    r = (anim if is_gif else webp_anim)(payload)
+                is_webm = head[:4] == b"\x1a\x45\xdf\xa3"
+                if is_gif or is_webp_anim or is_webm:
+                    r = (anim if is_gif
+                         else webp_anim if is_webp_anim
+                         else webm_video)(payload)
                     if isinstance(r, tuple):
                         w, h, frames = r
                         total = frames[-1][0] + frames[-1][1]

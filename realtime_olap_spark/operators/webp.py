@@ -436,3 +436,177 @@ def _make_webp_animation_decoder(max_pixels: int,
             return None
 
     return decode
+
+
+def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
+    """Matroska/WebM VIDEO keyframe decoder (RFC 8794 EBML walk + the
+    public Matroska block layout): finds the first ``V_VP8`` track,
+    walks ``Cluster``/``SimpleBlock`` elements, and decodes every
+    KEYFRAME block with the RFC 6386 VP8 core. Inter frames cannot be
+    reconstructed without reference buffers, so sampling semantics are
+    keyframe-granular: each decoded frame spans from its timestamp to
+    the next keyframe's (or the Segment duration) — honest, documented
+    granularity, not interpolation.
+
+    Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
+    the same contract as the GIF/WebP animation decoders so
+    ``decode_frames`` treats all three identically — ``None`` for
+    malformed bytes, ``"unsupported: …"`` for non-EBML payloads,
+    non-VP8 video codecs, laced blocks, or past the bomb guards.
+    Nothing raises per-row."""
+    import struct
+
+    import numpy as np
+
+    try:
+        from .vp8 import _make_vp8_decoder
+        vp8 = _make_vp8_decoder(max_pixels)
+    except ImportError:  # pragma: no cover - lossy core not built
+        vp8 = None
+
+    def vint(data, pos, keep_marker):
+        if pos >= len(data):
+            raise ValueError("eof")
+        first = data[pos]
+        if first == 0:
+            raise ValueError("bad vint")
+        n = 1
+        mask = 0x80
+        while not (first & mask):
+            mask >>= 1
+            n += 1
+        if pos + n > len(data):
+            raise ValueError("eof")
+        if keep_marker:
+            v = 0
+            for i in range(n):
+                v = (v << 8) | data[pos + i]
+        else:
+            v = first & (mask - 1)
+            all_ones = v == mask - 1
+            for i in range(1, n):
+                v = (v << 8) | data[pos + i]
+                all_ones &= data[pos + i] == 0xFF
+            if all_ones:
+                v = -1
+        return v, pos + n
+
+    def elements(data, start, end):
+        pos = start
+        while pos < end:
+            eid, pos = vint(data, pos, True)
+            size, pos = vint(data, pos, False)
+            body_end = end if size < 0 else pos + size
+            if body_end > end:
+                raise ValueError("overruns parent")
+            yield eid, pos, body_end
+            pos = body_end
+
+    def uint_at(data, s, e):
+        v = 0
+        for i in range(s, e):
+            v = (v << 8) | data[i]
+        return v
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
+            return "unsupported: not EBML"
+        if vp8 is None:  # pragma: no cover
+            return "unsupported: lossy WebP (VP8)"
+        try:
+            tscale = 1_000_000
+            duration_raw = None
+            video_track = None
+            keyframes = []  # (ts_ms, payload)
+            for eid, s, e in elements(data, 0, len(data)):
+                if eid != 0x18538067:  # Segment
+                    continue
+                for sid, ss, se in elements(data, s, e):
+                    if sid == 0x1549A966:  # Info
+                        for iid, i_s, i_e in elements(data, ss, se):
+                            if iid == 0x2AD7B1:
+                                tscale = uint_at(data, i_s, i_e)
+                            elif iid == 0x4489:
+                                n = i_e - i_s
+                                if n == 4:
+                                    duration_raw = struct.unpack(
+                                        ">f", data[i_s:i_e])[0]
+                                elif n == 8:
+                                    duration_raw = struct.unpack(
+                                        ">d", data[i_s:i_e])[0]
+                    elif sid == 0x1654AE6B:  # Tracks
+                        for tid, ts, te in elements(data, ss, se):
+                            if tid != 0xAE:
+                                continue
+                            tnum = ttype = None
+                            codec = None
+                            for fid, fs, fe in elements(data, ts, te):
+                                if fid == 0xD7:
+                                    tnum = uint_at(data, fs, fe)
+                                elif fid == 0x83:
+                                    ttype = uint_at(data, fs, fe)
+                                elif fid == 0x86:
+                                    codec = data[fs:fe].rstrip(
+                                        b"\x00").decode("ascii",
+                                                        "replace")
+                            if ttype == 1 and video_track is None:
+                                if codec != "V_VP8":
+                                    return ("unsupported: video codec "
+                                            f"{codec}")
+                                video_track = tnum
+                    elif sid == 0x1F43B675:  # Cluster
+                        cluster_ts = 0
+                        for cid, cs, ce in elements(data, ss, se):
+                            if cid == 0xE7:  # cluster Timestamp
+                                cluster_ts = uint_at(data, cs, ce)
+                            elif cid == 0xA3:  # SimpleBlock
+                                tnum, p = vint(data, cs, False)
+                                if tnum != video_track:
+                                    continue
+                                if p + 3 > ce:
+                                    return None
+                                rel = struct.unpack(
+                                    ">h", data[p:p + 2])[0]
+                                flags = data[p + 2]
+                                if flags & 0x06:
+                                    return "unsupported: laced block"
+                                if not flags & 0x80:
+                                    continue  # inter frame: skip
+                                if len(keyframes) >= max_frames:
+                                    return ("unsupported: more than "
+                                            f"{max_frames} frames")
+                                ticks = cluster_ts + rel
+                                ts_ms = ticks * tscale // 1_000_000
+                                keyframes.append(
+                                    (ts_ms, data[p + 3:ce]))
+            if video_track is None or not keyframes:
+                return None
+            keyframes.sort(key=lambda kv: kv[0])
+            total_ms = None
+            if duration_raw is not None and duration_raw >= 0:
+                total_ms = int(duration_raw * tscale / 1_000_000)
+            frames = []
+            w = h = None
+            for i, (ts, payload) in enumerate(keyframes):
+                res = vp8(payload)
+                if not isinstance(res, tuple):
+                    return res
+                fw, fh, px = res
+                if w is None:
+                    w, h = fw, fh
+                elif (fw, fh) != (w, h):
+                    return None  # mid-stream dimension change
+                nxt = (keyframes[i + 1][0] if i + 1 < len(keyframes)
+                       else (total_ms if total_ms and total_ms > ts
+                             else ts + 1))
+                rgba = np.dstack(
+                    [px, np.full((fh, fw), 255, np.uint8)])
+                frames.append((ts, max(1, nxt - ts), rgba))
+            return w, h, frames
+        except (ValueError, struct.error, IndexError):
+            return None
+
+    return decode
