@@ -970,11 +970,15 @@ def _make_au_decoder():
 def _make_audio_auto_decoder():
     """Route audio payloads by magic bytes — the audio twin of
     :func:`_make_auto_decoder`: RIFF/WAVE → WAV, FORM/AIFF|AIFC →
-    AIFF, ``.snd`` → AU; image magics are pointed at ``decode_media``;
-    anything else is ``"unsupported: unrecognized format"``."""
+    AIFF, ``.snd`` → AU, ``fLaC`` → FLAC; image magics are pointed at
+    ``decode_media``; anything else is
+    ``"unsupported: unrecognized format"``."""
+    from .flac import _make_flac_decoder
+
     wav = _make_wav_decoder()
     aiff = _make_aiff_decoder()
     au = _make_au_decoder()
+    flac = _make_flac_decoder()
 
     def decode(data):
         if not isinstance(data, (bytes, bytearray)):
@@ -986,6 +990,8 @@ def _make_audio_auto_decoder():
             return aiff(data)
         if head.startswith(b".snd"):
             return au(data)
+        if head.startswith(b"fLaC"):
+            return flac(data)
         if head.startswith((b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
                             b"GIF87a", b"GIF89a", b"BM",
                             b"II*\x00", b"MM\x00*")):
@@ -1016,6 +1022,7 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
     signal features a curation pipeline gates on: silence, clipping).
 
     ``decoder`` picks the container: ``'wav'`` (RIFF PCM/float),
+    ``'flac'`` (RFC 9639 lossless),
     ``'aiff'`` (AIFF/AIFC incl. sowt, fl32/fl64 and G.711 ulaw/alaw
     companding), ``'au'`` (Sun/NeXT, PCM + float + G.711), or
     ``'auto'`` (per-row magic-byte routing across all three — the
@@ -1023,8 +1030,11 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
     ``with_status=True`` appends the ok/corrupt/unsupported reason.
     Perceptual codecs (mp3/ogg/flac) need librosa/ffmpeg and stay
     honestly gated via NotImplementedError here."""
+    from .flac import _make_flac_decoder
+
     makers = {"wav": _make_wav_decoder, "aiff": _make_aiff_decoder,
-              "au": _make_au_decoder, "auto": _make_audio_auto_decoder}
+              "au": _make_au_decoder, "flac": _make_flac_decoder,
+              "auto": _make_audio_auto_decoder}
     if decoder not in makers:
         raise NotImplementedError(
             "audio decode beyond WAV/AIFF/AU (mp3/ogg/flac) needs "

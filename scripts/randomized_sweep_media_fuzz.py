@@ -67,6 +67,7 @@ GOLDENS = {
     "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",
              "pluck-ulaw.aifc", "pluck-alaw.aifc"],
     "au": ["pluck-ulaw.au"],
+    "flac": ["pluck-pcm16.flac"],
     "mp4": ["probe.mp4"],
     "webp": ["python.webp"],
     "webm": ["probe.webm"],
@@ -113,6 +114,9 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "wav": mm._make_wav_decoder(),
                 "aiff": mm._make_aiff_decoder(),
                 "au": mm._make_au_decoder(),
+                "flac": __import__("realtime_olap_spark.operators.flac",
+                                   fromlist=["_make_flac_decoder"]
+                                   )._make_flac_decoder(),
                 "mp4": mm._make_bmff_prober(),
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
                 "webm": mm._make_ebml_prober()}
@@ -155,7 +159,7 @@ def run(n_seeds: int, base_seed: int) -> int:
         fmt, name, data = payloads[rnd.randrange(len(payloads))]
         _, _, other = payloads[rnd.randrange(len(payloads))]
         mutated = _mutate(rnd, data, other)
-        audio = fmt in ("wav", "aiff", "au")
+        audio = fmt in ("wav", "aiff", "au", "flac")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
         if not audio and fmt not in ("mp4", "webm"):
