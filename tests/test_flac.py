@@ -76,36 +76,71 @@ def _crc16(data):
 _FIXED = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 
 
-def _write_subframe(fw, ch, bps, kind, porder=0, escape=False):
+_LPC = dict(order=4, precision=12, shift=9,
+            coefs=(1536, -768, 341, -120))  # spec-legal quantized set
+
+
+def _write_subframe(fw, ch, bps, kind, porder=0, escape=False,
+                    wasted=0, method=0):
     fw.put(0, 1)  # padding
     n = len(ch)
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in ch)
+        ch = [v >> wasted for v in ch]
+    bps_eff = bps - wasted
+
+    def wasted_bits():
+        if wasted:
+            fw.put(1, 1)
+            for _ in range(wasted - 1):
+                fw.put(0, 1)
+            fw.put(1, 1)
+        else:
+            fw.put(0, 1)
+
     if kind == "constant":
         assert all(v == ch[0] for v in ch)
         fw.put(0, 6)
-        fw.put(0, 1)  # no wasted bits
-        fw.sput(ch[0], bps)
+        wasted_bits()
+        fw.sput(ch[0], bps_eff)
         return
     if kind == "verbatim":
         fw.put(1, 6)
-        fw.put(0, 1)
+        wasted_bits()
         for v in ch:
-            fw.sput(v, bps)
+            fw.sput(v, bps_eff)
         return
-    order = int(kind[-1])  # "fixed0".."fixed4"
-    fw.put(8 | order, 6)
-    fw.put(0, 1)
-    for v in ch[:order]:
-        fw.sput(v, bps)
-    res = []
-    for i in range(order, n):
-        pred = sum(c * ch[i - 1 - k]
-                   for k, c in enumerate(_FIXED[order]))
-        res.append(ch[i] - pred)
-    # partitioned Rice, method 0 (4-bit params); degrade the
+    if kind == "lpc":
+        order = _LPC["order"]
+        fw.put(32 | (order - 1), 6)
+        wasted_bits()
+        for v in ch[:order]:
+            fw.sput(v, bps_eff)
+        fw.put(_LPC["precision"] - 1, 4)
+        fw.sput(_LPC["shift"], 5)
+        for c in _LPC["coefs"]:
+            fw.sput(c, _LPC["precision"])
+        res = []
+        for i in range(order, n):
+            acc = sum(c * ch[i - 1 - k]
+                      for k, c in enumerate(_LPC["coefs"]))
+            res.append(ch[i] - (acc >> _LPC["shift"]))
+    else:
+        order = int(kind[-1])  # "fixed0".."fixed4"
+        fw.put(8 | order, 6)
+        wasted_bits()
+        for v in ch[:order]:
+            fw.sput(v, bps_eff)
+        res = []
+        for i in range(order, n):
+            pred = sum(c * ch[i - 1 - k]
+                       for k, c in enumerate(_FIXED[order]))
+            res.append(ch[i] - pred)
+    # partitioned Rice (method 0: 4-bit params, 1: 5-bit); degrade the
     # partition order when it does not divide the (last, short) block
     while porder and n % (1 << porder):
         porder -= 1
-    fw.put(0, 2)
+    fw.put(method, 2)
     fw.put(porder, 4)
     nparts = 1 << porder
     pos = 0
@@ -115,8 +150,9 @@ def _write_subframe(fw, ch, bps, kind, porder=0, escape=False):
         pos += cnt
         zz = [((v << 1) if v >= 0 else (((-v) << 1) - 1))
               for v in part]
+        pb = 4 + method
         if escape:
-            fw.put(15, 4)
+            fw.put((1 << pb) - 1, pb)
             nbits = max((v.bit_length() + 1 for v in map(abs, part)),
                         default=1)
             fw.put(nbits, 5)
@@ -124,8 +160,8 @@ def _write_subframe(fw, ch, bps, kind, porder=0, escape=False):
                 fw.sput(v, nbits)
             continue
         param = max((z.bit_length() - 3 for z in zz), default=0)
-        param = max(0, min(param, 14))
-        fw.put(param, 4)
+        param = max(0, min(param, (1 << pb) - 2))
+        fw.put(param, pb)
         for z in zz:
             q = z >> param
             assert q < 1 << 16, "rice quotient blew up; raise param"
@@ -137,7 +173,8 @@ def _write_subframe(fw, ch, bps, kind, porder=0, escape=False):
 
 
 def _encode_flac(x, rate, bps=16, blocksize=None, kind="verbatim",
-                 mid_side=False, porder=0, escape=False):
+                 mid_side=False, porder=0, escape=False, wasted=0,
+                 method=0):
     """x: int array (n, ch). Returns FLAC bytes."""
     x = np.asarray(x, np.int64)
     n, nch = x.shape
@@ -164,14 +201,17 @@ def _encode_flac(x, rate, bps=16, blocksize=None, kind="verbatim",
         fw.put(0, 1)
         fw.put(0, 1)  # fixed blocksize strategy
         fw.put(7, 4)  # 16-bit blocksize at end of header
-        fw.put(13, 4)  # 16-bit sample rate in Hz at end of header
+        # 16-bit sample rate: code 13 = Hz, code 14 = tens of Hz
+        sr_code, sr_val = (13, rate) if rate < 65536 \
+            else (14, rate // 10)
+        fw.put(sr_code, 4)
         fw.put(10 if mid_side else nch - 1, 4)
         fw.put({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
         fw.put(0, 1)
         assert fi < 128
         fw.put(fi, 8)  # UTF-8 single byte
         fw.put(bs - 1, 16)
-        fw.put(rate, 16)
+        fw.put(sr_val, 16)
         hdr = fw.bytes()
         fw = _FW()
         for b in hdr:
@@ -183,12 +223,14 @@ def _encode_flac(x, rate, bps=16, blocksize=None, kind="verbatim",
             right = blk[:, 1]
             mid = ((left + right) >> 1).tolist()
             side = (left - right).tolist()
-            _write_subframe(fw, mid, bps, kind, porder, escape)
-            _write_subframe(fw, side, bps + 1, kind, porder, escape)
+            _write_subframe(fw, mid, bps, kind, porder, escape,
+                            wasted, method)
+            _write_subframe(fw, side, bps + 1, kind, porder, escape,
+                            wasted, method)
         else:
             for c in range(nch):
                 _write_subframe(fw, blk[:, c].tolist(), bps, kind,
-                                porder, escape)
+                                porder, escape, wasted, method)
         fw.align()
         frame_wo_crc = fw.bytes()
         out += frame_wo_crc + _crc16(frame_wo_crc).to_bytes(2, "big")
@@ -334,3 +376,38 @@ def test_flac_fixture_matches_assembler():
                         porder=2)
     with open(os.path.join(FIX, "pluck-pcm16.flac"), "rb") as f:
         assert f.read() == data
+
+
+def test_flac_lpc_subframes_roundtrip():
+    """Quantized-LPC subframes (order 4, precision 12, shift 9): the
+    decoder's coefficient loop and arithmetic shift must invert the
+    encoder's forward prediction exactly."""
+    rng = np.random.default_rng(21)
+    t = np.arange(1024)
+    sig = (6000 * np.sin(t / 30.0) + rng.integers(-200, 200, 1024)
+           ).astype(np.int64)
+    x = sig[:, None]
+    data = _encode_flac(x, 44100, kind="lpc", blocksize=512, porder=2)
+    got = _dec(data)
+    assert isinstance(got, tuple), got
+    assert got[:3] == (1024, 1, 44100)
+    assert (got[3] == _expect(x, 16)).all()
+
+
+def test_flac_wasted_bits_and_5bit_rice_method():
+    rng = np.random.default_rng(22)
+    x = (rng.integers(-900, 900, (384, 1)) << 3).astype(np.int64)
+    data = _encode_flac(x, 48000, kind="fixed2", wasted=3, method=1,
+                        porder=1)
+    got = _dec(data)
+    assert isinstance(got, tuple), got
+    assert (got[3] == _expect(x, 16)).all()
+
+
+def test_flac_32bit_depth_roundtrip():
+    rng = np.random.default_rng(23)
+    x = rng.integers(-(1 << 29), 1 << 29, (128, 2)).astype(np.int64)
+    data = _encode_flac(x, 96000, bps=32, kind="verbatim")
+    got = _dec(data)
+    assert isinstance(got, tuple), got
+    assert (got[3] == _expect(x, 32)).all()
