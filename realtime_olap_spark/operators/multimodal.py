@@ -992,6 +992,15 @@ def _make_audio_auto_decoder():
             return au(data)
         if head.startswith(b"fLaC"):
             return flac(data)
+        # formats the router can NAME but no codec carries — corpus
+        # inventory dashboards count them truthfully (same taxonomy
+        # rule as the image router's AVIF/HEIC names)
+        if head.startswith(b"ID3") or (len(head) >= 2
+                                       and head[0] == 0xFF
+                                       and (head[1] & 0xE0) == 0xE0):
+            return "unsupported: MP3"
+        if head.startswith(b"OggS"):
+            return "unsupported: Ogg container"
         if head.startswith((b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
                             b"GIF87a", b"GIF89a", b"BM",
                             b"II*\x00", b"MM\x00*")):
@@ -2926,21 +2935,25 @@ def probe_media(df: DataFrame, with_status: bool = False,
     :func:`_make_gif_prober`), ``'webp'`` (RIFF chunk walk,
     :func:`webp._make_webp_prober` — VP8L/VP8/VP8X dims, codec,
     ``ANMF`` frame count + duration), ``'ebml'`` (Matroska/WebM
-    element walk, :func:`_make_ebml_prober`), or ``'auto'`` (per-row
-    magic routing across all four). Metadata-only: no frame decode, no
+    element walk, :func:`_make_ebml_prober`), ``'mp3'`` (MPEG audio
+    frame-header walk with Xing/ID3 handling,
+    :func:`_make_mp3_prober`), or ``'auto'`` (per-row magic routing
+    across all five). Metadata-only: no frame decode, no
     ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
     header size regardless of payload bytes. Unrecognized/malformed
     rows NULL out; ``with_status=True`` appends the
     ok/corrupt/unsupported reason — the same contract as
     :func:`decode_media`/:func:`decode_audio`."""
-    if container not in ("auto", "bmff", "gif", "webp", "ebml"):
+    kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3")
+    if container not in kinds:
         raise ValueError(
-            f"container must be auto|bmff|gif|webp|ebml: {container!r}")
+            f"container must be {'|'.join(kinds)}: {container!r}")
     from .webp import _make_webp_prober
     bmff = _make_bmff_prober() if container in ("auto", "bmff") else None
     gif = _make_gif_prober() if container in ("auto", "gif") else None
     webp = _make_webp_prober() if container in ("auto", "webp") else None
     ebml = _make_ebml_prober() if container in ("auto", "ebml") else None
+    mp3 = _make_mp3_prober() if container in ("auto", "mp3") else None
 
     def prober(payload):
         if container == "bmff":
@@ -2951,6 +2964,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return webp(payload)
         if container == "ebml":
             return ebml(payload)
+        if container == "mp3":
+            return mp3(payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -2961,6 +2976,10 @@ def probe_media(df: DataFrame, with_status: bool = False,
                 return webp(payload)
             if head[:4] == b"\x1a\x45\xdf\xa3":
                 return ebml(payload)
+            if head[:3] == b"ID3" or (len(head) >= 2
+                                      and head[0] == 0xFF
+                                      and (head[1] & 0xE0) == 0xE0):
+                return mp3(payload)
             return "unsupported: unrecognized container"
         return None
 
@@ -3408,3 +3427,126 @@ def payload_checksum(payload: Column, mod: int = 1_000_000_007) -> Column:
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"))
+
+
+def _make_mp3_prober():
+    """Metadata-only MP3 prober (public ISO 11172-3 / 13818-3 frame
+    header layout): skips ID3v2 (syncsafe size) and ID3v1 tags, parses
+    the first MPEG audio frame header (version, layer, bitrate,
+    sample rate, channel mode), reads the Xing/Info VBR frame count
+    when present, and otherwise WALKS frame headers — header
+    arithmetic only, never audio decode, so cost is O(frame count)
+    pointer hops. Returns the shared probe tuple with
+    ``major_brand`` = 'mp3', ``audio_codec`` = e.g. 'mpeg2-l3',
+    dims/video NULL; ``None`` for malformed streams,
+    ``"unsupported: not MP3"`` for foreign magic. Nested function,
+    captured by value (house rule)."""
+    BITRATES = {
+        (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                 384, 416, 448),
+        (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 384),
+        (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320),
+        (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                 192, 224, 256),
+        (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160),
+        (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160),
+    }
+    RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             25: (11025, 12000, 8000)}
+
+    def parse_header(h):
+        """32-bit header -> (frame_len, samples, rate, version,
+        layer, channels, bitrate_kbps) or None."""
+        if (h >> 21) & 0x7FF != 0x7FF:
+            return None
+        vbits = (h >> 19) & 3
+        version = {0: 25, 2: 2, 3: 1}.get(vbits)
+        layer = {1: 3, 2: 2, 3: 1}.get((h >> 17) & 3)
+        if version is None or layer is None:
+            return None
+        bidx = (h >> 12) & 15
+        sidx = (h >> 10) & 3
+        if bidx in (0, 15) or sidx == 3:
+            return None  # free-form / invalid
+        pad = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        rate = RATES[version][sidx]
+        br = BITRATES[(1 if version == 1 else 2, layer)][bidx - 1]
+        if layer == 1:
+            frame_len = (12000 * br // rate + pad) * 4
+            samples = 384
+        elif layer == 2:
+            frame_len = 144000 * br // rate + pad
+            samples = 1152
+        else:
+            per = 144000 if version == 1 else 72000
+            frame_len = per * br // rate + pad
+            samples = 1152 if version == 1 else 576
+        channels = 1 if mode == 3 else 2
+        return frame_len, samples, rate, version, layer, channels, br
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        pos = 0
+        if data[:3] == b"ID3":
+            if len(data) < 10:
+                return None
+            size = ((data[6] << 21) | (data[7] << 14)
+                    | (data[8] << 7) | data[9])
+            pos = 10 + size
+        elif not (len(data) >= 2 and data[0] == 0xFF
+                  and (data[1] & 0xE0) == 0xE0):
+            return "unsupported: not MP3"
+        end = len(data)
+        if end - 128 > 0 and data[end - 128:end - 125] == b"TAG":
+            end -= 128  # trailing ID3v1
+        try:
+            if pos + 4 > end:
+                return None
+            first = parse_header(int.from_bytes(data[pos:pos + 4],
+                                                "big"))
+            if first is None:
+                return None
+            frame_len, samples, rate, version, layer, channels, _ = \
+                first
+            # Xing/Info VBR tag: after the side info of frame 1
+            side = (17 if channels == 1 else 32) if version == 1 \
+                else (9 if channels == 1 else 17)
+            tag_at = pos + 4 + side
+            frames = None
+            if data[tag_at:tag_at + 4] in (b"Xing", b"Info") \
+                    and tag_at + 12 <= end:
+                flags = int.from_bytes(data[tag_at + 4:tag_at + 8],
+                                       "big")
+                if flags & 1:
+                    frames = int.from_bytes(
+                        data[tag_at + 8:tag_at + 12], "big")
+            if frames is None:
+                # CBR/VBR walk: hop frame headers
+                frames = 0
+                p = pos
+                while p + 4 <= end:
+                    hdr = parse_header(int.from_bytes(
+                        data[p:p + 4], "big"))
+                    if hdr is None or hdr[0] <= 0:
+                        break
+                    frames += 1
+                    if frames > 1 << 22:
+                        return None  # corrupt-run bound
+                    p += hdr[0]
+            if frames == 0:
+                return None
+            duration_ms = frames * samples * 1000 // rate
+            vname = {1: "1", 2: "2", 25: "2.5"}[version]
+            return ("mp3", duration_ms, None, None, None,
+                    f"mpeg{vname}-l{layer}", 1, frames)
+        except (IndexError, ValueError):
+            return None
+
+    return probe

@@ -68,6 +68,7 @@ GOLDENS = {
              "pluck-ulaw.aifc", "pluck-alaw.aifc"],
     "au": ["pluck-ulaw.au"],
     "flac": ["pluck-pcm16.flac"],
+    "mp3": ["test.mp3"],
     "mp4": ["probe.mp4"],
     "webp": ["python.webp"],
     "webm": ["probe.webm"],
@@ -119,7 +120,8 @@ def run(n_seeds: int, base_seed: int) -> int:
                                    )._make_flac_decoder(),
                 "mp4": mm._make_bmff_prober(),
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
-                "webm": mm._make_ebml_prober()}
+                "webm": mm._make_ebml_prober(),
+                "mp3": mm._make_mp3_prober()}
     gif_probe = mm._make_gif_prober()
     webp_probe = _make_webp_prober()
     webp_anim = _make_webp_animation_decoder(mm.MAX_DECODE_PIXELS)
@@ -159,7 +161,7 @@ def run(n_seeds: int, base_seed: int) -> int:
         fmt, name, data = payloads[rnd.randrange(len(payloads))]
         _, _, other = payloads[rnd.randrange(len(payloads))]
         mutated = _mutate(rnd, data, other)
-        audio = fmt in ("wav", "aiff", "au", "flac")
+        audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
         if not audio and fmt not in ("mp4", "webm"):

@@ -3071,3 +3071,52 @@ def test_tiff_tiled_fuzz_contract():
             b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
         out = dec(bytes(b))
         assert out is None or isinstance(out, (tuple, str))
+
+
+def test_mp3_prober_real_golden_and_contract():
+    """The container's real gsutil test clip (ID3v2.4 + MPEG-2
+    Layer III mono 64 kbps 22.05 kHz): every field derives from the
+    public header tables, frame count from the actual frame walk."""
+    probe = M._make_mp3_prober()
+    with open(os.path.join(FIXTURES, "test.mp3"), "rb") as f:
+        data = f.read()
+    got = probe(data)
+    assert got == ("mp3", 1175, None, None, None, "mpeg2-l3", 1, 45)
+    # 45 frames x 576 samples @ 22050 Hz = 1175.5 ms, floor -> 1175
+    assert probe(b"OggS") == "unsupported: not MP3"
+    for cut in range(len(data)):
+        out = probe(data[:cut])
+        assert out is None or isinstance(out, (tuple, str))
+    import random as _random
+    rng = _random.Random(77)
+    for _ in range(2000):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = probe(bytes(b))
+        assert out is None or isinstance(out, (tuple, str))
+
+
+def test_probe_media_auto_routes_mp3(spark):
+    with open(os.path.join(FIXTURES, "test.mp3"), "rb") as f:
+        data = f.read()
+    df = spark.createDataFrame(
+        [(1, "audio", data)],
+        "media_id long, media_type string, payload binary")
+    r = M.probe_media(df, with_status=True).collect()[0]
+    assert r["major_brand"] == "mp3" and r["duration_ms"] == 1175
+    assert r["audio_codec"] == "mpeg2-l3" and r["frame_count"] == 45
+    assert r["status"] == "ok" and r["width"] is None
+
+
+def test_audio_auto_router_names_mp3_and_ogg(spark):
+    with open(os.path.join(FIXTURES, "test.mp3"), "rb") as f:
+        mp3 = f.read()
+    df = spark.createDataFrame(
+        [(1, "audio", mp3), (2, "audio", b"OggS" + b"\x00" * 30)],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r["status"] for r in
+           M.decode_audio(df, decoder="auto", with_status=True)
+           .collect()}
+    assert got[1] == "unsupported: MP3"
+    assert got[2] == "unsupported: Ogg container"
