@@ -18,6 +18,9 @@ guard before allocation, and nothing raising per-row.
 
 Pure-Python Rice decoding is the documented correctness baseline, the
 same stance as the image codecs.
+
+Reference parity: none — the reference engine has no audio handling
+(SURVEY.md §1.3); this extends the training-data multimodal surface.
 """
 
 from __future__ import annotations

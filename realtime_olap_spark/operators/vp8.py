@@ -28,6 +28,12 @@ pickle by value), the three-valued per-row contract, a
 decompression-bomb guard before any pixel allocation, and nothing
 raising per-row.
 
+Reference parity: the reference engine stores BYTES columns opaque
+with no codecs at all (SURVEY.md §1.3, reference
+`core/data/readers/` handles only its own storage formats); this is
+part of the training-data multimodal surface the build adds as a
+first-class extension.
+
 Pure-Python entropy decoding is the documented correctness baseline
 (same stance as the JPEG codec): fine for thumbnails, icons and
 goldens; not a libvpx replacement for megapixel corpora.
