@@ -2937,14 +2937,15 @@ def probe_media(df: DataFrame, with_status: bool = False,
     ``ANMF`` frame count + duration), ``'ebml'`` (Matroska/WebM
     element walk, :func:`_make_ebml_prober`), ``'mp3'`` (MPEG audio
     frame-header walk with Xing/ID3 handling,
-    :func:`_make_mp3_prober`), or ``'auto'`` (per-row magic routing
-    across all five). Metadata-only: no frame decode, no
+    :func:`_make_mp3_prober`), ``'ogg'`` (RFC 3533 page walk with
+    OpusHead/Vorbis ident parsing, :func:`_make_ogg_prober`), or
+    ``'auto'`` (per-row magic routing across all six). Metadata-only: no frame decode, no
     ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
     header size regardless of payload bytes. Unrecognized/malformed
     rows NULL out; ``with_status=True`` appends the
     ok/corrupt/unsupported reason — the same contract as
     :func:`decode_media`/:func:`decode_audio`."""
-    kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3")
+    kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3", "ogg")
     if container not in kinds:
         raise ValueError(
             f"container must be {'|'.join(kinds)}: {container!r}")
@@ -2954,6 +2955,7 @@ def probe_media(df: DataFrame, with_status: bool = False,
     webp = _make_webp_prober() if container in ("auto", "webp") else None
     ebml = _make_ebml_prober() if container in ("auto", "ebml") else None
     mp3 = _make_mp3_prober() if container in ("auto", "mp3") else None
+    ogg = _make_ogg_prober() if container in ("auto", "ogg") else None
 
     def prober(payload):
         if container == "bmff":
@@ -2966,6 +2968,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return ebml(payload)
         if container == "mp3":
             return mp3(payload)
+        if container == "ogg":
+            return ogg(payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -2980,6 +2984,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
                                       and head[0] == 0xFF
                                       and (head[1] & 0xE0) == 0xE0):
                 return mp3(payload)
+            if head[:4] == b"OggS":
+                return ogg(payload)
             return "unsupported: unrecognized container"
         return None
 
@@ -3547,6 +3553,92 @@ def _make_mp3_prober():
             return ("mp3", duration_ms, None, None, None,
                     f"mpeg{vname}-l{layer}", 1, frames)
         except (IndexError, ValueError):
+            return None
+
+    return probe
+
+
+def _make_ogg_prober():
+    """Metadata-only Ogg prober (RFC 3533 page walk + the public
+    OpusHead / Vorbis identification-header layouts): parses the
+    first page's codec packet for channels and sample rate, then
+    hops page headers (lacing-table arithmetic, payloads skipped) to
+    the stream's last granule position for the duration — Opus
+    granules tick at 48 kHz minus pre-skip, Vorbis at the ident
+    rate. Returns the shared probe tuple with ``major_brand`` =
+    'ogg' and ``audio_codec`` = 'opus'/'vorbis'/'flac'; other codec
+    ids are named in the codec field rather than guessed at.
+    ``None`` for malformed pages, ``"unsupported: not Ogg"`` for
+    foreign magic. Nested function, captured by value (house rule)."""
+    import struct
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 4 or data[:4] != b"OggS":
+            return "unsupported: not Ogg"
+        try:
+            pos = 0
+            serial = None
+            codec = None
+            rate = None
+            pre_skip = 0
+            channels = None
+            last_granule = None
+            serials = set()
+            first = True
+            while pos + 27 <= len(data):
+                if data[pos:pos + 4] != b"OggS" or data[pos + 4]:
+                    return None  # bad capture pattern / version
+                granule = struct.unpack("<q",
+                                        data[pos + 6:pos + 14])[0]
+                pserial = struct.unpack("<I",
+                                        data[pos + 14:pos + 18])[0]
+                nsegs = data[pos + 26]
+                lace = data[pos + 27:pos + 27 + nsegs]
+                if len(lace) < nsegs:
+                    return None
+                body = pos + 27 + nsegs
+                body_len = sum(lace)
+                if body + body_len > len(data):
+                    return None
+                serials.add(pserial)
+                if first:
+                    first = False
+                    serial = pserial
+                    pkt = data[body:body + body_len]
+                    if pkt.startswith(b"OpusHead") and len(pkt) >= 19:
+                        codec = "opus"
+                        channels = pkt[9]
+                        pre_skip = struct.unpack("<H", pkt[10:12])[0]
+                        rate = 48000  # Opus granules always tick 48k
+                    elif pkt.startswith(b"\x01vorbis") \
+                            and len(pkt) >= 16:
+                        codec = "vorbis"
+                        channels = pkt[11]
+                        rate = struct.unpack("<I", pkt[12:16])[0]
+                        if rate == 0:
+                            return None
+                    elif pkt.startswith(b"\x7fFLAC"):
+                        codec = "flac"
+                    else:
+                        codec = pkt[:8].split(b"\x00")[0].decode(
+                            "ascii", "replace") or None
+                if pserial == serial and granule >= 0:
+                    last_granule = granule
+                pos = body + body_len
+            if codec is None:
+                return None
+            duration_ms = None
+            if last_granule is not None and rate:
+                samples = last_granule - (pre_skip if codec == "opus"
+                                          else 0)
+                if samples >= 0:
+                    duration_ms = samples * 1000 // rate
+            return ("ogg", duration_ms, None, None, None, codec,
+                    len(serials), None)
+        except (struct.error, IndexError, ValueError):
             return None
 
     return probe

@@ -3120,3 +3120,77 @@ def test_audio_auto_router_names_mp3_and_ogg(spark):
            .collect()}
     assert got[1] == "unsupported: MP3"
     assert got[2] == "unsupported: Ogg container"
+
+
+def _ogg_page(serial, seqno, granule, packets, header_type=0):
+    """One Ogg page (RFC 3533): lacing values of 255 continue a
+    packet, a terminal <255 value ends it."""
+    import struct
+
+    body = b"".join(packets)
+    lace = []
+    for p in packets:
+        n = len(p)
+        lace += [255] * (n // 255) + [n % 255]
+    hdr = (b"OggS" + b"\x00" + bytes([header_type])
+           + struct.pack("<q", granule)
+           + struct.pack("<I", serial) + struct.pack("<I", seqno)
+           + b"\x00\x00\x00\x00"  # CRC not verified by the prober
+           + bytes([len(lace)]) + bytes(lace))
+    return hdr + body
+
+
+def _assemble_probe_ogg_opus():
+    """Spec-assembled Ogg/Opus golden: OpusHead (stereo, 312 pre-skip)
+    + OpusTags + two audio pages; final granule 48312 => exactly
+    1000 ms after pre-skip removal at the fixed 48 kHz granule rate."""
+    import struct
+
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0)
+            + bytes([0]))
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" \
+        + struct.pack("<I", 0)
+    return (_ogg_page(7, 0, 0, [head], header_type=2)
+            + _ogg_page(7, 1, 0, [tags])
+            + _ogg_page(7, 2, 24312, [b"\x00" * 40])
+            + _ogg_page(7, 3, 48312, [b"\x00" * 40],
+                        header_type=4))
+
+
+def test_ogg_prober_opus_vorbis_and_contract():
+    import struct
+
+    probe = M._make_ogg_prober()
+    data = _assemble_probe_ogg_opus()
+    assert probe(data) == ("ogg", 1000, None, None, None, "opus",
+                           1, None)
+    # vorbis ident: rate field drives the duration
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 44100) + b"\x00" * 16)
+    vb = (_ogg_page(9, 0, 0, [ident], header_type=2)
+          + _ogg_page(9, 1, 44100, [b"\x00" * 10], header_type=4))
+    assert probe(vb) == ("ogg", 1000, None, None, None, "vorbis",
+                         1, None)
+    assert probe(b"fLaC") == "unsupported: not Ogg"
+    for cut in range(len(data)):
+        out = probe(data[:cut])
+        assert out is None or isinstance(out, (tuple, str))
+    import random as _random
+    rng = _random.Random(31)
+    for _ in range(2000):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = probe(bytes(b))
+        assert out is None or isinstance(out, (tuple, str))
+
+
+def test_probe_media_auto_routes_ogg(spark):
+    data = _assemble_probe_ogg_opus()
+    df = spark.createDataFrame(
+        [(1, "audio", data)],
+        "media_id long, media_type string, payload binary")
+    r = M.probe_media(df, with_status=True).collect()[0]
+    assert (r["major_brand"], r["audio_codec"]) == ("ogg", "opus")
+    assert r["duration_ms"] == 1000 and r["status"] == "ok"
