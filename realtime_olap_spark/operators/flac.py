@@ -299,6 +299,11 @@ def _make_flac_decoder(max_samples: int = 600_000_000):
                 sz = SIZES[sz_code] if sz_code not in (0,) else bps
                 if sz == 0:
                     raise _Bad
+                # RFC 9639 requires the frame-header bit depth to
+                # agree with STREAMINFO's; a mismatch would decode
+                # with wrong [-1,1] normalization — reject instead.
+                if sz != bps:
+                    raise _Bad
                 if (got + blocksize) * channels > max_samples:
                     return ("unsupported: stream too long "
                             f"(>{max_samples} samples)")

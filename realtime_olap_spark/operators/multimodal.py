@@ -1034,10 +1034,10 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
     ``'flac'`` (RFC 9639 lossless),
     ``'aiff'`` (AIFF/AIFC incl. sowt, fl32/fl64 and G.711 ulaw/alaw
     companding), ``'au'`` (Sun/NeXT, PCM + float + G.711), or
-    ``'auto'`` (per-row magic-byte routing across all three — the
+    ``'auto'`` (per-row magic-byte routing across all four — the
     mixed-corpus shape). Rows that don't decode NULL out;
     ``with_status=True`` appends the ok/corrupt/unsupported reason.
-    Perceptual codecs (mp3/ogg/flac) need librosa/ffmpeg and stay
+    Perceptual codecs (mp3/ogg) need librosa/ffmpeg and stay
     honestly gated via NotImplementedError here."""
     from .flac import _make_flac_decoder
 
@@ -1046,7 +1046,7 @@ def decode_audio(df: DataFrame, decoder: str = "wav",
               "auto": _make_audio_auto_decoder}
     if decoder not in makers:
         raise NotImplementedError(
-            "audio decode beyond WAV/AIFF/AU (mp3/ogg/flac) needs "
+            "audio decode beyond WAV/FLAC/AIFF/AU (mp3/ogg) needs "
             "librosa/ffmpeg (not in this container)")
     wav = makers[decoder]()  # driver-built, captured by value
     schema = AUDIO_DECODED_SCHEMA
@@ -2575,6 +2575,104 @@ def _make_bmff_prober():
         version = data[start]
         return version, start + 4  # version(1) + flags(3)
 
+    def probe_meta(data, m0, m1, brand):
+        """HEIF-family still images (AVIF/HEIC — ISO/IEC 23008-12):
+        no ``moov``; dims live in ``meta`` → ``iprp`` → ``ipco`` →
+        ``ispe`` (width/height u32 each). The primary item is resolved
+        properly — ``pitm`` item ID → ``ipma`` property associations →
+        1-based ``ipco`` child index — so a file carrying extra
+        ``ispe`` boxes for alpha/thumbnail aux items reports the
+        primary image's dims, falling back to the largest-area
+        ``ispe`` when pitm/ipma are absent. Codec = the primary
+        item's ``infe`` item_type ('av01'/'hvc1'/'grid'…), falling
+        back to the decoder-config property in ``ipco``
+        (av1C→av01, hvcC→hvc1)."""
+        b0, b1 = fullbox(data, m0)[1], m1  # meta is a FullBox
+        pitm_id = None
+        props = []          # ipco children in order: (type, s, e)
+        assoc = {}          # item_id -> [property index (1-based)]
+        item_types = {}     # item_id -> fourcc str
+        for typ, c0, c1 in boxes(data, b0, b1):
+            if typ == b"pitm":
+                v, p = fullbox(data, c0)
+                pitm_id = struct.unpack(
+                    ">I" if v else ">H",
+                    data[p:p + (4 if v else 2)])[0]
+            elif typ == b"iinf":
+                v, p = fullbox(data, c0)
+                p += 4 if v else 2  # entry_count
+                for t2, d0, d1 in boxes(data, p, c1):
+                    if t2 != b"infe":
+                        continue
+                    v2, q = fullbox(data, d0)
+                    if v2 < 2:
+                        continue
+                    iid = struct.unpack(
+                        ">I" if v2 == 3 else ">H",
+                        data[q:q + (4 if v2 == 3 else 2)])[0]
+                    q += (4 if v2 == 3 else 2) + 2  # + protection
+                    item_types[iid] = data[q:q + 4].decode(
+                        "ascii", "replace")
+            elif typ == b"iprp":
+                for t2, d0, d1 in boxes(data, c0, c1):
+                    if t2 == b"ipco":
+                        props = list(boxes(data, d0, d1))
+                    elif t2 == b"ipma":
+                        v2 = data[d0]
+                        wide = data[d0 + 3] & 1  # flags bit 0
+                        p = d0 + 4
+                        n = struct.unpack(">I", data[p:p + 4])[0]
+                        p += 4
+                        for _ in range(n):
+                            iid = struct.unpack(
+                                ">I" if v2 else ">H",
+                                data[p:p + (4 if v2 else 2)])[0]
+                            p += 4 if v2 else 2
+                            cnt = data[p]
+                            p += 1
+                            ids = []
+                            for _ in range(cnt):
+                                if wide:
+                                    raw = struct.unpack(
+                                        ">H", data[p:p + 2])[0]
+                                    ids.append(raw & 0x7FFF)
+                                    p += 2
+                                else:
+                                    ids.append(data[p] & 0x7F)
+                                    p += 1
+                            assoc[iid] = ids
+        if not props:
+            return None
+
+        def ispe_dims(prop):
+            t, s, e = prop
+            if t != b"ispe" or e - s < 12:
+                return None
+            _, p = fullbox(data, s)
+            return struct.unpack(">II", data[p:p + 8])
+
+        dims = None
+        if pitm_id is not None and pitm_id in assoc:
+            for idx in assoc[pitm_id]:
+                if 1 <= idx <= len(props):
+                    dims = ispe_dims(props[idx - 1]) or dims
+        if dims is None:  # no/partial associations: largest ispe
+            cands = [d for d in map(ispe_dims, props) if d]
+            if not cands:
+                return None
+            dims = max(cands, key=lambda d: d[0] * d[1])
+        codec = item_types.get(pitm_id)
+        if codec in (None, "grid"):
+            for t, _, _ in props:
+                if t == b"av1C":
+                    codec = "av01"
+                    break
+                if t == b"hvcC":
+                    codec = "hvc1"
+                    break
+        return (brand, None, int(dims[0]), int(dims[1]),
+                codec, None, 1, 1)
+
     def probe(data):
         if not isinstance(data, (bytes, bytearray)):
             return None
@@ -2585,12 +2683,18 @@ def _make_bmff_prober():
             brand = data[8:12].decode("ascii", "replace")
             mvhd_ms = None
             tracks = []  # (handler, width, height, fourcc, dur_ms)
-            moov = None
+            moov = meta = None
             for typ, b0, b1 in boxes(data, 0, len(data)):
                 if typ == b"moov":
                     moov = (b0, b1)
                     break
+                if typ == b"meta" and meta is None:
+                    meta = (b0, b1)
             if moov is None:
+                # HEIF-family still image (AVIF/HEIC): item-based
+                # layout, no movie box — probe meta/iprp/ipco/ispe.
+                if meta is not None:
+                    return probe_meta(data, *meta, brand)
                 return None
             for typ, b0, b1 in boxes(data, *moov):
                 if typ == b"mvhd":

@@ -1116,8 +1116,12 @@ def _make_vp8_planes_decoder(max_pixels: int):
                 Y[y0:y0 + 16, 1 + 16 * mb_w:] = \
                     Y[y0:y0 + 16, 16 * mb_w][:, None]
 
-            # ---- loop filter pass (§15)
-            if filter_level > 0 or seg_enabled:
+            # ---- loop filter pass (§15). libwebp/libvpx skip the
+            # pass entirely when the frame-header filter level is 0,
+            # even if segmentation supplies its own LF values — match
+            # that (a filter_level==0 + nonzero segment-LF stream
+            # must decode identically to the reference decoders).
+            if filter_level > 0:
                 for my in range(mb_h):
                     y0 = 1 + 16 * my
                     cy0 = 1 + 8 * my

@@ -153,9 +153,14 @@ def _make_webp_decoder(max_pixels: int):
         if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
             return None
         try:
+            # Chunks live inside the declared RIFF payload; bytes
+            # past 8+riff_size are trailing data (appended metadata,
+            # padding) that libwebp ignores — clamp, don't reject.
+            end = min(len(data),
+                      8 + struct.unpack("<I", data[4:8])[0])
             chunks = []
             off = 12
-            while off + 8 <= len(data):
+            while off + 8 <= end:
                 tag = data[off:off + 4]
                 ln = struct.unpack("<I", data[off + 4:off + 8])[0]
                 payload = data[off + 8:off + 8 + ln]
@@ -218,13 +223,17 @@ def _make_webp_prober():
                 or data[8:12] != b"WEBP":
             return "unsupported: not WebP"
         try:
+            # Trailing bytes past the declared RIFF payload are
+            # ignored (libwebp behavior), not treated as malformed.
+            end = min(len(data),
+                      8 + struct.unpack("<I", data[4:8])[0])
             w = h = None
             codec = None
             frames = 0
             total_ms = 0
             animated = False
             off = 12
-            while off + 8 <= len(data):
+            while off + 8 <= end:
                 tag = data[off:off + 4]
                 ln = struct.unpack("<I", data[off + 4:off + 8])[0]
                 payload = data[off + 8:off + 8 + ln]
@@ -267,6 +276,11 @@ def _make_webp_prober():
                 return None
             if not animated:
                 frames = 1
+            elif frames == 0:
+                # ANIM flag set but no ANMF chunks: the frame count
+                # is unknown, not zero — NULL it rather than assert
+                # a fact the container doesn't support.
+                frames = None
             return ("webp", total_ms if total_ms else None,
                     int(w), int(h), codec, None, 1, frames)
         except (struct.error, IndexError, ValueError):
@@ -355,9 +369,13 @@ def _make_webp_animation_decoder(max_pixels: int,
         if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
             return None
         try:
+            # Ignore trailing bytes past the declared RIFF payload
+            # (libwebp behavior).
+            end = min(len(data),
+                      8 + struct.unpack("<I", data[4:8])[0])
             chunks = []
             off = 12
-            while off + 8 <= len(data):
+            while off + 8 <= end:
                 tag = data[off:off + 4]
                 ln = struct.unpack("<I", data[off + 4:off + 8])[0]
                 payload = data[off + 8:off + 8 + ln]

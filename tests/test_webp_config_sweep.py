@@ -189,6 +189,11 @@ LOSSY_GRID = [
     (dict(filter_sharpness=3, filter_strength=50), "normal-sharp3"),
     (dict(filter_sharpness=7, filter_strength=63), "normal-sharp7"),
     (dict(filter_strength=0), "filter-off"),
+    # filter_level==0 in the frame header WITH segmentation active:
+    # reference decoders skip the loop-filter pass entirely here even
+    # if segment LF data is present (r11 ADVICE) — must stay bit-exact
+    (dict(filter_strength=0, segments=4, quality=12.0,
+          sns_strength=90), "filter-off-4-segments"),
     (dict(autofilter=1), "autofilter"),
     (dict(segments=1), "1-segment"),
     (dict(segments=2, quality=30.0), "2-segments-q30"),
