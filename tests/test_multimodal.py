@@ -1593,6 +1593,121 @@ def test_sample_frames_probed_uses_container_duration(spark):
 
 
 # ---------------------------------------------------------------------------
+# AVIF / HEIC ispe dimensions probe (r11 verdict directive #2)
+# ---------------------------------------------------------------------------
+
+def _assemble_probe_avif():
+    """Hand-assembled-from-spec AVIF (ISO/IEC 23008-12 item layout):
+    ftyp(avif) + meta{hdlr(pict), pitm(item 1), iinf{infe av01 x2},
+    iprp{ipco{ispe 320x240, av1C stub, ispe 512x512},
+    ipma{1->[1,2], 2->[3,2]}}} + mdat stub. The AUX item's ispe
+    (512x512, property 3) is deliberately LARGER than the primary's
+    (320x240, property 1) so a probe that skips pitm/ipma resolution
+    and grabs the biggest ispe gives the WRONG answer — the golden
+    pins the primary-item path."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, version, payload, flags=0):
+        return box(typ, bytes([version]) + flags.to_bytes(3, "big")
+                   + payload)
+
+    def ispe(w, h):
+        return full(b"ispe", 0, struct.pack(">II", w, h))
+
+    def infe(item_id, fourcc, name):
+        return full(b"infe", 2, struct.pack(">HH", item_id, 0)
+                    + fourcc + name + b"\x00")
+
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"pict" + b"\x00" * 12
+                + b"probe\x00")
+    pitm = full(b"pitm", 0, struct.pack(">H", 1))
+    iinf = full(b"iinf", 0, struct.pack(">H", 2)
+                + infe(1, b"av01", b"primary")
+                + infe(2, b"av01", b"alpha"))
+    ipco = box(b"ipco", ispe(320, 240) + box(b"av1C", b"\x81\x0c\x00\x00")
+               + ispe(512, 512))
+    ipma = full(b"ipma", 0, struct.pack(">I", 2)
+                + struct.pack(">HB", 1, 2) + bytes([0x81, 2])
+                + struct.pack(">HB", 2, 2) + bytes([0x83, 2]))
+    meta = full(b"meta", 0, hdlr + pitm + iinf
+                + box(b"iprp", ipco + ipma))
+    ftyp = box(b"ftyp", b"avif" + struct.pack(">I", 0)
+               + b"avifmif1miaf")
+    return ftyp + meta + box(b"mdat", b"\x00" * 16)
+
+
+def _assemble_probe_heic():
+    """HEIC twin exercising the FALLBACK paths: no pitm/ipma (largest
+    ispe wins) and codec derived from the hvcC property in ipco."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, version, payload):
+        return box(typ, bytes([version, 0, 0, 0]) + payload)
+
+    def ispe(w, h):
+        return full(b"ispe", 0, struct.pack(">II", w, h))
+
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"pict" + b"\x00" * 12
+                + b"probe\x00")
+    ipco = box(b"ipco", ispe(160, 120) + ispe(1440, 960)
+               + box(b"hvcC", b"\x01" + b"\x00" * 22))
+    meta = full(b"meta", 0, hdlr + box(b"iprp", ipco))
+    ftyp = box(b"ftyp", b"heic" + struct.pack(">I", 0)
+               + b"mif1heic")
+    return ftyp + meta + box(b"mdat", b"\x00" * 16)
+
+
+def test_probe_avif_primary_item_dims_and_codec():
+    probe = M._make_bmff_prober()
+    got = probe(_assemble_probe_avif())
+    # 320x240 (primary item via pitm->ipma->ipco), NOT the larger
+    # 512x512 aux ispe; codec from the primary infe item_type
+    assert got == ("avif", None, 320, 240, "av01", None, 1, 1)
+
+
+def test_probe_heic_fallback_largest_ispe_and_hvcc():
+    probe = M._make_bmff_prober()
+    got = probe(_assemble_probe_heic())
+    assert got == ("heic", None, 1440, 960, "hvc1", None, 1, 1)
+
+
+def test_probe_avif_heic_truncation_and_bitflip_contract():
+    import random
+
+    probe = M._make_bmff_prober()
+    for name, data in (("avif", _assemble_probe_avif()),
+                       ("heic", _assemble_probe_heic())):
+        for k in range(len(data) + 1):
+            _assert_contract(probe, data[:k], f"{name} trunc@{k}")
+        rnd = random.Random(f"r12-{name}")
+        for _ in range(300):
+            i = rnd.randrange(len(data))
+            mutated = bytearray(data)
+            mutated[i] ^= 1 << rnd.randrange(8)
+            _assert_contract(probe, bytes(mutated), f"{name} flip@{i}")
+
+
+def test_probe_media_auto_routes_avif(spark):
+    data = _assemble_probe_avif()
+    df = spark.createDataFrame(
+        [(1, "image", data), (2, "image", _assemble_probe_heic())],
+        "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in
+           M.probe_media(df, with_status=True).collect()}
+    assert (got[1]["major_brand"], got[1]["width"], got[1]["height"],
+            got[1]["video_codec"], got[1]["status"]) \
+        == ("avif", 320, 240, "av01", "ok")
+    assert (got[2]["major_brand"], got[2]["width"], got[2]["height"],
+            got[2]["video_codec"]) == ("heic", 1440, 960, "hvc1")
+
+
+# ---------------------------------------------------------------------------
 # AIFF / AU / G.711 audio decoders (r11 extension: the multi-format
 # audio twin of the image codec suite, on CPython's own external goldens)
 # ---------------------------------------------------------------------------
