@@ -134,6 +134,84 @@ SCOPE_CHANGED = {
 }
 
 
+# Drift adjudication (r11 verdict directive #5): a recorded run on this
+# box can drift ~1.1-1.5x per query purely from outside contention (the
+# r11 judge hand-adjudicated six such drifts — all noise). When a query
+# drifts more than ADJUDICATE_RATIO vs the previous round's record AND
+# its defining module is untouched since that record's commit (so a code
+# regression is implausible), the bench re-runs it isolated (back-to-back
+# warmed min-of-5) and records BOTH numbers, so the report carries its
+# own noise adjudication instead of leaving it to the judge.
+ADJUDICATE_RATIO = 1.25
+ADJUDICATE_RUNS = 5
+
+
+def _adjudication_candidates(timings: dict, prev: dict,
+                             changed_files: set, query_files: dict,
+                             renames: dict = RENAMES,
+                             ratio: float = ADJUDICATE_RATIO) -> dict:
+    """Pure trigger logic (unit-tested): {name: prev_sec} for queries
+    whose recorded min drifted > ratio vs the previous round AND whose
+    defining module is not in the changed-file set. ``query_files``
+    maps query name -> repo-relative module path (None = unknown ->
+    treated as touched, no adjudication)."""
+    out = {}
+    for old_name, old_sec in prev.items():
+        name = renames.get(old_name, old_name)
+        cur = timings.get(name)
+        if cur is None or old_sec <= 0 or cur <= ratio * old_sec:
+            continue
+        qfile = query_files.get(name)
+        if qfile is None or qfile in changed_files:
+            continue
+        out[name] = old_sec
+    return out
+
+
+def _changed_files_since_prev_bench() -> set | None:
+    """Repo-relative paths changed since the previous bench record's
+    commit (the commit that last touched the newest usable
+    BENCH_r*.json), or None when git/history is unavailable —
+    callers treat None as 'everything touched' (no adjudication)."""
+    import glob
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not paths:
+        return None
+    newest = os.path.basename(paths[-1])
+    try:
+        commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", newest],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return None
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", commit, "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=30)
+        if diff.returncode != 0:
+            return None
+        return {ln.strip() for ln in diff.stdout.splitlines()
+                if ln.strip()}
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _query_module_file(fn) -> str | None:
+    """Repo-relative path of the module defining a registry callable."""
+    import inspect
+    try:
+        path = inspect.getmodule(fn).__file__
+    except (TypeError, AttributeError):
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        return os.path.relpath(os.path.abspath(path), here)
+    except ValueError:  # pragma: no cover - cross-drive windows only
+        return None
+
+
 def build_session(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -271,6 +349,25 @@ def main() -> None:
     }
     # Regression check against the previous round's record (>2x per query).
     prev, prev_round = _load_prev_bench()
+    # Noise self-adjudication: >1.25x drifts on untouched modules get an
+    # isolated warmed min-of-5 re-run recorded alongside the suite number.
+    adjudicated = {}
+    if prev:
+        changed = _changed_files_since_prev_bench()
+        if changed is not None:
+            qfiles = {n: _query_module_file(registry[n]) for n in names}
+            cands = _adjudication_candidates(timings, prev, changed,
+                                             qfiles)
+            for name, old_sec in cands.items():
+                runs = []
+                for _ in range(ADJUDICATE_RUNS):
+                    start = time.perf_counter()
+                    registry[name](spark, sf_dir) \
+                        .write.format("noop").mode("overwrite").save()
+                    runs.append(round(time.perf_counter() - start, 4))
+                adjudicated[name] = {
+                    "prev": old_sec, "suite_min": timings[name],
+                    "isolated_min5": min(runs), "isolated_runs": runs}
     if prev:
         regressions = {}
         for old_name, old_sec in prev.items():
@@ -285,6 +382,7 @@ def main() -> None:
                                       and prev_round is not None
                                       and prev_round < changed_in)}
         detail["regressions_vs_prev"] = regressions
+        detail["adjudicated"] = adjudicated
     line = json.dumps(summary)
     if len(line) > 1800:  # keep the summary inside the 2000-char tail window
         summary["queries"] = {k: round(v, 2) for k, v in timings.items()}

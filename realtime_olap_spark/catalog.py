@@ -350,6 +350,39 @@ TABLES: dict[str, TableConfig] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Derived (computed) tables — the media/curation surface exposed to the
+# PQL/SQL entry points. Each builder takes the Catalog and returns a
+# DataFrame; results are cached per Catalog like physical tables, so
+# "SELECT video_codec, COUNT(*) FROM media_probe GROUP BY video_codec"
+# works through PQLServer without dropping to the Python API. The
+# probe/feature columns come from the same mapInPandas operators the
+# suite queries use — metadata-only per-row CPU, payload never shuffled,
+# so the derivation holds at corpus scale.
+# ---------------------------------------------------------------------------
+
+def _derived_media(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import multimodal as M  # noqa: PLC0415
+    return M.media_view(cat.table("documents"))
+
+
+def _derived_media_probe(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import multimodal as M  # noqa: PLC0415
+    return M.probe_media(cat.table("media"), with_status=True)
+
+
+def _derived_media_features(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import multimodal as M  # noqa: PLC0415
+    return M.extract_features(cat.table("media"))
+
+
+DERIVED_TABLES = {
+    "media": _derived_media,
+    "media_probe": _derived_media_probe,
+    "media_features": _derived_media_features,
+}
+
+
 @dataclass
 class Catalog:
     """Loads the star-schema tables of one scale factor and registers views.
@@ -357,16 +390,34 @@ class Catalog:
     A reference 'segment' maps to a Parquet file; a 'table' to the DataFrame
     over all its files (SURVEY.md §1.5). Queries address one table
     (README.md:27) — joins are an engine extension beyond reference parity.
+    Derived tables (``DERIVED_TABLES`` + :meth:`register_derived`) expose
+    the media/curation operators to the same entry points.
     """
 
     spark: SparkSession
     sf_dir: str = DEFAULT_SF_DIR
     _cache: dict[str, DataFrame] = field(default_factory=dict)
+    _derived: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register_derived(self, name: str, df: DataFrame) -> None:
+        """Register a session-scoped derived table addressable from the
+        PQL/SQL entry points (e.g. a probed media inventory built from
+        an external corpus). Physical table names are reserved."""
+        if name in TABLES:
+            raise ValueError(f"{name!r} is a physical table name")
+        self._derived[name] = df
 
     def table(self, name: str) -> DataFrame:
+        if name in self._derived:
+            return self._derived[name]
         if name not in self._cache:
+            if name in DERIVED_TABLES:
+                self._cache[name] = DERIVED_TABLES[name](self)
+                return self._cache[name]
             if name not in TABLES:
-                raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+                raise KeyError(
+                    f"unknown table {name!r}; known: "
+                    f"{sorted(TABLES) + sorted(DERIVED_TABLES)}")
             from realtime_olap_spark.memo import session_memo  # noqa: PLC0415
 
             path = os.path.join(self.sf_dir, f"{name}.parquet")

@@ -39,6 +39,7 @@ class PQLServer:
                  host: str = "127.0.0.1", port: int = 0,
                  timeout_ms: int | None = None):
         engine = PQLEngine(spark, sf_dir)
+        self.engine = engine  # exposed: catalog.register_derived etc.
         default_timeout = timeout_ms
 
         class Handler(BaseHTTPRequestHandler):
