@@ -433,15 +433,18 @@ _IF_BMODE_PROBS = (120, 90, 79, 133, 87, 85, 80, 111, 151)
 #: NEWMV=3, SPLITMV=4.
 _MV_REF_TREE = (0, 2, -1, 4, -2, 6, -3, -4)
 #: Probabilities for the mv_ref tree, indexed by the candidate-count
-#: context (§16.3). Values above 255 are intentional — the RFC's own
-#: table feeds them through the §7 arithmetic unchanged.
+#: context (§16.3). The RFC's table famously contains 257 and 336 —
+#: but the reference decoder assigns them into uint8 ``Prob`` arrays,
+#: so the normative on-the-wire probabilities are the truncated
+#: 257&255=1 and 336&255=80 (also keeps the §7 arithmetic's range
+#: invariant intact); stored pre-masked here.
 _MODE_CONTEXTS = (
     (7, 1, 1, 143),
     (14, 18, 14, 107),
     (135, 64, 57, 68),
     (60, 56, 128, 65),
     (234, 160, 1, 1),
-    (257, 336, 1, 1),
+    (257 & 255, 336 & 255, 1, 1),
 )
 
 #: Sub-MV reference tree (§16.2): LEFT4X4=0, ABOVE4X4=1, ZERO4X4=2,
