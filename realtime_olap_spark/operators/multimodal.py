@@ -1468,10 +1468,11 @@ def decode_frames(df: DataFrame, every_ms: int,
     carrying the COMPOSITED frame re-encoded as lossless PNG. Animated
     GIFs composite per the disposal model
     (:func:`_make_gif_animation_decoder`); animated WebP composites
-    per ANMF blend/dispose; WebM VIDEO samples at keyframe granularity
-    (the RFC 6386 VP8 core decodes every keyframe SimpleBlock; inter
-    frames cannot be reconstructed without reference buffers and are
-    honestly skipped); static images in any
+    per ANMF blend/dispose; WebM VIDEO decodes EVERY SimpleBlock —
+    key frames and inter frames alike — through the stateful RFC 6386
+    sequence decoder (reference buffers, motion compensation; hidden
+    altref-update frames refresh state without emitting a frame), so
+    samples land on true frame content; static images in any
     carried format yield their single frame at ts 0; undecodable rows
     yield one row with a NULL payload and the usual reason — all in
     ONE ``mapInPandas``, payload bytes never entering a shuffle."""

@@ -457,14 +457,16 @@ def _make_webp_animation_decoder(max_pixels: int,
 
 
 def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
-    """Matroska/WebM VIDEO keyframe decoder (RFC 8794 EBML walk + the
-    public Matroska block layout): finds the first ``V_VP8`` track,
-    walks ``Cluster``/``SimpleBlock`` elements, and decodes every
-    KEYFRAME block with the RFC 6386 VP8 core. Inter frames cannot be
-    reconstructed without reference buffers, so sampling semantics are
-    keyframe-granular: each decoded frame spans from its timestamp to
-    the next keyframe's (or the Segment duration) — honest, documented
-    granularity, not interpolation.
+    """Matroska/WebM VIDEO decoder (RFC 8794 EBML walk + the public
+    Matroska block layout): finds the first ``V_VP8`` track, walks
+    ``Cluster``/``SimpleBlock`` elements, and decodes EVERY block —
+    key frames and inter frames — through the stateful RFC 6386
+    sequence decoder (``vp8._make_vp8_sequence_decoder``: reference
+    buffers, motion compensation, persistent entropy). Blocks are
+    decoded in file (decode) order; hidden altref-update frames
+    (show_frame=0) refresh reference state without producing an
+    output frame. Each shown frame spans from its timestamp to the
+    next shown frame's (or the Segment duration).
 
     Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
     the same contract as the GIF/WebP animation decoders so
@@ -477,10 +479,22 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
     import numpy as np
 
     try:
-        from .vp8 import _make_vp8_decoder
-        vp8 = _make_vp8_decoder(max_pixels)
+        from .vp8 import _make_vp8_sequence_decoder
+        vp8_seq = _make_vp8_sequence_decoder(max_pixels)
     except ImportError:  # pragma: no cover - lossy core not built
-        vp8 = None
+        vp8_seq = None
+
+    def to_rgb(y, u, v):
+        # nearest-neighbor chroma upsample + integer BT.601 — the
+        # same documented rendering choice as vp8._make_vp8_decoder
+        h, w = y.shape
+        uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+        vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+        c = y.astype(np.int32) - 16
+        r = np.clip((298 * c + 409 * vv + 128) >> 8, 0, 255)
+        g = np.clip((298 * c - 100 * uu - 208 * vv + 128) >> 8, 0, 255)
+        b = np.clip((298 * c + 516 * uu + 128) >> 8, 0, 255)
+        return np.dstack([r, g, b]).astype(np.uint8)
 
     def vint(data, pos, keep_marker):
         if pos >= len(data):
@@ -532,13 +546,13 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
         data = bytes(data)
         if len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
             return "unsupported: not EBML"
-        if vp8 is None:  # pragma: no cover
+        if vp8_seq is None:  # pragma: no cover
             return "unsupported: lossy WebP (VP8)"
         try:
             tscale = 1_000_000
             duration_raw = None
             video_track = None
-            keyframes = []  # (ts_ms, payload)
+            blocks = []  # (ts_ms, payload) in file (decode) order
             for eid, s, e in elements(data, 0, len(data)):
                 if eid != 0x18538067:  # Segment
                     continue
@@ -591,37 +605,45 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
                                 flags = data[p + 2]
                                 if flags & 0x06:
                                     return "unsupported: laced block"
-                                if not flags & 0x80:
-                                    continue  # inter frame: skip
-                                if len(keyframes) >= max_frames:
+                                if len(blocks) >= max_frames:
                                     return ("unsupported: more than "
                                             f"{max_frames} frames")
                                 ticks = cluster_ts + rel
                                 ts_ms = ticks * tscale // 1_000_000
-                                keyframes.append(
+                                blocks.append(
                                     (ts_ms, data[p + 3:ce]))
-            if video_track is None or not keyframes:
+            if video_track is None or not blocks:
                 return None
-            keyframes.sort(key=lambda kv: kv[0])
             total_ms = None
             if duration_raw is not None and duration_raw >= 0:
                 total_ms = int(duration_raw * tscale / 1_000_000)
-            frames = []
+            # decode EVERY block in file (decode) order through the
+            # stateful sequence decoder; hidden altref frames update
+            # reference state and emit nothing
+            vp8_seq.reset()
+            shown = []  # (ts_ms, rgb)
             w = h = None
-            for i, (ts, payload) in enumerate(keyframes):
-                res = vp8(payload)
+            for ts, payload in blocks:
+                res = vp8_seq(payload)
                 if not isinstance(res, tuple):
                     return res
-                fw, fh, px = res
+                fw, fh = res[0], res[1]
                 if w is None:
                     w, h = fw, fh
                 elif (fw, fh) != (w, h):
                     return None  # mid-stream dimension change
-                nxt = (keyframes[i + 1][0] if i + 1 < len(keyframes)
+                if res[5]:
+                    shown.append((ts, to_rgb(*res[2:5])))
+            if not shown:
+                return None
+            shown.sort(key=lambda kv: kv[0])
+            frames = []
+            for i, (ts, px) in enumerate(shown):
+                nxt = (shown[i + 1][0] if i + 1 < len(shown)
                        else (total_ms if total_ms and total_ms > ts
                              else ts + 1))
                 rgba = np.dstack(
-                    [px, np.full((fh, fw), 255, np.uint8)])
+                    [px, np.full((h, w), 255, np.uint8)])
                 frames.append((ts, max(1, nxt - ts), rgba))
             return w, h, frames
         except (ValueError, struct.error, IndexError):

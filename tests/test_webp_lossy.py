@@ -245,8 +245,10 @@ def _mux_webm(vp8_keyframes, duration_ms, with_inter_stub=False):
         blk = b"\x81" + struct.pack(">h", ts) + b"\x80" + payload
         blocks += _el(0xA3, blk)
     if with_inter_stub:
-        # non-keyframe SimpleBlock (flags 0x00): must be skipped, not
-        # decoded — its payload is a truncated stub on purpose
+        # non-keyframe SimpleBlock (flags 0x00) with a truncated
+        # payload: now that every block is DECODED (r12 inter-frame
+        # support), a corrupt mid-stream block makes the video
+        # corrupt (None) instead of being silently skipped
         blocks += _el(0xA3, b"\x81" + struct.pack(">h", 5) + b"\x00"
                       + b"\x11\x22\x33")
     cluster = _el(0x1F43B675, _el(0xE7, b"\x00") + blocks)
@@ -276,7 +278,7 @@ def test_webm_keyframe_video_decodes_bit_exact_frames():
         frames_px.append(px)
         payloads.append(_encode_vp8_payload(lib, px))
     data = _mux_webm([(0, payloads[0]), (400, payloads[1]),
-                      (900, payloads[2])], 1500, with_inter_stub=True)
+                      (900, payloads[2])], 1500)
     res = dec(data)
     assert isinstance(res, tuple), res
     gw, gh, frames = res
