@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from realtime_olap_spark.operators import multimodal as mm  # noqa: E402
 from realtime_olap_spark.operators.webp import (  # noqa: E402
+    _make_webm_video_decoder,
     _make_webp_animation_decoder,
     _make_webp_decoder,
     _make_webp_prober,
@@ -71,7 +72,11 @@ GOLDENS = {
     "mp3": ["test.mp3"],
     "mp4": ["probe.mp4"],
     "webp": ["python.webp"],
-    "webm": ["probe.webm"],
+    "webm": ["probe.webm",
+             # keyframe + NEWMV/hidden-altref/SPLITMV inter
+             # frames (r12): mutations reach the sequence
+             # decoder's reference-buffer and MC paths
+             "inter.webm"],
 }
 
 MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",
@@ -125,6 +130,7 @@ def run(n_seeds: int, base_seed: int) -> int:
     gif_probe = mm._make_gif_prober()
     webp_probe = _make_webp_prober()
     webp_anim = _make_webp_animation_decoder(mm.MAX_DECODE_PIXELS)
+    webm_video = _make_webm_video_decoder(mm.MAX_DECODE_PIXELS)
     gif_anim = mm._make_gif_animation_decoder()
     img_auto = mm._make_auto_decoder()
     aud_auto = mm._make_audio_auto_decoder()
@@ -172,6 +178,10 @@ def run(n_seeds: int, base_seed: int) -> int:
         if fmt == "webp":
             checks.append(("webp-probe", webp_probe))
             checks.append(("webp-anim", webp_anim))
+        if fmt == "webm":
+            # full video decode (keyframes + inter frames), not
+            # just the EBML probe
+            checks.append(("webm-video", webm_video))
         for dname, dec in checks:
             cases += 1
             try:

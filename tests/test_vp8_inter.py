@@ -1038,3 +1038,37 @@ def test_decode_frames_samples_inter_frame_content(spark):
     px150 = png(bytes(by_ts[150]["payload"]))[3]
     assert not (px100 == px0).all()      # inter content, not the KF
     assert (px150 == px100).all()        # still inside the inter span
+
+
+def test_inter_webm_fixture_matches_assembler():
+    """tests/fixtures/inter.webm is the committed output of this
+    suite's own assembler (libwebp key frame + spec-assembled
+    NEWMV / hidden-altref / SPLITMV inter frames) — its provenance is
+    this function; the media fuzz sweep mutates it."""
+    import os
+
+    payload, seq, kf = _keyframe_and_planes(w=32, h=16, seed=7)
+    w, h = kf[0], kf[1]
+    nmb = (w // 16) * (h // 16)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    inter1 = enc.assemble(mbs=[{"mode": "new", "mv": (16, 24)}] * nmb)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    hidden = enc.assemble(mbs=[{"mode": "intra_dc"}] * nmb,
+                          refresh_last=0, refresh_alt=1, show=0)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    split = enc.assemble(
+        mbs=[{"mode": "split", "split_type": 2,
+              "submvs": [((16, 32) if sb % 2 else (-16, 48))
+                         for sb in range(16)]}] * nmb,
+        refresh_last=0)
+    data = _mux_webm_mixed(
+        [(0, payload, True), (100, inter1, False),
+         (200, hidden, False), (300, split, False)], 400)
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "inter.webm")
+    with open(fix, "rb") as f:
+        assert f.read() == data
+    from realtime_olap_spark.operators.webp import \
+        _make_webm_video_decoder
+    res = _make_webm_video_decoder(MAXPX)(data)
+    assert isinstance(res, tuple) and len(res[2]) == 3
