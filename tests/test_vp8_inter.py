@@ -256,9 +256,10 @@ class InterFrameEncoder:
                  refresh_last=1, refresh_golden=0, refresh_alt=0,
                  copy_to_gf=0, copy_to_arf=0, refresh_entropy=1,
                  coef_updates=(), mbs=(), prob_skip=200,
-                 prob_intra=32, prob_last=128, prob_gf=128):
+                 prob_intra=32, prob_last=128, prob_gf=128,
+                 sign_bias_golden=0, sign_bias_alt=0):
         mb_w, mb_h = self.mb_w, self.mb_h
-        bias = [0, 0, 0, 0]
+        bias = [0, 0, sign_bias_golden, sign_bias_alt]
         bw = BW()
         bw.put(0, 128)                       # segmentation disabled
         bw.put(0, 128)                       # normal loop filter
@@ -275,8 +276,8 @@ class InterFrameEncoder:
             bw.literal(copy_to_gf, 2)
         if not refresh_alt:
             bw.literal(copy_to_arf, 2)
-        bw.put(0, 128)                       # sign bias golden
-        bw.put(0, 128)                       # sign bias alt
+        bw.put(sign_bias_golden, 128)
+        bw.put(sign_bias_alt, 128)
         bw.put(refresh_entropy, 128)
         bw.put(refresh_last, 128)
         updates = {(t, b, c, l): val
@@ -1072,3 +1073,94 @@ def test_inter_webm_fixture_matches_assembler():
         _make_webm_video_decoder
     res = _make_webm_video_decoder(MAXPX)(data)
     assert isinstance(res, tuple) and len(res[2]) == 3
+
+
+def test_nearest_near_modes_follow_candidate_survey():
+    """NEARESTMV/NEARMV select the surveyed candidates: a first
+    column of NEWMV macroblocks plants two distinct MVs; MBs coded
+    NEARESTMV/NEARMV must reproduce the matching motion — decoded
+    against the same independent numpy-shift expectation as NEWMV."""
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    w, h = kf[0], kf[1]
+    ry = _pad_ref(kf[2])
+    mv_a = (16, 24)   # full-pel
+    # layout (3x2 MBs): MB(0,0) NEWMV mv_a; MB(0,1) NEAREST (above
+    # intra, left=mv_a -> nearest=mv_a); MB(0,2) NEAREST (left=mv_a);
+    # row 1: MB(1,0) NEAREST (above=mv_a), MB(1,1)/(1,2) NEAR/NEAREST
+    mbs = [{"mode": "new", "mv": mv_a}, {"mode": "nearest"},
+           {"mode": "nearest"},
+           {"mode": "nearest"}, {"mode": "nearest"},
+           {"mode": "nearest"}]
+    enc = InterFrameEncoder(w // 16, h // 16)
+    res = seq(enc.assemble(mbs=mbs))
+    assert isinstance(res, tuple), res
+    fy, fx = mv_a[0] >> 3, mv_a[1] >> 3
+    exp_y = ry[BORDER + fy:BORDER + fy + h,
+               BORDER + fx:BORDER + fx + w]
+    assert (res[2] == exp_y).all()
+
+
+def test_near_mode_second_candidate():
+    """NEARMV picks the SECOND distinct candidate: above carries mv_a,
+    left carries mv_b — near == the lesser-counted distinct MV."""
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    w, h = kf[0], kf[1]
+    ry = _pad_ref(kf[2])
+    mv_a, mv_b = (16, 24), (-16, 8)
+    # row 0: NEWMV mv_a at (0,0) and (0,1); NEWMV mv_b at (0,2)
+    # row 1: (1,0) NEWMV mv_b (left intra? no - (1,0) has above mv_a);
+    # target: MB(1,2): above=(0,2)=mv_b, left=(1,1)=mv_a,
+    # al=(0,1)=mv_a -> candidates: above pushes mv_b (cnt 2), left
+    # pushes mv_a (cnt 2), al matches mv_a (+1) -> nearest=mv_a
+    # (after swap: cnt mv_a=3 > mv_b=2), near=mv_b
+    mbs = [{"mode": "new", "mv": mv_a}, {"mode": "new", "mv": mv_a},
+           {"mode": "new", "mv": mv_b},
+           {"mode": "new", "mv": mv_a}, {"mode": "new", "mv": mv_a},
+           {"mode": "near"}]
+    enc = InterFrameEncoder(w // 16, h // 16)
+    res = seq(enc.assemble(mbs=mbs))
+    assert isinstance(res, tuple), res
+    # verify via the test-side survey that "near" really is mv_b, then
+    # check MB(1,2)'s pixels against the mv_b shift expectation
+    _, nearest, near, _ = find_near_mvs(
+        (1, mv_b, False), (1, mv_a, False), (1, mv_a, False),
+        1, 2, 3, 2, 1, [0, 0, 0, 0])
+    assert nearest == mv_a and near == mv_b
+    fy, fx = mv_b[0] >> 3, mv_b[1] >> 3
+    py, px = 16, 32
+    exp = ry[BORDER + py + fy:BORDER + py + fy + 16,
+             BORDER + px + fx:BORDER + px + fx + 16]
+    assert (res[2][py:py + 16, px:px + 16] == exp).all()
+
+
+def test_golden_reference_sign_bias_negates_candidates():
+    """sign_bias[golden] != sign_bias[last]: a golden-ref MB surveying
+    a last-ref neighbor must see the NEGATED candidate (§16.3
+    mv_bias). Encoded with the mirrored encoder (which applies the
+    same rule), decoded pixels prove the decoder's survey agrees."""
+    payload, seq, kf = _keyframe_and_planes(w=48, h=16)
+    w, h = kf[0], kf[1]
+    ry = _pad_ref(kf[2])
+    mv_a = (16, 24)
+    # enable golden sign bias in the frame header; MB(0,0) NEWMV mv_a
+    # from LAST; MB(0,1) NEAREST from GOLDEN: candidate = -mv_a.
+    # golden == last == the key frame here, so pixels follow -mv_a.
+    mbs = [{"mode": "new", "mv": mv_a}, {"mode": "nearest", "ref": 2},
+           {"mode": "zero"}]
+    enc = InterFrameEncoder(w // 16, h // 16)
+    res = seq(enc.assemble(mbs=mbs, sign_bias_golden=1))
+    assert isinstance(res, tuple), res
+    # MB(0,1) (golden ref, biased survey): nearest == -mv_a, and
+    # golden == last == the key frame, so its pixels follow -mv_a
+    fy, fx = -mv_a[0] >> 3, -mv_a[1] >> 3
+    exp = ry[BORDER + fy:BORDER + fy + 16,
+             BORDER + 16 + fx:BORDER + 16 + fx + 16]
+    assert (res[2][0:16, 16:32] == exp).all()
+    # sanity: without the bias bit the same stream layout would give
+    # +mv_a pixels, which differ on this content
+    enc = InterFrameEncoder(w // 16, h // 16)
+    res2 = seq(enc.assemble(mbs=[{"mode": "new", "mv": mv_a},
+                                 {"mode": "nearest", "ref": 2},
+                                 {"mode": "zero"}]))
+    assert isinstance(res2, tuple), res2
+    assert not (res2[2][0:16, 16:32] == exp).all()
