@@ -22,8 +22,8 @@ every seed draws a golden and a mutation:
 - magic-prefixed noise: a valid signature followed by random bytes.
 
 Every mutation goes through the format's own codec AND the magic-byte
-auto-router (WebP rides the real VP8L/VP8 codecs; AVIF/HEIC stay
-naming paths). Pure-Python —
+auto-router (WebP rides the real VP8L/VP8 codecs; AVIF/HEIC ride the
+meta/ispe probe). Pure-Python —
 no SparkSession; the decoders are the same nested-closure objects the
 mapInPandas workers capture, so driver-side coverage IS executor
 coverage.
@@ -71,6 +71,9 @@ GOLDENS = {
     "flac": ["pluck-pcm16.flac"],
     "mp3": ["test.mp3"],
     "mp4": ["probe.mp4"],
+    # spec-assembled HEIF-family stills (r12): mutations hit
+    # the meta/iprp/ipco/ispe primary-item walk
+    "avif": ["probe.avif", "probe.heic"],
     "webp": ["python.webp"],
     "webm": ["probe.webm",
              # keyframe + NEWMV/hidden-altref/SPLITMV inter
@@ -124,6 +127,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                                    fromlist=["_make_flac_decoder"]
                                    )._make_flac_decoder(),
                 "mp4": mm._make_bmff_prober(),
+                "avif": mm._make_bmff_prober(),
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
                 "webm": mm._make_ebml_prober(),
                 "mp3": mm._make_mp3_prober()}
@@ -170,7 +174,7 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
-        if not audio and fmt not in ("mp4", "webm"):
+        if not audio and fmt not in ("mp4", "webm", "avif"):
             checks.append(("transcode", transcode))
         if fmt == "gif":
             checks.append(("gif-probe", gif_probe))

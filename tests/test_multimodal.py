@@ -3309,3 +3309,13 @@ def test_probe_media_auto_routes_ogg(spark):
     r = M.probe_media(df, with_status=True).collect()[0]
     assert (r["major_brand"], r["audio_codec"]) == ("ogg", "opus")
     assert r["duration_ms"] == 1000 and r["status"] == "ok"
+
+
+def test_probe_avif_heic_fixtures_match_assemblers():
+    """The committed probe.avif/probe.heic goldens are bit-reproducible
+    from the spec assemblies above (provenance = code); the media fuzz
+    sweep mutates them."""
+    for name, fn in (("probe.avif", _assemble_probe_avif),
+                     ("probe.heic", _assemble_probe_heic)):
+        with open(os.path.join(FIXTURES, name), "rb") as f:
+            assert f.read() == fn(), name
