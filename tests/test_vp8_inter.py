@@ -257,7 +257,8 @@ class InterFrameEncoder:
                  copy_to_gf=0, copy_to_arf=0, refresh_entropy=1,
                  coef_updates=(), mbs=(), prob_skip=200,
                  prob_intra=32, prob_last=128, prob_gf=128,
-                 sign_bias_golden=0, sign_bias_alt=0):
+                 sign_bias_golden=0, sign_bias_alt=0,
+                 lf_deltas=None):
         mb_w, mb_h = self.mb_w, self.mb_h
         bias = [0, 0, sign_bias_golden, sign_bias_alt]
         bw = BW()
@@ -265,7 +266,26 @@ class InterFrameEncoder:
         bw.put(0, 128)                       # normal loop filter
         bw.literal(filter_level, 6)
         bw.literal(0, 3)                     # sharpness
-        bw.put(0, 128)                       # lf deltas disabled
+        if lf_deltas is None:
+            bw.put(0, 128)                   # lf deltas disabled
+        else:
+            ref_d, mode_d = lf_deltas
+            bw.put(1, 128)                   # enabled
+            bw.put(1, 128)                   # updated this frame
+            for v in ref_d:
+                if v:
+                    bw.put(1, 128)
+                    bw.literal(abs(v), 6)
+                    bw.put(1 if v < 0 else 0, 128)
+                else:
+                    bw.put(0, 128)
+            for v in mode_d:
+                if v:
+                    bw.put(1, 128)
+                    bw.literal(abs(v), 6)
+                    bw.put(1 if v < 0 else 0, 128)
+                else:
+                    bw.put(0, 128)
         bw.literal(0, 2)                     # 1 token partition
         bw.literal(0, 7)                     # y_ac_qi = 0 (q small)
         for _ in range(5):
@@ -1164,3 +1184,54 @@ def test_golden_reference_sign_bias_negates_candidates():
                                  {"mode": "zero"}]))
     assert isinstance(res2, tuple), res2
     assert not (res2[2][0:16, 16:32] == exp).all()
+
+
+@pytest.mark.parametrize("case", ["intra_ref0", "zeromv_ref_mode",
+                                  "newmv_mode2"])
+def test_loop_filter_deltas_equal_adjusted_base_level(case):
+    """Per-MB loop-filter level on inter frames: ref-frame delta
+    (index = reference) + mode delta (ZEROMV=1, other inter=2) must
+    equal a plain frame whose base filter_level is pre-adjusted by
+    the same amount — a self-consistency proof of the delta indexing
+    without an independent filter implementation."""
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    w, h = kf[0], kf[1]
+    nmb = (w // 16) * (h // 16)
+    if case == "intra_ref0":
+        # flat DC content is a loop-filter no-op — vary each MB's DC
+        # through the Y2 block so MB edges actually filter
+        mbs = []
+        for i in range(nmb):
+            y2 = [0] * 16
+            y2[0] = 5 + 7 * (i % 4)
+            mbs.append({"mode": "intra_dc", "skip": False,
+                        "coeffs": {"y2": y2}})
+        deltas = ([6, 0, 0, 0], [0, 0, 0, 0])   # intra ref delta
+        base, adjusted = 26, 20
+    elif case == "zeromv_ref_mode":
+        mbs = [{"mode": "zero"}] * nmb
+        deltas = ([0, 4, 0, 0], [0, 3, 0, 0])   # last ref + ZEROMV
+        base, adjusted = 27, 20
+    else:
+        mbs = [{"mode": "new", "mv": (16, 8)}] * nmb
+        deltas = ([0, -5, 0, 0], [0, 0, 9, 0])  # last ref + inter
+        base, adjusted = 24, 20
+    enc = InterFrameEncoder(w // 16, h // 16)
+    with_deltas = seq(enc.assemble(mbs=mbs, filter_level=adjusted,
+                                   lf_deltas=deltas))
+    assert isinstance(with_deltas, tuple), with_deltas
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    plain = seq(enc.assemble(mbs=mbs, filter_level=base))
+    assert isinstance(plain, tuple), plain
+    for a, b in zip(with_deltas[2:5], plain[2:5]):
+        assert (a == b).all(), case
+    # control: the filter genuinely ran (differs from unfiltered)
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    unfiltered = seq(enc.assemble(mbs=mbs, filter_level=0))
+    assert isinstance(unfiltered, tuple)
+    assert not all((a == b).all() for a, b in
+                   zip(with_deltas[2:5], unfiltered[2:5])), case
