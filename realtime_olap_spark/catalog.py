@@ -575,6 +575,12 @@ class Catalog:
         return TABLES[name]
 
     def register_views(self) -> None:
-        """Register every table as a temp view for the SQL entry point."""
+        """Register every table as a temp view for the SQL entry point
+        — physical tables AND the derived media/curation tables (the
+        latter stay lazy: a view registration plans nothing)."""
         for name in TABLES:
             self.table(name).createOrReplaceTempView(name)
+        for name in DERIVED_TABLES:
+            self.table(name).createOrReplaceTempView(name)
+        for name, df in self._derived.items():
+            df.createOrReplaceTempView(name)

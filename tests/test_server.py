@@ -189,3 +189,21 @@ def test_pql_codec_inventory_over_registered_media_corpus(server):
     got = {g["group"][0]: int(g["value"])
            for g in res["groupByResult"]}
     assert got == {"avc1": 2, "vp8": 2, "gif": 1}
+
+
+def test_sql_entry_point_sees_derived_media_views(spark):
+    """Entry point C (spark.sql over registered views) reaches the
+    derived media tables too."""
+    from realtime_olap_spark.catalog import Catalog
+    from tests.conftest import SF_DIR as _SF
+
+    cat = Catalog(spark, _SF)
+    cat.register_views()
+    row = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT media_type) AS k "
+        "FROM media").collect()[0]
+    assert row["n"] > 0 and row["k"] == 3
+    ent = spark.sql(
+        "SELECT MAX(byte_entropy) AS e FROM media_features"
+    ).collect()[0]["e"]
+    assert 0.0 < ent <= 8.0
