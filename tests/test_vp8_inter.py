@@ -1235,3 +1235,34 @@ def test_loop_filter_deltas_equal_adjusted_base_level(case):
     assert isinstance(unfiltered, tuple)
     assert not all((a == b).all() for a, b in
                    zip(with_deltas[2:5], unfiltered[2:5])), case
+
+
+def test_midstream_keyframe_resets_sequence_state():
+    """A key frame arriving after inter frames resets entropy state,
+    segment/LF persistence and all three reference buffers — a
+    following golden/altref-ref ZEROMV frame reproduces the NEW key
+    frame, not anything older; and a frame-1 entropy update with
+    refresh_entropy_probs=1 does NOT survive the key frame."""
+    payload, seq, kf = _keyframe_and_planes(w=16, h=16)
+    # advance state: inter frame updating a coef prob persistently
+    enc = InterFrameEncoder(1, 1)
+    f1 = enc.assemble(refresh_entropy=1,
+                      coef_updates=((0, 1, 0, 0, 17),),
+                      mbs=[{"mode": "intra_dc"}])
+    assert isinstance(seq(f1), tuple)
+    # mid-stream keyframe (the SAME libwebp payload): decoder must
+    # reset to defaults — its own output must equal the first decode
+    kf2 = seq(payload)
+    assert isinstance(kf2, tuple)
+    for a, b in zip(kf2[2:5], kf[2:5]):
+        assert (a == b).all()
+    # all refs now point at the new key frame: golden/altref ZEROMV
+    # frames reproduce it exactly (encoder uses DEFAULT probs — only
+    # correct if the keyframe reset the entropy state)
+    for ref in (2, 3):
+        enc = InterFrameEncoder(1, 1)
+        r = seq(enc.assemble(mbs=[{"mode": "zero", "ref": ref}],
+                             refresh_last=0))
+        assert isinstance(r, tuple), ref
+        for a, b in zip(r[2:5], kf[2:5]):
+            assert (a == b).all(), ref
