@@ -258,11 +258,43 @@ class InterFrameEncoder:
                  coef_updates=(), mbs=(), prob_skip=200,
                  prob_intra=32, prob_last=128, prob_gf=128,
                  sign_bias_golden=0, sign_bias_alt=0,
-                 lf_deltas=None):
+                 lf_deltas=None, segmentation=None):
+        # segmentation: dict(update_map=0/1, update_data=0/1, abs=0/1,
+        # quant=[4], lf=[4], ids=[per-MB seg ids] (required when
+        # update_map), probs=[3] seg tree probs)
         mb_w, mb_h = self.mb_w, self.mb_h
         bias = [0, 0, sign_bias_golden, sign_bias_alt]
         bw = BW()
-        bw.put(0, 128)                       # segmentation disabled
+        seg = segmentation
+        if seg is None:
+            bw.put(0, 128)                   # segmentation disabled
+        else:
+            bw.put(1, 128)
+            bw.put(seg.get("update_map", 0), 128)
+            bw.put(seg.get("update_data", 0), 128)
+            if seg.get("update_data"):
+                bw.put(seg.get("abs", 0), 128)
+                for v in seg.get("quant", [0] * 4):
+                    if v:
+                        bw.put(1, 128)
+                        bw.literal(abs(v), 7)
+                        bw.put(1 if v < 0 else 0, 128)
+                    else:
+                        bw.put(0, 128)
+                for v in seg.get("lf", [0] * 4):
+                    if v:
+                        bw.put(1, 128)
+                        bw.literal(abs(v), 6)
+                        bw.put(1 if v < 0 else 0, 128)
+                    else:
+                        bw.put(0, 128)
+            if seg.get("update_map"):
+                for pv in seg.get("probs", [255, 255, 255]):
+                    if pv != 255:
+                        bw.put(1, 128)
+                        bw.literal(pv, 8)
+                    else:
+                        bw.put(0, 128)
         bw.put(0, 128)                       # normal loop filter
         bw.literal(filter_level, 6)
         bw.literal(0, 3)                     # sharpness
@@ -343,6 +375,12 @@ class InterFrameEncoder:
             left_nz = [0] * 9
             for mx in range(mb_w):
                 spec = mbs[my * mb_w + mx]
+                if seg is not None and seg.get("update_map"):
+                    from realtime_olap_spark.operators.vp8 import \
+                        _SEG_TREE
+                    tree_write(bw, _SEG_TREE,
+                               seg.get("probs", [255, 255, 255]),
+                               seg["ids"][my * mb_w + mx])
                 skip = 1 if spec.get("skip", True) else 0
                 bw.put(skip, prob_skip)
                 mode = spec["mode"]
@@ -1266,3 +1304,55 @@ def test_midstream_keyframe_resets_sequence_state():
         assert isinstance(r, tuple), ref
         for a, b in zip(r[2:5], kf[2:5]):
             assert (a == b).all(), ref
+
+
+def test_segmentation_quantizers_and_map_persistence_on_inter_frames():
+    """Inter-frame segmentation, end to end: frame 1 WRITES a segment
+    map (update_map=1) with ABSOLUTE per-segment quantizer indices and
+    carries one AC residual per MB — each MB's pixel delta must equal
+    the residual dequantized with ITS segment's quantizer (computed
+    independently from the §14.1 tables). Frame 2 sets update_map=0:
+    the map PERSISTS, proven by the same per-segment expectations."""
+    from realtime_olap_spark.operators.vp8 import _AC_QLOOKUP
+
+    payload, seq, kf = _keyframe_and_planes(w=48, h=16)
+    w, h = kf[0], kf[1]
+    nmb = (w // 16) * (h // 16)
+    ids = [0, 1, 2]                 # one segment per MB
+    seg_q = [0, 40, 80, 0]          # absolute qi per segment
+    levels = [0] * 16
+    levels[1] = 3                   # AC at scan 1 (zigzag[1] = raster 1)
+    yb = [[0] * 16 for _ in range(16)]
+    yb[0] = list(levels)
+    mbs = [{"mode": "zero", "skip": False, "coeffs": {"y": yb}}
+           for _ in range(nmb)]
+    zz = V._ZIGZAG
+
+    def expected(base):
+        exp = base.astype(np.int32).copy()
+        for i, sid in enumerate(ids):
+            qac = _AC_QLOOKUP[seg_q[sid]]
+            deq = [0] * 16
+            deq[zz[1]] = levels[1] * qac
+            resid = np.array(_idct_ref(deq), np.int32).reshape(4, 4)
+            x0 = 16 * i
+            exp[0:4, x0:x0 + 4] = np.clip(
+                exp[0:4, x0:x0 + 4] + resid, 0, 255)
+        return exp.astype(np.uint8)
+
+    enc = InterFrameEncoder(w // 16, h // 16)
+    f1 = enc.assemble(
+        mbs=mbs,
+        segmentation=dict(update_map=1, update_data=1, abs=1,
+                          quant=seg_q, lf=[0] * 4, ids=ids))
+    r1 = seq(f1)
+    assert isinstance(r1, tuple), r1
+    assert (r1[2] == expected(kf[2])).all()
+    # frame 2: segmentation enabled, NO map update — persisted ids
+    # must route the same per-segment quantizers
+    f2 = enc.assemble(
+        mbs=mbs,
+        segmentation=dict(update_map=0, update_data=0))
+    r2 = seq(f2)
+    assert isinstance(r2, tuple), r2
+    assert (r2[2] == expected(r1[2])).all()
