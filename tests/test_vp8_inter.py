@@ -258,7 +258,7 @@ class InterFrameEncoder:
                  coef_updates=(), mbs=(), prob_skip=200,
                  prob_intra=32, prob_last=128, prob_gf=128,
                  sign_bias_golden=0, sign_bias_alt=0,
-                 lf_deltas=None, segmentation=None):
+                 lf_deltas=None, segmentation=None, n_parts=1):
         # segmentation: dict(update_map=0/1, update_data=0/1, abs=0/1,
         # quant=[4], lf=[4], ids=[per-MB seg ids] (required when
         # update_map), probs=[3] seg tree probs)
@@ -318,7 +318,8 @@ class InterFrameEncoder:
                     bw.put(1 if v < 0 else 0, 128)
                 else:
                     bw.put(0, 128)
-        bw.literal(0, 2)                     # 1 token partition
+        assert n_parts in (1, 2, 4, 8)
+        bw.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
         bw.literal(0, 7)                     # y_ac_qi = 0 (q small)
         for _ in range(5):
             bw.put(0, 128)                   # no quant deltas
@@ -361,8 +362,9 @@ class InterFrameEncoder:
             for i in range(19):
                 bw.put(0, _MV_UPDATE_PROBS[comp][i])
 
-        # per-MB headers (first partition) + tokens (second partition)
-        tw = BW()
+        # per-MB headers (first partition) + tokens (row my goes to
+        # token partition my % n_parts, the spec's striping)
+        tws = [BW() for _ in range(n_parts)]
         intra = (0, (0, 0), False)
         above = [intra] * mb_w
         above_smv = [[(0, 0)] * 4] * mb_w
@@ -373,6 +375,7 @@ class InterFrameEncoder:
             left_smv = [(0, 0)] * 4
             al = intra
             left_nz = [0] * 9
+            tw = tws[my % n_parts]
             for mx in range(mb_w):
                 spec = mbs[my * mb_w + mx]
                 if seg is not None and seg.get("update_map"):
@@ -518,12 +521,15 @@ class InterFrameEncoder:
                 left = cur
                 left_smv = cur_right
         part1 = bw.stop()
-        tokens = tw.stop()
+        parts = [t.stop() for t in tws]
+        sizes = b"".join(len(pp).to_bytes(3, "little")
+                         for pp in parts[:-1])
         if not refresh_entropy:
             self.fc = saved
         tag = 1 | (version << 1) | (show << 4) | (len(part1) << 5)
         return bytes((tag & 0xFF, (tag >> 8) & 0xFF,
-                      (tag >> 16) & 0xFF)) + part1 + tokens
+                      (tag >> 16) & 0xFF)) + part1 + sizes \
+            + b"".join(parts)
 
     @staticmethod
     def _write_block(tw, tprobs, ctx, first, levels):
@@ -1356,3 +1362,32 @@ def test_segmentation_quantizers_and_map_persistence_on_inter_frames():
     r2 = seq(f2)
     assert isinstance(r2, tuple), r2
     assert (r2[2] == expected(r1[2])).all()
+
+
+@pytest.mark.parametrize("n_parts", [2, 4])
+def test_multi_partition_inter_tokens_decode_identically(n_parts):
+    """Token partitioning on inter frames: MB row my reads partition
+    my % n_parts — a striped 2/4-partition encoding of the same
+    residual content must decode identically to the 1-partition one."""
+    payload, seq, kf = _keyframe_and_planes(w=32, h=64)
+    w, h = kf[0], kf[1]
+    nmb = (w // 16) * (h // 16)
+    rng = random.Random(n_parts)
+    mbs = []
+    for i in range(nmb):
+        yb = [[0] * 16 for _ in range(16)]
+        blk = list([0] * 16)
+        blk[1] = rng.randrange(1, 6)
+        blk[3] = -rng.randrange(1, 4)
+        yb[rng.randrange(16)] = blk
+        mbs.append({"mode": "zero", "skip": False,
+                    "coeffs": {"y": yb}})
+    enc = InterFrameEncoder(w // 16, h // 16)
+    one = seq(enc.assemble(mbs=mbs, refresh_last=0))
+    assert isinstance(one, tuple), one
+    enc = InterFrameEncoder(w // 16, h // 16)
+    many = seq(enc.assemble(mbs=mbs, refresh_last=0,
+                            n_parts=n_parts))
+    assert isinstance(many, tuple), (n_parts, many)
+    for a, b in zip(many[2:5], one[2:5]):
+        assert (a == b).all(), n_parts
