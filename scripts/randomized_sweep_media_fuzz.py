@@ -79,7 +79,7 @@ GOLDENS = {
              # keyframe + NEWMV/hidden-altref/SPLITMV inter
              # frames (r12): mutations reach the sequence
              # decoder's reference-buffer and MC paths
-             "inter.webm"],
+             "inter.webm", "inter2.webm"],
 }
 
 MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",

@@ -1391,3 +1391,44 @@ def test_multi_partition_inter_tokens_decode_identically(n_parts):
     assert isinstance(many, tuple), (n_parts, many)
     for a, b in zip(many[2:5], one[2:5]):
         assert (a == b).all(), n_parts
+
+
+def test_inter2_webm_fixture_matches_assembler():
+    """Second committed fuzz golden: segmented (absolute quantizers,
+    update_map) 2-partition residual inter frame + a filtered NEWMV
+    frame with ref/mode LF deltas — provenance is this function."""
+    import os
+
+    payload, seq, kf = _keyframe_and_planes(w=32, h=32, seed=21)
+    w, h = kf[0], kf[1]
+    nmb = (w // 16) * (h // 16)
+    rng = random.Random(99)
+    mbs = []
+    for i in range(nmb):
+        yb = [[0] * 16 for _ in range(16)]
+        blk = [0] * 16
+        blk[1] = rng.randrange(1, 6)
+        yb[rng.randrange(16)] = blk
+        mbs.append({"mode": "zero", "skip": False,
+                    "coeffs": {"y": yb}})
+    enc = InterFrameEncoder(w // 16, h // 16)
+    seg_inter = enc.assemble(
+        mbs=mbs, n_parts=2,
+        segmentation=dict(update_map=1, update_data=1, abs=1,
+                          quant=[0, 30, 60, 90], lf=[0] * 4,
+                          ids=[i % 4 for i in range(nmb)]))
+    enc = InterFrameEncoder(w // 16, h // 16)
+    lf_inter = enc.assemble(
+        mbs=[{"mode": "new", "mv": (8, -8)}] * nmb, filter_level=24,
+        lf_deltas=([0, 4, 0, 0], [0, 0, -3, 0]))
+    data = _mux_webm_mixed(
+        [(0, payload, True), (100, seg_inter, False),
+         (200, lf_inter, False)], 300)
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "inter2.webm")
+    with open(fix, "rb") as f:
+        assert f.read() == data
+    from realtime_olap_spark.operators.webp import \
+        _make_webm_video_decoder
+    res = _make_webm_video_decoder(MAXPX)(data)
+    assert isinstance(res, tuple) and len(res[2]) == 3
