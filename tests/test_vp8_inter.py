@@ -1432,3 +1432,63 @@ def test_inter2_webm_fixture_matches_assembler():
         _make_webm_video_decoder
     res = _make_webm_video_decoder(MAXPX)(data)
     assert isinstance(res, tuple) and len(res[2]) == 3
+
+
+def test_version3_fullpel_masks_chroma_mvs():
+    """Version-3 frames mask chroma MVs to full-pel (fullpixel_mask):
+    a luma MV whose halved chroma MV is fractional must sample chroma
+    at the MASKED (floor-to-full-pel) offset; the same stream as
+    version 0 samples chroma sub-pel — the two must differ, and the
+    v3 chroma must equal the plain full-pel expectation."""
+    payload, seq, kf = _keyframe_and_planes(w=32, h=32)
+    w, h = kf[0], kf[1]
+    ru = _pad_ref(kf[3])
+    mvr, mvc = 48, 48   # luma 6 px; chroma mv = 24 (3.0 px -> frac 0)
+    mvr2, mvc2 = 40, 40  # luma 5 px; chroma mv = 20 -> frac 4 (sub-pel)
+    nmb = (w // 16) * (h // 16)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    v3 = seq(enc.assemble(version=3,
+                          mbs=[{"mode": "new", "mv": (mvr2, mvc2)}]
+                          * nmb))
+    assert isinstance(v3, tuple), v3
+    # masked chroma mv: 20 & ~7 = 16 -> exactly 2 px
+    exp_u = ru[BORDER + 2:BORDER + 2 + h // 2,
+               BORDER + 2:BORDER + 2 + w // 2]
+    assert (v3[3] == exp_u).all()
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    enc = InterFrameEncoder(w // 16, h // 16)
+    v0 = seq(enc.assemble(version=0,
+                          mbs=[{"mode": "new", "mv": (mvr2, mvc2)}]
+                          * nmb))
+    assert isinstance(v0, tuple), v0
+    assert not (v0[3] == v3[3]).all()  # v0 filtered sub-pel chroma
+
+
+def test_copy_buffer_to_alternate_flags():
+    """copy_to_arf: 1 copies LAST into altref, 2 copies GOLDEN —
+    proven by later ZEROMV frames referencing the altref."""
+    payload, seq, kf = _keyframe_and_planes(w=16, h=16)
+    enc = InterFrameEncoder(1, 1)
+    b = seq(enc.assemble(mbs=[{"mode": "intra_dc"}]))  # last := B
+    assert isinstance(b, tuple)
+    # copy_to_arf=1: altref := last (B)
+    enc = InterFrameEncoder(1, 1)
+    assert isinstance(seq(enc.assemble(
+        mbs=[{"mode": "zero"}], refresh_last=0, copy_to_arf=1)), tuple)
+    enc = InterFrameEncoder(1, 1)
+    r = seq(enc.assemble(mbs=[{"mode": "zero", "ref": 3}],
+                         refresh_last=0))
+    assert isinstance(r, tuple)
+    for a, c in zip(r[2:5], b[2:5]):
+        assert (a == c).all()
+    # copy_to_arf=2: altref := golden (still the key frame)
+    enc = InterFrameEncoder(1, 1)
+    assert isinstance(seq(enc.assemble(
+        mbs=[{"mode": "zero"}], refresh_last=0, copy_to_arf=2)), tuple)
+    enc = InterFrameEncoder(1, 1)
+    r2 = seq(enc.assemble(mbs=[{"mode": "zero", "ref": 3}],
+                          refresh_last=0))
+    assert isinstance(r2, tuple)
+    for a, c in zip(r2[2:5], kf[2:5]):
+        assert (a == c).all()
