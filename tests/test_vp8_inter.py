@@ -258,7 +258,12 @@ class InterFrameEncoder:
                  coef_updates=(), mbs=(), prob_skip=200,
                  prob_intra=32, prob_last=128, prob_gf=128,
                  sign_bias_golden=0, sign_bias_alt=0,
-                 lf_deltas=None, segmentation=None, n_parts=1):
+                 lf_deltas=None, segmentation=None, n_parts=1,
+                 record=None):
+        # record (optional list): appends one entry per MB —
+        # ("intra", None) or (mode, resolved_mv) or
+        # ("split", submvs16) — so property tests can build
+        # independent pixel expectations from the RESOLVED motion
         # segmentation: dict(update_map=0/1, update_data=0/1, abs=0/1,
         # quant=[4], lf=[4], ids=[per-MB seg ids] (required when
         # update_map), probs=[3] seg tree probs)
@@ -394,6 +399,8 @@ class InterFrameEncoder:
                     tree_write(bw, _UV_MODE_TREE, _IF_UV_PROBS, 0)
                     cur = intra
                     cur_bottom = cur_right = [(0, 0)] * 4
+                    if record is not None:
+                        record.append(("intra", None))
                 else:
                     bw.put(1, prob_intra)
                     ref = spec.get("ref", 1)
@@ -468,6 +475,9 @@ class InterFrameEncoder:
                                 if smap[sb] == j:
                                     submvs[sb] = bmv
                         mv = submvs[15]
+                    if record is not None:
+                        record.append(("split", list(submvs))
+                                      if is_split else (mode, mv))
                     cur = (ref, mv, is_split)
                     if is_split:
                         cur_bottom = submvs[12:16]
@@ -1492,3 +1502,95 @@ def test_copy_buffer_to_alternate_flags():
     assert isinstance(r2, tuple)
     for a, c in zip(r2[2:5], kf[2:5]):
         assert (a == c).all()
+
+
+def run_fullpel_property_seed(seed, seq, payload, kf):
+    """One randomized full-pel inter frame over a 3x2 MB grid: random
+    mode mix (zero / new / nearest / near / split with random split
+    type), all MVs multiples of 16 eighth-pels so luma AND averaged
+    chroma stay full-pel; the decoded frame must equal the plain
+    numpy-shift expectation built from the encoder's RESOLVED motion
+    — any encoder/decoder disagreement in the survey, contexts or
+    fills desynchronizes the arithmetic and fails loudly."""
+    rng = random.Random(f"vp8-prop-{seed}")
+    w, h = kf[0], kf[1]
+    mbw, mbh = w // 16, h // 16
+    ry, ru, rv = (_pad_ref(p) for p in kf[2:5])
+
+    def rmv():
+        return (16 * rng.randrange(-3, 4), 16 * rng.randrange(-3, 4))
+
+    mbs = []
+    for _ in range(mbw * mbh):
+        mode = rng.choice(["zero", "new", "new", "nearest", "near",
+                           "split", "intra_dc"])
+        spec = {"mode": mode}
+        if mode == "new":
+            spec["mv"] = rmv()
+        elif mode == "split":
+            st = rng.randrange(4)
+            spec["split_type"] = st
+            per_part = [rmv() for _ in range(_MBSPLIT_COUNT[st])]
+            spec["submvs"] = [per_part[_MBSPLITS[st][sb]]
+                              for sb in range(16)]
+        mbs.append(spec)
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    rec = []
+    enc = InterFrameEncoder(mbw, mbh)
+    res = seq(enc.assemble(mbs=mbs, record=rec))
+    assert isinstance(res, tuple), (seed, res)
+    assert len(rec) == mbw * mbh
+    for i, (mode, mv) in enumerate(rec):
+        my, mx = divmod(i, mbw)
+        py, px = 16 * my, 16 * mx
+        if mode == "intra":
+            continue  # intra content checked implicitly via desync
+        subs = mv if mode == "split" else [mv] * 16
+        for sb in range(16):
+            mvr, mvc = subs[sb]
+            by, bx = py + 4 * (sb >> 2), px + 4 * (sb & 3)
+            exp = ry[BORDER + by + (mvr >> 3):
+                     BORDER + by + (mvr >> 3) + 4,
+                     BORDER + bx + (mvc >> 3):
+                     BORDER + bx + (mvc >> 3) + 4]
+            assert (res[2][by:by + 4, bx:bx + 4] == exp).all(), \
+                (seed, i, sb, mode)
+        # chroma: averaged (split) or same (else), all full-pel
+        for ci in range(2):
+            for cj in range(2):
+                b0 = ci * 8 + cj * 2
+                tr = sum(subs[b][0] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+                tc = sum(subs[b][1] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+
+                def avg8(t):
+                    t2 = t + (4 if t >= 0 else -4)
+                    q = abs(t2) >> 3
+                    return q if t2 >= 0 else -q
+
+                ur, uc = avg8(tr), avg8(tc)
+                cy, cx = 8 * my + 4 * ci, 8 * mx + 4 * cj
+                for plane, refp in ((res[3], ru), (res[4], rv)):
+                    if (ur | uc) & 7:
+                        # averaged split chroma MVs can be sub-pel
+                        # even with full-pel luma — independent
+                        # six-tap expectation
+                        exp = _sixtap_ref(refp, BORDER + cy + (ur >> 3),
+                                          BORDER + cx + (uc >> 3),
+                                          ur & 7, uc & 7, 4, 4,
+                                          _SUBPEL_FILTERS)
+                    else:
+                        exp = refp[BORDER + cy + (ur >> 3):
+                                   BORDER + cy + (ur >> 3) + 4,
+                                   BORDER + cx + (uc >> 3):
+                                   BORDER + cx + (uc >> 3) + 4]
+                    assert (plane[cy:cy + 4, cx:cx + 4] == exp).all(), \
+                        (seed, i, ci, cj)
+
+
+def test_randomized_fullpel_inter_property_sweep():
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    for seed in range(60):
+        run_fullpel_property_seed(seed, seq, payload, kf)
