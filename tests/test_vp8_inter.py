@@ -133,11 +133,9 @@ def write_mvcomponent(bw, p, v):
 def test_bool_encoder_roundtrip_against_decoder():
     """The §7 writer must be the exact inverse of the decoder's §7
     reader on arbitrary (bit, prob) streams."""
-    seq_factory = _make_vp8_sequence_decoder
-    # reach the decoder's _Bool through a tiny shim frame is overkill;
-    # instead drive the reader via a assembled stream and the public
-    # read path of the encoder: replicate _Bool inline (15 lines) —
-    # no: use the module's class through a crafted instance
+    # the reader side below replicates the decoder's §7 arithmetic
+    # verbatim (value/range/renormalization) so the writer is pinned
+    # against the exact semantics the frames are decoded with
     rng = random.Random(1234)
     for trial in range(50):
         items = [(rng.randint(0, 1), rng.randint(1, 254))
