@@ -1519,7 +1519,8 @@ def run_fullpel_property_seed(seed, seq, payload, kf):
         return (16 * rng.randrange(-3, 4), 16 * rng.randrange(-3, 4))
 
     mbs = []
-    for _ in range(mbw * mbh):
+    resid_plan = {}  # mb index -> (y block, scan pos, level)
+    for i in range(mbw * mbh):
         mode = rng.choice(["zero", "new", "new", "nearest", "near",
                            "split", "intra_dc"])
         spec = {"mode": mode}
@@ -1531,6 +1532,19 @@ def run_fullpel_property_seed(seed, seq, payload, kf):
             per_part = [rmv() for _ in range(_MBSPLIT_COUNT[st])]
             spec["submvs"] = [per_part[_MBSPLITS[st][sb]]
                               for sb in range(16)]
+        if mode in ("zero", "new", "nearest", "near") \
+                and rng.random() < 0.5:
+            # random AC residual on one Y block (has_y2 -> scan >= 1)
+            blk = rng.randrange(16)
+            pos = rng.randrange(1, 16)
+            lvl = rng.choice([-3, -2, -1, 1, 2, 3])
+            yb = [[0] * 16 for _ in range(16)]
+            row = [0] * 16
+            row[pos] = lvl
+            yb[blk] = row
+            spec["skip"] = False
+            spec["coeffs"] = {"y": yb}
+            resid_plan[i] = (blk, pos, lvl)
         mbs.append(spec)
     seq.reset()
     assert isinstance(seq(payload), tuple)
@@ -1552,6 +1566,14 @@ def run_fullpel_property_seed(seed, seq, payload, kf):
                      BORDER + by + (mvr >> 3) + 4,
                      BORDER + bx + (mvc >> 3):
                      BORDER + bx + (mvc >> 3) + 4]
+            if i in resid_plan and resid_plan[i][0] == sb:
+                _, pos, lvl = resid_plan[i]
+                deq = [0] * 16
+                deq[V._ZIGZAG[pos]] = lvl * 4  # qac=4 at qi 0
+                resid = np.array(_idct_ref(deq),
+                                 np.int32).reshape(4, 4)
+                exp = np.clip(exp.astype(np.int32) + resid,
+                              0, 255).astype(np.uint8)
             assert (res[2][by:by + 4, bx:bx + 4] == exp).all(), \
                 (seed, i, sb, mode)
         # chroma: averaged (split) or same (else), all full-pel
