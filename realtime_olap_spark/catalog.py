@@ -398,14 +398,22 @@ class Catalog:
     sf_dir: str = DEFAULT_SF_DIR
     _cache: dict[str, DataFrame] = field(default_factory=dict)
     _derived: dict[str, DataFrame] = field(default_factory=dict)
+    _views_registered: bool = False
 
     def register_derived(self, name: str, df: DataFrame) -> None:
         """Register a session-scoped derived table addressable from the
         PQL/SQL entry points (e.g. a probed media inventory built from
-        an external corpus). Physical table names are reserved."""
+        an external corpus). Physical table names AND the built-in
+        derived names (``DERIVED_TABLES``) are reserved. If the SQL
+        views were already registered, the new table becomes a temp
+        view immediately — no re-``register_views()`` needed."""
         if name in TABLES:
             raise ValueError(f"{name!r} is a physical table name")
+        if name in DERIVED_TABLES:
+            raise ValueError(f"{name!r} is a built-in derived table")
         self._derived[name] = df
+        if self._views_registered:
+            df.createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
         if name in self._derived:
@@ -584,3 +592,4 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
         for name, df in self._derived.items():
             df.createOrReplaceTempView(name)
+        self._views_registered = True

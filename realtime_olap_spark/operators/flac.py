@@ -299,11 +299,11 @@ def _make_flac_decoder(max_samples: int = 600_000_000):
                 sz = SIZES[sz_code] if sz_code not in (0,) else bps
                 if sz == 0:
                     raise _Bad
-                # RFC 9639 requires the frame-header bit depth to
-                # agree with STREAMINFO's; a mismatch would decode
-                # with wrong [-1,1] normalization — reject instead.
-                if sz != bps:
-                    raise _Bad
+                # RFC 9639 says the frame-header bit depth SHOULD
+                # match STREAMINFO's, but libFLAC honors the
+                # per-frame value — so each frame is normalized to
+                # [-1,1] with ITS OWN header bit depth below, rather
+                # than rejecting the mismatch.
                 if (got + blocksize) * channels > max_samples:
                     return ("unsupported: stream too long "
                             f"(>{max_samples} samples)")
@@ -334,19 +334,21 @@ def _make_flac_decoder(max_samples: int = 600_000_000):
                         lr.append((mm + s) >> 1)
                         rr.append((mm - s) >> 1)
                     chans = [lr, rr]
-                out.append(chans)
+                out.append((sz, chans))
                 got += blocksize
                 pos = br.pos
                 if total and got >= total:
                     break
             if not out:
                 return None
+            # per-frame normalization with the frame header's bit
+            # depth (libFLAC behavior when it differs from STREAMINFO)
             x = np.concatenate(
-                [np.array(ch, np.int64).T for ch in out])
+                [np.array(ch, np.int64).T / float(1 << (fsz - 1))
+                 for fsz, ch in out])
             if total:
                 x = x[:total]
-            scale = float(1 << (bps - 1))
-            xf = (x / scale).astype(np.float32)
+            xf = x.astype(np.float32)
             return int(x.shape[0]), int(channels), int(rate), xf
         except (_Bad, IndexError, ValueError):
             return None

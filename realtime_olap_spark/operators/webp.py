@@ -456,7 +456,7 @@ def _make_webp_animation_decoder(max_pixels: int,
     return decode
 
 
-def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
+def _make_webm_video_decoder(max_pixels: int, max_frames: int = 4096):
     """Matroska/WebM VIDEO decoder (RFC 8794 EBML walk + the public
     Matroska block layout): finds the first ``V_VP8`` track, walks
     ``Cluster``/``SimpleBlock`` elements, and decodes EVERY block —
@@ -466,7 +466,12 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
     decoded in file (decode) order; hidden altref-update frames
     (show_frame=0) refresh reference state without producing an
     output frame. Each shown frame spans from its timestamp to the
-    next shown frame's (or the Segment duration).
+    next shown frame's (or the Segment duration). ``max_frames``
+    bounds the number of SHOWN frames (hidden altref blocks are not
+    counted); blocks are decoded streaming, so the walk stops as soon
+    as the cap is exceeded. The default 4096 covers ~2¼ minutes at
+    30 fps — longer videos return an ``unsupported:`` status rather
+    than an unbounded decode.
 
     Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
     the same contract as the GIF/WebP animation decoders so
@@ -552,7 +557,12 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
             tscale = 1_000_000
             duration_raw = None
             video_track = None
-            blocks = []  # (ts_ms, payload) in file (decode) order
+            # streaming decode state: blocks are decoded in file
+            # (decode) order as the walk reaches them, so the cap on
+            # SHOWN frames stops the walk without buffering payloads
+            vp8_seq.reset()
+            shown = []  # (ts_ms, rgb)
+            w = h = None
             for eid, s, e in elements(data, 0, len(data)):
                 if eid != 0x18538067:  # Segment
                     continue
@@ -605,37 +615,29 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 1024):
                                 flags = data[p + 2]
                                 if flags & 0x06:
                                     return "unsupported: laced block"
-                                if len(blocks) >= max_frames:
-                                    return ("unsupported: more than "
-                                            f"{max_frames} frames")
                                 ticks = cluster_ts + rel
                                 ts_ms = ticks * tscale // 1_000_000
-                                blocks.append(
-                                    (ts_ms, data[p + 3:ce]))
-            if video_track is None or not blocks:
+                                res = vp8_seq(data[p + 3:ce])
+                                if not isinstance(res, tuple):
+                                    return res
+                                fw, fh = res[0], res[1]
+                                if w is None:
+                                    w, h = fw, fh
+                                elif (fw, fh) != (w, h):
+                                    # mid-stream dimension change
+                                    return None
+                                if res[5]:
+                                    if len(shown) >= max_frames:
+                                        return ("unsupported: more "
+                                                f"than {max_frames} "
+                                                "shown frames")
+                                    shown.append(
+                                        (ts_ms, to_rgb(*res[2:5])))
+            if video_track is None or not shown:
                 return None
             total_ms = None
             if duration_raw is not None and duration_raw >= 0:
                 total_ms = int(duration_raw * tscale / 1_000_000)
-            # decode EVERY block in file (decode) order through the
-            # stateful sequence decoder; hidden altref frames update
-            # reference state and emit nothing
-            vp8_seq.reset()
-            shown = []  # (ts_ms, rgb)
-            w = h = None
-            for ts, payload in blocks:
-                res = vp8_seq(payload)
-                if not isinstance(res, tuple):
-                    return res
-                fw, fh = res[0], res[1]
-                if w is None:
-                    w, h = fw, fh
-                elif (fw, fh) != (w, h):
-                    return None  # mid-stream dimension change
-                if res[5]:
-                    shown.append((ts, to_rgb(*res[2:5])))
-            if not shown:
-                return None
             shown.sort(key=lambda kv: kv[0])
             frames = []
             for i, (ts, px) in enumerate(shown):

@@ -16,7 +16,7 @@ from realtime_olap_spark.operators.multimodal import _make_png_decoder
 from realtime_olap_spark.operators.webp import (
     _make_webp_animation_decoder, _make_webp_decoder, _make_webp_prober)
 
-from test_flac import _crc8, _dec, _encode_flac, _expect
+from test_flac import _dec, _encode_flac, _expect
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 MAXPX = 1 << 24
@@ -31,27 +31,28 @@ def _fix(name):
 # FLAC: frame-header bit depth must agree with STREAMINFO (RFC 9639)
 # ---------------------------------------------------------------------------
 
-def test_flac_rejects_frame_streaminfo_bit_depth_mismatch():
-    """STREAMINFO says 16-bit; patch the first frame header's sample
-    size code to 8-bit (and fix its CRC-8 so the mismatch — not the
-    checksum — is what the decoder sees). Normalizing 8-bit-decoded
-    residuals by 1<<15 would silently break the [-1,1] contract, so
-    the stream must be rejected, not decoded."""
-    x = np.arange(64, dtype=np.int64).reshape(-1, 1) * 100 - 3000
-    good = bytearray(_encode_flac(x, 44100, bps=16))
+def test_flac_honors_frame_header_bit_depth_over_streaminfo():
+    """r13 ADVICE: libFLAC honors the PER-FRAME header bit depth when
+    it differs from STREAMINFO's, so we normalize each frame by its
+    own header depth instead of rejecting. Build a valid 8-bit stream
+    (frames carry the explicit 8-bit size code), then patch only the
+    STREAMINFO depth field to claim 16-bit: the decode must still
+    equal the 8-bit-normalized expectation — the frame header won."""
+    x = (np.arange(64, dtype=np.int64).reshape(-1, 1) % 100) - 50
+    good = bytearray(_encode_flac(x, 44100, bps=8))
     res = _dec(bytes(good))
     assert isinstance(res, tuple)
-    assert (res[3] == _expect(x, 16)).all()
-    # fLaC(4) + metadata block header(4) + STREAMINFO(34) = frame @42.
-    # Header: sync/flags(2) blocksize|sr codes(1) channel|size(1)
-    # frame#(1) blocksize16(2) sr16(2) crc8(1).
-    off = 42
-    assert good[off:off + 2] == b"\xff\xf8"
-    chan_size = good[off + 3]
-    assert (chan_size >> 1) & 0x7 == 4  # 16-bit code
-    good[off + 3] = (chan_size & 0xF1) | (1 << 1)  # 8-bit code
-    good[off + 9] = _crc8(bytes(good[off:off + 9]))
-    assert _dec(bytes(good)) is None
+    assert (res[3] == _expect(x, 8)).all()
+    # STREAMINFO body starts at 8 (fLaC + block header); bits [103:108]
+    # are bps-1, split 1 bit in byte 12 / 4 bits in byte 13.
+    si = 8
+    bps_m1 = ((good[si + 12] & 1) << 4) | (good[si + 13] >> 4)
+    assert bps_m1 + 1 == 8
+    good[si + 12] &= ~1          # bps-1 = 15 -> bit4 = 0
+    good[si + 13] = (good[si + 13] & 0x0F) | (0xF << 4)
+    res2 = _dec(bytes(good))
+    assert isinstance(res2, tuple), res2
+    assert (res2[3] == _expect(x, 8)).all()
 
 
 # ---------------------------------------------------------------------------

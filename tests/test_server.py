@@ -207,3 +207,23 @@ def test_sql_entry_point_sees_derived_media_views(spark):
         "SELECT MAX(byte_entropy) AS e FROM media_features"
     ).collect()[0]["e"]
     assert 0.0 < ent <= 8.0
+
+
+def test_register_derived_guards_and_late_view_registration(spark):
+    """r13 ADVICE: the built-in DERIVED_TABLES names are reserved in
+    register_derived (shadowing 'media' would silently reroute the
+    PQL media surface), and a table registered AFTER register_views()
+    becomes a SQL temp view immediately — no re-registration dance."""
+    from realtime_olap_spark.catalog import Catalog
+    from tests.conftest import SF_DIR as _SF
+
+    cat = Catalog(spark, _SF)
+    one = spark.range(1).toDF("x")
+    with pytest.raises(ValueError, match="built-in derived"):
+        cat.register_derived("media", one)
+    with pytest.raises(ValueError, match="physical table"):
+        cat.register_derived("orders", one)
+    cat.register_views()
+    cat.register_derived("late_tbl_r13", spark.range(3).toDF("x"))
+    assert spark.sql("SELECT count(*) AS n FROM late_tbl_r13") \
+        .collect()[0]["n"] == 3
