@@ -1614,3 +1614,144 @@ def test_randomized_fullpel_inter_property_sweep():
     payload, seq, kf = _keyframe_and_planes(w=48, h=32)
     for seed in range(60):
         run_fullpel_property_seed(seed, seq, payload, kf)
+
+
+def run_subpel_property_seed(seed, seq, payload, kf):
+    """One randomized SUB-PEL inter frame over the MB grid (RFC 6386
+    §14.2 — where real encoder streams spend most macroblocks): random
+    QUARTER-pel luma MVs (multiples of 2 eighth-pels, so chroma
+    halving/averaging lands on any eighth-pel phase), random mode mix
+    (zero / new / nearest / near / split with random split type),
+    random single-coefficient AC residuals, random per-segment
+    quantizers (absolute qi via a written segment map — the residual
+    must dequantize with ITS MB's segment quantizer), and random
+    LF-delta state (parsed + persisted, inert at filter_level=0).
+    Every luma 4x4 and chroma 4x4 is checked against the INDEPENDENT
+    per-pixel six-tap reimplementation (`_sixtap_ref`) — the decoder's
+    MC code is never consulted for the expectation."""
+    from realtime_olap_spark.operators.vp8 import _AC_QLOOKUP
+
+    rng = random.Random(f"vp8-subpel-{seed}")
+    w, h = kf[0], kf[1]
+    mbw, mbh = w // 16, h // 16
+    nmb = mbw * mbh
+    ry, ru, rv = (_pad_ref(p) for p in kf[2:5])
+
+    def rmv():
+        # quarter-pel MVs, ±6 px: any eighth-pel chroma phase reachable
+        return (2 * rng.randrange(-24, 25), 2 * rng.randrange(-24, 25))
+
+    seg = None
+    seg_q = [0, 0, 0, 0]
+    ids = [0] * nmb
+    if rng.random() < 0.5:
+        seg_q = [rng.choice([0, 20, 40, 60, 80]) for _ in range(4)]
+        ids = [rng.randrange(4) for _ in range(nmb)]
+        seg = dict(update_map=1, update_data=1, abs=1,
+                   quant=seg_q, lf=[0] * 4, ids=ids)
+    lf_deltas = None
+    if rng.random() < 0.5:
+        lf_deltas = ([rng.randrange(-6, 7) for _ in range(4)],
+                     [rng.randrange(-6, 7) for _ in range(4)])
+
+    mbs = []
+    resid_plan = {}  # mb index -> (y block, scan pos, level)
+    for i in range(nmb):
+        mode = rng.choice(["zero", "new", "new", "nearest", "near",
+                           "split", "intra_dc"])
+        spec = {"mode": mode}
+        if mode == "new":
+            spec["mv"] = rmv()
+        elif mode == "split":
+            st = rng.randrange(4)
+            spec["split_type"] = st
+            per_part = [rmv() for _ in range(_MBSPLIT_COUNT[st])]
+            spec["submvs"] = [per_part[_MBSPLITS[st][sb]]
+                              for sb in range(16)]
+        if mode in ("zero", "new", "nearest", "near") \
+                and rng.random() < 0.5:
+            blk = rng.randrange(16)
+            pos = rng.randrange(1, 16)
+            lvl = rng.choice([-3, -2, -1, 1, 2, 3])
+            yb = [[0] * 16 for _ in range(16)]
+            row = [0] * 16
+            row[pos] = lvl
+            yb[blk] = row
+            spec["skip"] = False
+            spec["coeffs"] = {"y": yb}
+            resid_plan[i] = (blk, pos, lvl)
+        mbs.append(spec)
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    rec = []
+    enc = InterFrameEncoder(mbw, mbh)
+    res = seq(enc.assemble(mbs=mbs, record=rec, segmentation=seg,
+                           lf_deltas=lf_deltas))
+    assert isinstance(res, tuple), (seed, res)
+    assert len(rec) == nmb
+    zz = V._ZIGZAG
+    for i, (mode, mv) in enumerate(rec):
+        my, mx = divmod(i, mbw)
+        py, px = 16 * my, 16 * mx
+        if mode == "intra":
+            continue  # intra content checked implicitly via desync
+        qac = _AC_QLOOKUP[seg_q[ids[i]]] if seg is not None else 4
+        subs = mv if mode == "split" else [mv] * 16
+        for sb in range(16):
+            mvr, mvc = subs[sb]
+            by, bx = py + 4 * (sb >> 2), px + 4 * (sb & 3)
+            if (mvr & 7) or (mvc & 7):
+                exp = _sixtap_ref(ry, BORDER + by + (mvr >> 3),
+                                  BORDER + bx + (mvc >> 3),
+                                  mvr & 7, mvc & 7, 4, 4,
+                                  _SUBPEL_FILTERS).astype(np.int32)
+            else:
+                exp = ry[BORDER + by + (mvr >> 3):
+                         BORDER + by + (mvr >> 3) + 4,
+                         BORDER + bx + (mvc >> 3):
+                         BORDER + bx + (mvc >> 3) + 4].astype(np.int32)
+            if i in resid_plan and resid_plan[i][0] == sb:
+                _, pos, lvl = resid_plan[i]
+                deq = [0] * 16
+                deq[zz[pos]] = lvl * qac
+                exp = exp + np.array(_idct_ref(deq),
+                                     np.int32).reshape(4, 4)
+            exp = np.clip(exp, 0, 255).astype(np.uint8)
+            assert (res[2][by:by + 4, bx:bx + 4] == exp).all(), \
+                (seed, i, sb, mode, (mvr, mvc))
+        # chroma: averaged (split) or halved (else) MVs — any
+        # eighth-pel phase routes through the independent six-tap
+        for ci in range(2):
+            for cj in range(2):
+                b0 = ci * 8 + cj * 2
+                tr = sum(subs[b][0] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+                tc = sum(subs[b][1] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+
+                def avg8(t):
+                    t2 = t + (4 if t >= 0 else -4)
+                    q = abs(t2) >> 3
+                    return q if t2 >= 0 else -q
+
+                ur, uc = avg8(tr), avg8(tc)
+                cy, cx = 8 * my + 4 * ci, 8 * mx + 4 * cj
+                for plane, refp in ((res[3], ru), (res[4], rv)):
+                    if (ur & 7) or (uc & 7):
+                        exp = _sixtap_ref(refp, BORDER + cy + (ur >> 3),
+                                          BORDER + cx + (uc >> 3),
+                                          ur & 7, uc & 7, 4, 4,
+                                          _SUBPEL_FILTERS)
+                    else:
+                        exp = refp[BORDER + cy + (ur >> 3):
+                                   BORDER + cy + (ur >> 3) + 4,
+                                   BORDER + cx + (uc >> 3):
+                                   BORDER + cx + (uc >> 3) + 4]
+                    assert (plane[cy:cy + 4, cx:cx + 4] == exp).all(), \
+                        (seed, i, ci, cj, (ur, uc))
+
+
+def test_randomized_subpel_inter_property_sweep():
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    for seed in range(40):
+        run_subpel_property_seed(seed, seq, payload, kf)
