@@ -376,10 +376,72 @@ def _derived_media_features(cat: "Catalog") -> DataFrame:
     return M.extract_features(cat.table("media"))
 
 
+# Analytics/curation families as PQL-addressable tables (r13): each is
+# the family's canonical parameterization over the events/documents
+# tables — "SELECT step_name, n_users FROM funnel" works through POST
+# /query. Custom parameterizations go through Catalog.register_derived
+# with the same operators. All stay one-shuffle scale shapes (the
+# operators' own plans); the derivation is cached per Catalog.
+
+def _derived_funnel(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import funnel as FN  # noqa: PLC0415
+    return FN.funnel_counts(cat.table("events"),
+                            steps=("view", "click", "signup",
+                                   "purchase"))
+
+
+def _derived_retention(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import retention as R  # noqa: PLC0415
+    return R.cohort_retention(cat.table("events"),
+                              bucket_seconds=86400)
+
+
+def _derived_attribution(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import attribution as A  # noqa: PLC0415
+    return A.attribution_report(cat.table("events"), "purchase",
+                                ("view", "click"))
+
+
+def _derived_ohlc(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import downsample as D  # noqa: PLC0415
+    return D.ohlc(cat.table("events"), "ts", 3600, ("event_type",),
+                  "value")
+
+
+def _derived_events_hourly(cat: "Catalog") -> DataFrame:
+    from realtime_olap_spark.operators import gapfill as G  # noqa: PLC0415
+    bucketed = G.time_bucket(cat.table("events"), "ts", 3600,
+                             ("event_type",),
+                             (F.count(F.lit(1)).cast("double")
+                              .alias("n_events"),))
+    return G.gapfill(bucketed, "bucket", ("event_type",),
+                     ("n_events",), 3600, how="zero")
+
+
+def _derived_dedup_stats(cat: "Catalog") -> DataFrame:
+    # per-source exact-duplicate inventory over documents: one
+    # (source, text-hash) shuffle, then a tiny per-source rollup
+    docs = cat.table("documents")
+    per_text = (docs.groupBy("source", F.xxhash64("text").alias("_h"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_text.groupBy("source")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_distinct_texts"),
+                 F.sum(F.when(F.col("n") > 1, F.col("n"))
+                       .otherwise(F.lit(0))).alias("n_dup_docs"),
+                 F.max("n").alias("max_group")))
+
+
 DERIVED_TABLES = {
     "media": _derived_media,
     "media_probe": _derived_media_probe,
     "media_features": _derived_media_features,
+    "funnel": _derived_funnel,
+    "retention": _derived_retention,
+    "attribution": _derived_attribution,
+    "ohlc": _derived_ohlc,
+    "events_hourly": _derived_events_hourly,
+    "dedup_stats": _derived_dedup_stats,
 }
 
 

@@ -227,3 +227,94 @@ def test_register_derived_guards_and_late_view_registration(spark):
     cat.register_derived("late_tbl_r13", spark.range(3).toDF("x"))
     assert spark.sql("SELECT count(*) AS n FROM late_tbl_r13") \
         .collect()[0]["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# r13: analytics/curation families as PQL derived tables — each family
+# answerable through POST /query without the Python API.
+# ---------------------------------------------------------------------------
+
+def test_pql_funnel_table(server):
+    status, resp = _post(server, {
+        "pql": "SELECT step, step_name, n_users, conversion FROM "
+               "funnel ORDER BY step ASC LIMIT 10"})
+    assert status == 200 and resp["exceptions"] == []
+    rows = resp["selectionResults"]["results"]
+    assert 1 <= len(rows) <= 4
+    steps = [int(r[0]) for r in rows]
+    assert steps == list(range(1, len(rows) + 1))
+    names = [r[1] for r in rows]
+    assert names == ["view", "click", "signup", "purchase"][:len(rows)]
+    counts = [int(r[2]) for r in rows]
+    assert counts == sorted(counts, reverse=True)  # funnel narrows
+
+
+def test_pql_retention_table(server):
+    status, resp = _post(server, {
+        "pql": "SELECT cohort, offset, n_users, retention FROM "
+               "retention ORDER BY cohort ASC, offset ASC LIMIT 8"})
+    assert status == 200 and resp["exceptions"] == []
+    rows = resp["selectionResults"]["results"]
+    assert rows
+    # first row of the earliest cohort is offset 0 at retention 1.0
+    assert int(rows[0][1]) == 0
+    assert float(rows[0][3]) == 1.0
+    assert all(0.0 < float(r[3]) <= 1.0 for r in rows)
+
+
+def test_pql_attribution_table(server):
+    status, resp = _post(server, {
+        "pql": "SELECT channel, n_conversions, share FROM attribution "
+               "ORDER BY n_conversions DESC, channel ASC LIMIT 5"})
+    assert status == 200 and resp["exceptions"] == []
+    rows = resp["selectionResults"]["results"]
+    assert rows
+    chans = {r[0] for r in rows}
+    assert chans <= {"view", "click", None}  # None = unattributed
+    assert sum(float(r[2]) for r in rows) <= 1.0 + 1e-9
+
+
+def test_pql_ohlc_table(server):
+    status, resp = _post(server, {
+        "pql": "SELECT event_type, count(*) FROM ohlc "
+               "GROUP BY event_type TOP 10"})
+    assert status == 200 and resp["exceptions"] == []
+    res = resp["aggregationResults"][0]
+    got = {g["group"][0]: int(g["value"]) for g in res["groupByResult"]}
+    assert set(got) == {"view", "click", "signup", "purchase", "error"}
+    assert all(v > 0 for v in got.values())
+
+
+def test_pql_events_hourly_gapfilled_table(server):
+    # the zero-fill grid has no holes: per event_type the row count
+    # must be >= the count of distinct OBSERVED hourly buckets
+    status, resp = _post(server, {
+        "pql": "SELECT event_type, count(*) FROM events_hourly "
+               "GROUP BY event_type TOP 10"})
+    assert status == 200 and resp["exceptions"] == []
+    res = resp["aggregationResults"][0]
+    grid = {g["group"][0]: int(g["value"]) for g in res["groupByResult"]}
+    assert set(grid) == {"view", "click", "signup", "purchase", "error"}
+    spark = server.engine.catalog.spark
+    hourly = spark.sql(
+        "SELECT event_type, count(DISTINCT date_trunc('hour', ts)) n "
+        "FROM events GROUP BY event_type").collect()
+    observed = {r["event_type"]: r["n"] for r in hourly}
+    for et, n in grid.items():
+        assert n >= observed[et], (et, n, observed[et])
+
+
+def test_pql_dedup_stats_table(server):
+    status, resp = _post(server, {
+        "pql": "SELECT source, n_docs, n_distinct_texts, n_dup_docs, "
+               "max_group FROM dedup_stats ORDER BY source ASC "
+               "LIMIT 10"})
+    assert status == 200 and resp["exceptions"] == []
+    rows = resp["selectionResults"]["results"]
+    assert rows
+    for r in rows:
+        n_docs, n_distinct = int(r[1]), int(r[2])
+        n_dup, max_group = int(r[3]), int(r[4])
+        assert n_docs >= n_distinct >= 1
+        assert n_docs - n_distinct >= 0
+        assert (n_dup == 0) == (max_group == 1)
