@@ -411,9 +411,11 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     (tag 317 = 2, §14); photometric gray (0/1, incl. the white-is-zero
     inversion), RGB(A) and palette via ColorMap). Nested function,
     captured by value (house rule). Strip AND tiled
-    (§15, full-size edge-padded tiles) layouts; JPEG-in-TIFF and
-    non-8-bit depths return an ``"unsupported: …"`` reason;
-    same three-valued contract as the other codecs."""
+    (§15, full-size edge-padded tiles) layouts, chunky AND planar
+    (tag 284 = 2: plane-major strip/tile arrays re-interleaved, r13)
+    configurations; JPEG-in-TIFF and non-8-bit depths return an
+    ``"unsupported: …"`` reason; same three-valued contract as the
+    other codecs."""
     import struct
 
     import numpy as np
@@ -539,11 +541,10 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 return f"unsupported: TIFF {spp} samples/pixel"
             bits = tags.get(258, (8,) * spp)
             tiled = 322 in tags or 323 in tags
-            # PlanarConfiguration=2 stores channels in separate planes;
-            # decoding it chunky would silently interleave garbage, so it
-            # gets an honest reason instead (judge-found r10)
-            if tags.get(284, (1,))[0] == 2 and spp > 1:
-                return "unsupported: planar TIFF"
+            # PlanarConfiguration=2 (r13): channels in separate planes —
+            # the offset/count arrays are plane-major (all of channel 0's
+            # strips/tiles first), each chunk carrying ONE sample/pixel
+            planar = tags.get(284, (1,))[0] == 2 and spp > 1
             if comp not in (1, 5, 32773):
                 return f"unsupported: TIFF compression {comp}"
             predictor = tags.get(317, (1,))[0]
@@ -579,13 +580,15 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     return None
                 ta = (w + tw - 1) // tw
                 td = (h + tl - 1) // tl
-                if len(offsets) != ta * td:
+                n_tiles = ta * td
+                if len(offsets) != n_tiles * (spp if planar else 1):
                     return None
                 if ta * tw * td * tl > 4 * max_pixels:
                     return ("unsupported: image too large "
                             f"({w}x{h} tiled {tw}x{tl})")
+                cpp = 1 if planar else spp  # channels per chunk
                 px = np.zeros((td * tl, ta * tw, spp), np.uint8)
-                want = tl * tw * spp
+                want = tl * tw * cpp
                 for ti, (ofs, cnt) in enumerate(zip(offsets, counts)):
                     chunk = data[ofs:ofs + cnt]
                     if len(chunk) != cnt:
@@ -594,12 +597,17 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     if chunk is None:
                         return None
                     tile = np.frombuffer(bytes(chunk[:want]),
-                                         np.uint8).reshape(tl, tw, spp)
+                                         np.uint8).reshape(tl, tw, cpp)
                     if predictor == 2:
                         tile = undiff(tile)
-                    ty, tx = divmod(ti, ta)
-                    px[ty * tl:(ty + 1) * tl,
-                       tx * tw:(tx + 1) * tw] = tile
+                    c, t = divmod(ti, n_tiles) if planar else (0, ti)
+                    ty, tx = divmod(t, ta)
+                    if planar:
+                        px[ty * tl:(ty + 1) * tl,
+                           tx * tw:(tx + 1) * tw, c] = tile[:, :, 0]
+                    else:
+                        px[ty * tl:(ty + 1) * tl,
+                           tx * tw:(tx + 1) * tw] = tile
                 px = np.ascontiguousarray(px[:h, :w])
             else:
                 offsets = tags.get(273)
@@ -608,24 +616,51 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                         or len(offsets) != len(counts):
                     return None
                 rps = tags.get(278, (h,))[0] or h
-                want_rows = [min(rps, h - i * rps)
-                             for i in range(len(offsets))]
-                body = bytearray()
-                for (ofs, cnt), rows in zip(zip(offsets, counts),
-                                            want_rows):
-                    chunk = data[ofs:ofs + cnt]
-                    if len(chunk) != cnt:
+                if planar:
+                    spl = (h + rps - 1) // rps  # strips per plane
+                    if len(offsets) != spp * spl:
                         return None
-                    chunk = decompress(chunk, rows * w * spp)
-                    if chunk is None:
+                    planes = []
+                    for c in range(spp):
+                        body = bytearray()
+                        for s in range(spl):
+                            ofs = offsets[c * spl + s]
+                            cnt = counts[c * spl + s]
+                            rows = min(rps, h - s * rps)
+                            chunk = data[ofs:ofs + cnt]
+                            if len(chunk) != cnt:
+                                return None
+                            chunk = decompress(chunk, rows * w)
+                            if chunk is None:
+                                return None
+                            body += chunk[:rows * w]
+                        if len(body) < h * w:
+                            return None
+                        planes.append(np.frombuffer(
+                            bytes(body[:h * w]),
+                            np.uint8).reshape(h, w))
+                    px = np.stack(planes, axis=-1)
+                    if predictor == 2:
+                        px = undiff(px)  # per-channel along width
+                else:
+                    want_rows = [min(rps, h - i * rps)
+                                 for i in range(len(offsets))]
+                    body = bytearray()
+                    for (ofs, cnt), rows in zip(zip(offsets, counts),
+                                                want_rows):
+                        chunk = data[ofs:ofs + cnt]
+                        if len(chunk) != cnt:
+                            return None
+                        chunk = decompress(chunk, rows * w * spp)
+                        if chunk is None:
+                            return None
+                        body += chunk[:rows * w * spp]
+                    if len(body) < h * w * spp:
                         return None
-                    body += chunk[:rows * w * spp]
-                if len(body) < h * w * spp:
-                    return None
-                px = np.frombuffer(bytes(body[:h * w * spp]),
-                                   np.uint8).reshape(h, w, spp)
-                if predictor == 2:
-                    px = undiff(px)
+                    px = np.frombuffer(bytes(body[:h * w * spp]),
+                                       np.uint8).reshape(h, w, spp)
+                    if predictor == 2:
+                        px = undiff(px)
             if photo == 0:  # white-is-zero: invert
                 px = 255 - px
             if photo == 3:  # palette via ColorMap (16-bit per entry)
@@ -1618,13 +1653,56 @@ def _make_bmp_decoder(max_pixels: int = MAX_DECODE_PIXELS):
         if not isinstance(data, (bytes, bytearray)):
             return None
         data = bytes(data)
-        if len(data) < 54 or data[:2] != b"BM":
+        if len(data) < 26 or data[:2] != b"BM":
             return None
         try:
             ofs = struct.unpack("<I", data[10:14])[0]
             hsz = struct.unpack("<I", data[14:18])[0]
+            if hsz == 12:
+                # BITMAPCOREHEADER (OS/2 1.x): 16-bit unsigned dims,
+                # always bottom-up, uncompressed only, 3-byte BGR
+                # RGBTRIPLE palette (no reserved byte)
+                w, h = struct.unpack("<HH", data[18:22])
+                planes, bpp = struct.unpack("<HH", data[22:26])
+                if planes != 1 or bpp not in (1, 4, 8, 24):
+                    return f"unsupported: core BMP bpp={bpp}"
+                if w == 0 or h == 0:
+                    return None
+                if w * h > max_pixels:
+                    return f"unsupported: image too large ({w}x{h})"
+                stride = ((w * bpp + 31) // 32) * 4
+                raw = np.frombuffer(data[ofs:ofs + stride * h],
+                                    np.uint8)
+                if len(raw) != stride * h:
+                    return None
+                rows = raw.reshape(h, stride)
+                if bpp == 24:
+                    px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+                else:
+                    n_colors = 1 << bpp
+                    pal_ofs = 14 + hsz
+                    pal = np.frombuffer(
+                        data[pal_ofs:pal_ofs + 3 * n_colors],
+                        np.uint8)
+                    if len(pal) != 3 * n_colors:
+                        return None
+                    pal = pal.reshape(-1, 3)[:, ::-1]  # BGR -> RGB
+                    if bpp == 8:
+                        grid = rows[:, :w]
+                    else:
+                        bits = np.unpackbits(rows, axis=1)
+                        if bpp == 1:
+                            grid = bits[:, :w]
+                        else:
+                            weights = np.array([8, 4, 2, 1], np.uint8)
+                            grid = (bits.reshape(h, -1, 4)
+                                    * weights[None, None, :]) \
+                                .sum(axis=2)[:, :w]
+                    px = pal[grid]
+                px = px[::-1]  # core BMPs are always bottom-up
+                return int(w), int(h), 3, np.ascontiguousarray(px)
             if hsz < 40:
-                return "unsupported: BITMAPCOREHEADER"
+                return f"unsupported: BMP header size {hsz}"
             w, h = struct.unpack("<ii", data[18:26])
             bpp = struct.unpack("<H", data[28:30])[0]
             comp = struct.unpack("<I", data[30:34])[0]

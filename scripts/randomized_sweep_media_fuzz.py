@@ -61,8 +61,11 @@ GOLDENS = {
             "variant-colorkey.png"],
     "jpeg": ["python.jpg"],
     "gif": ["python.gif"],
-    "bmp": ["python.bmp"],
-    "tiff": ["python.tiff"],
+    # core-header + planar variants (r13): mutations hit the
+    # BITMAPCOREHEADER and PlanarConfiguration=2 paths
+    "bmp": ["python.bmp", "variant-core8.bmp", "variant-core24.bmp"],
+    "tiff": ["python.tiff", "variant-planar.tiff",
+             "variant-planar-tiled.tiff"],
     "wav": ["pluck-pcm8.wav", "pluck-pcm16.wav",
             "pluck-pcm24.wav", "pluck-pcm32.wav"],
     "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",

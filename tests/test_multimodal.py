@@ -3319,3 +3319,321 @@ def test_probe_avif_heic_fixtures_match_assemblers():
                      ("probe.heic", _assemble_probe_heic)):
         with open(os.path.join(FIXTURES, name), "rb") as f:
             assert f.read() == fn(), name
+
+
+def test_bmp_core_header_os2():
+    """BITMAPCOREHEADER (OS/2 1.x, r13 gate conversion): 16-bit
+    unsigned dims, 3-byte BGR RGBTRIPLE palette (no reserved byte),
+    DWORD-aligned rows, ALWAYS bottom-up; 1/4/8/24 bpp. Other depths
+    stay a named gate; truncation keeps the three-valued contract."""
+    import struct
+
+    import numpy as np
+
+    decode = M._make_bmp_decoder()
+
+    def build(w, h, bpp, pal_entries, body):
+        pal = b"".join(bytes([b, g, r]) for r, g, b in pal_entries)
+        ofs = 14 + 12 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", ofs + len(body), 0, 0, ofs)
+                + struct.pack("<IHHHH", 12, w, h, 1, bpp) + pal + body)
+
+    # 24bpp 2x2 (rows BGR, padded to 4 bytes, bottom-up)
+    rows = bytes([255, 0, 0, 0, 255, 0, 0, 0,    # bottom row + pad
+                  0, 0, 255, 10, 20, 30, 0, 0])  # top row + pad
+    res = decode(build(2, 2, 24, [], rows))
+    assert isinstance(res, tuple), res
+    w, h, ch, px = res
+    assert (w, h, ch) == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (30, 20, 10)
+    assert tuple(px[1, 0]) == (0, 0, 255) and tuple(px[1, 1]) == (0, 255, 0)
+    # 8bpp with the 3-byte palette: 3x2, rows padded to 4
+    colors = [(i * 3 & 0xFF, i * 2 & 0xFF, i) for i in range(256)]
+    body = bytes([1, 2, 3, 0, 4, 5, 6, 0])  # bottom row, top row
+    w, h, ch, px = decode(build(3, 2, 8, colors, body))
+    assert (w, h, ch) == (3, 2, 3)
+    want = np.array([[colors[4], colors[5], colors[6]],
+                     [colors[1], colors[2], colors[3]]], np.uint8)
+    assert (px == want).all()
+    # 1bpp 9px wide: 2 data bytes + 2 pad; bits 1 0 1 0 1 0 1 0 | 1
+    row = bytes([0b10101010, 0b10000000, 0, 0])
+    two = [(255, 0, 0), (0, 255, 0)]
+    w, h, ch, px = decode(build(9, 1, 1, two, row))
+    assert (w, h, ch) == (9, 1, 3)
+    assert [tuple(p) for p in px[0]] == \
+        [two[b] for b in (1, 0, 1, 0, 1, 0, 1, 0, 1)]
+    # 4bpp 3px: high nibble first
+    row = bytes([0x12, 0x30, 0, 0])
+    w, h, ch, px = decode(build(3, 1, 4, colors[:16], row))
+    assert [tuple(p) for p in px[0]] == [colors[1], colors[2], colors[3]]
+    # 16bpp never existed in the core format -> named gate
+    assert decode(build(2, 1, 16, [], b"\x00" * 4)) \
+        == "unsupported: core BMP bpp=16"
+    # the router reaches the core path off the BM magic
+    full = build(3, 2, 8, colors, body)
+    res = M._make_auto_decoder()(full)
+    assert isinstance(res, tuple) and res[:3] == (3, 2, 3)
+    # truncation: three-valued contract, never a raise
+    for k in range(len(full)):
+        r = decode(full[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+
+
+def test_tiff_planar_configuration():
+    """PlanarConfiguration=2 (r13 gate conversion): the offset/count
+    arrays are PLANE-MAJOR (all of channel 0's strips/tiles first) and
+    each chunk carries one sample per pixel — strips, tiles, and the
+    horizontal-differencing predictor, re-interleaved against chunky
+    expectations."""
+    import struct
+
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+
+    def entry(bo, tag, typ, cnt, val):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+    def tiff(entries, tail):
+        hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+        ifd = struct.pack("<H", len(entries)) + b"".join(
+            entry("<", *e) for e in entries) + struct.pack("<I", 0)
+        return hdr + tail + ifd
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    rgb = np.array([[[10, 20, 30], [40, 50, 60],
+                     [70, 80, 90], [1, 2, 3]],
+                    [[11, 21, 31], [41, 51, 61],
+                     [71, 81, 91], [5, 6, 7]]], np.uint8)
+
+    # -- strips, rps=1 -> 2 strips/plane, 6 strips plane-major --
+    bits = struct.pack("<HHH", 8, 8, 8)              # at 8
+    planes = b"".join(rgb[r, :, c].tobytes()
+                      for c in range(3) for r in range(2))  # at 14
+    offs = struct.pack("<6H", *[14 + 4 * i for i in range(6)])  # at 38
+    cnts = struct.pack("<6H", *([4] * 6))                       # at 50
+    tail = bits + planes + offs + cnts
+    e = [(256, 3, 1, short(4)), (257, 3, 1, short(2)),
+         (258, 3, 3, struct.pack("<I", 8)), (259, 3, 1, short(1)),
+         (262, 3, 1, short(2)), (277, 3, 1, short(3)),
+         (278, 3, 1, short(1)), (284, 3, 1, short(2)),
+         (273, 3, 6, struct.pack("<I", 38)),
+         (279, 3, 6, struct.pack("<I", 50))]
+    res = dec(tiff(e, tail))
+    assert isinstance(res, tuple), res
+    w, h, ch, px = res
+    assert (w, h, ch) == (4, 2, 3)
+    assert (px == rgb).all()
+
+    # -- planar + horizontal-differencing predictor (per plane) --
+    diffed = b"".join(np.diff(rgb[r, :, c].astype(np.int16),
+                              prepend=0).astype(np.uint8).tobytes()
+                      for c in range(3) for r in range(2))
+    tail2 = bits + diffed + offs + cnts
+    e2 = e + [(317, 3, 1, short(2))]
+    res = dec(tiff(e2, tail2))
+    assert isinstance(res, tuple), res
+    assert (res[3] == rgb).all()
+
+    # -- single full-size tile per plane (3 tiles, plane-major) --
+    rgb4 = np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5 % 251
+    tiles = b"".join(np.ascontiguousarray(rgb4[:, :, c]).tobytes()
+                     for c in range(3))                  # at 14
+    toffs = struct.pack("<3H", 14, 30, 46)               # at 62
+    tcnts = struct.pack("<3H", 16, 16, 16)               # at 68
+    tail3 = bits + tiles + toffs + tcnts
+    e3 = [(256, 3, 1, short(4)), (257, 3, 1, short(4)),
+          (258, 3, 3, struct.pack("<I", 8)), (259, 3, 1, short(1)),
+          (262, 3, 1, short(2)), (277, 3, 1, short(3)),
+          (284, 3, 1, short(2)),
+          (322, 3, 1, short(4)), (323, 3, 1, short(4)),
+          (324, 3, 3, struct.pack("<I", 62)),
+          (325, 3, 3, struct.pack("<I", 68))]
+    res = dec(tiff(e3, tail3))
+    assert isinstance(res, tuple), res
+    w, h, ch, px = res
+    assert (w, h, ch) == (4, 4, 3)
+    assert (px == rgb4).all()
+
+    # -- wrong plane-major strip count: malformed, not a raise --
+    e_bad = [(273, 3, 5, struct.pack("<I", 38)) if x[0] == 273
+             else ((279, 3, 5, struct.pack("<I", 50)) if x[0] == 279
+                   else x) for x in e]
+    assert dec(tiff(e_bad, tail)) is None
+    # truncation sweep keeps the three-valued contract
+    full = tiff(e, tail)
+    for k in range(len(full)):
+        r = dec(full[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+
+
+# ---------------------------------------------------------------------------
+# r13 spec-assembled goldens: core-header BMP and planar TIFF variants,
+# byte-pinned to these assemblers and enrolled in the standing media
+# fuzz families (scripts/randomized_sweep_media_fuzz.py).
+# ---------------------------------------------------------------------------
+
+def _assemble_core_bmp8():
+    """16x8 8bpp BITMAPCOREHEADER BMP, full 256-entry RGBTRIPLE
+    palette, deterministic index gradient."""
+    import struct
+
+    pal = b"".join(bytes([(i * 3) & 0xFF, (i * 2) & 0xFF, i])
+                   for i in range(256))  # B,G,R triples
+    w, h = 16, 8
+    rows = b"".join(bytes((x * 31 + y * 17) % 256 for x in range(w))
+                    for y in range(h))  # stride 16 = already aligned
+    ofs = 14 + 12 + len(pal)
+    return (b"BM" + struct.pack("<IHHI", ofs + len(rows), 0, 0, ofs)
+            + struct.pack("<IHHHH", 12, w, h, 1, 8) + pal + rows)
+
+
+def _assemble_core_bmp24():
+    """9x5 24bpp BITMAPCOREHEADER BMP (stride pads 27 -> 28)."""
+    import struct
+
+    w, h = 9, 5
+    rows = b"".join(
+        b"".join(bytes([(x * 7 + y) % 256, (x * 11) % 256,
+                        (y * 29 + x) % 256]) for x in range(w)) + b"\x00"
+        for y in range(h))
+    ofs = 14 + 12
+    return (b"BM" + struct.pack("<IHHI", ofs + len(rows), 0, 0, ofs)
+            + struct.pack("<IHHHH", 12, w, h, 1, 24) + rows)
+
+
+def _planar_pixels(w, h):
+    import numpy as np
+
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return np.stack([(x * 13 + y * 5) % 256, (x * 3 + y * 31) % 256,
+                     (x * 17 + y * 11) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def _assemble_planar_tiff():
+    """8x6 RGB little-endian TIFF, PlanarConfiguration=2, rps=2
+    (3 strips/plane, plane-major), horizontal-differencing predictor."""
+    import struct
+
+    import numpy as np
+
+    w, h, rps = 8, 6, 2
+    rgb = _planar_pixels(w, h)
+    spl = (h + rps - 1) // rps
+    strips = []
+    for c in range(3):
+        for s in range(spl):
+            rows = rgb[s * rps:(s + 1) * rps, :, c].astype(np.int16)
+            strips.append(np.diff(rows, prepend=0)
+                          .astype(np.uint8).tobytes())
+    bits = struct.pack("<HHH", 8, 8, 8)                       # @8
+    data_ofs = 8 + len(bits)
+    offs, pos = [], data_ofs
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    off_arr = struct.pack("<9H", *offs)                       # @pos
+    cnt_arr = struct.pack("<9H", *[len(s) for s in strips])
+    off_pos, cnt_pos = pos, pos + len(off_arr)
+    tail = bits + b"".join(strips) + off_arr + cnt_arr
+    e = [(256, 3, 1, struct.pack("<HH", w, 0)),
+         (257, 3, 1, struct.pack("<HH", h, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 1, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (278, 3, 1, struct.pack("<HH", rps, 0)),
+         (284, 3, 1, struct.pack("<HH", 2, 0)),
+         (317, 3, 1, struct.pack("<HH", 2, 0)),
+         (273, 3, 9, struct.pack("<I", off_pos)),
+         (279, 3, 9, struct.pack("<I", cnt_pos))]
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in e) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+def _assemble_planar_tiled_tiff():
+    """8x6 RGB TIFF, PlanarConfiguration=2 with 4x4 tiles (2x2 grid,
+    edge tiles padded; 4 tiles/plane, plane-major)."""
+    import struct
+
+    import numpy as np
+
+    w, h, tw, tl = 8, 6, 4, 4
+    rgb = _planar_pixels(w, h)
+    ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+    padded = np.zeros((td * tl, ta * tw, 3), np.uint8)
+    padded[:h, :w] = rgb
+    tiles = []
+    for c in range(3):
+        for t in range(ta * td):
+            ty, tx = divmod(t, ta)
+            tiles.append(np.ascontiguousarray(
+                padded[ty * tl:(ty + 1) * tl,
+                       tx * tw:(tx + 1) * tw, c]).tobytes())
+    bits = struct.pack("<HHH", 8, 8, 8)
+    data_ofs = 8 + len(bits)
+    offs, pos = [], data_ofs
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    off_arr = struct.pack("<12H", *offs)
+    cnt_arr = struct.pack("<12H", *[len(t) for t in tiles])
+    off_pos, cnt_pos = pos, pos + len(off_arr)
+    tail = bits + b"".join(tiles) + off_arr + cnt_arr
+    e = [(256, 3, 1, struct.pack("<HH", w, 0)),
+         (257, 3, 1, struct.pack("<HH", h, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 1, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (284, 3, 1, struct.pack("<HH", 2, 0)),
+         (322, 3, 1, struct.pack("<HH", tw, 0)),
+         (323, 3, 1, struct.pack("<HH", tl, 0)),
+         (324, 3, 12, struct.pack("<I", off_pos)),
+         (325, 3, 12, struct.pack("<I", cnt_pos))]
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in e) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+_R13_FIXTURES = {
+    "variant-core8.bmp": _assemble_core_bmp8,
+    "variant-core24.bmp": _assemble_core_bmp24,
+    "variant-planar.tiff": _assemble_planar_tiff,
+    "variant-planar-tiled.tiff": _assemble_planar_tiled_tiff,
+}
+
+
+def test_r13_fixture_goldens_pinned_and_decode():
+    """The committed r13 variant goldens are byte-identical to their
+    in-test assemblers, and decode to the assemblers' pixel truths."""
+    import numpy as np
+
+    for name, fn in _R13_FIXTURES.items():
+        with open(os.path.join(FIXTURES, name), "rb") as f:
+            assert f.read() == fn(), name
+    dec_bmp = M._make_bmp_decoder()
+    w, h, ch, px = dec_bmp(_assemble_core_bmp8())
+    assert (w, h, ch) == (16, 8, 3)
+    # spot-check: bottom-up flip puts y=0 content on the LAST row
+    idx = (0 * 31 + 0 * 17) % 256
+    assert tuple(px[7, 0]) == (idx, (idx * 2) & 0xFF, (idx * 3) & 0xFF)
+    w, h, ch, px = dec_bmp(_assemble_core_bmp24())
+    assert (w, h, ch) == (9, 5, 3)
+    assert tuple(px[4, 0]) == (0, 0, 0)  # y=0,x=0 stored B,G,R=0,0,0
+    dec_tiff = M._make_tiff_decoder()
+    for fn in (_assemble_planar_tiff, _assemble_planar_tiled_tiff):
+        res = dec_tiff(fn())
+        assert isinstance(res, tuple), fn.__name__
+        w, h, ch, px = res
+        assert (w, h, ch) == (8, 6, 3)
+        assert (px == _planar_pixels(8, 6)).all(), fn.__name__
