@@ -462,24 +462,34 @@ class Catalog:
     _derived: dict[str, DataFrame] = field(default_factory=dict)
     _views_registered: bool = False
 
-    def register_derived(self, name: str, df: DataFrame) -> None:
+    def register_derived(self, name: str, df) -> None:
         """Register a session-scoped derived table addressable from the
         PQL/SQL entry points (e.g. a probed media inventory built from
         an external corpus). Physical table names AND the built-in
         derived names (``DERIVED_TABLES``) are reserved. If the SQL
         views were already registered, the new table becomes a temp
-        view immediately — no re-``register_views()`` needed."""
+        view immediately — no re-``register_views()`` needed.
+
+        ``df`` may also be a ZERO-ARG CALLABLE returning a DataFrame:
+        it is re-evaluated on every :meth:`table` access, so
+        catalog-backed relations inside it re-resolve per query — the
+        way to keep a served view LIVE over a growing realtime sink
+        (a plain DataFrame pins its file listing at analysis; see
+        ``streaming.realtime_segments_table``). The SQL temp view
+        registered for a callable is a snapshot at registration time;
+        the PQL path stays live."""
         if name in TABLES:
             raise ValueError(f"{name!r} is a physical table name")
         if name in DERIVED_TABLES:
             raise ValueError(f"{name!r} is a built-in derived table")
         self._derived[name] = df
         if self._views_registered:
-            df.createOrReplaceTempView(name)
+            (df() if callable(df) else df).createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
         if name in self._derived:
-            return self._derived[name]
+            obj = self._derived[name]
+            return obj() if callable(obj) else obj
         if name not in self._cache:
             if name in DERIVED_TABLES:
                 self._cache[name] = DERIVED_TABLES[name](self)
@@ -653,5 +663,5 @@ class Catalog:
         for name in DERIVED_TABLES:
             self.table(name).createOrReplaceTempView(name)
         for name, df in self._derived.items():
-            df.createOrReplaceTempView(name)
+            (df() if callable(df) else df).createOrReplaceTempView(name)
         self._views_registered = True

@@ -5,6 +5,8 @@ from realtime_olap_spark.streaming.realtime import (
     decode_avro_stream,
     decode_json_stream,
     hybrid_table,
+    realtime_segments_table,
+    refresh_segments,
     kafka_source_options,
     read_kafka_stream,
     time_boundary,
@@ -14,4 +16,5 @@ from realtime_olap_spark.streaming.sessions import sessionize_stream
 
 __all__ = ["RealtimeIngest", "decode_avro_stream", "decode_json_stream",
            "hybrid_table", "kafka_source_options", "read_kafka_stream",
+           "realtime_segments_table", "refresh_segments",
            "sessionize_stream", "stream_range_join", "time_boundary"]

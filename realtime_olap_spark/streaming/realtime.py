@@ -264,6 +264,34 @@ def decode_avro_stream(source: DataFrame, avro_schema_json: str,
         return source.select(value_col).mapInPandas(decode, schema=out_schema)
 
 
+def realtime_segments_table(spark: SparkSession, name: str,
+                            sink_dir: str,
+                            schema: str | None = None) -> DataFrame:
+    """Expose a realtime sink directory as a LIVE catalog table.
+
+    A plain ``spark.read.parquet(sink)`` DataFrame pins its file
+    listing at creation, so segments committed AFTER a downstream view
+    was registered stay invisible to it. A catalog-backed relation
+    re-lists through the session FileStatusCache at each query's
+    planning, so :func:`refresh_segments` after each segment commit
+    makes new segments visible to already-registered views — the
+    broker's routing-table-update-on-segment-commit analog
+    (BaseBrokerRequestHandler routing refresh). ``schema`` (DDL
+    string) is required when the sink may still be empty."""
+    if not spark.catalog.tableExists(name):
+        cols = f" ({schema})" if schema else ""
+        spark.sql(f"CREATE TABLE `{name}`{cols} USING parquet "
+                  f"LOCATION '{sink_dir}'")
+    return spark.table(name)
+
+
+def refresh_segments(spark: SparkSession, name: str) -> None:
+    """Invalidate the cached file listing after a segment commit —
+    already-registered views over :func:`realtime_segments_table` see
+    the new segments on their next query."""
+    spark.sql(f"REFRESH TABLE `{name}`")
+
+
 def time_boundary(offline: DataFrame, time_col: str,
                   granularity: str = "DAYS"):
     """The hybrid time boundary: max offline time minus one granularity unit

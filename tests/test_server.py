@@ -318,3 +318,90 @@ def test_pql_dedup_stats_table(server):
         assert n_docs >= n_distinct >= 1
         assert n_docs - n_distinct >= 0
         assert (n_dup == 0) == (max_group == 1)
+
+
+def test_streaming_pql_hybrid_e2e(server, tmp_path):
+    """r13: entry point A x §2.10 in one test — a PQL query over a
+    LIVE hybrid (offline + realtime) table through POST /query, with
+    rows ARRIVING BETWEEN two queries: availableNow ingest commits new
+    segments into the realtime sink while the server keeps serving;
+    visibility is refreshByPath on segment commit (the broker's
+    new-segment notification analog)."""
+    import json as _json
+    import os
+
+    from realtime_olap_spark.streaming import (RealtimeIngest,
+                                                hybrid_table,
+                                                realtime_segments_table,
+                                                refresh_segments)
+
+    spark = server.engine.catalog.spark
+    off_dir = str(tmp_path / "offline")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    DAY = 86_400_000
+    sch = "event_id long, ts long, event_type string, value double"
+    # offline: days 1-3 (the boundary will push day 3 to realtime)
+    offline_rows = [(i, (1 + i % 3) * DAY + i, ["view", "click"][i % 2],
+                     float(i)) for i in range(30)]
+    spark.createDataFrame(offline_rows, sch).write.parquet(off_dir)
+
+    def land(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(dict(zip(
+                    ["event_id", "ts", "event_type", "value"], r))) + "\n")
+
+    land("b1.json", [(100 + i, 3 * DAY + 1000 + i, "purchase", 1.0)
+                     for i in range(5)])
+    ingest = RealtimeIngest(spark, ckpt, sink)
+    ingest.start_append(
+        spark.readStream.schema(sch).json(str(landing))).awaitTermination()
+    assert os.path.isdir(sink)
+    # LIVE segments table: later commits stay visible to the
+    # already-registered hybrid view after refresh_segments
+    realtime_segments_table(spark, "rt_events_r13", sink, sch)
+    # a streaming sink's _spark_metadata pins a plain DataFrame's file
+    # index at analysis time, so the derived table is registered as a
+    # THUNK: re-evaluated per query, spark.table() re-resolves and
+    # refresh_segments-committed segments become visible
+    from realtime_olap_spark.streaming import time_boundary
+    boundary = time_boundary(spark.read.parquet(off_dir), "ts")
+    server.engine.catalog.register_derived(
+        "hybrid_events_r13",
+        lambda: hybrid_table(spark.read.parquet(off_dir),
+                             spark.table("rt_events_r13"), "ts",
+                             boundary=boundary))
+
+    status, r1 = _post(server, {
+        "pql": "SELECT count(*) FROM hybrid_events_r13"})
+    assert status == 200 and r1["exceptions"] == []
+    n1 = int(r1["aggregationResults"][0]["value"])
+    # boundary = max offline ts - 1 DAY: offline serves days 1-2
+    # (20 rows), realtime serves above it (5 purchase rows)
+    assert n1 == 25
+
+    # second micro-batch lands while the server is up; same checkpoint
+    # so availableNow picks up only the new file
+    land("b2.json", [(200 + i, 3 * DAY + 9000 + i, "signup", 2.0)
+                     for i in range(7)])
+    ingest.start_append(
+        spark.readStream.schema(sch).json(str(landing))).awaitTermination()
+    refresh_segments(spark, "rt_events_r13")  # segment-commit visibility
+
+    status, r2 = _post(server, {
+        "pql": "SELECT count(*) FROM hybrid_events_r13"})
+    assert status == 200 and r2["exceptions"] == []
+    assert int(r2["aggregationResults"][0]["value"]) == n1 + 7
+
+    status, r3 = _post(server, {
+        "pql": "SELECT event_type, count(*) FROM hybrid_events_r13 "
+               "GROUP BY event_type TOP 10"})
+    assert status == 200 and r3["exceptions"] == []
+    got = {g["group"][0]: int(g["value"])
+           for g in r3["aggregationResults"][0]["groupByResult"]}
+    assert got["purchase"] == 5 and got["signup"] == 7
+    assert got["view"] == 10 and got["click"] == 10
+    spark.sql("DROP TABLE rt_events_r13")
