@@ -335,6 +335,8 @@ def timed_noop(df):
 def main():
     rows_03 = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     rows_1 = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    webm_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    webm_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 120
     sizes = [("0.3MP", 640, 480, rows_03), ("1.0MP", 1152, 864, rows_1)]
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -415,7 +417,125 @@ def main():
                   f"rows={rows} wall={secs:.2f}s "
                   f"{rows / secs:.1f} rows/s "
                   f"{per_mp_core:.2f} s/MP/core", flush=True)
+    if webm_rows > 0:
+        soak_webm_inter(spark, ncores, webm_rows, webm_frames)
     spark.stop()
+
+
+
+
+# ---------------------------------------------------------------------------
+# r13 verdict directive #4: WebM INTER-decode steady-state soak — a
+# multi-second inter-heavy sequence (real libwebp key frame + randomized
+# ZEROMV/NEWMV-quarter-pel/SPLITMV inter frames, one hidden altref) gets
+# the same MP-soak discipline as the stills. Bit-identity is re-pinned
+# before timing: the WebM container path's RGB frames must equal the
+# sequence decoder driven directly over the same payloads.
+# ---------------------------------------------------------------------------
+
+def make_inter_webm(n_frames, w=320, h=240):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    import random
+
+    from test_vp8_inter import (_MBSPLIT_COUNT, _MBSPLITS, MAXPX,
+                                InterFrameEncoder, _keyframe_and_planes,
+                                _mux_webm_mixed)
+    from test_webp_config_sweep import _libwebp
+
+    from realtime_olap_spark.operators.webp import _make_webm_video_decoder
+
+    if _libwebp() is None:  # pragma: no cover
+        return None, 0
+    payload, seq, kf = _keyframe_and_planes(w=w, h=h, seed=3)
+    w, h = kf[0], kf[1]
+    mbw, mbh = w // 16, h // 16
+    nmb = mbw * mbh
+    rng = random.Random("webm-inter-soak")
+    blocks = [(0, payload, True)]
+    for i in range(1, n_frames):
+        if i == n_frames // 2:  # one hidden altref + a frame using it
+            enc = InterFrameEncoder(mbw, mbh)
+            blocks.append((33 * i, enc.assemble(
+                mbs=[{"mode": "intra_dc"}] * nmb,
+                refresh_last=0, refresh_alt=1, show=0), False))
+            enc = InterFrameEncoder(mbw, mbh)
+            blocks.append((33 * i + 1, enc.assemble(
+                mbs=[{"mode": "zero", "ref": 3}] * nmb,
+                refresh_last=0), False))
+            continue
+        mbs = []
+        for _ in range(nmb):
+            r = rng.random()
+            if r < 0.7:
+                mbs.append({"mode": "zero"})
+            elif r < 0.9:
+                mbs.append({"mode": "new",
+                            "mv": (2 * rng.randrange(-8, 9),
+                                   2 * rng.randrange(-8, 9))})
+            else:
+                st = rng.randrange(4)
+                per = [(2 * rng.randrange(-8, 9),
+                        2 * rng.randrange(-8, 9))
+                       for _ in range(_MBSPLIT_COUNT[st])]
+                mbs.append({"mode": "split", "split_type": st,
+                            "submvs": [per[_MBSPLITS[st][sb]]
+                                       for sb in range(16)]})
+        enc = InterFrameEncoder(mbw, mbh)
+        blocks.append((33 * i, enc.assemble(mbs=mbs), False))
+    data = _mux_webm_mixed(blocks, 33 * n_frames + 33)
+    # ---- bit-identity pin: container path == direct sequence decode
+    res = _make_webm_video_decoder(MAXPX)(data)
+    assert isinstance(res, tuple), res
+    gw, gh, frames = res
+    assert (gw, gh) == (w, h)
+    assert len(frames) == len(blocks) - 1  # hidden altref emits nothing
+    seq.reset()
+    import numpy as np_
+
+    def to_rgb(y, u, v):  # BT.601 full-range int math (decoder's own)
+        hh, ww = y.shape
+        uu = u.repeat(2, 0).repeat(2, 1)[:hh, :ww].astype(np_.int32) - 128
+        vv = v.repeat(2, 0).repeat(2, 1)[:hh, :ww].astype(np_.int32) - 128
+        c = y.astype(np_.int32) - 16
+        return np_.dstack([
+            np_.clip((298 * c + 409 * vv + 128) >> 8, 0, 255),
+            np_.clip((298 * c - 100 * uu - 208 * vv + 128) >> 8, 0, 255),
+            np_.clip((298 * c + 516 * uu + 128) >> 8, 0, 255),
+        ]).astype(np_.uint8)
+
+    fi = 0
+    for _, pl, _k in blocks:
+        r = seq(pl)
+        assert isinstance(r, tuple)
+        if r[5]:
+            assert (frames[fi][2][:, :, :3] == to_rgb(*r[2:5])).all(), fi
+            fi += 1
+    return data, len(blocks)
+
+
+def soak_webm_inter(spark, ncores, rows, n_frames):
+    from realtime_olap_spark.operators import multimodal as mm
+
+    data, n_blocks = make_inter_webm(n_frames)
+    if data is None:
+        print("webm-inter: SKIP (libwebp unavailable)")
+        return
+    df = (spark.range(rows)
+          .select(F.col("id").alias("media_id"),
+                  F.lit("video").alias("media_type"),
+                  F.lit(bytearray(data)).alias("payload"))
+          .repartition(ncores))
+    plan = lambda d: mm.decode_frames(d, every_ms=1000)  # noqa: E731
+    timed_noop(plan(df))  # warm untimed
+    bad = plan(df).where(F.col("payload").isNull()).count()
+    assert bad == 0, bad
+    secs = min(timed_noop(plan(df)) for _ in range(2))
+    fps_core = rows * n_blocks / (secs * ncores)
+    print(f"webm-inter 320x240: rows={rows} x {n_blocks} blocks "
+          f"({len(data) / 1024:.0f} KiB/file) wall={secs:.2f}s "
+          f"{secs * ncores / (rows * n_blocks) * 1000:.1f} ms/frame/core "
+          f"({fps_core:.1f} frames/s/core)", flush=True)
 
 
 if __name__ == "__main__":
