@@ -418,6 +418,22 @@ def _derived_events_hourly(cat: "Catalog") -> DataFrame:
                      ("n_events",), 3600, how="zero")
 
 
+def _derived_doc_signals(cat: "Catalog") -> DataFrame:
+    # per-document curation signals (scan-side, zero shuffle):
+    # detected language, quality score, token counts, fingerprint
+    from realtime_olap_spark.operators import text as T  # noqa: PLC0415
+    docs = cat.table("documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", "source", "lang",
+        T.detect_language(t).alias("detected_lang"),
+        T.quality_score(t).alias("quality_score"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        T.rolling_fingerprint_fast(t).alias("fingerprint"))
+
+
 def _derived_dedup_stats(cat: "Catalog") -> DataFrame:
     # per-source exact-duplicate inventory over documents: one
     # (source, text-hash) shuffle, then a tiny per-source rollup
@@ -441,6 +457,7 @@ DERIVED_TABLES = {
     "attribution": _derived_attribution,
     "ohlc": _derived_ohlc,
     "events_hourly": _derived_events_hourly,
+    "doc_signals": _derived_doc_signals,
     "dedup_stats": _derived_dedup_stats,
 }
 

@@ -405,3 +405,25 @@ def test_streaming_pql_hybrid_e2e(server, tmp_path):
     assert got["purchase"] == 5 and got["signup"] == 7
     assert got["view"] == 10 and got["click"] == 10
     spark.sql("DROP TABLE rt_events_r13")
+
+
+def test_pql_doc_signals_table(server):
+    """Per-document curation signals (language, quality, tokens,
+    fingerprint) through POST /query — scan-side, zero shuffle."""
+    status, resp = _post(server, {
+        "pql": "SELECT detected_lang, count(*) FROM doc_signals "
+               "GROUP BY detected_lang TOP 10"})
+    assert status == 200 and resp["exceptions"] == []
+    res = resp["aggregationResults"][0]
+    got = {g["group"][0]: int(g["value"]) for g in res["groupByResult"]}
+    assert got and all(v > 0 for v in got.values())
+    status, resp = _post(server, {
+        "pql": "SELECT doc_id, quality_score, n_tokens, n_bpe_tokens "
+               "FROM doc_signals ORDER BY quality_score DESC, doc_id "
+               "ASC LIMIT 5"})
+    assert status == 200 and resp["exceptions"] == []
+    rows = resp["selectionResults"]["results"]
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= float(r[1]) <= 1.0
+        assert int(r[3]) >= int(r[2]) >= 1  # bpe-ish >= whitespace
