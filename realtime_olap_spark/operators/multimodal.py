@@ -1495,6 +1495,242 @@ FRAMES_SCHEMA = StructType([
 ])
 
 
+def _make_apng_decoder(max_pixels: int = MAX_DECODE_PIXELS,
+                       max_frames: int = 1024):
+    """Build the clean-room APNG (animated PNG) compositor — the PNG
+    Third Edition / Mozilla APNG spec: ``acTL`` (frame/play counts),
+    per-frame ``fcTL`` (region, delay, dispose_op, blend_op) and
+    ``fdAT`` (sequence-numbered IDAT payloads) chunks sharing ONE
+    sequence-number space that must be exactly consecutive. Each
+    frame's pixels are decoded by reconstructing a STANDALONE PNG
+    (IHDR resized to the frame region + the shared PLTE/tRNS + the
+    frame's IDAT/fdAT bytes) through the still decoder, so inflate /
+    defilter / the full depth space are the same tested paths; the
+    canvas then composites per blend_op (0 = SOURCE replace, 1 = OVER
+    straight-alpha Porter-Duff) and disposes per dispose_op (0 = none,
+    1 = clear region to transparent, 2 = revert region; PREVIOUS on
+    the first frame degrades to BACKGROUND, per spec). When ``IDAT``
+    precedes the first ``fcTL`` the default image is NOT part of the
+    animation (spec rule) — frame pixels then come only from ``fdAT``.
+
+    Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
+    the same contract as the GIF/WebP animation decoders (delay 0/0
+    means as-fast-as-possible; the last frame's zero delay defaults
+    to 100 ms so sampling terminates) — ``None`` for malformed
+    streams, ``"unsupported: …"`` for non-PNG magic, a missing
+    ``acTL``, or past the bomb guards. Nested function, captured by
+    value (house rule)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    still = _make_png_decoder(max_pixels)
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)
+                              & 0xFFFFFFFF))
+
+    def to_rgba(ch, px):
+        if ch == 4:
+            return px
+        if ch == 3:
+            a = np.full(px.shape[:2] + (1,), 255, np.uint8)
+            return np.concatenate([px, a], axis=2)
+        if ch == 2:  # gray + alpha
+            g = px[:, :, 0:1]
+            return np.concatenate([g, g, g, px[:, :, 1:2]], axis=2)
+        g = px[:, :, 0:1]
+        a = np.full(px.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([g, g, g, a], axis=2)
+
+    def over(dst, src):
+        """Straight-alpha Porter-Duff OVER, the APNG spec formula."""
+        sa = src[:, :, 3:4].astype(np.float64) / 255.0
+        da = dst[:, :, 3:4].astype(np.float64) / 255.0
+        oa = sa + da * (1.0 - sa)
+        rgb = (src[:, :, :3] * sa + dst[:, :, :3] * da * (1.0 - sa))
+        safe = np.where(oa == 0.0, 1.0, oa)
+        out = np.concatenate([rgb / safe, oa * 255.0], axis=2)
+        return np.rint(np.clip(out, 0, 255)).astype(np.uint8)
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if not data.startswith(SIG):
+            return "unsupported: not PNG"
+        try:
+            pos = 8
+            ihdr = None
+            actl = None
+            shared = []   # (typ, body): PLTE / tRNS, in file order
+            frames = []   # dicts: fcTL fields + accumulated data
+            idat_seen = False
+            default_is_frame0 = False
+            seq_expect = 0
+            while pos + 8 <= len(data):
+                ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+                body = data[pos + 8:pos + 8 + ln]
+                if len(body) != ln:
+                    return None
+                pos += 12 + ln
+                if typ == b"IHDR":
+                    ihdr = body
+                elif typ == b"acTL":
+                    if len(body) < 8 or idat_seen:
+                        return None  # acTL must precede IDAT
+                    actl = struct.unpack(">II", body[:8])
+                elif typ in (b"PLTE", b"tRNS"):
+                    shared.append((typ, body))
+                elif typ == b"fcTL":
+                    if len(body) < 26:
+                        return None
+                    (seq, fw, fh, fx, fy, dnum, dden, dop,
+                     bop) = struct.unpack(">IIIIIHHBB", body[:26])
+                    if seq != seq_expect:
+                        return None  # sequence numbers are strict
+                    seq_expect += 1
+                    if len(frames) >= max_frames:
+                        return ("unsupported: more than "
+                                f"{max_frames} frames")
+                    if dop > 2 or bop > 1:
+                        return None
+                    frames.append(dict(w=fw, h=fh, x=fx, y=fy,
+                                       dnum=dnum, dden=dden, dop=dop,
+                                       bop=bop, data=bytearray()))
+                    if not idat_seen and len(frames) == 1:
+                        default_is_frame0 = True
+                elif typ == b"IDAT":
+                    idat_seen = True
+                    if default_is_frame0:
+                        frames[0]["data"] += body
+                elif typ == b"fdAT":
+                    if len(body) < 4 or not frames:
+                        return None
+                    seq = struct.unpack(">I", body[:4])[0]
+                    if seq != seq_expect:
+                        return None
+                    seq_expect += 1
+                    frames[-1]["data"] += body[4:]
+                elif typ == b"IEND":
+                    break
+            if ihdr is None or len(ihdr) < 13:
+                return None
+            if actl is None:
+                return "unsupported: not animated (no acTL)"
+            wfull, hfull = struct.unpack(">II", ihdr[:8])
+            if wfull == 0 or hfull == 0:
+                return None
+            if wfull * hfull > max_pixels:
+                return ("unsupported: image too large "
+                        f"({wfull}x{hfull})")
+            if actl[0] != len(frames) or not frames:
+                return None  # acTL num_frames must match the fcTLs
+            canvas = np.zeros((hfull, wfull, 4), np.uint8)
+            out = []
+            ts = 0
+            for i, f in enumerate(frames):
+                fw, fh, fx, fy = f["w"], f["h"], f["x"], f["y"]
+                if (fw == 0 or fh == 0 or fx + fw > wfull
+                        or fy + fh > hfull):
+                    return None
+                sub = (SIG
+                       + chunk(b"IHDR", struct.pack(">II", fw, fh)
+                               + ihdr[8:]))
+                for styp, sbody in shared:
+                    sub += chunk(styp, sbody)
+                sub += chunk(b"IDAT", bytes(f["data"]))
+                sub += chunk(b"IEND", b"")
+                r = still(sub)
+                if not isinstance(r, tuple):
+                    return r  # None / bomb-guard reason propagates
+                px = to_rgba(r[2], r[3])
+                dop = f["dop"]
+                if i == 0 and dop == 2:
+                    dop = 1  # PREVIOUS on frame 0 -> BACKGROUND
+                region = canvas[fy:fy + fh, fx:fx + fw]
+                saved = region.copy() if dop == 2 else None
+                canvas[fy:fy + fh, fx:fx + fw] = (
+                    px if f["bop"] == 0 else over(region, px))
+                dur = f["dnum"] * 1000 // (f["dden"] or 100)
+                if dur == 0 and i == len(frames) - 1:
+                    dur = 100  # terminate sampling, as for GIF
+                out.append((ts, dur, canvas.copy()))
+                ts += dur
+                if dop == 1:
+                    canvas[fy:fy + fh, fx:fx + fw] = 0
+                elif dop == 2:
+                    canvas[fy:fy + fh, fx:fx + fw] = saved
+            # zero-delay intermediate frames collapse onto the next
+            # sample anyway; keep durations >= 0 and starts monotone
+            return int(wfull), int(hfull), out
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode
+
+
+def _make_apng_prober():
+    """Build the clean-room APNG/PNG animation PROBER: metadata-only
+    chunk-header walk (bodies skipped by length except the fixed-size
+    ``acTL``/``fcTL``) — dims from IHDR, frame count from ``acTL``,
+    duration as the sum of ``fcTL`` delays. Returns the same tuple
+    shape as the BMFF/GIF probers with ``major_brand`` = 'apng' and
+    ``video_codec`` = 'png'; still PNGs (no acTL) probe as 1-frame
+    'png'; ``None`` for malformed streams, ``"unsupported: not PNG"``
+    otherwise. Nested function, captured by value (house rule)."""
+    import struct
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+            return "unsupported: not PNG"
+        try:
+            pos = 8
+            dims = None
+            n_frames = None
+            total_ms = 0
+            while pos + 8 <= len(data):
+                ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+                if typ == b"IHDR":
+                    if ln < 8 or pos + 16 > len(data):
+                        return None
+                    dims = struct.unpack(">II", data[pos + 8:pos + 16])
+                elif typ == b"acTL":
+                    if ln < 8 or pos + 16 > len(data):
+                        return None
+                    n_frames = struct.unpack(
+                        ">I", data[pos + 8:pos + 12])[0]
+                elif typ == b"fcTL":
+                    if ln < 26 or pos + 34 > len(data):
+                        return None
+                    dnum, dden = struct.unpack(
+                        ">HH", data[pos + 28:pos + 32])
+                    total_ms += dnum * 1000 // (dden or 100)
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            if dims is None or dims[0] == 0 or dims[1] == 0:
+                return None
+            if n_frames is None:
+                return ("png", None, int(dims[0]), int(dims[1]),
+                        "png", None, 1, 1)
+            if n_frames == 0:
+                return None
+            return ("apng", total_ms if total_ms else None,
+                    int(dims[0]), int(dims[1]), "png", None, 1,
+                    int(n_frames))
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return probe
+
+
 def decode_frames(df: DataFrame, every_ms: int,
                   max_pixels: int = MAX_DECODE_PIXELS,
                   max_frames: int = 1024) -> DataFrame:
@@ -1503,7 +1739,9 @@ def decode_frames(df: DataFrame, every_ms: int,
     carrying the COMPOSITED frame re-encoded as lossless PNG. Animated
     GIFs composite per the disposal model
     (:func:`_make_gif_animation_decoder`); animated WebP composites
-    per ANMF blend/dispose; WebM VIDEO decodes EVERY SimpleBlock —
+    per ANMF blend/dispose; animated PNG (APNG, r13) composites per
+    fcTL dispose/blend with per-frame sub-PNG decode
+    (:func:`_make_apng_decoder`); WebM VIDEO decodes EVERY SimpleBlock —
     key frames and inter frames alike — through the stateful RFC 6386
     sequence decoder (reference buffers, motion compensation; hidden
     altref-update frames refresh state without emitting a frame), so
@@ -1519,11 +1757,27 @@ def decode_frames(df: DataFrame, every_ms: int,
     anim = _make_gif_animation_decoder(max_pixels, max_frames)
     webp_anim = _make_webp_animation_decoder(max_pixels, max_frames)
     webm_video = _make_webm_video_decoder(max_pixels, max_frames)
+    apng = _make_apng_decoder(max_pixels, max_frames)
     still = _make_auto_decoder(max_pixels)
     encode = _make_png_encoder()
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+        import struct as _st
+
+        def png_is_animated(data):
+            # O(pre-IDAT chunk headers): acTL must precede IDAT, so
+            # stills cost a handful of header reads and keep riding
+            # the plain codec path (nested: pickle-by-value rule)
+            pos = 8
+            while pos + 8 <= len(data):
+                ln, typ = _st.unpack(">I4s", data[pos:pos + 8])
+                if typ == b"acTL":
+                    return True
+                if typ in (b"IDAT", b"IEND"):
+                    return False
+                pos += 12 + ln
+            return False
 
         for pdf in it:
             rows: dict = {k: [] for k in
@@ -1552,9 +1806,12 @@ def decode_frames(df: DataFrame, every_ms: int,
                                 and bytes(payload[12:16]) == b"VP8X"
                                 and payload[20] & 0x02)
                 is_webm = head[:4] == b"\x1a\x45\xdf\xa3"
-                if is_gif or is_webp_anim or is_webm:
+                is_apng = (head[:8] == b"\x89PNG\r\n\x1a\n"
+                           and png_is_animated(bytes(payload)))
+                if is_gif or is_webp_anim or is_webm or is_apng:
                     r = (anim if is_gif
                          else webp_anim if is_webp_anim
+                         else apng if is_apng
                          else webm_video)(payload)
                     if isinstance(r, tuple):
                         w, h, frames = r
@@ -3121,14 +3378,17 @@ def probe_media(df: DataFrame, with_status: bool = False,
     element walk, :func:`_make_ebml_prober`), ``'mp3'`` (MPEG audio
     frame-header walk with Xing/ID3 handling,
     :func:`_make_mp3_prober`), ``'ogg'`` (RFC 3533 page walk with
-    OpusHead/Vorbis ident parsing, :func:`_make_ogg_prober`), or
-    ``'auto'`` (per-row magic routing across all six). Metadata-only: no frame decode, no
+    OpusHead/Vorbis ident parsing, :func:`_make_ogg_prober`), ``'png'`` (APNG/PNG
+    chunk-header walk — dims, acTL frame count, summed fcTL delays,
+    :func:`_make_apng_prober`; stills probe as 1-frame 'png'), or
+    ``'auto'`` (per-row magic routing across all seven). Metadata-only: no frame decode, no
     ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
     header size regardless of payload bytes. Unrecognized/malformed
     rows NULL out; ``with_status=True`` appends the
     ok/corrupt/unsupported reason — the same contract as
     :func:`decode_media`/:func:`decode_audio`."""
-    kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3", "ogg")
+    kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3", "ogg",
+             "png")
     if container not in kinds:
         raise ValueError(
             f"container must be {'|'.join(kinds)}: {container!r}")
@@ -3139,6 +3399,7 @@ def probe_media(df: DataFrame, with_status: bool = False,
     ebml = _make_ebml_prober() if container in ("auto", "ebml") else None
     mp3 = _make_mp3_prober() if container in ("auto", "mp3") else None
     ogg = _make_ogg_prober() if container in ("auto", "ogg") else None
+    png = _make_apng_prober() if container in ("auto", "png") else None
 
     def prober(payload):
         if container == "bmff":
@@ -3153,6 +3414,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return mp3(payload)
         if container == "ogg":
             return ogg(payload)
+        if container == "png":
+            return png(payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -3169,6 +3432,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
                 return mp3(payload)
             if head[:4] == b"OggS":
                 return ogg(payload)
+            if head[:8] == b"\x89PNG\r\n\x1a\n":
+                return png(payload)
             return "unsupported: unrecognized container"
         return None
 

@@ -66,6 +66,10 @@ GOLDENS = {
     "bmp": ["python.bmp", "variant-core8.bmp", "variant-core24.bmp"],
     "tiff": ["python.tiff", "variant-planar.tiff",
              "variant-planar-tiled.tiff"],
+    # animated PNG (r13): mutations hit the acTL/fcTL/fdAT compositor
+    # and the APNG prober (still-PNG mutations reach them through the
+    # shared magic too)
+    "apng": ["variant-anim.png"],
     "wav": ["pluck-pcm8.wav", "pluck-pcm16.wav",
             "pluck-pcm24.wav", "pluck-pcm32.wav"],
     "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",
@@ -133,8 +137,10 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "avif": mm._make_bmff_prober(),
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
                 "webm": mm._make_ebml_prober(),
-                "mp3": mm._make_mp3_prober()}
+                "mp3": mm._make_mp3_prober(),
+                "apng": mm._make_apng_decoder()}
     gif_probe = mm._make_gif_prober()
+    apng_probe = mm._make_apng_prober()
     webp_probe = _make_webp_prober()
     webp_anim = _make_webp_animation_decoder(mm.MAX_DECODE_PIXELS)
     webm_video = _make_webm_video_decoder(mm.MAX_DECODE_PIXELS)
@@ -185,6 +191,10 @@ def run(n_seeds: int, base_seed: int) -> int:
         if fmt == "webp":
             checks.append(("webp-probe", webp_probe))
             checks.append(("webp-anim", webp_anim))
+        if fmt in ("png", "apng"):
+            checks.append(("apng-probe", apng_probe))
+        if fmt == "apng":
+            checks.append(("apng-anim", decoders["apng"]))
         if fmt == "webm":
             # full video decode (keyframes + inter frames), not
             # just the EBML probe

@@ -3637,3 +3637,252 @@ def test_r13_fixture_goldens_pinned_and_decode():
         w, h, ch, px = res
         assert (w, h, ch) == (8, 6, 3)
         assert (px == _planar_pixels(8, 6)).all(), fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG, r13): compositor + prober. Spec-assembled
+# animations pin every dispose/blend op; the committed golden joins the
+# standing fuzz families.
+# ---------------------------------------------------------------------------
+
+def _fix(name):
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+def _apng_chunk(typ, body):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+
+def _apng_idat_body(px):
+    """RGBA pixels -> zlib'd filter-0 scanlines (raw IDAT payload)."""
+    import zlib
+
+    h = px.shape[0]
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return zlib.compress(raw)
+
+
+def _assemble_apng(w, h, frames, default_px=None):
+    """Build an APNG: ``frames`` = list of (fcTL-dict, rgba-array).
+    fcTL keys: x, y, dnum, dden, dop, bop. ``default_px`` (full
+    canvas) makes IDAT a non-animation default image (fdAT-only
+    frames); otherwise frame 0 rides IDAT."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # RGBA8
+    out = (b"\x89PNG\r\n\x1a\n" + _apng_chunk(b"IHDR", ihdr)
+           + _apng_chunk(b"acTL", struct.pack(">II", len(frames), 0)))
+    seq = 0
+    if default_px is not None:
+        out += _apng_chunk(b"IDAT", _apng_idat_body(default_px))
+    for i, (ctl, px) in enumerate(frames):
+        fh, fw = px.shape[:2]
+        out += _apng_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, ctl.get("x", 0), ctl.get("y", 0),
+            ctl.get("dnum", 1), ctl.get("dden", 10),
+            ctl.get("dop", 0), ctl.get("bop", 0)))
+        seq += 1
+        body = _apng_idat_body(px)
+        if i == 0 and default_px is None:
+            out += _apng_chunk(b"IDAT", body)
+        else:
+            out += _apng_chunk(b"fdAT", struct.pack(">I", seq) + body)
+            seq += 1
+    return out + _apng_chunk(b"IEND", b"")
+
+
+def _rgba(w, h, r, g, b, a=255):
+    import numpy as np
+
+    px = np.zeros((h, w, 4), np.uint8)
+    px[:, :] = (r, g, b, a)
+    return px
+
+
+def test_apng_compositing_dispose_and_blend():
+    """Every dispose op (none / background / previous) and both blend
+    ops (source / over), checked against independently-computed
+    canvases (straight-alpha Porter-Duff per the spec formula)."""
+    import numpy as np
+
+    dec = M._make_apng_decoder()
+    base = _rgba(8, 6, 200, 0, 0)
+    half = _rgba(4, 3, 0, 0, 255, 128)     # translucent blue patch
+    opaque = _rgba(2, 2, 0, 255, 0)
+    f3 = _rgba(3, 2, 255, 255, 0)
+    data = _assemble_apng(8, 6, [
+        ({"dop": 0, "bop": 0}, base),                      # frame 0
+        ({"x": 2, "y": 1, "dop": 1, "bop": 1}, half),      # over+bg
+        ({"x": 5, "y": 3, "dop": 2, "bop": 0}, opaque),    # prev
+        ({"x": 0, "y": 0, "dop": 0, "bop": 0}, f3),
+    ])
+    res = dec(data)
+    assert isinstance(res, tuple), res
+    w, h, frames = res
+    assert (w, h) == (8, 6) and len(frames) == 4
+    assert [f[0] for f in frames] == [0, 100, 200, 300]
+    # frame 0: the base
+    assert (frames[0][2] == base).all()
+    # frame 1: translucent blue OVER opaque red inside the region
+    sa = 128 / 255.0
+    exp_rgb = np.rint(np.array([0, 0, 255]) * sa
+                      + np.array([200, 0, 0]) * 1.0 * (1 - sa))
+    c1 = frames[1][2]
+    assert (c1[1:4, 2:6, :3] == exp_rgb.astype(np.uint8)).all()
+    assert (c1[1:4, 2:6, 3] == 255).all()  # over opaque stays opaque
+    assert (c1[0, :, :] == base[0, :, :]).all()
+    # frame 2: frame 1's region was DISPOSED to transparent, then the
+    # opaque green patch landed at (5,3)
+    c2 = frames[2][2]
+    # background-cleared, except the cell frame 2's patch overwrote
+    assert (c2[1:3, 2:6, 3] == 0).all()
+    assert (c2[3, 2:5, 3] == 0).all()
+    assert (c2[3:5, 5:7] == (0, 255, 0, 255)).all()
+    # frame 3: frame 2's patch was REVERTED (dispose previous), the
+    # yellow bar landed top-left
+    c3 = frames[3][2]
+    assert (c3[0:2, 0:3] == (255, 255, 0, 255)).all()
+    assert (c3[3:5, 5:7, 1] != 255).any()        # green patch gone
+
+
+def test_apng_default_image_not_in_animation():
+    """IDAT before the first fcTL = a DEFAULT image outside the
+    animation: frame pixels come only from fdAT."""
+    dec = M._make_apng_decoder()
+    default = _rgba(4, 4, 9, 9, 9)
+    f0 = _rgba(4, 4, 10, 20, 30)
+    f1 = _rgba(2, 2, 40, 50, 60)
+    data = _assemble_apng(4, 4, [
+        ({"dop": 0, "bop": 0}, f0),
+        ({"x": 1, "y": 1, "dop": 0, "bop": 0}, f1),
+    ], default_px=default)
+    res = dec(data)
+    assert isinstance(res, tuple), res
+    _, _, frames = res
+    assert len(frames) == 2
+    assert (frames[0][2] == f0).all()            # not the default
+    assert (frames[1][2][1:3, 1:3] == f1).all()
+    assert (frames[1][2][0, 0] == f0[0, 0]).all()
+
+
+def test_apng_gates_and_malformed():
+    import struct
+
+    dec = M._make_apng_decoder()
+    f0 = _rgba(4, 4, 1, 2, 3)
+    good = _assemble_apng(4, 4, [({"dop": 0, "bop": 0}, f0)])
+    assert isinstance(dec(good), tuple)
+    # a STILL PNG has no acTL
+    assert dec(_fix("python.png")) \
+        == "unsupported: not animated (no acTL)"
+    assert dec(b"\x00nope") == "unsupported: not PNG"
+    # broken sequence number -> malformed
+    bad = bytearray(good)
+    i = bad.find(b"fcTL")
+    bad[i + 4:i + 8] = struct.pack(">I", 7)
+    assert dec(bytes(bad)) is None
+    # acTL frame-count mismatch -> malformed
+    bad = bytearray(good)
+    j = bad.find(b"acTL")
+    bad[j + 4:j + 8] = struct.pack(">I", 3)
+    assert dec(bytes(bad)) is None
+    # frame region outside the canvas -> malformed
+    big = _rgba(6, 6, 1, 2, 3)
+    assert dec(_assemble_apng(4, 4,
+                              [({"dop": 0, "bop": 0}, big)])) is None
+    # truncation sweep: the three-valued contract, never a raise
+    for k in range(len(good)):
+        r = dec(good[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+    # frame-count bomb guard
+    tiny = M._make_apng_decoder(max_frames=2)
+    three = _assemble_apng(4, 4, [({"dop": 0, "bop": 0}, f0)] * 3)
+    assert tiny(three) == "unsupported: more than 2 frames"
+
+
+def test_apng_prober_and_probe_media(spark):
+    import numpy as np
+
+    probe = M._make_apng_prober()
+    f0 = _rgba(6, 4, 1, 2, 3)
+    f1 = _rgba(6, 4, 4, 5, 6)
+    anim = _assemble_apng(6, 4, [
+        ({"dnum": 1, "dden": 10}, f0),
+        ({"dnum": 3, "dden": 100}, f1),
+    ])
+    assert probe(anim) == ("apng", 130, 6, 4, "png", None, 1, 2)
+    # a still PNG probes as a 1-frame 'png'
+    got = probe(_fix("python.png"))
+    assert got[0] == "png" and got[7] == 1 and got[2:4] == (16, 16)
+    assert probe(b"JUNK") == "unsupported: not PNG"
+    # through probe_media (container='png' AND auto routing)
+    df = spark.createDataFrame(
+        [(1, "animation", anim), (2, "image", _fix("python.png"))],
+        "media_id long, media_type string, payload binary")
+    rows = {r["media_id"]: r
+            for r in M.probe_media(df, with_status=True).collect()}
+    assert rows[1]["major_brand"] == "apng"
+    assert rows[1]["frame_count"] == 2
+    assert rows[1]["duration_ms"] == 130
+    assert rows[2]["major_brand"] == "png"
+    assert rows[2]["frame_count"] == 1
+
+
+def test_decode_frames_samples_apng(spark):
+    f0 = _rgba(4, 4, 200, 0, 0)
+    f1 = _rgba(2, 2, 0, 200, 0)
+    anim = _assemble_apng(4, 4, [
+        ({"dnum": 1, "dden": 10}, f0),                 # 100 ms
+        ({"x": 1, "y": 1, "dnum": 1, "dden": 10}, f1),
+    ])
+    df = spark.createDataFrame(
+        [(1, "animation", anim)],
+        "media_id long, media_type string, payload binary")
+    rows = M.decode_frames(df, every_ms=50).collect()
+    ts = sorted(r["frame_ts_ms"] for r in rows)
+    assert ts == [0, 50, 100, 150]
+    png = M._make_png_decoder()
+    by_ts = {r["frame_ts_ms"]: r for r in rows}
+    px0 = png(bytes(by_ts[0]["payload"]))[3]
+    px100 = png(bytes(by_ts[100]["payload"]))[3]
+    assert (px0[:, :, 0] == 200).all() and (px0[:, :, 1] == 0).all()
+    assert (px100[1:3, 1:3, 1] == 200).all()   # frame-1 patch live
+    assert (px100[0, 0, 0] == 200)             # rest still frame 0
+
+
+_R13_APNG_FIXTURE = "variant-anim.png"
+
+
+def _assemble_apng_golden():
+    """Deterministic 3-frame golden exercising over-blend + both
+    non-trivial dispose ops — the fuzz families mutate this."""
+    import numpy as np
+
+    base = np.zeros((8, 8, 4), np.uint8)
+    yy, xx = np.mgrid[0:8, 0:8]
+    base[:, :, 0] = (xx * 30) % 256
+    base[:, :, 1] = (yy * 40) % 256
+    base[:, :, 2] = 77
+    base[:, :, 3] = 255
+    patch = _rgba(4, 4, 10, 250, 10, 140)
+    tail = _rgba(3, 3, 250, 10, 10)
+    return _assemble_apng(8, 8, [
+        ({"dop": 0, "bop": 0}, base),
+        ({"x": 2, "y": 2, "dop": 1, "bop": 1, "dnum": 2}, patch),
+        ({"x": 5, "y": 0, "dop": 2, "bop": 0, "dnum": 3}, tail),
+    ])
+
+
+def test_apng_golden_pinned():
+    with open(os.path.join(FIXTURES, _R13_APNG_FIXTURE), "rb") as f:
+        assert f.read() == _assemble_apng_golden()
+    res = M._make_apng_decoder()(_assemble_apng_golden())
+    assert isinstance(res, tuple) and len(res[2]) == 3
+    # the STILL decoder sees the default image (frame 0 rides IDAT)
+    still = M._make_png_decoder()(_assemble_apng_golden())
+    assert isinstance(still, tuple) and still[:2] == (8, 8)
