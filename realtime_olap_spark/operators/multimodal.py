@@ -3380,15 +3380,17 @@ def probe_media(df: DataFrame, with_status: bool = False,
     :func:`_make_mp3_prober`), ``'ogg'`` (RFC 3533 page walk with
     OpusHead/Vorbis ident parsing, :func:`_make_ogg_prober`), ``'png'`` (APNG/PNG
     chunk-header walk — dims, acTL frame count, summed fcTL delays,
-    :func:`_make_apng_prober`; stills probe as 1-frame 'png'), or
-    ``'auto'`` (per-row magic routing across all seven). Metadata-only: no frame decode, no
+    :func:`_make_apng_prober`; stills probe as 1-frame 'png'),
+    ``'avi'`` (RIFF hdrl/avih/strh/strf walk — dims, frame count,
+    duration, stream codecs, :func:`_make_avi_prober`), or
+    ``'auto'`` (per-row magic routing across all eight). Metadata-only: no frame decode, no
     ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
     header size regardless of payload bytes. Unrecognized/malformed
     rows NULL out; ``with_status=True`` appends the
     ok/corrupt/unsupported reason — the same contract as
     :func:`decode_media`/:func:`decode_audio`."""
     kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3", "ogg",
-             "png")
+             "png", "avi")
     if container not in kinds:
         raise ValueError(
             f"container must be {'|'.join(kinds)}: {container!r}")
@@ -3400,6 +3402,7 @@ def probe_media(df: DataFrame, with_status: bool = False,
     mp3 = _make_mp3_prober() if container in ("auto", "mp3") else None
     ogg = _make_ogg_prober() if container in ("auto", "ogg") else None
     png = _make_apng_prober() if container in ("auto", "png") else None
+    avi = _make_avi_prober() if container in ("auto", "avi") else None
 
     def prober(payload):
         if container == "bmff":
@@ -3416,6 +3419,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return ogg(payload)
         if container == "png":
             return png(payload)
+        if container == "avi":
+            return avi(payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -3424,6 +3429,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
                 return bmff(payload)
             if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
                 return webp(payload)
+            if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                return avi(payload)
             if head[:4] == b"\x1a\x45\xdf\xa3":
                 return ebml(payload)
             if head[:3] == b"ID3" or (len(head) >= 2
@@ -3881,6 +3888,91 @@ def payload_checksum(payload: Column, mod: int = 1_000_000_007) -> Column:
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"))
+
+
+def _make_avi_prober():
+    """Build the clean-room AVI (RIFF 'AVI ' — the public
+    AVIMAINHEADER/AVISTREAMHEADER layouts) metadata PROBER: a RIFF
+    chunk walk into the ``hdrl`` LIST — ``avih`` for frame period,
+    total frames, stream count and dims; each ``strl``'s ``strh`` for
+    the stream type ('vids'/'auds') and handler fourcc. Metadata-only:
+    ``movi`` payloads are skipped by chunk size, so cost is O(header
+    chunks), not O(media bytes). Returns the same tuple shape as the
+    BMFF prober with ``major_brand`` = 'avi'; ``None`` for malformed
+    streams, ``"unsupported: not AVI"`` otherwise. Nested function,
+    captured by value (house rule)."""
+    import struct
+
+    def probe(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" \
+                or data[8:12] != b"AVI ":
+            return "unsupported: not AVI"
+        try:
+            riff_size = struct.unpack("<I", data[4:8])[0]
+            end = min(len(data), 8 + riff_size)
+            us_per_frame = total = streams = None
+            w = h = None
+            vcodec = acodec = None
+
+            def chunks(lo, hi):
+                pos = lo
+                while pos + 8 <= hi:
+                    cid, ln = struct.unpack("<4sI", data[pos:pos + 8])
+                    body_end = pos + 8 + ln
+                    if body_end > hi:
+                        raise ValueError("overruns parent")
+                    yield cid, pos + 8, body_end
+                    pos = body_end + (ln & 1)  # chunks are word-aligned
+
+            def walk(lo, hi):
+                nonlocal us_per_frame, total, streams, w, h
+                nonlocal vcodec, acodec
+                stream_type = None
+                for cid, s, e in chunks(lo, hi):
+                    if cid == b"LIST":
+                        if e - s < 4:
+                            raise ValueError("short LIST")
+                        ltype = data[s:s + 4]
+                        if ltype in (b"hdrl", b"strl"):
+                            walk(s + 4, e)
+                        # movi / INFO / odml payloads skipped by size
+                    elif cid == b"avih" and e - s >= 40:
+                        (us_per_frame, _mb, _pg, _fl, total, _ini,
+                         streams, _buf, w, h) = struct.unpack(
+                            "<10I", data[s:s + 40])
+                    elif cid == b"strh" and e - s >= 8:
+                        stream_type = data[s:s + 4]
+                        fourcc = data[s + 4:s + 8]
+                        name = fourcc.decode("ascii", "replace") \
+                            .strip("\x00 ").lower() or None
+                        if stream_type == b"vids" and vcodec is None:
+                            vcodec = name
+                    elif cid == b"strf" and stream_type == b"auds" \
+                            and e - s >= 2 and acodec is None:
+                        # audio codec comes from WAVEFORMATEX's
+                        # wFormatTag, not the strh handler fourcc
+                        tag = struct.unpack("<H", data[s:s + 2])[0]
+                        acodec = {1: "pcm", 0x55: "mp3", 0xFF: "aac",
+                                  0x2000: "ac3", 3: "float",
+                                  6: "alaw", 7: "mulaw"}.get(
+                                      tag, f"tag_0x{tag:04x}")
+
+            walk(12, end)
+            if us_per_frame is None or not w or not h:
+                return None
+            dur = None
+            if total and us_per_frame:
+                dur = total * us_per_frame // 1000
+            return ("avi", dur, int(w), int(h), vcodec, acodec,
+                    int(streams) if streams else None,
+                    int(total) if total else None)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return probe
 
 
 def _make_mp3_prober():

@@ -78,6 +78,8 @@ GOLDENS = {
     "flac": ["pluck-pcm16.flac"],
     "mp3": ["test.mp3"],
     "mp4": ["probe.mp4"],
+    # RIFF AVI (r13): mutations hit the hdrl/avih/strl metadata walk
+    "avi": ["probe.avi"],
     # spec-assembled HEIF-family stills (r12): mutations hit
     # the meta/iprp/ipco/ispe primary-item walk
     "avif": ["probe.avif", "probe.heic"],
@@ -138,7 +140,8 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
                 "webm": mm._make_ebml_prober(),
                 "mp3": mm._make_mp3_prober(),
-                "apng": mm._make_apng_decoder()}
+                "apng": mm._make_apng_decoder(),
+                "avi": mm._make_avi_prober()}
     gif_probe = mm._make_gif_prober()
     apng_probe = mm._make_apng_prober()
     webp_probe = _make_webp_prober()
@@ -183,7 +186,7 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
-        if not audio and fmt not in ("mp4", "webm", "avif"):
+        if not audio and fmt not in ("mp4", "webm", "avif", "avi"):
             checks.append(("transcode", transcode))
         if fmt == "gif":
             checks.append(("gif-probe", gif_probe))

@@ -3886,3 +3886,81 @@ def test_apng_golden_pinned():
     # the STILL decoder sees the default image (frame 0 rides IDAT)
     still = M._make_png_decoder()(_assemble_apng_golden())
     assert isinstance(still, tuple) and still[:2] == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# AVI prober (r13): RIFF hdrl/avih/strl walk, spec-assembled golden.
+# ---------------------------------------------------------------------------
+
+def _avi_chunk(cid, body):
+    import struct
+
+    pad = b"\x00" if len(body) & 1 else b""
+    return struct.pack("<4sI", cid, len(body)) + body + pad
+
+
+def _avi_list(ltype, body):
+    return _avi_chunk(b"LIST", ltype + body)
+
+
+def _assemble_probe_avi():
+    """Minimal AVI per the public AVIMAINHEADER/AVISTREAMHEADER
+    layouts: avih (40 fps-period/frames/streams/dims), a vids strl
+    (mjpg handler) and an auds strl (strf WAVEFORMATEX wFormatTag =
+    0x55 MP3), plus an opaque movi LIST the metadata walk must skip."""
+    import struct
+
+    avih = struct.pack("<10I", 33_333, 0, 0, 0, 90, 0, 2, 0,
+                       640, 360) + b"\x00" * 16
+    strh_v = (b"vids" + b"MJPG" + b"\x00" * 48)
+    strf_v = b"\x00" * 40  # BITMAPINFOHEADER stub (unused by probe)
+    strl_v = _avi_list(b"strl", _avi_chunk(b"strh", strh_v)
+                       + _avi_chunk(b"strf", strf_v))
+    strh_a = (b"auds" + b"\x00" * 52)
+    strf_a = struct.pack("<HHIIHH", 0x55, 2, 22050, 0, 0, 0)
+    strl_a = _avi_list(b"strl", _avi_chunk(b"strh", strh_a)
+                       + _avi_chunk(b"strf", strf_a))
+    hdrl = _avi_list(b"hdrl", _avi_chunk(b"avih", avih)
+                     + strl_v + strl_a)
+    movi = _avi_list(b"movi", _avi_chunk(b"00dc", b"\xde\xad" * 40))
+    body = b"AVI " + hdrl + movi
+    return _avi_chunk(b"RIFF", body)
+
+
+def test_avi_prober_and_golden():
+    probe = M._make_avi_prober()
+    data = _assemble_probe_avi()
+    got = probe(data)
+    # 90 frames x 33333 us = 2999 ms; mjpg video, mp3 audio, 2 streams
+    assert got == ("avi", 2999, 640, 360, "mjpg", "mp3", 2, 90)
+    with open(os.path.join(FIXTURES, "probe.avi"), "rb") as f:
+        assert f.read() == data  # committed golden byte-pinned
+    assert probe(b"RIFF\x04\x00\x00\x00WAVE") == "unsupported: not AVI"
+    assert probe(b"junk") == "unsupported: not AVI"
+    # truncation sweep: contract, never a raise
+    for k in range(len(data)):
+        r = probe(data[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+    # movi payloads are skipped by size: a 1 MB movi costs the same
+    # walk (the probe still returns identical metadata)
+    import struct as _s
+    big_movi = _avi_list(b"movi", _avi_chunk(b"00dc", b"\x00" * (1 << 20)))
+    hdr_part = data[12:data.find(b"LIST", data.find(b"movi") - 8)]
+    big = (_s.pack("<4sI", b"RIFF", len(b"AVI " + hdr_part + big_movi))
+           + b"AVI " + hdr_part + big_movi)
+    assert probe(big)[:8] == got
+
+
+def test_avi_through_probe_media(spark):
+    df = spark.createDataFrame(
+        [(1, "video", _assemble_probe_avi()),
+         (2, "video", _fix("probe.mp4"))],
+        "media_id long, media_type string, payload binary")
+    rows = {r["media_id"]: r
+            for r in M.probe_media(df, with_status=True).collect()}
+    assert rows[1]["major_brand"] == "avi"
+    assert rows[1]["video_codec"] == "mjpg"
+    assert rows[1]["audio_codec"] == "mp3"
+    assert rows[1]["frame_count"] == 90
+    assert rows[1]["duration_ms"] == 2999
+    assert rows[2]["major_brand"] is not None  # mp4 path untouched
