@@ -11,14 +11,17 @@ companions of tests/test_vp8_inter.py's property tests. Two families:
   per-segment quantizers and random LF-delta state; every luma and
   chroma 4x4 is checked against the independent per-pixel six-tap
   reimplementation (run_subpel_property_seed).
+- --bilinear (r13): the same randomized space on VERSION-1 frames
+  (bilinear reconstruction filter), expectations via the independent
+  two-tap reimplementation (run_bilinear_property_seed).
 
 Each seed exercises a random neighbor configuration of the §16.3
 candidate survey, sub-MV contexts and partition fills; any
 encoder/decoder disagreement desynchronizes the §7 arithmetic and
 fails loudly.
 
-Usage: python scripts/randomized_sweep_vp8_inter.py [--subpel]
-           [n_seeds] [base]
+Usage: python scripts/randomized_sweep_vp8_inter.py
+           [--subpel | --bilinear] [n_seeds] [base]
 Defaults: 500 seeds from base 1000. One summary line; non-zero exit
 on any failure. Requires libwebp (the initial key frame is a real
 encode) — exits 0 with a SKIP line when absent.
@@ -36,8 +39,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 
 
-def run(n_seeds: int, base: int, subpel: bool) -> int:
+def run(n_seeds: int, base: int, family: str) -> int:
     from test_vp8_inter import (_keyframe_and_planes,
+                                run_bilinear_property_seed,
                                 run_fullpel_property_seed,
                                 run_subpel_property_seed)
     from test_webp_config_sweep import _libwebp
@@ -45,9 +49,10 @@ def run(n_seeds: int, base: int, subpel: bool) -> int:
         print("vp8-inter sweep: SKIP (libwebp unavailable)")
         return 0
     payload, seq, kf = _keyframe_and_planes(w=48, h=32)
-    runner = run_subpel_property_seed if subpel \
-        else run_fullpel_property_seed
-    fam = "subpel" if subpel else "fullpel"
+    runner = {"subpel": run_subpel_property_seed,
+              "bilinear": run_bilinear_property_seed,
+              "fullpel": run_fullpel_property_seed}[family]
+    fam = family
     t0 = time.time()
     failures = 0
     for seed in range(base, base + n_seeds):
@@ -66,9 +71,12 @@ def run(n_seeds: int, base: int, subpel: bool) -> int:
 
 if __name__ == "__main__":
     argv = list(sys.argv[1:])
-    sub = "--subpel" in argv
-    if sub:
-        argv.remove("--subpel")
+    family = "fullpel"
+    for flag, name in (("--subpel", "subpel"),
+                       ("--bilinear", "bilinear")):
+        if flag in argv:
+            family = name
+            argv.remove(flag)
     n = int(argv[0]) if len(argv) > 0 else 500
     b = int(argv[1]) if len(argv) > 1 else 1000
-    sys.exit(run(n, b, sub))
+    sys.exit(run(n, b, family))

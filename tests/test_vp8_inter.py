@@ -1755,3 +1755,167 @@ def test_randomized_subpel_inter_property_sweep():
     payload, seq, kf = _keyframe_and_planes(w=48, h=32)
     for seed in range(40):
         run_subpel_property_seed(seed, seq, payload, kf)
+
+
+def _bilinear_ref(plane, fy, fx, yf, xf, h, w):
+    """Independent per-pixel two-tap bilinear reimplementation
+    (horizontal pass on rows r and r+1, then vertical; both passes
+    rounded +64 >> 7, per the RFC and the version-1 deterministic
+    test's inline math)."""
+    tx, ty = _BILINEAR_FILTERS[xf], _BILINEAR_FILTERS[yf]
+
+    def f2(a, b, t):
+        return (int(a) * t[0] + int(b) * t[1] + 64) >> 7
+
+    out = np.zeros((h, w), np.uint8)
+    if xf and yf:
+        tmp = np.zeros((h + 1, w), np.int32)
+        for r in range(h + 1):
+            for c in range(w):
+                tmp[r, c] = f2(plane[fy + r, fx + c],
+                               plane[fy + r, fx + c + 1], tx)
+        for r in range(h):
+            for c in range(w):
+                out[r, c] = f2(tmp[r, c], tmp[r + 1, c], ty)
+    elif xf:
+        for r in range(h):
+            for c in range(w):
+                out[r, c] = f2(plane[fy + r, fx + c],
+                               plane[fy + r, fx + c + 1], tx)
+    else:
+        for r in range(h):
+            for c in range(w):
+                out[r, c] = f2(plane[fy + r, fx + c],
+                               plane[fy + r + 1, fx + c], ty)
+    return out
+
+
+def run_bilinear_property_seed(seed, seq, payload, kf):
+    """The sub-pel property family for VERSION-1 frames (bilinear
+    reconstruction filter): same randomized quarter-pel MV / mode /
+    residual / segment-quantizer / LF-delta space as
+    run_subpel_property_seed, expectations routed through the
+    INDEPENDENT two-tap bilinear reimplementation."""
+    from realtime_olap_spark.operators.vp8 import _AC_QLOOKUP
+
+    rng = random.Random(f"vp8-bilin-{seed}")
+    w, h = kf[0], kf[1]
+    mbw, mbh = w // 16, h // 16
+    nmb = mbw * mbh
+    ry, ru, rv = (_pad_ref(p) for p in kf[2:5])
+
+    def rmv():
+        return (2 * rng.randrange(-24, 25), 2 * rng.randrange(-24, 25))
+
+    seg = None
+    seg_q = [0, 0, 0, 0]
+    ids = [0] * nmb
+    if rng.random() < 0.5:
+        seg_q = [rng.choice([0, 20, 40, 60, 80]) for _ in range(4)]
+        ids = [rng.randrange(4) for _ in range(nmb)]
+        seg = dict(update_map=1, update_data=1, abs=1,
+                   quant=seg_q, lf=[0] * 4, ids=ids)
+    lf_deltas = None
+    if rng.random() < 0.5:
+        lf_deltas = ([rng.randrange(-6, 7) for _ in range(4)],
+                     [rng.randrange(-6, 7) for _ in range(4)])
+
+    mbs = []
+    resid_plan = {}
+    for i in range(nmb):
+        mode = rng.choice(["zero", "new", "new", "nearest", "near",
+                           "split", "intra_dc"])
+        spec = {"mode": mode}
+        if mode == "new":
+            spec["mv"] = rmv()
+        elif mode == "split":
+            st = rng.randrange(4)
+            spec["split_type"] = st
+            per_part = [rmv() for _ in range(_MBSPLIT_COUNT[st])]
+            spec["submvs"] = [per_part[_MBSPLITS[st][sb]]
+                              for sb in range(16)]
+        if mode in ("zero", "new", "nearest", "near") \
+                and rng.random() < 0.5:
+            blk = rng.randrange(16)
+            pos = rng.randrange(1, 16)
+            lvl = rng.choice([-3, -2, -1, 1, 2, 3])
+            yb = [[0] * 16 for _ in range(16)]
+            row = [0] * 16
+            row[pos] = lvl
+            yb[blk] = row
+            spec["skip"] = False
+            spec["coeffs"] = {"y": yb}
+            resid_plan[i] = (blk, pos, lvl)
+        mbs.append(spec)
+    seq.reset()
+    assert isinstance(seq(payload), tuple)
+    rec = []
+    enc = InterFrameEncoder(mbw, mbh)
+    res = seq(enc.assemble(version=1, mbs=mbs, record=rec,
+                           segmentation=seg, lf_deltas=lf_deltas))
+    assert isinstance(res, tuple), (seed, res)
+    assert len(rec) == nmb
+    zz = V._ZIGZAG
+    for i, (mode, mv) in enumerate(rec):
+        my, mx = divmod(i, mbw)
+        py, px = 16 * my, 16 * mx
+        if mode == "intra":
+            continue
+        qac = _AC_QLOOKUP[seg_q[ids[i]]] if seg is not None else 4
+        subs = mv if mode == "split" else [mv] * 16
+        for sb in range(16):
+            mvr, mvc = subs[sb]
+            by, bx = py + 4 * (sb >> 2), px + 4 * (sb & 3)
+            if (mvr & 7) or (mvc & 7):
+                exp = _bilinear_ref(ry, BORDER + by + (mvr >> 3),
+                                    BORDER + bx + (mvc >> 3),
+                                    mvr & 7, mvc & 7, 4,
+                                    4).astype(np.int32)
+            else:
+                exp = ry[BORDER + by + (mvr >> 3):
+                         BORDER + by + (mvr >> 3) + 4,
+                         BORDER + bx + (mvc >> 3):
+                         BORDER + bx + (mvc >> 3) + 4].astype(np.int32)
+            if i in resid_plan and resid_plan[i][0] == sb:
+                _, pos, lvl = resid_plan[i]
+                deq = [0] * 16
+                deq[zz[pos]] = lvl * qac
+                exp = exp + np.array(_idct_ref(deq),
+                                     np.int32).reshape(4, 4)
+            exp = np.clip(exp, 0, 255).astype(np.uint8)
+            assert (res[2][by:by + 4, bx:bx + 4] == exp).all(), \
+                (seed, i, sb, mode, (mvr, mvc))
+        for ci in range(2):
+            for cj in range(2):
+                b0 = ci * 8 + cj * 2
+                tr = sum(subs[b][0] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+                tc = sum(subs[b][1] for b in (b0, b0 + 1, b0 + 4,
+                                              b0 + 5))
+
+                def avg8(t):
+                    t2 = t + (4 if t >= 0 else -4)
+                    q = abs(t2) >> 3
+                    return q if t2 >= 0 else -q
+
+                ur, uc = avg8(tr), avg8(tc)
+                cy, cx = 8 * my + 4 * ci, 8 * mx + 4 * cj
+                for plane, refp in ((res[3], ru), (res[4], rv)):
+                    if (ur & 7) or (uc & 7):
+                        exp = _bilinear_ref(refp,
+                                            BORDER + cy + (ur >> 3),
+                                            BORDER + cx + (uc >> 3),
+                                            ur & 7, uc & 7, 4, 4)
+                    else:
+                        exp = refp[BORDER + cy + (ur >> 3):
+                                   BORDER + cy + (ur >> 3) + 4,
+                                   BORDER + cx + (uc >> 3):
+                                   BORDER + cx + (uc >> 3) + 4]
+                    assert (plane[cy:cy + 4, cx:cx + 4] == exp).all(), \
+                        (seed, i, ci, cj, (ur, uc))
+
+
+def test_randomized_bilinear_inter_property_sweep():
+    payload, seq, kf = _keyframe_and_planes(w=48, h=32)
+    for seed in range(40):
+        run_bilinear_property_seed(seed, seq, payload, kf)
