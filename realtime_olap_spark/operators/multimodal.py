@@ -413,12 +413,20 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     captured by value (house rule). Strip AND tiled
     (§15, full-size edge-padded tiles) layouts, chunky AND planar
     (tag 284 = 2: plane-major strip/tile arrays re-interleaved, r13)
-    configurations; JPEG-in-TIFF and non-8-bit depths return an
-    ``"unsupported: …"`` reason; same three-valued contract as the
-    other codecs."""
+    configurations; NEW-STYLE JPEG-in-TIFF (compression 7, r13) routes
+    each strip/tile through the clean-room JPEG codec — shared
+    ``JPEGTables`` (tag 347) spliced after each chunk's SOI,
+    MCU-padded edges cropped to the strip/tile grid; photometric 1/0
+    (gray) and 6 (YCbCr, the JPEG codec's own conversion) only, since
+    photometric-2 RGB is stored untransformed and would be wrongly
+    YCbCr-converted. Old-style compression 6 and non-8-bit depths
+    return an ``"unsupported: …"`` reason; same three-valued contract
+    as the other codecs."""
     import struct
 
     import numpy as np
+
+    jpeg = _make_jpeg_decoder(max_pixels)
 
     def unpackbits(src, want):
         out = bytearray()
@@ -504,8 +512,9 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             if magic != 42:
                 return None
             n = struct.unpack(bo + "H", data[ifd_ofs:ifd_ofs + 2])[0]
-            TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+            TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
             tags = {}
+            jpeg_tables = None
             for i in range(n):
                 e = data[ifd_ofs + 2 + i * 12:ifd_ofs + 14 + i * 12]
                 if len(e) != 12:
@@ -518,6 +527,8 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     struct.unpack(bo + "I", e[8:12])[0]:][:size]
                 if len(raw) < size:
                     return None
+                if tag == 347:  # JPEGTables (type 7 UNDEFINED)
+                    jpeg_tables = raw[:size]
                 fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
                 if fmt:
                     tags[tag] = struct.unpack(bo + fmt * cnt, raw[:size])
@@ -545,15 +556,48 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             # the offset/count arrays are plane-major (all of channel 0's
             # strips/tiles first), each chunk carrying ONE sample/pixel
             planar = tags.get(284, (1,))[0] == 2 and spp > 1
-            if comp not in (1, 5, 32773):
+            if comp not in (1, 5, 7, 32773):
                 return f"unsupported: TIFF compression {comp}"
             predictor = tags.get(317, (1,))[0]
             if predictor not in (1, 2):
                 return f"unsupported: TIFF predictor {predictor}"
-            if photo not in (0, 1, 2, 3) or any(b != 8 for b in bits):
+            if comp == 7:
+                # new-style JPEG: the entropy/depth space is the JPEG
+                # stream's own; photometric 2 (RGB stored untransformed)
+                # would be wrongly YCbCr-converted by the codec
+                if photo not in (0, 1, 6):
+                    return ("unsupported: TIFF photometric "
+                            f"{photo} with JPEG")
+                if planar:
+                    return "unsupported: planar JPEG TIFF"
+            elif photo not in (0, 1, 2, 3) or any(b != 8 for b in bits):
                 return (f"unsupported: TIFF photometric {photo}"
                         if photo not in (0, 1, 2, 3)
                         else "unsupported: non-8-bit TIFF")
+
+            def jpeg_chunk(chunk, exp_w, exp_h):
+                """One comp-7 strip/tile through the JPEG codec:
+                splice the shared tables after the chunk's SOI, crop
+                the MCU-padded edges to the grid cell. Returns the
+                pixel array, an 'unsupported: …' string, or None."""
+                if len(chunk) < 2 or chunk[:2] != b"\xff\xd8":
+                    return None
+                if jpeg_tables is not None \
+                        and len(jpeg_tables) >= 4 \
+                        and jpeg_tables[:2] == b"\xff\xd8":
+                    body = jpeg_tables[2:]
+                    if body[-2:] == b"\xff\xd9":
+                        body = body[:-2]
+                    chunk = chunk[:2] + bytes(body) + chunk[2:]
+                r = jpeg(chunk)
+                if not isinstance(r, tuple):
+                    return r
+                jw, jh, jc, jpx = r
+                if jw < exp_w or jh < exp_h:
+                    return None
+                if jc != (3 if photo == 6 else 1):
+                    return None  # stream/photometric mismatch
+                return jpx[:exp_h, :exp_w]
             def decompress(chunk, want):
                 if comp == 32773:
                     return unpackbits(chunk, want)
@@ -587,12 +631,24 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     return ("unsupported: image too large "
                             f"({w}x{h} tiled {tw}x{tl})")
                 cpp = 1 if planar else spp  # channels per chunk
-                px = np.zeros((td * tl, ta * tw, spp), np.uint8)
+                out_ch = ((3 if photo == 6 else 1) if comp == 7
+                          else spp)
+                px = np.zeros((td * tl, ta * tw, out_ch), np.uint8)
                 want = tl * tw * cpp
                 for ti, (ofs, cnt) in enumerate(zip(offsets, counts)):
                     chunk = data[ofs:ofs + cnt]
                     if len(chunk) != cnt:
                         return None
+                    if comp == 7:
+                        jt = jpeg_chunk(chunk, tw, tl)
+                        if isinstance(jt, str):
+                            return jt
+                        if jt is None:
+                            return None
+                        ty, tx = divmod(ti, ta)
+                        px[ty * tl:(ty + 1) * tl,
+                           tx * tw:(tx + 1) * tw] = jt
+                        continue
                     chunk = decompress(chunk, want)
                     if chunk is None:
                         return None
@@ -642,6 +698,27 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     px = np.stack(planes, axis=-1)
                     if predictor == 2:
                         px = undiff(px)  # per-channel along width
+                elif comp == 7:
+                    want_rows = [min(rps, h - i * rps)
+                                 for i in range(len(offsets))]
+                    parts = []
+                    for (ofs, cnt), rows in zip(zip(offsets, counts),
+                                                want_rows):
+                        chunk = data[ofs:ofs + cnt]
+                        if len(chunk) != cnt or rows <= 0:
+                            return None
+                        jp = jpeg_chunk(chunk, w, rows)
+                        if isinstance(jp, str):
+                            return jp
+                        if jp is None:
+                            return None
+                        parts.append(jp)
+                    if not parts:
+                        return None
+                    px = np.concatenate(parts, axis=0)
+                    if px.shape[0] < h:
+                        return None
+                    px = px[:h]
                 else:
                     want_rows = [min(rps, h - i * rps)
                                  for i in range(len(offsets))]

@@ -1142,10 +1142,16 @@ def test_tiff_synthetic_variants_and_rejects():
     w, h, ch, px = dec(tiff(b"II", e, tail))
     assert (w, h, ch) == (2, 2, 3) and (px == rgb).all()
 
-    # -- gates + malformed -- (LZW is SUPPORTED as of r11; JPEG-in-TIFF
-    # stays gated, as does an unknown predictor)
+    # -- gates + malformed -- (LZW is SUPPORTED as of r11; NEW-style
+    # JPEG (comp 7) is SUPPORTED as of r13 but not with photometric-2
+    # RGB, which this fixture declares; OLD-style comp 6 stays gated,
+    # as does an unknown predictor)
     e_jpg = [x if x[0] != 259 else (259, 3, 1, short("<", 7)) for x in e]
-    assert dec(tiff(b"II", e_jpg, tail)) == "unsupported: TIFF compression 7"
+    assert dec(tiff(b"II", e_jpg, tail)) \
+        == "unsupported: TIFF photometric 2 with JPEG"
+    e_jpg6 = [x if x[0] != 259 else (259, 3, 1, short("<", 6)) for x in e]
+    assert dec(tiff(b"II", e_jpg6, tail)) \
+        == "unsupported: TIFF compression 6"
     e_pred = e + [(317, 3, 1, short("<", 3))]
     assert dec(tiff(b"II", e_pred, tail)) == "unsupported: TIFF predictor 3"
     assert dec(b"II*") is None
@@ -3964,3 +3970,192 @@ def test_avi_through_probe_media(spark):
     assert rows[1]["frame_count"] == 90
     assert rows[1]["duration_ms"] == 2999
     assert rows[2]["major_brand"] is not None  # mp4 path untouched
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7, r13): strips/tiles through the clean-room
+# JPEG codec, differential against the codec run directly on the parts.
+# ---------------------------------------------------------------------------
+
+def _tiff7(w, h, photo, spp, chunks_bytes, rps=None, tiled=None,
+           jpeg_tables=None):
+    """Assemble a little-endian compression-7 TIFF whose strip/tile
+    payloads are the given JPEG byte strings. ``tiled`` = (tw, tl)."""
+    import struct
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    tail = b""
+    pos0 = 8
+    extra = []  # (tag, typ, cnt, val) for out-of-line arrays
+    if jpeg_tables is not None:
+        extra.append((347, 7, len(jpeg_tables), pos0))
+        tail += jpeg_tables
+    offs, cnts = [], []
+    for cb in chunks_bytes:
+        offs.append(pos0 + len(tail))
+        cnts.append(len(cb))
+        tail += cb
+    n = len(chunks_bytes)
+    if n == 1:
+        off_val = struct.pack("<I", offs[0])
+        cnt_val = struct.pack("<I", cnts[0])
+        off_e = (324 if tiled else 273, 4, 1, off_val)
+        cnt_e = (325 if tiled else 279, 4, 1, cnt_val)
+    else:
+        opos = pos0 + len(tail)
+        tail += struct.pack(f"<{n}I", *offs)
+        cpos = pos0 + len(tail)
+        tail += struct.pack(f"<{n}I", *cnts)
+        off_e = (324 if tiled else 273, 4, n, struct.pack("<I", opos))
+        cnt_e = (325 if tiled else 279, 4, n, struct.pack("<I", cpos))
+    e = [(256, 3, 1, short(w)), (257, 3, 1, short(h)),
+         (259, 3, 1, short(7)), (262, 3, 1, short(photo)),
+         (277, 3, 1, short(spp)), off_e, cnt_e]
+    if rps is not None:
+        e.append((278, 3, 1, short(rps)))
+    if tiled:
+        e.append((322, 3, 1, short(tiled[0])))
+        e.append((323, 3, 1, short(tiled[1])))
+    ents = []
+    for tag, typ, cnt, val in e + extra:
+        if isinstance(val, int):  # pointer into tail
+            val = struct.pack("<I", val)
+        ents.append(entry(tag, typ, cnt, val))
+    ents.sort(key=lambda b: b[:2])  # IFD entries sorted by tag
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(ents)) + b"".join(ents) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+def test_tiff_jpeg_compression_strips_tiles_tables():
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+    jdec = M._make_jpeg_decoder()
+
+    # -- grayscale, 2 strips of 8 rows: TIFF path == JPEG codec on
+    # the parts (DC-only streams decode bit-exactly)
+    s1 = _encode_flat_jpeg([[100, 110]], 16, 8)
+    s2 = _encode_flat_jpeg([[120, 130]], 16, 8)
+    res = dec(_tiff7(16, 16, 1, 1, [s1, s2], rps=8))
+    assert isinstance(res, tuple), res
+    w, h, ch, px = res
+    assert (w, h, ch) == (16, 16, 1)
+    want = np.concatenate([jdec(s1)[3], jdec(s2)[3]], axis=0)
+    assert (px == want).all()
+
+    # -- MCU-padded edge: the strip JPEG is taller than its grid rows
+    s_tall = _encode_flat_jpeg([[90, 95, 85, 80]], 16, 16)
+    res = dec(_tiff7(16, 12, 1, 1, [s_tall], rps=12))
+    assert isinstance(res, tuple), res
+    assert res[:3] == (16, 12, 1)
+    assert (res[3] == jdec(s_tall)[3][:12]).all()
+
+    # -- YCbCr color (photometric 6), 4:2:0 — codec's own conversion
+    yv, cb, cr = 90, 100, 140
+    c1 = _encode_flat_jpeg([[yv] * 4, [cb], [cr]], 16, 16,
+                           sampling=[(2, 2), (1, 1), (1, 1)])
+    res = dec(_tiff7(16, 16, 6, 3, [c1], rps=16))
+    assert isinstance(res, tuple), res
+    assert res[:3] == (16, 16, 3)
+    assert (res[3] == jdec(c1)[3]).all()
+
+    # -- tiled: 2x1 grid of 16x16 tiles
+    t1 = _encode_flat_jpeg([[60, 70, 65, 75]], 16, 16)
+    t2 = _encode_flat_jpeg([[80, 85, 82, 88]], 16, 16)
+    res = dec(_tiff7(32, 16, 1, 1, [t1, t2], tiled=(16, 16)))
+    assert isinstance(res, tuple), res
+    assert res[:3] == (32, 16, 1)
+    assert (res[3][:, :16] == jdec(t1)[3]).all()
+    assert (res[3][:, 16:] == jdec(t2)[3]).all()
+
+    # -- shared JPEGTables (tag 347): tables split out of the stream,
+    # strip carries only SOI+SOF+SOS; decode == the self-contained twin
+    import struct
+
+    def split_tables(stream):
+        # walk marker segments; DQT/DHT go to the tables stream
+        tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+        pos = 2
+        while pos + 4 <= len(stream):
+            assert stream[pos] == 0xFF
+            m = stream[pos:pos + 2]
+            if m == b"\xff\xd9":
+                break
+            ln = struct.unpack(">H", stream[pos + 2:pos + 4])[0]
+            seg = stream[pos:pos + 2 + ln]
+            if m in (b"\xff\xdb", b"\xff\xc4"):
+                tables += seg
+            else:
+                rest += stream[pos:]  # SOF onward, verbatim
+                break
+            pos += 2 + ln
+        tables += b"\xff\xd9"
+        return bytes(tables), bytes(rest)
+
+    tables, bare = split_tables(s1)
+    assert b"\xff\xdb" in tables and b"\xff\xdb" not in bare
+    res = dec(_tiff7(16, 8, 1, 1, [bare], rps=8, jpeg_tables=tables))
+    assert isinstance(res, tuple), res
+    assert (res[3] == jdec(s1)[3]).all()
+    # without the tables the bare strip is undecodable -> None
+    assert dec(_tiff7(16, 8, 1, 1, [bare], rps=8)) is None
+
+    # -- gates: photometric 2 with JPEG; planar JPEG
+    assert dec(_tiff7(16, 8, 2, 3, [s1], rps=8)) \
+        == "unsupported: TIFF photometric 2 with JPEG"
+    full = _tiff7(16, 16, 1, 1, [s1, s2], rps=8)
+    # truncation sweep keeps the contract
+    for k in range(0, len(full), 7):
+        r = dec(full[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+
+
+def _assemble_jpeg_tiff_golden():
+    """2-strip grayscale compression-7 TIFF with shared JPEGTables —
+    the fuzz families mutate this (marker-level corruption must reach
+    the splice + JPEG codec path)."""
+    import struct
+
+    s1 = _encode_flat_jpeg([[100, 110]], 16, 8)
+    s2 = _encode_flat_jpeg([[120, 130]], 16, 8)
+
+    def split_tables(stream):
+        tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+        pos = 2
+        while pos + 4 <= len(stream):
+            m = stream[pos:pos + 2]
+            if m == b"\xff\xd9":
+                break
+            ln = struct.unpack(">H", stream[pos + 2:pos + 4])[0]
+            if m in (b"\xff\xdb", b"\xff\xc4"):
+                tables += stream[pos:pos + 2 + ln]
+            else:
+                rest += stream[pos:]
+                break
+            pos += 2 + ln
+        tables += b"\xff\xd9"
+        return bytes(tables), bytes(rest)
+
+    tables, b1 = split_tables(s1)
+    _, b2 = split_tables(s2)
+    return _tiff7(16, 16, 1, 1, [b1, b2], rps=8, jpeg_tables=tables)
+
+
+def test_jpeg_tiff_golden_pinned():
+    import numpy as np
+
+    with open(os.path.join(FIXTURES, "variant-jpeg.tiff"), "rb") as f:
+        assert f.read() == _assemble_jpeg_tiff_golden()
+    res = M._make_tiff_decoder()(_assemble_jpeg_tiff_golden())
+    assert isinstance(res, tuple) and res[:3] == (16, 16, 1)
+    want = np.array([100] * 8 + [110] * 8
+                    + [0] * 0, np.uint8)  # top-left block row values
+    assert (res[3][0, :, 0] == np.repeat([100, 110], 8)).all()
+    assert (res[3][8, :, 0] == np.repeat([120, 130], 8)).all()
