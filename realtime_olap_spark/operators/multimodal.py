@@ -406,8 +406,9 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
 def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     """Build the clean-room baseline-TIFF decoder (public TIFF 6.0 spec:
     II/MM byte orders, first IFD, strip-organized 8-bit samples;
-    uncompressed, PackBits AND LZW (§13, MSB-first with the
-    early-change rule) with the horizontal-differencing predictor
+    uncompressed, PackBits, LZW (§13, MSB-first with the
+    early-change rule) AND zlib Deflate (tags 8/32946, r13,
+    output-bounded) with the horizontal-differencing predictor
     (tag 317 = 2, §14); photometric gray (0/1, incl. the white-is-zero
     inversion), RGB(A) and palette via ColorMap). Nested function,
     captured by value (house rule). Strip AND tiled
@@ -423,6 +424,7 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     return an ``"unsupported: …"`` reason; same three-valued contract
     as the other codecs."""
     import struct
+    import zlib
 
     import numpy as np
 
@@ -556,7 +558,7 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             # the offset/count arrays are plane-major (all of channel 0's
             # strips/tiles first), each chunk carrying ONE sample/pixel
             planar = tags.get(284, (1,))[0] == 2 and spp > 1
-            if comp not in (1, 5, 7, 32773):
+            if comp not in (1, 5, 7, 8, 32773, 32946):
                 return f"unsupported: TIFF compression {comp}"
             predictor = tags.get(317, (1,))[0]
             if predictor not in (1, 2):
@@ -570,10 +572,23 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                             f"{photo} with JPEG")
                 if planar:
                     return "unsupported: planar JPEG TIFF"
-            elif photo not in (0, 1, 2, 3) or any(b != 8 for b in bits):
-                return (f"unsupported: TIFF photometric {photo}"
-                        if photo not in (0, 1, 2, 3)
-                        else "unsupported: non-8-bit TIFF")
+            elif photo not in (0, 1, 2, 3):
+                return f"unsupported: TIFF photometric {photo}"
+            depth16 = comp != 7 and all(b == 16 for b in bits)
+            if comp != 7 and not depth16 and any(b != 8 for b in bits):
+                return "unsupported: non-8/16-bit TIFF"
+            if depth16 and planar:
+                return "unsupported: planar 16-bit TIFF"
+            if depth16 and photo == 3:
+                return "unsupported: 16-bit palette TIFF"
+            bpsamp = 2 if depth16 else 1
+
+            def combine16(raw, shape):
+                # 16-bit samples in the file's byte order -> uint16
+                pairs = raw.reshape(*shape, 2).astype(np.uint16)
+                if bo == "<":
+                    return pairs[..., 0] | (pairs[..., 1] << 8)
+                return (pairs[..., 0] << 8) | pairs[..., 1]
 
             def jpeg_chunk(chunk, exp_w, exp_h):
                 """One comp-7 strip/tile through the JPEG codec:
@@ -603,14 +618,25 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     return unpackbits(chunk, want)
                 if comp == 5:
                     return tiff_lzw(chunk, want)
+                if comp in (8, 32946):
+                    # Adobe (8) / old-style (32946) zlib deflate —
+                    # decompressobj with max_length bounds the output
+                    # by the strip's expected size (bomb guard)
+                    try:
+                        out = zlib.decompressobj().decompress(
+                            bytes(chunk), want)
+                    except zlib.error:
+                        return None
+                    return out if len(out) >= want else None
                 return chunk if len(chunk) >= want else None
 
             def undiff(arr):
                 # horizontal differencing (§14): each sample stores
                 # the delta from its left neighbor — undo per
-                # row/channel with a cumulative sum mod 256
-                return (arr.astype(np.int32).cumsum(axis=1)
-                        & 0xFF).astype(np.uint8)
+                # row/channel with a cumulative sum mod 2^depth
+                mask = 0xFFFF if arr.dtype == np.uint16 else 0xFF
+                return (arr.astype(np.int64).cumsum(axis=1)
+                        & mask).astype(arr.dtype)
 
             if tiled:
                 # tiled layout (§15): full-size tw x tl tiles in
@@ -633,8 +659,9 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 cpp = 1 if planar else spp  # channels per chunk
                 out_ch = ((3 if photo == 6 else 1) if comp == 7
                           else spp)
-                px = np.zeros((td * tl, ta * tw, out_ch), np.uint8)
-                want = tl * tw * cpp
+                px = np.zeros((td * tl, ta * tw, out_ch),
+                              np.uint16 if depth16 else np.uint8)
+                want = tl * tw * cpp * bpsamp
                 for ti, (ofs, cnt) in enumerate(zip(offsets, counts)):
                     chunk = data[ofs:ofs + cnt]
                     if len(chunk) != cnt:
@@ -652,8 +679,9 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     chunk = decompress(chunk, want)
                     if chunk is None:
                         return None
-                    tile = np.frombuffer(bytes(chunk[:want]),
-                                         np.uint8).reshape(tl, tw, cpp)
+                    raw = np.frombuffer(bytes(chunk[:want]), np.uint8)
+                    tile = (combine16(raw, (tl, tw, cpp)) if depth16
+                            else raw.reshape(tl, tw, cpp))
                     if predictor == 2:
                         tile = undiff(tile)
                     c, t = divmod(ti, n_tiles) if planar else (0, ti)
@@ -728,16 +756,24 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                         chunk = data[ofs:ofs + cnt]
                         if len(chunk) != cnt:
                             return None
-                        chunk = decompress(chunk, rows * w * spp)
+                        chunk = decompress(chunk, rows * w * spp
+                                           * bpsamp)
                         if chunk is None:
                             return None
-                        body += chunk[:rows * w * spp]
-                    if len(body) < h * w * spp:
+                        body += chunk[:rows * w * spp * bpsamp]
+                    if len(body) < h * w * spp * bpsamp:
                         return None
-                    px = np.frombuffer(bytes(body[:h * w * spp]),
-                                       np.uint8).reshape(h, w, spp)
+                    raw = np.frombuffer(
+                        bytes(body[:h * w * spp * bpsamp]), np.uint8)
+                    px = (combine16(raw, (h, w, spp)) if depth16
+                          else raw.reshape(h, w, spp))
                     if predictor == 2:
                         px = undiff(px)
+            if depth16:
+                # 16-bit samples reduce to their high byte AFTER the
+                # predictor ran at full precision (the standard 16->8
+                # conversion; same documented reduction as PNG's)
+                px = (px >> 8).astype(np.uint8)
             if photo == 0:  # white-is-zero: invert
                 px = 255 - px
             if photo == 3:  # palette via ColorMap (16-bit per entry)

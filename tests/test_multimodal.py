@@ -4159,3 +4159,159 @@ def test_jpeg_tiff_golden_pinned():
                     + [0] * 0, np.uint8)  # top-left block row values
     assert (res[3][0, :, 0] == np.repeat([100, 110], 8)).all()
     assert (res[3][8, :, 0] == np.repeat([120, 130], 8)).all()
+
+
+def test_tiff_deflate_compression():
+    """Compression 8 / 32946 (zlib deflate, r13): strips and tiles,
+    with the horizontal-differencing predictor; output bounded by the
+    strip size (a crafted bomb can't expand past it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    def tiff(entries, tail):
+        hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+        ifd = struct.pack("<H", len(entries)) + b"".join(
+            entry(*e) for e in entries) + struct.pack("<I", 0)
+        return hdr + tail + ifd
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    rgb = (np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+           * 7 % 251)
+    for comp in (8, 32946):
+        # single deflate strip, chunky RGB
+        body = zlib.compress(rgb.tobytes())
+        e = [(256, 3, 1, short(4)), (257, 3, 1, short(3)),
+             (258, 3, 3, struct.pack("<I", 8)),
+             (259, 3, 1, short(comp)), (262, 3, 1, short(2)),
+             (277, 3, 1, short(3)), (278, 3, 1, short(3)),
+             (273, 4, 1, struct.pack("<I", 14)),
+             (279, 4, 1, struct.pack("<I", len(body)))]
+        tail = struct.pack("<HHH", 8, 8, 8) + body
+        res = dec(tiff(e, tail))
+        assert isinstance(res, tuple), (comp, res)
+        assert res[:3] == (4, 3, 3) and (res[3] == rgb).all()
+        # deflate + predictor 2
+        diffed = np.diff(rgb.astype(np.int16), axis=1,
+                         prepend=0).astype(np.uint8)
+        body2 = zlib.compress(diffed.tobytes())
+        e2 = [x if x[0] != 279
+              else (279, 4, 1, struct.pack("<I", len(body2)))
+              for x in e] + [(317, 3, 1, short(2))]
+        res = dec(tiff(e2, struct.pack("<HHH", 8, 8, 8) + body2))
+        assert isinstance(res, tuple), (comp, res)
+        assert (res[3] == rgb).all()
+    # truncated / corrupt deflate stream -> None, never a raise
+    assert dec(tiff(e, tail[:-4])) is None
+    bad_body = b"\x00\x01notzlib"
+    e_bad = [x if x[0] != 279
+             else (279, 4, 1, struct.pack("<I", len(bad_body)))
+             for x in e]
+    assert dec(tiff(e_bad, struct.pack("<HHH", 8, 8, 8) + bad_body)) \
+        is None
+    # a deflate bomb (1 MB of zeros claiming a 12-byte strip) is
+    # bounded: decodes the strip's want and ignores the rest...
+    # (the 64x64 header keeps w*h under max_pixels; output is bounded
+    # by want so the expansion never materializes)
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    e_b = [(256, 3, 1, short(64)), (257, 3, 1, short(64)),
+           (258, 3, 1, short(8)), (259, 3, 1, short(8)),
+           (262, 3, 1, short(1)), (277, 3, 1, short(1)),
+           (278, 3, 1, short(64)),
+           (273, 4, 1, struct.pack("<I", 8)),
+           (279, 4, 1, struct.pack("<I", len(bomb)))]
+    res = dec(tiff(e_b, bomb))
+    assert isinstance(res, tuple) and res[:3] == (64, 64, 1)
+    assert (res[3] == 0).all()
+
+
+def test_tiff_16bit_depth():
+    """16-bit TIFF (r13 gate conversion): both byte orders, gray and
+    RGB, uncompressed + deflate, and the horizontal-differencing
+    predictor undone at FULL 16-bit precision before the documented
+    high-byte reduction (the same 16->8 conversion as PNG's)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    dec = M._make_tiff_decoder()
+
+    def entry(bo, tag, typ, cnt, val):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+    def tiff(bo_ch, entries, tail):
+        bo = "<" if bo_ch == b"II" else ">"
+        hdr = bo_ch + struct.pack(bo + "HI", 42, 8 + len(tail))
+        ifd = struct.pack(bo + "H", len(entries)) + b"".join(
+            entry(bo, *e) for e in entries) + struct.pack(bo + "I", 0)
+        return hdr + tail + ifd
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 65536, (3, 5)).astype(np.uint16)
+    for bo_ch, bo in ((b"II", "<"), (b"MM", ">")):
+        body = gray.astype("<u2" if bo == "<" else ">u2").tobytes()
+        e = [(256, 3, 1, struct.pack(bo + "HH", 5, 0)),
+             (257, 3, 1, struct.pack(bo + "HH", 3, 0)),
+             (258, 3, 1, struct.pack(bo + "HH", 16, 0)),
+             (259, 3, 1, struct.pack(bo + "HH", 1, 0)),
+             (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+             (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+             (278, 3, 1, struct.pack(bo + "HH", 3, 0)),
+             (273, 4, 1, struct.pack(bo + "I", 8)),
+             (279, 4, 1, struct.pack(bo + "I", len(body)))]
+        res = dec(tiff(bo_ch, e, body))
+        assert isinstance(res, tuple), (bo, res)
+        assert res[:3] == (5, 3, 1)
+        assert (res[3][:, :, 0] == (gray >> 8).astype(np.uint8)).all()
+    # RGB 16-bit + deflate + predictor 2: diffs carry 16-bit wrap that
+    # only full-precision undiffing recovers (a high-byte-first
+    # reduction would corrupt rows with borrows)
+    rgb = rng.randint(0, 65536, (2, 4, 3)).astype(np.uint16)
+    diffed = np.diff(rgb.astype(np.int64), axis=1,
+                     prepend=0).astype(np.uint16)
+    body = zlib.compress(diffed.astype("<u2").tobytes())
+    e = [(256, 3, 1, struct.pack("<HH", 4, 0)),
+         (257, 3, 1, struct.pack("<HH", 2, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 8, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (278, 3, 1, struct.pack("<HH", 2, 0)),
+         (317, 3, 1, struct.pack("<HH", 2, 0)),
+         (273, 4, 1, struct.pack("<I", 14)),
+         (279, 4, 1, struct.pack("<I", len(body)))]
+    tail = struct.pack("<HHH", 16, 16, 16) + body
+    res = dec(tiff(b"II", e, tail))
+    assert isinstance(res, tuple), res
+    assert res[:3] == (4, 2, 3)
+    assert (res[3] == (rgb >> 8).astype(np.uint8)).all()
+    # 16-bit tiled gray (single padded tile)
+    pad = np.zeros((4, 8), np.uint16)
+    pad[:3, :5] = gray
+    e_t = [(256, 3, 1, struct.pack("<HH", 5, 0)),
+           (257, 3, 1, struct.pack("<HH", 3, 0)),
+           (258, 3, 1, struct.pack("<HH", 16, 0)),
+           (259, 3, 1, struct.pack("<HH", 1, 0)),
+           (262, 3, 1, struct.pack("<HH", 1, 0)),
+           (277, 3, 1, struct.pack("<HH", 1, 0)),
+           (322, 3, 1, struct.pack("<HH", 8, 0)),
+           (323, 3, 1, struct.pack("<HH", 4, 0)),
+           (324, 4, 1, struct.pack("<I", 8)),
+           (325, 4, 1, struct.pack("<I", 64))]
+    res = dec(tiff(b"II", e_t, pad.astype("<u2").tobytes()))
+    assert isinstance(res, tuple), res
+    assert (res[3][:, :, 0] == (gray >> 8).astype(np.uint8)).all()
+    # 12-bit stays gated, with the updated name
+    e12 = [x if x[0] != 258 else (258, 3, 1, struct.pack("<HH", 12, 0))
+           for x in e_t]
+    assert dec(tiff(b"II", e12, pad.astype("<u2").tobytes())) \
+        == "unsupported: non-8/16-bit TIFF"
