@@ -66,8 +66,9 @@ GOLDENS = {
     "bmp": ["python.bmp", "variant-core8.bmp", "variant-core24.bmp"],
     "tiff": ["python.tiff", "variant-planar.tiff",
              "variant-planar-tiled.tiff",
-             # compression-7 JPEG strips + shared JPEGTables (r13)
-             "variant-jpeg.tiff"],
+             # compression-7 JPEG strips + shared JPEGTables,
+             # 16-bit + deflate + predictor (r13)
+             "variant-jpeg.tiff", "variant-16bit-deflate.tiff"],
     # animated PNG (r13): mutations hit the acTL/fcTL/fdAT compositor
     # and the APNG prober (still-PNG mutations reach them through the
     # shared magic too)

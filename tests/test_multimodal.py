@@ -4315,3 +4315,50 @@ def test_tiff_16bit_depth():
            for x in e_t]
     assert dec(tiff(b"II", e12, pad.astype("<u2").tobytes())) \
         == "unsupported: non-8/16-bit TIFF"
+
+
+def _assemble_16bit_deflate_tiff_golden():
+    """16-bit RGB + deflate + predictor-2 TIFF — the fuzz families
+    mutate this (corruption must reach the combine16/undiff/deflate
+    paths)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:4, 0:6]
+    rgb = np.stack([(xx * 9173) % 65536, (yy * 21157) % 65536,
+                    ((xx + yy) * 40961) % 65536],
+                   axis=-1).astype(np.uint16)
+    diffed = np.diff(rgb.astype(np.int64), axis=1,
+                     prepend=0).astype(np.uint16)
+    body = zlib.compress(diffed.astype("<u2").tobytes())
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    e = [(256, 3, 1, struct.pack("<HH", 6, 0)),
+         (257, 3, 1, struct.pack("<HH", 4, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 8, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (278, 3, 1, struct.pack("<HH", 4, 0)),
+         (317, 3, 1, struct.pack("<HH", 2, 0)),
+         (273, 4, 1, struct.pack("<I", 14)),
+         (279, 4, 1, struct.pack("<I", len(body)))]
+    tail = struct.pack("<HHH", 16, 16, 16) + body
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        entry(*x) for x in e) + struct.pack("<I", 0)
+    return hdr + tail + ifd, (rgb >> 8).astype(np.uint8)
+
+
+def test_16bit_deflate_tiff_golden_pinned():
+    data, want = _assemble_16bit_deflate_tiff_golden()
+    with open(os.path.join(FIXTURES, "variant-16bit-deflate.tiff"),
+              "rb") as f:
+        assert f.read() == data
+    res = M._make_tiff_decoder()(data)
+    assert isinstance(res, tuple) and res[:3] == (6, 4, 3)
+    assert (res[3] == want).all()
