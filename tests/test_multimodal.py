@@ -4362,3 +4362,93 @@ def test_16bit_deflate_tiff_golden_pinned():
     res = M._make_tiff_decoder()(data)
     assert isinstance(res, tuple) and res[:3] == (6, 4, 3)
     assert (res[3] == want).all()
+
+
+def run_apng_property_seed(seed):
+    """One randomized APNG: random canvas, 3-8 frames with random
+    regions, alphas, dispose (none/background/previous) and blend
+    (source/over) ops, random delays, random default-image placement.
+    The decoder's canvases must equal an INDEPENDENT numpy compositor
+    driven from the same frame plan (straight-alpha Porter-Duff in
+    float, the spec formula — written here, not shared with the
+    decoder)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    W, H = int(rng.randint(5, 24)), int(rng.randint(5, 20))
+    n = int(rng.randint(3, 9))
+    use_default = bool(rng.randint(2))
+    plan = []
+    for i in range(n):
+        fw = int(rng.randint(1, W + 1))
+        fh = int(rng.randint(1, H + 1))
+        fx = int(rng.randint(0, W - fw + 1))
+        fy = int(rng.randint(0, H - fh + 1))
+        px = rng.randint(0, 256, (fh, fw, 4)).astype(np.uint8)
+        if rng.randint(2):  # half the frames fully opaque
+            px[:, :, 3] = 255
+        ctl = {"x": fx, "y": fy, "dop": int(rng.randint(3)),
+               "bop": int(rng.randint(2)),
+               "dnum": int(rng.randint(0, 4)), "dden": 100}
+        if use_default and i == 0:
+            # fdAT-only animations: frame 0 any region; with IDAT as
+            # frame 0 the spec wants a full-canvas first frame — the
+            # assembler rides IDAT only when default_px is None
+            pass
+        plan.append((ctl, px))
+    default_px = rng.randint(0, 256, (H, W, 4)).astype(np.uint8) \
+        if use_default else None
+    if default_px is None:
+        # frame 0 rides IDAT: force full canvas (per spec)
+        ctl0, _ = plan[0]
+        ctl0["x"] = ctl0["y"] = 0
+        plan[0] = (ctl0, rng.randint(0, 256, (H, W, 4))
+                   .astype(np.uint8))
+    data = _assemble_apng(W, H, plan, default_px=default_px)
+    res = M._make_apng_decoder()(data)
+    assert isinstance(res, tuple), (seed, res)
+    w, h, frames = res
+    assert (w, h) == (W, H) and len(frames) == n
+
+    # independent compositor
+    canvas = np.zeros((H, W, 4), np.float64)
+    ts = 0
+    for i, ((ctl, px), got) in enumerate(zip(plan, frames)):
+        fx, fy = ctl["x"], ctl["y"]
+        fh, fw = px.shape[:2]
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        saved = region.copy()
+        dop = ctl["dop"]
+        if i == 0 and dop == 2:
+            dop = 1
+        if ctl["bop"] == 0:
+            region[:] = px
+        else:
+            sa = px[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4] / 255.0
+            oa = sa + da * (1 - sa)
+            rgb = px[:, :, :3] * sa + region[:, :, :3] * da * (1 - sa)
+            safe = np.where(oa == 0, 1.0, oa)
+            region[:, :, :3] = np.rint(
+                np.clip(rgb / safe, 0, 255))
+            region[:, :, 3:4] = np.rint(np.clip(oa * 255.0, 0, 255))
+        exp = np.rint(np.clip(canvas, 0, 255)).astype(np.uint8)
+        # the displayed buffer is 8-bit: quantize the running canvas
+        # after each frame like a real renderer, so blend-over-blend
+        # sees quantized (not float-accumulated) destination pixels
+        canvas = exp.astype(np.float64)
+        assert got[0] == ts, (seed, i)
+        assert (got[2] == exp).all(), (seed, i, ctl)
+        dur = ctl["dnum"] * 1000 // ctl["dden"]
+        if dur == 0 and i == n - 1:
+            dur = 100
+        ts += dur
+        if dop == 1:
+            canvas[fy:fy + fh, fx:fx + fw] = 0.0
+        elif dop == 2:
+            canvas[fy:fy + fh, fx:fx + fw] = saved
+
+
+def test_apng_randomized_property_sweep():
+    for seed in range(60):
+        run_apng_property_seed(seed)
