@@ -492,9 +492,12 @@ class Catalog:
         catalog-backed relations inside it re-resolve per query — the
         way to keep a served view LIVE over a growing realtime sink
         (a plain DataFrame pins its file listing at analysis; see
-        ``streaming.realtime_segments_table``). The SQL temp view
-        registered for a callable is a snapshot at registration time;
-        the PQL path stays live."""
+        ``streaming.realtime_segments_table``). To keep the SQL
+        surface consistent with the PQL path, the temp view for a
+        callable is RE-REGISTERED from a fresh evaluation on every
+        :meth:`table` access (every PQL query) and on
+        :meth:`refresh_derived` — call the latter after out-of-band
+        segment commits if querying only through ``spark.sql``."""
         if name in TABLES:
             raise ValueError(f"{name!r} is a physical table name")
         if name in DERIVED_TABLES:
@@ -503,10 +506,28 @@ class Catalog:
         if self._views_registered:
             (df() if callable(df) else df).createOrReplaceTempView(name)
 
+    def refresh_derived(self, name: str | None = None) -> None:
+        """Re-evaluate callable-backed derived tables and re-register
+        their SQL temp views, so ``spark.sql`` sees the same live data
+        as the PQL path. ``name=None`` refreshes all of them."""
+        names = [name] if name is not None else list(self._derived)
+        for n in names:
+            obj = self._derived[n]
+            if callable(obj) and self._views_registered:
+                obj().createOrReplaceTempView(n)
+
     def table(self, name: str) -> DataFrame:
         if name in self._derived:
             obj = self._derived[name]
-            return obj() if callable(obj) else obj
+            if callable(obj):
+                df = obj()
+                # keep the SQL temp view in lock-step with the PQL
+                # path: a frozen snapshot view would silently serve
+                # different data than POST /query as segments land
+                if self._views_registered:
+                    df.createOrReplaceTempView(name)
+                return df
+            return obj
         if name not in self._cache:
             if name in DERIVED_TABLES:
                 self._cache[name] = DERIVED_TABLES[name](self)

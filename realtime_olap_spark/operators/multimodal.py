@@ -1926,6 +1926,17 @@ def decode_frames(df: DataFrame, every_ms: int,
                          else webp_anim if is_webp_anim
                          else apng if is_apng
                          else webm_video)(payload)
+                    if r is None and is_apng:
+                        # APNG spec fallback: a PNG whose animation
+                        # chunks are malformed (bad fcTL sequence,
+                        # acTL count mismatch) SHOULD display the
+                        # default image — decode as a still before
+                        # marking the row corrupt
+                        r2 = still(payload)
+                        if isinstance(r2, tuple):
+                            w, h, _, px = r2
+                            emit(mid, 0, w, h, encode(px), "ok")
+                            continue
                     if isinstance(r, tuple):
                         w, h, frames = r
                         total = frames[-1][0] + frames[-1][1]

@@ -468,10 +468,15 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 4096):
     output frame. Each shown frame spans from its timestamp to the
     next shown frame's (or the Segment duration). ``max_frames``
     bounds the number of SHOWN frames (hidden altref blocks are not
-    counted); blocks are decoded streaming, so the walk stops as soon
-    as the cap is exceeded. The default 4096 covers ~2¼ minutes at
-    30 fps — longer videos return an ``unsupported:`` status rather
-    than an unbounded decode.
+    counted toward it); a second guard bounds TOTAL decoded blocks at
+    ``4 * max_frames`` so a crafted stream of tiny hidden
+    (show_frame=0) inter blocks cannot force unbounded full-frame
+    reconstructions — real encoders emit at most one hidden altref
+    per a group of shown frames, so 4× is generous. Blocks are
+    decoded streaming, so the walk stops as soon as either cap is
+    exceeded. The default 4096 covers ~2¼ minutes at 30 fps — longer
+    videos return an ``unsupported:`` status rather than an unbounded
+    decode.
 
     Returns ``(w, h, [(start_ms, duration_ms, rgba_canvas), …])`` —
     the same contract as the GIF/WebP animation decoders so
@@ -563,6 +568,8 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 4096):
             vp8_seq.reset()
             shown = []  # (ts_ms, rgb)
             w = h = None
+            decoded_blocks = 0
+            max_blocks = 4 * max_frames
             for eid, s, e in elements(data, 0, len(data)):
                 if eid != 0x18538067:  # Segment
                     continue
@@ -617,6 +624,11 @@ def _make_webm_video_decoder(max_pixels: int, max_frames: int = 4096):
                                     return "unsupported: laced block"
                                 ticks = cluster_ts + rel
                                 ts_ms = ticks * tscale // 1_000_000
+                                decoded_blocks += 1
+                                if decoded_blocks > max_blocks:
+                                    return ("unsupported: more than "
+                                            f"{max_blocks} decoded "
+                                            "blocks")
                                 res = vp8_seq(data[p + 3:ce])
                                 if not isinstance(res, tuple):
                                     return res

@@ -28,6 +28,7 @@ same downstream graph — the source is the only line that changes.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from dataclasses import dataclass
 
@@ -277,8 +278,27 @@ def realtime_segments_table(spark: SparkSession, name: str,
     makes new segments visible to already-registered views — the
     broker's routing-table-update-on-segment-commit analog
     (BaseBrokerRequestHandler routing refresh). ``schema`` (DDL
-    string) is required when the sink may still be empty."""
-    if not spark.catalog.tableExists(name):
+    string) is required when the sink may still be empty.
+
+    ``name`` and ``sink_dir`` are interpolated into SQL, so both are
+    validated (no quotes/backticks/newlines); if a table of the same
+    name already exists its LOCATION must match ``sink_dir`` — a
+    silent reuse of a different directory would serve wrong data."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"invalid table name: {name!r}")
+    if any(ch in sink_dir for ch in "'\"`\n\r;"):
+        raise ValueError(f"invalid sink_dir: {sink_dir!r}")
+    if spark.catalog.tableExists(name):
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").where(
+            "col_name = 'Location'").collect()
+        existing = loc[0]["data_type"] if loc else None
+        want = os.path.abspath(sink_dir)
+        if existing is not None and not (
+                existing.rstrip("/").endswith(want.rstrip("/"))):
+            raise ValueError(
+                f"table {name!r} exists with location {existing!r}, "
+                f"not {sink_dir!r}")
+    else:
         cols = f" ({schema})" if schema else ""
         spark.sql(f"CREATE TABLE `{name}`{cols} USING parquet "
                   f"LOCATION '{sink_dir}'")
