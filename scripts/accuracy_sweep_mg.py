@@ -20,7 +20,8 @@ from scripts.scale_soak import SF_DIR, build_session  # noqa: E402
 
 
 def main() -> None:
-    ks = [int(s) for s in sys.argv[1:]] or [16, 64, 256, 1024]
+    from scripts._argv import parse_int_list
+    ks = parse_int_list(__doc__, "k", [16, 64, 256, 1024])
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 

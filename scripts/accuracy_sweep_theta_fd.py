@@ -33,6 +33,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
+    from scripts._argv import parse_int_args
+    parse_int_args(__doc__, [])  # --help + reject stray args
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     from realtime_olap_spark.operators import pca as PC

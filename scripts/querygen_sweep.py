@@ -30,8 +30,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    from scripts._argv import parse_int_args
+    n, base = parse_int_args(__doc__, [("n_seeds", 4000),
+                                       ("base_seed", 0)])
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     engine = PQLEngine(spark, SF_DIR)

@@ -719,9 +719,10 @@ def run_chunk(spark, chunk: int, seeds, rnd_master: random.Random) -> list:
 
 
 def main() -> None:
-    n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    base = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    from scripts._argv import parse_int_args
+    n_chunks, per, base = parse_int_args(
+        __doc__, [("n_chunks", 20, 10_000), ("per_chunk", 100, 10_000),
+                  ("base_seed", 0)])
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     fails = []

@@ -227,6 +227,7 @@ def run(n_seeds: int, base_seed: int) -> int:
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    from scripts._argv import parse_int_args
+    n, base = parse_int_args(__doc__, [("n_seeds", 6000),
+                                       ("base_seed", 0)])
     sys.exit(run(n, base))

@@ -70,6 +70,7 @@ def run(n_seeds: int, base: int, family: str) -> int:
 
 
 if __name__ == "__main__":
+    from scripts._argv import parse_int_args
     argv = list(sys.argv[1:])
     family = "fullpel"
     for flag, name in (("--subpel", "subpel"),
@@ -77,6 +78,6 @@ if __name__ == "__main__":
         if flag in argv:
             family = name
             argv.remove(flag)
-    n = int(argv[0]) if len(argv) > 0 else 500
-    b = int(argv[1]) if len(argv) > 1 else 1000
+    n, b = parse_int_args(__doc__, [("n_seeds", 500),
+                                    ("base_seed", 1000)], argv=argv)
     sys.exit(run(n, b, family))

@@ -87,7 +87,8 @@ def histogram(spark, path: str, contraction: bool):
 
 
 def main() -> None:
-    scales = [int(s) for s in sys.argv[1:]] or [1, 8, 32]
+    from scripts._argv import parse_int_list
+    scales = parse_int_list(__doc__, "scale", [1, 8, 32])
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     for k in scales:

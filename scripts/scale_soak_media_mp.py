@@ -333,10 +333,10 @@ def timed_noop(df):
 
 
 def main():
-    rows_03 = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    rows_1 = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    webm_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    webm_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 120
+    from scripts._argv import parse_int_args
+    rows_03, rows_1, webm_rows, webm_frames = parse_int_args(
+        __doc__, [("rows_0.3MP", 96), ("rows_1MP", 48),
+                  ("webm_rows", 32), ("webm_frames", 120)])
     sizes = [("0.3MP", 640, 480, rows_03), ("1.0MP", 1152, 864, rows_1)]
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")

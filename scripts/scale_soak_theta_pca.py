@@ -31,7 +31,8 @@ from scripts.scale_soak import (build_session, noop, staged,  # noqa: E402
 
 
 def main() -> None:
-    scales = [int(s) for s in sys.argv[1:]] or [1, 10, 100]
+    from scripts._argv import parse_int_list
+    scales = parse_int_list(__doc__, "scale", [1, 10, 100])
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -33,6 +33,8 @@ STAGE = "/tmp/scale_soak_upsert"
 
 
 def main() -> None:
+    from scripts._argv import parse_int_args
+    parse_int_args(__doc__, [])  # --help + reject stray args
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     from realtime_olap_spark.streaming.upsert import read_upsert, upsert_batch
