@@ -81,8 +81,10 @@ GOLDENS = {
     "flac": ["pluck-pcm16.flac"],
     "mp3": ["test.mp3"],
     "mp4": ["probe.mp4"],
-    # RIFF AVI (r13): mutations hit the hdrl/avih/strl metadata walk
-    "avi": ["probe.avi"],
+    # RIFF AVI (r13 probe + r14 MJPEG video decode): mutations hit
+    # the hdrl/avih/strl walk AND the movi chunk walk into the
+    # clean-room JPEG codec (variant-mjpeg.avi is the r14 golden)
+    "avi": ["probe.avi", "variant-mjpeg.avi"],
     # spec-assembled HEIF-family stills (r12): mutations hit
     # the meta/iprp/ipco/ispe primary-item walk
     "avif": ["probe.avif", "probe.heic"],
@@ -145,6 +147,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "mp3": mm._make_mp3_prober(),
                 "apng": mm._make_apng_decoder(),
                 "avi": mm._make_avi_prober()}
+    avi_video = mm._make_avi_video_decoder()
     gif_probe = mm._make_gif_prober()
     apng_probe = mm._make_apng_prober()
     webp_probe = _make_webp_prober()
@@ -205,6 +208,10 @@ def run(n_seeds: int, base_seed: int) -> int:
             # full video decode (keyframes + inter frames), not
             # just the EBML probe
             checks.append(("webm-video", webm_video))
+        if fmt == "avi":
+            # r14: MJPEG frame decode through the JPEG codec, not
+            # just the header probe
+            checks.append(("avi-video", avi_video))
         for dname, dec in checks:
             cases += 1
             try:

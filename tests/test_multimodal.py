@@ -4452,3 +4452,266 @@ def run_apng_property_seed(seed):
 def test_apng_randomized_property_sweep():
     for seed in range(60):
         run_apng_property_seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video decode (r14): movi chunk walk through the clean-room
+# JPEG codec; frames differentialed against the codec run directly on the
+# parts (the JPEG-in-TIFF pattern), OpenDML DHT-less frames against the
+# Annex K standard tables.
+# ---------------------------------------------------------------------------
+
+def _assemble_mjpeg_avi(frame_chunks, w, h, us_per_frame=40_000,
+                        audio_first=False, rec_group=False,
+                        suffix=b"dc", handler=b"MJPG"):
+    """AVI whose video stream carries the given MJPEG frame byte
+    strings: avih + vids strl (handler fourcc) [+ an auds strl before
+    it] + a movi LIST of ``##dc``/``##db`` chunks (optionally wrapped
+    in a ``rec `` grouping LIST)."""
+    import struct
+
+    avih = struct.pack("<10I", us_per_frame, 0, 0, 0,
+                       len(frame_chunks), 0, 2 if audio_first else 1,
+                       0, w, h) + b"\x00" * 16
+    strh_v = (b"vids" + handler + b"\x00" * 48)
+    strf_v = struct.pack("<IiiHH4s", 40, w, h, 1, 24, b"MJPG") \
+        + b"\x00" * 20
+    strl_v = _avi_list(b"strl", _avi_chunk(b"strh", strh_v)
+                       + _avi_chunk(b"strf", strf_v))
+    parts = [strl_v]
+    vstream = 0
+    if audio_first:
+        strh_a = (b"auds" + b"\x00" * 52)
+        strf_a = struct.pack("<HHIIHH", 1, 2, 22050, 0, 0, 0)
+        parts.insert(0, _avi_list(
+            b"strl", _avi_chunk(b"strh", strh_a)
+            + _avi_chunk(b"strf", strf_a)))
+        vstream = 1
+    hdrl = _avi_list(b"hdrl", _avi_chunk(b"avih", avih)
+                     + b"".join(parts))
+    cid = b"%02d" % vstream + suffix
+    movi_body = b"".join(_avi_chunk(cid, f) for f in frame_chunks)
+    if rec_group:
+        movi_body = _avi_list(b"rec ", movi_body)
+    movi = _avi_list(b"movi", movi_body)
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+_R14_MJPEG_FIXTURE = "variant-mjpeg.avi"
+
+
+def _assemble_mjpeg_avi_golden():
+    """Deterministic 3-frame grayscale golden (flat analytic blocks)
+    — the fuzz families mutate this; provenance is this function."""
+    frames = [_encode_flat_jpeg([[40, 213]], 16, 8),
+              _encode_flat_jpeg([[100, 50]], 16, 8),
+              _encode_flat_jpeg([[213, 40]], 16, 8)]
+    return _assemble_mjpeg_avi(frames, 16, 8, us_per_frame=40_000)
+
+
+def test_avi_mjpeg_decode_differential_and_golden():
+    """Every decoded AVI frame is byte-identical to the clean-room
+    JPEG codec run directly on the movi chunk bytes (the JPEG-in-TIFF
+    differential pattern); the committed fixture is byte-pinned."""
+    import numpy as np
+
+    frames = [_encode_flat_jpeg([[40, 213]], 16, 8),
+              _encode_flat_jpeg([[100, 50]], 16, 8),
+              _encode_flat_jpeg([[213, 40]], 16, 8)]
+    data = _assemble_mjpeg_avi_golden()
+    with open(os.path.join(FIXTURES, _R14_MJPEG_FIXTURE), "rb") as f:
+        assert f.read() == data
+    dec = M._make_avi_video_decoder()
+    res = dec(data)
+    assert isinstance(res, tuple), res
+    w, h, out = res
+    assert (w, h) == (16, 8) and len(out) == 3
+    assert [(ts, d) for ts, d, _ in out] == [(0, 40), (40, 40),
+                                             (80, 40)]
+    jpeg = M._make_jpeg_decoder()
+    for (ts, d, rgba), part in zip(out, frames):
+        jw, jh, jc, px = jpeg(part)
+        assert (jw, jh, jc) == (16, 8, 1)
+        want = np.dstack([np.repeat(px, 3, axis=2),
+                          np.full((8, 16), 255, np.uint8)])
+        assert (rgba == want).all()
+    # flat analytic levels really landed
+    assert (out[0][2][:, :8, 0] == 40).all()
+    assert (out[1][2][:, 8:, 0] == 50).all()
+
+
+def test_avi_mjpeg_color_stream_variants():
+    """4:2:0 color frames; audio-first stream numbering (01dc),
+    rec-grouped movi, and ##db chunk ids all decode identically."""
+    import numpy as np
+
+    f1 = _encode_flat_jpeg([[90] * 4, [160], [100]], 16, 16,
+                           sampling=[(2, 2), (1, 1), (1, 1)])
+    f2 = _encode_flat_jpeg([[200] * 4, [80], [190]], 16, 16,
+                           sampling=[(2, 2), (1, 1), (1, 1)])
+    dec = M._make_avi_video_decoder()
+    base = dec(_assemble_mjpeg_avi([f1, f2], 16, 16))
+    assert isinstance(base, tuple) and len(base[2]) == 2
+    want = np.clip(np.rint([90 + 1.402 * (100 - 128),
+                            90 - 0.344136 * (160 - 128)
+                            - 0.714136 * (100 - 128),
+                            90 + 1.772 * (160 - 128)]), 0, 255)
+    assert (base[2][0][2][:, :, :3] == want.astype(np.uint8)).all()
+    assert (base[2][0][2][:, :, 3] == 255).all()
+    for kw in ({"audio_first": True}, {"rec_group": True},
+               {"suffix": b"db"}, {"handler": b"mjpg"},
+               {"handler": b"\x00\x00\x00\x00"}):
+        alt = dec(_assemble_mjpeg_avi([f1, f2], 16, 16, **kw))
+        assert isinstance(alt, tuple), kw
+        for (t0, d0, p0), (t1, d1, p1) in zip(base[2], alt[2]):
+            assert (t0, d0) == (t1, d1) and (p0 == p1).all(), kw
+
+
+def test_avi_mjpeg_dropped_frames_and_gates():
+    f1 = _encode_flat_jpeg([[40, 213]], 16, 8)
+    dec = M._make_avi_video_decoder()
+    # zero-length chunk = dropped frame: previous frame persists
+    res = dec(_assemble_mjpeg_avi([f1, b"", f1], 16, 8))
+    assert isinstance(res, tuple) and len(res[2]) == 3
+    assert (res[2][1][2] == res[2][0][2]).all()
+    # dropped frame FIRST is malformed
+    assert dec(_assemble_mjpeg_avi([b"", f1], 16, 8)) is None
+    # non-MJPEG codec gates with the codec name
+    assert dec(_assemble_mjpeg_avi([f1], 16, 8, handler=b"H264")) \
+        == "unsupported: video codec h264"
+    # prober-golden (opaque movi bytes) is malformed, not a raise
+    assert dec(_fix("probe.avi")) is None
+    assert dec(b"RIFF\x04\x00\x00\x00WAVE") == "unsupported: not AVI"
+    # mid-stream dimension change is malformed
+    f_small = _encode_flat_jpeg([[40]], 8, 8)
+    assert dec(_assemble_mjpeg_avi([f1, f_small], 16, 8)) is None
+    # frame-count bomb guard counts DECODED frames
+    tiny = M._make_avi_video_decoder(max_frames=2)
+    assert tiny(_assemble_mjpeg_avi([f1, f1, f1], 16, 8)) \
+        == "unsupported: more than 2 frames"
+    # truncation sweep: the three-valued contract, never a raise
+    data = _assemble_mjpeg_avi_golden()
+    for k in range(len(data)):
+        r = dec(data[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+
+
+def _canon_codes(bits, vals):
+    """Canonical Huffman code assignment per T.81 Annex C (independent
+    of the decoder's table builder)."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _encode_gray_jpeg_std(levels, w, h, include_dht):
+    """Flat-block grayscale JPEG entropy-coded with the STANDARD
+    Annex K luminance tables (BITS/HUFFVAL prefixes copied from the
+    spec here, canonical codes built independently); with
+    include_dht=False the DHT segments are omitted — the OpenDML
+    MJPEG convention the AVI decoder must fill in."""
+    import struct
+
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    # Table K.5 value order: EOB (0x00) is the FOURTH value; pad the
+    # rest with unique sentinels (only EOB is ever emitted here)
+    AC_VALS = [0x01, 0x02, 0x03, 0x00] + [1000 + i for i in range(158)]
+    dc_codes = _canon_codes(DC_BITS, DC_VALS)
+    ac_codes = _canon_codes(AC_BITS, AC_VALS)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(marker + struct.pack(">H", len(payload) + 2)
+                   + payload)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
+    if include_dht:
+        from realtime_olap_spark.operators.multimodal import \
+            _mjpeg_standard_dht
+        out.extend(_mjpeg_standard_dht())
+    seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, 1)
+        + bytes([1, 0x11, 0]))
+    seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    bits = []
+
+    def put(value, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((value >> i) & 1)
+
+    pred = 0
+    for v in levels:
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        c, ln = dc_codes[s]
+        put(c, ln)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        c, ln = ac_codes[0x00]          # EOB
+        put(c, ln)
+    while len(bits) % 8:
+        bits.append(1)
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_avi_mjpeg_dhtless_standard_tables():
+    """Frames that omit DHT decode through the spliced Annex K
+    standard tables to the exact analytic levels; the JPEG codec
+    alone (no splice) reports them malformed."""
+    lv = [40, 213]
+    with_dht = _encode_gray_jpeg_std(lv, 16, 8, include_dht=True)
+    without = _encode_gray_jpeg_std(lv, 16, 8, include_dht=False)
+    jpeg = M._make_jpeg_decoder()
+    r = jpeg(with_dht)
+    assert isinstance(r, tuple)
+    assert (r[3][:, :8, 0] == 40).all() and (r[3][:, 8:, 0] == 213).all()
+    assert not isinstance(jpeg(without), tuple)  # tables missing
+    dec = M._make_avi_video_decoder()
+    for fb in (with_dht, without):
+        res = dec(_assemble_mjpeg_avi([fb], 16, 8))
+        assert isinstance(res, tuple), ("dht" if fb is with_dht
+                                        else "dhtless")
+        px = res[2][0][2]
+        assert (px[:, :8, 0] == 40).all()
+        assert (px[:, 8:, 0] == 213).all()
+
+
+def test_decode_frames_samples_avi_mjpeg(spark):
+    """e2e: decode_frames samples an MJPEG AVI at the requested
+    cadence; sampled pixels match the per-frame JPEG decode."""
+    import numpy as np
+
+    data = _assemble_mjpeg_avi_golden()     # 3 frames x 40 ms
+    df = spark.createDataFrame(
+        [(1, "video", data), (2, "video", _fix("probe.avi"))],
+        "media_id long, media_type string, payload binary")
+    rows = M.decode_frames(df, every_ms=20).collect()
+    mine = sorted((r["frame_ts_ms"] for r in rows
+                   if r["media_id"] == 1))
+    assert mine == [0, 20, 40, 60, 80, 100]
+    png = M._make_png_decoder()
+    by_ts = {r["frame_ts_ms"]: r for r in rows if r["media_id"] == 1}
+    px40 = png(bytes(by_ts[40]["payload"]))[3]
+    assert (px40[:, :8, 0] == 100).all()    # frame 1's levels
+    assert (px40[:, 8:, 0] == 50).all()
+    px20 = png(bytes(by_ts[20]["payload"]))[3]
+    assert (px20 == png(bytes(by_ts[0]["payload"]))[3]).all()
+    # the opaque-movi prober golden rows out as corrupt, not a crash
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and bad[0]["status"] == "corrupt"
