@@ -1,0 +1,128 @@
+"""Media corpus directory ingestion (r14 verdict directive #2): point
+the engine at a directory of crawled media files and query it through
+POST /query with zero Python.
+
+:func:`read_media_dir` is a declarative ``binaryFile`` scan —
+Catalyst's BinaryFileFormat supports column pruning (a
+metadata-only projection never reads payload bytes) and filter
+pushdown on ``length``/``modificationTime``, so the size cap is
+enforced AT THE SCAN: files over ``max_bytes`` are never read into
+executor memory, yet still surface as NULL-payload rows (status
+``oversize``) so corpus inventory counts stay truthful. At 100 TB the
+same shape holds: the oversize branch is a listing-only pass (content
+column pruned), the payload branch packs whole files into partitions
+via ``spark.sql.files.maxPartitionBytes`` (binary files never split),
+and nothing collects to the driver.
+
+Reference parity note: pinot-core ingests from batch files via
+SegmentCreationJob over a directory listing (no binary media support
+at all) — this is extension surface for media curation corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# extension -> coarse media_type (the router sniffs magic bytes per
+# row anyway; this is only a convenience dimension for inventory SQL)
+_EXT_TYPES = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "bmp": "image", "tiff": "image", "tif": "image", "webp": "image",
+    "avif": "image", "heic": "image",
+    "avi": "video", "webm": "video", "mkv": "video", "mp4": "video",
+    "mov": "video",
+    "wav": "audio", "flac": "audio", "aiff": "audio", "aifc": "audio",
+    "au": "audio", "mp3": "audio", "ogg": "audio", "opus": "audio",
+}
+
+DEFAULT_MAX_BYTES = 64 * 1024 * 1024  # 64 MiB per-file payload cap
+
+
+def _media_type_col(path: F.Column) -> F.Column:
+    ext = F.lower(F.element_at(F.split(path, r"\."), -1))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _EXT_TYPES.items() for x in kv])
+    return F.coalesce(F.try_element_at(mapping, ext), F.lit("other"))
+
+
+def read_media_dir(spark: SparkSession, path: str,
+                   glob: str | None = None,
+                   max_bytes: int = DEFAULT_MAX_BYTES,
+                   recursive: bool = True) -> DataFrame:
+    """Recursive binary scan of a media directory.
+
+    Output schema: ``media_id`` (xxhash64 of the file path — stable
+    across runs and machines sharing the mount), ``media_type``
+    (coarse, from the extension), ``path``, ``n_bytes``, ``mod_time``,
+    ``payload`` (NULL for files over ``max_bytes``), ``status``
+    (``ok`` / ``oversize``).
+
+    Scale shape: ONE union of two scans over the same listing — the
+    payload branch with ``length <= max_bytes`` PUSHED to the
+    BinaryFileFormat reader (oversized files are skipped before a
+    byte is read), and an oversize branch whose projection omits
+    ``content`` entirely (column pruning makes it a listing-only
+    pass). No shuffle, no driver-side listing loop."""
+    if max_bytes <= 0:
+        raise ValueError(f"max_bytes must be positive: {max_bytes}")
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", str(recursive).lower()))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = reader.load(path)
+
+    def shared(df: DataFrame) -> list:
+        return [F.xxhash64(F.col("path")).alias("media_id"),
+                _media_type_col(F.col("path")).alias("media_type"),
+                F.col("path"),
+                F.col("length").alias("n_bytes"),
+                F.col("modificationTime").alias("mod_time")]
+
+    ok = (src.where(F.col("length") <= F.lit(max_bytes))
+          .select(*shared(src), F.col("content").alias("payload"),
+                  F.lit("ok").alias("status")))
+    oversize = (src.where(F.col("length") > F.lit(max_bytes))
+                .select(*shared(src),
+                        F.lit(None).cast("binary").alias("payload"),
+                        F.lit("oversize").alias("status")))
+    return ok.unionByName(oversize)
+
+
+def media_dir_inventory(spark: SparkSession, path: str,
+                        glob: str | None = None,
+                        max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """Probe inventory over a media directory: one row per file with
+    container metadata (brand, dims, codecs, duration, frame count)
+    from the metadata-only probers — header-bounded per-row cost, no
+    frame decode. Oversized files keep their row (NULL probe columns,
+    status ``oversize``).
+
+    Register as a live derived table to serve it over PQL/SQL::
+
+        cat.register_derived("corpus_media", lambda:
+            media_dir_inventory(spark, "/data/crawl"))
+
+    (a zero-arg callable re-lists the directory per query — new files
+    become visible without re-registration; see
+    ``Catalog.register_derived``)."""
+    from realtime_olap_spark.operators import multimodal as M  # noqa: PLC0415
+
+    files = read_media_dir(spark, path, glob=glob, max_bytes=max_bytes)
+    withp = files.where(F.col("status") == "ok")
+    probed = M.probe_media(
+        withp.select("media_id", "media_type", "payload"),
+        with_status=True)
+    # one broadcastable equi-join back to the listing columns: the
+    # probe output carries media_id only, the listing carries
+    # path/size/mtime; payload never crosses the join
+    meta = files.select("media_id", "path", "media_type", "n_bytes",
+                        "mod_time", F.col("status").alias("file_status"))
+    out = meta.join(probed.drop("media_type", "n_bytes"),
+                    "media_id", "left")
+    return out.select(
+        "media_id", "path", "media_type", "n_bytes", "mod_time",
+        "major_brand", "duration_ms", "width", "height",
+        "video_codec", "audio_codec", "track_count", "frame_count",
+        F.coalesce(F.col("status"),
+                   F.col("file_status")).alias("status"))
