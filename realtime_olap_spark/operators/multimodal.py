@@ -420,9 +420,14 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
     MCU-padded edges cropped to the strip/tile grid; photometric 1/0
     (gray) and 6 (YCbCr, the JPEG codec's own conversion) only, since
     photometric-2 RGB is stored untransformed and would be wrongly
-    YCbCr-converted. Old-style compression 6 and non-8-bit depths
-    return an ``"unsupported: …"`` reason; same three-valued contract
-    as the other codecs."""
+    YCbCr-converted. 16-bit sample depth covers chunky AND planar
+    layouts plus 16-bit palette indices addressing the ColorMap at
+    full width (r14); the predictor is undone at full precision
+    before the standard high-byte reduction. Old-style compression 6
+    (tables-in-IFD JPEG, deprecated by TIFF TechNote 2 and absent
+    from modern writers — the r14-recorded decision keeps it gated)
+    and non-8/16-bit depths return an ``"unsupported: …"`` reason;
+    same three-valued contract as the other codecs."""
     import struct
     import zlib
 
@@ -577,10 +582,10 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             depth16 = comp != 7 and all(b == 16 for b in bits)
             if comp != 7 and not depth16 and any(b != 8 for b in bits):
                 return "unsupported: non-8/16-bit TIFF"
-            if depth16 and planar:
-                return "unsupported: planar 16-bit TIFF"
-            if depth16 and photo == 3:
-                return "unsupported: 16-bit palette TIFF"
+            # r14: planar 16-bit (plane-major chunks of 2-byte
+            # samples) and 16-bit palette (full-width ColorMap index)
+            # are now compositions of existing paths — no gates left
+            # in the 8/16-bit × chunky/planar × strip/tile space
             bpsamp = 2 if depth16 else 1
 
             def combine16(raw, shape):
@@ -714,15 +719,18 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                             chunk = data[ofs:ofs + cnt]
                             if len(chunk) != cnt:
                                 return None
-                            chunk = decompress(chunk, rows * w)
+                            chunk = decompress(chunk,
+                                               rows * w * bpsamp)
                             if chunk is None:
                                 return None
-                            body += chunk[:rows * w]
-                        if len(body) < h * w:
+                            body += chunk[:rows * w * bpsamp]
+                        if len(body) < h * w * bpsamp:
                             return None
-                        planes.append(np.frombuffer(
-                            bytes(body[:h * w]),
-                            np.uint8).reshape(h, w))
+                        raw = np.frombuffer(
+                            bytes(body[:h * w * bpsamp]), np.uint8)
+                        planes.append(combine16(raw, (h, w))
+                                      if depth16
+                                      else raw.reshape(h, w))
                     px = np.stack(planes, axis=-1)
                     if predictor == 2:
                         px = undiff(px)  # per-channel along width
@@ -769,10 +777,12 @@ def _make_tiff_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                           else raw.reshape(h, w, spp))
                     if predictor == 2:
                         px = undiff(px)
-            if depth16:
+            if depth16 and photo != 3:
                 # 16-bit samples reduce to their high byte AFTER the
                 # predictor ran at full precision (the standard 16->8
-                # conversion; same documented reduction as PNG's)
+                # conversion; same documented reduction as PNG's) —
+                # EXCEPT palette indices, which address the ColorMap
+                # at their stored width (r14)
                 px = (px >> 8).astype(np.uint8)
             if photo == 0:  # white-is-zero: invert
                 px = 255 - px

@@ -68,7 +68,10 @@ GOLDENS = {
              "variant-planar-tiled.tiff",
              # compression-7 JPEG strips + shared JPEGTables,
              # 16-bit + deflate + predictor (r13)
-             "variant-jpeg.tiff", "variant-16bit-deflate.tiff"],
+             "variant-jpeg.tiff", "variant-16bit-deflate.tiff",
+             # 16-bit planar re-interleave + full-width 16-bit
+             # palette lookup (r14)
+             "variant-planar16.tiff", "variant-pal16.tiff"],
     # animated PNG (r13): mutations hit the acTL/fcTL/fdAT compositor
     # and the APNG prober (still-PNG mutations reach them through the
     # shared magic too)

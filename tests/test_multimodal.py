@@ -4715,3 +4715,220 @@ def test_decode_frames_samples_avi_mjpeg(spark):
     # the opaque-movi prober golden rows out as corrupt, not a crash
     bad = [r for r in rows if r["media_id"] == 2]
     assert len(bad) == 1 and bad[0]["status"] == "corrupt"
+
+
+# ---------------------------------------------------------------------------
+# 16-bit planar + 16-bit palette TIFF (r14): compositions of the r13
+# planar re-interleave and 16-bit combine/predictor paths; goldens
+# spec-assembled, joined to the fuzz families. Old-style JPEG-in-TIFF
+# (compression 6) stays gated — deprecated by TIFF TechNote 2, absent
+# from modern writers, and no independent decoder exists here to
+# differential a clean-room implementation against (recorded decision).
+# ---------------------------------------------------------------------------
+
+def _planar16_pixels(w, h):
+    import numpy as np
+
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return np.stack([(x * 4097 + y * 1031) % 65536,
+                     (x * 709 + y * 9001) % 65536,
+                     (x * 12289 + y * 257) % 65536],
+                    axis=-1).astype(np.uint16)
+
+
+def _assemble_planar16_tiff():
+    """8x6 RGB little-endian TIFF, 16-bit samples,
+    PlanarConfiguration=2, rps=2 (3 strips/plane, plane-major),
+    horizontal-differencing predictor undone at FULL 16-bit width."""
+    import struct
+
+    import numpy as np
+
+    w, h, rps = 8, 6, 2
+    rgb = _planar16_pixels(w, h)
+    spl = (h + rps - 1) // rps
+    strips = []
+    for c in range(3):
+        for s in range(spl):
+            rows = rgb[s * rps:(s + 1) * rps, :, c].astype(np.int32)
+            diff = (np.diff(rows, prepend=0) & 0xFFFF).astype("<u2")
+            strips.append(diff.tobytes())
+    bits = struct.pack("<HHH", 16, 16, 16)                     # @8
+    data_ofs = 8 + len(bits)
+    offs, pos = [], data_ofs
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    off_arr = struct.pack("<9H", *offs)
+    cnt_arr = struct.pack("<9H", *[len(s) for s in strips])
+    off_pos, cnt_pos = pos, pos + len(off_arr)
+    tail = bits + b"".join(strips) + off_arr + cnt_arr
+    e = [(256, 3, 1, struct.pack("<HH", w, 0)),
+         (257, 3, 1, struct.pack("<HH", h, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 1, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (278, 3, 1, struct.pack("<HH", rps, 0)),
+         (284, 3, 1, struct.pack("<HH", 2, 0)),
+         (317, 3, 1, struct.pack("<HH", 2, 0)),
+         (273, 3, 9, struct.pack("<I", off_pos)),
+         (279, 3, 9, struct.pack("<I", cnt_pos))]
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in e) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+def _assemble_planar16_tiled_tiff():
+    """8x6 RGB TIFF, 16-bit samples, PlanarConfiguration=2 with 4x4
+    tiles (2x2 grid, edge tiles padded; 4 tiles/plane, plane-major)."""
+    import struct
+
+    import numpy as np
+
+    w, h, tw, tl = 8, 6, 4, 4
+    rgb = _planar16_pixels(w, h)
+    ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+    padded = np.zeros((td * tl, ta * tw, 3), np.uint16)
+    padded[:h, :w] = rgb
+    tiles = []
+    for c in range(3):
+        for t in range(ta * td):
+            ty, tx = divmod(t, ta)
+            tiles.append(np.ascontiguousarray(
+                padded[ty * tl:(ty + 1) * tl,
+                       tx * tw:(tx + 1) * tw, c]).astype("<u2")
+                .tobytes())
+    bits = struct.pack("<HHH", 16, 16, 16)
+    data_ofs = 8 + len(bits)
+    offs, pos = [], data_ofs
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    off_arr = struct.pack("<12H", *offs)
+    cnt_arr = struct.pack("<12H", *[len(t) for t in tiles])
+    off_pos, cnt_pos = pos, pos + len(off_arr)
+    tail = bits + b"".join(tiles) + off_arr + cnt_arr
+    e = [(256, 3, 1, struct.pack("<HH", w, 0)),
+         (257, 3, 1, struct.pack("<HH", h, 0)),
+         (258, 3, 3, struct.pack("<I", 8)),
+         (259, 3, 1, struct.pack("<HH", 1, 0)),
+         (262, 3, 1, struct.pack("<HH", 2, 0)),
+         (277, 3, 1, struct.pack("<HH", 3, 0)),
+         (284, 3, 1, struct.pack("<HH", 2, 0)),
+         (322, 3, 1, struct.pack("<HH", tw, 0)),
+         (323, 3, 1, struct.pack("<HH", tl, 0)),
+         (324, 3, 12, struct.pack("<I", off_pos)),
+         (325, 3, 12, struct.pack("<I", cnt_pos))]
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in e) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+def _pal16_colormap():
+    """Formulaic full-length ColorMap for 16-bit indices: 3 x 2^16
+    SHORT entries, plane-major (all R, all G, all B) per the spec."""
+    import numpy as np
+
+    i = np.arange(65536, dtype=np.uint32)
+    return np.stack([(i * 3 + 17) % 65536, (i * 5 + 101) % 65536,
+                     (i * 7 + 9001) % 65536]).astype("<u2")
+
+
+def _assemble_pal16_tiff():
+    """4x4 palette TIFF with 16-bit indices: photometric 3,
+    BitsPerSample 16, spec-length ColorMap (3 x 65536 SHORTs) — the
+    index addresses the map at FULL width, so high-byte reduction
+    before lookup would hit the wrong entries."""
+    import struct
+
+    import numpy as np
+
+    w, h = 4, 4
+    idx = np.array([[0, 1, 256, 257],
+                    [513, 65535, 32768, 4097],
+                    [2, 300, 70, 65534],
+                    [10000, 20000, 40000, 60000]], dtype="<u2")
+    strip = idx.tobytes()
+    cmap = _pal16_colormap().tobytes()
+    data_ofs = 8
+    strip_ofs = data_ofs
+    cmap_ofs = strip_ofs + len(strip)
+    tail = strip + cmap
+    e = [(256, 3, 1, struct.pack("<HH", w, 0)),
+         (257, 3, 1, struct.pack("<HH", h, 0)),
+         (258, 3, 1, struct.pack("<HH", 16, 0)),
+         (259, 3, 1, struct.pack("<HH", 1, 0)),
+         (262, 3, 1, struct.pack("<HH", 3, 0)),
+         (277, 3, 1, struct.pack("<HH", 1, 0)),
+         (278, 3, 1, struct.pack("<HH", h, 0)),
+         (273, 3, 1, struct.pack("<HI", strip_ofs, 0)[:2]
+          + struct.pack("<H", 0)),
+         (279, 3, 1, struct.pack("<HH", len(strip), 0)),
+         (320, 3, 3 * 65536, struct.pack("<I", cmap_ofs))]
+    # StripOffsets as LONG for clarity
+    e[7] = (273, 4, 1, struct.pack("<I", strip_ofs))
+    hdr = b"II" + struct.pack("<HI", 42, 8 + len(tail))
+    ifd = struct.pack("<H", len(e)) + b"".join(
+        struct.pack("<HHI", t, ty, c) + v for t, ty, c, v in e) \
+        + struct.pack("<I", 0)
+    return hdr + tail + ifd
+
+
+_R14_TIFF_FIXTURES = {
+    "variant-planar16.tiff": _assemble_planar16_tiff,
+    "variant-pal16.tiff": _assemble_pal16_tiff,
+}
+
+
+def test_r14_tiff16_goldens_pinned_and_decode():
+    """Committed r14 goldens byte-pinned to their assemblers; decode
+    equals the assemblers' pixel truths (predictor undone at 16-bit
+    precision BEFORE the high-byte reduction; palette indices looked
+    up at full width)."""
+    import numpy as np
+
+    for name, fn in _R14_TIFF_FIXTURES.items():
+        with open(os.path.join(FIXTURES, name), "rb") as f:
+            assert f.read() == fn(), name
+    dec = M._make_tiff_decoder()
+    want8 = (_planar16_pixels(8, 6) >> 8).astype(np.uint8)
+    for fn in (_assemble_planar16_tiff, _assemble_planar16_tiled_tiff):
+        res = dec(fn())
+        assert isinstance(res, tuple), fn.__name__
+        w, h, ch, px = res
+        assert (w, h, ch) == (8, 6, 3)
+        assert (px == want8).all(), fn.__name__
+    res = dec(_assemble_pal16_tiff())
+    assert isinstance(res, tuple), res
+    w, h, ch, px = res
+    assert (w, h, ch) == (4, 4, 3)
+    idx = np.array([[0, 1, 256, 257],
+                    [513, 65535, 32768, 4097],
+                    [2, 300, 70, 65534],
+                    [10000, 20000, 40000, 60000]], dtype=np.uint32)
+    cm = _pal16_colormap().astype(np.uint32)
+    want = np.stack([cm[c][idx] // 257 for c in range(3)],
+                    axis=-1).astype(np.uint8)
+    assert (px == want).all()
+    # a high-byte-reduced index would address entry idx>>8 — prove
+    # the full-width lookup actually differs for a sample pixel
+    wrong = np.stack([cm[c][idx >> 8] // 257 for c in range(3)],
+                     axis=-1).astype(np.uint8)
+    assert (want != wrong).any()
+
+
+def test_r14_tiff16_truncation_contract():
+    dec = M._make_tiff_decoder()
+    for fn in (_assemble_planar16_tiff, _assemble_pal16_tiff):
+        data = fn()
+        step = max(1, len(data) // 997)  # pal16 is ~400 KB: sample
+        for k in range(0, len(data), step):
+            r = dec(data[:k])
+            assert r is None or isinstance(r, (tuple, str)), (
+                fn.__name__, k)
