@@ -70,3 +70,15 @@ def test_query_module_file_is_repo_relative():
     path = _query_module_file(fn)
     assert path is not None and not os.path.isabs(path)
     assert path.startswith("realtime_olap_spark")
+
+
+def test_high_variance_min_of_five_config():
+    """r14 (r13 verdict observation #2): the five historically
+    noisiest queries run min-of-5 in the main schedule; the list must
+    stay inside the headline set so the extra passes actually run."""
+    from bench import HEADLINE, HIGH_VARIANCE, HIGH_VARIANCE_RUNS
+
+    assert set(HIGH_VARIANCE) <= set(HEADLINE)
+    assert HIGH_VARIANCE_RUNS == 5
+    assert {"mv_all_aggs", "bench_theta_overlap", "bench_funnel",
+            "text_doc_features", "agg_topn_having"} == set(HIGH_VARIANCE)
