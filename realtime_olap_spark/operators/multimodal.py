@@ -3505,6 +3505,251 @@ def _make_ebml_prober():
     return probe
 
 
+def _make_still_probers():
+    """Header-only dimension probers for the still formats whose full
+    decoders already exist (JPEG marker walk to SOFn, BMP info/core
+    header, TIFF IFD tags 256/257) — a corpus inventory must report
+    dims without paying entropy decode. Each returns the shared probe
+    tuple with ``major_brand``/``video_codec`` = the format name and
+    ``frame_count`` = 1, mirroring the still-PNG convention of
+    :func:`_make_apng_prober`; ``None`` for malformed headers,
+    ``"unsupported: …"`` for foreign magic. Nested functions, captured
+    by value (house rule). r14: closes the media-dir inventory gap
+    where every non-container still rowed out as 'unrecognized
+    container'."""
+    import struct
+
+    def jpeg(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 4 or data[:2] != b"\xff\xd8":
+            return "unsupported: not JPEG"
+        try:
+            pos, n = 2, len(data)
+            while pos + 4 <= n:
+                if data[pos] != 0xFF:
+                    return None
+                m = data[pos + 1]
+                if m == 0xD9 or m == 0xDA:
+                    return None  # EOI/SOS before any SOF
+                if 0xD0 <= m <= 0xD8 or m == 0x01:
+                    pos += 2
+                    continue
+                ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+                if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    if pos + 9 > n:
+                        return None
+                    h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                    if not w or not h:
+                        return None
+                    return ("jpeg", None, int(w), int(h), "jpeg",
+                            None, 1, 1)
+                pos += 2 + ln
+            return None
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    def bmp(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 18 or data[:2] != b"BM":
+            return "unsupported: not BMP"
+        try:
+            hsz = struct.unpack("<I", data[14:18])[0]
+            if hsz == 12:  # BITMAPCOREHEADER
+                if len(data) < 22:
+                    return None
+                w, h = struct.unpack("<HH", data[18:22])
+            else:
+                if len(data) < 26:
+                    return None
+                w, h = struct.unpack("<ii", data[18:26])
+                h = abs(h)  # negative = top-down
+            if w <= 0 or h == 0:
+                return None
+            return "bmp", None, int(w), int(h), "bmp", None, 1, 1
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    def tiff(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+            return "unsupported: not TIFF"
+        bo = "<" if data[:2] == b"II" else ">"
+        try:
+            magic, ifd = struct.unpack(bo + "HI", data[2:8])
+            if magic != 42:
+                return "unsupported: not TIFF"
+            cnt = struct.unpack(bo + "H", data[ifd:ifd + 2])[0]
+            w = h = None
+            for i in range(cnt):
+                e = data[ifd + 2 + i * 12:ifd + 14 + i * 12]
+                if len(e) != 12:
+                    return None
+                tag, typ = struct.unpack(bo + "HH", e[:4])
+                if tag in (256, 257):
+                    v = struct.unpack(
+                        bo + ("H" if typ == 3 else "I"), e[8:10]
+                        if typ == 3 else e[8:12])[0]
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            if not w or not h:
+                return None
+            return "tiff", None, int(w), int(h), "tiff", None, 1, 1
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return jpeg, bmp, tiff
+
+
+def _make_audio_probers():
+    """Header-only audio metadata probers (WAV fmt chunk, AIFF/AIFC
+    COMM with the 80-bit extended rate, AU header, FLAC STREAMINFO).
+    The shared probe tuple has no sample-rate field, so the inventory
+    carries ``duration_ms`` and ``audio_codec``; the full decoders
+    remain the audio ANALYSIS path. Same contract/conventions as
+    :func:`_make_mp3_prober` (dims NULL, ``track_count`` 1). Nested
+    functions, captured by value (house rule). r14: closes the
+    media-dir inventory gap for audio corpora."""
+    import struct
+
+    def wav(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" \
+                or data[8:12] != b"WAVE":
+            return "unsupported: not WAV"
+        try:
+            pos, fmt, dlen = 12, None, None
+            while pos + 8 <= len(data):
+                cid, ln = struct.unpack("<4sI", data[pos:pos + 8])
+                if cid == b"fmt " and pos + 24 <= len(data):
+                    fmt = struct.unpack(
+                        "<HHIIHH", data[pos + 8:pos + 24])
+                    if fmt[0] == 0xFFFE and pos + 34 <= len(data):
+                        fmt = (struct.unpack(
+                            "<H", data[pos + 32:pos + 34])[0],
+                            *fmt[1:])
+                elif cid == b"data":
+                    dlen = min(ln, len(data) - pos - 8)
+                pos += 8 + ln + (ln & 1)
+            if fmt is None:
+                return None
+            afmt, nch, rate, _, _, bits = fmt
+            if not nch or not rate:
+                return None
+            codec = {1: "pcm", 3: "float", 6: "alaw",
+                     7: "mulaw"}.get(afmt, f"tag_0x{afmt:04x}")
+            dur = None
+            if dlen and bits:
+                frame = max(1, (bits // 8) * nch)
+                dur = dlen // frame * 1000 // rate
+            return "wav", dur, None, None, None, codec, 1, None
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    def aiff(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"FORM" \
+                or data[8:12] not in (b"AIFF", b"AIFC"):
+            return "unsupported: not AIFF"
+        try:
+            pos = 12
+            while pos + 8 <= len(data):
+                cid, ln = struct.unpack(">4sI", data[pos:pos + 8])
+                if cid == b"COMM" and pos + 26 <= len(data):
+                    nch, nfr, _bits = struct.unpack(
+                        ">hIh", data[pos + 8:pos + 16])
+                    exp, mant = struct.unpack(
+                        ">HQ", data[pos + 16:pos + 26])
+                    if not nch or not mant:
+                        return None
+                    rate = mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
+                    if exp & 0x8000:
+                        rate = -rate
+                    if rate <= 0:
+                        return None
+                    codec = "pcm"
+                    if data[8:12] == b"AIFC" and ln >= 22 \
+                            and pos + 30 <= len(data):
+                        cc = data[pos + 26:pos + 30].lower()
+                        codec = {b"none": "pcm", b"sowt": "pcm",
+                                 b"ulaw": "mulaw", b"alaw": "alaw",
+                                 b"fl32": "float", b"fl64": "float",
+                                 }.get(cc, cc.decode("ascii",
+                                                     "replace"))
+                    dur = int(nfr * 1000 / rate) if nfr else None
+                    return ("aiff", dur, None, None, None, codec,
+                            1, None)
+                pos += 8 + ln + (ln & 1)
+            return None
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    def au(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 24 or data[:4] != b".snd":
+            return "unsupported: not AU"
+        try:
+            ofs, size, enc, rate, nch = struct.unpack(
+                ">IIIII", data[4:24])
+            if not rate or not nch:
+                return None
+            codec = {1: "mulaw", 2: "pcm", 3: "pcm", 4: "pcm",
+                     5: "pcm", 6: "float", 7: "float",
+                     27: "alaw"}.get(enc, f"enc_{enc}")
+            bps = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8,
+                   27: 1}.get(enc)
+            if size == 0xFFFFFFFF or ofs + size > len(data):
+                size = max(0, len(data) - ofs)
+            dur = None
+            if bps:
+                dur = size // (bps * nch) * 1000 // rate
+            return "au", dur, None, None, None, codec, 1, None
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    def flac(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 4 or data[:4] != b"fLaC":
+            return "unsupported: not FLAC"
+        try:
+            if len(data) < 8 + 34:
+                return None
+            btype = data[4] & 0x7F
+            blen = int.from_bytes(data[5:8], "big")
+            if btype != 0 or blen < 34:
+                return None  # STREAMINFO must come first (spec)
+            si = data[8:8 + 34]
+            packed = int.from_bytes(si[10:18], "big")
+            rate = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                return None
+            dur = int(total * 1000 // rate) if total else None
+            return ("flac", dur, None, None, None, "flac", 1,
+                    None)
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return wav, aiff, au, flac
+
+
 def probe_media(df: DataFrame, with_status: bool = False,
                 container: str = "auto") -> DataFrame:
     """Container-metadata probe over opaque video/animation payloads
@@ -3523,19 +3768,28 @@ def probe_media(df: DataFrame, with_status: bool = False,
     chunk-header walk — dims, acTL frame count, summed fcTL delays,
     :func:`_make_apng_prober`; stills probe as 1-frame 'png'),
     ``'avi'`` (RIFF hdrl/avih/strh/strf walk — dims, frame count,
-    duration, stream codecs, :func:`_make_avi_prober`), or
-    ``'auto'`` (per-row magic routing across all eight). Metadata-only: no frame decode, no
+    duration, stream codecs, :func:`_make_avi_prober`),
+    ``'jpeg'``/``'bmp'``/``'tiff'`` (r14 still-dimension probers,
+    :func:`_make_still_probers`), ``'wav'``/``'aiff'``/``'au'``/
+    ``'flac'`` (r14 audio header probers — duration + codec,
+    :func:`_make_audio_probers`), or
+    ``'auto'`` (per-row magic routing across all fifteen — every
+    format the engine decodes now probes). Metadata-only: no frame decode, no
     ``mdat``/LZW/entropy scan, so the per-row cost is bounded by the
     header size regardless of payload bytes. Unrecognized/malformed
     rows NULL out; ``with_status=True`` appends the
     ok/corrupt/unsupported reason — the same contract as
     :func:`decode_media`/:func:`decode_audio`."""
     kinds = ("auto", "bmff", "gif", "webp", "ebml", "mp3", "ogg",
-             "png", "avi")
+             "png", "avi", "jpeg", "bmp", "tiff", "wav", "aiff",
+             "au", "flac")
     if container not in kinds:
         raise ValueError(
             f"container must be {'|'.join(kinds)}: {container!r}")
     from .webp import _make_webp_prober
+    stills = dict(zip(("jpeg", "bmp", "tiff"), _make_still_probers()))
+    audios = dict(zip(("wav", "aiff", "au", "flac"),
+                      _make_audio_probers()))
     bmff = _make_bmff_prober() if container in ("auto", "bmff") else None
     gif = _make_gif_prober() if container in ("auto", "gif") else None
     webp = _make_webp_prober() if container in ("auto", "webp") else None
@@ -3562,6 +3816,10 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return png(payload)
         if container == "avi":
             return avi(payload)
+        if container in stills:
+            return stills[container](payload)
+        if container in audios:
+            return audios[container](payload)
         if isinstance(payload, (bytes, bytearray)):
             head = bytes(payload[:12])
             if head[:6] in (b"GIF87a", b"GIF89a"):
@@ -3572,6 +3830,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
                 return webp(payload)
             if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
                 return avi(payload)
+            if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+                return audios["wav"](payload)
             if head[:4] == b"\x1a\x45\xdf\xa3":
                 return ebml(payload)
             if head[:3] == b"ID3" or (len(head) >= 2
@@ -3582,6 +3842,19 @@ def probe_media(df: DataFrame, with_status: bool = False,
                 return ogg(payload)
             if head[:8] == b"\x89PNG\r\n\x1a\n":
                 return png(payload)
+            if head[:2] == b"\xff\xd8":
+                return stills["jpeg"](payload)
+            if head[:2] == b"BM":
+                return stills["bmp"](payload)
+            if head[:2] in (b"II", b"MM"):
+                return stills["tiff"](payload)
+            if head[:4] == b"FORM" and payload[8:12] in (b"AIFF",
+                                                         b"AIFC"):
+                return audios["aiff"](payload)
+            if head[:4] == b".snd":
+                return audios["au"](payload)
+            if head[:4] == b"fLaC":
+                return audios["flac"](payload)
             return "unsupported: unrecognized container"
         return None
 

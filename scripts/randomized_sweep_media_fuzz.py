@@ -151,6 +151,13 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "apng": mm._make_apng_decoder(),
                 "avi": mm._make_avi_prober()}
     avi_video = mm._make_avi_video_decoder()
+    jpeg_probe, bmp_probe, tiff_probe = mm._make_still_probers()
+    wav_probe, aiff_probe, au_probe, flac_probe = \
+        mm._make_audio_probers()
+    still_probes = {"jpeg": jpeg_probe, "bmp": bmp_probe,
+                    "tiff": tiff_probe}
+    audio_probes = {"wav": wav_probe, "aiff": aiff_probe,
+                    "au": au_probe, "flac": flac_probe}
     gif_probe = mm._make_gif_prober()
     apng_probe = mm._make_apng_prober()
     webp_probe = _make_webp_prober()
@@ -215,6 +222,11 @@ def run(n_seeds: int, base_seed: int) -> int:
             # r14: MJPEG frame decode through the JPEG codec, not
             # just the header probe
             checks.append(("avi-video", avi_video))
+        if fmt in still_probes:
+            # r14 still-dimension probers share the raise contract
+            checks.append((f"{fmt}-probe", still_probes[fmt]))
+        if fmt in audio_probes:
+            checks.append((f"{fmt}-probe", audio_probes[fmt]))
         for dname, dec in checks:
             cases += 1
             try:

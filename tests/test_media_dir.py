@@ -104,6 +104,18 @@ def test_media_dir_inventory_probes(spark):
     # non-container files keep their row with a reason, never dropped
     assert inv["README.md"]["status"].startswith("unsupported")
     assert inv["README.md"]["major_brand"] is None
+    # r14 probers: stills report dims, audio reports duration+codec —
+    # every format the engine decodes probes in the inventory
+    assert inv["python.jpg"]["major_brand"] == "jpeg" \
+        and inv["python.jpg"]["width"] > 0
+    assert inv["python.tiff"]["major_brand"] == "tiff"
+    assert inv["pluck-pcm16.wav"]["major_brand"] == "wav" \
+        and inv["pluck-pcm16.wav"]["duration_ms"] > 0
+    assert inv["pluck-pcm16.flac"]["major_brand"] == "flac"
+    assert inv["pluck-ulaw.au"]["major_brand"] == "au"
+    n_unsup = sum(1 for r in inv.values()
+                  if str(r["status"]).startswith("unsupported"))
+    assert n_unsup <= 3  # README.md, test.json-likes — not media
     # a size cap marks oversize rows without probing them
     cap = os.path.getsize(os.path.join(FIXTURES, "probe.avi"))
     inv2 = {os.path.basename(r["path"]): r

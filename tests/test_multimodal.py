@@ -4932,3 +4932,97 @@ def test_r14_tiff16_truncation_contract():
             r = dec(data[:k])
             assert r is None or isinstance(r, (tuple, str)), (
                 fn.__name__, k)
+
+
+# ---------------------------------------------------------------------------
+# Still-dimension + audio-header probers (r14): every format the engine
+# decodes now probes — differentialed against the FULL decoders on the
+# committed fixtures (probe dims == decode dims; probe duration ==
+# frames*1000/rate from the audio decode).
+# ---------------------------------------------------------------------------
+
+def test_still_probers_match_decoders():
+    jpeg_p, bmp_p, tiff_p = M._make_still_probers()
+    cases = [
+        ("python.jpg", jpeg_p, M._make_jpeg_decoder(), "jpeg"),
+        ("python.bmp", bmp_p, M._make_bmp_decoder(), "bmp"),
+        ("variant-core24.bmp", bmp_p, M._make_bmp_decoder(), "bmp"),
+        ("python.tiff", tiff_p, M._make_tiff_decoder(), "tiff"),
+        ("variant-planar16.tiff", tiff_p, M._make_tiff_decoder(),
+         "tiff"),
+    ]
+    for name, prober, dec, brand in cases:
+        data = _fix(name)
+        got = prober(data)
+        assert isinstance(got, tuple), name
+        w, h = dec(data)[:2]
+        assert got == (brand, None, w, h, brand, None, 1, 1), name
+    # progressive JPEG (SOF2) probes too
+    from test_multimodal import _encode_flat_jpeg
+    prog = _encode_flat_jpeg([[50, 100]], 16, 8, progressive=True)
+    assert jpeg_p(prog) == ("jpeg", None, 16, 8, "jpeg", None, 1, 1)
+    # foreign magic / truncation contract
+    for p in (jpeg_p, bmp_p, tiff_p):
+        assert isinstance(p(b"\x00" * 16), str)
+        data = _fix("python.jpg")
+        for k in range(0, len(data), 7):
+            r = p(data[:k])
+            assert r is None or isinstance(r, (tuple, str)), k
+
+
+def test_audio_probers_match_decoders():
+    from realtime_olap_spark.operators.flac import _make_flac_decoder
+
+    wav_p, aiff_p, au_p, flac_p = M._make_audio_probers()
+    cases = [
+        ("pluck-pcm16.wav", wav_p, M._make_wav_decoder(), "wav",
+         "pcm"),
+        ("pluck-pcm8.wav", wav_p, M._make_wav_decoder(), "wav",
+         "pcm"),
+        ("pluck-pcm16.aiff", aiff_p, M._make_aiff_decoder(), "aiff",
+         "pcm"),
+        ("pluck-ulaw.aifc", aiff_p, M._make_aiff_decoder(), "aiff",
+         "mulaw"),
+        ("pluck-alaw.aifc", aiff_p, M._make_aiff_decoder(), "aiff",
+         "alaw"),
+        ("pluck-ulaw.au", au_p, M._make_au_decoder(), "au", "mulaw"),
+        ("pluck-pcm16.flac", flac_p, _make_flac_decoder(), "flac",
+         "flac"),
+    ]
+    for name, prober, dec, brand, codec in cases:
+        data = _fix(name)
+        got = prober(data)
+        assert isinstance(got, tuple), (name, got)
+        n, nch, rate, _ = dec(data)
+        want_dur = n * 1000 // rate
+        assert got[0] == brand and got[5] == codec, name
+        assert got[1] is not None and abs(got[1] - want_dur) <= 1, (
+            name, got[1], want_dur)
+        assert got[2] is None and got[3] is None, name
+    # foreign magic / truncation contract
+    for p in (wav_p, aiff_p, au_p, flac_p):
+        assert isinstance(p(b"\x00" * 16), str)
+    data = _fix("pluck-pcm16.wav")
+    for k in range(0, len(data), 13):
+        for p in (wav_p, aiff_p, au_p, flac_p):
+            r = p(data[:k])
+            assert r is None or isinstance(r, (tuple, str)), k
+
+
+def test_probe_media_auto_routes_stills_and_audio(spark):
+    rows = [(i + 1, "media", _fix(n)) for i, n in enumerate(
+        ("python.jpg", "python.bmp", "python.tiff",
+         "pluck-pcm16.wav", "pluck-pcm16.flac", "pluck-ulaw.au"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r
+           for r in M.probe_media(df, with_status=True).collect()}
+    assert got[1]["major_brand"] == "jpeg" and got[1]["width"] > 0
+    assert got[2]["major_brand"] == "bmp" and got[2]["height"] > 0
+    assert got[3]["major_brand"] == "tiff" and got[3]["status"] == "ok"
+    assert got[4]["major_brand"] == "wav" \
+        and got[4]["audio_codec"] == "pcm" \
+        and got[4]["duration_ms"] > 0
+    assert got[5]["major_brand"] == "flac"
+    assert got[6]["major_brand"] == "au" \
+        and got[6]["audio_codec"] == "mulaw"
