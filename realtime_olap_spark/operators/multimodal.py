@@ -3674,9 +3674,13 @@ def _make_audio_probers():
                         ">HQ", data[pos + 16:pos + 26])
                     if not nch or not mant:
                         return None
-                    rate = mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)
-                    if exp & 0x8000:
-                        rate = -rate
+                    e2 = (exp & 0x7FFF) - 16383 - 63
+                    if exp & 0x8000 or not -100 <= e2 <= 100:
+                        # negative or absurd 80-bit exponent: no real
+                        # sample rate lives there (fuzz catch: 2.0**e
+                        # raises OverflowError past ~1023)
+                        return None
+                    rate = mant * 2.0 ** e2
                     if rate <= 0:
                         return None
                     codec = "pcm"

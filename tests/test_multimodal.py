@@ -4999,6 +4999,13 @@ def test_audio_probers_match_decoders():
         assert got[1] is not None and abs(got[1] - want_dur) <= 1, (
             name, got[1], want_dur)
         assert got[2] is None and got[3] is None, name
+    # fuzz catch (seed 662655): an absurd 80-bit COMM exponent made
+    # 2.0**e raise OverflowError — malformed, never a raise
+    import struct as _s
+    bad = bytearray(_fix("pluck-pcm16.aiff"))
+    i = bad.find(b"COMM") + 16
+    bad[i:i + 2] = _s.pack(">H", 0x7FFE)
+    assert aiff_p(bytes(bad)) is None
     # foreign magic / truncation contract
     for p in (wav_p, aiff_p, au_p, flac_p):
         assert isinstance(p(b"\x00" * 16), str)
