@@ -5033,3 +5033,76 @@ def test_probe_media_auto_routes_stills_and_audio(spark):
     assert got[5]["major_brand"] == "flac"
     assert got[6]["major_brand"] == "au" \
         and got[6]["audio_codec"] == "mulaw"
+
+
+# ---------------------------------------------------------------------------
+# Randomized MJPEG-in-AVI property sweep (r14): seeded random streams —
+# gray/4:2:0 color, random flat-block levels, random stream layout
+# (audio-first numbering, rec grouping, dc/db ids, dropped frames) —
+# every decoded frame must equal the JPEG codec run directly on the
+# movi chunk bytes, timestamps must follow avih, and the dropped-frame
+# convention must repeat the previous frame. The offline sweep runs
+# thousands of seeds (COVERAGE.md); CI runs a fixed block.
+# ---------------------------------------------------------------------------
+
+def run_avi_property_seed(seed):
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(f"avi-mjpeg-{seed}")
+    color = rnd.random() < 0.5
+    if color:
+        mcu = 16
+        mbw, mbh = rnd.randint(1, 3), rnd.randint(1, 2)
+    else:
+        mcu = 8
+        mbw, mbh = rnd.randint(1, 5), rnd.randint(1, 4)
+    w, h = mcu * mbw, mcu * mbh
+    n_frames = rnd.randint(1, 5)
+    frames = []
+    for _ in range(n_frames):
+        if frames and rnd.random() < 0.2:
+            frames.append(b"")  # dropped frame
+            continue
+        if color:
+            n = mbw * mbh
+            frames.append(_encode_flat_jpeg(
+                [[rnd.randrange(256) for _ in range(4 * n)],
+                 [rnd.randrange(256) for _ in range(n)],
+                 [rnd.randrange(256) for _ in range(n)]], w, h,
+                sampling=[(2, 2), (1, 1), (1, 1)]))
+        else:
+            frames.append(_encode_flat_jpeg(
+                [[rnd.randrange(256) for _ in range(mbw * mbh)]],
+                w, h))
+    period = rnd.choice([1000, 33_333, 40_000, 100_000])
+    data = _assemble_mjpeg_avi(
+        frames, w, h, us_per_frame=period,
+        audio_first=rnd.random() < 0.5,
+        rec_group=rnd.random() < 0.3,
+        suffix=rnd.choice([b"dc", b"db"]))
+    res = M._make_avi_video_decoder()(data)
+    assert isinstance(res, tuple), (seed, res)
+    gw, gh, out = res
+    assert (gw, gh) == (w, h), seed
+    assert len(out) == len(frames), seed
+    jpeg = M._make_jpeg_decoder()
+    pms = max(1, period // 1000)
+    prev = None
+    for i, ((ts, dur, rgba), part) in enumerate(zip(out, frames)):
+        assert ts == i * pms and dur == pms, (seed, i)
+        if part == b"":
+            assert (rgba == prev).all(), (seed, i)
+        else:
+            jw, jh, jc, px = jpeg(part)
+            if jc == 1:
+                px = np.repeat(px, 3, axis=2)
+            want = np.dstack([px, np.full((h, w), 255, np.uint8)])
+            assert (rgba == want).all(), (seed, i)
+        prev = rgba
+
+
+def test_avi_mjpeg_randomized_property_sweep():
+    for seed in range(60):
+        run_avi_property_seed(seed)
