@@ -1127,8 +1127,9 @@ def _make_au_decoder():
 
 def _make_audio_auto_decoder():
     """Route audio payloads by magic bytes — the audio twin of
-    :func:`_make_auto_decoder`: RIFF/WAVE → WAV, FORM/AIFF|AIFC →
-    AIFF, ``.snd`` → AU, ``fLaC`` → FLAC; image magics are pointed at
+    :func:`_make_auto_decoder`: RIFF/WAVE → WAV, RIFF/AVI → the AVI
+    audio-stream extractor (r14), FORM/AIFF|AIFC → AIFF, ``.snd`` →
+    AU, ``fLaC`` → FLAC; image magics are pointed at
     ``decode_media``; anything else is
     ``"unsupported: unrecognized format"``."""
     from .flac import _make_flac_decoder
@@ -1137,6 +1138,7 @@ def _make_audio_auto_decoder():
     aiff = _make_aiff_decoder()
     au = _make_au_decoder()
     flac = _make_flac_decoder()
+    avi_audio = _make_avi_audio_decoder()
 
     def decode(data):
         if not isinstance(data, (bytes, bytearray)):
@@ -1144,6 +1146,8 @@ def _make_audio_auto_decoder():
         head = bytes(data[:12])
         if head.startswith(b"RIFF") and head[8:12] == b"WAVE":
             return wav(data)
+        if head.startswith(b"RIFF") and head[8:12] == b"AVI ":
+            return avi_audio(data)
         if head.startswith(b"FORM") and head[8:12] in (b"AIFF", b"AIFC"):
             return aiff(data)
         if head.startswith(b".snd"):
@@ -4620,6 +4624,148 @@ def _make_avi_video_decoder(max_pixels: int = MAX_DECODE_PIXELS,
             out = [(i * period_ms, period_ms, f)
                    for i, f in enumerate(frames)]
             return w, h, out
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return decode
+
+
+def _make_avi_audio_decoder():
+    """AVI AUDIO extraction (r14, the audio twin of
+    :func:`_make_avi_video_decoder`): the RIFF walk finds the FIRST
+    ``auds`` stream's strf WAVEFORMATEX, then concatenates that
+    stream's ``##wb`` movi chunks (with ``rec `` descent) and decodes
+    the samples exactly like the standalone WAV decoder — PCM
+    8/16/24/32-bit, IEEE float 32/64, and G.711 mu-law/A-law through
+    the shared decompanding tables. Compressed tags (MP3 0x55, AAC,
+    ADPCM …) return an ``"unsupported: …"`` reason.
+
+    Returns ``(n_frames, n_channels, sample_rate, ndarray[n, ch]
+    float64 in [-1, 1])`` — the same contract as
+    :func:`_make_wav_decoder`, so :func:`decode_audio`'s auto router
+    treats AVI like any other audio container; ``None`` for malformed
+    bytes. Nothing raises per-row. Nested function, captured by value
+    (house rule)."""
+    import struct
+
+    import numpy as np
+
+    ulaw_t, alaw_t = _g711_tables()
+
+    def decode(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        if len(data) < 12 or data[:4] != b"RIFF" \
+                or data[8:12] != b"AVI ":
+            return "unsupported: not AVI"
+        try:
+            riff_size = struct.unpack("<I", data[4:8])[0]
+            end = min(len(data), 8 + riff_size)
+            astream = None
+            fmt = None
+            strl_ordinal = 0
+
+            def chunks(lo, hi):
+                pos = lo
+                while pos + 8 <= hi:
+                    cid, ln = struct.unpack("<4sI", data[pos:pos + 8])
+                    body_end = pos + 8 + ln
+                    if body_end > hi:
+                        raise ValueError("overruns parent")
+                    yield cid, pos + 8, body_end
+                    pos = body_end + (ln & 1)
+
+            def walk_hdrl(lo, hi):
+                nonlocal astream, fmt, strl_ordinal
+                stream_type = None
+                for cid, s, e in chunks(lo, hi):
+                    if cid == b"LIST":
+                        if e - s < 4:
+                            raise ValueError("short LIST")
+                        if data[s:s + 4] in (b"hdrl", b"strl"):
+                            if data[s:s + 4] == b"strl":
+                                strl_ordinal += 1
+                            walk_hdrl(s + 4, e)
+                    elif cid == b"strh" and e - s >= 4:
+                        stream_type = data[s:s + 4]
+                        if stream_type == b"auds" and astream is None:
+                            astream = strl_ordinal - 1
+                    elif cid == b"strf" and stream_type == b"auds" \
+                            and astream == strl_ordinal - 1 \
+                            and fmt is None and e - s >= 16:
+                        fmt = struct.unpack("<HHIIHH",
+                                            data[s:s + 16])
+
+            for cid, s, e in chunks(12, end):
+                if cid == b"LIST" and e - s >= 4 \
+                        and data[s:s + 4] == b"hdrl":
+                    walk_hdrl(s + 4, e)
+            if astream is None or fmt is None:
+                return "unsupported: no audio stream"
+            tag, nch, rate, _, _, bits = fmt
+            if not nch or not rate:
+                return None
+            if tag not in (1, 3, 6, 7):
+                name = {0x55: "MP3", 0xFF: "AAC",
+                        0x2: "ADPCM"}.get(tag, f"tag 0x{tag:04x}")
+                return f"unsupported: AVI audio {name}"
+            if tag == 1 and bits not in (8, 16, 24, 32):
+                return f"unsupported: {bits}-bit PCM"
+            if tag == 3 and bits not in (32, 64):
+                return f"unsupported: {bits}-bit float"
+            if tag in (6, 7) and bits not in (0, 8):
+                return None
+            prefix = b"%02d" % astream
+            parts = []
+
+            def walk_movi(lo, hi):
+                for cid, s, e in chunks(lo, hi):
+                    if cid == b"LIST" and e - s >= 4 \
+                            and data[s:s + 4] == b"rec ":
+                        walk_movi(s + 4, e)
+                    elif cid[:2] == prefix and cid[2:] == b"wb":
+                        parts.append(data[s:e])
+
+            for cid, s, e in chunks(12, end):
+                if cid == b"LIST" and e - s >= 4 \
+                        and data[s:s + 4] == b"movi":
+                    walk_movi(s + 4, e)
+            raw = b"".join(parts)
+            if tag in (6, 7):
+                bstep = 1
+            else:
+                bstep = bits // 8
+            frame = bstep * nch
+            n = len(raw) // frame
+            if n == 0:
+                return None
+            raw = raw[:n * frame]
+            if tag == 6:  # A-law
+                x = alaw_t[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif tag == 7:  # mu-law
+                x = ulaw_t[np.frombuffer(raw, np.uint8)] \
+                    .astype(np.float64) / 32768.0
+            elif tag == 3:
+                x = np.frombuffer(
+                    raw, "<f4" if bits == 32 else "<f8") \
+                    .astype(np.float64)
+            elif bits == 8:
+                x = (np.frombuffer(raw, np.uint8).astype(np.float64)
+                     - 128.0) / 128.0
+            elif bits == 24:
+                b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+                v = (b3[:, 0].astype(np.int32)
+                     | (b3[:, 1].astype(np.int32) << 8)
+                     | (b3[:, 2].astype(np.int32) << 16))
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            else:
+                dt = "<i2" if bits == 16 else "<i4"
+                x = (np.frombuffer(raw, dt).astype(np.float64)
+                     / float(1 << (bits - 1)))
+            return int(n), int(nch), int(rate), x.reshape(n, nch)
         except (struct.error, IndexError, ValueError):
             return None
 

@@ -151,6 +151,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "apng": mm._make_apng_decoder(),
                 "avi": mm._make_avi_prober()}
     avi_video = mm._make_avi_video_decoder()
+    avi_audio = mm._make_avi_audio_decoder()
     jpeg_probe, bmp_probe, tiff_probe = mm._make_still_probers()
     wav_probe, aiff_probe, au_probe, flac_probe = \
         mm._make_audio_probers()
@@ -220,8 +221,9 @@ def run(n_seeds: int, base_seed: int) -> int:
             checks.append(("webm-video", webm_video))
         if fmt == "avi":
             # r14: MJPEG frame decode through the JPEG codec, not
-            # just the header probe
+            # just the header probe — plus the audio-stream extractor
             checks.append(("avi-video", avi_video))
+            checks.append(("avi-audio", avi_audio))
         if fmt in still_probes:
             # r14 still-dimension probers share the raise contract
             checks.append((f"{fmt}-probe", still_probes[fmt]))

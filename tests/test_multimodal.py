@@ -5106,3 +5106,129 @@ def run_avi_property_seed(seed):
 def test_avi_mjpeg_randomized_property_sweep():
     for seed in range(60):
         run_avi_property_seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# AVI audio extraction (r14): the audio twin of the MJPEG work — ##wb
+# chunks of the first auds stream through the shared sample decode,
+# differentialed against the standalone WAV/AU decoders on the same
+# sample bytes.
+# ---------------------------------------------------------------------------
+
+def _assemble_avi_with_audio(w, h, video_chunks, audio_chunks,
+                             wfmt, audio_first=False):
+    """AVI with a vids (MJPG) stream and an auds stream whose strf is
+    the given WAVEFORMATEX tuple (tag, nch, rate, bits); movi
+    interleaves ##dc video and ##wb audio chunks."""
+    import struct
+
+    tag, nch, rate, bits = wfmt
+    avih = struct.pack("<10I", 40_000, 0, 0, 0, len(video_chunks),
+                       0, 2, 0, w, h) + b"\x00" * 16
+    strl_v = _avi_list(b"strl", _avi_chunk(
+        b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+        + _avi_chunk(b"strf", b"\x00" * 40))
+    strf_a = struct.pack("<HHIIHH", tag, nch, rate,
+                         rate * nch * max(1, bits // 8),
+                         nch * max(1, bits // 8), bits)
+    strl_a = _avi_list(b"strl", _avi_chunk(
+        b"strh", b"auds" + b"\x00" * 52) + _avi_chunk(b"strf", strf_a))
+    parts = [strl_a, strl_v] if audio_first else [strl_v, strl_a]
+    hdrl = _avi_list(b"hdrl", _avi_chunk(b"avih", avih)
+                     + b"".join(parts))
+    vid = (b"01dc" if audio_first else b"00dc")
+    aud = (b"00wb" if audio_first else b"01wb")
+    movi_body = b""
+    for i in range(max(len(video_chunks), len(audio_chunks))):
+        if i < len(video_chunks):
+            movi_body += _avi_chunk(vid, video_chunks[i])
+        if i < len(audio_chunks):
+            movi_body += _avi_chunk(aud, audio_chunks[i])
+    movi = _avi_list(b"movi", movi_body)
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _split_bytes(raw, n_parts):
+    step = max(1, len(raw) // n_parts)
+    return [raw[i:i + step] for i in range(0, len(raw), step)]
+
+
+def test_avi_audio_pcm16_matches_wav_decoder():
+    import struct
+
+    import numpy as np
+
+    wav_data = _fix("pluck-pcm16.wav")
+    n, nch, rate, truth = M._make_wav_decoder()(wav_data)
+    # extract the WAV's raw data chunk and chunk it into ##wb pieces
+    i = wav_data.find(b"data")
+    dlen = struct.unpack("<I", wav_data[i + 4:i + 8])[0]
+    raw = wav_data[i + 8:i + 8 + dlen]
+    f0 = _encode_flat_jpeg([[40, 213]], 16, 8)
+    for audio_first in (False, True):
+        data = _assemble_avi_with_audio(
+            16, 8, [f0], _split_bytes(raw, 7),
+            (1, nch, rate, 16), audio_first=audio_first)
+        res = M._make_avi_audio_decoder()(data)
+        assert isinstance(res, tuple), res
+        an, anch, arate, x = res
+        assert (an, anch, arate) == (n, nch, rate)
+        assert (x == truth).all()
+        # the video stream in the same file still decodes
+        vres = M._make_avi_video_decoder()(data)
+        assert isinstance(vres, tuple) and len(vres[2]) == 1
+
+
+def test_avi_audio_mulaw_and_gates():
+    import numpy as np
+
+    au_data = _fix("pluck-ulaw.au")
+    n, nch, rate, truth = M._make_au_decoder()(au_data)
+    import struct
+    ofs = struct.unpack(">I", au_data[4:8])[0]
+    raw = au_data[ofs:]
+    f0 = _encode_flat_jpeg([[40, 213]], 16, 8)
+    data = _assemble_avi_with_audio(
+        16, 8, [f0], _split_bytes(raw, 5), (7, nch, rate, 8))
+    res = M._make_avi_audio_decoder()(data)
+    assert isinstance(res, tuple)
+    an, anch, arate, x = res
+    assert (an, anch, arate) == (n, nch, rate)
+    assert (x == truth).all()
+    # compressed tags gate with a name
+    mp3avi = _assemble_avi_with_audio(16, 8, [f0], [b"\x00" * 64],
+                                      (0x55, 2, 22050, 0))
+    assert M._make_avi_audio_decoder()(mp3avi) \
+        == "unsupported: AVI audio MP3"
+    # video-only AVI: no audio stream
+    assert M._make_avi_audio_decoder()(_assemble_mjpeg_avi([f0], 16, 8)) \
+        == "unsupported: no audio stream"
+    assert M._make_avi_audio_decoder()(b"RIFF\x04\x00\x00\x00WAVE") \
+        == "unsupported: not AVI"
+    # truncation sweep: contract, never a raise
+    for k in range(len(data)):
+        r = M._make_avi_audio_decoder()(data[:k])
+        assert r is None or isinstance(r, (tuple, str)), k
+
+
+def test_decode_audio_auto_routes_avi(spark):
+    import struct
+
+    wav_data = _fix("pluck-pcm16.wav")
+    n, nch, rate, _ = M._make_wav_decoder()(wav_data)
+    i = wav_data.find(b"data")
+    dlen = struct.unpack("<I", wav_data[i + 4:i + 8])[0]
+    raw = wav_data[i + 8:i + 8 + dlen]
+    f0 = _encode_flat_jpeg([[40, 213]], 16, 8)
+    data = _assemble_avi_with_audio(16, 8, [f0],
+                                    _split_bytes(raw, 4),
+                                    (1, nch, rate, 16))
+    df = spark.createDataFrame(
+        [(1, "video", data), (2, "audio", wav_data)],
+        "media_id long, media_type string, payload binary")
+    rows = {r["media_id"]: r
+            for r in M.decode_audio(df, decoder="auto",
+                                    with_status=True).collect()}
+    assert rows[1]["status"] == "ok"
+    assert rows[1]["sample_rate"] == rate
+    assert rows[1]["n_frames"] == n == rows[2]["n_frames"]
