@@ -5,7 +5,12 @@ random streams through tests/test_multimodal.py::run_avi_property_seed
 frames), every decoded frame differentialed against the clean-room
 JPEG codec run directly on the movi chunk bytes.
 
-Usage: python scripts/randomized_sweep_avi_mjpeg.py [n_seeds] [base_seed]
+Pass ``--audio`` to run the AVI-AUDIO differential family instead
+(run_avi_audio_property_seed: random PCM/float/G.711 formats and
+chunkings vs an equivalent RIFF/WAVE through the standalone WAV
+decoder / the shared G.711 tables).
+
+Usage: python scripts/randomized_sweep_avi_mjpeg.py [--audio] [n_seeds] [base_seed]
 Defaults: 2000 seeds from base 1000. Prints one summary line;
 non-zero exit on any mismatch.
 """
@@ -23,20 +28,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 def main() -> None:
     from scripts._argv import parse_int_args
+    argv = list(sys.argv[1:])
+    family = "video"
+    if "--audio" in argv:
+        family = "audio"
+        argv.remove("--audio")
     n, base = parse_int_args(__doc__, [("n_seeds", 2000),
-                                       ("base_seed", 1000)])
-    from test_multimodal import run_avi_property_seed
+                                       ("base_seed", 1000)],
+                             argv=argv)
+    from test_multimodal import (run_avi_audio_property_seed,
+                                 run_avi_property_seed)
+    runner = (run_avi_audio_property_seed if family == "audio"
+              else run_avi_property_seed)
     t0 = time.time()
     failures = 0
     for seed in range(base, base + n):
         try:
-            run_avi_property_seed(seed)
+            runner(seed)
         except AssertionError as exc:  # noqa: PERF203 - sweep loop
             failures += 1
             print(f"FAIL seed={seed}: {exc}", file=sys.stderr)
             if failures >= 5:
                 break
-    print(f"avi-mjpeg sweep: seeds={base}..{base + n - 1} "
+    print(f"avi-mjpeg sweep [{family}]: seeds={base}..{base + n - 1} "
           f"failures={failures} elapsed={time.time() - t0:.1f}s")
     sys.exit(1 if failures else 0)
 

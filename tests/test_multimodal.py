@@ -5232,3 +5232,63 @@ def test_decode_audio_auto_routes_avi(spark):
     assert rows[1]["status"] == "ok"
     assert rows[1]["sample_rate"] == rate
     assert rows[1]["n_frames"] == n == rows[2]["n_frames"]
+
+
+def run_avi_audio_property_seed(seed):
+    """Randomized AVI-audio differential: random format (PCM
+    8/16/24/32, float32/64, G.711 mu/A-law), channels, rate, random
+    sample bytes split across random ##wb chunk counts — the AVI
+    extraction must equal the standalone WAV decoder on an equivalent
+    RIFF/WAVE built from the SAME bytes (G.711 differentials against
+    the AU/AIFF path conventions via the shared tables)."""
+    import random
+    import struct
+
+    import numpy as np
+
+    rnd = random.Random(f"avi-audio-{seed}")
+    tag, bits = rnd.choice([(1, 8), (1, 16), (1, 24), (1, 32),
+                            (3, 32), (3, 64), (6, 8), (7, 8)])
+    nch = rnd.randint(1, 3)
+    rate = rnd.choice([8000, 22050, 44100])
+    bstep = 1 if tag in (6, 7) else bits // 8
+    n = rnd.randint(1, 200)
+    if tag == 3:
+        vals = np.asarray(
+            [rnd.uniform(-1, 1) for _ in range(n * nch)],
+            "<f4" if bits == 32 else "<f8")
+        raw = vals.tobytes()
+    else:
+        raw = bytes(rnd.randrange(256)
+                    for _ in range(n * nch * bstep))
+    f0 = _encode_flat_jpeg([[40, 213]], 16, 8)
+    chunks = _split_bytes(raw, rnd.randint(1, 9))
+    data = _assemble_avi_with_audio(
+        16, 8, [f0], chunks, (tag, nch, rate, bits),
+        audio_first=rnd.random() < 0.5)
+    res = M._make_avi_audio_decoder()(data)
+    assert isinstance(res, tuple), (seed, res)
+    an, anch, arate, x = res
+    assert (an, anch, arate) == (n, nch, rate), seed
+    if tag in (6, 7):
+        # differential via the shared G.711 tables (the AU decoder's
+        # own convention)
+        ut, at = M._g711_tables()
+        t = at if tag == 6 else ut
+        want = (t[np.frombuffer(raw, np.uint8)].astype(np.float64)
+                / 32768.0).reshape(n, nch)
+    else:
+        # differential via an equivalent RIFF/WAVE from the SAME bytes
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, tag, nch, rate,
+                                       rate * nch * bstep,
+                                       nch * bstep, bits)
+               + b"data" + struct.pack("<I", len(raw)) + raw)
+        wn, wnch, wrate, want = M._make_wav_decoder()(wav)
+        assert (wn, wnch, wrate) == (n, nch, rate), seed
+    assert (x == want).all(), seed
+
+
+def test_avi_audio_randomized_property_sweep():
+    for seed in range(60):
+        run_avi_audio_property_seed(seed)
