@@ -1,0 +1,198 @@
+"""Perceptual image hashing + banded image near-dup (r14).
+
+The image analog of :func:`operators.dedup.simhash`: a 64-bit
+fingerprint per image such that visually-near-identical images
+(re-encodes, mild noise, small edits, rescales) land within a few
+Hamming bits, composed with a deterministic banded self-join for
+candidate pairs. The three classic public algorithms:
+
+- **aHash** (average hash): 8x8 area-resampled gray, bit = pixel >
+  mean.
+- **dHash** (difference hash): 9x8 gray, bit = right pixel > left
+  (horizontal gradient signs — robust to global brightness).
+- **pHash** (DCT hash): 32x32 gray → orthonormal 2-D DCT-II → the
+  top-left 8x8 low-frequency block, bit = coefficient > median of the
+  63 non-DC coefficients (the de-facto published construction).
+
+All three share one decode: payload → clean-room codec (the magic-byte
+auto router) → integer BT.601 luma → exact area resample (the same
+row-stochastic weight matrices as the transcode pass's 'area' filter,
+here WITHOUT aspect preservation — the fixed grid is what makes
+rescales collide). Undecodable rows get a NULL hash and the usual
+status reason — the shared three-valued contract, nothing raises.
+
+Scale shape (100 TB): hashing is ONE ``mapInPandas`` over the payload
+column — payload bytes never enter a shuffle. Near-dup candidates
+band the 64-bit hash into ``n_bands`` equal slices JVM-side (shift +
+mask, no UDF), explode to (band_idx, band_val, id) rows — 8 tiny rows
+per image, payload long gone — and equi-join on the band. The
+pigeonhole guarantee is exact, not probabilistic: a pair with Hamming
+distance < ``n_bands`` MUST agree on at least one band, so with the
+default 8 bands every pair within 7 bits is found; the final
+``bit_count(a ^ b) <= max_hamming`` verify is a JVM builtin on the
+joined longs. Same two-phase shape as MinHash LSH banding
+(``operators/dedup.py``), with a deterministic guarantee instead of a
+probabilistic one.
+
+Reference parity note: pinot-core has no image operators — extension
+surface for multimodal training-data curation (near-dup image
+filtering before training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 64
+
+
+def _luma(px, np):
+    """Integer BT.601 luma from an (h, w, ch) uint8 array — the same
+    (299R + 587G + 114B) // 1000 integer convention however many
+    channels the codec produced (gray passes through, alpha ignored)."""
+    if px.shape[2] == 1:
+        return px[:, :, 0].astype(np.float64)
+    r = px[:, :, 0].astype(np.int64)
+    g = px[:, :, 1].astype(np.int64)
+    b = px[:, :, 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.float64)
+
+
+def _dct_matrix(n, np):
+    """Orthonormal DCT-II basis (the JPEG codec's own construction)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.cos((2 * x + 1) * k * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def image_perceptual_hash(df: DataFrame, method: str = "phash",
+                          max_pixels: int | None = None,
+                          with_status: bool = False) -> DataFrame:
+    """One 64-bit perceptual hash per payload row (columns
+    ``media_id``, ``payload``) → ``media_id``, ``<method>`` (long,
+    NULL when undecodable) [+ ``status``]. ONE ``mapInPandas``; the
+    hash computation per row is a fixed-size (≤32x32) numpy pipeline
+    regardless of source dims, so per-row cost is decode-bounded."""
+    if method not in ("phash", "dhash", "ahash"):
+        raise ValueError(f"method must be phash|dhash|ahash: {method}")
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from .multimodal import (MAX_DECODE_PIXELS, _area_weights,
+                             _make_auto_decoder)
+
+    dec = _make_auto_decoder(max_pixels or MAX_DECODE_PIXELS)
+    fields = [StructField("media_id", LongType()),
+              StructField(method, LongType())]
+    if with_status:
+        fields.append(StructField("status", StringType()))
+    schema = StructType(fields)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        d32 = _dct_matrix(32, np)
+
+        def resample(gray, tw, th):
+            wy = _area_weights(gray.shape[0], th, np)
+            wx = _area_weights(gray.shape[1], tw, np)
+            return wy @ gray @ wx.T
+
+        def hash_of(px):
+            if method == "ahash":
+                g = resample(_luma(px, np), 8, 8)
+                bits = (g > g.mean()).flatten()
+            elif method == "dhash":
+                g = resample(_luma(px, np), 9, 8)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+            else:
+                g = resample(_luma(px, np), 32, 32)
+                c = (d32 @ g @ d32.T)[:8, :8].flatten()
+                med = np.median(c[1:])
+                bits = c > med
+            h = 0
+            for i, b in enumerate(bits):
+                if b:
+                    h |= 1 << i
+            # map to signed int64 (Spark LongType)
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in it:
+            ids, hashes, sts = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                r = dec(payload)
+                if isinstance(r, tuple):
+                    hashes.append(hash_of(r[3]))
+                    sts.append("ok")
+                else:
+                    hashes.append(None)
+                    sts.append("corrupt" if r is None else r)
+            out = {"media_id": ids,
+                   method: pd.array(hashes, dtype="Int64")}
+            if with_status:
+                out["status"] = sts
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
+def hash_bands(hash_col: Column, n_bands: int = 8,
+               bits: int = HASH_BITS) -> Column:
+    """JVM-side band array: ``n_bands`` equal slices of the hash,
+    each encoded as ``band_idx * 2^(width+1) + band_val`` (disjoint
+    ranges per band index, since ``band_val < 2^width``) — shift +
+    mask only, no UDF. Arithmetic shift of negative longs is
+    corrected by the mask."""
+    if bits % n_bands:
+        raise ValueError(f"{bits} bits not divisible into {n_bands}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    return F.array(*[
+        (F.lit(i).cast("long") * F.lit(1 << (width + 1)).cast("long")
+         + F.shiftright(hash_col, i * width).bitwiseAND(F.lit(mask)))
+        for i in range(n_bands)])
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes — one JVM builtin."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def phash_near_dup_pairs(hashes: DataFrame, id_col: str,
+                         hash_col: str, max_hamming: int = 7,
+                         n_bands: int = 8) -> DataFrame:
+    """Candidate near-dup pairs with the EXACT pigeonhole guarantee:
+    every pair within ``max_hamming < n_bands`` Hamming bits shares at
+    least one of the ``n_bands`` band slices, so the banded equi-join
+    finds it; the ``bit_count`` verify then drops everything above the
+    threshold (false candidates from a colliding band). Output:
+    (id_a, id_b, hamming), id_a < id_b, deduplicated.
+
+    Shuffle budget: one explode of 8-byte band keys (no payload, no
+    pixels), one equi-join on the band, one distinct on the id pair —
+    the MinHash-LSH shape with a deterministic guarantee."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"guarantee needs max_hamming < n_bands: {max_hamming} "
+            f">= {n_bands}")
+    h = hashes.where(F.col(hash_col).isNotNull())
+    b = h.select(F.col(id_col), F.col(hash_col),
+                 F.explode(hash_bands(F.col(hash_col),
+                                      n_bands)).alias("__band"))
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(hash_col).alias("ha"), "__band")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(hash_col).alias("hb"), "__band")
+    pairs = (left.join(right, "__band")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     hamming(F.col("ha"), F.col("hb")).alias("hamming"))
+             .where(F.col("hamming") <= F.lit(max_hamming))
+             .distinct())
+    return pairs
