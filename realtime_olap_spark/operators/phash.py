@@ -70,12 +70,15 @@ def _dct_matrix(n, np):
 
 def image_perceptual_hash(df: DataFrame, method: str = "phash",
                           max_pixels: int | None = None,
-                          with_status: bool = False) -> DataFrame:
-    """One 64-bit perceptual hash per payload row (columns
-    ``media_id``, ``payload``) → ``media_id``, ``<method>`` (long,
-    NULL when undecodable) [+ ``status``]. ONE ``mapInPandas``; the
-    hash computation per row is a fixed-size (≤32x32) numpy pipeline
-    regardless of source dims, so per-row cost is decode-bounded."""
+                          with_status: bool = False,
+                          id_cols: tuple = ("media_id",)) -> DataFrame:
+    """One 64-bit perceptual hash per payload row → ``*id_cols``,
+    ``<method>`` (long, NULL when undecodable) [+ ``status``].
+    ``id_cols`` are passed through unchanged (long-typed keys — e.g.
+    ``("media_id", "frame_ts_ms")`` for per-frame hashing). ONE
+    ``mapInPandas``; the hash computation per row is a fixed-size
+    (≤32x32) numpy pipeline regardless of source dims, so per-row
+    cost is decode-bounded."""
     if method not in ("phash", "dhash", "ahash"):
         raise ValueError(f"method must be phash|dhash|ahash: {method}")
     from pyspark.sql.types import (LongType, StringType, StructField,
@@ -85,8 +88,8 @@ def image_perceptual_hash(df: DataFrame, method: str = "phash",
                              _make_auto_decoder)
 
     dec = _make_auto_decoder(max_pixels or MAX_DECODE_PIXELS)
-    fields = [StructField("media_id", LongType()),
-              StructField(method, LongType())]
+    fields = [StructField(c, LongType()) for c in id_cols] \
+        + [StructField(method, LongType())]
     if with_status:
         fields.append(StructField("status", StringType()))
     schema = StructType(fields)
@@ -122,9 +125,8 @@ def image_perceptual_hash(df: DataFrame, method: str = "phash",
             return h - (1 << 64) if h >= (1 << 63) else h
 
         for pdf in it:
-            ids, hashes, sts = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                ids.append(mid)
+            hashes, sts = [], []
+            for payload in pdf["payload"]:
                 r = dec(payload)
                 if isinstance(r, tuple):
                     hashes.append(hash_of(r[3]))
@@ -132,13 +134,13 @@ def image_perceptual_hash(df: DataFrame, method: str = "phash",
                 else:
                     hashes.append(None)
                     sts.append("corrupt" if r is None else r)
-            out = {"media_id": ids,
-                   method: pd.array(hashes, dtype="Int64")}
+            out = {c: pdf[c] for c in id_cols}
+            out[method] = pd.array(hashes, dtype="Int64")
             if with_status:
                 out["status"] = sts
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(
+    return df.select(*id_cols, "payload").mapInPandas(
         batches, schema=schema)
 
 
@@ -196,3 +198,69 @@ def phash_near_dup_pairs(hashes: DataFrame, id_col: str,
              .where(F.col("hamming") <= F.lit(max_hamming))
              .distinct())
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual near-dup: sampled-frame hash signatures
+# ---------------------------------------------------------------------------
+
+def frame_hash_signature(df: DataFrame, every_ms: int,
+                         method: str = "phash",
+                         max_pixels: int | None = None) -> DataFrame:
+    """Per-video perceptual signature: sample frames on the
+    ``every_ms`` grid through the REAL video decoders
+    (``multimodal.decode_frames`` — GIF / animated WebP / WebM-VP8 /
+    APNG / MJPEG-AVI; stills contribute their single frame at ts 0),
+    then hash each sampled frame. Output: (media_id, frame_ts_ms,
+    <method>). Two chained ``mapInPandas`` passes; the intermediate
+    frame PNGs flow pipelined between them (same-stage, no shuffle —
+    both are narrow maps over the same partitioning)."""
+    from .multimodal import MAX_DECODE_PIXELS, decode_frames
+
+    frames = decode_frames(df, every_ms,
+                           max_pixels=max_pixels or MAX_DECODE_PIXELS)
+    ok = frames.where(F.col("payload").isNotNull())
+    return image_perceptual_hash(
+        ok, method=method, id_cols=("media_id", "frame_ts_ms"))
+
+
+def video_near_dup_pairs(signatures: DataFrame,
+                         method: str = "phash",
+                         max_hamming: int = 7, n_bands: int = 8,
+                         min_matched_frames: int = 2) -> DataFrame:
+    """Near-dup VIDEO pairs from frame signatures: band every frame
+    hash (the image pigeonhole guarantee per frame), equi-join frames
+    of different videos AT THE SAME sample timestamp on a shared band,
+    verify per-frame Hamming, then count distinct matching timestamps
+    per video pair — re-encodes and re-containered copies of the same
+    footage match on nearly every sampled frame, unrelated videos on
+    ~none. Output: (id_a, id_b, matched_frames), id_a < id_b, pairs
+    with at least ``min_matched_frames``.
+
+    The timestamp equality makes this an aligned-copy detector (the
+    corpus-dedup case: same content crawled twice in different
+    containers/encodings); temporally-shifted copies need an offset
+    sweep, which composes on top by re-keying frame_ts_ms.
+
+    Shuffle budget: one band explode (ids + 8-byte keys, pixels long
+    gone), one equi-join on (ts, band), one distinct + one count
+    shuffle on the id pair."""
+    h = signatures.where(F.col(method).isNotNull())
+    b = h.select("media_id", "frame_ts_ms", F.col(method),
+                 F.explode(hash_bands(F.col(method),
+                                      n_bands)).alias("__band"))
+    left = b.select(F.col("media_id").alias("id_a"),
+                    F.col("frame_ts_ms").alias("ts"),
+                    F.col(method).alias("ha"), "__band")
+    right = b.select(F.col("media_id").alias("id_b"),
+                     F.col("frame_ts_ms").alias("ts"),
+                     F.col(method).alias("hb"), "__band")
+    matched = (left.join(right, ["ts", "__band"])
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(hamming(F.col("ha"), F.col("hb"))
+                      <= F.lit(max_hamming))
+               .select("id_a", "id_b", "ts").distinct())
+    return (matched.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("matched_frames"))
+            .where(F.col("matched_frames")
+                   >= F.lit(min_matched_frames)))

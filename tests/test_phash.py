@@ -133,3 +133,48 @@ def test_band_keys_and_hamming_jvm_side(spark):
     plan = phash_near_dup_pairs(df, "id", "h")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "payload" not in plan
+
+
+def test_video_near_dup_signatures(spark):
+    """Aligned-copy video detection: the same MJPEG footage re-muxed
+    (rec-grouped, db ids, audio-first numbering) matches on every
+    sampled frame; a video of the same frames in reversed order —
+    different content at each timestamp — matches on none."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multimodal import (_assemble_mjpeg_avi,
+                                 _encode_flat_jpeg)
+
+    from realtime_olap_spark.operators.phash import (
+        frame_hash_signature, video_near_dup_pairs)
+
+    def gradient_frame(shift):
+        # smooth content so pHash is meaningful (flat blocks with a
+        # moving step edge)
+        levels = [(40 if c < 2 + shift else 200) for c in range(4)]
+        return _encode_flat_jpeg([levels], 32, 8)
+
+    fA = [gradient_frame(0), gradient_frame(1), gradient_frame(2)]
+    fB = [gradient_frame(2), gradient_frame(1), gradient_frame(0)]
+    a1 = _assemble_mjpeg_avi(fA, 32, 8, us_per_frame=40_000)
+    a2 = _assemble_mjpeg_avi(fA, 32, 8, us_per_frame=40_000,
+                             rec_group=True, suffix=b"db",
+                             audio_first=True)
+    b1 = _assemble_mjpeg_avi(fB, 32, 8, us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [(1, "video", a1), (2, "video", a2), (3, "video", b1)],
+        "media_id long, media_type string, payload binary")
+    sig = frame_hash_signature(df, every_ms=40)
+    rows = sig.collect()
+    assert all(r["phash"] is not None for r in rows)
+    assert len({r["media_id"] for r in rows}) == 3
+    pairs = {(r["id_a"], r["id_b"]): r["matched_frames"]
+             for r in video_near_dup_pairs(sig, max_hamming=3,
+                                           min_matched_frames=2)
+             .collect()}
+    assert pairs.get((1, 2)) == 3          # identical footage: all 3
+    assert (1, 3) not in pairs             # reversed frames at same ts
+    # no UDF re-enters after the hashing stage; payload never joins
+    plan = video_near_dup_pairs(sig)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "payload" not in plan.split("MapInPandas")[0]
