@@ -168,13 +168,26 @@ def hamming(a: Column, b: Column) -> Column:
 
 def phash_near_dup_pairs(hashes: DataFrame, id_col: str,
                          hash_col: str, max_hamming: int = 7,
-                         n_bands: int = 8) -> DataFrame:
+                         n_bands: int = 8,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs with the EXACT pigeonhole guarantee:
     every pair within ``max_hamming < n_bands`` Hamming bits shares at
     least one of the ``n_bands`` band slices, so the banded equi-join
     finds it; the ``bit_count`` verify then drops everything above the
     threshold (false candidates from a colliding band). Output:
     (id_a, id_b, hamming), id_a < id_b, deduplicated.
+
+    ``max_bucket_size`` is the corpus-scale knob (the same skew killer
+    as MinHash-LSH's ``lsh_candidate_pairs`` cap): with the default 8
+    bands each band value is only 8 bits wide — 256 buckets — so ANY
+    large corpus makes some band bucket quadratic (flat/boilerplate
+    images concentrate further). Buckets above the cap are skipped —
+    bounding every bucket at cap·(cap−1)/2 pairs — and capped pairs
+    can still meet through their other 7 bands; pairs hot in ALL
+    bands (exact-duplicate armies) are exact-dedup's job upstream,
+    not the near-dup join's. The size pass is a map-side-combined
+    count on band keys. At corpus scale also consider
+    ``n_bands=4`` (16-bit bands, 65k buckets, guarantee ≤3 bits).
 
     Shuffle budget: one explode of 8-byte band keys (no payload, no
     pixels), one equi-join on the band, one distinct on the id pair —
@@ -187,6 +200,10 @@ def phash_near_dup_pairs(hashes: DataFrame, id_col: str,
     b = h.select(F.col(id_col), F.col(hash_col),
                  F.explode(hash_bands(F.col(hash_col),
                                       n_bands)).alias("__band"))
+    if max_bucket_size is not None:
+        sizes = b.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+        b = (b.join(sizes.where(F.col("__n") <= max_bucket_size),
+                    "__band").drop("__n"))
     left = b.select(F.col(id_col).alias("id_a"),
                     F.col(hash_col).alias("ha"), "__band")
     right = b.select(F.col(id_col).alias("id_b"),

@@ -178,3 +178,34 @@ def test_video_near_dup_signatures(spark):
     plan = video_near_dup_pairs(sig)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "payload" not in plan.split("MapInPandas")[0]
+
+
+def test_near_dup_bucket_cap(spark):
+    """The corpus-scale hot-bucket cap: a degenerate population that
+    shares one band value stays bounded; capped pairs still meet
+    through their other bands (the MinHash-LSH cap semantics)."""
+    # 50 hashes identical in band 0 (low byte 0x55) but random
+    # elsewhere, plus one true near pair differing in 1 bit
+    import random
+    rnd = random.Random(3)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for i in range(50):
+        v = (rnd.getrandbits(56) << 8) | 0x55
+        rows.append((i, signed(v)))
+    near_a = rows[0][1]
+    rows.append((100, signed((near_a ^ (1 << 40))
+                             & ((1 << 64) - 1))))
+    df = spark.createDataFrame(rows, "id long, h long")
+    from realtime_olap_spark.operators.phash import phash_near_dup_pairs
+    capped = phash_near_dup_pairs(df, "id", "h", max_hamming=7,
+                                  max_bucket_size=10).collect()
+    uncapped = phash_near_dup_pairs(df, "id", "h",
+                                    max_hamming=7).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # the true near pair survives the cap through its OTHER bands
+    assert (0, 100) in got
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} >= got
