@@ -244,7 +244,9 @@ def frame_hash_signature(df: DataFrame, every_ms: int,
 def video_near_dup_pairs(signatures: DataFrame,
                          method: str = "phash",
                          max_hamming: int = 7, n_bands: int = 8,
-                         min_matched_frames: int = 2) -> DataFrame:
+                         min_matched_frames: int = 2,
+                         align: str = "same_ts",
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup VIDEO pairs from frame signatures: band every frame
     hash (the image pigeonhole guarantee per frame), equi-join frames
     of different videos AT THE SAME sample timestamp on a shared band,
@@ -254,30 +256,69 @@ def video_near_dup_pairs(signatures: DataFrame,
     ~none. Output: (id_a, id_b, matched_frames), id_a < id_b, pairs
     with at least ``min_matched_frames``.
 
-    The timestamp equality makes this an aligned-copy detector (the
-    corpus-dedup case: same content crawled twice in different
-    containers/encodings); temporally-shifted copies need an offset
-    sweep, which composes on top by re-keying frame_ts_ms.
+    ``align="same_ts"`` (default) joins frames at the same sample
+    timestamp — the aligned-copy detector (same content crawled twice
+    in different containers/encodings). ``align="any_offset"`` is the
+    SHIFTED-copy detector (trimmed intros, appended bumpers): frames
+    join on the band alone, and matches VOTE on their timestamp delta
+    — the pair's score is its best single alignment, so unrelated
+    videos whose chance matches scatter across deltas stay below the
+    threshold while a shifted copy concentrates all its matches at
+    one delta. The band-only join is wider, so ``max_bucket_size``
+    (per (band, ts) bucket under same_ts, per band bucket under
+    any_offset — the MinHash cap semantics) is the corpus knob.
 
     Shuffle budget: one band explode (ids + 8-byte keys, pixels long
-    gone), one equi-join on (ts, band), one distinct + one count
-    shuffle on the id pair."""
+    gone), one equi-join on (ts, band) / (band), one distinct + one
+    count shuffle on the id pair (+ a max over deltas for
+    any_offset)."""
+    if align not in ("same_ts", "any_offset"):
+        raise ValueError(
+            f"align must be same_ts|any_offset: {align}")
     h = signatures.where(F.col(method).isNotNull())
     b = h.select("media_id", "frame_ts_ms", F.col(method),
                  F.explode(hash_bands(F.col(method),
                                       n_bands)).alias("__band"))
+    join_keys = (["ts", "__band"] if align == "same_ts"
+                 else ["__band"])
+    if max_bucket_size is not None:
+        keys = (["frame_ts_ms", "__band"] if align == "same_ts"
+                else ["__band"])
+        sizes = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        b = (b.join(sizes.where(F.col("__n") <= max_bucket_size),
+                    keys).drop("__n"))
     left = b.select(F.col("media_id").alias("id_a"),
                     F.col("frame_ts_ms").alias("ts"),
                     F.col(method).alias("ha"), "__band")
     right = b.select(F.col("media_id").alias("id_b"),
-                     F.col("frame_ts_ms").alias("ts"),
+                     F.col("frame_ts_ms").alias("ts_b"),
                      F.col(method).alias("hb"), "__band")
-    matched = (left.join(right, ["ts", "__band"])
+    if align == "same_ts":
+        right = right.withColumnRenamed("ts_b", "ts")
+    matched = (left.join(right, join_keys)
                .where(F.col("id_a") < F.col("id_b"))
                .where(hamming(F.col("ha"), F.col("hb"))
-                      <= F.lit(max_hamming))
-               .select("id_a", "id_b", "ts").distinct())
-    return (matched.groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("matched_frames"))
-            .where(F.col("matched_frames")
-                   >= F.lit(min_matched_frames)))
+                      <= F.lit(max_hamming)))
+    if align == "same_ts":
+        matched = matched.select("id_a", "id_b", "ts").distinct()
+        return (matched.groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("matched_frames"))
+                .where(F.col("matched_frames")
+                       >= F.lit(min_matched_frames)))
+    # any_offset: vote per timestamp delta, keep each pair's best
+    # alignment (and report the winning offset)
+    matched = (matched
+               .select("id_a", "id_b",
+                       (F.col("ts") - F.col("ts_b")).alias("__delta"),
+                       F.col("ts"))
+               .distinct())
+    per_delta = (matched.groupBy("id_a", "id_b", "__delta")
+                 .agg(F.count(F.lit(1)).alias("matched_frames")))
+    best = (per_delta.groupBy("id_a", "id_b")
+            .agg(F.max(F.struct("matched_frames", "__delta"))
+                 .alias("__best")))
+    return (best.select(
+        "id_a", "id_b",
+        F.col("__best.matched_frames").alias("matched_frames"),
+        F.col("__best.__delta").alias("offset_ms"))
+        .where(F.col("matched_frames") >= F.lit(min_matched_frames)))

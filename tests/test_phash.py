@@ -209,3 +209,44 @@ def test_near_dup_bucket_cap(spark):
     # the true near pair survives the cap through its OTHER bands
     assert (0, 100) in got
     assert {(r["id_a"], r["id_b"]) for r in uncapped} >= got
+
+
+def test_video_near_dup_any_offset(spark):
+    """Shifted-copy detection: the same footage with the first frame
+    trimmed matches at one consistent delta under align='any_offset'
+    (and NOT under the aligned detector), with the winning offset
+    reported."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multimodal import _assemble_mjpeg_avi, _encode_flat_jpeg
+
+    from realtime_olap_spark.operators.phash import (
+        frame_hash_signature, video_near_dup_pairs)
+
+    def frame(shift):
+        levels = [(40 if c < 1 + (shift % 3) else 200)
+                  for c in range(4)]
+        return _encode_flat_jpeg([levels], 32, 8)
+
+    full = [frame(i) for i in range(4)]
+    trimmed = full[1:]                      # first 40 ms cut
+    a = _assemble_mjpeg_avi(full, 32, 8, us_per_frame=40_000)
+    b = _assemble_mjpeg_avi(trimmed, 32, 8, us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [(1, "video", a), (2, "video", b)],
+        "media_id long, media_type string, payload binary")
+    sig = frame_hash_signature(df, every_ms=40)
+    aligned = video_near_dup_pairs(sig, max_hamming=3,
+                                   min_matched_frames=3).collect()
+    # at the same ts the contents disagree (every frame differs from
+    # its shifted neighbor in this construction)
+    assert not [r for r in aligned
+                if (r["id_a"], r["id_b"]) == (1, 2)]
+    shifted = {(r["id_a"], r["id_b"]): r
+               for r in video_near_dup_pairs(
+                   sig, max_hamming=3, min_matched_frames=3,
+                   align="any_offset").collect()}
+    r = shifted[(1, 2)]
+    assert r["matched_frames"] == 3 and r["offset_ms"] == 40
+    with pytest.raises(ValueError, match="align"):
+        video_near_dup_pairs(sig, align="sideways")
