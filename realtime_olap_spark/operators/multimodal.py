@@ -4772,6 +4772,227 @@ def _make_avi_audio_decoder():
     return decode
 
 
+def _make_tags_parser():
+    """Clean-room media TAG extraction (r14) — the curation metadata
+    surface (title/artist-based dedup, provenance audits): ID3v2.2/3/4
+    text frames (syncsafe v4 sizes, latin-1 / UTF-16 BOM / UTF-16BE /
+    UTF-8 encodings), FLAC ``VORBIS_COMMENT`` metadata blocks
+    (length-prefixed key=value pairs), and RIFF ``LIST INFO`` chunks
+    in WAV and AVI containers. Well-known ids map to friendly keys
+    (title/artist/album/date/genre/encoder/comment); everything else
+    keeps its frame id lowercased. Returns a ``dict`` (possibly
+    empty — a parseable container with no tags), ``None`` for
+    malformed tag structures, ``"unsupported: …"`` for formats whose
+    tags live in structures not parsed here (Ogg comment packets span
+    page boundaries — gated honestly) or for untagged formats.
+    Nothing raises per-row. Nested function, captured by value
+    (house rule)."""
+    import struct
+
+    ID3_KEYS = {"TIT2": "title", "TT2": "title",
+                "TPE1": "artist", "TP1": "artist",
+                "TALB": "album", "TAL": "album",
+                "TDRC": "date", "TYER": "date", "TYE": "date",
+                "TCON": "genre", "TCO": "genre",
+                "TSSE": "encoder", "TSS": "encoder",
+                "COMM": "comment", "COM": "comment"}
+    INFO_KEYS = {b"INAM": "title", b"IART": "artist",
+                 b"IPRD": "album", b"ICRD": "date",
+                 b"IGNR": "genre", b"ISFT": "encoder",
+                 b"ICMT": "comment"}
+
+    def decode_text(enc, body):
+        if enc == 0:
+            return body.decode("latin-1", "replace")
+        if enc == 1:
+            return body.decode("utf-16", "replace")
+        if enc == 2:
+            return body.decode("utf-16-be", "replace")
+        if enc == 3:
+            return body.decode("utf-8", "replace")
+        return None
+
+    def id3(data):
+        ver = data[3]
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        body = data[10:10 + size]
+        if len(body) < size:
+            return None
+        tags = {}
+        pos = 0
+        id_len = 3 if ver == 2 else 4
+        while pos + id_len + (3 if ver == 2 else 6) <= len(body):
+            fid = body[pos:pos + id_len]
+            if fid == b"\x00" * id_len:
+                break  # padding
+            if ver == 2:
+                ln = int.from_bytes(body[pos + 3:pos + 6], "big")
+                hdr = 6
+            else:
+                raw = body[pos + 4:pos + 8]
+                if ver >= 4:  # syncsafe
+                    ln = ((raw[0] & 0x7F) << 21) \
+                        | ((raw[1] & 0x7F) << 14) \
+                        | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+                else:
+                    ln = struct.unpack(">I", raw)[0]
+                hdr = 10
+            fb = body[pos + hdr:pos + hdr + ln]
+            if len(fb) < ln:
+                return None
+            pos += hdr + ln
+            name = fid.decode("latin-1", "replace")
+            if name.startswith("T") and ln >= 1:
+                txt = decode_text(fb[0], fb[1:])
+                if txt is not None:
+                    key = ID3_KEYS.get(name, name.lower())
+                    tags[key] = txt.split("\x00")[0].strip("\x00 ")
+            elif name in ("COMM", "COM") and ln >= 5:
+                # enc + 3-byte lang + short desc\x00 + text
+                txt = decode_text(fb[0], fb[4:])
+                if txt is not None:
+                    parts = txt.split("\x00", 1)
+                    tags["comment"] = (parts[1] if len(parts) > 1
+                                       else parts[0]).strip("\x00 ")
+        return tags
+
+    def flac_vc(data):
+        pos = 4
+        tags = {}
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            btype = hdr & 0x7F
+            ln = int.from_bytes(data[pos + 1:pos + 4], "big")
+            body = data[pos + 4:pos + 4 + ln]
+            if len(body) < ln:
+                return None
+            if btype == 4:  # VORBIS_COMMENT
+                p = 0
+                if p + 4 > ln:
+                    return None
+                vlen = struct.unpack("<I", body[p:p + 4])[0]
+                p += 4
+                vendor = body[p:p + vlen]
+                if len(vendor) < vlen:
+                    return None
+                tags["encoder"] = vendor.decode("utf-8", "replace")
+                p += vlen
+                if p + 4 > ln:
+                    return None
+                cnt = struct.unpack("<I", body[p:p + 4])[0]
+                p += 4
+                if cnt > 10_000:
+                    return None  # bomb guard
+                for _ in range(cnt):
+                    if p + 4 > ln:
+                        return None
+                    clen = struct.unpack("<I", body[p:p + 4])[0]
+                    p += 4
+                    kv = body[p:p + clen]
+                    if len(kv) < clen:
+                        return None
+                    p += clen
+                    k, _, v = kv.partition(b"=")
+                    if k:
+                        tags[k.decode("utf-8", "replace").lower()] \
+                            = v.decode("utf-8", "replace")
+            pos += 4 + ln
+            if hdr & 0x80:
+                break
+        return tags
+
+    def riff_info(data):
+        riff_size = struct.unpack("<I", data[4:8])[0]
+        end = min(len(data), 8 + riff_size)
+        tags = {}
+        pos = 12
+        while pos + 8 <= end:
+            cid, ln = struct.unpack("<4sI", data[pos:pos + 8])
+            body_end = pos + 8 + ln
+            if body_end > end:
+                return None
+            if cid == b"LIST" and ln >= 4 \
+                    and data[pos + 8:pos + 12] == b"INFO":
+                p = pos + 12
+                while p + 8 <= body_end:
+                    tid, tlen = struct.unpack("<4sI", data[p:p + 8])
+                    tv = data[p + 8:p + 8 + tlen]
+                    if len(tv) < tlen:
+                        return None
+                    key = INFO_KEYS.get(
+                        tid, tid.decode("latin-1", "replace").lower())
+                    tags[key] = tv.rstrip(b"\x00").decode(
+                        "latin-1", "replace")
+                    p += 8 + tlen + (tlen & 1)
+            pos = body_end + (ln & 1)
+        return tags
+
+    def parse(data):
+        if not isinstance(data, (bytes, bytearray)):
+            return None
+        data = bytes(data)
+        try:
+            if len(data) >= 10 and data[:3] == b"ID3":
+                return id3(data)
+            if len(data) >= 8 and data[:4] == b"fLaC":
+                return flac_vc(data)
+            if len(data) >= 12 and data[:4] == b"RIFF" \
+                    and data[8:12] in (b"WAVE", b"AVI "):
+                return riff_info(data)
+            if len(data) >= 4 and data[:4] == b"OggS":
+                return ("unsupported: Ogg comment packets span "
+                        "page boundaries")
+            if len(data) >= 2 and data[0] == 0xFF \
+                    and (data[1] & 0xE0) == 0xE0:
+                return {}  # bare MPEG audio: no tag container
+            return "unsupported: no tag container"
+        except (struct.error, IndexError, ValueError):
+            return None
+
+    return parse
+
+
+def extract_media_tags(df: DataFrame,
+                       with_status: bool = False) -> DataFrame:
+    """Per-row media tag extraction over (``media_id``, ``payload``)
+    → ``media_id``, ``tags`` (map<string,string>, NULL when
+    malformed/unsupported) [+ ``status``] — ONE ``mapInPandas``,
+    header-bounded per-row cost, payload never shuffled. The curation
+    use: title/artist near-dup keys and provenance (encoder) audits
+    without decoding a single sample/pixel."""
+    from pyspark.sql.types import (LongType, MapType, StringType,
+                                   StructField, StructType)
+
+    parse = _make_tags_parser()
+    fields = [StructField("media_id", LongType()),
+              StructField("tags", MapType(StringType(), StringType()))]
+    if with_status:
+        fields.append(StructField("status", StringType()))
+    schema = StructType(fields)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            tags, sts = [], []
+            for payload in pdf["payload"]:
+                r = parse(payload)
+                if isinstance(r, dict):
+                    tags.append(r)
+                    sts.append("ok")
+                else:
+                    tags.append(None)
+                    sts.append("corrupt" if r is None else r)
+            out = {"media_id": pdf["media_id"], "tags": tags}
+            if with_status:
+                out["status"] = sts
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def _make_mp3_prober():
     """Metadata-only MP3 prober (public ISO 11172-3 / 13818-3 frame
     header layout): skips ID3v2 (syncsafe size) and ID3v1 tags, parses

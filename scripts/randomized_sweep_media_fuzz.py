@@ -152,6 +152,7 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "avi": mm._make_avi_prober()}
     avi_video = mm._make_avi_video_decoder()
     avi_audio = mm._make_avi_audio_decoder()
+    tags = mm._make_tags_parser()
     jpeg_probe, bmp_probe, tiff_probe = mm._make_still_probers()
     wav_probe, aiff_probe, au_probe, flac_probe = \
         mm._make_audio_probers()
@@ -203,6 +204,11 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
+        if fmt in ("mp3", "flac", "wav", "avi"):
+            # r14 tag extraction shares the contract (dict counts as
+            # a tuple-equivalent success shape)
+            checks.append(("tags", lambda d: (
+                lambda r: (r,) if isinstance(r, dict) else r)(tags(d))))
         if not audio and fmt not in ("mp4", "webm", "avif", "avi"):
             checks.append(("transcode", transcode))
         if fmt == "gif":

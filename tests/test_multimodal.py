@@ -5292,3 +5292,137 @@ def run_avi_audio_property_seed(seed):
 def test_avi_audio_randomized_property_sweep():
     for seed in range(60):
         run_avi_audio_property_seed(seed)
+
+
+# ---------------------------------------------------------------------------
+# Media tag extraction (r14): ID3v2 / FLAC VORBIS_COMMENT / RIFF INFO.
+# ---------------------------------------------------------------------------
+
+def _id3v23(frames):
+    """ID3v2.3 tag from [(frame_id, enc, text_bytes)]."""
+    import struct
+
+    body = b""
+    for fid, enc, txt in frames:
+        fb = bytes([enc]) + txt
+        body += fid + struct.pack(">I", len(fb)) + b"\x00\x00" + fb
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + body
+
+
+def test_tags_id3_real_and_crafted():
+    parse = M._make_tags_parser()
+    # the committed real-encoder golden: ID3v2.4 TSSE (UTF-8)
+    got = parse(_fix("test.mp3"))
+    assert got == {"encoder": "Lavf53.5.0"}
+    # crafted v2.3: latin-1 + UTF-16-BOM text frames + COMM
+    tag = _id3v23([
+        (b"TIT2", 0, b"A Title\x00"),
+        (b"TPE1", 1, "Ärtist".encode("utf-16")),
+        (b"TXXX", 3, "custom".encode()),
+        (b"COMM", 0, b"eng\x00hello world"),
+    ])
+    got = parse(tag + b"\xff\xfb" + b"\x00" * 32)
+    assert got["title"] == "A Title"
+    assert got["artist"] == "Ärtist"
+    assert got["txxx"] == "custom"
+    assert got["comment"] == "hello world"
+    # truncation sweep
+    for k in range(len(tag)):
+        r = parse(tag[:k])
+        assert r is None or isinstance(r, (dict, str)), k
+
+
+def test_tags_flac_vorbis_comment():
+    import struct
+
+    parse = M._make_tags_parser()
+    base = _fix("pluck-pcm16.flac")
+    assert parse(base) == {}  # STREAMINFO only: parseable, untagged
+    # splice a VORBIS_COMMENT block after STREAMINFO
+    vendor = "ref-libFLAC".encode()
+    comments = [b"TITLE=Pluck", b"ARTIST=Nobody",
+                "album=Tests".encode()]
+    vc = struct.pack("<I", len(vendor)) + vendor \
+        + struct.pack("<I", len(comments)) \
+        + b"".join(struct.pack("<I", len(c)) + c for c in comments)
+    si_hdr = base[4]
+    assert si_hdr & 0x80  # fixture: STREAMINFO is the last block
+    si_end = 8 + int.from_bytes(base[5:8], "big")
+    spliced = (base[:4] + bytes([si_hdr & 0x7F]) + base[5:si_end]
+               + bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+               + base[si_end:])
+    got = parse(spliced)
+    assert got == {"encoder": "ref-libFLAC", "title": "Pluck",
+                   "artist": "Nobody", "album": "Tests"}
+    # the decoder still decodes the spliced file identically
+    from realtime_olap_spark.operators.flac import _make_flac_decoder
+    a = _make_flac_decoder()(base)
+    b = _make_flac_decoder()(spliced)
+    assert a[0] == b[0] and (a[3] == b[3]).all()
+
+
+def test_tags_riff_info_wav_and_avi():
+    import struct
+
+    parse = M._make_tags_parser()
+    # the real-encoder golden carries a genuine INFO list — pin it
+    got = parse(_fix("pluck-pcm16.wav"))
+    assert got["title"] == "Pluck"
+    assert got["artist"] == "Serhiy Storchaka"
+    assert got["comment"] == "Audacity Pluck + Wahwah"
+    assert got["date"] == "2013"
+    base = _fix("pluck-pcm8.wav")
+    base_tags = parse(base)
+    assert isinstance(base_tags, dict)
+
+    def ent(tid, val):
+        pad = b"\x00" if len(val) & 1 else b""
+        return tid + struct.pack("<I", len(val)) + val + pad
+
+    info = (ent(b"INAM", b"Pluck2\x00") + ent(b"ISFT", b"hand\x00")
+            + ent(b"IXXX", b"odd\x00"))  # odd value: pad byte follows
+    lst = b"LIST" + struct.pack("<I", 4 + len(info)) + b"INFO" + info
+    spliced = (base[:4]
+               + struct.pack("<I", struct.unpack("<I", base[4:8])[0]
+                             + len(lst))
+               + base[8:] + lst)
+    got = parse(spliced)
+    # the appended INFO list wins for overlapping keys (last write)
+    assert got["title"] == "Pluck2" and got["encoder"] == "hand"
+    assert got["ixxx"] == "odd"
+    # the WAV decoder is unaffected by the appended INFO list
+    a = M._make_wav_decoder()(base)
+    b = M._make_wav_decoder()(spliced)
+    assert a[0] == b[0] and (a[3] == b[3]).all()
+    # AVI INFO rides the same walk
+    avi = _fix("variant-mjpeg.avi")
+    got = parse(avi)
+    assert got == {}
+    spliced_avi = (avi[:4]
+                   + struct.pack("<I",
+                                 struct.unpack("<I", avi[4:8])[0]
+                                 + len(lst))
+                   + avi[8:] + lst)
+    assert parse(spliced_avi)["title"] == "Pluck2"
+    # gates
+    assert isinstance(parse(_fix("python.png")), str)
+    assert parse(b"OggS" + b"\x00" * 30).startswith("unsupported")
+
+
+def test_extract_media_tags_operator(spark):
+    rows = [(1, _fix("test.mp3")), (2, _fix("pluck-pcm16.flac")),
+            (3, _fix("python.png")), (4, None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in M.extract_media_tags(df, with_status=True)
+           .collect()}
+    assert dict(got[1]["tags"]) == {"encoder": "Lavf53.5.0"}
+    assert got[1]["status"] == "ok"
+    assert dict(got[2]["tags"]) == {}
+    assert got[3]["tags"] is None
+    assert got[3]["status"].startswith("unsupported")
+    assert got[4]["tags"] is None and got[4]["status"] == "corrupt"
