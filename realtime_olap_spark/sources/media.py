@@ -91,12 +91,18 @@ def read_media_dir(spark: SparkSession, path: str,
 
 def media_dir_inventory(spark: SparkSession, path: str,
                         glob: str | None = None,
-                        max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+                        max_bytes: int = DEFAULT_MAX_BYTES,
+                        with_tags: bool = False) -> DataFrame:
     """Probe inventory over a media directory: one row per file with
     container metadata (brand, dims, codecs, duration, frame count)
     from the metadata-only probers — header-bounded per-row cost, no
     frame decode. Oversized files keep their row (NULL probe columns,
     status ``oversize``).
+
+    ``with_tags=True`` adds a ``tags`` map<string,string> column
+    (ID3v2 / FLAC Vorbis comments / RIFF INFO — see
+    ``multimodal.extract_media_tags``): a second header-only pass over
+    the same payload branch, still zero decode.
 
     Register as a live derived table to serve it over PQL/SQL::
 
@@ -113,6 +119,11 @@ def media_dir_inventory(spark: SparkSession, path: str,
     probed = M.probe_media(
         withp.select("media_id", "media_type", "payload"),
         with_status=True)
+    if with_tags:
+        probed = probed.join(
+            M.extract_media_tags(
+                withp.select("media_id", "payload")),
+            "media_id", "left")
     # one broadcastable equi-join back to the listing columns: the
     # probe output carries media_id only, the listing carries
     # path/size/mtime; payload never crosses the join
@@ -120,9 +131,13 @@ def media_dir_inventory(spark: SparkSession, path: str,
                         "mod_time", F.col("status").alias("file_status"))
     out = meta.join(probed.drop("media_type", "n_bytes"),
                     "media_id", "left")
+    cols = ["media_id", "path", "media_type", "n_bytes", "mod_time",
+            "major_brand", "duration_ms", "width", "height",
+            "video_codec", "audio_codec", "track_count",
+            "frame_count"]
+    if with_tags:
+        cols.append("tags")
     return out.select(
-        "media_id", "path", "media_type", "n_bytes", "mod_time",
-        "major_brand", "duration_ms", "width", "height",
-        "video_codec", "audio_codec", "track_count", "frame_count",
+        *cols,
         F.coalesce(F.col("status"),
                    F.col("file_status")).alias("status"))

@@ -173,3 +173,18 @@ def test_corpus_media_served_live_over_pql(spark, tmp_path):
         assert int(r3["aggregationResults"][0]["value"]) == 4
     finally:
         server.stop()
+
+
+def test_media_dir_inventory_with_tags(spark):
+    inv = {os.path.basename(r["path"]): r
+           for r in media_dir_inventory(spark, FIXTURES,
+                                        with_tags=True).collect()}
+    mp3 = inv["test.mp3"]
+    assert dict(mp3["tags"]) == {"encoder": "Lavf53.5.0"}
+    wav = dict(inv["pluck-pcm16.wav"]["tags"])
+    assert wav["title"] == "Pluck"
+    assert wav["artist"] == "Serhiy Storchaka"
+    assert inv["python.png"]["tags"] is None  # no tag container
+    # default stays tag-free (schema stability for existing views)
+    base = media_dir_inventory(spark, FIXTURES)
+    assert "tags" not in base.columns
