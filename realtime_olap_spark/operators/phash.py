@@ -246,7 +246,8 @@ def video_near_dup_pairs(signatures: DataFrame,
                          max_hamming: int = 7, n_bands: int = 8,
                          min_matched_frames: int = 2,
                          align: str = "same_ts",
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | None = None,
+                         bits: int = HASH_BITS) -> DataFrame:
     """Near-dup VIDEO pairs from frame signatures: band every frame
     hash (the image pigeonhole guarantee per frame), equi-join frames
     of different videos AT THE SAME sample timestamp on a shared band,
@@ -277,8 +278,8 @@ def video_near_dup_pairs(signatures: DataFrame,
             f"align must be same_ts|any_offset: {align}")
     h = signatures.where(F.col(method).isNotNull())
     b = h.select("media_id", "frame_ts_ms", F.col(method),
-                 F.explode(hash_bands(F.col(method),
-                                      n_bands)).alias("__band"))
+                 F.explode(hash_bands(F.col(method), n_bands,
+                                      bits=bits)).alias("__band"))
     join_keys = (["ts", "__band"] if align == "same_ts"
                  else ["__band"])
     if max_bucket_size is not None:
