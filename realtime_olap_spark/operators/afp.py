@@ -36,6 +36,63 @@ FMIN, FMAX = 300.0, 2000.0
 FP_BITS = 32
 
 
+def _make_audio_fingerprinter():
+    """Per-row payload -> [(ts_ms, 32-bit fp), …] closure (the worker
+    body of :func:`audio_fingerprint`, exposed for the fuzz sweep's
+    raise-contract coverage): returns a list on success, ``None`` for
+    malformed bytes, ``"unsupported: …"`` otherwise. Nested function,
+    captured by value (house rule)."""
+    import numpy as np
+
+    from .multimodal import _make_audio_auto_decoder
+
+    dec = _make_audio_auto_decoder()
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(FRAME) / FRAME)
+    edges = np.exp(np.linspace(np.log(FMIN), np.log(FMAX),
+                               N_BANDS + 1))
+    bin_hz = TARGET_RATE / FRAME
+    bidx = np.clip((edges / bin_hz).astype(np.int64), 1, FRAME // 2)
+
+    def fingerprints(payload):
+        r = dec(payload)
+        if not isinstance(r, tuple):
+            return r
+        n, nch, rate, x = r
+        mono = x.mean(axis=1)
+        # deterministic linear resample to TARGET_RATE
+        if rate != TARGET_RATE:
+            m = max(1, int(round(n * TARGET_RATE / rate)))
+            src = np.arange(m) * (rate / TARGET_RATE)
+            i0 = np.minimum(src.astype(np.int64), n - 1)
+            i1 = np.minimum(i0 + 1, n - 1)
+            fr = src - i0
+            mono = mono[i0] * (1 - fr) + mono[i1] * fr
+        if len(mono) < FRAME + HOP:
+            return "unsupported: audio shorter than two frames"
+        n_frames = 1 + (len(mono) - FRAME) // HOP
+        idx = (np.arange(n_frames)[:, None] * HOP
+               + np.arange(FRAME)[None, :])
+        spec = np.abs(np.fft.rfft(mono[idx] * hann, axis=1)) ** 2
+        # band energies: one cumulative sum, sliced at the edges
+        cum = np.concatenate(
+            [np.zeros((n_frames, 1)), np.cumsum(spec, axis=1)],
+            axis=1)
+        eb = cum[:, bidx[1:]] - cum[:, bidx[:-1]]  # (t, 33)
+        d = eb[:, :-1] - eb[:, 1:]                 # (t, 32)
+        bits = (d[1:] - d[:-1]) > 0                # (t-1, 32)
+        out = []
+        for t in range(bits.shape[0]):
+            v = 0
+            for b in range(FP_BITS):
+                if bits[t, b]:
+                    v |= 1 << b
+            ts = (t + 1) * HOP * 1000 // TARGET_RATE
+            out.append((ts, v))
+        return out
+
+    return fingerprints
+
+
 def audio_fingerprint(df: DataFrame,
                       with_status: bool = False) -> DataFrame:
     """Sub-fingerprint rows per payload: (``media_id``,
@@ -46,9 +103,7 @@ def audio_fingerprint(df: DataFrame,
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    from .multimodal import _make_audio_auto_decoder
-
-    dec = _make_audio_auto_decoder()
+    fingerprints = _make_audio_fingerprinter()
     fields = [StructField("media_id", LongType()),
               StructField("frame_ts_ms", LongType()),
               StructField("afp", LongType())]
@@ -57,64 +112,17 @@ def audio_fingerprint(df: DataFrame,
     schema = StructType(fields)
 
     def batches(it):
-        import numpy as np
         import pandas as pd
-
-        hann = 0.5 - 0.5 * np.cos(
-            2 * np.pi * np.arange(FRAME) / FRAME)
-        # log-spaced band edges mapped to rfft bins at TARGET_RATE
-        edges = np.exp(np.linspace(np.log(FMIN), np.log(FMAX),
-                                   N_BANDS + 1))
-        bin_hz = TARGET_RATE / FRAME
-        bidx = np.clip((edges / bin_hz).astype(np.int64), 1,
-                       FRAME // 2)
-
-        def fingerprints(payload):
-            r = dec(payload)
-            if not isinstance(r, tuple):
-                return ("corrupt" if r is None else r)
-            n, nch, rate, x = r
-            mono = x.mean(axis=1)
-            # deterministic linear resample to TARGET_RATE
-            if rate != TARGET_RATE:
-                m = max(1, int(round(n * TARGET_RATE / rate)))
-                src = np.arange(m) * (rate / TARGET_RATE)
-                i0 = np.minimum(src.astype(np.int64), n - 1)
-                i1 = np.minimum(i0 + 1, n - 1)
-                fr = src - i0
-                mono = mono[i0] * (1 - fr) + mono[i1] * fr
-            if len(mono) < FRAME + HOP:
-                return "unsupported: audio shorter than two frames"
-            n_frames = 1 + (len(mono) - FRAME) // HOP
-            idx = (np.arange(n_frames)[:, None] * HOP
-                   + np.arange(FRAME)[None, :])
-            spec = np.abs(np.fft.rfft(mono[idx] * hann, axis=1)) ** 2
-            # band energies: one cumulative sum, sliced at the edges
-            cum = np.concatenate(
-                [np.zeros((n_frames, 1)), np.cumsum(spec, axis=1)],
-                axis=1)
-            eb = cum[:, bidx[1:]] - cum[:, bidx[:-1]]  # (t, 33)
-            d = eb[:, :-1] - eb[:, 1:]                 # (t, 32)
-            bits = (d[1:] - d[:-1]) > 0                # (t-1, 32)
-            out = []
-            for t in range(bits.shape[0]):
-                v = 0
-                for b in range(FP_BITS):
-                    if bits[t, b]:
-                        v |= 1 << b
-                ts = (t + 1) * HOP * 1000 // TARGET_RATE
-                out.append((ts, v))
-            return out
 
         for pdf in it:
             ids, tss, fps, sts = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 r = fingerprints(payload)
-                if isinstance(r, str):
+                if not isinstance(r, list):
                     ids.append(mid)
                     tss.append(None)
                     fps.append(None)
-                    sts.append(r)
+                    sts.append("corrupt" if r is None else r)
                     continue
                 for ts, v in r:
                     ids.append(mid)

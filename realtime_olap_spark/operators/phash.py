@@ -68,6 +68,54 @@ def _dct_matrix(n, np):
     return d
 
 
+def _make_perceptual_hasher(method: str = "phash",
+                            max_pixels: int | None = None):
+    """Per-row payload -> 64-bit signed hash closure (the worker body
+    of :func:`image_perceptual_hash`, exposed for the fuzz sweep's
+    raise-contract coverage): returns an int on success, ``None`` for
+    malformed bytes, ``"unsupported: …"`` otherwise. Nested function,
+    captured by value (house rule)."""
+    import numpy as np
+
+    from .multimodal import (MAX_DECODE_PIXELS, _area_weights,
+                             _make_auto_decoder)
+
+    dec = _make_auto_decoder(max_pixels or MAX_DECODE_PIXELS)
+    d32 = _dct_matrix(32, np)
+
+    def resample(gray, tw, th):
+        wy = _area_weights(gray.shape[0], th, np)
+        wx = _area_weights(gray.shape[1], tw, np)
+        return wy @ gray @ wx.T
+
+    def hash_of(px):
+        if method == "ahash":
+            g = resample(_luma(px, np), 8, 8)
+            bits = (g > g.mean()).flatten()
+        elif method == "dhash":
+            g = resample(_luma(px, np), 9, 8)
+            bits = (g[:, 1:] > g[:, :-1]).flatten()
+        else:
+            g = resample(_luma(px, np), 32, 32)
+            c = (d32 @ g @ d32.T)[:8, :8].flatten()
+            med = np.median(c[1:])
+            bits = c > med
+        h = 0
+        for i, b in enumerate(bits):
+            if b:
+                h |= 1 << i
+        # map to signed int64 (Spark LongType)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def hasher(payload):
+        r = dec(payload)
+        if not isinstance(r, tuple):
+            return r
+        return hash_of(r[3])
+
+    return hasher
+
+
 def image_perceptual_hash(df: DataFrame, method: str = "phash",
                           max_pixels: int | None = None,
                           with_status: bool = False,
@@ -84,10 +132,7 @@ def image_perceptual_hash(df: DataFrame, method: str = "phash",
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    from .multimodal import (MAX_DECODE_PIXELS, _area_weights,
-                             _make_auto_decoder)
-
-    dec = _make_auto_decoder(max_pixels or MAX_DECODE_PIXELS)
+    hasher = _make_perceptual_hasher(method, max_pixels)
     fields = [StructField(c, LongType()) for c in id_cols] \
         + [StructField(method, LongType())]
     if with_status:
@@ -95,41 +140,14 @@ def image_perceptual_hash(df: DataFrame, method: str = "phash",
     schema = StructType(fields)
 
     def batches(it):
-        import numpy as np
         import pandas as pd
-
-        d32 = _dct_matrix(32, np)
-
-        def resample(gray, tw, th):
-            wy = _area_weights(gray.shape[0], th, np)
-            wx = _area_weights(gray.shape[1], tw, np)
-            return wy @ gray @ wx.T
-
-        def hash_of(px):
-            if method == "ahash":
-                g = resample(_luma(px, np), 8, 8)
-                bits = (g > g.mean()).flatten()
-            elif method == "dhash":
-                g = resample(_luma(px, np), 9, 8)
-                bits = (g[:, 1:] > g[:, :-1]).flatten()
-            else:
-                g = resample(_luma(px, np), 32, 32)
-                c = (d32 @ g @ d32.T)[:8, :8].flatten()
-                med = np.median(c[1:])
-                bits = c > med
-            h = 0
-            for i, b in enumerate(bits):
-                if b:
-                    h |= 1 << i
-            # map to signed int64 (Spark LongType)
-            return h - (1 << 64) if h >= (1 << 63) else h
 
         for pdf in it:
             hashes, sts = [], []
             for payload in pdf["payload"]:
-                r = dec(payload)
-                if isinstance(r, tuple):
-                    hashes.append(hash_of(r[3]))
+                r = hasher(payload)
+                if isinstance(r, int):
+                    hashes.append(r)
                     sts.append("ok")
                 else:
                     hashes.append(None)

@@ -153,6 +153,18 @@ def run(n_seeds: int, base_seed: int) -> int:
     avi_video = mm._make_avi_video_decoder()
     avi_audio = mm._make_avi_audio_decoder()
     tags = mm._make_tags_parser()
+    from realtime_olap_spark.operators.afp import \
+        _make_audio_fingerprinter
+    from realtime_olap_spark.operators.phash import \
+        _make_perceptual_hasher
+    phash = _make_perceptual_hasher()
+    afp = _make_audio_fingerprinter()
+
+    def as_contract(fn, success_types):
+        def wrapped(d):
+            r = fn(d)
+            return (r,) if isinstance(r, success_types) else r
+        return wrapped
     jpeg_probe, bmp_probe, tiff_probe = mm._make_still_probers()
     wav_probe, aiff_probe, au_probe, flac_probe = \
         mm._make_audio_probers()
@@ -207,8 +219,14 @@ def run(n_seeds: int, base_seed: int) -> int:
         if fmt in ("mp3", "flac", "wav", "avi"):
             # r14 tag extraction shares the contract (dict counts as
             # a tuple-equivalent success shape)
-            checks.append(("tags", lambda d: (
-                lambda r: (r,) if isinstance(r, dict) else r)(tags(d))))
+            checks.append(("tags", as_contract(tags, dict)))
+        if audio:
+            # r14 HK audio fingerprint closure (list = success)
+            checks.append(("afp", as_contract(afp, list)))
+        if not audio and fmt not in ("mp4", "webm", "avif", "avi",
+                                     "mp3"):
+            # r14 perceptual image hash closure (int = success)
+            checks.append(("phash", as_contract(phash, int)))
         if not audio and fmt not in ("mp4", "webm", "avif", "avi"):
             checks.append(("transcode", transcode))
         if fmt == "gif":
