@@ -2,6 +2,7 @@
 jobs (SURVEY.md §2.1)."""
 
 from realtime_olap_spark.sources.media import (media_dir_inventory,
+                                               media_dir_near_dups,
                                                read_media_dir)
 from realtime_olap_spark.sources.readers import (read_avro, read_csv,
                                                  read_json, read_segments,
@@ -17,7 +18,7 @@ from realtime_olap_spark.sources.transformers import (CompoundTransformer,
 
 __all__ = [
     "read_avro", "read_csv", "read_json", "read_segments", "read_thrift",
-    "read_media_dir", "media_dir_inventory",
+    "read_media_dir", "media_dir_inventory", "media_dir_near_dups",
     "SegmentWriter", "with_virtual_columns", "write_bucketed",
     "CompoundTransformer", "DataTypeTransformer", "ExpressionTransformer",
     "NullDefaultTransformer", "SanitationTransformer", "TimeTransformer",

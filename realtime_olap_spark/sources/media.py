@@ -141,3 +141,56 @@ def media_dir_inventory(spark: SparkSession, path: str,
         *cols,
         F.coalesce(F.col("status"),
                    F.col("file_status")).alias("status"))
+
+
+def media_dir_near_dups(spark: SparkSession, path: str,
+                        glob: str | None = None,
+                        max_bytes: int = DEFAULT_MAX_BYTES,
+                        image_max_hamming: int = 10,
+                        image_n_bands: int = 16,
+                        audio_max_hamming: int = 7,
+                        min_matched_frames: int = 2,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate discovery over a media DIRECTORY — the one-call
+    curation pass: images through the 64-bit perceptual hash + banded
+    pairs (``operators/phash.py``), audio through Haitsma-Kalker
+    sub-fingerprints + alignment voting (``operators/afp.py``).
+    Output: (modality, id_a, id_b, hamming, matched_frames,
+    offset_ms) — image rows carry ``hamming``, audio rows carry
+    ``matched_frames``/``offset_ms``; join back to
+    :func:`read_media_dir` on media_id for paths.
+
+    Measured on this repo's real-encoder fixtures: the same image
+    re-encoded lands at 0 (PNG/BMP/TIFF), 2 (JPEG/WebP, lossy) and 10
+    (GIF, palette-quantized) Hamming bits while different images sit
+    >=28 — hence the looser image default (10 bits, 16 four-bit bands
+    keeping the exact pigeonhole guarantee at <=15); the same
+    recording across ten audio formats matches every sampled frame at
+    offset 0 within 2 bits.
+
+    Scale shape: two mapInPandas passes over the payload branch (hash
+    + fingerprint; payload never shuffles) and the banded join
+    machinery with its hot-bucket cap."""
+    from realtime_olap_spark.operators.afp import (  # noqa: PLC0415
+        audio_fingerprint, audio_near_dup_pairs)
+    from realtime_olap_spark.operators.phash import (  # noqa: PLC0415
+        image_perceptual_hash, phash_near_dup_pairs)
+
+    files = read_media_dir(spark, path, glob=glob, max_bytes=max_bytes)
+    ok = files.where(F.col("status") == "ok") \
+        .select("media_id", "payload")
+    img = image_perceptual_hash(ok)
+    img_pairs = phash_near_dup_pairs(
+        img, "media_id", "phash", max_hamming=image_max_hamming,
+        n_bands=image_n_bands, max_bucket_size=max_bucket_size) \
+        .select(F.lit("image").alias("modality"), "id_a", "id_b",
+                "hamming")
+    sig = audio_fingerprint(ok)
+    aud_pairs = audio_near_dup_pairs(
+        sig, max_hamming=audio_max_hamming,
+        min_matched_frames=min_matched_frames,
+        max_bucket_size=max_bucket_size) \
+        .select(F.lit("audio").alias("modality"), "id_a", "id_b",
+                "matched_frames", "offset_ms")
+    return img_pairs.unionByName(aud_pairs,
+                                 allowMissingColumns=True)

@@ -188,3 +188,37 @@ def test_media_dir_inventory_with_tags(spark):
     # default stays tag-free (schema stability for existing views)
     base = media_dir_inventory(spark, FIXTURES)
     assert "tags" not in base.columns
+
+
+def test_media_dir_near_dups_discovers_fixture_families(spark):
+    """The whole-stack e2e on REAL third-party files: the fixtures
+    directory contains one image shipped in six formats and one
+    recording shipped in ten — the one-call near-dup pass must
+    recover both families and nothing across them."""
+    from realtime_olap_spark.sources.media import media_dir_near_dups
+
+    files = {os.path.basename(r["path"]): r["media_id"]
+             for r in read_media_dir(spark, FIXTURES).collect()}
+    pairs = media_dir_near_dups(spark, FIXTURES).collect()
+    img = {frozenset((r["id_a"], r["id_b"])): r["hamming"]
+           for r in pairs if r["modality"] == "image"}
+    aud = {frozenset((r["id_a"], r["id_b"])): r["matched_frames"]
+           for r in pairs if r["modality"] == "audio"}
+    pythons = [files[n] for n in
+               ("python.png", "python.bmp", "python.tiff",
+                "python.jpg", "python.webp", "python.gif")]
+    plucks = [files[n] for n in files if n.startswith("pluck")]
+    assert len(plucks) == 10
+    # every re-encode pair of the python image is found
+    for i, a in enumerate(pythons):
+        for b in pythons[i + 1:]:
+            assert frozenset((a, b)) in img, (a, b)
+    # no image pair reaches across to a genuinely different image
+    other = files["file.png"]
+    assert not any(other in p for p in img)
+    # every format pair of the pluck recording is found
+    for i, a in enumerate(plucks):
+        for b in plucks[i + 1:]:
+            assert frozenset((a, b)) in aud, (a, b)
+    # modality separation: audio ids never appear in image pairs
+    assert not any(set(p) & set(plucks) for p in img)
