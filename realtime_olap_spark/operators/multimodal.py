@@ -4800,6 +4800,13 @@ def _make_tags_parser():
                  b"IPRD": "album", b"ICRD": "date",
                  b"IGNR": "genre", b"ISFT": "encoder",
                  b"ICMT": "comment"}
+    # EXIF 2.x tags worth surfacing for curation (ASCII type 2)
+    EXIF_KEYS = {0x010F: "make", 0x0110: "model",
+                 0x0131: "encoder", 0x0132: "date",
+                 0x013B: "artist", 0x8298: "copyright",
+                 0x010E: "title"}
+    EXIF_SUB_KEYS = {0x9003: "date_original",
+                     0xA434: "lens_model"}
 
     def decode_text(enc, body):
         if enc == 0:
@@ -4928,6 +4935,86 @@ def _make_tags_parser():
             pos = body_end + (ln & 1)
         return tags
 
+    def exif_ascii(t, bo, ifd_ofs, keys, tags, depth=0):
+        import struct as _s  # noqa: PLC0415 - closure-local alias
+        n = _s.unpack(bo + "H", t[ifd_ofs:ifd_ofs + 2])[0]
+        if n > 512:
+            return None  # bomb guard
+        for i in range(n):
+            e = t[ifd_ofs + 2 + i * 12:ifd_ofs + 14 + i * 12]
+            if len(e) != 12:
+                return None
+            tag, typ, cnt = _s.unpack(bo + "HHI", e[:8])
+            if tag == 0x8769 and typ == 4 and depth == 0:
+                sub = _s.unpack(bo + "I", e[8:12])[0]
+                if sub + 2 <= len(t):
+                    if exif_ascii(t, bo, sub, EXIF_SUB_KEYS, tags,
+                                  depth=1) is None:
+                        return None
+            if typ != 2 or tag not in keys:
+                continue
+            raw = (e[8:8 + cnt] if cnt <= 4
+                   else t[_s.unpack(bo + "I", e[8:12])[0]:][:cnt])
+            if len(raw) < cnt:
+                return None
+            tags[keys[tag]] = raw.rstrip(b"\x00").decode(
+                "latin-1", "replace").strip()
+        return tags
+
+    def jpeg_exif(data):
+        pos = 2
+        tags = {}
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            m = data[pos + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            if m in (0xDA, 0xD9):
+                break
+            ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            seg = data[pos + 4:pos + 2 + ln]
+            pos += 2 + ln
+            if m == 0xE1 and seg.startswith(b"Exif\x00\x00"):
+                t = seg[6:]
+                if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                    return None
+                bo = "<" if t[:2] == b"II" else ">"
+                ifd = struct.unpack(bo + "I", t[4:8])[0]
+                if ifd + 2 > len(t):
+                    return None
+                if exif_ascii(t, bo, ifd, EXIF_KEYS, tags) is None:
+                    return None
+        return tags
+
+    def png_text(data):
+        pos = 8
+        tags = {}
+        while pos + 8 <= len(data):
+            ln = struct.unpack(">I", data[pos:pos + 4])[0]
+            typ = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + ln]
+            if len(body) < ln:
+                return None
+            if typ == b"tEXt":
+                k, _, v = body.partition(b"\x00")
+                if k:
+                    tags[k.decode("latin-1", "replace").lower()] = \
+                        v.decode("latin-1", "replace")
+            elif typ == b"iTXt":
+                k, _, rest = body.partition(b"\x00")
+                # comp flag + method + lang\0 + translated\0 + text
+                if k and len(rest) >= 2 and rest[0] == 0:
+                    parts = rest[2:].split(b"\x00", 2)
+                    if len(parts) == 3:
+                        tags[k.decode("latin-1", "replace").lower()] \
+                            = parts[2].decode("utf-8", "replace")
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        return tags
+
     def parse(data):
         if not isinstance(data, (bytes, bytearray)):
             return None
@@ -4935,6 +5022,10 @@ def _make_tags_parser():
         try:
             if len(data) >= 10 and data[:3] == b"ID3":
                 return id3(data)
+            if len(data) >= 4 and data[:2] == b"\xff\xd8":
+                return jpeg_exif(data)
+            if len(data) >= 16 and data[:8] == b"\x89PNG\r\n\x1a\n":
+                return png_text(data)
             if len(data) >= 8 and data[:4] == b"fLaC":
                 return flac_vc(data)
             if len(data) >= 12 and data[:4] == b"RIFF" \

@@ -216,9 +216,11 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
-        if fmt in ("mp3", "flac", "wav", "avi"):
+        if fmt in ("mp3", "flac", "wav", "avi", "png", "apng",
+                   "jpeg"):
             # r14 tag extraction shares the contract (dict counts as
-            # a tuple-equivalent success shape)
+            # a tuple-equivalent success shape); png/jpeg cover the
+            # tEXt/iTXt and EXIF walks
             checks.append(("tags", as_contract(tags, dict)))
         if audio:
             # r14 HK audio fingerprint closure (list = success)

@@ -184,7 +184,11 @@ def test_media_dir_inventory_with_tags(spark):
     wav = dict(inv["pluck-pcm16.wav"]["tags"])
     assert wav["title"] == "Pluck"
     assert wav["artist"] == "Serhiy Storchaka"
-    assert inv["python.png"]["tags"] is None  # no tag container
+    # python.png carries real ImageMagick tEXt timestamps (r14:
+    # PNG tEXt/iTXt joined the tag walk)
+    assert dict(inv["python.png"]["tags"])["date:create"] \
+        .startswith("2014-01-26")
+    assert inv["python.gif"]["tags"] is None  # no tag container
     # default stays tag-free (schema stability for existing views)
     base = media_dir_inventory(spark, FIXTURES)
     assert "tags" not in base.columns

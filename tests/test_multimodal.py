@@ -5408,7 +5408,7 @@ def test_tags_riff_info_wav_and_avi():
                    + avi[8:] + lst)
     assert parse(spliced_avi)["title"] == "Pluck2"
     # gates
-    assert isinstance(parse(_fix("python.png")), str)
+    assert isinstance(parse(_fix("python.gif")), str)
     assert parse(b"OggS" + b"\x00" * 30).startswith("unsupported")
 
 
@@ -5423,6 +5423,72 @@ def test_extract_media_tags_operator(spark):
     assert dict(got[1]["tags"]) == {"encoder": "Lavf53.5.0"}
     assert got[1]["status"] == "ok"
     assert dict(got[2]["tags"]) == {}
-    assert got[3]["tags"] is None
-    assert got[3]["status"].startswith("unsupported")
+    # python.png carries REAL ImageMagick tEXt timestamps
+    assert dict(got[3]["tags"])["date:create"].startswith("2014-01-26")
     assert got[4]["tags"] is None and got[4]["status"] == "corrupt"
+
+
+def test_tags_jpeg_exif_and_png_text():
+    import struct
+    import zlib
+
+    parse = M._make_tags_parser()
+    # python.jpg: parseable JPEG, no EXIF -> empty dict
+    assert parse(_fix("python.jpg")) == {}
+    # crafted EXIF APP1: Make/Model/DateTime + ExifIFD DateTimeOriginal
+    def entry(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    strings = b""
+    def ascii_entry(tag, text, data_ofs):
+        nonlocal strings
+        b = text.encode() + b"\x00"
+        if len(b) <= 4:
+            return entry(tag, 2, len(b), b.ljust(4, b"\x00")), 0
+        e = entry(tag, 2, len(b), struct.pack("<I", data_ofs + len(strings)))
+        strings += b
+        return e, len(b)
+
+    # layout: TIFF header(8) + IFD0(2 + 4*12 + 4) + ExifIFD(2 + 1*12 + 4) + strings
+    ifd0_ofs = 8
+    n0 = 4
+    exif_ifd_ofs = ifd0_ofs + 2 + n0 * 12 + 4
+    strings_ofs = exif_ifd_ofs + 2 + 1 * 12 + 4
+    e_make, _ = ascii_entry(0x010F, "ACME Cameras", strings_ofs)
+    e_model, _ = ascii_entry(0x0110, "X-1000", strings_ofs)
+    e_date, _ = ascii_entry(0x0132, "2020:01:02 03:04:05", strings_ofs)
+    e_sub = entry(0x8769, 4, 1, struct.pack("<I", exif_ifd_ofs))
+    e_orig, _ = ascii_entry(0x9003, "2019:12:31 23:59:59", strings_ofs)
+    tiff = (b"II" + struct.pack("<HI", 42, ifd0_ofs)
+            + struct.pack("<H", n0) + e_make + e_model + e_date
+            + e_sub + struct.pack("<I", 0)
+            + struct.pack("<H", 1) + e_orig + struct.pack("<I", 0)
+            + strings)
+    app1 = b"Exif\x00\x00" + tiff
+    jpeg = (b"\xff\xd8" + b"\xff\xe1"
+            + struct.pack(">H", len(app1) + 2) + app1 + b"\xff\xd9")
+    got = parse(jpeg)
+    assert got == {"make": "ACME Cameras", "model": "X-1000",
+                   "date": "2020:01:02 03:04:05",
+                   "date_original": "2019:12:31 23:59:59"}
+    # truncation sweep over the EXIF path
+    for k in range(len(jpeg)):
+        r = parse(jpeg[:k])
+        assert r is None or isinstance(r, (dict, str)), k
+    # python.png: REAL ImageMagick tEXt timestamps
+    got = parse(_fix("python.png"))
+    assert got["date:create"].startswith("2014-01-26")
+    assert got["date:modify"].startswith("2014-01-26")
+    # crafted iTXt (uncompressed, UTF-8)
+    body = (b"Comment\x00" + b"\x00\x00" + b"de\x00"
+            + "Kommentar".encode() + b"\x00"
+            + "grüße".encode())
+    chunk = (struct.pack(">I", len(body)) + b"iTXt" + body
+             + struct.pack(">I", zlib.crc32(b"iTXt" + body)))
+    png = _fix("minus.png")
+    i = png.find(b"IEND") - 4
+    spliced = png[:i] + chunk + png[i:]
+    got = parse(spliced)
+    assert got["comment"] == "grüße"
+    # the PNG still decodes with the extra chunk
+    assert isinstance(M._make_png_decoder()(spliced), tuple)
