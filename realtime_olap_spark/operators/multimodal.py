@@ -4782,9 +4782,10 @@ def _make_tags_parser():
     (title/artist/album/date/genre/encoder/comment); everything else
     keeps its frame id lowercased. Returns a ``dict`` (possibly
     empty — a parseable container with no tags), ``None`` for
-    malformed tag structures, ``"unsupported: …"`` for formats whose
-    tags live in structures not parsed here (Ogg comment packets span
-    page boundaries — gated honestly) or for untagged formats.
+    malformed tag structures, ``"unsupported: …"`` for untagged
+    formats. Ogg comment headers (OpusTags / \\x03vorbis, the shared
+    Vorbis-comment structure) are reassembled from the first stream's
+    second packet across a bounded page window (r14 — was a gate).
     Nothing raises per-row. Nested function, captured by value
     (house rule)."""
     import struct
@@ -4864,6 +4865,85 @@ def _make_tags_parser():
                                        else parts[0]).strip("\x00 ")
         return tags
 
+    def vorbis_comments(body, tags):
+        """The shared Vorbis-comment structure (FLAC block 4, Ogg
+        OpusTags / \\x03vorbis): LE vendor + count + key=value list."""
+        p = 0
+        if p + 4 > len(body):
+            return None
+        vlen = struct.unpack("<I", body[p:p + 4])[0]
+        p += 4
+        vendor = body[p:p + vlen]
+        if len(vendor) < vlen:
+            return None
+        tags["encoder"] = vendor.decode("utf-8", "replace")
+        p += vlen
+        if p + 4 > len(body):
+            return None
+        cnt = struct.unpack("<I", body[p:p + 4])[0]
+        p += 4
+        if cnt > 10_000:
+            return None  # bomb guard
+        for _ in range(cnt):
+            if p + 4 > len(body):
+                return None
+            clen = struct.unpack("<I", body[p:p + 4])[0]
+            kv = body[p + 4:p + 4 + clen]
+            if len(kv) < clen:
+                return None
+            p += 4 + clen
+            k, _, v = kv.partition(b"=")
+            if k:
+                tags[k.decode("utf-8", "replace").lower()] \
+                    = v.decode("utf-8", "replace")
+        return tags
+
+    def ogg_tags(data):
+        """Reassemble the first stream's SECOND packet (the comment
+        header) across up to 16 pages / 1 MiB — bounded, no audio
+        decode — and parse OpusTags / \\x03vorbis comments."""
+        pos = 0
+        serial = None
+        packets = []
+        current = bytearray()
+        for _ in range(16):
+            if pos + 27 > len(data):
+                break
+            if data[pos:pos + 4] != b"OggS" or data[pos + 4]:
+                return None
+            pserial = struct.unpack("<I", data[pos + 14:pos + 18])[0]
+            nsegs = data[pos + 26]
+            lace = data[pos + 27:pos + 27 + nsegs]
+            if len(lace) < nsegs:
+                return None
+            body = pos + 27 + nsegs
+            if body + sum(lace) > len(data):
+                return None
+            if serial is None:
+                serial = pserial
+            if pserial == serial:
+                off = body
+                for sl in lace:
+                    current += data[off:off + sl]
+                    off += sl
+                    if sl < 255:
+                        packets.append(bytes(current))
+                        current = bytearray()
+                    if len(current) > (1 << 20):
+                        return None  # bomb guard
+                if len(packets) >= 2:
+                    break
+            pos = body + sum(lace)
+        if len(packets) < 2:
+            return None
+        head = packets[1]
+        tags = {}
+        if head.startswith(b"OpusTags"):
+            return vorbis_comments(head[8:], tags)
+        if head.startswith(b"\x03vorbis"):
+            return vorbis_comments(head[7:], tags)
+        return "unsupported: Ogg comment header not Opus/Vorbis"
+
     def flac_vc(data):
         pos = 4
         tags = {}
@@ -4875,35 +4955,8 @@ def _make_tags_parser():
             if len(body) < ln:
                 return None
             if btype == 4:  # VORBIS_COMMENT
-                p = 0
-                if p + 4 > ln:
+                if vorbis_comments(body, tags) is None:
                     return None
-                vlen = struct.unpack("<I", body[p:p + 4])[0]
-                p += 4
-                vendor = body[p:p + vlen]
-                if len(vendor) < vlen:
-                    return None
-                tags["encoder"] = vendor.decode("utf-8", "replace")
-                p += vlen
-                if p + 4 > ln:
-                    return None
-                cnt = struct.unpack("<I", body[p:p + 4])[0]
-                p += 4
-                if cnt > 10_000:
-                    return None  # bomb guard
-                for _ in range(cnt):
-                    if p + 4 > ln:
-                        return None
-                    clen = struct.unpack("<I", body[p:p + 4])[0]
-                    p += 4
-                    kv = body[p:p + clen]
-                    if len(kv) < clen:
-                        return None
-                    p += clen
-                    k, _, v = kv.partition(b"=")
-                    if k:
-                        tags[k.decode("utf-8", "replace").lower()] \
-                            = v.decode("utf-8", "replace")
             pos += 4 + ln
             if hdr & 0x80:
                 break
@@ -5032,8 +5085,7 @@ def _make_tags_parser():
                     and data[8:12] in (b"WAVE", b"AVI "):
                 return riff_info(data)
             if len(data) >= 4 and data[:4] == b"OggS":
-                return ("unsupported: Ogg comment packets span "
-                        "page boundaries")
+                return ogg_tags(data)
             if len(data) >= 2 and data[0] == 0xFF \
                     and (data[1] & 0xE0) == 0xE0:
                 return {}  # bare MPEG audio: no tag container

@@ -5409,7 +5409,8 @@ def test_tags_riff_info_wav_and_avi():
     assert parse(spliced_avi)["title"] == "Pluck2"
     # gates
     assert isinstance(parse(_fix("python.gif")), str)
-    assert parse(b"OggS" + b"\x00" * 30).startswith("unsupported")
+    # a truncated Ogg header is malformed for the r14 comment walk
+    assert parse(b"OggS" + b"\x00" * 30) is None
 
 
 def test_extract_media_tags_operator(spark):
@@ -5492,3 +5493,56 @@ def test_tags_jpeg_exif_and_png_text():
     assert got["comment"] == "grüße"
     # the PNG still decodes with the extra chunk
     assert isinstance(M._make_png_decoder()(spliced), tuple)
+
+
+def test_tags_ogg_opus_and_vorbis():
+    """r14: the Ogg gate converted to a real path — OpusTags /
+    \\x03vorbis comment headers reassembled across pages (incl. a
+    packet spanning a page boundary via 255-lacing continuation)."""
+    import struct
+
+    parse = M._make_tags_parser()
+    # the existing spec-assembled golden: OpusTags with vendor 'test'
+    got = parse(_assemble_probe_ogg_opus())
+    assert got == {"encoder": "test"}
+    # comments + a >255-byte comment header spanning TWO pages
+    head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0)
+            + bytes([0]))
+    comments = [b"TITLE=Spanning", b"ARTIST=Page Boundary",
+                b"PAD=" + b"x" * 300]
+    tags_pkt = (b"OpusTags" + struct.pack("<I", 6) + b"vendor"
+                + struct.pack("<I", len(comments))
+                + b"".join(struct.pack("<I", len(c)) + c
+                           for c in comments))
+    assert len(tags_pkt) > 255
+    part1, part2 = tags_pkt[:255], tags_pkt[255:]
+    # page 1 carries the first 255 bytes (lace 255 = continued),
+    # page 2 carries the rest with the continuation flag
+    pg1 = (b"OggS" + b"\x00" + bytes([0])
+           + struct.pack("<q", 0) + struct.pack("<I", 7)
+           + struct.pack("<I", 1) + b"\x00" * 4
+           + bytes([1, 255]) + part1)
+    data = (_ogg_page(7, 0, 0, [head], header_type=2)
+            + pg1
+            + _ogg_page(7, 2, 0, [part2], header_type=1)
+            + _ogg_page(7, 3, 48312, [b"\x00" * 40], header_type=4))
+    got = parse(data)
+    assert got == {"encoder": "vendor", "title": "Spanning",
+                   "artist": "Page Boundary", "pad": "x" * 300}
+    # vorbis comment header shape
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+             + struct.pack("<I", 44100) + b"\x00" * 13)
+    vc = (b"\x03vorbis" + struct.pack("<I", 3) + b"abc"
+          + struct.pack("<I", 1)
+          + struct.pack("<I", 9) + b"TITLE=Yes")
+    data = (_ogg_page(9, 0, 0, [ident], header_type=2)
+            + _ogg_page(9, 1, 0, [vc])
+            + _ogg_page(9, 2, 44100, [b"\x00" * 20], header_type=4))
+    got = parse(data)
+    assert got == {"encoder": "abc", "title": "Yes"}
+    # truncation sweep over the reassembly path
+    full = _assemble_probe_ogg_opus()
+    for k in range(len(full)):
+        r = parse(full[:k])
+        assert r is None or isinstance(r, (dict, str)), k
