@@ -359,10 +359,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs_per_query": RUNS,
-        "high_variance_runs": {n: HIGH_VARIANCE_RUNS
-                               for n in HIGH_VARIANCE
-                               if n in query_runs},
+        # Per-query run counts (r14 ADVICE): a single scalar was inaccurate
+        # for the min-of-5 five. Recorded as default + exceptions map so the
+        # summary line stays inside the driver's 2000-char tail window.
+        "runs_per_query_default": RUNS,
+        "runs_per_query": {n: len(rs) for n, rs in query_runs.items()
+                           if len(rs) != RUNS},
         "aggregation": "min",
         "schedule": "round_robin",
     }

@@ -144,12 +144,22 @@ def audio_near_dup_pairs(fingerprints: DataFrame,
                          max_hamming: int = 7, n_bands: int = 8,
                          min_matched_frames: int = 2,
                          align: str = "any_offset",
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | None = 4096) -> DataFrame:
     """Near-dup AUDIO pairs from sub-fingerprints — the video
     alignment-voting machinery over 32-bit hashes (8 bands of 4 bits
     by default: exact pigeonhole guarantee for Hamming <= 7 of 32,
     matching the HK bit-error operating point). Output: (id_a, id_b,
-    matched_frames [, offset_ms])."""
+    matched_frames [, offset_ms]).
+
+    ``max_bucket_size`` defaults FINITE (r14 ADVICE): 4-bit bands
+    have only 16 values, so under ``align='any_offset'`` the band-only
+    equi-join matches ~1/16 of ALL frames per band — near-quadratic in
+    total frame count on any real corpus. The default cap bounds every
+    band bucket at cap·(cap−1)/2 candidate pairs; a capped pair can
+    still meet through its other 7 bands, and true copies concentrate
+    dozens of matched frames so losing individual hot buckets does not
+    lose the pair. Pass ``None`` explicitly only for small corpora
+    where the exact pigeonhole guarantee must hold unconditionally."""
     from .phash import video_near_dup_pairs
 
     return video_near_dup_pairs(

@@ -4822,18 +4822,42 @@ def _make_tags_parser():
 
     def id3(data):
         ver = data[3]
+        flags = data[5]
         size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         body = data[10:10 + size]
         if len(body) < size:
             return None
+        # Unsynchronisation (header flag 0x80): v2.2/v2.3 apply it to
+        # the WHOLE tag (frame sizes describe the de-unsynced stream),
+        # so reverse FF 00 -> FF before the walk; v2.4 applies it
+        # per-frame (stored sizes count the unsynced bytes) — handled
+        # at each frame below.
+        if flags & 0x80 and ver <= 3:
+            body = body.replace(b"\xff\x00", b"\xff")
         tags = {}
         pos = 0
+        # Extended header (flag 0x40, v2.3+): skip it, or its bytes
+        # parse as a bogus frame id/size and corrupt the whole walk.
+        # v2.4 stores a syncsafe size INCLUDING the size field itself;
+        # v2.3 a plain big-endian size EXCLUDING the 4 size bytes.
+        if flags & 0x40 and ver >= 3:
+            if len(body) < 4:
+                return None
+            raw = body[:4]
+            if ver >= 4:
+                pos = ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14) \
+                    | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+            else:
+                pos = 4 + struct.unpack(">I", raw)[0]
+            if pos <= 0 or pos > len(body):
+                return None
         id_len = 3 if ver == 2 else 4
         while pos + id_len + (3 if ver == 2 else 6) <= len(body):
             fid = body[pos:pos + id_len]
             if fid == b"\x00" * id_len:
                 break  # padding
+            frame_unsync = False
             if ver == 2:
                 ln = int.from_bytes(body[pos + 3:pos + 6], "big")
                 hdr = 6
@@ -4843,6 +4867,10 @@ def _make_tags_parser():
                     ln = ((raw[0] & 0x7F) << 21) \
                         | ((raw[1] & 0x7F) << 14) \
                         | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+                    # v2.4 per-frame unsync: format-flags bit 0x02, or
+                    # the global header flag (= every frame unsynced)
+                    frame_unsync = bool((body[pos + 9] & 0x02)
+                                        or (flags & 0x80))
                 else:
                     ln = struct.unpack(">I", raw)[0]
                 hdr = 10
@@ -4850,6 +4878,8 @@ def _make_tags_parser():
             if len(fb) < ln:
                 return None
             pos += hdr + ln
+            if frame_unsync:
+                fb = fb.replace(b"\xff\x00", b"\xff")
             name = fid.decode("latin-1", "replace")
             if name.startswith("T") and ln >= 1:
                 txt = decode_text(fb[0], fb[1:])

@@ -292,12 +292,18 @@ def realtime_segments_table(spark: SparkSession, name: str,
         loc = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").where(
             "col_name = 'Location'").collect()
         existing = loc[0]["data_type"] if loc else None
-        want = os.path.abspath(sink_dir)
-        if existing is not None and not (
-                existing.rstrip("/").endswith(want.rstrip("/"))):
-            raise ValueError(
-                f"table {name!r} exists with location {existing!r}, "
-                f"not {sink_dir!r}")
+        # Compare as normalized absolute PATHS, not endswith: a registered
+        # location 'file:/mnt/data/x' must NOT satisfy a request for
+        # '/data/x' just because the string ends with it (r14 ADVICE).
+        if existing is not None:
+            from urllib.parse import urlparse  # noqa: PLC0415
+            existing_path = os.path.normpath(
+                urlparse(existing).path or existing)
+            want = os.path.normpath(os.path.abspath(sink_dir))
+            if existing_path != want:
+                raise ValueError(
+                    f"table {name!r} exists with location {existing!r}, "
+                    f"not {sink_dir!r}")
     else:
         cols = f" ({schema})" if schema else ""
         spark.sql(f"CREATE TABLE `{name}`{cols} USING parquet "
