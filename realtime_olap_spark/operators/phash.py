@@ -69,12 +69,21 @@ def _dct_matrix(n, np):
 
 
 def _make_perceptual_hasher(method: str = "phash",
-                            max_pixels: int | None = None):
+                            max_pixels: int | None = None,
+                            dihedral: bool = False):
     """Per-row payload -> 64-bit signed hash closure (the worker body
     of :func:`image_perceptual_hash`, exposed for the fuzz sweep's
     raise-contract coverage): returns an int on success, ``None`` for
-    malformed bytes, ``"unsupported: …"`` otherwise. Nested function,
-    captured by value (house rule)."""
+    malformed bytes, ``"unsupported: …"`` otherwise. With
+    ``dihedral=True`` a success returns a LIST of 8 hashes — one per
+    D4 group element (orient ``o``: ``o // 4`` = horizontal mirror,
+    ``o % 4`` = 90° CCW rotations), orient 0 bit-identical to the
+    plain hash. The transform is applied to the full-resolution luma
+    BEFORE resampling, so each orientation hash equals the plain hash
+    of an actually-rotated/mirrored image exactly (dHash's 9x8 grid is
+    not square, so grid-level transforms would NOT be equivalent).
+    Cost: 8 area-resamples per image — still decode-bounded. Nested
+    function, captured by value (house rule)."""
     import numpy as np
 
     from .multimodal import (MAX_DECODE_PIXELS, _area_weights,
@@ -88,15 +97,15 @@ def _make_perceptual_hasher(method: str = "phash",
         wx = _area_weights(gray.shape[1], tw, np)
         return wy @ gray @ wx.T
 
-    def hash_of(px):
+    def hash_of_gray(gray):
         if method == "ahash":
-            g = resample(_luma(px, np), 8, 8)
+            g = resample(gray, 8, 8)
             bits = (g > g.mean()).flatten()
         elif method == "dhash":
-            g = resample(_luma(px, np), 9, 8)
+            g = resample(gray, 9, 8)
             bits = (g[:, 1:] > g[:, :-1]).flatten()
         else:
-            g = resample(_luma(px, np), 32, 32)
+            g = resample(gray, 32, 32)
             c = (d32 @ g @ d32.T)[:8, :8].flatten()
             med = np.median(c[1:])
             bits = c > med
@@ -111,7 +120,12 @@ def _make_perceptual_hasher(method: str = "phash",
         r = dec(payload)
         if not isinstance(r, tuple):
             return r
-        return hash_of(r[3])
+        gray = _luma(r[3], np)
+        if not dihedral:
+            return hash_of_gray(gray)
+        return [hash_of_gray(np.rot90(base, k))
+                for base in (gray, np.fliplr(gray))
+                for k in range(4)]
 
     return hasher
 
@@ -233,6 +247,113 @@ def phash_near_dup_pairs(hashes: DataFrame, id_col: str,
              .where(F.col("hamming") <= F.lit(max_hamming))
              .distinct())
     return pairs
+
+
+def image_dihedral_hashes(df: DataFrame, method: str = "phash",
+                          max_pixels: int | None = None,
+                          id_cols: tuple = ("media_id",)) -> DataFrame:
+    """All 8 dihedral-orientation hashes per payload row →
+    ``*id_cols``, ``orient`` (0-7: ``orient // 4`` mirror, ``orient %
+    4`` 90° rotations; 0 = identity, bit-identical to
+    :func:`image_perceptual_hash`), ``<method>``. The rotation/mirror
+    blind spot fix (r14 verdict): dHash/pHash are not
+    rotation-invariant, so a 90°-rotated crawl duplicate is invisible
+    to the plain near-dup pass — hashing every D4 orientation at
+    ingest (8 resamples of one decode; decode still dominates) makes
+    it an equi-join problem again. Undecodable rows emit nothing (the
+    join ignores them). ONE ``mapInPandas``."""
+    if method not in ("phash", "dhash", "ahash"):
+        raise ValueError(f"method must be phash|dhash|ahash: {method}")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    hasher = _make_perceptual_hasher(method, max_pixels, dihedral=True)
+    schema = StructType([StructField(c, LongType()) for c in id_cols]
+                        + [StructField("orient", LongType()),
+                           StructField(method, LongType())])
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out: dict = {c: [] for c in id_cols}
+            orients, hashes = [], []
+            for row in zip(*(pdf[c] for c in id_cols), pdf["payload"]):
+                r = hasher(row[-1])
+                if not isinstance(r, list):
+                    continue
+                for o, h in enumerate(r):
+                    for c, v in zip(id_cols, row):
+                        out[c].append(v)
+                    orients.append(o)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {**{c: pd.array(out[c], dtype="Int64")
+                    for c in id_cols},
+                 "orient": pd.array(orients, dtype="Int64"),
+                 method: pd.array(hashes, dtype="Int64")})
+
+    return df.select(*id_cols, "payload").mapInPandas(
+        batches, schema=schema)
+
+
+def phash_near_dup_pairs_dihedral(hashes: DataFrame, id_col: str,
+                                  hash_col: str, max_hamming: int = 7,
+                                  n_bands: int = 8,
+                                  max_bucket_size: int | None = None,
+                                  ) -> DataFrame:
+    """Near-dup pairs INCLUDING rotated/mirrored duplicates, from an
+    :func:`image_dihedral_hashes` table. Output: (id_a, id_b,
+    hamming, orient) — the best (minimum-Hamming) orientation match
+    per pair; ``orient`` is the probe-side D4 element of that winning
+    match (its direction — a onto b vs b onto a — is not preserved
+    after pair canonicalization; 0 still means an unrotated match).
+
+    Guarantee (the pigeonhole statement re-based on orientations): if
+    image B is any dihedral transform τ of image A up to
+    ``max_hamming < n_bands`` hash bits of noise, then A's τ-oriented
+    hash is within ``max_hamming`` of B's IDENTITY hash, so that
+    orientation pair shares a band and the equi-join finds it — exact,
+    per orientation. Only one side of the join expands (probe side =
+    all 8 orientations, build side = identity hashes only): the pair
+    is still found in both directions because hash(τ(A)) ≈ hash(B)
+    iff hash(τ⁻¹(B)) ≈ hash(A), while band rows grow 8× instead of
+    64× candidate pairs. ``max_bucket_size`` caps per band bucket as
+    in :func:`phash_near_dup_pairs`."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"guarantee needs max_hamming < n_bands: {max_hamming} "
+            f">= {n_bands}")
+    h = hashes.where(F.col(hash_col).isNotNull())
+    probe = h.select(F.col(id_col), F.col("orient"), F.col(hash_col),
+                     F.explode(hash_bands(F.col(hash_col),
+                                          n_bands)).alias("__band"))
+    build = probe.where(F.col("orient") == 0)
+    if max_bucket_size is not None:
+        sizes = build.groupBy("__band") \
+            .agg(F.count(F.lit(1)).alias("__n"))
+        small = sizes.where(F.col("__n") <= max_bucket_size) \
+            .select("__band")
+        build = build.join(small, "__band")
+        probe = probe.join(small, "__band")
+    left = probe.select(F.col(id_col).alias("id_a"),
+                        F.col("orient"),
+                        F.col(hash_col).alias("ha"), "__band")
+    right = build.select(F.col(id_col).alias("id_b"),
+                         F.col(hash_col).alias("hb"), "__band")
+    cand = (left.join(right, "__band")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("lo"),
+                    F.greatest("id_a", "id_b").alias("hi"),
+                    hamming(F.col("ha"),
+                            F.col("hb")).alias("hamming"),
+                    "orient")
+            .where(F.col("hamming") <= F.lit(max_hamming)))
+    best = (cand.groupBy("lo", "hi")
+            .agg(F.min(F.struct("hamming", "orient")).alias("__b")))
+    return best.select(F.col("lo").alias("id_a"),
+                       F.col("hi").alias("id_b"),
+                       F.col("__b.hamming").alias("hamming"),
+                       F.col("__b.orient").alias("orient"))
 
 
 # ---------------------------------------------------------------------------

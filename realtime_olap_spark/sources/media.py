@@ -180,7 +180,8 @@ def _assert_unique_media_ids(files: DataFrame) -> None:
 
 
 def media_signatures(df: DataFrame,
-                     image_method: str = "phash") -> DataFrame:
+                     image_method: str = "phash",
+                     image_orientations: bool = False) -> DataFrame:
     """BOTH perceptual signature families in ONE ``mapInPandas`` over
     (``media_id``, ``payload``): the 64-bit image perceptual hash
     (``operators/phash.py``) and the 32-bit Haitsma-Kalker audio
@@ -196,7 +197,13 @@ def media_signatures(df: DataFrame,
     independent pipelines each re-read every payload byte of the
     directory (200 TB scanned per 100 TB corpus); one combined pass
     reads each file once — the wrong-modality attempt costs only a
-    magic-byte sniff."""
+    magic-byte sniff.
+
+    ``image_orientations=True`` (r15) hashes all 8 dihedral
+    orientations per image (``operators/phash.image_dihedral_hashes``
+    semantics — 8 resamples of ONE decode) and adds an ``orient``
+    column (0 for audio rows), making 90°-rotated and mirrored crawl
+    duplicates discoverable downstream."""
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
@@ -205,37 +212,49 @@ def media_signatures(df: DataFrame,
     from realtime_olap_spark.operators.phash import (  # noqa: PLC0415
         _make_perceptual_hasher)
 
-    hasher = _make_perceptual_hasher(image_method)
+    hasher = _make_perceptual_hasher(image_method,
+                                     dihedral=image_orientations)
     fingerprints = _make_audio_fingerprinter()
-    schema = StructType([StructField("media_id", LongType()),
-                         StructField("modality", StringType()),
-                         StructField("frame_ts_ms", LongType()),
-                         StructField("sig", LongType())])
+    fields = [StructField("media_id", LongType()),
+              StructField("modality", StringType()),
+              StructField("frame_ts_ms", LongType()),
+              StructField("sig", LongType())]
+    if image_orientations:
+        fields.append(StructField("orient", LongType()))
+    schema = StructType(fields)
+    with_orient = image_orientations
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            ids, mods, tss, sigs = [], [], [], []
+            ids, mods, tss, sigs, orients = [], [], [], [], []
+
+            def emit(mid, mod, ts, sig, o=0):
+                ids.append(mid)
+                mods.append(mod)
+                tss.append(ts)
+                sigs.append(sig)
+                orients.append(o)
+
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 r = hasher(payload)
                 if isinstance(r, int):
-                    ids.append(mid)
-                    mods.append("image")
-                    tss.append(0)
-                    sigs.append(r)
+                    emit(mid, "image", 0, r)
+                elif isinstance(r, list):
+                    for o, h in enumerate(r):
+                        emit(mid, "image", 0, h, o)
                 r = fingerprints(payload)
                 if isinstance(r, list):
                     for ts, v in r:
-                        ids.append(mid)
-                        mods.append("audio")
-                        tss.append(ts)
-                        sigs.append(v)
-            yield pd.DataFrame(
-                {"media_id": pd.array(ids, dtype="Int64"),
-                 "modality": mods,
-                 "frame_ts_ms": pd.array(tss, dtype="Int64"),
-                 "sig": pd.array(sigs, dtype="Int64")})
+                        emit(mid, "audio", ts, v)
+            out = {"media_id": pd.array(ids, dtype="Int64"),
+                   "modality": mods,
+                   "frame_ts_ms": pd.array(tss, dtype="Int64"),
+                   "sig": pd.array(sigs, dtype="Int64")}
+            if with_orient:
+                out["orient"] = pd.array(orients, dtype="Int64")
+            yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
@@ -246,24 +265,37 @@ def media_near_dup_pairs(signatures: DataFrame,
                          image_n_bands: int = 16,
                          audio_max_hamming: int = 7,
                          min_matched_frames: int = 2,
-                         max_bucket_size: int | None = 4096) -> DataFrame:
+                         max_bucket_size: int | None = 4096,
+                         image_orientations: bool = False) -> DataFrame:
     """Near-dup pairs from a :func:`media_signatures` table: images
     through the banded pigeonhole join, audio through alignment
     voting. Output: (modality, id_a, id_b, hamming, matched_frames,
     offset_ms). Signatures in, pairs out — no payload anywhere, so
-    both branches read only the tiny signature table."""
+    both branches read only the tiny signature table.
+    ``image_orientations=True`` expects orientation-bearing
+    signatures and routes images through the dihedral join
+    (rotated/mirrored duplicates found too)."""
     from realtime_olap_spark.operators.afp import (  # noqa: PLC0415
         audio_near_dup_pairs)
     from realtime_olap_spark.operators.phash import (  # noqa: PLC0415
-        phash_near_dup_pairs)
+        phash_near_dup_pairs, phash_near_dup_pairs_dihedral)
 
-    img = signatures.where(F.col("modality") == "image") \
-        .select("media_id", F.col("sig").alias("phash"))
-    img_pairs = phash_near_dup_pairs(
-        img, "media_id", "phash", max_hamming=image_max_hamming,
-        n_bands=image_n_bands, max_bucket_size=max_bucket_size) \
-        .select(F.lit("image").alias("modality"), "id_a", "id_b",
-                "hamming")
+    if image_orientations:
+        img = signatures.where(F.col("modality") == "image") \
+            .select("media_id", "orient", F.col("sig").alias("phash"))
+        img_pairs = phash_near_dup_pairs_dihedral(
+            img, "media_id", "phash", max_hamming=image_max_hamming,
+            n_bands=image_n_bands, max_bucket_size=max_bucket_size) \
+            .select(F.lit("image").alias("modality"), "id_a", "id_b",
+                    "hamming")
+    else:
+        img = signatures.where(F.col("modality") == "image") \
+            .select("media_id", F.col("sig").alias("phash"))
+        img_pairs = phash_near_dup_pairs(
+            img, "media_id", "phash", max_hamming=image_max_hamming,
+            n_bands=image_n_bands, max_bucket_size=max_bucket_size) \
+            .select(F.lit("image").alias("modality"), "id_a", "id_b",
+                    "hamming")
     aud = signatures.where(F.col("modality") == "audio") \
         .select("media_id", "frame_ts_ms", F.col("sig").alias("afp"))
     aud_pairs = audio_near_dup_pairs(
@@ -284,7 +316,8 @@ def media_dir_near_dups(spark: SparkSession, path: str,
                         audio_max_hamming: int = 7,
                         min_matched_frames: int = 2,
                         max_bucket_size: int | None = 4096,
-                        check_ids: bool = True) -> DataFrame:
+                        check_ids: bool = True,
+                        image_orientations: bool = False) -> DataFrame:
     """Near-duplicate discovery over a media DIRECTORY — the one-call
     curation pass: images through the 64-bit perceptual hash + banded
     pairs (``operators/phash.py``), audio through Haitsma-Kalker
@@ -321,11 +354,13 @@ def media_dir_near_dups(spark: SparkSession, path: str,
         _assert_unique_media_ids(files)
     ok = files.where(F.col("status") == "ok") \
         .select("media_id", "payload")
-    sigs = media_signatures(ok).persist()
+    sigs = media_signatures(
+        ok, image_orientations=image_orientations).persist()
     sigs.count()  # materialize: the ONE payload pass happens here
     return media_near_dup_pairs(
         sigs, image_max_hamming=image_max_hamming,
         image_n_bands=image_n_bands,
         audio_max_hamming=audio_max_hamming,
         min_matched_frames=min_matched_frames,
-        max_bucket_size=max_bucket_size)
+        max_bucket_size=max_bucket_size,
+        image_orientations=image_orientations)
