@@ -89,6 +89,42 @@ def read_media_dir(spark: SparkSession, path: str,
     return ok.unionByName(oversize)
 
 
+def read_media_dir_stream(spark: SparkSession, path: str,
+                          glob: str | None = None,
+                          max_bytes: int = DEFAULT_MAX_BYTES,
+                          recursive: bool = True) -> DataFrame:
+    """Streaming twin of :func:`read_media_dir` — a ``binaryFile``
+    readStream over a landing directory with the SAME output shape
+    (media_id/media_type/path/n_bytes/mod_time/payload/status), for
+    micro-batch media ingest (``streaming/media_dedup.py``). The size
+    cap and the content-pruned oversize branch keep their pushdown
+    semantics per micro-batch."""
+    if max_bytes <= 0:
+        raise ValueError(f"max_bytes must be positive: {max_bytes}")
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("recursiveFileLookup", str(recursive).lower()))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = reader.load(path)
+    shared = [F.xxhash64(F.col("path")).alias("media_id"),
+              _media_type_col(F.col("path")).alias("media_type"),
+              F.col("path"),
+              F.col("length").alias("n_bytes"),
+              F.col("modificationTime").alias("mod_time")]
+    ok = (src.where(F.col("length") <= F.lit(max_bytes))
+          .select(*shared, F.col("content").alias("payload"),
+                  F.lit("ok").alias("status")))
+    oversize = (src.where(F.col("length") > F.lit(max_bytes))
+                .select(*shared,
+                        F.lit(None).cast("binary").alias("payload"),
+                        F.lit("oversize").alias("status")))
+    return ok.unionByName(oversize)
+
+
 def media_dir_inventory(spark: SparkSession, path: str,
                         glob: str | None = None,
                         max_bytes: int = DEFAULT_MAX_BYTES,

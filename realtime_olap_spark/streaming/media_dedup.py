@@ -1,0 +1,276 @@
+"""Streaming incremental perceptual near-dup — the image/audio twin
+of ``streaming/dedup.py`` (r15 verdict directive #2).
+
+A crawl keeps landing media files; the corpus near-dup state is the
+tiny SIGNATURE table (64-bit image hashes / 32-bit audio
+sub-fingerprints from ``sources/media.media_signatures``), persisted
+once per file at ingest. Each micro-batch:
+
+1. decodes ONLY the new files (one ``mapInPandas`` — the corpus
+   payload is never rescanned),
+2. finds within-batch pairs (the batch operator,
+   ``sources/media.media_near_dup_pairs``),
+3. probes the batch's bands against the CORPUS band table
+   (:func:`media_near_dup_pairs_against` — O(batch bands ⋈ matching
+   corpus bands), the ``minhash_lsh_pairs_against`` shape),
+4. appends the new pairs and the batch's signatures under
+   ``epoch=N`` directories (idempotent per epoch: a replayed batch
+   overwrites its own directory — effectively-once without a
+   transaction log).
+
+An availableNow drain over the corpus split into batches yields
+EXACTLY the pairs of the one-shot batch pass over the whole
+directory (parity-tested), because batch pairs = within-b1 ∪
+within-b2 ∪ (b2 × b1) when hashes are deterministic.
+
+Reference parity note: pinot-core has no media operators at all —
+extension surface for continuously-crawled multimodal training
+corpora.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAIRS_SCHEMA = ("modality string, id_a long, id_b long, "
+                "hamming long, matched_frames long, offset_ms long")
+
+
+def _image_pairs_against(new_img: DataFrame, corpus_img: DataFrame,
+                         max_hamming: int, n_bands: int,
+                         max_bucket_size: int | None,
+                         orientations: bool) -> DataFrame:
+    """Image pairs of a NEW batch against the corpus: banded equi-join
+    (pigeonhole guarantee per orientation pair), hamming verify,
+    canonical (least, greatest) pair with the minimum distance. With
+    ``orientations`` both directions probe (new orients × corpus
+    identity, new identity × corpus orients) so a rotated file on
+    EITHER side is found — the same candidate multiset as the batch
+    dihedral join restricted to cross pairs."""
+    from realtime_olap_spark.operators.phash import hamming, hash_bands
+
+    def bands(df, idname):
+        cols = [F.col("media_id").alias(idname),
+                F.col("sig").alias(f"h_{idname}"),
+                F.explode(hash_bands(F.col("sig"),
+                                     n_bands)).alias("__band")]
+        if orientations:
+            cols.insert(2, F.col("orient").alias(f"o_{idname}"))
+        return df.select(*cols)
+
+    nb = bands(new_img, "id_new")
+    cb = bands(corpus_img, "id_corpus")
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+        cb = cb.join(sizes.where(F.col("__n") <= max_bucket_size)
+                     .select("__band"), "__band")
+    if orientations:
+        d1 = nb.join(cb.where(F.col("o_id_corpus") == 0), "__band")
+        d2 = nb.where(F.col("o_id_new") == 0).join(cb, "__band")
+        cand = d1.select("id_new", "id_corpus", "h_id_new",
+                         "h_id_corpus",
+                         F.col("o_id_new").alias("orient")) \
+            .unionByName(d2.select(
+                "id_new", "id_corpus", "h_id_new", "h_id_corpus",
+                F.col("o_id_corpus").alias("orient")))
+    else:
+        cand = nb.join(cb, "__band") \
+            .select("id_new", "id_corpus", "h_id_new", "h_id_corpus",
+                    F.lit(0).alias("orient"))
+    verified = (cand.where(F.col("id_new") != F.col("id_corpus"))
+                .select(F.least("id_new", "id_corpus").alias("id_a"),
+                        F.greatest("id_new",
+                                   "id_corpus").alias("id_b"),
+                        hamming(F.col("h_id_new"),
+                                F.col("h_id_corpus")).alias("hamming"),
+                        "orient")
+                .where(F.col("hamming") <= F.lit(max_hamming)))
+    if orientations:
+        return (verified.groupBy("id_a", "id_b")
+                .agg(F.min(F.struct("hamming", "orient")).alias("__b"))
+                .select("id_a", "id_b",
+                        F.col("__b.hamming").alias("hamming")))
+    return verified.select("id_a", "id_b", "hamming").distinct()
+
+
+def _audio_pairs_against(new_aud: DataFrame, corpus_aud: DataFrame,
+                         max_hamming: int, min_matched_frames: int,
+                         max_bucket_size: int | None) -> DataFrame:
+    """Audio pairs of a NEW batch against the corpus: band-only
+    equi-join over the 32-bit sub-fingerprints and alignment voting —
+    exactly the ``video_near_dup_pairs(align='any_offset')`` algebra
+    with the self-join split into batch × corpus. Deltas and vote keys
+    are canonicalized to the (least, greatest) pair orientation so a
+    drained stream reproduces the batch operator bit-for-bit."""
+    from realtime_olap_spark.operators.afp import FP_BITS
+    from realtime_olap_spark.operators.phash import hamming, hash_bands
+
+    def bands(df, idname, tsname):
+        return df.select(
+            F.col("media_id").alias(idname),
+            F.col("frame_ts_ms").alias(tsname),
+            F.col("sig").alias(f"h_{idname}"),
+            F.explode(hash_bands(F.col("sig"), 8,
+                                 bits=FP_BITS)).alias("__band"))
+
+    nb = bands(new_aud, "id_new", "ts_new")
+    cb = bands(corpus_aud, "id_corpus", "ts_corpus")
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
+        cb = cb.join(sizes.where(F.col("__n") <= max_bucket_size)
+                     .select("__band"), "__band")
+    fwd = F.col("id_new") < F.col("id_corpus")
+    matched = (nb.join(cb, "__band")
+               .where(F.col("id_new") != F.col("id_corpus"))
+               .where(hamming(F.col("h_id_new"), F.col("h_id_corpus"))
+                      <= F.lit(max_hamming))
+               .select(
+                   F.least("id_new", "id_corpus").alias("id_a"),
+                   F.greatest("id_new", "id_corpus").alias("id_b"),
+                   F.when(fwd, F.col("ts_new") - F.col("ts_corpus"))
+                   .otherwise(F.col("ts_corpus") - F.col("ts_new"))
+                   .alias("__delta"),
+                   F.when(fwd, F.col("ts_new"))
+                   .otherwise(F.col("ts_corpus")).alias("ts"))
+               .distinct())
+    per_delta = (matched.groupBy("id_a", "id_b", "__delta")
+                 .agg(F.count(F.lit(1)).alias("matched_frames")))
+    best = (per_delta.groupBy("id_a", "id_b")
+            .agg(F.max(F.struct("matched_frames", "__delta"))
+                 .alias("__best")))
+    return (best.select(
+        "id_a", "id_b",
+        F.col("__best.matched_frames").alias("matched_frames"),
+        F.col("__best.__delta").alias("offset_ms"))
+        .where(F.col("matched_frames") >= F.lit(min_matched_frames)))
+
+
+def media_near_dup_pairs_against(new_sigs: DataFrame,
+                                 corpus_sigs: DataFrame,
+                                 image_max_hamming: int = 10,
+                                 image_n_bands: int = 16,
+                                 audio_max_hamming: int = 7,
+                                 min_matched_frames: int = 2,
+                                 max_bucket_size: int | None = 4096,
+                                 image_orientations: bool = False,
+                                 ) -> DataFrame:
+    """Near-dup pairs of a NEW batch's signatures against a CORPUS
+    signature table — the asymmetric ingestion shape: per-batch cost
+    is O(batch bands ⋈ matching corpus bands), never corpus², and the
+    corpus payload is never re-read (signatures only). Output matches
+    ``sources/media.media_near_dup_pairs``: (modality, id_a, id_b,
+    hamming, matched_frames, offset_ms), pairs canonicalized
+    (id_a < id_b). ``max_bucket_size`` caps degenerate CORPUS band
+    buckets (the ``minhash_lsh_pairs_against`` discipline)."""
+    img_new = new_sigs.where(F.col("modality") == "image")
+    img_cor = corpus_sigs.where(F.col("modality") == "image")
+    img = _image_pairs_against(
+        img_new, img_cor, image_max_hamming, image_n_bands,
+        max_bucket_size, image_orientations) \
+        .select(F.lit("image").alias("modality"), "id_a", "id_b",
+                "hamming")
+    aud = _audio_pairs_against(
+        new_sigs.where(F.col("modality") == "audio"),
+        corpus_sigs.where(F.col("modality") == "audio"),
+        audio_max_hamming, min_matched_frames, max_bucket_size) \
+        .select(F.lit("audio").alias("modality"), "id_a", "id_b",
+                "matched_frames", "offset_ms")
+    return img.unionByName(aud, allowMissingColumns=True)
+
+
+class MediaNearDupIngest:
+    """Micro-batch driver: foreachBatch over a (media_id, payload)
+    stream. Per epoch — ONE decode pass over the batch, within-batch
+    pairs + batch-vs-corpus pairs, both appended under
+    ``pairs_dir/epoch=N``; the batch's signatures appended under
+    ``sigs_dir/epoch=N`` (epoch-keyed directories make a replayed
+    batch overwrite itself — idempotent re-runs). Serve the growing
+    pair table live over POST /query by registering
+    ``lambda: ingest.pairs()`` as a derived table (re-evaluated per
+    query — new epochs visible with no re-registration)."""
+
+    def __init__(self, spark: SparkSession, sigs_dir: str,
+                 pairs_dir: str,
+                 image_max_hamming: int = 10, image_n_bands: int = 16,
+                 audio_max_hamming: int = 7,
+                 min_matched_frames: int = 2,
+                 max_bucket_size: int | None = 4096,
+                 image_orientations: bool = False):
+        self.spark = spark
+        self.sigs_dir = sigs_dir
+        self.pairs_dir = pairs_dir
+        self.params = dict(image_max_hamming=image_max_hamming,
+                           image_n_bands=image_n_bands,
+                           audio_max_hamming=audio_max_hamming,
+                           min_matched_frames=min_matched_frames,
+                           max_bucket_size=max_bucket_size,
+                           image_orientations=image_orientations)
+
+    # -- readers ----------------------------------------------------
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        # an epoch that emitted zero rows writes no part files, and
+        # before the first epoch the directory does not exist at all
+        try:
+            if os.path.isdir(path):
+                return self.spark.read.schema(
+                    self.spark.createDataFrame([], schema).schema
+                ).parquet(path)
+        except Exception:  # noqa: BLE001 - empty/corrupt listing
+            pass
+        return self.spark.createDataFrame([], schema)
+
+    def signatures(self, exclude_epoch: int | None = None) -> DataFrame:
+        sch = "media_id long, modality string, frame_ts_ms long, sig long"
+        if self.params["image_orientations"]:
+            sch += ", orient long"
+        df = self._read_or_empty(self.sigs_dir, sch + ", epoch long")
+        if exclude_epoch is not None:
+            # a replayed batch must not see its own stale signatures
+            # (written by the failed attempt) as "corpus"
+            df = df.where(F.col("epoch") != int(exclude_epoch))
+        return df.drop("epoch")
+
+    def pairs(self) -> DataFrame:
+        return self._read_or_empty(
+            self.pairs_dir, PAIRS_SCHEMA + ", epoch long").drop("epoch")
+
+    # -- the per-batch body (callable directly for batch backfills) --
+    def process_batch(self, files: DataFrame, epoch_id: int) -> None:
+        from realtime_olap_spark.sources.media import (
+            media_near_dup_pairs, media_signatures)
+
+        if "status" in files.columns:
+            files = files.where(F.col("status") == "ok")
+        sigs = media_signatures(
+            files.select("media_id", "payload"),
+            image_orientations=self.params["image_orientations"],
+        ).persist()
+        sigs.count()  # the ONE payload pass over the batch
+        corpus = self.signatures(exclude_epoch=epoch_id)
+        within = media_near_dup_pairs(sigs, **self.params)
+        against = media_near_dup_pairs_against(sigs, corpus,
+                                               **self.params)
+        pairs = (within.unionByName(against, allowMissingColumns=True)
+                 .dropDuplicates(["modality", "id_a", "id_b"]))
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_dir, f"epoch={int(epoch_id)}"))
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.sigs_dir, f"epoch={int(epoch_id)}"))
+        sigs.unpersist()
+
+    # -- streaming entry --------------------------------------------
+    def start(self, files_stream: DataFrame, checkpoint_dir: str,
+              available_now: bool = True):
+        """``files_stream``: a streaming frame carrying ``media_id``
+        and ``payload`` (e.g. a ``binaryFile`` readStream projected
+        through the ``read_media_dir`` column shape)."""
+        writer = (files_stream.writeStream
+                  .foreachBatch(lambda df, eid:
+                                self.process_batch(df, eid))
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
