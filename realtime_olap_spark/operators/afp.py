@@ -159,7 +159,19 @@ def audio_near_dup_pairs(fingerprints: DataFrame,
     still meet through its other 7 bands, and true copies concentrate
     dozens of matched frames so losing individual hot buckets does not
     lose the pair. Pass ``None`` explicitly only for small corpora
-    where the exact pigeonhole guarantee must hold unconditionally."""
+    where the exact pigeonhole guarantee must hold unconditionally.
+
+    CORPUS configuration (r15, pinned by
+    ``scripts/scale_soak_afp.py``): ``n_bands=1, max_hamming=0`` —
+    the HK paper's own search shape, an EXACT equi-join on the full
+    32-bit sub-fingerprint. Real copies sit at 0 bits on most frames
+    (measured on the ten-format fixture family), so a copy matches
+    exactly on its clean frames and all its votes land at one delta;
+    bucket keys become genuinely sparse (2^32 values instead of 16
+    per band) so the hot-bucket cap bites only true degenerates
+    (digital silence). 100% planted recall with correct offsets and
+    zero false pairs at 1x/10x/100x to ~830k frames, scan
+    near-linear."""
     from .phash import video_near_dup_pairs
 
     return video_near_dup_pairs(
