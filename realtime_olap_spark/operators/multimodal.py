@@ -40,7 +40,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
-                               StringType, StructField, StructType)
+                               MapType, StringType, StructField,
+                               StructType)
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -3792,7 +3793,8 @@ def _make_audio_probers():
 
 
 def probe_media(df: DataFrame, with_status: bool = False,
-                container: str = "auto") -> DataFrame:
+                container: str = "auto",
+                with_tags: bool = False) -> DataFrame:
     """Container-metadata probe over opaque video/animation payloads
     through ``mapInPandas`` — per row the brand/version, duration,
     first-video-track dims and codec fourcc, first-audio-track codec,
@@ -3899,10 +3901,19 @@ def probe_media(df: DataFrame, with_status: bool = False,
             return "unsupported: unrecognized container"
         return None
 
-    schema = PROBE_SCHEMA
+    # with_tags (r15): the tag walk joins the SAME worker pass —
+    # probe + tags over one payload read instead of two scans and a
+    # join (the single-decode discipline of media_dir_near_dups
+    # applied to the inventory; values identical to
+    # extract_media_tags, same parser closure)
+    tags_parse = _make_tags_parser() if with_tags else None
+    fields = list(PROBE_SCHEMA.fields)
+    if with_tags:
+        fields.append(StructField(
+            "tags", MapType(StringType(), StringType())))
     if with_status:
-        schema = StructType(PROBE_SCHEMA.fields
-                            + [StructField("status", StringType())])
+        fields.append(StructField("status", StringType()))
+    schema = StructType(fields)
     field_names = ("major_brand", "duration_ms", "width", "height",
                    "video_codec", "audio_codec", "track_count",
                    "frame_count")
@@ -3912,7 +3923,7 @@ def probe_media(df: DataFrame, with_status: bool = False,
 
         for pdf in it:
             cols: dict = {k: [] for k in field_names}
-            sts = []
+            sts, tags = [], []
             for payload in pdf["payload"]:
                 r = prober(payload)
                 if isinstance(r, tuple):
@@ -3923,6 +3934,9 @@ def probe_media(df: DataFrame, with_status: bool = False,
                     for k in field_names:
                         cols[k].append(None)
                     sts.append("corrupt" if r is None else r)
+                if tags_parse is not None:
+                    t = tags_parse(payload)
+                    tags.append(t if isinstance(t, dict) else None)
             out = {
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -3939,6 +3953,8 @@ def probe_media(df: DataFrame, with_status: bool = False,
                     [len(b) if b is not None else None
                      for b in pdf["payload"]], dtype="Int64"),
             }
+            if with_tags:
+                out["tags"] = tags
             if with_status:
                 out["status"] = sts
             yield pd.DataFrame(out)

@@ -137,9 +137,11 @@ def media_dir_inventory(spark: SparkSession, path: str,
     status ``oversize``).
 
     ``with_tags=True`` adds a ``tags`` map<string,string> column
-    (ID3v2 / FLAC Vorbis comments / RIFF INFO — see
-    ``multimodal.extract_media_tags``): a second header-only pass over
-    the same payload branch, still zero decode.
+    (ID3v2 / FLAC Vorbis comments / RIFF INFO / EXIF / tEXt / Ogg —
+    the ``multimodal.extract_media_tags`` walks) computed in the SAME
+    worker pass as the probe (r15: was a second scan + join — the
+    payload branch is now read once however the inventory is
+    configured), still zero decode.
 
     Register as a live derived table to serve it over PQL/SQL::
 
@@ -165,12 +167,7 @@ def media_dir_inventory(spark: SparkSession, path: str,
     withp = files.where(F.col("status") == "ok")
     probed = M.probe_media(
         withp.select("media_id", "media_type", "payload"),
-        with_status=True)
-    if with_tags:
-        probed = probed.join(
-            M.extract_media_tags(
-                withp.select("media_id", "payload")),
-            "media_id", "left")
+        with_status=True, with_tags=with_tags)
     # one broadcastable equi-join back to the listing columns: the
     # probe output carries media_id only, the listing carries
     # path/size/mtime; payload never crosses the join

@@ -321,3 +321,49 @@ def test_jpeg_idct_matmul_uint8_identity():
     with open(os.path.join(FIXTURES, "python.jpg"), "rb") as f:
         r = M._make_jpeg_decoder()(f.read())
     assert isinstance(r, tuple) and r[0] == 16
+
+
+# ---------------------------------------------------------------------------
+# r15: inventory with_tags = ONE payload scan (probe + tags same pass)
+# ---------------------------------------------------------------------------
+
+def test_media_dir_inventory_with_tags_single_payload_pass(
+        spark, monkeypatch):
+    """probe + tag walks share one worker pass: each ok file's payload
+    is read exactly once for a with_tags inventory (was probe scan +
+    tags scan + join), and the combined pass's tags equal the
+    dedicated extract_media_tags operator's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from realtime_olap_spark.sources import media as med
+
+    acc = spark.sparkContext.accumulator(0)
+    real = med.read_media_dir
+
+    def counted(spark_, path, **kw):
+        def tap(b):
+            acc.add(1)
+            return b
+        return real(spark_, path, **kw).withColumn(
+            "payload", F.udf(tap, BinaryType())(F.col("payload")))
+
+    monkeypatch.setattr(med, "read_media_dir", counted)
+    inv = {os.path.basename(r["path"]): r
+           for r in med.media_dir_inventory(
+               spark, FIXTURES, with_tags=True).collect()}
+    n_ok = real(spark, FIXTURES).where("status = 'ok'").count()
+    assert acc.value == n_ok
+    monkeypatch.undo()
+    # combined-pass tags == the dedicated operator's, row for row
+    want = {r["media_id"]: (dict(r["tags"]) if r["tags"] is not None
+                            else None)
+            for r in M.extract_media_tags(
+                real(spark, FIXTURES).where("status = 'ok'")
+                .select("media_id", "payload")).collect()}
+    got = {r["media_id"]: (dict(r["tags"]) if r["tags"] is not None
+                           else None)
+           for r in med.media_dir_inventory(
+               spark, FIXTURES, with_tags=True).collect()}
+    assert got == want
+    assert got and any(v for v in got.values())
