@@ -362,13 +362,16 @@ def phash_near_dup_pairs_dihedral(hashes: DataFrame, id_col: str,
 
 def frame_hash_signature(df: DataFrame, every_ms: int,
                          method: str = "phash",
-                         max_pixels: int | None = None) -> DataFrame:
+                         max_pixels: int | None = None,
+                         orientations: bool = False) -> DataFrame:
     """Per-video perceptual signature: sample frames on the
     ``every_ms`` grid through the REAL video decoders
     (``multimodal.decode_frames`` — GIF / animated WebP / WebM-VP8 /
     APNG / MJPEG-AVI; stills contribute their single frame at ts 0),
     then hash each sampled frame. Output: (media_id, frame_ts_ms,
-    <method>). Two chained ``mapInPandas`` passes; the intermediate
+    <method>), plus ``orient`` when ``orientations=True`` (all 8 D4
+    hashes per frame — the rotated-video-copy detector's ingest side,
+    r15). Two chained ``mapInPandas`` passes; the intermediate
     frame PNGs flow pipelined between them (same-stage, no shuffle —
     both are narrow maps over the same partitioning)."""
     from .multimodal import MAX_DECODE_PIXELS, decode_frames
@@ -376,6 +379,9 @@ def frame_hash_signature(df: DataFrame, every_ms: int,
     frames = decode_frames(df, every_ms,
                            max_pixels=max_pixels or MAX_DECODE_PIXELS)
     ok = frames.where(F.col("payload").isNotNull())
+    if orientations:
+        return image_dihedral_hashes(
+            ok, method=method, id_cols=("media_id", "frame_ts_ms"))
     return image_perceptual_hash(
         ok, method=method, id_cols=("media_id", "frame_ts_ms"))
 
@@ -386,7 +392,8 @@ def video_near_dup_pairs(signatures: DataFrame,
                          min_matched_frames: int = 2,
                          align: str = "same_ts",
                          max_bucket_size: int | None = None,
-                         bits: int = HASH_BITS) -> DataFrame:
+                         bits: int = HASH_BITS,
+                         orientations: bool = False) -> DataFrame:
     """Near-dup VIDEO pairs from frame signatures: band every frame
     hash (the image pigeonhole guarantee per frame), equi-join frames
     of different videos AT THE SAME sample timestamp on a shared band,
@@ -411,10 +418,22 @@ def video_near_dup_pairs(signatures: DataFrame,
     Shuffle budget: one band explode (ids + 8-byte keys, pixels long
     gone), one equi-join on (ts, band) / (band), one distinct + one
     count shuffle on the id pair (+ a max over deltas for
-    any_offset)."""
+    any_offset).
+
+    ``orientations=True`` (r15) takes an orientation-bearing
+    signature table (``frame_hash_signature(orientations=True)``) and
+    probes every frame's 8 dihedral hashes against identity hashes —
+    a consistently ROTATED or mirrored video copy matches on every
+    sampled frame through its one orientation, with the per-frame
+    pigeonhole guarantee intact. Probe side carries 8x band rows;
+    build side stays identity-only (8x candidates, not 64x)."""
     if align not in ("same_ts", "any_offset"):
         raise ValueError(
             f"align must be same_ts|any_offset: {align}")
+    if orientations:
+        return _video_pairs_dihedral(signatures, method, max_hamming,
+                                     n_bands, min_matched_frames,
+                                     align, max_bucket_size, bits)
     h = signatures.where(F.col(method).isNotNull())
     b = h.select("media_id", "frame_ts_ms", F.col(method),
                  F.explode(hash_bands(F.col(method), n_bands,
@@ -452,6 +471,78 @@ def video_near_dup_pairs(signatures: DataFrame,
                        (F.col("ts") - F.col("ts_b")).alias("__delta"),
                        F.col("ts"))
                .distinct())
+    per_delta = (matched.groupBy("id_a", "id_b", "__delta")
+                 .agg(F.count(F.lit(1)).alias("matched_frames")))
+    best = (per_delta.groupBy("id_a", "id_b")
+            .agg(F.max(F.struct("matched_frames", "__delta"))
+                 .alias("__best")))
+    return (best.select(
+        "id_a", "id_b",
+        F.col("__best.matched_frames").alias("matched_frames"),
+        F.col("__best.__delta").alias("offset_ms"))
+        .where(F.col("matched_frames") >= F.lit(min_matched_frames)))
+
+
+def _video_pairs_dihedral(signatures: DataFrame, method: str,
+                          max_hamming: int, n_bands: int,
+                          min_matched_frames: int, align: str,
+                          max_bucket_size: int | None,
+                          bits: int) -> DataFrame:
+    """Orientation-probing body of
+    :func:`video_near_dup_pairs(orientations=True)`: the one-side-
+    expanded dihedral join (probe = all 8 orientation hashes per
+    frame, build = identity hashes) feeding the same frame-voting
+    algebra, with pair keys and deltas canonicalized to
+    (least, greatest) id order."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"guarantee needs max_hamming < n_bands: {max_hamming} "
+            f">= {n_bands}")
+    h = signatures.where(F.col(method).isNotNull())
+    b = h.select("media_id", "frame_ts_ms", "orient", F.col(method),
+                 F.explode(hash_bands(F.col(method), n_bands,
+                                      bits=bits)).alias("__band"))
+    build = b.where(F.col("orient") == 0)
+    probe = b
+    if max_bucket_size is not None:
+        keys = (["frame_ts_ms", "__band"] if align == "same_ts"
+                else ["__band"])
+        sizes = build.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        small = sizes.where(F.col("__n") <= max_bucket_size) \
+            .select(*keys)
+        build = build.join(small, keys)
+        probe = probe.join(small, keys)
+    left = probe.select(F.col("media_id").alias("id_x"),
+                        F.col("frame_ts_ms").alias("ts_x"),
+                        F.col(method).alias("hx"), "__band")
+    right = build.select(F.col("media_id").alias("id_y"),
+                         F.col("frame_ts_ms").alias("ts_y"),
+                         F.col(method).alias("hy"), "__band")
+    join_keys = ["__band"]
+    if align == "same_ts":
+        right = right.withColumnRenamed("ts_y", "ts_x")
+        join_keys = ["ts_x", "__band"]
+    matched = (left.join(right, join_keys)
+               .where(F.col("id_x") != F.col("id_y"))
+               .where(hamming(F.col("hx"), F.col("hy"))
+                      <= F.lit(max_hamming)))
+    fwd = F.col("id_x") < F.col("id_y")
+    if align == "same_ts":
+        pairs = (matched.select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.col("ts_x").alias("ts")).distinct())
+        return (pairs.groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("matched_frames"))
+                .where(F.col("matched_frames")
+                       >= F.lit(min_matched_frames)))
+    matched = (matched.select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        F.when(fwd, F.col("ts_x") - F.col("ts_y"))
+        .otherwise(F.col("ts_y") - F.col("ts_x")).alias("__delta"),
+        F.when(fwd, F.col("ts_x")).otherwise(F.col("ts_y")).alias("ts"))
+        .distinct())
     per_delta = (matched.groupBy("id_a", "id_b", "__delta")
                  .agg(F.count(F.lit(1)).alias("matched_frames")))
     best = (per_delta.groupBy("id_a", "id_b")

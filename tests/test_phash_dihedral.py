@@ -203,3 +203,67 @@ def test_media_dir_near_dups_orientations_e2e(spark, tmp_path):
     aud = {frozenset((r["id_a"], r["id_b"]))
            for r in got if r["modality"] == "audio"}
     assert frozenset((ids["a.wav"], ids["b.flac"])) in aud
+
+
+def test_video_near_dup_rotated_copy(spark):
+    """A consistently 90°-rotated video copy (every frame rotated,
+    re-encoded, re-muxed) is invisible to the plain frame-voting pass
+    and found by the orientation-probing one, at full frame count —
+    under both alignments, including a trimmed+rotated copy whose
+    offset is still reported."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multimodal import _assemble_mjpeg_avi, _encode_flat_jpeg
+
+    from realtime_olap_spark.operators.phash import (
+        frame_hash_signature, video_near_dup_pairs)
+
+    def frame(shift):
+        levels = [(40 if c < 1 + (shift % 3) else 200)
+                  for c in range(4)]
+        return _encode_flat_jpeg([levels], 32, 8)
+
+    def frame_rot(shift):
+        # np.rot90(32x8 img) == 8x32 with the block column order
+        # reversed down the rows: [l3, l2, l1, l0]
+        levels = [(40 if c < 1 + (shift % 3) else 200)
+                  for c in range(4)]
+        return _encode_flat_jpeg([levels[::-1]], 8, 32)
+
+    # pixel-level sanity: the rotated frame IS np.rot90 of the frame
+    dec = M._make_jpeg_decoder()
+    a_px = dec(frame(1))[3]
+    b_px = dec(frame_rot(1))[3]
+    assert np.array_equal(np.rot90(a_px), b_px)
+
+    fA = [frame(i) for i in range(3)]
+    fB = [frame_rot(i) for i in range(3)]
+    a = _assemble_mjpeg_avi(fA, 32, 8, us_per_frame=40_000)
+    b = _assemble_mjpeg_avi(fB, 8, 32, us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [(1, "video", a), (2, "video", b)],
+        "media_id long, media_type string, payload binary")
+    plain = frame_hash_signature(df, every_ms=40)
+    assert not [r for r in video_near_dup_pairs(
+        plain, max_hamming=3, min_matched_frames=2).collect()
+        if (r["id_a"], r["id_b"]) == (1, 2)]
+    sig = frame_hash_signature(df, every_ms=40, orientations=True)
+    rows = sig.collect()
+    assert {r["orient"] for r in rows} == set(range(8))
+    got = {(r["id_a"], r["id_b"]): r["matched_frames"]
+           for r in video_near_dup_pairs(
+               sig, max_hamming=3, min_matched_frames=3,
+               orientations=True).collect()}
+    assert got.get((1, 2)) == 3
+    # trimmed + rotated: any_offset still votes one delta
+    c = _assemble_mjpeg_avi(fB[1:], 8, 32, us_per_frame=40_000)
+    df2 = spark.createDataFrame(
+        [(1, "video", a), (3, "video", c)],
+        "media_id long, media_type string, payload binary")
+    sig2 = frame_hash_signature(df2, every_ms=40, orientations=True)
+    shifted = {(r["id_a"], r["id_b"]): r
+               for r in video_near_dup_pairs(
+                   sig2, max_hamming=3, min_matched_frames=2,
+                   align="any_offset", orientations=True).collect()}
+    r = shifted[(1, 3)]
+    assert r["matched_frames"] == 2 and abs(r["offset_ms"]) == 40
