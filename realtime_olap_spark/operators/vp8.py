@@ -932,17 +932,23 @@ def _make_vp8_sequence_decoder(max_pixels: int):
         sq0, sq1, sq2 = seg[4] - 128, seg[5] - 128, seg[6] - 128
         base = 3 * (sq0 - sp0)
         outer = _c(sp1 - sq1)
+        # every adjusted pixel sum saturates in the signed-char domain
+        # BEFORE the +128 re-bias (RFC 6386 vp8_signed_char_clamp in
+        # common_adjust / subblock_filter / mbfilter): an unclamped
+        # sp0+f2 of e.g. 130 must store as 255, not wrap to 2 — r15
+        # differential catch (gradient content at q5: libwebp 255 vs
+        # a wrapped 0; seeds pinned in test_fixes_r15)
         if not mb_edge:
             a = _c(np.where(hev, outer, 0) + base)
             f1 = _c(a + 4) >> 3
             f2 = _c(a + 3) >> 3
-            seg[3] = np.where(mask, sp0 + f2, sp0) + 128
-            seg[4] = np.where(mask, sq0 - f1, sq0) + 128
+            seg[3] = np.where(mask, _c(sp0 + f2), sp0) + 128
+            seg[4] = np.where(mask, _c(sq0 - f1), sq0) + 128
             a2_ = (f1 + 1) >> 1
             use = mask & ~hev
             if use.any():
-                seg[2] = np.where(use, sp1 + a2_, sp1) + 128
-                seg[5] = np.where(use, sq1 - a2_, sq1) + 128
+                seg[2] = np.where(use, _c(sp1 + a2_), sp1) + 128
+                seg[5] = np.where(use, _c(sq1 - a2_), sq1) + 128
             return
         # MB edge: hev lanes take the short adjust, others the 3-tap
         a = _c(outer + base)  # the RFC's w value; also feeds hev lanes
@@ -953,14 +959,14 @@ def _make_vp8_sequence_decoder(max_pixels: int):
         a9 = (9 * a + 63) >> 7
         sel_h = mask & hev
         sel_w = mask & ~hev
-        seg[1] = np.where(sel_w, sp2 + a9, sp2) + 128
-        seg[2] = np.where(sel_w, sp1 + a18, sp1) + 128
-        seg[3] = np.where(sel_w, sp0 + a27,
-                          np.where(sel_h, sp0 + f2, sp0)) + 128
-        seg[4] = np.where(sel_w, sq0 - a27,
-                          np.where(sel_h, sq0 - f1, sq0)) + 128
-        seg[5] = np.where(sel_w, sq1 - a18, sq1) + 128
-        seg[6] = np.where(sel_w, sq2 - a9, sq2) + 128
+        seg[1] = np.where(sel_w, _c(sp2 + a9), sp2) + 128
+        seg[2] = np.where(sel_w, _c(sp1 + a18), sp1) + 128
+        seg[3] = np.where(sel_w, _c(sp0 + a27),
+                          np.where(sel_h, _c(sp0 + f2), sp0)) + 128
+        seg[4] = np.where(sel_w, _c(sq0 - a27),
+                          np.where(sel_h, _c(sq0 - f1), sq0)) + 128
+        seg[5] = np.where(sel_w, _c(sq1 - a18), sq1) + 128
+        seg[6] = np.where(sel_w, _c(sq2 - a9), sq2) + 128
 
     def simple_seg_filter(seg, edge_limit):
         p1, p0, q0, q1 = (seg[i] for i in range(4))
@@ -970,52 +976,64 @@ def _make_vp8_sequence_decoder(max_pixels: int):
         a = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
         f1 = _c(a + 4) >> 3
         f2 = _c(a + 3) >> 3
-        seg[1] = np.where(mask, sp0 + f2, sp0) + 128
-        seg[2] = np.where(mask, sq0 - f1, sq0) + 128
+        seg[1] = np.where(mask, _c(sp0 + f2), sp0) + 128
+        seg[2] = np.where(mask, _c(sq0 - f1), sq0) + 128
 
-    def filter_v(plane, x, y0, n, lim, il, hev_t, mb_edge, simple):
-        if simple:
-            seg = plane[y0:y0 + n, x - 2:x + 2].T.astype(np.int32)
-            simple_seg_filter(seg, lim)
-            plane[y0:y0 + n, x - 2:x + 2] = seg.T.astype(np.uint8)
+    # Wave-batched edge filtering (r15). The loop filter was the
+    # lossy-decode wall (35% of a 0.3 MP WebP decode, numpy-dispatch-
+    # bound at ~25 tiny-array ops per 4/8/16-lane edge call). The RFC
+    # §15.1 per-MB raster order induces exactly these dependencies
+    # between macroblocks: (r,c) needs (r,c-1) (vertical-edge column
+    # chain + its horizontal writes reach 3 px into c's columns),
+    # (r-1,c) (horizontal writes reach 3 px below), and (r-1,c+1)
+    # (ITS vertical-mb-edge writes reach 3 px left into c's top rows,
+    # read by c's top horizontal edge). All three are satisfied by
+    # the skewed wavefront w = 2*row + col (the H.264-style 2:1
+    # wavefront): every MB in a wave is pairwise disjoint in
+    # read/write regions, so same-offset edges of a whole wave batch
+    # into ONE normal_filter call with per-lane limits — one fancy-
+    # index gather, one filter, one scatter. Bit-identity is pinned
+    # by the libwebp differential suite and an old-vs-new randomized
+    # decode differential (bit-exact by construction: only the
+    # execution order of independent edges changes).
+    def batch_v(plane, xs, ys, n, lims, ils, hevs, mb_edge, simple):
+        if xs.size == 0:
             return
-        seg = plane[y0:y0 + n, x - 4:x + 4].T.astype(np.int32)
-        normal_filter(seg, lim, il, hev_t, mb_edge)
-        # filtered values are in [0,255] by construction (the mask
-        # bounds the adjust toward the neighbor; pinned by the
-        # bit-exactness suite) - store without a redundant clamp
-        plane[y0:y0 + n, x - 4:x + 4] = seg.T.astype(np.uint8)
-
-    def filter_h(plane, y, x0, n, lim, il, hev_t, mb_edge, simple):
+        wpl = plane.shape[1]
+        flat = plane.reshape(-1)
+        base = ((ys[:, None] + np.arange(n)[None, :]) * wpl
+                + xs[:, None]).reshape(-1)
+        off = np.arange(-2, 2) if simple else np.arange(-4, 4)
+        idx = base[None, :] + off[:, None]
+        seg = flat[idx].astype(np.int32)
         if simple:
-            seg = plane[y - 2:y + 2, x0:x0 + n].astype(np.int32)
-            simple_seg_filter(seg, lim)
-            plane[y - 2:y + 2, x0:x0 + n] = seg.astype(np.uint8)
+            simple_seg_filter(seg, np.repeat(lims, n))
+            flat[idx[1:3]] = seg[1:3]
+        else:
+            normal_filter(seg, np.repeat(lims, n), np.repeat(ils, n),
+                          np.repeat(hevs, n), mb_edge)
+            # filtered values are in [0,255] by construction (the
+            # mask bounds the adjust toward the neighbor; pinned by
+            # the bit-exactness suite) - store without extra clamp
+            flat[idx[1:7]] = seg[1:7]
+
+    def batch_h(plane, xs, ys, n, lims, ils, hevs, mb_edge, simple):
+        if xs.size == 0:
             return
-        seg = plane[y - 4:y + 4, x0:x0 + n].astype(np.int32)
-        normal_filter(seg, lim, il, hev_t, mb_edge)
-        plane[y - 4:y + 4, x0:x0 + n] = seg.astype(np.uint8)
-
-    # U and V always filter with identical parameters at the same
-    # offsets — one fused call halves the small-array numpy dispatch
-    # count on the chroma edges (identical lanes, identical results)
-    def filter_v_uv(pu, pv, x, y0, n, lim, il, hev_t, mb_edge):
-        seg = np.concatenate(
-            [pu[y0:y0 + n, x - 4:x + 4],
-             pv[y0:y0 + n, x - 4:x + 4]], 0).T.astype(np.int32)
-        normal_filter(seg, lim, il, hev_t, mb_edge)
-        out = seg.T.astype(np.uint8)
-        pu[y0:y0 + n, x - 4:x + 4] = out[:n]
-        pv[y0:y0 + n, x - 4:x + 4] = out[n:]
-
-    def filter_h_uv(pu, pv, y, x0, n, lim, il, hev_t, mb_edge):
-        seg = np.concatenate(
-            [pu[y - 4:y + 4, x0:x0 + n],
-             pv[y - 4:y + 4, x0:x0 + n]], 1).astype(np.int32)
-        normal_filter(seg, lim, il, hev_t, mb_edge)
-        out = seg.astype(np.uint8)
-        pu[y - 4:y + 4, x0:x0 + n] = out[:, :n]
-        pv[y - 4:y + 4, x0:x0 + n] = out[:, n:]
+        wpl = plane.shape[1]
+        flat = plane.reshape(-1)
+        base = (ys[:, None] * wpl + xs[:, None]
+                + np.arange(n)[None, :]).reshape(-1)
+        off = (np.arange(-2, 2) if simple else np.arange(-4, 4)) * wpl
+        idx = base[None, :] + off[:, None]
+        seg = flat[idx].astype(np.int32)
+        if simple:
+            simple_seg_filter(seg, np.repeat(lims, n))
+            flat[idx[1:3]] = seg[1:3]
+        else:
+            normal_filter(seg, np.repeat(lims, n), np.repeat(ils, n),
+                          np.repeat(hevs, n), mb_edge)
+            flat[idx[1:7]] = seg[1:7]
 
     # ---- motion compensation (§14.2) ---------------------------------
     # r14 MC pass (the r12 dispatch-count discipline applied to the
@@ -1971,55 +1989,81 @@ def _make_vp8_sequence_decoder(max_pixels: int):
             # that (a filter_level==0 + nonzero segment-LF stream
             # must decode identically to the reference decoders).
             if filter_level > 0:
-                for my in range(mb_h):
-                    y0 = 1 + 16 * my
-                    cy0 = 1 + 8 * my
-                    for mx in range(mb_w):
-                        fl = mb_lvl[my][mx]
-                        if fl == 0:
-                            continue
-                        x0 = 1 + 16 * mx
-                        cx0 = 1 + 8 * mx
-                        il = fl
-                        if sharpness:
-                            il >>= 1 if sharpness <= 4 else 2
-                            cap = 9 - sharpness
-                            if il > cap:
-                                il = cap
-                        if il < 1:
-                            il = 1
-                        hev_t = 2 if fl >= 40 else (1 if fl >= 15
-                                                    else 0)
-                        mb_lim = (fl + 2) * 2 + il
-                        sb_lim = fl * 2 + il
-                        inner = mb_inner[my][mx]
-                        s = use_simple_lf
-                        if mx > 0:
-                            filter_v(Y, x0, y0, 16, mb_lim, il, hev_t,
-                                     True, s)
-                            if not s:
-                                filter_v_uv(U, V, cx0, cy0, 8, mb_lim,
-                                            il, hev_t, True)
-                        if inner:
-                            for dx in (4, 8, 12):
-                                filter_v(Y, x0 + dx, y0, 16, sb_lim,
-                                         il, hev_t, False, s)
-                            if not s:
-                                filter_v_uv(U, V, cx0 + 4, cy0, 8,
-                                            sb_lim, il, hev_t, False)
-                        if my > 0:
-                            filter_h(Y, y0, x0, 16, mb_lim, il, hev_t,
-                                     True, s)
-                            if not s:
-                                filter_h_uv(U, V, cy0, cx0, 8, mb_lim,
-                                            il, hev_t, True)
-                        if inner:
-                            for dy in (4, 8, 12):
-                                filter_h(Y, y0 + dy, x0, 16, sb_lim,
-                                         il, hev_t, False, s)
-                            if not s:
-                                filter_h_uv(U, V, cy0 + 4, cx0, 8,
-                                            sb_lim, il, hev_t, False)
+                # per-MB parameter grids, then the 2:1 skewed
+                # wavefront (w = 2*row + col): every MB in a wave is
+                # read/write-disjoint from the others (see batch_v),
+                # so each edge offset batches into ONE filter call
+                # per wave with per-lane limits. Per-MB edge ORDER is
+                # preserved exactly: all vertical edges left-to-right
+                # (mb edge, +4, +8, +12), then horizontal top-to-
+                # bottom — the §15.1 sequence.
+                lvl = np.asarray(mb_lvl, np.int64)
+                il_g = lvl.copy()
+                if sharpness:
+                    il_g >>= 1 if sharpness <= 4 else 2
+                    np.minimum(il_g, 9 - sharpness, out=il_g)
+                np.maximum(il_g, 1, out=il_g)
+                hev_g = np.where(lvl >= 40, 2,
+                                 np.where(lvl >= 15, 1, 0))
+                mb_lim_g = (lvl + 2) * 2 + il_g
+                sb_lim_g = lvl * 2 + il_g
+                inner_g = np.asarray(mb_inner, bool)
+                s = use_simple_lf
+                for wv in range(2 * (mb_h - 1) + mb_w):
+                    rlo = max(0, -((mb_w - 1 - wv) // 2))
+                    rs = np.arange(rlo, min(mb_h, wv // 2 + 1))
+                    cs = wv - 2 * rs
+                    act = lvl[rs, cs] > 0
+                    rs, cs = rs[act], cs[act]
+                    if rs.size == 0:
+                        continue
+                    x0 = 1 + 16 * cs
+                    y0 = 1 + 16 * rs
+                    cx0 = 1 + 8 * cs
+                    cy0 = 1 + 8 * rs
+                    lim_mb = mb_lim_g[rs, cs]
+                    lim_sb = sb_lim_g[rs, cs]
+                    il = il_g[rs, cs]
+                    hv = hev_g[rs, cs]
+                    inner = inner_g[rs, cs]
+                    m = cs > 0
+                    batch_v(Y, x0[m], y0[m], 16, lim_mb[m], il[m],
+                            hv[m], True, s)
+                    if not s and m.any():
+                        batch_v(U, cx0[m], cy0[m], 8, lim_mb[m],
+                                il[m], hv[m], True, False)
+                        batch_v(V, cx0[m], cy0[m], 8, lim_mb[m],
+                                il[m], hv[m], True, False)
+                    for dx in (4, 8, 12):
+                        batch_v(Y, x0[inner] + dx, y0[inner], 16,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, s)
+                    if not s and inner.any():
+                        batch_v(U, cx0[inner] + 4, cy0[inner], 8,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, False)
+                        batch_v(V, cx0[inner] + 4, cy0[inner], 8,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, False)
+                    m = rs > 0
+                    batch_h(Y, x0[m], y0[m], 16, lim_mb[m], il[m],
+                            hv[m], True, s)
+                    if not s and m.any():
+                        batch_h(U, cx0[m], cy0[m], 8, lim_mb[m],
+                                il[m], hv[m], True, False)
+                        batch_h(V, cx0[m], cy0[m], 8, lim_mb[m],
+                                il[m], hv[m], True, False)
+                    for dy in (4, 8, 12):
+                        batch_h(Y, x0[inner], y0[inner] + dy, 16,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, s)
+                    if not s and inner.any():
+                        batch_h(U, cx0[inner], cy0[inner] + 4, 8,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, False)
+                        batch_h(V, cx0[inner], cy0[inner] + 4, 8,
+                                lim_sb[inner], il[inner], hv[inner],
+                                False, False)
 
             cw, chh = (w + 1) >> 1, (h + 1) >> 1
             out = (w, h,

@@ -367,3 +367,44 @@ def test_media_dir_inventory_with_tags_single_payload_pass(
                spark, FIXTURES, with_tags=True).collect()}
     assert got == want
     assert got and any(v for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# r15 differential catch: signed-char saturation in the loop filter
+# ---------------------------------------------------------------------------
+
+def test_vp8_loop_filter_signed_char_clamp_pinned():
+    """r15 catch (surfaced by the wave-batch A/B differential): the
+    RFC 6386 vp8_signed_char_clamp on ADJUSTED pixel sums was missing
+    in the loop-filter write-backs, so a filter push past the pixel
+    bound wrapped (0 for libwebp's 255). Gradient content at q5 hits
+    it; the four catch configs are pinned against real libwebp."""
+    import random
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_webp_lossy import (MAXPX, _decode_yuv_ref, _encode_rgb,
+                                 _image, _libwebp,
+                                 _make_vp8_planes_decoder,
+                                 _vp8_payload)
+
+    lib = _libwebp()
+    if lib is None:  # pragma: no cover
+        import pytest
+        pytest.skip("libwebp.so.7 not present")
+    dec = _make_vp8_planes_decoder(MAXPX)
+    for seed in (10314, 10346, 10686, 10774):
+        rng = random.Random(seed)
+        w = rng.randrange(1, 200)
+        h = rng.randrange(1, 160)
+        q = rng.choice([5, 20, 40, 60, 75, 95])
+        px = _image(rng, w, h, "gradient")
+        data = _encode_rgb(lib, px, q)
+        _, _, ry, ru, rv = _decode_yuv_ref(lib, data)
+        r = dec(_vp8_payload(data))
+        assert isinstance(r, tuple), seed
+        assert np.array_equal(r[2], ry), seed
+        assert np.array_equal(r[3], ru), seed
+        assert np.array_equal(r[4], rv), seed
