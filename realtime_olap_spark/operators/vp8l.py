@@ -403,86 +403,135 @@ def _make_vp8l_stream_decoder(max_pixels: int):
             Transform"): residuals become pixels by adding one of 14
             neighborhood predictions, chosen per tile by the green
             channel of the transform's sub-image. Sequential by
-            definition (each pixel needs its decoded neighbors)."""
-            for pos in range(w * h):
-                x = pos % w
-                y = pos // w
-                if pos == 0:
-                    pred = 0xFF000000
-                elif y == 0:
-                    pred = pix[pos - 1]               # left
-                elif x == 0:
-                    pred = pix[pos - w]               # top
-                else:
-                    mode = (tile_img[(y >> sub_bits) * tiles_w
-                                     + (x >> sub_bits)] >> 8) & 0xFF
-                    l = pix[pos - 1]
-                    t = pix[pos - w]
-                    # At x == w-1 this index is the current row's first
-                    # pixel (already decoded) — the spec's contiguous-
-                    # buffer top-right rule.
-                    tr = pix[pos - w + 1]
-                    tl = pix[pos - w - 1]
-                    if mode == 0:
-                        pred = 0xFF000000
-                    elif mode == 1:
-                        pred = l
-                    elif mode == 2:
-                        pred = t
-                    elif mode == 3:
-                        pred = tr
-                    elif mode == 4:
-                        pred = tl
-                    elif mode == 5:
-                        pred = avg2(avg2(l, tr), t)
-                    elif mode == 6:
-                        pred = avg2(l, tl)
-                    elif mode == 7:
-                        pred = avg2(l, t)
-                    elif mode == 8:
-                        pred = avg2(tl, t)
-                    elif mode == 9:
-                        pred = avg2(t, tr)
-                    elif mode == 10:
-                        pred = avg2(avg2(l, tl), avg2(t, tr))
-                    elif mode == 11:
-                        pred = _select(t, l, tl)
-                    elif mode == 12:
-                        pred = _clamp_full(l, t, tl)
-                    elif mode == 13:
-                        pred = _clamp_half(l, t, tl)
-                    else:
+            definition (each pixel needs its decoded LEFT neighbor in
+            all the modes real encoders favor — libwebp picks mode 10
+            almost exclusively on photo content), so the r15 pass
+            keeps the scalar loop and cuts its constant factor: row
+            iteration instead of per-pixel divmod, the tile mode
+            hoisted per 2^sub_bits span, the left pixel carried in a
+            register, and avg2/add_packed inlined for the hot modes
+            (the two call frames were ~40% of the loop). Bit-identity
+            pinned by the libwebp round-trip differential and the
+            goldens."""
+            if not pix:
+                return
+            if w * h == 0:
+                return
+            pix[0] = add_packed(pix[0], 0xFF000000)
+            lp = pix[0]
+            for x in range(1, w):                     # row 0: left
+                p = pix[x]
+                lo = ((p & 0x00FF00FF) + (lp & 0x00FF00FF)) \
+                    & 0x00FF00FF
+                hi = (((p >> 8) & 0x00FF00FF)
+                      + ((lp >> 8) & 0x00FF00FF)) & 0x00FF00FF
+                lp = lo | (hi << 8)
+                pix[x] = lp
+            span = 1 << sub_bits
+            for y in range(1, h):
+                row = y * w
+                trow = (y >> sub_bits) * tiles_w
+                lp = add_packed(pix[row], pix[row - w])  # x == 0: top
+                pix[row] = lp
+                x = 1
+                while x < w:
+                    mode = (tile_img[trow + (x >> sub_bits)]
+                            >> 8) & 0xFF
+                    xe = ((x >> sub_bits) + 1) << sub_bits
+                    if xe > w:
+                        xe = w
+                    if mode > 13:
                         raise _Bad
-                pix[pos] = add_packed(pix[pos], pred)
+                    up = row - w
+                    for xx in range(x, xe):
+                        t = pix[up + xx]
+                        if mode == 10:
+                            tl = pix[up + xx - 1]
+                            tr = pix[up + xx + 1]
+                            a = (((lp ^ tl) & 0xFEFEFEFE) >> 1) \
+                                + (lp & tl)
+                            b = (((t ^ tr) & 0xFEFEFEFE) >> 1) \
+                                + (t & tr)
+                            pred = (((a ^ b) & 0xFEFEFEFE) >> 1) \
+                                + (a & b)
+                        elif mode == 0:
+                            pred = 0xFF000000
+                        elif mode == 1:
+                            pred = lp
+                        elif mode == 2:
+                            pred = t
+                        elif mode == 3:
+                            pred = pix[up + xx + 1]
+                        elif mode == 4:
+                            pred = pix[up + xx - 1]
+                        elif mode == 5:
+                            tr = pix[up + xx + 1]
+                            a = (((lp ^ tr) & 0xFEFEFEFE) >> 1) \
+                                + (lp & tr)
+                            pred = (((a ^ t) & 0xFEFEFEFE) >> 1) \
+                                + (a & t)
+                        elif mode == 6:
+                            tl = pix[up + xx - 1]
+                            pred = (((lp ^ tl) & 0xFEFEFEFE) >> 1) \
+                                + (lp & tl)
+                        elif mode == 7:
+                            pred = (((lp ^ t) & 0xFEFEFEFE) >> 1) \
+                                + (lp & t)
+                        elif mode == 8:
+                            tl = pix[up + xx - 1]
+                            pred = (((tl ^ t) & 0xFEFEFEFE) >> 1) \
+                                + (tl & t)
+                        elif mode == 9:
+                            tr = pix[up + xx + 1]
+                            pred = (((t ^ tr) & 0xFEFEFEFE) >> 1) \
+                                + (t & tr)
+                        elif mode == 11:
+                            pred = _select(t, lp, pix[up + xx - 1])
+                        elif mode == 12:
+                            pred = _clamp_full(lp, t, pix[up + xx - 1])
+                        else:
+                            pred = _clamp_half(lp, t, pix[up + xx - 1])
+                        p = pix[row + xx]
+                        lo = ((p & 0x00FF00FF) + (pred & 0x00FF00FF)) \
+                            & 0x00FF00FF
+                        hi = (((p >> 8) & 0x00FF00FF)
+                              + ((pred >> 8) & 0x00FF00FF)) \
+                            & 0x00FF00FF
+                        lp = lo | (hi << 8)
+                        pix[row + xx] = lp
+                    x = xe
 
         def inv_color(pix, w, h, sub_bits, tiles_w, tile_img):
             """Color transform inverse: signed 3.5 fixed-point
             cross-channel deltas, red first then blue (which sees the
-            updated red), per the spec's ColorTransformDelta."""
-            def s8(v):
-                return v - 256 if v >= 128 else v
+            updated red), per the spec's ColorTransformDelta. Every
+            pixel is independent (unlike the predictor inverse), so
+            the whole pass vectorizes (r15: was ~35% of a 0.3 MP
+            lossless decode as a per-pixel loop); numpy's arithmetic
+            ``>>`` on negative int64 floors exactly like Python's, so
+            the signed 3.5 products are bit-identical."""
+            def s8v(v):
+                return np.where(v >= 128, v - 256, v)
 
-            for pos in range(w * h):
-                x = pos % w
-                y = pos // w
-                cte = tile_img[(y >> sub_bits) * tiles_w
-                               + (x >> sub_bits)]
-                g2r = s8(cte & 0xFF)          # blue channel of the tile
-                g2b = s8((cte >> 8) & 0xFF)   # green channel
-                r2b = s8((cte >> 16) & 0xFF)  # red channel
-                p = pix[pos]
-                g = s8((p >> 8) & 0xFF)
-                r = (((p >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
-                b = ((p & 0xFF) + ((g2b * g) >> 5)
-                     + ((r2b * s8(r)) >> 5)) & 0xFF
-                pix[pos] = (p & 0xFF00FF00) | (r << 16) | b
+            a = np.array(pix[:w * h], dtype=np.int64)
+            tix = ((np.arange(h)[:, None] >> sub_bits) * tiles_w
+                   + (np.arange(w)[None, :] >> sub_bits)).reshape(-1)
+            cte = np.array(tile_img, dtype=np.int64)[tix]
+            g2r = s8v(cte & 0xFF)          # blue channel of the tile
+            g2b = s8v((cte >> 8) & 0xFF)   # green channel
+            r2b = s8v((cte >> 16) & 0xFF)  # red channel
+            g = s8v((a >> 8) & 0xFF)
+            r = (((a >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+            b = ((a & 0xFF) + ((g2b * g) >> 5)
+                 + ((r2b * s8v(r)) >> 5)) & 0xFF
+            pix[:w * h] = ((a & 0xFF00FF00) | (r << 16) | b).tolist()
 
         def inv_subtract_green(pix):
-            for pos, p in enumerate(pix):
-                g = (p >> 8) & 0xFF
-                r = (((p >> 16) & 0xFF) + g) & 0xFF
-                b = ((p & 0xFF) + g) & 0xFF
-                pix[pos] = (p & 0xFF00FF00) | (r << 16) | b
+            a = np.array(pix, dtype=np.int64)
+            g = (a >> 8) & 0xFF
+            r = (((a >> 16) & 0xFF) + g) & 0xFF
+            b = ((a & 0xFF) + g) & 0xFF
+            pix[:] = ((a & 0xFF00FF00) | (r << 16) | b).tolist()
 
         def inv_color_index(pix, packed_w, h, width_bits, palette,
                             out_w):
