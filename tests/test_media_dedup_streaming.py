@@ -186,3 +186,23 @@ def test_read_media_dir_stream_shape(spark, tmp_path):
     assert got["python.png"]["status"] == "oversize"
     assert got["python.png"]["payload"] is None
     assert got["probe.avi"]["payload"] is not None
+
+
+def test_against_join_plan_is_signature_only(spark):
+    """The batch-vs-corpus near-dup join is pure JVM over the tiny
+    signature tables: no Python/pandas nodes, no payload column —
+    the corpus is never re-decoded per micro-batch."""
+    from realtime_olap_spark.streaming import media_near_dup_pairs_against
+
+    sch = "media_id long, modality string, frame_ts_ms long, sig long"
+    new = spark.createDataFrame(
+        [(1, "image", 0, 42), (1, "audio", 0, 7)], sch)
+    corpus = spark.createDataFrame(
+        [(2, "image", 0, 42), (2, "audio", 64, 7)], sch)
+    df = media_near_dup_pairs_against(new, corpus)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    # and it actually pairs the planted image twins
+    rows = {(r["modality"], r["id_a"], r["id_b"]) for r in df.collect()}
+    assert ("image", 1, 2) in rows
