@@ -187,6 +187,63 @@ def media_dir_inventory(spark: SparkSession, path: str,
                    F.col("file_status")).alias("status"))
 
 
+def media_dedup_decisions(files: DataFrame,
+                          pairs: DataFrame) -> DataFrame:
+    """The media DEDUP DECISION layer (the `dedup_keep_representative`
+    analog for media corpora): near-dup pairs → connected components
+    (`operators/components.py` — the same star-round/broadcast-adaptive
+    CC the text pipeline uses) → one kept representative per cluster.
+    Representative = the LARGEST file (keep the best-quality copy;
+    n_bytes is the only quality proxy that needs no decode), ties to
+    the smallest media_id — deterministic. Files in no pair are their
+    own singleton clusters and are kept. Output: (media_id, path,
+    media_type, n_bytes, cluster_id, keep) — ``WHERE keep`` is the
+    deduplicated corpus, ``WHERE NOT keep`` the drop list.
+
+    Scale shape: CC over pair edges only (near-dup pairs ≪ corpus),
+    one broadcastable cluster join back to the listing, one
+    max(struct) per cluster for the representative."""
+    from realtime_olap_spark.operators.components import (  # noqa: PLC0415
+        connected_components)
+
+    meta = files.select("media_id", "path", "media_type", "n_bytes")
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    cc = connected_components(edges).select(
+        F.col("node").alias("media_id"),
+        F.col("component").alias("cluster_id"))
+    out = (meta.join(cc, "media_id", "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"),
+                                  F.col("media_id"))))
+    rep = (out.groupBy("cluster_id")
+           .agg(F.max(F.struct(F.col("n_bytes"),
+                               (-F.col("media_id")).alias("__neg")))
+                .alias("__best")))
+    return (out.join(rep, "cluster_id")
+            .select("media_id", "path", "media_type", "n_bytes",
+                    "cluster_id",
+                    ((F.col("n_bytes") == F.col("__best.n_bytes"))
+                     & (F.col("media_id")
+                        == -F.col("__best.__neg"))).alias("keep")))
+
+
+def media_dir_dedup_decisions(spark: SparkSession, path: str,
+                              glob: str | None = None,
+                              max_bytes: int = DEFAULT_MAX_BYTES,
+                              image_orientations: bool = False,
+                              **near_dup_knobs) -> DataFrame:
+    """One-call corpus dedup decision over a media DIRECTORY: the
+    single-decode near-dup pass (:func:`media_dir_near_dups`) piped
+    through :func:`media_dedup_decisions`. ``WHERE keep`` is the
+    curated corpus."""
+    files = read_media_dir(spark, path, glob=glob, max_bytes=max_bytes)
+    pairs = media_dir_near_dups(
+        spark, path, glob=glob, max_bytes=max_bytes,
+        image_orientations=image_orientations, **near_dup_knobs)
+    return media_dedup_decisions(files, pairs)
+
+
 def media_signature_coverage(spark: SparkSession, path: str,
                              signatures: DataFrame,
                              glob: str | None = None,

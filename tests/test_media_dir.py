@@ -259,3 +259,44 @@ def test_media_signature_coverage_audit(spark):
     assert not cov["README.md"]["covered"]
     # every file keeps a row (the listing side is the authority)
     assert len(cov) == len(read_media_dir(spark, FIXTURES).collect())
+
+
+def test_media_dir_dedup_decisions(spark):
+    """Decision layer e2e on the real fixture families: each family
+    collapses to ONE kept representative (the largest file), every
+    member keeps the family's cluster id, non-duplicate files are
+    kept singletons."""
+    from realtime_olap_spark.sources.media import media_dir_dedup_decisions
+
+    rows = {os.path.basename(r["path"]): r
+            for r in media_dir_dedup_decisions(spark, FIXTURES)
+            .collect()}
+    pythons = ["python.png", "python.bmp", "python.tiff",
+               "python.jpg", "python.webp", "python.gif"]
+    # one cluster, one keeper = the largest member
+    cids = {rows[n]["cluster_id"] for n in pythons}
+    assert len(cids) == 1
+    kept = [n for n in pythons if rows[n]["keep"]]
+    biggest = max(pythons, key=lambda n: rows[n]["n_bytes"])
+    assert kept == [biggest]
+    # audio family: plucks + the spliced tagged.flac are ONE cluster
+    plucks = [n for n in rows if n.startswith("pluck")] \
+        + ["tagged.flac"]
+    acids = {rows[n]["cluster_id"] for n in plucks}
+    assert len(acids) == 1
+    akept = [n for n in plucks if rows[n]["keep"]]
+    assert akept == [max(plucks, key=lambda n: rows[n]["n_bytes"])]
+    # untouched singles are kept, in their own singleton clusters
+    for n in ("file.png", "README.md", "test.mp3"):
+        assert rows[n]["keep"] and rows[n]["cluster_id"] \
+            == rows[n]["media_id"]
+    # a third REAL family the pass finds on its own: the two planar
+    # TIFF variants encode the same pixels in two layouts
+    tiffs = ["variant-planar.tiff", "variant-planar-tiled.tiff"]
+    assert rows[tiffs[0]]["cluster_id"] == rows[tiffs[1]]["cluster_id"]
+    tkept = [n for n in tiffs if rows[n]["keep"]]
+    assert len(tkept) == 1
+    # the drop list is exactly the non-representative family members
+    dropped = {n for n, r in rows.items() if not r["keep"]}
+    assert dropped == (set(pythons) - {biggest}) \
+        | (set(plucks) - set(akept)) | (set(tiffs) - set(tkept))
