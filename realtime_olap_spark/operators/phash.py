@@ -84,12 +84,31 @@ def _make_perceptual_hasher(method: str = "phash",
     not square, so grid-level transforms would NOT be equivalent).
     Cost: 8 area-resamples per image — still decode-bounded. Nested
     function, captured by value (house rule)."""
-    import numpy as np
-
-    from .multimodal import (MAX_DECODE_PIXELS, _area_weights,
-                             _make_auto_decoder)
+    from .multimodal import MAX_DECODE_PIXELS, _make_auto_decoder
 
     dec = _make_auto_decoder(max_pixels or MAX_DECODE_PIXELS)
+    px_hash = _make_pixel_hasher(method, dihedral)
+
+    def hasher(payload):
+        r = dec(payload)
+        if not isinstance(r, tuple):
+            return r
+        return px_hash(r[3])
+
+    return hasher
+
+
+def _make_pixel_hasher(method: str = "phash", dihedral: bool = False):
+    """Hash closure over a DECODED (h, w, ch) uint8 pixel array — the
+    computation core of :func:`_make_perceptual_hasher`, factored out
+    (r15) so video frame pixels hash without a PNG round trip (the
+    round trip is lossless, so both paths are bit-identical —
+    equality-tested). Returns an int (or the 8-orientation list when
+    ``dihedral``)."""
+    import numpy as np
+
+    from .multimodal import _area_weights
+
     d32 = _dct_matrix(32, np)
 
     def resample(gray, tw, th):
@@ -116,18 +135,15 @@ def _make_perceptual_hasher(method: str = "phash",
         # map to signed int64 (Spark LongType)
         return h - (1 << 64) if h >= (1 << 63) else h
 
-    def hasher(payload):
-        r = dec(payload)
-        if not isinstance(r, tuple):
-            return r
-        gray = _luma(r[3], np)
+    def px_hash(px):
+        gray = _luma(px, np)
         if not dihedral:
             return hash_of_gray(gray)
         return [hash_of_gray(np.rot90(base, k))
                 for base in (gray, np.fliplr(gray))
                 for k in range(4)]
 
-    return hasher
+    return px_hash
 
 
 def image_perceptual_hash(df: DataFrame, method: str = "phash",

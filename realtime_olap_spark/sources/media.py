@@ -270,14 +270,18 @@ def media_signature_coverage(spark: SparkSession, path: str,
             .agg(F.max(F.when(F.col("modality") == "image",
                               F.lit(1)).otherwise(0)).alias("__img"),
                  F.max(F.when(F.col("modality") == "audio",
-                              F.lit(1)).otherwise(0)).alias("__aud")))
+                              F.lit(1)).otherwise(0)).alias("__aud"),
+                 F.max(F.when(F.col("modality") == "video",
+                              F.lit(1)).otherwise(0)).alias("__vid")))
     out = meta.join(mods, "media_id", "left")
     img = F.coalesce(F.col("__img"), F.lit(0)) == 1
     aud = F.coalesce(F.col("__aud"), F.lit(0)) == 1
+    vid = F.coalesce(F.col("__vid"), F.lit(0)) == 1
     return out.select(
         "media_id", "path", "media_type", "n_bytes", "status",
         img.alias("has_image_sig"), aud.alias("has_audio_sig"),
-        (img | aud).alias("covered"))
+        vid.alias("has_video_sig"),
+        (img | aud | vid).alias("covered"))
 
 
 def media_id_collisions(files: DataFrame) -> DataFrame:
@@ -307,7 +311,8 @@ def _assert_unique_media_ids(files: DataFrame) -> None:
 
 def media_signatures(df: DataFrame,
                      image_method: str = "phash",
-                     image_orientations: bool = False) -> DataFrame:
+                     image_orientations: bool = False,
+                     video_every_ms: int = 1000) -> DataFrame:
     """BOTH perceptual signature families in ONE ``mapInPandas`` over
     (``media_id``, ``payload``): the 64-bit image perceptual hash
     (``operators/phash.py``) and the 32-bit Haitsma-Kalker audio
@@ -326,21 +331,37 @@ def media_signatures(df: DataFrame,
     magic-byte sniff.
 
     ``image_orientations=True`` (r15) hashes all 8 dihedral
-    orientations per image (``operators/phash.image_dihedral_hashes``
-    semantics — 8 resamples of ONE decode) and adds an ``orient``
-    column (0 for audio rows), making 90°-rotated and mirrored crawl
-    duplicates discoverable downstream."""
+    orientations per image AND per sampled video frame
+    (``operators/phash.image_dihedral_hashes`` semantics — 8 resamples
+    of ONE decode) and adds an ``orient`` column (0 for audio rows),
+    making 90°-rotated and mirrored crawl duplicates discoverable
+    downstream.
+
+    VIDEO payloads (r15: WebM-VP8 and MJPEG-AVI, the engine's two
+    real video decode formats — previously silently skipped by the
+    one-call pass) emit one perceptual hash per ``video_every_ms``
+    sampled frame (modality 'video'), decoded inside the SAME worker
+    pass; animated GIF/WebP/APNG keep their still-image treatment
+    (the image hasher already accepts them)."""
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
     from realtime_olap_spark.operators.afp import (  # noqa: PLC0415
         _make_audio_fingerprinter)
+    from realtime_olap_spark.operators.multimodal import (  # noqa: PLC0415
+        MAX_DECODE_PIXELS, _make_avi_video_decoder)
     from realtime_olap_spark.operators.phash import (  # noqa: PLC0415
-        _make_perceptual_hasher)
+        _make_perceptual_hasher, _make_pixel_hasher)
+    from realtime_olap_spark.operators.webp import (  # noqa: PLC0415
+        _make_webm_video_decoder)
 
     hasher = _make_perceptual_hasher(image_method,
                                      dihedral=image_orientations)
+    px_hash = _make_pixel_hasher(image_method,
+                                 dihedral=image_orientations)
     fingerprints = _make_audio_fingerprinter()
+    webm_video = _make_webm_video_decoder(MAX_DECODE_PIXELS)
+    avi_video = _make_avi_video_decoder(MAX_DECODE_PIXELS)
     fields = [StructField("media_id", LongType()),
               StructField("modality", StringType()),
               StructField("frame_ts_ms", LongType()),
@@ -349,6 +370,7 @@ def media_signatures(df: DataFrame,
         fields.append(StructField("orient", LongType()))
     schema = StructType(fields)
     with_orient = image_orientations
+    every = int(video_every_ms)
 
     def batches(it):
         import pandas as pd
@@ -363,13 +385,34 @@ def media_signatures(df: DataFrame,
                 sigs.append(sig)
                 orients.append(o)
 
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                r = hasher(payload)
+            def emit_hash(mid, mod, ts, r):
                 if isinstance(r, int):
-                    emit(mid, "image", 0, r)
+                    emit(mid, mod, ts, r)
                 elif isinstance(r, list):
                     for o, h in enumerate(r):
-                        emit(mid, "image", 0, h, o)
+                        emit(mid, mod, ts, h, o)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                head = (bytes(payload[:12])
+                        if isinstance(payload, (bytes, bytearray))
+                        else b"")
+                is_webm = head[:4] == b"\x1a\x45\xdf\xa3"
+                is_avi = (head[:4] == b"RIFF"
+                          and head[8:12] == b"AVI ")
+                if is_webm or is_avi:
+                    r = (webm_video if is_webm else avi_video)(payload)
+                    if isinstance(r, tuple):
+                        _w, _h, frames = r
+                        total = frames[-1][0] + frames[-1][1]
+                        fi = 0
+                        for ts in range(0, total, every):
+                            while (fi + 1 < len(frames)
+                                   and frames[fi + 1][0] <= ts):
+                                fi += 1
+                            emit_hash(mid, "video", ts,
+                                      px_hash(frames[fi][2]))
+                else:
+                    emit_hash(mid, "image", 0, hasher(payload))
                 r = fingerprints(payload)
                 if isinstance(r, list):
                     for ts, v in r:
@@ -392,19 +435,25 @@ def media_near_dup_pairs(signatures: DataFrame,
                          audio_max_hamming: int = 7,
                          min_matched_frames: int = 2,
                          max_bucket_size: int | None = 4096,
-                         image_orientations: bool = False) -> DataFrame:
+                         image_orientations: bool = False,
+                         video_align: str = "same_ts") -> DataFrame:
     """Near-dup pairs from a :func:`media_signatures` table: images
     through the banded pigeonhole join, audio through alignment
-    voting. Output: (modality, id_a, id_b, hamming, matched_frames,
-    offset_ms). Signatures in, pairs out — no payload anywhere, so
-    both branches read only the tiny signature table.
+    voting, video (r15) through per-frame hash voting
+    (``video_near_dup_pairs`` — re-encoded/re-muxed copies of the
+    same footage match on nearly every sampled frame;
+    ``video_align='any_offset'`` adds trimmed-copy detection). Output:
+    (modality, id_a, id_b, hamming, matched_frames, offset_ms).
+    Signatures in, pairs out — no payload anywhere, so all branches
+    read only the tiny signature table.
     ``image_orientations=True`` expects orientation-bearing
-    signatures and routes images through the dihedral join
-    (rotated/mirrored duplicates found too)."""
+    signatures and routes images AND video frames through the
+    dihedral probes (rotated/mirrored duplicates found too)."""
     from realtime_olap_spark.operators.afp import (  # noqa: PLC0415
         audio_near_dup_pairs)
     from realtime_olap_spark.operators.phash import (  # noqa: PLC0415
-        phash_near_dup_pairs, phash_near_dup_pairs_dihedral)
+        phash_near_dup_pairs, phash_near_dup_pairs_dihedral,
+        video_near_dup_pairs)
 
     if image_orientations:
         img = signatures.where(F.col("modality") == "image") \
@@ -430,8 +479,21 @@ def media_near_dup_pairs(signatures: DataFrame,
         max_bucket_size=max_bucket_size) \
         .select(F.lit("audio").alias("modality"), "id_a", "id_b",
                 "matched_frames", "offset_ms")
-    return img_pairs.unionByName(aud_pairs,
-                                 allowMissingColumns=True)
+    vid_cols = ["media_id", "frame_ts_ms", F.col("sig").alias("phash")]
+    if image_orientations:
+        vid_cols.insert(2, F.col("orient"))
+    vid = signatures.where(F.col("modality") == "video") \
+        .select(*vid_cols)
+    vid_pairs = video_near_dup_pairs(
+        vid, method="phash", max_hamming=image_max_hamming,
+        n_bands=image_n_bands, min_matched_frames=min_matched_frames,
+        align=video_align, max_bucket_size=max_bucket_size,
+        orientations=image_orientations) \
+        .select(F.lit("video").alias("modality"), "id_a", "id_b",
+                "matched_frames",
+                *(["offset_ms"] if video_align == "any_offset" else []))
+    return img_pairs.unionByName(aud_pairs, allowMissingColumns=True) \
+        .unionByName(vid_pairs, allowMissingColumns=True)
 
 
 def media_dir_near_dups(spark: SparkSession, path: str,
@@ -443,7 +505,9 @@ def media_dir_near_dups(spark: SparkSession, path: str,
                         min_matched_frames: int = 2,
                         max_bucket_size: int | None = 4096,
                         check_ids: bool = True,
-                        image_orientations: bool = False) -> DataFrame:
+                        image_orientations: bool = False,
+                        video_every_ms: int = 1000,
+                        video_align: str = "same_ts") -> DataFrame:
     """Near-duplicate discovery over a media DIRECTORY — the one-call
     curation pass: images through the 64-bit perceptual hash + banded
     pairs (``operators/phash.py``), audio through Haitsma-Kalker
@@ -481,7 +545,8 @@ def media_dir_near_dups(spark: SparkSession, path: str,
     ok = files.where(F.col("status") == "ok") \
         .select("media_id", "payload")
     sigs = media_signatures(
-        ok, image_orientations=image_orientations).persist()
+        ok, image_orientations=image_orientations,
+        video_every_ms=video_every_ms).persist()
     sigs.count()  # materialize: the ONE payload pass happens here
     return media_near_dup_pairs(
         sigs, image_max_hamming=image_max_hamming,
@@ -489,4 +554,5 @@ def media_dir_near_dups(spark: SparkSession, path: str,
         audio_max_hamming=audio_max_hamming,
         min_matched_frames=min_matched_frames,
         max_bucket_size=max_bucket_size,
-        image_orientations=image_orientations)
+        image_orientations=image_orientations,
+        video_align=video_align)

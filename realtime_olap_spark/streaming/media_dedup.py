@@ -96,34 +96,66 @@ def _image_pairs_against(new_img: DataFrame, corpus_img: DataFrame,
     return verified.select("id_a", "id_b", "hamming").distinct()
 
 
-def _audio_pairs_against(new_aud: DataFrame, corpus_aud: DataFrame,
-                         max_hamming: int, min_matched_frames: int,
-                         max_bucket_size: int | None) -> DataFrame:
-    """Audio pairs of a NEW batch against the corpus: band-only
-    equi-join over the 32-bit sub-fingerprints and alignment voting —
-    exactly the ``video_near_dup_pairs(align='any_offset')`` algebra
-    with the self-join split into batch × corpus. Deltas and vote keys
-    are canonicalized to the (least, greatest) pair orientation so a
+def _frame_pairs_against(new_df: DataFrame, corpus_df: DataFrame,
+                         bits: int, n_bands: int, max_hamming: int,
+                         min_matched_frames: int,
+                         max_bucket_size: int | None,
+                         align: str,
+                         orientations: bool = False) -> DataFrame:
+    """Frame-voting pairs of a NEW batch against the corpus — the
+    ``video_near_dup_pairs`` algebra with the self-join split into
+    batch × corpus: band equi-join over per-frame hashes, hamming
+    verify, distinct vote keys, per-pair (or per-delta) counting.
+    Serves audio (32-bit sub-fingerprints, align='any_offset') and
+    video (64-bit frame hashes, either alignment; with
+    ``orientations`` both probe directions — new orients × corpus
+    identity and vice versa — exactly the batch dihedral candidate
+    set restricted to cross pairs). Deltas and vote keys are
+    canonicalized to the (least, greatest) pair orientation so a
     drained stream reproduces the batch operator bit-for-bit."""
-    from realtime_olap_spark.operators.afp import FP_BITS
     from realtime_olap_spark.operators.phash import hamming, hash_bands
 
     def bands(df, idname, tsname):
-        return df.select(
-            F.col("media_id").alias(idname),
-            F.col("frame_ts_ms").alias(tsname),
-            F.col("sig").alias(f"h_{idname}"),
-            F.explode(hash_bands(F.col("sig"), 8,
-                                 bits=FP_BITS)).alias("__band"))
+        cols = [F.col("media_id").alias(idname),
+                F.col("frame_ts_ms").alias(tsname),
+                F.col("sig").alias(f"h_{idname}"),
+                F.explode(hash_bands(F.col("sig"), n_bands,
+                                     bits=bits)).alias("__band")]
+        if orientations:
+            cols.insert(3, F.col("orient").alias(f"o_{idname}"))
+        return df.select(*cols)
 
-    nb = bands(new_aud, "id_new", "ts_new")
-    cb = bands(corpus_aud, "id_corpus", "ts_corpus")
+    nb = bands(new_df, "id_new", "ts_new")
+    cb = bands(corpus_df, "id_corpus", "ts_corpus")
     if max_bucket_size is not None:
-        sizes = cb.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
-        cb = cb.join(sizes.where(F.col("__n") <= max_bucket_size)
-                     .select("__band"), "__band")
+        keys = (["ts_corpus", "__band"] if align == "same_ts"
+                else ["__band"])
+        base = cb.where(F.col("o_id_corpus") == 0) if orientations \
+            else cb
+        sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        small = sizes.where(F.col("__n") <= max_bucket_size) \
+            .select(*keys)
+        cb = cb.join(small, keys)
+        nb = nb.join(small.withColumnRenamed("ts_corpus", "ts_new")
+                     if align == "same_ts" else small,
+                     (["ts_new", "__band"] if align == "same_ts"
+                      else ["__band"]))
+    join_keys = ["__band"]
+    if align == "same_ts":
+        cb = cb.withColumnRenamed("ts_corpus", "__ts")
+        nb = nb.withColumnRenamed("ts_new", "__ts")
+        join_keys = ["__ts", "__band"]
+    if orientations:
+        d1 = nb.join(cb.where(F.col("o_id_corpus") == 0), join_keys)
+        d2 = nb.where(F.col("o_id_new") == 0).join(cb, join_keys)
+        cand = d1.unionByName(d2).drop("o_id_new", "o_id_corpus")
+    else:
+        cand = nb.join(cb, join_keys)
+    if align == "same_ts":
+        cand = cand.withColumn("ts_new", F.col("__ts")) \
+            .withColumn("ts_corpus", F.col("__ts"))
     fwd = F.col("id_new") < F.col("id_corpus")
-    matched = (nb.join(cb, "__band")
+    matched = (cand
                .where(F.col("id_new") != F.col("id_corpus"))
                .where(hamming(F.col("h_id_new"), F.col("h_id_corpus"))
                       <= F.lit(max_hamming))
@@ -138,6 +170,11 @@ def _audio_pairs_against(new_aud: DataFrame, corpus_aud: DataFrame,
                .distinct())
     per_delta = (matched.groupBy("id_a", "id_b", "__delta")
                  .agg(F.count(F.lit(1)).alias("matched_frames")))
+    if align == "same_ts":
+        # __delta is identically 0 under same_ts: one vote bucket
+        return (per_delta.select("id_a", "id_b", "matched_frames")
+                .where(F.col("matched_frames")
+                       >= F.lit(min_matched_frames)))
     best = (per_delta.groupBy("id_a", "id_b")
             .agg(F.max(F.struct("matched_frames", "__delta"))
                  .alias("__best")))
@@ -156,6 +193,7 @@ def media_near_dup_pairs_against(new_sigs: DataFrame,
                                  min_matched_frames: int = 2,
                                  max_bucket_size: int | None = 4096,
                                  image_orientations: bool = False,
+                                 video_align: str = "same_ts",
                                  ) -> DataFrame:
     """Near-dup pairs of a NEW batch's signatures against a CORPUS
     signature table — the asymmetric ingestion shape: per-batch cost
@@ -165,6 +203,8 @@ def media_near_dup_pairs_against(new_sigs: DataFrame,
     hamming, matched_frames, offset_ms), pairs canonicalized
     (id_a < id_b). ``max_bucket_size`` caps degenerate CORPUS band
     buckets (the ``minhash_lsh_pairs_against`` discipline)."""
+    from realtime_olap_spark.operators.afp import FP_BITS
+
     img_new = new_sigs.where(F.col("modality") == "image")
     img_cor = corpus_sigs.where(F.col("modality") == "image")
     img = _image_pairs_against(
@@ -172,13 +212,25 @@ def media_near_dup_pairs_against(new_sigs: DataFrame,
         max_bucket_size, image_orientations) \
         .select(F.lit("image").alias("modality"), "id_a", "id_b",
                 "hamming")
-    aud = _audio_pairs_against(
+    aud = _frame_pairs_against(
         new_sigs.where(F.col("modality") == "audio"),
         corpus_sigs.where(F.col("modality") == "audio"),
-        audio_max_hamming, min_matched_frames, max_bucket_size) \
+        FP_BITS, 8, audio_max_hamming, min_matched_frames,
+        max_bucket_size, "any_offset") \
         .select(F.lit("audio").alias("modality"), "id_a", "id_b",
                 "matched_frames", "offset_ms")
-    return img.unionByName(aud, allowMissingColumns=True)
+    vid = _frame_pairs_against(
+        new_sigs.where(F.col("modality") == "video"),
+        corpus_sigs.where(F.col("modality") == "video"),
+        64, image_n_bands, image_max_hamming, min_matched_frames,
+        max_bucket_size, video_align,
+        orientations=image_orientations) \
+        .select(F.lit("video").alias("modality"), "id_a", "id_b",
+                "matched_frames",
+                *(["offset_ms"] if video_align == "any_offset"
+                  else []))
+    return img.unionByName(aud, allowMissingColumns=True) \
+        .unionByName(vid, allowMissingColumns=True)
 
 
 class MediaNearDupIngest:
@@ -198,16 +250,20 @@ class MediaNearDupIngest:
                  audio_max_hamming: int = 7,
                  min_matched_frames: int = 2,
                  max_bucket_size: int | None = 4096,
-                 image_orientations: bool = False):
+                 image_orientations: bool = False,
+                 video_every_ms: int = 1000,
+                 video_align: str = "same_ts"):
         self.spark = spark
         self.sigs_dir = sigs_dir
         self.pairs_dir = pairs_dir
+        self.video_every_ms = video_every_ms
         self.params = dict(image_max_hamming=image_max_hamming,
                            image_n_bands=image_n_bands,
                            audio_max_hamming=audio_max_hamming,
                            min_matched_frames=min_matched_frames,
                            max_bucket_size=max_bucket_size,
-                           image_orientations=image_orientations)
+                           image_orientations=image_orientations,
+                           video_align=video_align)
 
     # -- readers ----------------------------------------------------
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
@@ -247,6 +303,7 @@ class MediaNearDupIngest:
         sigs = media_signatures(
             files.select("media_id", "payload"),
             image_orientations=self.params["image_orientations"],
+            video_every_ms=self.video_every_ms,
         ).persist()
         sigs.count()  # the ONE payload pass over the batch
         corpus = self.signatures(exclude_epoch=epoch_id)

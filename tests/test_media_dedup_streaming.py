@@ -28,7 +28,8 @@ def _canon(rows):
 
 def _media_files():
     keep = (".png", ".jpg", ".bmp", ".tiff", ".webp", ".gif",
-            ".wav", ".flac", ".aiff", ".aifc", ".au")
+            ".wav", ".flac", ".aiff", ".aifc", ".au",
+            ".webm", ".avi")  # r15: video joins the parity corpus
     return sorted(p for p in globmod.glob(os.path.join(FIXTURES, "*"))
                   if os.path.isfile(p) and p.lower().endswith(keep))
 

@@ -300,3 +300,85 @@ def test_media_dir_dedup_decisions(spark):
     dropped = {n for n, r in rows.items() if not r["keep"]}
     assert dropped == (set(pythons) - {biggest}) \
         | (set(plucks) - set(akept)) | (set(tiffs) - set(tkept))
+
+
+def test_media_signatures_video_branch(spark):
+    """r15: video payloads (WebM/AVI — previously silently skipped)
+    emit per-sampled-frame hashes in the SAME single pass,
+    bit-identical to the dedicated frame_hash_signature operator
+    (which round-trips frames through lossless PNG), and the coverage
+    audit reports them."""
+    from pyspark.sql import functions as F
+
+    from realtime_olap_spark.operators.phash import frame_hash_signature
+    from realtime_olap_spark.sources.media import (
+        media_signature_coverage, media_signatures, read_media_dir)
+
+    ok = read_media_dir(spark, FIXTURES).where(
+        F.col("status") == "ok").select("media_id", "payload")
+    sigs = media_signatures(ok, video_every_ms=40)
+    vid = {(r["media_id"], r["frame_ts_ms"]): r["sig"]
+           for r in sigs.collect() if r["modality"] == "video"}
+    assert vid  # inter.webm / inter2.webm / variant-mjpeg.avi decode
+    vids = ok.join(
+        read_media_dir(spark, FIXTURES).where(
+            "path LIKE '%.webm' OR path LIKE '%.avi'")
+        .select("media_id"), "media_id")
+    want = {(r["media_id"], r["frame_ts_ms"]): r["phash"]
+            for r in frame_hash_signature(
+                vids.withColumn("media_type", F.lit("video")),
+                every_ms=40).collect()
+            if r["phash"] is not None}
+    assert vid == want
+    cov = {os.path.basename(r["path"]): r
+           for r in media_signature_coverage(
+               spark, FIXTURES, sigs).collect()}
+    assert cov["inter.webm"]["has_video_sig"]
+    assert cov["variant-mjpeg.avi"]["has_video_sig"]
+    # metadata-only goldens with opaque payload stay uncovered
+    assert not cov["probe.webm"]["covered"]
+    assert not cov["probe.avi"]["covered"]
+
+
+def test_media_dir_near_dups_video_family(spark, tmp_path):
+    """One-call pass over a corpus with a RE-MUXED video copy: the
+    same MJPEG footage in two AVI container variants pairs on every
+    sampled frame; a reversed-order cut does not (same_ts default)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multimodal import _assemble_mjpeg_avi, _encode_flat_jpeg
+
+    from realtime_olap_spark.sources.media import media_dir_near_dups
+
+    def frame(shift):
+        levels = [(40 if c < 1 + (shift % 3) else 200)
+                  for c in range(4)]
+        return _encode_flat_jpeg([levels], 32, 8)
+
+    fr = [frame(i) for i in range(3)]
+    corpus = tmp_path / "vid"
+    corpus.mkdir()
+    (corpus / "a.avi").write_bytes(
+        _assemble_mjpeg_avi(fr, 32, 8, us_per_frame=40_000))
+    (corpus / "b.avi").write_bytes(
+        _assemble_mjpeg_avi(fr, 32, 8, us_per_frame=40_000,
+                            rec_group=True, suffix=b"db",
+                            audio_first=True))
+    (corpus / "c.avi").write_bytes(
+        _assemble_mjpeg_avi(fr[::-1], 32, 8, us_per_frame=40_000))
+    shutil.copy(os.path.join(FIXTURES, "python.png"),
+                corpus / "still.png")
+    ids = {os.path.basename(r["path"]): r["media_id"]
+           for r in __import__("realtime_olap_spark.sources.media",
+                               fromlist=["read_media_dir"])
+           .read_media_dir(spark, str(corpus)).collect()}
+    pairs = media_dir_near_dups(spark, str(corpus), video_every_ms=40,
+                                image_max_hamming=3).collect()
+    vid = {frozenset((r["id_a"], r["id_b"])): r["matched_frames"]
+           for r in pairs if r["modality"] == "video"}
+    assert vid.get(frozenset((ids["a.avi"], ids["b.avi"]))) == 3
+    assert frozenset((ids["a.avi"], ids["c.avi"])) not in vid
+    # the still never crosses modalities
+    assert not any(ids["still.png"] in p for p in vid)
