@@ -171,9 +171,20 @@ def _make_flac_decoder(max_samples: int = 600_000_000):
             samples = [br.sbits(eff) for _ in range(order)]
             rice_residuals(br, blocksize, order, samples)
             coefs = fixed_coefs[order]
+            # crafted coefficients/residuals can make the prediction
+            # FEEDBACK grow exponentially (Python ints are unbounded,
+            # so this is both a contract raise at the np.int64
+            # conversion and a bignum CPU bomb — r15 fuzz catch, seed
+            # 1050946). Valid streams stay far inside int64 (|s| <
+            # 2^33, coefs < 2^15, order <= 32 -> acc < 2^53); the
+            # first sample past 2^62 marks the stream malformed.
             for i in range(order, blocksize):
-                samples[i] += sum(c * samples[i - 1 - k]
-                                  for k, c in enumerate(coefs))
+                v = samples[i] + sum(c * samples[i - 1 - k]
+                                     for k, c in enumerate(coefs))
+                if v > 0x4000000000000000 or \
+                        v < -0x4000000000000000:
+                    raise _Bad
+                samples[i] = v
         elif stype >= 32:  # LPC, order = (stype & 31) + 1
             order = (stype & 31) + 1
             if order > blocksize:
@@ -191,7 +202,12 @@ def _make_flac_decoder(max_samples: int = 600_000_000):
                 acc = 0
                 for k in range(order):
                     acc += coefs[k] * samples[i - 1 - k]
-                samples[i] += acc >> shift
+                v = samples[i] + (acc >> shift)
+                # same feedback bound as the FIXED path (fuzz catch)
+                if v > 0x4000000000000000 or \
+                        v < -0x4000000000000000:
+                    raise _Bad
+                samples[i] = v
         else:
             raise _Bad  # reserved subframe types
         if wasted:

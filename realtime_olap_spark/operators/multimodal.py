@@ -2460,6 +2460,17 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
         for c, _, _ in scan_comps:
             c.pred = 0
         zz = ZZ
+        # r15: pre-split run/size LUT entries and EXTEND constants —
+        # the AC loop's `rs >> 4` / `rs & 15` and the two per-value
+        # shifts become table hits (a few ops per symbol off the
+        # ~25-op floor; bit-identical by construction)
+        half = tuple(1 << (s - 1) if s else 0 for s in range(16))
+        ext = tuple((1 << s) - 1 for s in range(16))
+        ac_luts = {}
+        for _, _, tac in scan_comps:
+            if id(tac[1]) not in ac_luts:
+                ac_luts[id(tac[1])] = [(sym >> 4, sym & 15, ln)
+                                       for sym, ln in tac[1]]
         seg_i = 0
         d = segs[0]
         n = len(d)
@@ -2486,7 +2497,8 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                 else:
                     positions = [divmod(ui, c.nbw)]
                 dtab, dlut = tdc
-                atab, alut = tac
+                atab = tac[0]
+                alut2 = ac_luts[id(tac[1])]
                 for by, bx in positions:
                     coef = c.coef[by][bx]
                     # ---- DC: LUT decode + inline EXTEND ----
@@ -2513,10 +2525,9 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                             i += 1
                             nb += 8
                         nb -= s
-                        v = (acc >> nb) & ((1 << s) - 1)
+                        v = (acc >> nb) & ext[s]
                         acc &= (1 << nb) - 1
-                        c.pred += v if v >= (1 << (s - 1)) \
-                            else v - (1 << s) + 1
+                        c.pred += v if v >= half[s] else v - ext[s]
                     coef[0] = c.pred
                     # ---- AC run/size loop ----
                     if eobrun:
@@ -2529,18 +2540,20 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                             i += 1
                             nb += 8
                         if nb >= 8:
-                            rs, ln = alut[(acc >> (nb - 8)) & 0xFF]
+                            r, s, ln = alut2[(acc >> (nb - 8)) & 0xFF]
                             if ln:
                                 nb -= ln
                                 acc &= (1 << nb) - 1
                             else:
                                 rs, i, acc, nb = _slow_huff(
                                     atab, d, n, i, acc, nb)
+                                r = rs >> 4
+                                s = rs & 15
                         else:
                             rs, i, acc, nb = _slow_huff(
                                 atab, d, n, i, acc, nb)
-                        r = rs >> 4
-                        s = rs & 15
+                            r = rs >> 4
+                            s = rs & 15
                         if s == 0:
                             if r == 15:
                                 k += 16  # ZRL
@@ -2567,10 +2580,10 @@ def _make_jpeg_decoder(max_pixels: int = MAX_DECODE_PIXELS):
                             i += 1
                             nb += 8
                         nb -= s
-                        v = (acc >> nb) & ((1 << s) - 1)
+                        v = (acc >> nb) & ext[s]
                         acc &= (1 << nb) - 1
-                        coef[zz[k]] = v if v >= (1 << (s - 1)) \
-                            else v - (1 << s) + 1
+                        coef[zz[k]] = v if v >= half[s] \
+                            else v - ext[s]
                         k += 1
 
     def _decode_scan(comps, scan_comps, segs, ri, huff_dc, huff_ac,

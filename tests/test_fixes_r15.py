@@ -408,3 +408,39 @@ def test_vp8_loop_filter_signed_char_clamp_pinned():
         assert np.array_equal(r[2], ry), seed
         assert np.array_equal(r[3], ru), seed
         assert np.array_equal(r[4], rv), seed
+
+
+# ---------------------------------------------------------------------------
+# r15 fuzz catch: FLAC prediction-feedback bound
+# ---------------------------------------------------------------------------
+
+def test_flac_prediction_feedback_bomb_is_gated():
+    """Fuzz catch (seed 1050946 over pluck-pcm16.flac): crafted LPC/
+    FIXED coefficients make the prediction feedback grow exponentially
+    — unbounded Python ints raised OverflowError at the np.int64
+    conversion (contract violation) and cost bignum CPU on the way.
+    The first sample past 2^62 now marks the stream malformed (valid
+    streams stay under ~2^53)."""
+    import os as _os
+    import random
+    import sys
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                     "scripts"))
+    import randomized_sweep_media_fuzz as mz
+
+    from realtime_olap_spark.operators.flac import _make_flac_decoder
+
+    fixtures = _os.path.join(_os.path.dirname(__file__), "fixtures")
+    payloads = [(fmt, name,
+                 open(_os.path.join(fixtures, name), "rb").read())
+                for fmt, names in mz.GOLDENS.items() for name in names]
+    rnd = random.Random("media-fuzz-1050946")
+    fmt, name, data = payloads[rnd.randrange(len(payloads))]
+    _, _, other = payloads[rnd.randrange(len(payloads))]
+    assert (fmt, name) == ("flac", "pluck-pcm16.flac")
+    mutated = mz._mutate(rnd, data, other)
+    dec = _make_flac_decoder()
+    assert dec(mutated) is None  # malformed, not a raise
+    # the real golden still decodes bit-for-bit (suite asserts values)
+    assert isinstance(dec(data), tuple)
