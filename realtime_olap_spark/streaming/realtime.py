@@ -265,6 +265,26 @@ def decode_avro_stream(source: DataFrame, avro_schema_json: str,
         return source.select(value_col).mapInPandas(decode, schema=out_schema)
 
 
+def _locations_match(existing: str, sink_dir: str) -> bool:
+    """Whether an already-registered table LOCATION and a requested
+    sink directory name the same storage. Compares scheme + authority
+    + normalized path — NOT the path alone (r14 ADVICE killed the
+    endswith match; r15 ADVICE: ``hdfs://namenode/data/x`` or
+    ``s3a://bucket/data/x`` must not satisfy a local ``/data/x``
+    either). Empty scheme and ``file`` are the same filesystem."""
+    from urllib.parse import urlparse  # noqa: PLC0415
+
+    ex_u = urlparse(existing)
+    want_u = urlparse(sink_dir if "://" in sink_dir
+                      else os.path.abspath(sink_dir))
+
+    def fs(u):
+        return ((u.scheme or "file").lower(), u.netloc,
+                os.path.normpath(u.path) if u.path else "")
+
+    return fs(ex_u) == fs(want_u)
+
+
 def realtime_segments_table(spark: SparkSession, name: str,
                             sink_dir: str,
                             schema: str | None = None) -> DataFrame:
@@ -292,18 +312,11 @@ def realtime_segments_table(spark: SparkSession, name: str,
         loc = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").where(
             "col_name = 'Location'").collect()
         existing = loc[0]["data_type"] if loc else None
-        # Compare as normalized absolute PATHS, not endswith: a registered
-        # location 'file:/mnt/data/x' must NOT satisfy a request for
-        # '/data/x' just because the string ends with it (r14 ADVICE).
-        if existing is not None:
-            from urllib.parse import urlparse  # noqa: PLC0415
-            existing_path = os.path.normpath(
-                urlparse(existing).path or existing)
-            want = os.path.normpath(os.path.abspath(sink_dir))
-            if existing_path != want:
-                raise ValueError(
-                    f"table {name!r} exists with location {existing!r}, "
-                    f"not {sink_dir!r}")
+        if existing is not None and not _locations_match(existing,
+                                                         sink_dir):
+            raise ValueError(
+                f"table {name!r} exists with location {existing!r}, "
+                f"not {sink_dir!r}")
     else:
         cols = f" ({schema})" if schema else ""
         spark.sql(f"CREATE TABLE `{name}`{cols} USING parquet "

@@ -93,7 +93,9 @@ def test_streaming_two_batches_equal_one_batch_pass(spark, tmp_path):
                   "GROUP BY modality TOP 5")
         got = {g["group"][0]: int(g["value"])
                for g in r3["aggregationResults"][0]["groupByResult"]}
-        assert set(got) == {"image", "audio"}
+        # r16: tagged.flac is a re-tag of pluck-pcm16.flac — the
+        # decode-free content key pairs them as audio_exact
+        assert set(got) == {"image", "audio", "audio_exact"}
     finally:
         server.stop()
 

@@ -250,13 +250,19 @@ def test_media_signature_coverage_audit(spark):
     assert not cov["python.png"]["has_audio_sig"]
     assert cov["pluck-pcm16.wav"]["has_audio_sig"]
     assert cov["tagged.flac"]["has_audio_sig"]
-    # compressed audio: probed, tagged, but NOT fingerprintable —
-    # the near-dup pass skips it and the audit says so
-    assert not cov["test.mp3"]["covered"]
-    assert not cov["tagged-vorbis.ogg"]["covered"]
-    assert not cov["tagged-opus.ogg"]["covered"]
-    # non-media is uncovered too
+    # compressed audio: still NOT fingerprintable (no perceptual
+    # rows), but r16's decode-free tag-stripped content key covers
+    # the re-tagged-duplicate class — the audit flips to covered
+    # through has_content_key, with has_audio_sig staying honest
+    for n in ("test.mp3", "tagged-vorbis.ogg", "tagged-opus.ogg"):
+        assert not cov[n]["has_audio_sig"], n
+        assert cov[n]["has_content_key"], n
+        assert cov[n]["covered"], n
+    # FLAC gets both: decoded fingerprints AND the cheap content key
+    assert cov["tagged.flac"]["has_content_key"]
+    # non-media is uncovered
     assert not cov["README.md"]["covered"]
+    assert not cov["README.md"]["has_content_key"]
     # every file keeps a row (the listing side is the authority)
     assert len(cov) == len(read_media_dir(spark, FIXTURES).collect())
 
