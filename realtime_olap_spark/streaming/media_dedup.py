@@ -425,9 +425,17 @@ class MediaNearDupIngest:
         star = (prev.join(touched, "cluster_id")
                 .select(F.col("media_id").alias("src"),
                         F.col("cluster_id").alias("dst")))
-        delta = (connected_components(star.unionByName(edges))
-                 .select(F.col("node").alias("media_id"),
-                         F.col("component").alias("cluster_id")))
+        cc = (connected_components(star.unionByName(edges))
+              .select(F.col("node").alias("media_id"),
+                      F.col("component").alias("cluster_id")))
+        # connected_components omits the root's own (root, root) row
+        # (star-forest edges have root < node); the state table MUST
+        # carry it, or a LATER edge landing on the root node would
+        # miss its cluster in the frontier lookup and split the
+        # component
+        roots = cc.select(F.col("cluster_id").alias("media_id"),
+                          "cluster_id").distinct()
+        delta = cc.unionByName(roots)
         delta.write.mode("overwrite").parquet(
             os.path.join(self.clusters_dir, f"epoch={int(epoch_id)}"))
 
