@@ -263,36 +263,60 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lm_score.py) under the driver oracle end-to-end: the
     self-trained corpus LM scores every doc and the FIXED literal
     cutoffs (LM_BUCKET_CUTOFFS) reduce the order-dependent double mean
-    to a hash-exact integer tier."""
+    to a hash-exact integer tier.
+
+    Plan shape (r16 profile pass — was the suite's slowest query for
+    four rounds): every signal except ``strat_rank`` is a PER-ROW
+    property, so the 30-doc trim happens FIRST and the text-heavy
+    passes (quality folds, fingerprint, DSIR hits, contamination
+    grams, LM scoring) run over 30 rows instead of the corpus; only
+    the stratified window still scans the corpus, over a NARROW
+    (doc_id, lang, source) projection with no text processing. On the
+    trimmed rows the interpreted JVM expression fold
+    (``rolling_fingerprint``) replaces the Arrow pandas_udf fast
+    path: one Python-worker stage costs ~0.45 s of round-trip
+    overhead regardless of row count (this box's measurement), which
+    dwarfs 30 rows of per-char lambda evals — the pandas_udf remains
+    the right call for the full-corpus scans
+    (``text.rolling_fingerprint_fast`` docstring). A/B at sf0.1:
+    1.31 s -> 0.99 s, outputs bit-equal at sf0.001/0.01/0.1.
+    Full-corpus throughput of the heavy passes stays measured by the
+    dedicated bench entries (``decontam_scan_bench``,
+    ``importance_scan_bench``, ``bench_classifier_scan``)."""
     from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
     from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
     from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
     from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
+    ranks = (d.select("doc_id", "lang", "source")
+             .withColumn("strat_rank",
+                         S.stratified_rank(["lang", "source"], "doc_id"))
+             .select("doc_id", "strat_rank"))
+    trim = d.orderBy("doc_id").limit(30)
     bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
     hits = DC.contamination_hits(
-        d, DC.benchmark_gram_hashes(bench, "text", 3), "doc_id", "text", 3)
-    lm = (LM.unigram_logprob(d, "doc_id", "text",
+        trim, DC.benchmark_gram_hashes(bench, "text", 3),
+        "doc_id", "text", 3)
+    lm = (LM.unigram_logprob(trim, "doc_id", "text",
                              freqs=_lm_freqs(spark, sf_dir))
           .select("doc_id",
                   LM.bucket_by_cutoffs(F.col("mean_logprob"),
                                        LM_BUCKET_CUTOFFS).alias("lm_bucket")))
     fav = _dsir_favored(spark, sf_dir)
-    return (d.select("doc_id", "lang", "source",
-                     *T.quality_features(F.col("text")),
-                     T.rolling_fingerprint_fast(F.col("text"))
-                     .alias("fingerprint"),
-                     IMP.favored_hits(F.col("text"), fav)
-                     .alias("dsir_fav_hits"))
+    return (trim.select("doc_id",
+                        *T.quality_features(F.col("text")),
+                        T.rolling_fingerprint(F.col("text"))
+                        .alias("fingerprint"),
+                        IMP.favored_hits(F.col("text"), fav)
+                        .alias("dsir_fav_hits"))
             .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
-            .withColumn("strat_rank",
-                        S.stratified_rank(["lang", "source"], "doc_id"))
             .join(hits, "doc_id", "left")
             .withColumn("contam_hits",
                         F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
             .join(lm, "doc_id", "left")
-            .drop("lang", "source", "n_hits")
+            .join(ranks, "doc_id")
+            .drop("n_hits")
             .orderBy(F.col("doc_id").asc()).limit(30))
 
 
