@@ -211,8 +211,11 @@ def media_near_dup_pairs_against(new_sigs: DataFrame,
     corpus payload is never re-read (signatures only). Output matches
     ``sources/media.media_near_dup_pairs``: (modality, id_a, id_b,
     hamming, matched_frames, offset_ms), pairs canonicalized
-    (id_a < id_b). ``max_bucket_size`` caps degenerate CORPUS band
-    buckets (the ``minhash_lsh_pairs_against`` discipline)."""
+    (id_a < id_b). ``audio_content`` rows join on exact key equality
+    (modality ``audio_exact`` — the re-tagged same-encode class).
+    ``max_bucket_size`` caps degenerate CORPUS band buckets and
+    content-key groups (the ``minhash_lsh_pairs_against``
+    discipline)."""
     from realtime_olap_spark.operators.afp import FP_BITS
 
     ac_new = new_sigs.where(F.col("modality") == "audio_content") \
@@ -486,6 +489,83 @@ class MediaNearDupIngest:
         sigs.write.mode("overwrite").parquet(
             os.path.join(self.sigs_dir, f"epoch={int(epoch_id)}"))
         sigs.unpersist()
+
+    # -- maintenance ------------------------------------------------
+    def compact(self) -> None:
+        """Fold the accumulated ``epoch=N`` delta directories of all
+        four state tables (pairs, signatures, meta, clusters) into a
+        single consolidated epoch — the minion segment-merge analog
+        (``sources/maintenance.py``) for the ingest state: latest-wins
+        rows are resolved once and the per-query groupBy over every
+        historical delta disappears until deltas accumulate again.
+
+        MAINTENANCE WINDOW ONLY: run while the stream is STOPPED
+        after a drained ``availableNow`` pass whose checkpoint
+        committed — a restarted stream replaying its last uncommitted
+        epoch would overwrite the consolidated directory with that
+        single batch's rows.
+
+        Crash-safe per table (two-phase): the consolidated rows are
+        written to an underscore-prefixed ``_compacting`` directory
+        (invisible to Spark reads) and only after a successful write
+        (``_SUCCESS`` marker) are the old epoch directories removed
+        and the new directory renamed into place; :meth:`compact`
+        first FINISHES any interrupted previous compaction (tmp with
+        _SUCCESS -> complete the swap; tmp without -> discard, state
+        untouched). Re-running after any failure converges."""
+        import shutil
+
+        dirs = [
+            (self.pairs_dir,
+             self.pairs().dropDuplicates(["modality", "id_a", "id_b"])),
+            (self.sigs_dir, self.signatures()),
+            (self.meta_dir, self.meta()),
+            (self.clusters_dir, self.clusters()),
+        ]
+        for d, _ in dirs:
+            self._finish_or_discard_compaction(d)
+        epochs = [int(name.split("=", 1)[1])
+                  for d, _ in dirs if os.path.isdir(d)
+                  for name in os.listdir(d) if name.startswith("epoch=")]
+        if not epochs:
+            return
+        k = max(epochs)
+        for d, df in dirs:
+            if not os.path.isdir(d):
+                continue
+            # the covered-epoch bound rides in the tmp dir NAME so a
+            # crash recovery never deletes epoch dirs written after
+            # the failed attempt (they supersede the consolidation)
+            tmp = os.path.join(d, f"_compacting_{k}")
+            df.write.mode("overwrite").parquet(tmp)
+            for name in os.listdir(d):
+                if name.startswith("epoch=") \
+                        and int(name.split("=", 1)[1]) <= k:
+                    shutil.rmtree(os.path.join(d, name))
+            os.rename(tmp, os.path.join(d, f"epoch={k}"))
+
+    @staticmethod
+    def _finish_or_discard_compaction(d: str) -> None:
+        import shutil
+
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if not name.startswith("_compacting_"):
+                continue
+            tmp = os.path.join(d, name)
+            k = int(name.split("_compacting_", 1)[1])
+            if os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+                # write completed; crash hit between the epoch-dir
+                # deletes and the rename — finish the swap for epochs
+                # <= k only (later epochs supersede the consolidation)
+                for other in os.listdir(d):
+                    if other.startswith("epoch=") \
+                            and int(other.split("=", 1)[1]) <= k:
+                        shutil.rmtree(os.path.join(d, other))
+                os.rename(tmp, os.path.join(d, f"epoch={k}"))
+            else:
+                shutil.rmtree(tmp)  # partial write; state untouched
 
     # -- streaming entry --------------------------------------------
     def start(self, files_stream: DataFrame, checkpoint_dir: str,

@@ -364,6 +364,76 @@ def test_incremental_cluster_merge_across_epochs(spark, tmp_path):
     assert got == {5: 5, 10: 5, 11: 5, 20: 5, 21: 5, 30: 30, 31: 30}
 
 
+def test_compact_folds_epoch_state(spark, tmp_path):
+    """State compaction (the minion merge analog for the ingest
+    state): after N epochs, compact() folds every delta directory
+    into one epoch with ALL live tables unchanged; ingest continues
+    cleanly past it; an interrupted compaction converges on re-run
+    without losing post-crash epochs."""
+    from realtime_olap_spark.sources.media import read_media_dir
+    from realtime_olap_spark.streaming import MediaNearDupIngest
+
+    landing = tmp_path / "l"
+    landing.mkdir()
+    ingest = MediaNearDupIngest(spark, str(tmp_path / "s"),
+                                str(tmp_path / "p"),
+                                coverage_log=False)
+    batches = (("python.png", "pluck-pcm16.wav"),
+               ("python.jpg", "pluck-pcm16.flac"),
+               ("python.bmp", "tagged.flac"))
+    for ep, names in enumerate(batches):
+        for n in names:
+            shutil.copy(os.path.join(FIXTURES, n), landing / n)
+        b = read_media_dir(spark, str(landing)).where(
+            " OR ".join(f"path LIKE '%{n}'" for n in names))
+        ingest.process_batch(b, ep)
+
+    def snapshot():
+        return (
+            sorted(map(tuple, ingest.pairs().collect())),
+            sorted(map(tuple, ingest.signatures().collect())),
+            sorted(map(tuple, ingest.meta().collect())),
+            sorted(map(tuple, ingest.clusters().collect())),
+            sorted(map(tuple, ingest.decisions().collect())),
+        )
+
+    before = snapshot()
+    ingest.compact()
+    assert snapshot() == before
+    for d in (tmp_path / "s", tmp_path / "p", tmp_path / "s_meta",
+              tmp_path / "p_clusters"):
+        eps = [n for n in os.listdir(d) if n.startswith("epoch=")]
+        assert eps == ["epoch=2"], (d, eps)
+    # ingest continues past the compaction
+    shutil.copy(os.path.join(FIXTURES, "python.tiff"),
+                landing / "python.tiff")
+    b4 = read_media_dir(spark, str(landing)).where(
+        "path LIKE '%python.tiff'")
+    ingest.process_batch(b4, 3)
+    rows = {r["media_id"]: r["cluster_id"]
+            for r in ingest.clusters().collect()}
+    ids = {os.path.basename(r["path"]): r["media_id"]
+           for r in read_media_dir(spark, str(landing)).collect()}
+    assert rows[ids["python.tiff"]] == rows[ids["python.png"]]
+    # crash simulation: a completed-but-unswapped tmp for the pairs
+    # table, with epoch dirs <= its bound deleted and a LATER epoch
+    # present — recovery must finish the swap and keep the later epoch
+    before = snapshot()
+    pdir = str(tmp_path / "p")
+    shutil.copytree(os.path.join(pdir, "epoch=2"),
+                    os.path.join(pdir, "_compacting_2"))
+    shutil.rmtree(os.path.join(pdir, "epoch=2"))
+    MediaNearDupIngest._finish_or_discard_compaction(pdir)
+    assert snapshot() == before
+    eps = [n for n in os.listdir(pdir) if n.startswith("epoch=")]
+    assert sorted(eps) == ["epoch=2", "epoch=3"]
+    # a PARTIAL tmp (no _SUCCESS) is discarded, state untouched
+    os.makedirs(os.path.join(pdir, "_compacting_3"))
+    MediaNearDupIngest._finish_or_discard_compaction(pdir)
+    assert not os.path.isdir(os.path.join(pdir, "_compacting_3"))
+    assert snapshot() == before
+
+
 def test_streaming_decisions_parity_and_live_serving(spark, tmp_path):
     """Two drained micro-batches over a real-fixture corpus: the live
     decisions() table equals the batch media_dedup_decisions over the

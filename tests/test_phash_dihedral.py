@@ -171,8 +171,10 @@ def test_dihedral_pairs_match_bruteforce_twin(spark):
 
 def test_media_dir_near_dups_orientations_e2e(spark, tmp_path):
     """One-call pass over a crawl directory containing a rotated
-    duplicate: invisible by default, found with
-    image_orientations=True — same single-payload-scan shape."""
+    duplicate: found BY DEFAULT (r16 — image_orientations defaults on
+    for the conveniences), invisible only under the explicit
+    image_orientations=False opt-out — same single-payload-scan
+    shape."""
     import shutil
 
     from realtime_olap_spark.sources.media import (media_dir_near_dups,
@@ -192,10 +194,10 @@ def test_media_dir_near_dups_orientations_e2e(spark, tmp_path):
                 corpus / "b.flac")
     ids = {os.path.basename(r["path"]): r["media_id"]
            for r in read_media_dir(spark, str(corpus)).collect()}
-    plain = media_dir_near_dups(spark, str(corpus)).collect()
+    plain = media_dir_near_dups(spark, str(corpus),
+                                image_orientations=False).collect()
     assert not [r for r in plain if r["modality"] == "image"]
-    got = media_dir_near_dups(spark, str(corpus),
-                              image_orientations=True).collect()
+    got = media_dir_near_dups(spark, str(corpus)).collect()
     img = {frozenset((r["id_a"], r["id_b"])): r["hamming"]
            for r in got if r["modality"] == "image"}
     assert img == {frozenset((ids["orig.png"], ids["rot.png"])): 0}
