@@ -403,6 +403,17 @@ class MediaNearDupIngest:
                                       F.col("media_id"))))
         return decide_keeps(out)
 
+    def coverage(self) -> DataFrame:
+        """The LIVE signature-coverage audit over everything ingested
+        so far (``sources.media.media_coverage`` over the persisted
+        meta + signature tables — zero re-decode): which crawled
+        files contributed no signature of any family and are
+        therefore invisible to the near-dup pass. Register as a
+        derived table to watch coverage while the crawl runs."""
+        from realtime_olap_spark.sources.media import media_coverage
+
+        return media_coverage(self.meta(), self.signatures())
+
     def _update_clusters(self, pairs: DataFrame,
                          epoch_id: int) -> None:
         """Union this epoch's pair edges into the persisted cluster

@@ -494,6 +494,17 @@ def test_streaming_decisions_parity_and_live_serving(spark, tmp_path):
     finally:
         server.stop()
 
+    # the LIVE coverage audit matches the batch one over the corpus
+    cov = {r["media_id"]: (r["covered"], r["has_content_key"])
+           for r in ingest.coverage().collect()}
+    from realtime_olap_spark.sources.media import media_coverage
+    want_cov = {r["media_id"]: (r["covered"], r["has_content_key"])
+                for r in media_coverage(
+                    read_media_dir(spark, str(landing)),
+                    ingest.signatures()).collect()}
+    assert cov == want_cov
+    assert any(ck for _, ck in cov.values())  # test.mp3's content key
+
     files = read_media_dir(spark, str(landing))
     want_pairs = media_near_dups_from_files(files, coverage_log=False)
     want = {r["media_id"]: (r["cluster_id"], r["keep"], r["n_bytes"])
