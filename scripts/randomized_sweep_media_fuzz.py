@@ -81,8 +81,16 @@ GOLDENS = {
     "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",
              "pluck-ulaw.aifc", "pluck-alaw.aifc"],
     "au": ["pluck-ulaw.au"],
-    "flac": ["pluck-pcm16.flac"],
+    "flac": ["pluck-pcm16.flac",
+             # VORBIS_COMMENT-tagged golden (r15): mutations hit the
+             # metadata-block walk of the tags parser AND the r16
+             # content keyer's frame-section split
+             "tagged.flac"],
     "mp3": ["test.mp3"],
+    # Ogg pages with true CRCs (r15 goldens): mutations hit the page
+    # walk of the prober, the comment-header reassembly of the tags
+    # parser, and the r16 content keyer's packet-skip walk
+    "ogg": ["tagged-vorbis.ogg", "tagged-opus.ogg"],
     "mp4": ["probe.mp4"],
     # RIFF AVI (r13 probe + r14 MJPEG video decode): mutations hit
     # the hdrl/avih/strl walk AND the movi chunk walk into the
@@ -102,7 +110,8 @@ GOLDENS = {
 MAGICS = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a",
           b"BM", b"II*\x00", b"MM\x00*", b"RIFF1234WEBP",
           b"\x00\x00\x00\x18ftypavif", b"\x00\x00\x00\x18ftypheic",
-          b"RIFF\x24\x00\x00\x00WAVE"]
+          b"RIFF\x24\x00\x00\x00WAVE", b"OggS\x00\x02", b"fLaC",
+          b"ID3\x04\x00\x00"]
 
 
 def _mutate(rnd: random.Random, data: bytes, other: bytes) -> bytes:
@@ -148,8 +157,10 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "webp": _make_webp_decoder(mm.MAX_DECODE_PIXELS),
                 "webm": mm._make_ebml_prober(),
                 "mp3": mm._make_mp3_prober(),
+                "ogg": mm._make_ogg_prober(),
                 "apng": mm._make_apng_decoder(),
                 "avi": mm._make_avi_prober()}
+    content_key = mm._make_audio_content_keyer()
     avi_video = mm._make_avi_video_decoder()
     avi_audio = mm._make_avi_audio_decoder()
     tags = mm._make_tags_parser()
@@ -213,11 +224,16 @@ def run(n_seeds: int, base_seed: int) -> int:
         fmt, name, data = payloads[rnd.randrange(len(payloads))]
         _, _, other = payloads[rnd.randrange(len(payloads))]
         mutated = _mutate(rnd, data, other)
-        audio = fmt in ("wav", "aiff", "au", "flac", "mp3")
+        audio = fmt in ("wav", "aiff", "au", "flac", "mp3", "ogg")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
+        if audio or fmt in ("png", "jpeg"):
+            # r16 decode-free content keyer shares the raise contract
+            # (tuple = success); png/jpeg exercise its foreign-magic
+            # rejection path
+            checks.append(("content-key", content_key))
         if fmt in ("mp3", "flac", "wav", "avi", "png", "apng",
-                   "jpeg"):
+                   "jpeg", "ogg"):
             # r14 tag extraction shares the contract (dict counts as
             # a tuple-equivalent success shape); png/jpeg cover the
             # tEXt/iTXt and EXIF walks
