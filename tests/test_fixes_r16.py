@@ -474,22 +474,20 @@ def test_streaming_decisions_parity_and_live_serving(spark, tmp_path):
             with urllib.request.urlopen(req, timeout=120) as resp:
                 return json.loads(resp.read().decode())
 
-        def kept_count(resp):
-            return {str(g["group"][0]).lower(): int(g["value"])
-                    for g in resp["aggregationResults"][0]
-                    ["groupByResult"]}.get("true", 0)
-
+        # PQL has no boolean literals (reference PQL2.g4) — the
+        # Pinot-style string-boolean comparison serves the keep side
         r1 = post("SELECT count(*) FROM media_decisions "
-                  "GROUP BY keep TOP 5")
-        assert 0 < kept_count(r1) <= len(b1)
+                  "WHERE keep = 'true'")
+        n1 = int(r1["aggregationResults"][0]["value"])
+        assert 0 < n1 <= len(b1)
 
         for n in b2:
             shutil.copy(os.path.join(FIXTURES, n), landing / n)
         ingest.start(read_media_dir_stream(spark, str(landing)),
                      ckpt).awaitTermination()
         r2 = post("SELECT count(*) FROM media_decisions "
-                  "GROUP BY keep TOP 5")
-        assert kept_count(r2) \
+                  "WHERE keep = 'true'")
+        assert int(r2["aggregationResults"][0]["value"]) \
             == ingest.decisions().where("keep").count()
     finally:
         server.stop()
