@@ -210,6 +210,50 @@ def test_audio_content_key_retag_invariance_flac_and_ogg():
     assert key(_fix("tagged-opus.ogg"))[0] == "ogg"
 
 
+def test_audio_content_key_retag_invariance_property():
+    """Hypothesis pin of the tag-stripping LAW: for arbitrary frame
+    bytes and arbitrary generated ID3v2 bodies / ID3v1 / APEv2 tails,
+    the key depends ONLY on the frame bytes — every tag combination
+    of the same frames collides, different frames never do (mod
+    2^-64), and the keyer never raises on random non-audio bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key = M._make_audio_content_keyer()
+
+    @settings(max_examples=150, deadline=None)
+    @given(frames=st.binary(min_size=4, max_size=400),
+           tagbody=st.binary(max_size=200),
+           ver=st.sampled_from([2, 3, 4]),
+           v1=st.booleans(), ape=st.binary(max_size=60))
+    def check(frames, tagbody, ver, v1, ape):
+        # force an MPEG sync so the bare-frames route engages
+        frames = b"\xff\xfb" + frames
+        base = key(frames)
+        assert isinstance(base, tuple) and base[0] == "mp3"
+        tagged = _id3v2(tagbody, ver=ver) + frames
+        if v1:
+            tagged += b"TAG" + b"\x00" * 125
+        else:
+            tagged += _apev2([("k", ape)])
+        assert key(tagged) == base
+        # flipping one frame byte changes the key
+        mod = bytearray(frames)
+        mod[-1] ^= 0x01
+        assert key(bytes(mod)) != base
+
+    check()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=600))
+    def never_raises(blob):
+        r = key(blob)
+        assert (r is None or isinstance(r, tuple)
+                or (isinstance(r, str) and r.startswith("unsupported")))
+
+    never_raises()
+
+
 def test_audio_content_keys_op(spark):
     from realtime_olap_spark.operators.multimodal import audio_content_keys
     from realtime_olap_spark.sources.media import read_media_dir
