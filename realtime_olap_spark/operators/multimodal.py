@@ -5247,12 +5247,19 @@ def _make_audio_content_keyer():
       only packets a re-tag rewrites) and hash every later packet
       byte (lacing concatenation; page headers with their
       re-tag-shifted sequence numbers and CRCs never enter the hash).
+    - WebM/MKV (EBML): hash the FIRST audio track's concatenated
+      codec-frame bytes — SimpleBlock/BlockGroup payloads with Xiph/
+      fixed/EBML lacing unpacked to frames — so a re-MUX of the same
+      audio encode (new cluster grouping, shifted timestamps,
+      different lacing) still collides; block headers, timestamps and
+      every other track never enter the hash.
 
-    Returns ``(kind, key)`` with ``kind`` in ``mp3|flac|ogg`` and
-    ``key`` a signed 64-bit BLAKE2b of ``kind || frame bytes``;
-    ``None`` for malformed tag/container structure; ``"unsupported:
-    …"`` for foreign magic (PCM containers already have decode-side
-    fingerprints). Nested function, captured by value (house rule)."""
+    Returns ``(kind, key)`` with ``kind`` in
+    ``mp3|flac|ogg|webm-audio`` and ``key`` a signed 64-bit BLAKE2b
+    of ``kind || frame bytes``; ``None`` for malformed tag/container
+    structure; ``"unsupported: …"`` for foreign magic (PCM containers
+    already have decode-side fingerprints). Nested function, captured
+    by value (house rule)."""
     import hashlib
     import struct
 
@@ -5361,6 +5368,147 @@ def _make_audio_content_keyer():
             return None
         return key_of("ogg", *chunks)
 
+    # -- EBML (WebM/MKV) audio-track frame walk ---------------------
+    def vint(d, pos, end, keep_marker):
+        if pos >= end:
+            raise ValueError("eof")
+        first = d[pos]
+        if first == 0:
+            raise ValueError("bad vint")
+        n = 1
+        mask = 0x80
+        while not (first & mask):
+            mask >>= 1
+            n += 1
+        if pos + n > end:
+            raise ValueError("eof")
+        if keep_marker:
+            v = 0
+            for i in range(n):
+                v = (v << 8) | d[pos + i]
+        else:
+            v = first & (mask - 1)
+            all_ones = v == mask - 1
+            for i in range(1, n):
+                v = (v << 8) | d[pos + i]
+                all_ones &= d[pos + i] == 0xFF
+            if all_ones:
+                v = -1
+        return v, pos + n, n
+
+    def elements(d, start, end):
+        pos = start
+        while pos < end:
+            eid, pos, _ = vint(d, pos, end, True)
+            size, pos, _ = vint(d, pos, end, False)
+            body_end = end if size < 0 else pos + size
+            if body_end > end:
+                raise ValueError("overruns parent")
+            yield eid, pos, body_end
+            pos = body_end
+
+    def uint_at(d, s, e):
+        v = 0
+        for i in range(s, e):
+            v = (v << 8) | d[i]
+        return v
+
+    def block_frames(d, cs, ce, atrack, out):
+        """Append the codec-frame byte ranges of one (Simple)Block
+        belonging to ``atrack`` — lacing unpacked to frames."""
+        tnum, p, _ = vint(d, cs, ce, False)
+        if tnum != atrack:
+            return
+        if p + 3 > ce:
+            raise ValueError("short block")
+        lace = d[p + 2] & 0x06
+        q = p + 3
+        if lace == 0x00:
+            out.append(d[q:ce])
+            return
+        if q >= ce:
+            raise ValueError("short lacing")
+        cnt = d[q] + 1
+        q += 1
+        sizes = []
+        if lace == 0x02:  # Xiph: 255-continued sizes, last inferred
+            for _ in range(cnt - 1):
+                sz = 0
+                while True:
+                    if q >= ce:
+                        raise ValueError("short xiph lacing")
+                    b = d[q]
+                    q += 1
+                    sz += b
+                    if b != 255:
+                        break
+                sizes.append(sz)
+        elif lace == 0x04:  # fixed: equal sizes, none stored
+            total = ce - q
+            if cnt == 0 or total % cnt:
+                raise ValueError("bad fixed lacing")
+            sizes = [total // cnt] * (cnt - 1)
+        else:  # 0x06 EBML: first unsigned, then signed deltas
+            first, q, _ = vint(d, q, ce, False)
+            if first < 0:
+                raise ValueError("bad ebml lacing")
+            sizes = [first]
+            for _ in range(cnt - 2):
+                raw, q, n = vint(d, q, ce, False)
+                sizes.append(sizes[-1] + raw - ((1 << (7 * n - 1)) - 1))
+        last = ce - q - sum(sizes)
+        if last < 0 or any(s < 0 for s in sizes):
+            raise ValueError("lacing overruns block")
+        sizes.append(last)
+        for s in sizes:
+            out.append(d[q:q + s])
+            q += s
+
+    def webm_audio(d):
+        atrack = None
+        for eid, s, e in elements(d, 0, len(d)):
+            if eid != 0x18538067:  # Segment
+                continue
+            for sid, ss, se in elements(d, s, e):
+                if sid != 0x1654AE6B:  # Tracks
+                    continue
+                for tid, ts, te in elements(d, ss, se):
+                    if tid != 0xAE:
+                        continue
+                    tnum = ttype = None
+                    for fid, fs, fe in elements(d, ts, te):
+                        if fid == 0xD7:
+                            tnum = uint_at(d, fs, fe)
+                        elif fid == 0x83:
+                            ttype = uint_at(d, fs, fe)
+                    if ttype == 2 and tnum is not None:
+                        atrack = tnum
+                        break
+                if atrack is not None:
+                    break
+            break
+        if atrack is None:
+            return "unsupported: no audio track"
+        frames = []
+        for eid, s, e in elements(d, 0, len(d)):
+            if eid != 0x18538067:
+                continue
+            for sid, ss, se in elements(d, s, e):
+                if sid != 0x1F43B675:  # Cluster
+                    continue
+                for cid, cs, ce in elements(d, ss, se):
+                    if cid == 0xA3:  # SimpleBlock
+                        block_frames(d, cs, ce, atrack, frames)
+                    elif cid == 0xA0:  # BlockGroup
+                        for gid, gs, ge in elements(d, cs, ce):
+                            if gid == 0xA1:  # Block
+                                block_frames(d, gs, ge, atrack,
+                                             frames)
+            break
+        if not frames:
+            return None  # audio track declared but no frames reached
+        return key_of("webm-audio", *frames)
+
     def parse(data):
         if not isinstance(data, (bytes, bytearray)):
             return None
@@ -5375,6 +5523,8 @@ def _make_audio_content_keyer():
                 return flac(data)
             if len(data) >= 27 and data[:4] == b"OggS":
                 return ogg(data)
+            if len(data) >= 8 and data[:4] == b"\x1a\x45\xdf\xa3":
+                return webm_audio(data)
             return "unsupported: not a compressed-audio container"
         except (struct.error, IndexError, ValueError):
             return None

@@ -210,6 +210,113 @@ def test_audio_content_key_retag_invariance_flac_and_ogg():
     assert key(_fix("tagged-opus.ogg"))[0] == "ogg"
 
 
+def _webm_with_audio(frames, *, lacing="none", cluster_split=1,
+                     ts_base=0, with_video=True):
+    """Spec-assembled Matroska/WebM (RFC 8794 VINTs, public element
+    ids) carrying an Opus audio track whose codec frames are
+    ``frames`` — groupable into ``cluster_split`` clusters and laced
+    per block (none / xiph / fixed / ebml) to model re-muxes."""
+    import struct
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_multimodal import _ebml_el
+
+    def block(track, rel_ts, blk_frames, lace):
+        head = bytes([0x80 | track]) + struct.pack(">h", rel_ts)
+        if lace == "none":
+            assert len(blk_frames) == 1
+            return _ebml_el(0xA3, head + b"\x00" + blk_frames[0])
+        body = bytes([len(blk_frames) - 1])
+        if lace == "xiph":
+            flags = 0x02
+            for f in blk_frames[:-1]:
+                sz = len(f)
+                body += b"\xff" * (sz // 255) + bytes([sz % 255])
+        elif lace == "fixed":
+            flags = 0x04
+            assert len({len(f) for f in blk_frames}) == 1
+        else:  # ebml
+            flags = 0x06
+            sz = len(blk_frames[0])
+            body += bytes([0x80 | sz]) if sz < 127 else \
+                bytes([0x40 | (sz >> 8), sz & 0xFF])
+            prev = sz
+            for f in blk_frames[1:-1]:
+                delta = len(f) - prev
+                prev = len(f)
+                body += bytes([0x80 | (delta + 0x3F)]) \
+                    if -0x3F <= delta <= 0x3F else None
+        return _ebml_el(0xA3, head + bytes([flags]) + body
+                        + b"".join(blk_frames))
+
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"webm"))
+    entries = b""
+    if with_video:
+        entries += _ebml_el(0xAE, _ebml_el(0xD7, b"\x01")
+                            + _ebml_el(0x83, b"\x01")
+                            + _ebml_el(0x86, b"V_VP8"))
+    entries += _ebml_el(0xAE, _ebml_el(0xD7, b"\x02")
+                        + _ebml_el(0x83, b"\x02")
+                        + _ebml_el(0x86, b"A_OPUS"))
+    tracks = _ebml_el(0x1654AE6B, entries)
+    per = max(1, (len(frames) + cluster_split - 1) // cluster_split)
+    clusters = b""
+    for ci in range(0, len(frames), per):
+        blk_frames = frames[ci:ci + per]
+        body = _ebml_el(0xE7, bytes([(ts_base + ci) & 0x7F]))
+        if lacing == "none":
+            for j, f in enumerate(blk_frames):
+                body += block(2, j, [f], "none")
+                if with_video:  # interleave a foreign-track block
+                    body += block(1, j, [b"\x9d\x01*vid" + f], "none")
+        else:
+            body += block(2, 0, blk_frames, lacing)
+        clusters += _ebml_el(0x1F43B675, body)
+    segment = _ebml_el(0x18538067, tracks + clusters)
+    return header + segment
+
+
+def test_audio_content_key_webm_remux_invariance():
+    """A re-muxed WebM (different cluster grouping, timestamps,
+    lacing scheme, video-track bytes) keys identically iff the audio
+    track's codec frames are identical."""
+    key = M._make_audio_content_keyer()
+    frames = [bytes([i]) * (20 + i * 7) for i in range(6)]
+    base = key(_webm_with_audio(frames, lacing="none"))
+    assert isinstance(base, tuple) and base[0] == "webm-audio"
+    # remuxes: one cluster per frame; xiph-laced; ebml-laced;
+    # shifted timestamps; video track absent
+    assert key(_webm_with_audio(frames, cluster_split=6)) == base
+    assert key(_webm_with_audio(frames, lacing="xiph",
+                                cluster_split=2)) == base
+    assert key(_webm_with_audio(frames, lacing="ebml",
+                                cluster_split=3)) == base
+    assert key(_webm_with_audio(frames, ts_base=9)) == base
+    assert key(_webm_with_audio(frames, with_video=False)) == base
+    # fixed lacing needs equal sizes — equal-size frames, same law
+    eq = [bytes([i]) * 24 for i in range(4)]
+    assert key(_webm_with_audio(eq, lacing="fixed")) \
+        == key(_webm_with_audio(eq, lacing="xiph"))
+    # different audio frames differ; no audio track is unsupported
+    other = key(_webm_with_audio([b"\x07" * 40]))
+    assert other != base
+    assert key(_fix("inter.webm")) == "unsupported: no audio track"
+    # never raises over truncations + bit flips of a real assembly
+    import random
+    data = _webm_with_audio(frames, lacing="xiph")
+    for cut in range(0, len(data), 3):
+        r = key(data[:cut])
+        assert r is None or isinstance(r, (tuple, str))
+    rng = random.Random(7)
+    for _ in range(3000):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = key(bytes(b))
+        assert r is None or isinstance(r, (tuple, str))
+
+
 def test_audio_content_key_retag_invariance_property():
     """Hypothesis pin of the tag-stripping LAW: for arbitrary frame
     bytes and arbitrary generated ID3v2 bodies / ID3v1 / APEv2 tails,
