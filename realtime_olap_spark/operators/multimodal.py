@@ -5253,13 +5253,19 @@ def _make_audio_content_keyer():
       audio encode (new cluster grouping, shifted timestamps,
       different lacing) still collides; block headers, timestamps and
       every other track never enter the hash.
+    - MP4/M4A (ISO-BMFF): hash the FIRST ``soun``-handler track's
+      samples in sample order, reconstructed from the stsc/stsz/stco
+      (co64) tables — an iTunes-style re-tag rewrites ``moov``
+      (``udta``/``ilst``) and shifts every chunk offset, but the
+      sample BYTES are unchanged, so the key collides; fragmented
+      (moof) files are declared unsupported rather than part-hashed.
 
     Returns ``(kind, key)`` with ``kind`` in
-    ``mp3|flac|ogg|webm-audio`` and ``key`` a signed 64-bit BLAKE2b
-    of ``kind || frame bytes``; ``None`` for malformed tag/container
-    structure; ``"unsupported: …"`` for foreign magic (PCM containers
-    already have decode-side fingerprints). Nested function, captured
-    by value (house rule)."""
+    ``mp3|flac|ogg|webm-audio|mp4-audio`` and ``key`` a signed 64-bit
+    BLAKE2b of ``kind || frame bytes``; ``None`` for malformed
+    tag/container structure; ``"unsupported: …"`` for foreign magic
+    (PCM containers already have decode-side fingerprints). Nested
+    function, captured by value (house rule)."""
     import hashlib
     import struct
 
@@ -5509,6 +5515,128 @@ def _make_audio_content_keyer():
             return None  # audio track declared but no frames reached
         return key_of("webm-audio", *frames)
 
+    # -- ISO-BMFF (MP4/M4A) sample-table walk -----------------------
+    def bmff_boxes(d, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack(">I4s", d[pos:pos + 8])
+            body = pos + 8
+            if size == 1:
+                if body + 8 > end:
+                    raise ValueError("truncated largesize")
+                size = struct.unpack(">Q", d[body:body + 8])[0]
+                body += 8
+            elif size == 0:
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError("box overruns scope")
+            yield typ, body, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes inside scope")
+
+    def mp4_sound_tables(d, trak0, trak1):
+        """(stsc, stsz, stco) of one trak IF its handler is
+        ``soun``, else None."""
+        is_sound = False
+        stsc = stsz = stco = None
+        for typ, b0, b1 in bmff_boxes(d, trak0, trak1):
+            if typ != b"mdia":
+                continue
+            for t2, c0, c1 in bmff_boxes(d, b0, b1):
+                if t2 == b"hdlr":
+                    is_sound = d[c0 + 8:c0 + 12] == b"soun"
+                elif t2 == b"minf":
+                    for t3, e0, e1 in bmff_boxes(d, c0, c1):
+                        if t3 != b"stbl":
+                            continue
+                        for t4, f0, f1 in bmff_boxes(d, e0, e1):
+                            if t4 == b"stsc":
+                                stsc = (f0, f1)
+                            elif t4 == b"stsz":
+                                stsz = (f0, f1)
+                            elif t4 in (b"stco", b"co64"):
+                                stco = (t4, f0, f1)
+        if not is_sound:
+            return None
+        return stsc, stsz, stco
+
+    def mp4_audio(d):
+        moov = None
+        saw_moof = False
+        for typ, b0, b1 in bmff_boxes(d, 0, len(d)):
+            if typ == b"moov" and moov is None:
+                moov = (b0, b1)
+            elif typ == b"moof":
+                saw_moof = True
+        if saw_moof:
+            return "unsupported: fragmented mp4"
+        if moov is None:
+            # valid BMFF without a movie box (HEIF stills, bare init
+            # segments) — not an audio container, not corruption
+            return "unsupported: no movie box"
+        tables = None
+        for typ, b0, b1 in bmff_boxes(d, moov[0], moov[1]):
+            if typ == b"trak":
+                tables = mp4_sound_tables(d, b0, b1)
+                if tables is not None:
+                    break
+        if tables is None:
+            return "unsupported: no audio track"
+        stsc, stsz, stco = tables
+        if stsc is None or stsz is None or stco is None:
+            return None
+        # stsz: uniform size or per-sample table
+        p = stsz[0] + 4
+        uniform, count = struct.unpack(">II", d[p:p + 8])
+        if not uniform and stsz[0] + 12 + 4 * count > stsz[1]:
+            return None
+        # stco/co64 chunk offsets
+        kind4, c0, c1 = stco
+        p = c0 + 4
+        n_chunks, = struct.unpack(">I", d[p:p + 4])
+        w = 4 if kind4 == b"stco" else 8
+        if p + 4 + w * n_chunks > c1:
+            return None
+        offsets = [int.from_bytes(d[p + 4 + i * w:p + 4 + (i + 1) * w],
+                                  "big") for i in range(n_chunks)]
+        # stsc: (first_chunk, samples_per_chunk) runs
+        p = stsc[0] + 4
+        n_runs, = struct.unpack(">I", d[p:p + 4])
+        if p + 4 + 12 * n_runs > stsc[1]:
+            return None
+        runs = [struct.unpack(">III", d[p + 4 + i * 12:
+                                        p + 16 + i * 12])[:2]
+                for i in range(n_runs)]
+        if not runs or runs[0][0] != 1 \
+                or any(runs[i][0] >= runs[i + 1][0]
+                       for i in range(len(runs) - 1)):
+            return None
+        chunks = []
+        consumed = 0
+        run_i = 0
+        for ci in range(n_chunks):
+            if consumed >= count:
+                break
+            while run_i + 1 < len(runs) \
+                    and runs[run_i + 1][0] <= ci + 1:
+                run_i += 1
+            spc = min(runs[run_i][1], count - consumed)
+            off = offsets[ci]
+            if uniform:
+                total = spc * uniform
+            else:
+                q = stsz[0] + 12 + 4 * consumed
+                total = sum(struct.unpack(f">{spc}I",
+                                          d[q:q + 4 * spc]))
+            if off + total > len(d):
+                return None  # offsets reach past the payload
+            chunks.append(d[off:off + total])
+            consumed += spc
+        if consumed < count or not chunks:
+            return None
+        return key_of("mp4-audio", *chunks)
+
     def parse(data):
         if not isinstance(data, (bytes, bytearray)):
             return None
@@ -5525,6 +5653,8 @@ def _make_audio_content_keyer():
                 return ogg(data)
             if len(data) >= 8 and data[:4] == b"\x1a\x45\xdf\xa3":
                 return webm_audio(data)
+            if len(data) >= 12 and data[4:8] == b"ftyp":
+                return mp4_audio(data)
             return "unsupported: not a compressed-audio container"
         except (struct.error, IndexError, ValueError):
             return None

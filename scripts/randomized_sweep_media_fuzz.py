@@ -227,10 +227,11 @@ def run(n_seeds: int, base_seed: int) -> int:
         audio = fmt in ("wav", "aiff", "au", "flac", "mp3", "ogg")
         auto = aud_auto if audio else img_auto
         checks = [(fmt, decoders[fmt]), ("auto", auto)]
-        if audio or fmt in ("png", "jpeg", "webm"):
+        if audio or fmt in ("png", "jpeg", "webm", "mp4", "avif"):
             # r16 decode-free content keyer shares the raise contract
             # (tuple = success); png/jpeg exercise its foreign-magic
-            # rejection path, webm the EBML audio-track frame walk
+            # rejection path, webm the EBML audio-track frame walk,
+            # mp4/avif the BMFF sample-table walk
             checks.append(("content-key", content_key))
         if fmt in ("mp3", "flac", "wav", "avi", "png", "apng",
                    "jpeg", "ogg"):

@@ -317,6 +317,101 @@ def test_audio_content_key_webm_remux_invariance():
         assert r is None or isinstance(r, (tuple, str))
 
 
+def _m4a_with_samples(samples, *, tags=b"", mdat_first=True,
+                      spc=2, co64=False):
+    """Minimal spec-assembled ISO-BMFF audio file (ISO/IEC 14496-12
+    box layout): one ``soun`` trak whose stsc/stsz/stco tables place
+    ``samples`` into chunks of ``spc``; ``tags`` lands in
+    ``moov/udta`` (the iTunes re-tag region) and ``mdat_first``
+    flips box order — both shift every chunk offset, which the
+    tables absorb."""
+    def box(typ, body):
+        return struct.pack(">I4s", 8 + len(body), typ) + body
+
+    def full(typ, body, version=0):
+        return box(typ, bytes([version]) + b"\x00\x00\x00" + body)
+
+    ftyp = box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42")
+    payload = b"".join(samples)
+    mdat = box(b"mdat", payload)
+    n = len(samples)
+    chunks = [samples[i:i + spc] for i in range(0, n, spc)]
+
+    def offsets(mdat_pos):
+        offs, p = [], mdat_pos + 8
+        for c in chunks:
+            offs.append(p)
+            p += sum(len(s) for s in c)
+        return offs
+
+    def moov_at(mdat_pos):
+        offs = offsets(mdat_pos)
+        stsc = full(b"stsc", struct.pack(">I", 1)
+                    + struct.pack(">III", 1, spc, 1))
+        stsz = full(b"stsz", struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", len(s))
+                               for s in samples))
+        if co64:
+            stco = full(b"co64", struct.pack(">I", len(offs))
+                        + b"".join(struct.pack(">Q", o)
+                                   for o in offs))
+        else:
+            stco = full(b"stco", struct.pack(">I", len(offs))
+                        + b"".join(struct.pack(">I", o)
+                                   for o in offs))
+        stbl = box(b"stbl", stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12)
+        mdia = box(b"mdia", hdlr + minf)
+        trak = box(b"trak", mdia)
+        udta = box(b"udta", tags) if tags else b""
+        return box(b"moov", trak + udta)
+
+    if mdat_first:
+        mdat_pos = len(ftyp)
+        return ftyp + mdat + moov_at(mdat_pos)
+    # moov first: moov length is offset-independent, so one pass
+    # with a dummy position sizes it, the second writes real offsets
+    dummy = moov_at(0)
+    mdat_pos = len(ftyp) + len(dummy)
+    return ftyp + moov_at(mdat_pos) + mdat
+
+
+def test_audio_content_key_mp4_retag_invariance():
+    """An iTunes-style re-tag (udta/ilst rewritten, box order
+    flipped, chunk offsets shifted, 64-bit offsets) keys identically
+    iff the audio samples are identical."""
+    key = M._make_audio_content_keyer()
+    samples = [bytes([i]) * (15 + i * 3) for i in range(7)]
+    base = key(_m4a_with_samples(samples))
+    assert isinstance(base, tuple) and base[0] == "mp4-audio"
+    big_tag = box_tags = b"\x00" * 900  # shifts offsets by ~1 KiB
+    assert key(_m4a_with_samples(samples, tags=big_tag)) == base
+    assert key(_m4a_with_samples(samples, mdat_first=False,
+                                 tags=box_tags)) == base
+    assert key(_m4a_with_samples(samples, spc=3)) == base
+    assert key(_m4a_with_samples(samples, co64=True)) == base
+    # different samples differ; probe goldens stay honest
+    assert key(_m4a_with_samples([b"\x09" * 44])) != base
+    assert key(_fix("probe.avif")).startswith("unsupported")
+    assert key(_fix("probe.heic")).startswith("unsupported")
+    r = key(_fix("probe.mp4"))
+    assert r is None or isinstance(r, (tuple, str))
+    # truncations + bit flips never raise
+    import random
+    data = _m4a_with_samples(samples, tags=b"\x00" * 40)
+    for cut in range(0, len(data), 3):
+        r = key(data[:cut])
+        assert r is None or isinstance(r, (tuple, str))
+    rng = random.Random(11)
+    for _ in range(3000):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = key(bytes(b))
+        assert r is None or isinstance(r, (tuple, str))
+
+
 def test_audio_content_key_retag_invariance_property():
     """Hypothesis pin of the tag-stripping LAW: for arbitrary frame
     bytes and arbitrary generated ID3v2 bodies / ID3v1 / APEv2 tails,
