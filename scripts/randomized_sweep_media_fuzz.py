@@ -161,6 +161,9 @@ def run(n_seeds: int, base_seed: int) -> int:
                 "apng": mm._make_apng_decoder(),
                 "avi": mm._make_avi_prober()}
     content_key = mm._make_audio_content_keyer()
+    from realtime_olap_spark.operators.keypoints import \
+        _make_keypoint_describer
+    keypoints = _make_keypoint_describer()
     avi_video = mm._make_avi_video_decoder()
     avi_audio = mm._make_avi_audio_decoder()
     tags = mm._make_tags_parser()
@@ -244,6 +247,9 @@ def run(n_seeds: int, base_seed: int) -> int:
             checks.append(("afp", as_contract(afp, list)))
         if not audio and fmt not in ("mp4", "webm", "avif", "avi",
                                      "mp3"):
+            # r16 keypoint describer (list = success) shares the
+            # raise contract through the same auto-decode route
+            checks.append(("keypoints", as_contract(keypoints, list)))
             # r14 perceptual image hash closure (int = success)
             checks.append(("phash", as_contract(phash, int)))
         if not audio and fmt not in ("mp4", "webm", "avif", "avi"):
