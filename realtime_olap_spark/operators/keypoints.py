@@ -20,11 +20,14 @@ Clean-room implementations of three published constructions:
   normalization re-scales content by 1/crop-fraction — still has an
   octave pair within ~1.15x of the original's.
 
-Near-dup join: descriptors are banded into 16 exact-match 16-bit
-bands (plain LSH — at the 50-bit verify radius there is NO pigeonhole
-guarantee; recall is probabilistic, measured on the synthetic-texture
-e2e in tests/test_keypoints.py), verified by 256-bit Hamming, and
-votes are counted per image pair. Measured operating point (planted
+Near-dup join: descriptors are banded into exact-match band keys
+(default 10 bands of 24 bits — plain LSH; at the 42-bit verify
+radius there is NO pigeonhole guarantee; recall is probabilistic,
+measured on the synthetic-texture e2e in tests/test_keypoints.py
+and on true matched pairs: a 70% crop keeps 10/12 matches
+band-reachable, 135-degree rotation 13, half-resolution 11 — all
+>= 2x min_matches), verified by 256-bit Hamming, and votes are
+counted per image pair. Measured operating point (planted
 copies over synthetic textured corpora, verify radius 42): a 70%
 crop scores 11 matched-keypoint votes, 135-degree rotation 28,
 half-resolution 21, a crop of an UNRELATED same-style texture <= 1 —
@@ -34,13 +37,16 @@ toward the noise floor (documented limit).
 
 Scale shape (100 TB): payload is read ONCE in the describe pass and
 never shuffled — descriptors are <= max_kp * octaves rows of 4 longs
-per image. The pair join explodes 16 8-byte band keys per descriptor
-(~1.2k rows/image at defaults), joins on exact band equality with the
+per image. The pair join explodes 10 8-byte band keys per descriptor
+(~720 rows/image at defaults), joins on exact band equality with the
 same hot-bucket cap discipline as the pHash/MinHash joins, and
-verifies candidates with four JVM ``bit_count`` XORs. This is the
-EXPENSIVE deep pass: run it on the pHash-unmatched remainder of a
-corpus (or a flagged subset), not as the first-line dedup — the
-banded-join candidate volume is ~150x a single-hash pHash join's.
+verifies candidates with four JVM ``bit_count`` XORs. Random band
+collisions cost ``n_bands/2^band_bits`` per cross-descriptor pair —
+~6e-7 at the 24-bit default, measured near-linear join growth in
+scripts/scale_soak_keypoints.py, where 16-bit banding was quadratic
+in descriptor density (674M candidates at 33k images). This is still
+the EXPENSIVE deep pass: run it on the pHash-unmatched remainder of
+a corpus (or a flagged subset), not as the first-line dedup.
 
 Reference parity note: pinot-core has no image operators at all —
 extension surface for crawled-image curation.
@@ -61,6 +67,12 @@ DEFAULT_FAST_T = 18
 DEFAULT_MAX_HAMMING = 42
 #: matched-keypoint votes for an image pair
 DEFAULT_MIN_MATCHES = 5
+#: exact-match band width: the recall/candidate-volume dial — random
+#: collisions per descriptor pair scale as n_bands / 2^band_bits, so
+#: 24 keeps the banded join near-linear at corpus scale while true
+#: crop/rotation/rescale matches still clear min_matches (measured);
+#: drop to 16 for maximum recall on bounded subsets
+DEFAULT_BAND_BITS = 24
 
 
 def _make_keypoint_describer(max_kp: int = DEFAULT_MAX_KP,
@@ -258,18 +270,33 @@ def image_keypoint_signatures(df: DataFrame,
         batches, schema=schema)
 
 
-def _descriptor_bands(prefix: str) -> list:
-    """16 exact-match 16-bit band keys from the 4 descriptor words:
-    ``band_idx << 16 | slice`` — 8-byte join keys, JVM shift+mask
-    only."""
+def _descriptor_bands(prefix: str, bits: int) -> list:
+    """``256 // bits`` exact-match band keys sliced MSB-first from
+    the 4 descriptor words (word boundaries crossed with
+    shift-and-or): ``band_idx << bits | slice`` — 8-byte join keys,
+    JVM shift+mask only. ``bits`` is the recall/volume dial: random
+    band collisions scale as ``n_bands / 2^bits`` per descriptor
+    pair, so 16 maximizes recall on bounded subsets while 24 cuts
+    the candidate volume ~400x for corpus-scale runs (measured
+    survival of true matched pairs stays >= 2x min_matches for the
+    crop/rotation/rescale transforms; see module docstring)."""
+    if bits < 8 or bits > 32:
+        raise ValueError(f"band_bits must be in [8, 32]: {bits}")
     out = []
-    for wi in range(4):
-        for j in range(4):
-            band_id = wi * 4 + j
-            out.append(
-                (F.lit(band_id * 65536).cast("long")
-                 + F.shiftright(F.col(f"{prefix}{wi}"), 16 * j)
-                 .bitwiseAND(F.lit(0xFFFF))))
+    mask = (1 << bits) - 1
+    for i in range(256 // bits):
+        start = i * bits
+        j, r = divmod(start, 64)
+        take1 = min(64 - r, bits)
+        part = F.shiftrightunsigned(
+            F.shiftleft(F.col(f"{prefix}{j}"), r), 64 - take1)
+        if take1 < bits:
+            rem = bits - take1
+            part = F.shiftleft(part, rem).bitwiseOR(
+                F.shiftrightunsigned(F.col(f"{prefix}{j + 1}"),
+                                     64 - rem))
+        out.append(F.lit(i * (1 << bits)).cast("long")
+                   + part.bitwiseAND(F.lit(mask)))
     return out
 
 
@@ -285,6 +312,7 @@ def keypoint_near_dup_pairs(sigs: DataFrame,
                             max_hamming: int = DEFAULT_MAX_HAMMING,
                             min_matches: int = DEFAULT_MIN_MATCHES,
                             max_bucket_size: int | None = 4096,
+                            band_bits: int = DEFAULT_BAND_BITS,
                             ) -> DataFrame:
     """Image pairs sharing >= ``min_matches`` matched keypoints, from
     an :func:`image_keypoint_signatures` table: banded LSH candidate
@@ -299,7 +327,8 @@ def keypoint_near_dup_pairs(sigs: DataFrame,
     capped candidates can still meet through their other 15 bands."""
     b = sigs.select(
         "media_id", "kp", "w0", "w1", "w2", "w3",
-        F.explode(F.array(*_descriptor_bands("w"))).alias("__band"))
+        F.explode(F.array(*_descriptor_bands("w", band_bits)))
+        .alias("__band"))
     if max_bucket_size is not None:
         gs = b.groupBy("__band").agg(F.count(F.lit(1)).alias("__n"))
         b = b.join(gs.where(F.col("__n") <= max_bucket_size)
@@ -332,6 +361,7 @@ def keypoint_near_dups(files: DataFrame,
                        max_hamming: int = DEFAULT_MAX_HAMMING,
                        min_matches: int = DEFAULT_MIN_MATCHES,
                        max_bucket_size: int | None = 4096,
+                       band_bits: int = DEFAULT_BAND_BITS,
                        ) -> DataFrame:
     """One-call crop/rotation/rescale-robust near-dup over a
     :func:`sources.media.read_media_dir` frame (or any
@@ -348,4 +378,4 @@ def keypoint_near_dups(files: DataFrame,
     sigs.count()  # the ONE payload pass
     return keypoint_near_dup_pairs(
         sigs, max_hamming=max_hamming, min_matches=min_matches,
-        max_bucket_size=max_bucket_size)
+        max_bucket_size=max_bucket_size, band_bits=band_bits)
