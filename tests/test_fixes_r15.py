@@ -420,7 +420,12 @@ def test_flac_prediction_feedback_bomb_is_gated():
     — unbounded Python ints raised OverflowError at the np.int64
     conversion (contract violation) and cost bignum CPU on the way.
     The first sample past 2^62 now marks the stream malformed (valid
-    streams stay under ~2^53)."""
+    streams stay under ~2^53).
+
+    The payload list is FROZEN at its r15 shape: the seed-pinned
+    draw indexes into the golden list, so the live harness growing
+    new goldens (r16 added Ogg/tagged-FLAC entries) must not silently
+    change which mutation this regression replays."""
     import os as _os
     import random
     import sys
@@ -431,10 +436,33 @@ def test_flac_prediction_feedback_bomb_is_gated():
 
     from realtime_olap_spark.operators.flac import _make_flac_decoder
 
+    r15_goldens = {
+        "png": ["python.png", "file.png", "minus.png",
+                "variant-16bit.png", "variant-pal4-adam7.png",
+                "variant-colorkey.png"],
+        "jpeg": ["python.jpg"], "gif": ["python.gif"],
+        "bmp": ["python.bmp", "variant-core8.bmp",
+                "variant-core24.bmp"],
+        "tiff": ["python.tiff", "variant-planar.tiff",
+                 "variant-planar-tiled.tiff", "variant-jpeg.tiff",
+                 "variant-16bit-deflate.tiff", "variant-planar16.tiff",
+                 "variant-pal16.tiff"],
+        "apng": ["variant-anim.png"],
+        "wav": ["pluck-pcm8.wav", "pluck-pcm16.wav",
+                "pluck-pcm24.wav", "pluck-pcm32.wav"],
+        "aiff": ["pluck-pcm16.aiff", "pluck-pcm8.aiff",
+                 "pluck-ulaw.aifc", "pluck-alaw.aifc"],
+        "au": ["pluck-ulaw.au"], "flac": ["pluck-pcm16.flac"],
+        "mp3": ["test.mp3"], "mp4": ["probe.mp4"],
+        "avi": ["probe.avi", "variant-mjpeg.avi"],
+        "avif": ["probe.avif", "probe.heic"],
+        "webp": ["python.webp"],
+        "webm": ["probe.webm", "inter.webm", "inter2.webm"],
+    }
     fixtures = _os.path.join(_os.path.dirname(__file__), "fixtures")
     payloads = [(fmt, name,
                  open(_os.path.join(fixtures, name), "rb").read())
-                for fmt, names in mz.GOLDENS.items() for name in names]
+                for fmt, names in r15_goldens.items() for name in names]
     rnd = random.Random("media-fuzz-1050946")
     fmt, name, data = payloads[rnd.randrange(len(payloads))]
     _, _, other = payloads[rnd.randrange(len(payloads))]
