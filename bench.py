@@ -228,6 +228,12 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Per-op call-site capture for error contexts costs ~4 py4j round
+        # trips per DataFrame/Column call (conf RPC + origin set/clear +
+        # stack walk): measured 0.86 s -> 0.48 s construction for the
+        # deepest query tree. Pure debugging aid; off on the hot path
+        # (guide §1.2 step 3 — driver-side overhead, not data-dependent).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()

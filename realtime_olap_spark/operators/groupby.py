@@ -70,6 +70,80 @@ def _kcol(k: Key) -> Column:
     return F.col(k.expr) if isinstance(k.expr, str) else k.expr
 
 
+#: Direct MV aggregations whose array fold can be recomputed element-wise
+#: inside an already-exploded aggregate with the identical value (integer
+#: fixed-point / decimal terms are associative; min/max are order-free).
+_FUSED_MV = {"countmv", "minmv", "maxmv", "summv", "avgmv", "minmaxrangemv"}
+
+
+def _fused_scalar_mv(df: DataFrame, elem_col: Column | str,
+                     direct: Sequence[Agg], alist: Sequence[Agg]) -> DataFrame:
+    """One ``posexplode_outer`` pass computing the direct MV folds AND the
+    element-level aggregations together (scalar / no-keys case).
+
+    Value-identity with the fold path, term by term:
+
+    - ``count`` (rows): every source row yields exactly one exploded row
+      with ``__pos`` 0 or NULL (empty/NULL arrays sentinel), so counting
+      those rows is the row count.
+    - ``countmv``: ``count(__pos)`` counts exactly the element rows —
+      equal to ``sum(size(arr))`` (NULL arrays skipped both ways, empty
+      arrays contribute 0).
+    - ``minmv``/``maxmv``/``minmaxrangemv``: min/max over elements ==
+      min/max over per-row array_min/array_max (both ignore NULLs).
+    - ``summv``/``avgmv``: the per-row fx fold is a sum of per-element
+      integer terms (decimal 38,0 — associative, so summing terms
+      directly equals summing row folds); the decimal fallback fold
+      NULL-poisons a row containing a NULL element, reproduced by
+      NULLing every term of such a row via the pre-computed ``__hn``
+      flag; the fx/decimal risk switch is the max of the same per-row
+      risk term, carried through the explode unchanged.
+    """
+    from realtime_olap_spark.operators.aggregation import (DEC, FX,
+                                                           FX_SAFE_RISK,
+                                                           _FX_CLAMP)
+    arr = F.col(elem_col) if isinstance(elem_col, str) else elem_col
+    row_risk = (F.size(arr).cast("double")
+                * F.array_max(F.transform(arr,
+                                          lambda x: F.abs(x.cast("double")))))
+    has_null = F.exists(arr, lambda x: x.isNull())
+    pre = df.select(row_risk.alias("__risk"), has_null.alias("__hn"),
+                    F.posexplode_outer(arr).alias("__pos", "__elem"))
+    eld = F.col("__elem").cast("double")
+    fx_safe = F.when(F.abs(eld) <= F.lit(_FX_CLAMP), eld).otherwise(F.lit(0.0))
+    fx_term = F.floor(fx_safe * F.lit(FX)).cast("decimal(38,0)").cast(DEC)
+    dec_term = F.when(F.col("__hn"), F.lit(None)).otherwise(eld).cast(DEC)
+    risk_ok = (F.coalesce(F.max("__risk"), F.lit(0.0))
+               <= F.lit(FX_SAFE_RISK))
+    fx_sum = F.sum(fx_term).cast("double") / F.lit(float(FX))
+    dec_sum = F.sum(dec_term).cast("double")
+    n_elems = F.count("__pos")
+
+    def build(fn: str) -> Column:
+        if fn == "count":
+            return F.count(
+                F.when(F.coalesce(F.col("__pos"), F.lit(0)) == 0, 1))
+        if fn == "countmv":
+            return n_elems.cast("long")
+        if fn == "minmv":
+            return F.min(eld)
+        if fn == "maxmv":
+            return F.max(eld)
+        if fn == "minmaxrangemv":
+            return (F.max(eld) - F.min(eld)).cast("double")
+        if fn == "summv":
+            return (F.when(risk_ok, fx_sum).otherwise(dec_sum)
+                    .cast("double"))
+        if fn == "avgmv":
+            return (F.when(risk_ok, fx_sum / n_elems)
+                    .otherwise(dec_sum / n_elems).cast("double"))
+        raise KeyError(fn)  # pragma: no cover - guarded by _FUSED_MV
+
+    cols = [build(a.fn.lower()).alias(a.alias) for a in direct]
+    cols += [resolve(a.fn).builder("__elem").alias(a.alias) for a in alist]
+    return pre.agg(*cols)
+
+
 def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
                  where: Column | None = None,
                  num_groups_limit: int | None = None,
@@ -118,14 +192,6 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
             out = out.limit(num_groups_limit)
         return out.select(*key_names, *[a.alias for a in aggs])
 
-    parts: list[DataFrame] = []
-    if direct or not element:
-        cols = [resolve(a.fn).builder(a.col).alias(a.alias) for a in direct]
-        if not cols:  # keep group presence even if all aggs are element-level
-            cols = [F.count(F.lit(1)).alias("__cnt")]
-        parts.append(df.groupBy(*key_names).agg(*cols) if key_names
-                     else df.agg(*cols))
-
     elem_zero: dict[str, Column] = {}
     # All element-level aggs sharing an input column run over ONE exploded
     # relation (one explode + one aggregate), not one per function — the
@@ -139,6 +205,33 @@ def group_by_agg(df: DataFrame, keys: Sequence[Key], aggs: Sequence[Agg],
         spec = resolve(a.fn)
         if spec.empty_value is not None:
             elem_zero[a.alias] = F.lit(spec.empty_value)
+
+    # Scalar fused path: a no-keys query mixing MV folds and element-level
+    # aggs over ONE array column (mv_all_aggs' shape) used to run TWO full
+    # scans — a fold aggregate plus an exploded aggregate — glued by a
+    # cross join. The element pass already visits every element, so the
+    # fold results are recomputed element-wise IN the exploded aggregate
+    # (value-identical: integer/decimal terms are associative; see
+    # _fused_scalar_mv) — one scan, one aggregate, no join.
+    if (not key_names and element and direct and len(elem_groups) == 1):
+        (gk, (elem_col, alist)), = elem_groups.items()
+        if all(a.fn.lower() == "count"
+               or (a.fn.lower() in _FUSED_MV
+                   and (a.col if isinstance(a.col, str) else str(a.col)) == gk)
+               for a in direct):
+            out = _fused_scalar_mv(df, elem_col, direct, alist)
+            fill = [F.coalesce(F.col(a.alias), elem_zero[a.alias])
+                    .alias(a.alias)
+                    if a.alias in elem_zero else a.alias for a in aggs]
+            return out.select(*fill)
+
+    parts: list[DataFrame] = []
+    if direct or not element:
+        cols = [resolve(a.fn).builder(a.col).alias(a.alias) for a in direct]
+        if not cols:  # keep group presence even if all aggs are element-level
+            cols = [F.count(F.lit(1)).alias("__cnt")]
+        parts.append(df.groupBy(*key_names).agg(*cols) if key_names
+                     else df.agg(*cols))
     for elem_col, alist in elem_groups.values():
         # explode_outer: empty/null arrays yield a NULL element row, so the
         # group survives (count-likes see 0 non-null elements, percentiles

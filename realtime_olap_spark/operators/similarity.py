@@ -156,7 +156,14 @@ def ivf_assign_norm(vec_col: str | Column,
         return pd.DataFrame({"cell": dists.argmin(axis=1).astype(np.int32),
                              "nrm": np.sqrt(aa)})
 
-    return _assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    # asNondeterministic: the function IS deterministic, but declaring it
+    # so stops the optimizer from splitting a consumer's constraint filter
+    # (isnotnull(cell)/isnotnull(nrm), inferred from join keys) below the
+    # projection and RE-EVALUATING the UDF above it — the near-dup pair
+    # join paid four Arrow passes over the corpus where two suffice
+    # (2 ArrowEvalPython per side -> 1; optimization guide §4.4 pattern).
+    return _assign.asNondeterministic()(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], centroids: list[list[float]],
