@@ -227,7 +227,17 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Align the bench session with the engine session (session.py):
+        # same Arrow driver-transfer path, parquet aggregate pushdown
+        # (the metadata fast-path queries read footers, not rows), and
+        # the same broadcast threshold so the bench measures the same
+        # physical plans the engine serves. All scale-neutral.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Per-op call-site capture for error contexts costs ~4 py4j round
         # trips per DataFrame/Column call (conf RPC + origin set/clear +
         # stack walk): measured 0.86 s -> 0.48 s construction for the

@@ -94,8 +94,11 @@ def _union_find_local(spark, rows) -> DataFrame:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(
-        [(n, c) for n, c in out if n != c], "node long, component long")
+    # Arrow-path local frame: the list-createDataFrame route costs a
+    # Python-worker round trip (~0.28 s) on EVERY downstream action
+    from realtime_olap_spark.localframe import local_frame  # noqa: PLC0415
+    return local_frame(spark, [(n, c) for n, c in out if n != c],
+                       ["node", "component"], "node long, component long")
 
 
 def _local_contract(e: DataFrame) -> DataFrame:

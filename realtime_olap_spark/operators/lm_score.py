@@ -47,7 +47,8 @@ def train_unigram_freqs(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
-                    freqs: DataFrame | None = None) -> DataFrame:
+                    freqs: DataFrame | None = None,
+                    broadcast_agg: bool = False) -> DataFrame:
     """Per-document mean unigram log-probability ``(id, n_tokens,
     mean_logprob)``. ``freqs`` defaults to training on ``df`` itself
     (self-scoring); pass a persisted table to score new batches against a
@@ -74,6 +75,13 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     agg = (scored.groupBy(id_col)
            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                 (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob")))
+    # ``broadcast_agg``: when the caller scores a SMALL doc set (an
+    # audit trim), the per-doc aggregate is at most |df| rows — hinting
+    # it broadcast turns the closing left join from a sort-merge (two
+    # exchanges + sorts) into a broadcast hash join. Leave False for
+    # corpus-scale scoring, where agg ~ |corpus| must not broadcast.
+    if broadcast_agg:
+        agg = F.broadcast(agg)
     return (df.select(F.col(id_col)).join(agg, id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))

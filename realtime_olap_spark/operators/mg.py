@@ -85,7 +85,13 @@ def mg_topk(df: DataFrame, key: Column | str, k: int,
     deterministic sandwich ``est ≤ true ≤ upper = est + Σdec``, ordered
     by est descending. ``top`` trims to the first N rows
     (TakeOrderedAndProject). One pass + a ≤ k·P-row merge."""
-    parts = mg_partials(df, key, k)
+    # Materialize the bounded partials (≤ (k+1)·P sketch rows, never the
+    # corpus): the global-decrement aggregate below is a SECOND consumer
+    # of this subtree, and without the checkpoint each consumer re-ran
+    # the full scan+MapInPandas pass (the r16 plan capture showed two
+    # identical Scan→Generate→MapInPandas branches). Lazy: the broadcast
+    # build is the materializing action, the main job reuses the blocks.
+    parts = mg_partials(df, key, k).localCheckpoint(eager=False)
     dec_total = F.sum("dec")
     merged = (parts.groupBy("key")
               .agg(F.sum("est").alias("est"), dec_total.alias("_d")))

@@ -64,6 +64,48 @@ def stratified_rank(strata: Sequence[str], key: Column | str) -> Column:
     return F.row_number().over(w)
 
 
+def stratified_rank_probe(universe: DataFrame, probes: DataFrame,
+                          strata: Sequence[str], key: str,
+                          rank_name: str = "strat_rank") -> DataFrame:
+    """``(key, rank)`` for the PROBE rows only, where rank is exactly the
+    value :func:`stratified_rank` assigns them over ``universe`` — but
+    computed as a broadcast count instead of a full window: rank(p) =
+    |{u in p's stratum : (bucket(u), str(u.key)) <= (bucket(p),
+    str(p.key))}| (the string tie-break makes the order total, so the
+    count equals the row_number; ``<=`` includes the probe itself).
+
+    Shape at scale: the window form shuffles and sorts the ENTIRE
+    universe to rank a handful of probes; this form broadcasts the probe
+    rows, scans the universe once with a hash join on the strata plus
+    the ordering residual, and partially aggregates to |probes| counts —
+    no universe shuffle, no sort. Use it when |probes| is small (e.g. a
+    trimmed audit set); the window form remains right for ranking the
+    whole universe. Probe rows absent from the universe still count
+    themselves only if present — pass probes drawn from the universe
+    (the audit use case). Equality with the window form is pinned in
+    tests."""
+    b = _bucket(key)
+    u = universe.select(
+        *[F.col(s) for s in strata], b.alias("__ub"),
+        F.col(key).cast("string").alias("__uk"))
+    p = probes.select(
+        F.col(key).alias("__pid"),
+        *[F.col(s).alias(f"__p_{s}") for s in strata],
+        b.alias("__pb"), F.col(key).cast("string").alias("__pk"))
+    # null-safe: the window form groups NULL strata together, so the
+    # count form must match NULL = NULL too (<=> remains a hashable
+    # equi-key for the broadcast join)
+    strata_eq = [u[s].eqNullSafe(p[f"__p_{s}"]) for s in strata]
+    order_le = (F.col("__ub") < F.col("__pb")) | (
+        (F.col("__ub") == F.col("__pb")) & (F.col("__uk") <= F.col("__pk")))
+    cond = order_le
+    for e in strata_eq:
+        cond = e & cond
+    return (u.join(F.broadcast(p), cond)
+            .groupBy(F.col("__pid").alias(key))
+            .agg(F.count(F.lit(1)).cast("int").alias(rank_name)))
+
+
 def stratified_take(df: DataFrame, strata: Sequence[str], key: Column | str,
                     n: int) -> DataFrame:
     """At most ``n`` rows per stratum, chosen in hash order of the key —

@@ -29,7 +29,18 @@ from realtime_olap_spark.operators.dedup import cosine, dot
 
 
 def _lit_vec(v: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    """ONE parsed array literal instead of len(v)+1 py4j round trips
+    (the ``importance_weights`` LUT construction pattern): the
+    VARCHAR→DOUBLE cast is correctly rounded, so the array is bit-equal
+    to the per-element ``F.lit(float(x))`` form, and Catalyst constant-
+    folds it into a single array literal. A 64-dim query vector built
+    per ``F.lit`` cost ~65 driver round trips — the PQ probe's cosine
+    path builds 17 such vectors (query + 16 LUTs) per plan."""
+    if not v:
+        return F.array().cast("array<double>")
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v)
+        + ")")
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], id_col: str,

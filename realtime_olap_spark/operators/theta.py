@@ -126,9 +126,10 @@ def theta_build(df: DataFrame, key: Column | str, k: int = 4096) -> ThetaSketch:
     if k < 2:
         raise ValueError("k must be >= 2")
     h = theta_hash(key)
-    rows = (df.select(h.alias("h")).where(F.col("h").isNotNull())
-            .distinct().orderBy("h").limit(k + 1).collect())
-    hashes = [r["h"] for r in rows]
+    # Arrow transfer for the bounded k+1 rows (see theta_build_grouped)
+    hashes = [int(v) for v in
+              (df.select(h.alias("h")).where(F.col("h").isNotNull())
+               .distinct().orderBy("h").limit(k + 1).toPandas())["h"]]
     return _from_sorted(hashes, HASH_DOMAIN, k)
 
 
@@ -154,11 +155,16 @@ def theta_build_grouped(df: DataFrame, group_cols: list[str],
     pairs = (df.select(*group_cols, h.alias("h"))
              .where(F.col("h").isNotNull()).distinct())
     w = Window.partitionBy(*group_cols).orderBy("h")
-    rows = (pairs.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k + 1).collect())
+    # Arrow transfer for the BOUNDED result (≤ |groups|·(k+1) rows —
+    # the same bound the collect always had): row-pickled collect pays a
+    # fixed Python-deserializer round trip that the Arrow path does not.
+    pdf = (pairs.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= k + 1).toPandas())
     by_group: dict[tuple, list[int]] = {}
-    for r in rows:
-        by_group.setdefault(tuple(r[g] for g in group_cols), []).append(r["h"])
+    hs_col = pdf["h"].tolist()
+    gs_cols = [pdf[g].tolist() for g in group_cols]
+    for i, hv in enumerate(hs_col):
+        by_group.setdefault(tuple(c[i] for c in gs_cols), []).append(int(hv))
     return {g: _from_sorted(sorted(hs), HASH_DOMAIN, k)
             for g, hs in by_group.items()}
 

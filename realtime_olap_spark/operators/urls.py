@@ -137,9 +137,10 @@ def psl_table(spark, rules) -> DataFrame:
     """The broadcast side of :func:`registered_domain_psl`: one row per
     PSL rule, deduplicated on the join key (exceptions outrank, then the
     longest suffix — mirroring the PSL's own precedence)."""
-    df = spark.createDataFrame(
-        rules, "match_key string, key_depth int, suffix_len int, "
-               "is_exc boolean")
+    from realtime_olap_spark.localframe import local_frame  # noqa: PLC0415
+    df = local_frame(
+        spark, rules, ["match_key", "key_depth", "suffix_len", "is_exc"],
+        "match_key string, key_depth int, suffix_len int, is_exc boolean")
     w_best = F.struct(F.col("is_exc").cast("int").alias("p"),
                       F.col("suffix_len").alias("s"))
     return (df.groupBy("match_key", "key_depth")

@@ -201,6 +201,10 @@ def theta_overlap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
                          TH.theta_estimate(TH.theta_intersect(sa, sb)),
                          TH.theta_estimate(TH.theta_a_not_b(sa, sb)),
                          TH.jaccard_estimate(sa, sb)))
-    return spark.createDataFrame(
-        rows, "type_a string, type_b string, union_est double, "
-              "intersect_est double, a_not_b_est double, jaccard double")
+    from realtime_olap_spark.localframe import local_frame  # noqa: PLC0415
+    return local_frame(
+        spark, rows,
+        ["type_a", "type_b", "union_est", "intersect_est", "a_not_b_est",
+         "jaccard"],
+        "type_a string, type_b string, union_est double, "
+        "intersect_est double, a_not_b_est double, jaccard double")

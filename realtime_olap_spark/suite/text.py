@@ -265,44 +265,67 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs (LM_BUCKET_CUTOFFS) reduce the order-dependent double mean
     to a hash-exact integer tier.
 
-    Plan shape (r16 profile pass — was the suite's slowest query for
+    Plan shape (r16 profile passes — was the suite's slowest query for
     four rounds): every signal except ``strat_rank`` is a PER-ROW
-    property, so the 30-doc trim happens FIRST and the text-heavy
-    passes (quality folds, fingerprint, DSIR hits, contamination
-    grams, LM scoring) run over 30 rows instead of the corpus; only
-    the stratified window still scans the corpus, over a NARROW
-    (doc_id, lang, source) projection with no text processing. On the
-    trimmed rows the interpreted JVM expression fold
+    property, so the 30-doc trim happens FIRST — ONE corpus text scan,
+    materialized (localCheckpoint) and shared by every text-heavy pass
+    (quality folds, fingerprint, DSIR hits, contamination grams,
+    benchmark grams, LM scoring), where the first r16 pass still ran
+    four separate TakeOrderedAndProject corpus scans. ``strat_rank``
+    comes from ``sampling.stratified_rank_probe``: a broadcast
+    count-join over a NARROW (doc_id, lang, source) corpus projection
+    — no corpus shuffle, no sort — instead of the full stratified
+    window (value-identical, pinned in tests/test_sampling.py). All
+    closing joins broadcast their ≤30-row sides (zero exchanges). On
+    the trimmed rows the interpreted JVM expression fold
     (``rolling_fingerprint``) replaces the Arrow pandas_udf fast
     path: one Python-worker stage costs ~0.45 s of round-trip
     overhead regardless of row count (this box's measurement), which
     dwarfs 30 rows of per-char lambda evals — the pandas_udf remains
     the right call for the full-corpus scans
     (``text.rolling_fingerprint_fast`` docstring). A/B at sf0.1:
-    1.31 s -> 0.99 s, outputs bit-equal at sf0.001/0.01/0.1.
-    Full-corpus throughput of the heavy passes stays measured by the
-    dedicated bench entries (``decontam_scan_bench``,
-    ``importance_scan_bench``, ``bench_classifier_scan``)."""
+    1.31 s -> 0.99 s (trim-first), then 0.99 s -> see
+    OPTIMIZATION_r16.md (single-scan + broadcast joins + probe rank);
+    outputs bit-equal at sf0.001/0.01/0.1. Full-corpus throughput of
+    the heavy passes stays measured by the dedicated bench entries
+    (``decontam_scan_bench``, ``importance_scan_bench``,
+    ``bench_classifier_scan``)."""
     from realtime_olap_spark.operators import decontam as DC  # noqa: PLC0415
     from realtime_olap_spark.operators import importance as IMP  # noqa: PLC0415
     from realtime_olap_spark.operators import lm_score as LM  # noqa: PLC0415
     from realtime_olap_spark.operators import sampling as S  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
-    ranks = (d.select("doc_id", "lang", "source")
-             .withColumn("strat_rank",
-                         S.stratified_rank(["lang", "source"], "doc_id"))
-             .select("doc_id", "strat_rank"))
-    trim = d.orderBy("doc_id").limit(30)
-    bench = d.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS).select("text")
+    # ONE corpus text pass materializes the 30-doc trim; the r16 before-
+    # plan ran FOUR separate TakeOrderedAndProject corpus scans (main
+    # projection, contamination grams, benchmark grams, LM tokens) to
+    # produce the same 30 rows (guide §1.2 step 1 / §2.4: don't compute
+    # things twice). Recomputed per call — nothing survives the query.
+    trim_full = (d.select("doc_id", "text", "lang", "source")
+                 .orderBy("doc_id").limit(30).localCheckpoint(eager=True))
+    trim = trim_full.select("doc_id", "text")
+    # first 5 of the first 30 = the global first 5: derive the benchmark
+    # from the trim instead of a second corpus scan
+    bench = (trim_full.orderBy("doc_id").limit(DECONTAM_BENCH_DOCS)
+             .select("text"))
+    # broadcast count-rank over the narrow corpus scan instead of a full
+    # (lang, source) window shuffle+sort: only the 30 probe docs need a
+    # rank (value-identical — pinned in tests/test_sampling.py)
+    ranks = S.stratified_rank_probe(
+        d.select("doc_id", "lang", "source"),
+        trim_full.select("doc_id", "lang", "source"),
+        ["lang", "source"], "doc_id")
     hits = DC.contamination_hits(
         trim, DC.benchmark_gram_hashes(bench, "text", 3),
         "doc_id", "text", 3)
     lm = (LM.unigram_logprob(trim, "doc_id", "text",
-                             freqs=_lm_freqs(spark, sf_dir))
+                             freqs=_lm_freqs(spark, sf_dir),
+                             broadcast_agg=True)
           .select("doc_id",
                   LM.bucket_by_cutoffs(F.col("mean_logprob"),
                                        LM_BUCKET_CUTOFFS).alias("lm_bucket")))
     fav = _dsir_favored(spark, sf_dir)
+    # every join side below is ≤ 30 rows — broadcast them all, so the
+    # closing joins are hash joins with zero exchanges
     return (trim.select("doc_id",
                         *T.quality_features(F.col("text")),
                         T.rolling_fingerprint(F.col("text"))
@@ -311,11 +334,11 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("dsir_fav_hits"))
             .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
-            .join(hits, "doc_id", "left")
+            .join(F.broadcast(hits), "doc_id", "left")
             .withColumn("contam_hits",
                         F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
-            .join(lm, "doc_id", "left")
-            .join(ranks, "doc_id")
+            .join(F.broadcast(lm), "doc_id", "left")
+            .join(F.broadcast(ranks), "doc_id")
             .drop("n_hits")
             .orderBy(F.col("doc_id").asc()).limit(30))
 

@@ -145,3 +145,26 @@ def test_leakage_safe_split_singletons_match_plain_split(spark):
                  d, F.col("doc_id").cast("long"), 0.3).collect()}
     for i in ids[2:]:  # unpaired docs: identical decision to the plain split
         assert safe[i] == plain[i]
+
+
+def test_stratified_rank_probe_equals_window_rank(spark):
+    """The broadcast count-rank (stratified_rank_probe) must assign every
+    probe row exactly the rank the full window form assigns it — the
+    equivalence text_doc_features' restructured strat_rank rides on."""
+    from realtime_olap_spark.operators.sampling import (stratified_rank,
+                                                        stratified_rank_probe)
+    d = Catalog(spark, SF_DIR).table("documents")
+    universe = d.select("doc_id", "lang", "source")
+    # probes: an arbitrary slice (first 25 by doc_id) drawn from the universe
+    probes = universe.orderBy("doc_id").limit(25)
+    got = {r["doc_id"]: r["strat_rank"]
+           for r in stratified_rank_probe(universe, probes,
+                                          ["lang", "source"],
+                                          "doc_id").collect()}
+    want_all = (universe
+                .withColumn("rk", stratified_rank(["lang", "source"],
+                                                  "doc_id"))
+                .collect())
+    probe_ids = {r["doc_id"] for r in probes.collect()}
+    want = {r["doc_id"]: r["rk"] for r in want_all if r["doc_id"] in probe_ids}
+    assert got == want and len(got) == 25
