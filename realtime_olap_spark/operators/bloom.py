@@ -155,11 +155,13 @@ def bloom_build(keys: DataFrame, key_col: str, num_bits: int,
 
 
 def _might_contain_literal(key: Column, bf: BloomFilter) -> Column:
-    """Literal-mode membership: the word array renders as ONE parsed SQL
-    expression (CreateArray of literals constant-folds — the verified
-    cheap-lookup shape; per-element ``F.lit`` py4j calls do not scale),
-    referenced once inside a forall-over-positions lambda."""
-    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in bf.words) + ")")
+    """Literal-mode membership: the word array renders as ONE
+    single-node literal (litarray.lit_longs — constant-folds to the
+    same array Literal as CreateArray, but the analyzer walks one node
+    instead of num_bits/64; per-element ``F.lit`` py4j calls do not
+    scale), referenced once inside a forall-over-positions lambda."""
+    from realtime_olap_spark.litarray import lit_longs  # noqa: PLC0415
+    arr = lit_longs(bf.words)
     pos = bloom_positions(key, bf.num_bits, bf.num_hashes)
     return F.forall(pos, lambda p: (
         F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))

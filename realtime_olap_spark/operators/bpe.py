@@ -200,12 +200,9 @@ def encode_ids(df: DataFrame, text_col: str, merges: list[tuple[str, str]],
     O(1) driver calls and constant-folded."""
     enc = encode(df, text_col, merges, out_col="__tok")
 
-    def sql_str(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    keys = "array(" + ",".join(sql_str(t) for t in vocab) + ")"
-    vals = "array(" + ",".join(str(int(i)) for i in vocab.values()) + ")"
-    vmap = F.expr(f"map_from_arrays({keys}, {vals})")
+    from realtime_olap_spark.litarray import lit_ints, lit_strings  # noqa: PLC0415
+    vmap = F.map_from_arrays(lit_strings(list(vocab)),
+                             lit_ints(vocab.values()))
     # try_element_at: missing map keys are NULL, not an ANSI error
     ids = F.transform(F.col("__tok"),
                       lambda t: F.coalesce(

@@ -80,12 +80,13 @@ class QualityModel:
 
 
 def _lut_expr(values: list[float]) -> Column:
-    """B doubles -> ONE parsed array literal (VARCHAR->DOUBLE casts are
-    correctly rounded and O(1) driver calls — the importance_weights
-    lesson; B F.lit calls would cost seconds of py4j round trips)."""
-    return F.expr(
-        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
-        + ")")
+    """B doubles -> ONE single-node array literal (bit-equal repr
+    round-trip, O(1) driver calls AND O(1) analyzer cost — the
+    importance_weights lesson; B F.lit calls would cost seconds of py4j
+    round trips, a B-child CreateArray costs ~60 ms/1k elements per
+    downstream transformation in the JVM analyzer)."""
+    from realtime_olap_spark.litarray import lit_doubles  # noqa: PLC0415
+    return lit_doubles(values)
 
 
 def _margin(buckets: Column, n_grams: Column, weights: list[float],

@@ -136,8 +136,8 @@ def cms_estimate(spark: SparkSession, key: Column | str, sk: CMSketch,
                 else "broadcast")
     pos = cms_positions(c, sk.width, sk.depth)
     if mode == "literal":
-        arr = F.expr("array(" + ",".join(f"{int(v)}L" for v in sk.counters)
-                     + ")")
+        from realtime_olap_spark.litarray import lit_longs  # noqa: PLC0415
+        arr = lit_longs(sk.counters)
         return F.array_min(F.transform(
             pos, lambda p: F.element_at(arr, p.cast("int") + F.lit(1))))
     if mode == "broadcast":

@@ -98,16 +98,16 @@ def importance_weights(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"lut has {len(lut)} buckets, expected {b}")
     if not all(math.isfinite(x) for x in lut):
         raise ValueError("lut entries must be finite")
-    # ONE parsed array(CAST('…' AS DOUBLE), …) expression instead of B
-    # python-side F.lit calls: literal construction is O(1) driver calls
-    # (B=8192 F.lit columns cost ~4 s of per-literal round trips), the
-    # VARCHAR→DOUBLE cast is correctly rounded (bit-equal to the python
-    # float), and the resulting CreateArray-of-literals is constant-
-    # folded by Catalyst into a single array literal — so the per-gram
-    # cost inside the fold is one O(1) element_at lookup.
-    lut_arr = F.expr(
-        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in lut)
-        + ")")
+    # ONE single-node array literal (litarray.lit_doubles: from_json of
+    # a JSON string, constant-folded) instead of B python-side F.lit
+    # calls (B=8192 F.lit columns cost ~4 s of per-literal round trips)
+    # or a B-child CreateArray tree (the analyzer walks every child on
+    # every downstream transformation — ~0.28 s per withColumn at
+    # B=1024, r16 measurement). Values stay bit-equal (repr round-trip,
+    # pinned in tests); per-gram cost inside the fold is one O(1)
+    # element_at lookup on the folded literal either way.
+    from realtime_olap_spark.litarray import lit_doubles  # noqa: PLC0415
+    lut_arr = lit_doubles(lut)
     w = F.aggregate(
         gram_buckets(F.col(text_col), b),
         F.lit(0.0),
@@ -189,8 +189,8 @@ def favored_hits(text: Column, favored: list[int]) -> Column:
     """Per-doc count of grams landing in favored buckets — an integer
     scan-side fold against the literal bitmap (same zero-shuffle shape
     as ``importance_weights``; same one-call literal construction)."""
-    bitmap = F.expr("array(" + ",".join(str(int(x)) for x in favored)
-                    + ")")
+    from realtime_olap_spark.litarray import lit_ints  # noqa: PLC0415
+    bitmap = lit_ints(favored)
     return F.aggregate(
         gram_buckets_md5(text, len(favored)),
         F.lit(0).cast("long"),

@@ -371,8 +371,8 @@ def pca_shortlist_topk(df: DataFrame, query_vec: list[float],
     qp = ((q - np.asarray(model.mean)) @
           np.asarray(model.components).T).tolist()
     proj = project(df.select(id_col, vec_col), vec_col, model, "__p")
-    qlit = F.expr("array(" + ",".join(
-        f"CAST('{repr(x)}' AS DOUBLE)" for x in qp) + ")")
+    from realtime_olap_spark.litarray import lit_doubles  # noqa: PLC0415
+    qlit = lit_doubles(qp)
     # projected cosine via one zip_with dot + norms (JVM-side folds)
     dot = F.aggregate(F.zip_with("__p", qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)

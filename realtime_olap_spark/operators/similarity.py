@@ -38,9 +38,8 @@ def _lit_vec(v: list[float]) -> Column:
     path builds 17 such vectors (query + 16 LUTs) per plan."""
     if not v:
         return F.array().cast("array<double>")
-    return F.expr(
-        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v)
-        + ")")
+    from realtime_olap_spark.litarray import lit_doubles  # noqa: PLC0415
+    return lit_doubles(v)
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], id_col: str,

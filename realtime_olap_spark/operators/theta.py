@@ -120,16 +120,29 @@ def _from_sorted(entries: list[int], theta: int, k: int) -> ThetaSketch:
 
 
 def theta_build(df: DataFrame, key: Column | str, k: int = 4096) -> ThetaSketch:
-    """Build over a key column. One map-side-combined distinct shuffle
-    over hashes, then TakeOrderedAndProject(k+1) — the driver sees k+1
-    longs. k is the accuracy knob (RSE ≈ 1/sqrt(k-1); 4096 ⇒ ~1.6%)."""
+    """Build over a key column. Partial per-partition top-(k+1) — each
+    scan partition folds its distinct hashes down to its k+1 smallest
+    (one map-side aggregate keyed by ``spark_partition_id``), so the
+    exchange carries ≤ (k+1)·P longs instead of the corpus's full
+    distinct hash set; a final merge keeps the global k+1 smallest.
+    The k+1 smallest global distincts are necessarily among every
+    partition's k+1 smallest, so the result is bit-identical to the
+    distinct+TakeOrdered build (pytest-pinned). k is the accuracy knob
+    (RSE ≈ 1/sqrt(k-1); 4096 ⇒ ~1.6%)."""
     if k < 2:
         raise ValueError("k must be >= 2")
     h = theta_hash(key)
+    k1 = k + 1
+    partial = (df.select(h.alias("h")).where(F.col("h").isNotNull())
+               .groupBy(F.spark_partition_id().alias("__pid"))
+               .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
+                    .alias("__hs")))
     # Arrow transfer for the bounded k+1 rows (see theta_build_grouped)
-    hashes = [int(v) for v in
-              (df.select(h.alias("h")).where(F.col("h").isNotNull())
-               .distinct().orderBy("h").limit(k + 1).toPandas())["h"]]
+    merged = (partial.select(F.explode("__hs").alias("h"))
+              .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
+                   .alias("__hs")).toPandas())
+    hs = merged["__hs"][0] if len(merged) else []
+    hashes = [int(v) for v in hs] if hs is not None else []
     return _from_sorted(hashes, HASH_DOMAIN, k)
 
 
@@ -137,12 +150,15 @@ def theta_build_grouped(df: DataFrame, group_cols: list[str],
                         key: Column | str, k: int = 4096
                         ) -> dict[tuple, ThetaSketch]:
     """One sketch per group value — the reference's group-by
-    DistinctCountThetaSketch shape. Distinct (group, hash) pairs, then a
-    per-group row_number window keeps ≤ k+1 hashes per group before
-    anything reaches the driver: the collect is bounded by
-    |groups|·(k+1), never by the corpus. (The window sorts only the
-    distinct pairs, already one shuffle's worth of reduction; at 100 TB
-    with millions of groups, shrink k or pre-filter groups.)
+    DistinctCountThetaSketch shape. Partial per-(partition, group)
+    top-(k+1): each scan partition folds its distinct hashes per group
+    down to the k+1 smallest map-side, so the exchange carries
+    ≤ |groups|·(k+1) longs per partition instead of ALL distinct
+    (group, hash) pairs; the final per-group merge keeps the global k+1
+    smallest (the k+1 smallest global distincts are necessarily among
+    every partition's k+1 smallest). The collect stays bounded by
+    |groups|·(k+1); at 100 TB with millions of groups, shrink k or
+    pre-filter groups.
 
     Returned sketches share the ungrouped build's hash family, so
     cross-group set ops (audience overlap between two event types) and
@@ -150,23 +166,24 @@ def theta_build_grouped(df: DataFrame, group_cols: list[str],
     tested bit-identical to per-group ``theta_build`` calls."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    from pyspark.sql import Window  # noqa: PLC0415
     h = theta_hash(key)
-    pairs = (df.select(*group_cols, h.alias("h"))
-             .where(F.col("h").isNotNull()).distinct())
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    k1 = k + 1
+    partial = (df.select(*group_cols, h.alias("h"))
+               .where(F.col("h").isNotNull())
+               .groupBy(F.spark_partition_id().alias("__pid"), *group_cols)
+               .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
+                    .alias("__hs")))
     # Arrow transfer for the BOUNDED result (≤ |groups|·(k+1) rows —
     # the same bound the collect always had): row-pickled collect pays a
     # fixed Python-deserializer round trip that the Arrow path does not.
-    pdf = (pairs.withColumn("__rn", F.row_number().over(w))
-           .where(F.col("__rn") <= k + 1).toPandas())
-    by_group: dict[tuple, list[int]] = {}
-    hs_col = pdf["h"].tolist()
+    pdf = (partial.select(*group_cols, F.explode("__hs").alias("h"))
+           .groupBy(*group_cols)
+           .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
+                .alias("__hs")).toPandas())
     gs_cols = [pdf[g].tolist() for g in group_cols]
-    for i, hv in enumerate(hs_col):
-        by_group.setdefault(tuple(c[i] for c in gs_cols), []).append(int(hv))
-    return {g: _from_sorted(sorted(hs), HASH_DOMAIN, k)
-            for g, hs in by_group.items()}
+    return {tuple(c[i] for c in gs_cols):
+            _from_sorted(sorted(int(v) for v in hs), HASH_DOMAIN, k)
+            for i, hs in enumerate(pdf["__hs"].tolist())}
 
 
 def theta_profile(df: DataFrame, cols: list[str], k: int = 4096
