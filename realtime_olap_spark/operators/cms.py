@@ -38,7 +38,16 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_olap_spark.operators.bloom import _LITERAL_MAX_WORDS
+#: Literal-vs-broadcast probe cutoff for CMS counter arrays. Historically
+#: shared bloom's 4096-word cutoff, which guarded the O(N) CreateArray
+#: analysis cost of rendering the counters into the plan; litarray's
+#: single-node literal removed that cost, and the r16 interleaved A/B on
+#: the 32,768-counter gram sketch measured literal mode FASTER than the
+#: pandas-UDF broadcast probe (0.478 s vs 0.531 s min-of-4 at sf0.1)
+#: while removing the ArrowEvalPython boundary (guide §4.1: no corpus
+#: position arrays cross Arrow). Beyond this, plan-embedded megabyte
+#: literals stop paying — broadcast mode takes over.
+_LITERAL_MAX_COUNTERS = 1 << 16
 
 
 @dataclass(frozen=True)
@@ -132,7 +141,7 @@ def cms_estimate(spark: SparkSession, key: Column | str, sk: CMSketch,
     broadcast mode gathers from a numpy array shipped once per executor."""
     c = F.col(key) if isinstance(key, str) else key
     if mode == "auto":
-        mode = ("literal" if len(sk.counters) <= _LITERAL_MAX_WORDS
+        mode = ("literal" if len(sk.counters) <= _LITERAL_MAX_COUNTERS
                 else "broadcast")
     pos = cms_positions(c, sk.width, sk.depth)
     if mode == "literal":
