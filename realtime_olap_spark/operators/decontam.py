@@ -33,9 +33,16 @@ from pyspark.sql import functions as F
 from realtime_olap_spark.operators.text import word_ngrams
 
 
-def ngram_hash_set(text: Column, n: int) -> Column:
+def ngram_hash_set(text: Column | str, n: int) -> Column:
     """Distinct xxhash64 codes of the text's word n-grams (order-free set,
-    8 bytes/gram) — the per-row unit both sides of decontamination share."""
+    8 bytes/gram) — the per-row unit both sides of decontamination share.
+    A ``str`` argument is a SQL expression (typically a column name) and
+    routes through the single-parse sqlexpr twin — the identical tree at
+    ~1/70th the construction cost (plan+value-pinned in
+    tests/test_sqlexpr.py)."""
+    if isinstance(text, str):
+        from realtime_olap_spark.sqlexpr import ngram_hash_set_sql  # noqa: PLC0415
+        return F.expr(ngram_hash_set_sql(text, n))
     return F.array_distinct(
         F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g)))
 
@@ -46,7 +53,7 @@ def benchmark_gram_hashes(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     benchmark; the result is the broadcast side of every decontamination
     scan."""
     return (bench
-            .select(F.explode(ngram_hash_set(F.col(text_col), n))
+            .select(F.explode(ngram_hash_set(text_col, n))
                     .alias("gram_hash"))
             .distinct())
 
@@ -63,7 +70,7 @@ def contamination_hits(docs: DataFrame, bench_hashes: DataFrame,
     only aggregation is over the (rare) matching grams."""
     grams = docs.select(
         F.col(id_col),
-        F.explode(ngram_hash_set(F.col(text_col), n)).alias("gram_hash"))
+        F.explode(ngram_hash_set(text_col, n)).alias("gram_hash"))
     return (grams
             .join(F.broadcast(bench_hashes), "gram_hash")
             .groupBy(id_col)

@@ -227,18 +227,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     scan-side: no explode, no shuffle, one md5 per word; at 100 TB the
     operator costs exactly one pass over the text column.
     """
+    # sqlexpr twins of the hash projection and the bits-fold fingerprint
+    # (plan+value pinned in tests/test_sqlexpr.py): the Column-API build
+    # of the 16 aggregate folds costs ~0.2 s of py4j round trips per
+    # construction; the two single-parse expressions build in ~2 ms.
+    from realtime_olap_spark import sqlexpr as X  # noqa: PLC0415
     hashed = df.select(
         F.col(id_col),
-        F.transform(word_set(text_col), lambda w: word_hash60(w)).alias("__wh"))
-    wh = F.col("__wh")
-    n = F.size(wh)
-    fp = None
-    for j in range(bits):
-        cnt = F.aggregate(wh, F.lit(0).cast("long"),
-                          lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)))
-        term = F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return hashed.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        F.expr(f"transform({X.word_set_sql(text_col)}, "
+               f"w -> {X.word_hash60_sql('w')})").alias("__wh"))
+    return hashed.select(F.col(id_col),
+                         F.expr(X.simhash_fp_sql("__wh", bits))
+                         .alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

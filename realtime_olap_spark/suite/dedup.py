@@ -392,13 +392,13 @@ def _gram_cms(spark: SparkSession, sf_dir: str):
     the hot-key artifact of ``operators/cms``, train-once like the
     content filter above."""
     from realtime_olap_spark.operators import cms as CM  # noqa: PLC0415
-    from realtime_olap_spark.operators import text as TX  # noqa: PLC0415
+    from realtime_olap_spark.sqlexpr import word_ngrams_sql  # noqa: PLC0415
     from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
 
     def build():
         d = Catalog(spark, sf_dir).table("documents")
-        grams = d.select(F.explode(TX.word_ngrams(F.col("text"), 3))
-                         .alias("gram"))
+        grams = d.select(F.explode(
+            F.expr(word_ngrams_sql("text", 3))).alias("gram"))
         return CM.cms_build(grams, "gram", width=8192, depth=4)
 
     return session_memo(spark, sf_dir, "gram_cms", build)
@@ -410,10 +410,10 @@ def cms_hot_grams_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy lookup) cutting the exact groupBy to possibly-hot grams —
     ``operators/cms.heavy_hitters_exact`` throughput at bench SF."""
     from realtime_olap_spark.operators import cms as CM  # noqa: PLC0415
-    from realtime_olap_spark.operators import text as TX  # noqa: PLC0415
+    from realtime_olap_spark.sqlexpr import word_ngrams_sql  # noqa: PLC0415
     d = Catalog(spark, sf_dir).table("documents")
-    grams = d.select(F.explode(TX.word_ngrams(F.col("text"), 3))
-                     .alias("gram"))
+    grams = d.select(F.explode(
+        F.expr(word_ngrams_sql("text", 3))).alias("gram"))
     return CM.heavy_hitters_exact(grams, "gram", CMS_GRAM_THRESHOLD,
                                   _gram_cms(spark, sf_dir),
                                   key_out="gram")

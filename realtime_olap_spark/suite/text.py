@@ -326,11 +326,16 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fav = _dsir_favored(spark, sf_dir)
     # every join side below is ≤ 30 rows — broadcast them all, so the
     # closing joins are hash joins with zero exchanges
+    # sqlexpr twins: identical trees (plan+value pinned in
+    # tests/test_sqlexpr.py), single-parse construction — the Column-API
+    # builds of these three cost ~0.3 s of py4j round trips per query
+    from realtime_olap_spark import sqlexpr as X  # noqa: PLC0415
     return (trim.select("doc_id",
-                        *T.quality_features(F.col("text")),
-                        T.rolling_fingerprint(F.col("text"))
+                        *X.quality_features_sql("text"),
+                        F.expr(X.rolling_fingerprint_sql(
+                            "text", T.FINGERPRINT_MOD))
                         .alias("fingerprint"),
-                        IMP.favored_hits(F.col("text"), fav)
+                        F.expr(X.favored_hits_sql("text", fav))
                         .alias("dsir_fav_hits"))
             .withColumn("in_sample", S.sample_flag("doc_id", 0.2))
             .transform(lambda df: S.train_test_split(df, "doc_id", 0.1))
