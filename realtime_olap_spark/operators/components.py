@@ -189,28 +189,44 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .where(F.col("u") != F.col("v"))
-         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-         .distinct())
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
 
-    # Truncate the INPUT lineage BEFORE the size probe: the edge list
-    # often hangs off a deep plan (e.g. the whole MinHash verify
-    # pipeline), and every star round re-analyzes that logical plan
-    # otherwise — round 0's cost was ~4 s of Catalyst re-analysis on a
-    # 300-edge graph. Checkpointing first also makes the take() probe
-    # below the checkpoint's materializing action, so an over-threshold
-    # graph's distinct edge set is computed ONCE and the star rounds
-    # reuse the cached partitions instead of recomputing the heaviest
-    # stage. (Measured: sizing the loop's shuffle partitions to the
-    # graph on top of this gains nothing — planning time, not task
-    # count, was the overhead — so the session conf is deliberately
-    # left alone: a global shuffle-partition mutation would corrupt
-    # concurrently-planned queries, e.g. the PQL server's.)
+    if small_graph_edges:
+        # RAW size probe, before distinct/checkpoint: union-find is
+        # idempotent under duplicate edges, so the local path doesn't
+        # need the distinct exchange — ≤ threshold RAW rows implies
+        # ≤ threshold distinct edges, and the probe is a bounded take
+        # straight off the filter (r16 A/B on the τ-filtered near-dup
+        # shape: 0.277 s → 0.213 s, output identical). A duplicate-heavy
+        # over-threshold list falls through and gets the distinct probe
+        # below before anything distributed runs.
+        head = e.take(small_graph_edges + 1)
+        if len(head) <= small_graph_edges:
+            return _union_find_local(e.sparkSession, head)
+
+    e = e.distinct()
+    # Truncate the INPUT lineage BEFORE the distinct size probe: the
+    # edge list often hangs off a deep plan (e.g. the whole MinHash
+    # verify pipeline), and every star round re-analyzes that logical
+    # plan otherwise — round 0's cost was ~4 s of Catalyst re-analysis
+    # on a 300-edge graph. Checkpointing first also makes the take()
+    # probe below the checkpoint's materializing action, so an
+    # over-threshold graph's distinct edge set is computed ONCE and the
+    # star rounds reuse the cached partitions instead of recomputing
+    # the heaviest stage. (Measured: sizing the loop's shuffle
+    # partitions to the graph on top of this gains nothing — planning
+    # time, not task count, was the overhead — so the session conf is
+    # deliberately left alone: a global shuffle-partition mutation
+    # would corrupt concurrently-planned queries, e.g. the PQL
+    # server's.)
     if use_local_checkpoint:
         e = e.localCheckpoint(eager=False)
 
     if small_graph_edges:
         head = e.take(small_graph_edges + 1)
         if len(head) <= small_graph_edges:
+            # raw probe overflowed but the DISTINCT edge set fits (a
+            # duplicate-heavy pair list) — still broadcast-solvable
             return _union_find_local(e.sparkSession, head)
         # over threshold: fall through to the star rounds, which reuse
         # the (now partially materialized) checkpointed edge set
