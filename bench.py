@@ -145,24 +145,26 @@ SCOPE_CHANGED = {
 # Drift adjudication (r11 verdict directive #5): a recorded run on this
 # box can drift ~1.1-1.5x per query purely from outside contention (the
 # r11 judge hand-adjudicated six such drifts — all noise). When a query
-# drifts more than ADJUDICATE_RATIO vs the previous round's record AND
-# its defining module is untouched since that record's commit (so a code
-# regression is implausible), the bench re-runs it isolated (back-to-back
-# warmed min-of-5) and records BOTH numbers, so the report carries its
-# own noise adjudication instead of leaving it to the judge.
+# drifts more than ADJUDICATE_RATIO vs the previous round's record, the
+# bench re-runs it isolated (back-to-back warmed min-of-5) and records
+# BOTH numbers, so the report carries its own noise adjudication instead
+# of leaving it to the judge. r16 verdict directive #2: the re-run used
+# to fire only for queries whose defining module was UNTOUCHED since the
+# record's commit — exactly the wrong exemption, since touched queries
+# are the ones a judge most needs isolated numbers for. Now every
+# drifted query is re-run, tagged ``touched: true|false``.
 ADJUDICATE_RATIO = 1.25
 ADJUDICATE_RUNS = 5
 
 
-def _adjudication_candidates(timings: dict, prev: dict,
-                             changed_files: set, query_files: dict,
-                             renames: dict = RENAMES,
-                             ratio: float = ADJUDICATE_RATIO) -> dict:
-    """Pure trigger logic (unit-tested): {name: prev_sec} for queries
-    whose recorded min drifted > ratio vs the previous round AND whose
-    defining module is not in the changed-file set. ``query_files``
-    maps query name -> repo-relative module path (None = unknown ->
-    treated as touched, no adjudication)."""
+def _adjudication_candidates_tagged(timings: dict, prev: dict,
+                                    changed_files: set, query_files: dict,
+                                    renames: dict = RENAMES,
+                                    ratio: float = ADJUDICATE_RATIO) -> dict:
+    """Pure trigger logic (unit-tested): {name: {"prev": sec, "touched":
+    bool}} for queries whose recorded min drifted > ratio vs the previous
+    round. ``touched`` = the query's defining module changed since the
+    record's commit (None/unknown module path counts as touched)."""
     out = {}
     for old_name, old_sec in prev.items():
         name = renames.get(old_name, old_name)
@@ -170,21 +172,53 @@ def _adjudication_candidates(timings: dict, prev: dict,
         if cur is None or old_sec <= 0 or cur <= ratio * old_sec:
             continue
         qfile = query_files.get(name)
-        if qfile is None or qfile in changed_files:
-            continue
-        out[name] = old_sec
+        out[name] = {"prev": old_sec,
+                     "touched": qfile is None or qfile in changed_files}
     return out
+
+
+def _adjudication_candidates(timings: dict, prev: dict,
+                             changed_files: set, query_files: dict,
+                             renames: dict = RENAMES,
+                             ratio: float = ADJUDICATE_RATIO) -> dict:
+    """Back-compat untouched-only view of the tagged trigger:
+    {name: prev_sec} for drifted queries whose module is unchanged."""
+    tagged = _adjudication_candidates_tagged(timings, prev, changed_files,
+                                             query_files, renames, ratio)
+    return {n: d["prev"] for n, d in tagged.items() if not d["touched"]}
+
+
+def _bench_record_paths() -> list[str]:
+    """BENCH record paths in comparison order, oldest first. Canonical
+    per-round records (``BENCH_r<N>.json``) sort by round number and
+    ALWAYS rank above variant records like the driver's low-core-count
+    ``BENCH_r16_c8.json`` — a lexical sort used to pick the c8 file as
+    the newest, silently comparing a 32-core run against an 8-core
+    record (weakening both the >2x regression check and the drift
+    adjudication trigger)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_r*.json"))
+
+    def rank(p: str) -> tuple:
+        name = os.path.basename(p)
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m:
+            return (1, int(m.group(1)), name)
+        m = re.search(r"BENCH_r(\d+)", name)
+        return (0, int(m.group(1)) if m else -1, name)
+
+    return sorted(paths, key=rank)
 
 
 def _changed_files_since_prev_bench() -> set | None:
     """Repo-relative paths changed since the previous bench record's
-    commit (the commit that last touched the newest usable
+    commit (the commit that last touched the newest usable canonical
     BENCH_r*.json), or None when git/history is unavailable —
-    callers treat None as 'everything touched' (no adjudication)."""
-    import glob
+    callers treat None as 'everything touched'."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths = _bench_record_paths()
     if not paths:
         return None
     newest = os.path.basename(paths[-1])
@@ -392,25 +426,30 @@ def main() -> None:
     }
     # Regression check against the previous round's record (>2x per query).
     prev, prev_round = _load_prev_bench()
-    # Noise self-adjudication: >1.25x drifts on untouched modules get an
-    # isolated warmed min-of-5 re-run recorded alongside the suite number.
+    # Noise self-adjudication: EVERY >1.25x drift gets an isolated warmed
+    # min-of-5 re-run recorded alongside the suite number, tagged with
+    # whether the query's module changed since the compared record
+    # (r16 verdict directive #2 — touched modules used to be exempt).
     adjudicated = {}
     if prev:
         changed = _changed_files_since_prev_bench()
-        if changed is not None:
-            qfiles = {n: _query_module_file(registry[n]) for n in names}
-            cands = _adjudication_candidates(timings, prev, changed,
-                                             qfiles)
-            for name, old_sec in cands.items():
-                runs = []
-                for _ in range(ADJUDICATE_RUNS):
-                    start = time.perf_counter()
-                    registry[name](spark, sf_dir) \
-                        .write.format("noop").mode("overwrite").save()
-                    runs.append(round(time.perf_counter() - start, 4))
-                adjudicated[name] = {
-                    "prev": old_sec, "suite_min": timings[name],
-                    "isolated_min5": min(runs), "isolated_runs": runs}
+        qfiles = {n: _query_module_file(registry[n]) for n in names}
+        cands = _adjudication_candidates_tagged(
+            timings, prev, changed if changed is not None else set(),
+            qfiles)
+        for name, info in cands.items():
+            runs = []
+            for _ in range(ADJUDICATE_RUNS):
+                start = time.perf_counter()
+                registry[name](spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - start, 4))
+            adjudicated[name] = {
+                "prev": info["prev"], "suite_min": timings[name],
+                # git history unavailable -> can't prove untouched
+                "touched": (info["touched"] if changed is not None
+                            else True),
+                "isolated_min5": min(runs), "isolated_runs": runs}
     if prev:
         regressions = {}
         for old_name, old_sec in prev.items():
@@ -442,10 +481,7 @@ def _load_prev_bench() -> tuple[dict[str, float], int | None]:
     'parsed' key (with the raw stdout in 'tail'); also accept a bare
     bench JSON. The round number (from the filename) lets the caller
     decide whether the record predates a query's scope change."""
-    import glob
-    import re
-    here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths = _bench_record_paths()
     # Newest first; fall through records whose 'parsed' is null (r6's line
     # was truncated by the driver's tail capture) to the newest usable one.
     for path in reversed(paths):

@@ -165,12 +165,22 @@ def agg_percentile(col: Column | str, pct: float) -> Column:
     return F.percentile(_c(col).cast("double"), F.lit(pct / 100.0))
 
 
-def agg_percentile_est(col: Column | str, pct: float, accuracy: int = 10000) -> Column:
+#: Accuracy of every approx-percentile sketch in the engine. The merged
+#: same-column percentile families (groupby._merged_agg_columns) fold N
+#: PERCENTILEEST/TDIGEST calls into ONE percentile_approx(col, array(p…),
+#: acc) — merged and unmerged paths MUST use the same accuracy or their
+#: values silently diverge (r16 verdict item 8; pinned in test_opt_r17).
+PERCENTILE_APPROX_ACCURACY = 10000
+
+
+def agg_percentile_est(col: Column | str, pct: float,
+                       accuracy: int = PERCENTILE_APPROX_ACCURACY) -> Column:
     # PercentileEstAggregationFunction.java:33 — QuantileDigest approximate.
     return F.percentile_approx(_c(col).cast("double"), F.lit(pct / 100.0), F.lit(accuracy))
 
 
-def agg_percentile_tdigest(col: Column | str, pct: float, accuracy: int = 10000) -> Column:
+def agg_percentile_tdigest(col: Column | str, pct: float,
+                           accuracy: int = PERCENTILE_APPROX_ACCURACY) -> Column:
     # PercentileTDigestAggregationFunction.java:37 — TDigest; Spark's
     # approx_percentile is the engine-native mergeable quantile sketch.
     return F.percentile_approx(_c(col).cast("double"), F.lit(pct / 100.0), F.lit(accuracy))

@@ -33,16 +33,25 @@ from pyspark.sql import functions as F
 from realtime_olap_spark.operators.text import word_ngrams
 
 
+_PLAIN_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def ngram_hash_set(text: Column | str, n: int) -> Column:
     """Distinct xxhash64 codes of the text's word n-grams (order-free set,
     8 bytes/gram) — the per-row unit both sides of decontamination share.
-    A ``str`` argument is a SQL expression (typically a column name) and
-    routes through the single-parse sqlexpr twin — the identical tree at
+    A ``str`` argument is a COLUMN NAME (the convention every operator's
+    str argument follows, e.g. ``dedup.word_set``); plain identifiers
+    route through the single-parse sqlexpr twin — the identical tree at
     ~1/70th the construction cost (plan+value-pinned in
-    tests/test_sqlexpr.py)."""
+    tests/test_sqlexpr.py) — and anything else (reserved words, names
+    containing operators) takes the F.col path so it can never be
+    misparsed as a SQL expression (r16 ADVICE #1)."""
     if isinstance(text, str):
-        from realtime_olap_spark.sqlexpr import ngram_hash_set_sql  # noqa: PLC0415
-        return F.expr(ngram_hash_set_sql(text, n))
+        if _PLAIN_IDENT.match(text):
+            # backtick-quoted so even a reserved word parses as a name
+            from realtime_olap_spark.sqlexpr import ngram_hash_set_sql  # noqa: PLC0415
+            return F.expr(ngram_hash_set_sql(f"`{text}`", n))
+        text = F.col(text)
     return F.array_distinct(
         F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g)))
 

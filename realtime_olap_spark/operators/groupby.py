@@ -127,8 +127,12 @@ def _merged_agg_columns(alist: Sequence["Agg"],
             if key[0] == "exact":
                 agg_cols.append(F.percentile(c, pcts).alias(slot))
             else:
+                from realtime_olap_spark.operators.aggregation import \
+                    PERCENTILE_APPROX_ACCURACY  # noqa: PLC0415
                 agg_cols.append(
-                    F.percentile_approx(c, pcts, F.lit(10000)).alias(slot))
+                    F.percentile_approx(
+                        c, pcts,
+                        F.lit(PERCENTILE_APPROX_ACCURACY)).alias(slot))
         pos = next(j for j, (idx, _, _) in enumerate(groups[key])
                    if idx == i)
         post.append(F.element_at(F.col(slot), pos + 1).alias(a.alias))

@@ -15,11 +15,19 @@ function renders exactly the tree its Column-builder counterpart in
 `operators/{text,dedup,importance,decontam}.py` builds, and the
 counterpart's docstring remains the contract. String arguments are SQL
 EXPRESSIONS (a bare column name is the common case), not quoted names.
+
+Parser assumption (r16 ADVICE #2): every escaped string literal here
+(``_WS_RE``, the punct/upper regexes) is rendered for the DEFAULT
+``spark.sql.parser.escapedStringLiterals=false``. Under the legacy
+``true`` setting ``'\\s+'`` parses to a different regex and every twin
+would silently diverge from its Column builder — so the first ``F.expr``
+construction per session asserts the conf (``_check_parser_conf``) and
+raises loudly instead.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.operators.text import LANG_MARKERS
@@ -28,9 +36,43 @@ from realtime_olap_spark.operators.text import LANG_MARKERS
 #: escape character inside Spark SQL string literals).
 _WS_RE = r"'\\s+'"
 
+_parser_conf_ok: set[str] = set()
+
+
+def _check_parser_conf() -> None:
+    """Raise if the active session parses string literals in legacy mode
+    (escapedStringLiterals=true), under which every backslash literal in
+    this module means a different string than its Column twin. Checked
+    once per session (the conf RPC costs a py4j round trip — the very
+    overhead this module exists to remove); no active session (pure
+    string rendering, e.g. under a bare driver) skips the check."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    key = spark.sparkContext.applicationId
+    if key in _parser_conf_ok:
+        return
+    flag = spark.conf.get("spark.sql.parser.escapedStringLiterals",
+                          "false")
+    if str(flag).lower() == "true":
+        raise RuntimeError(
+            "sqlexpr twins require spark.sql.parser."
+            "escapedStringLiterals=false (the default); the session has "
+            "the legacy mode enabled, under which these SQL strings parse "
+            "to different regexes than their Column builders")
+    _parser_conf_ok.add(key)
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    safe for any marker content (r16 ADVICE #3: a future fr profile
+    could legitimately contain an apostrophe, e.g. l')."""
+    return "'" + s.replace("'", "''") + "'"
+
 
 def words_sql(text: str) -> str:
     """operators.text.words — whitespace tokens of the lowercased text."""
+    _check_parser_conf()
     return f"filter(split(lower({text}), {_WS_RE}), w -> w != '')"
 
 
@@ -91,12 +133,14 @@ def favored_hits_sql(text: str, favored: list[int]) -> str:
 
 def quality_features_sql(text: str) -> list[Column]:
     """operators.text.quality_features — the six aliased signal columns."""
+    _check_parser_conf()
     ws = words_sql(text)
     n_tok = f"size({ws})"
     n_chars = f"length({text})"
     stop_terms = "0"
     for m in LANG_MARKERS["en"]:
-        stop_terms += f" + ({n_tok} - size(array_remove({ws}, '{m}')))"
+        stop_terms += (f" + ({n_tok} - size(array_remove({ws}, "
+                       f"{_sql_str(m)})))")
     n_punct = (f"({n_chars} - length(regexp_replace({text}, "
                f"'[^\\\\w\\\\s]', '')))")
     n_upper = f"({n_chars} - length(regexp_replace({text}, '[A-Z]', '')))"

@@ -13,7 +13,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from bench import (_adjudication_candidates, _changed_files_since_prev_bench,
+from bench import (_adjudication_candidates,
+                   _adjudication_candidates_tagged,
+                   _bench_record_paths,
+                   _changed_files_since_prev_bench,
                    _query_module_file)
 
 
@@ -31,6 +34,46 @@ def test_trigger_fires_only_for_drifted_untouched_queries():
     changed = {"realtime_olap_spark/suite/text.py", "bench.py"}
     got = _adjudication_candidates(timings, prev, changed, qfiles)
     assert got == {"q_noisy": 0.40}
+
+
+def test_tagged_trigger_includes_touched_queries():
+    """r16 verdict directive #2: drifted queries on TOUCHED modules must
+    also get an isolated re-run, tagged touched=True — the exemption used
+    to hide exactly the numbers a judge needs. Unknown module paths count
+    as touched (can't prove otherwise)."""
+    prev = {"q_noisy": 0.40, "q_touched": 0.30, "q_unknown": 0.10,
+            "q_steady": 0.50}
+    timings = {"q_noisy": 0.58, "q_touched": 0.60, "q_unknown": 0.20,
+               "q_steady": 0.51}
+    qfiles = {"q_noisy": "realtime_olap_spark/suite/aggs.py",
+              "q_touched": "realtime_olap_spark/suite/text.py",
+              "q_unknown": None,
+              "q_steady": "realtime_olap_spark/suite/aggs.py"}
+    changed = {"realtime_olap_spark/suite/text.py"}
+    got = _adjudication_candidates_tagged(timings, prev, changed, qfiles)
+    assert got == {"q_noisy": {"prev": 0.40, "touched": False},
+                   "q_touched": {"prev": 0.30, "touched": True},
+                   "q_unknown": {"prev": 0.10, "touched": True}}
+    # the back-compat untouched-only view stays consistent with it
+    assert _adjudication_candidates(timings, prev, changed, qfiles) \
+        == {"q_noisy": 0.40}
+
+
+def test_bench_record_order_prefers_canonical_round_files():
+    """The comparison base must be the newest CANONICAL per-round record
+    (BENCH_r<N>.json); variant records like the driver's 8-core
+    BENCH_r16_c8.json must never outrank it (a lexical sort did)."""
+    paths = _bench_record_paths()
+    names = [os.path.basename(p) for p in paths]
+    assert names, "repo carries BENCH records"
+    import re
+    assert re.fullmatch(r"BENCH_r\d+\.json", names[-1]), names[-1]
+    canonical = [n for n in names if re.fullmatch(r"BENCH_r\d+\.json", n)]
+    rounds = [int(re.match(r"BENCH_r(\d+)", n).group(1)) for n in canonical]
+    assert rounds == sorted(rounds)
+    if "BENCH_r16_c8.json" in names:
+        assert names.index("BENCH_r16_c8.json") \
+            < names.index("BENCH_r16.json")
 
 
 def test_trigger_respects_renames_and_unknown_files():
