@@ -119,30 +119,56 @@ def _from_sorted(entries: list[int], theta: int, k: int) -> ThetaSketch:
     return ThetaSketch(tuple(below), theta, k)
 
 
+def _partial_topk_hashes(src: DataFrame, k1: int) -> DataFrame:
+    """Per-scan-partition k1 smallest DISTINCT values of the single
+    ``h bigint`` column of ``src`` (no NULLs), as ≤ k1 output rows per
+    partition — the bounded-state KMV partial.
+
+    The r16 shape (``groupBy(spark_partition_id)`` +
+    ``slice(array_sort(collect_set))``) was NOT bounded: collect_set's
+    partial buffer holds the partition's ENTIRE distinct set in one
+    unspillable ImperativeAggregate buffer, and the exchange ships that
+    buffer (the slice runs post-merge) — O(distinct) memory AND bytes
+    (r16 verdict item 3; plan-verified). Here each task folds Arrow
+    batches of hashes into a running k1-smallest numpy array — state
+    O(k1 + batch), one pass, nothing shuffled — and emits k1 longs."""
+
+    def fold(batches):  # closure: pickled by value (driver-sim rule)
+        import numpy as _np
+        import pyarrow as _pa
+
+        run = _np.empty(0, dtype=_np.int64)
+        for b in batches:
+            vals = b.column(0).to_numpy(zero_copy_only=False)
+            run = _np.unique(_np.concatenate([run, vals]))[:k1]
+        yield _pa.record_batch([_pa.array(run, type=_pa.int64())],
+                               names=["h"])
+
+    return src.mapInArrow(fold, "h bigint")
+
+
 def theta_build(df: DataFrame, key: Column | str, k: int = 4096) -> ThetaSketch:
     """Build over a key column. Partial per-partition top-(k+1) — each
-    scan partition folds its distinct hashes down to its k+1 smallest
-    (one map-side aggregate keyed by ``spark_partition_id``), so the
-    exchange carries ≤ (k+1)·P longs instead of the corpus's full
-    distinct hash set; a final merge keeps the global k+1 smallest.
-    The k+1 smallest global distincts are necessarily among every
-    partition's k+1 smallest, so the result is bit-identical to the
-    distinct+TakeOrdered build (pytest-pinned). k is the accuracy knob
-    (RSE ≈ 1/sqrt(k-1); 4096 ⇒ ~1.6%)."""
+    scan partition folds its hashes down to its k+1 smallest distinct
+    in O(k) state (:func:`_partial_topk_hashes`), so the exchange
+    carries ≤ (k+1)·P longs instead of the corpus's full distinct hash
+    set; the bounded merge (distinct over ≤ (k+1)·P rows +
+    TakeOrdered(k+1)) keeps the global k+1 smallest. The k+1 smallest
+    global distincts are necessarily among every partition's k+1
+    smallest, so the result is bit-identical to the distinct+TakeOrdered
+    build (pytest-pinned). k is the accuracy knob (RSE ≈ 1/sqrt(k-1);
+    4096 ⇒ ~1.6%)."""
     if k < 2:
         raise ValueError("k must be >= 2")
     h = theta_hash(key)
     k1 = k + 1
-    partial = (df.select(h.alias("h")).where(F.col("h").isNotNull())
-               .groupBy(F.spark_partition_id().alias("__pid"))
-               .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
-                    .alias("__hs")))
-    # Arrow transfer for the bounded k+1 rows (see theta_build_grouped)
-    merged = (partial.select(F.explode("__hs").alias("h"))
-              .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
-                   .alias("__hs")).toPandas())
-    hs = merged["__hs"][0] if len(merged) else []
-    hashes = [int(v) for v in hs] if hs is not None else []
+    src = df.select(h.alias("h")).where(F.col("h").isNotNull())
+    # distinct dedups cross-partition repeats of the same hash; both the
+    # distinct and the TakeOrderedAndProject run over ≤ (k+1)·P rows.
+    # Arrow transfer for the bounded k+1 rows (see theta_build_grouped).
+    merged = (_partial_topk_hashes(src, k1)
+              .distinct().orderBy("h").limit(k1).toPandas())
+    hashes = [int(v) for v in merged["h"]]
     return _from_sorted(hashes, HASH_DOMAIN, k)
 
 
@@ -168,19 +194,49 @@ def theta_build_grouped(df: DataFrame, group_cols: list[str],
         raise ValueError("k must be >= 2")
     h = theta_hash(key)
     k1 = k + 1
-    partial = (df.select(*group_cols, h.alias("h"))
-               .where(F.col("h").isNotNull())
-               .groupBy(F.spark_partition_id().alias("__pid"), *group_cols)
-               .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
-                    .alias("__hs")))
-    # Arrow transfer for the BOUNDED result (≤ |groups|·(k+1) rows —
-    # the same bound the collect always had): row-pickled collect pays a
-    # fixed Python-deserializer round trip that the Arrow path does not.
-    pdf = (partial.select(*group_cols, F.explode("__hs").alias("h"))
-           .groupBy(*group_cols)
+    gcols = list(group_cols)
+    src = (df.select(*gcols, h.alias("h"))
+           .where(F.col("h").isNotNull()))
+
+    # Per-(partition, group) bounded KMV partial — the grouped twin of
+    # _partial_topk_hashes: one dict of ≤ k1-long numpy arrays per task
+    # (state O(groups·k1), emitted rows ≤ groups·k1 per partition), where
+    # the r16 collect_set shape buffered every group's FULL distinct set
+    # in unspillable aggregate buffers and shipped them whole (r16
+    # verdict item 3). Group values pass through untouched as 1-row
+    # slices of the original frame, so any group-column dtype survives.
+    def fold(batches):  # closure: pickled by value (driver-sim rule)
+        import numpy as _np
+        import pandas as _pd
+
+        state: dict = {}
+        for pdf_in in batches:
+            for gkey, sub in pdf_in.groupby(gcols, dropna=False,
+                                            sort=False):
+                arr = sub["h"].to_numpy(dtype=_np.int64)
+                ent = state.get(gkey)
+                if ent is None:
+                    state[gkey] = [sub.iloc[:1].drop(columns=["h"]),
+                                   _np.unique(arr)[:k1]]
+                else:
+                    ent[1] = _np.unique(
+                        _np.concatenate([ent[1], arr]))[:k1]
+        outs = []
+        for gframe, run in state.values():
+            rep = (gframe.loc[gframe.index.repeat(len(run))]
+                   .reset_index(drop=True))
+            rep["h"] = run
+            outs.append(rep)
+        if outs:
+            yield _pd.concat(outs, ignore_index=True)
+
+    partial = src.mapInPandas(fold, src.schema)
+    # Bounded merge: ≤ (k+1)·P rows per group enter the collect_set (the
+    # same bound the final collect always had), then Arrow transfer.
+    pdf = (partial.groupBy(*gcols)
            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k1)
                 .alias("__hs")).toPandas())
-    gs_cols = [pdf[g].tolist() for g in group_cols]
+    gs_cols = [pdf[g].tolist() for g in gcols]
     return {tuple(c[i] for c in gs_cols):
             _from_sorted(sorted(int(v) for v in hs), HASH_DOMAIN, k)
             for i, hs in enumerate(pdf["__hs"].tolist())}
