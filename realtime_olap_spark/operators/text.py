@@ -77,8 +77,13 @@ def detect_language(text: Column, profiles: dict[str, list[str]] | None = None,
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(text))
+    """Whitespace token count — the number of ``\\S+`` runs, which equals
+    ``size(words(text))`` for every string (non-empty split segments ARE
+    the non-space runs, and lowercasing moves no token boundary; parity
+    pinned in tests/test_opt_r17.py). ``regexp_count`` counts matches
+    without materializing a token array per row (r17, guide §1.2 step 2:
+    ~10%% off the text_token_budget scan at sf0.1)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -88,8 +93,10 @@ def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish subword count: runs of letters, runs of digits, and single
     non-space punctuation each count as one token — the standard cheap
     proxy for tokenizer cost used to budget training data. RE2-compatible
-    alternation (no lookarounds) so any regex engine agrees."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    alternation (no lookarounds) so any regex engine agrees. Counted via
+    ``regexp_count`` (no per-row match-array materialization; value-
+    identical to ``size(regexp_extract_all(...))``, pinned)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
 def quality_features(text: Column) -> list[Column]:

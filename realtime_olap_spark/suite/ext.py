@@ -151,8 +151,22 @@ def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact cross-engine."""
     from realtime_olap_spark.operators.gapfill import gapfill, time_bucket
     ev = Catalog(spark, sf_dir).table("events")
-    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
-             .agg(F.sum(F.col("value").cast("decimal(38,10)")).alias("dec_value")))
+    # ONE corpus scan feeds both branches (r17; the r16 shape scanned
+    # events once per branch): the (event_type, hour) cells carry the
+    # hourly counts AND per-cell decimal value sums, and the daily
+    # branch rolls cells up to days — decimal(38,10) addition is
+    # associative/exact, so sum-of-cell-sums is bit-identical to the
+    # direct per-day sum (the dsum contract), and with a UTC session
+    # cast(hour_bucket AS DATE) == cast(ts AS DATE). The tiny cell
+    # frame is localCheckpoint'd (lazy) so branch-B column pruning
+    # cannot split the two consumers back into two scans.
+    hb_all = time_bucket(
+        ev, "ts", 3600, ["event_type"],
+        [F.count(F.lit(1)).alias("n_obs"),
+         F.sum(F.col("value").cast("decimal(38,10)")).alias("__dec")]
+    ).localCheckpoint(eager=False)
+    daily = (hb_all.groupBy(F.col("bucket").cast("date").alias("day"))
+             .agg(F.sum("__dec").alias("dec_value")))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     old = daily.select(
         F.lit("daily").alias("marker"),
@@ -163,8 +177,7 @@ def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("long").alias("running_n"),
         F.lit(None).cast("long").alias("is_filled"))
-    hb = time_bucket(ev, "ts", 3600, ["event_type"],
-                     [F.count(F.lit(1)).alias("n_obs")])
+    hb = hb_all.drop("__dec")
     filled = gapfill(hb, "bucket", ["event_type"], ["n_obs"], 3600,
                      how="locf")
     wrun = (Window.partitionBy("event_type").orderBy("bucket")

@@ -117,3 +117,26 @@ def test_sqlexpr_rejects_legacy_parser_mode(spark):
     # and the default mode passes + caches (second call, no raise)
     X.words_sql("text")
     X.words_sql("text")
+
+
+def test_token_count_regexp_count_parity(spark):
+    """token_count / bpe_ish_token_count now count matches via
+    regexp_count instead of materializing token arrays — value-identical
+    to the array forms on whitespace/punct/unicode edge cases."""
+    from realtime_olap_spark.operators.text import (BPE_ISH_PATTERN,
+                                                    bpe_ish_token_count,
+                                                    token_count, words)
+
+    rows = [("",), ("   ",), ("a",), (" a  b\tc\nd ",),
+            ("Hello, WORLD!! a1b2 3.14 -- x_y",),
+            ("tab\t\tdouble  space\r\nmix",), ("1+1=2; 'quoted'",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        token_count(F.col("text")).alias("nt"),
+        bpe_ish_token_count(F.col("text")).alias("nb")).collect()
+    want = df.select(
+        F.size(words(F.col("text"))).alias("nt"),
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_ISH_PATTERN), 0)).alias("nb")
+    ).collect()
+    assert got == want
