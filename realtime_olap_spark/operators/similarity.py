@@ -212,15 +212,24 @@ def ivf_index_write(df: DataFrame, path: str, centroids: list[list[float]],
 
 def ivf_topk_indexed(spark, path: str, query_vec: list[float],
                      centroids: list[list[float]], id_col: str,
-                     vec_col: str, k: int = 10, nprobe: int = 2) -> DataFrame:
+                     vec_col: str, k: int = 10, nprobe: int = 2,
+                     frame: DataFrame | None = None) -> DataFrame:
     """Probe a materialized IVF index (``ivf_index_write`` layout): the
     cell filter hits the partition directories (PartitionFilters in the
     plan — plan-asserted in tests), so only nprobe/K of the corpus is
     listed, read, or scored; exact cosine top-k within the probed cells.
-    Returns exactly the rows ``ivf_topk`` computes on the fly."""
+    Returns exactly the rows ``ivf_topk`` computes on the fly.
+
+    ``frame`` (optional) supplies an already-resolved DataFrame over
+    ``path`` — re-resolving ``spark.read.parquet`` per probe costs a
+    schema/footer job plus ~0.1 s of DataSource resolution; callers that
+    probe repeatedly should memoize the read (suite does, via
+    ``session_memo(materialize=False)`` so the value stays a FileScan
+    with partition pruning intact)."""
     probes = _nearest_centroids(query_vec, centroids, nprobe)
     v = F.col(vec_col)
-    return (spark.read.parquet(path)
+    idx = frame if frame is not None else spark.read.parquet(path)
+    return (idx
               .where(F.col("cell").isin(probes))
               .select(F.col(id_col), cosine(v, _lit_vec(query_vec)).alias("cos"))
               .orderBy(F.col("cos").desc(), F.col(id_col).asc())

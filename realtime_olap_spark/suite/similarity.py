@@ -158,8 +158,17 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle's fold rendering is equality-tested, so the oracle is
     unchanged."""
     path = _ensure_ivf_index(spark, sf_dir)
+    # the resolved index frame is an ingest-time handle like a catalog
+    # table: memoize it unmaterialized (plan-level reuse, FileScan +
+    # partition pruning intact) so repeated probes skip the per-query
+    # schema/footer job + DataSource re-resolution (r17 item 6)
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+    frame = session_memo(spark, sf_dir, "ivf_frame",
+                         lambda: spark.read.parquet(path),
+                         materialize=False)
     return S.ivf_topk_indexed(spark, path, QUERY_VEC, CENTROIDS,
-                              "vec_id", "embedding", k=10, nprobe=2)
+                              "vec_id", "embedding", k=10, nprobe=2,
+                              frame=frame)
 
 
 @query("sim_topk_per_label", f"""
@@ -233,7 +242,12 @@ def pq_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe-side cost of the compressed 100 TB ANN layout."""
     path, books = _ensure_pq_index(spark, sf_dir)
     from realtime_olap_spark.operators import pq as PQ
-    idx = spark.read.parquet(path)
+    # memoized unmaterialized read — same ingest-time-handle discipline
+    # as Catalog.table / the IVF probe frame (r17 item 6)
+    from realtime_olap_spark.suite.memo import session_memo  # noqa: PLC0415
+    idx = session_memo(spark, sf_dir, "pq_frame",
+                       lambda: spark.read.parquet(path),
+                       materialize=False)
     return PQ.pq_topk_rerank(idx, QUERY_VEC, books, 10, shortlist=100)
 
 

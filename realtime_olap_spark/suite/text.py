@@ -325,7 +325,10 @@ def text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        LM_BUCKET_CUTOFFS).alias("lm_bucket")))
     fav = _dsir_favored(spark, sf_dir)
     # every join side below is ≤ 30 rows — broadcast them all, so the
-    # closing joins are hash joins with zero exchanges
+    # closing joins are hash joins with zero exchanges. (r17 examined
+    # pre-joining the three sides into ONE broadcast: it ADDED a job —
+    # the combined side's nested broadcasts serialize what the three
+    # independent broadcast-exchange threads build concurrently.)
     # sqlexpr twins: identical trees (plan+value pinned in
     # tests/test_sqlexpr.py), single-parse construction — the Column-API
     # builds of these three cost ~0.3 s of py4j round trips per query
