@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 #: the 32,768-counter gram sketch measured literal mode FASTER than the
 #: pandas-UDF broadcast probe (0.478 s vs 0.531 s min-of-4 at sf0.1)
 #: while removing the ArrowEvalPython boundary (guide §4.1: no corpus
-#: position arrays cross Arrow). Beyond this, plan-embedded megabyte
+#: position arrays cross Arrow). r17 measured AT this cutoff (16384x4 =
+#: 65,536 counters, interleaved min-of-6, rows identical): literal
+#: 0.331 s vs broadcast 0.346 s — the boundary itself is now measured,
+#: not extrapolated (r16 ADVICE #4). Beyond it, plan-embedded multi-MB
 #: literals stop paying — broadcast mode takes over.
 _LITERAL_MAX_COUNTERS = 1 << 16
 

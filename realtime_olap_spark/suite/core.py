@@ -139,6 +139,37 @@ def _probe(df: DataFrame, tag: str, cond, metric: str) -> DataFrame:
             .select(F.lit(tag).alias("pred"), "cnt", "total"))
 
 
+def _probe_fused(df: DataFrame, probes: list) -> DataFrame:
+    """N predicate probes over ONE scan of ``df`` (r17, guide §2.4): the
+    r16 shape unioned N independent scalar aggregates, re-scanning the
+    fact table once per probe. Conditional aggregation computes every
+    probe's COUNT/sum in a single pass — ``count(when(pred, 1))`` counts
+    exactly the rows ``where(pred)`` keeps (NULL predicates drop both
+    ways), and ``sum(cast(when(pred, metric) AS DEC))`` feeds the same
+    decimal terms dsum summed, so the values are bit-identical. The
+    OR-of-all-predicates pre-filter keeps scan pushdown (rows failing
+    every probe contribute to none). One row per probe comes back via a
+    literal struct explode. ``probes``: [(tag, cond, metric_col), ...].
+    """
+    from realtime_olap_spark.operators.aggregation import DEC  # noqa: PLC0415
+    any_pred = probes[0][1]
+    for _, cond, _ in probes[1:]:
+        any_pred = any_pred | cond
+    aggs = []
+    for i, (_, cond, metric) in enumerate(probes):
+        aggs.append(F.count(F.when(cond, 1)).alias(f"__c{i}"))
+        aggs.append(F.sum(F.when(cond, F.col(metric)).cast(DEC))
+                    .alias(f"__s{i}"))
+    row = df.where(any_pred).agg(*aggs)
+    out = F.array(*[
+        F.struct(F.lit(tag).alias("pred"),
+                 F.col(f"__c{i}").alias("cnt"),
+                 F.col(f"__s{i}").cast("double").alias("total"))
+        for i, (tag, _, _) in enumerate(probes)])
+    return (row.select(F.explode(out).alias("r"))
+            .select("r.pred", "r.cnt", "r.total"))
+
+
 @query("filter_basic", f"""
 SELECT 'eq' AS pred, COUNT(*) AS cnt, {OSUM('l_extendedprice')} AS total
 FROM lineitem WHERE l_returnflag = 'R'
@@ -158,16 +189,16 @@ def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     request.thrift:25-34), one aggregate row per predicate."""
     c = Catalog(spark, sf_dir)
     li, o = c.table("lineitem"), c.table("orders")
-    return (_probe(li, "eq", P.eq("l_returnflag", "R"), "l_extendedprice")
-            .unionByName(_probe(li, "neq", P.neq("l_linestatus", "O"),
-                                "l_extendedprice"))
-            .unionByName(_probe(o, "in",
-                                P.isin("o_orderpriority", ["1-URGENT", "2-HIGH"]),
-                                "o_totalprice"))
-            .unionByName(_probe(o, "not_in",
-                                P.not_in("o_orderpriority",
-                                         ["5-LOW", "4-NOT SPECIFIED"]),
-                                "o_totalprice")))
+    # one scan per TABLE (conditional probes), not one per predicate
+    return (_probe_fused(li, [
+                ("eq", P.eq("l_returnflag", "R"), "l_extendedprice"),
+                ("neq", P.neq("l_linestatus", "O"), "l_extendedprice")])
+            .unionByName(_probe_fused(o, [
+                ("in", P.isin("o_orderpriority", ["1-URGENT", "2-HIGH"]),
+                 "o_totalprice"),
+                ("not_in", P.not_in("o_orderpriority",
+                                    ["5-LOW", "4-NOT SPECIFIED"]),
+                 "o_totalprice")])))
 
 
 @query("filter_range_regex_tree", f"""
@@ -207,9 +238,13 @@ def filter_range_regex_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.and_(P.eq("l_returnflag", "A"),
                P.range_("l_quantity", low=25, low_inclusive=False)),
         P.and_(P.eq("l_linestatus", "O"), P.between("l_discount", 0.02, 0.05)))
-    return (_probe(li, "between", between, "l_quantity")
-            .unionByName(_probe(li, "range_excl", range_excl, "l_quantity"))
+    # the three lineitem probes share ONE scan (conditional aggregation,
+    # OR-pushdown); UNION order is reshaped to match the oracle's rows —
+    # the driver canon sorts rows, so branch order is irrelevant
+    return (_probe_fused(li, [
+                ("between", between, "l_quantity"),
+                ("range_excl", range_excl, "l_quantity"),
+                ("tree", tree, "l_extendedprice")])
             .unionByName(_probe(p, "regexp",
                                 P.regexp_like("p_name", "^(red|blue) .*"),
-                                "p_retailprice"))
-            .unionByName(_probe(li, "tree", tree, "l_extendedprice")))
+                                "p_retailprice")))
