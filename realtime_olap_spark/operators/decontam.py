@@ -27,25 +27,30 @@ Spark shape mirrors the MinHash band join in ``operators/dedup.py``.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from realtime_olap_spark.operators.text import word_ngrams
 
 
-_PLAIN_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_PLAIN_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def ngram_hash_set(text: Column | str, n: int) -> Column:
     """Distinct xxhash64 codes of the text's word n-grams (order-free set,
     8 bytes/gram) — the per-row unit both sides of decontamination share.
-    A ``str`` argument is a COLUMN NAME (the convention every operator's
-    str argument follows, e.g. ``dedup.word_set``); plain identifiers
-    route through the single-parse sqlexpr twin — the identical tree at
-    ~1/70th the construction cost (plan+value-pinned in
-    tests/test_sqlexpr.py) — and anything else (reserved words, names
-    containing operators) takes the F.col path so it can never be
-    misparsed as a SQL expression (r16 ADVICE #1)."""
+    A ``str`` argument is a COLUMN NAME under ``F.col`` semantics (the
+    convention every operator's str argument follows, e.g.
+    ``dedup.word_set`` — so dots still mean struct-field access; r17
+    narrowed this from the short-lived r16 treat-as-SQL-expression
+    behavior per ADVICE #1: pass a Column for expressions). Plain
+    identifiers route through the single-parse sqlexpr twin — the
+    identical tree at ~1/70th the construction cost (plan+value-pinned
+    in tests/test_sqlexpr.py), backtick-quoted so reserved words parse
+    as names — and anything else takes the F.col path, so a name
+    containing operators cannot be parsed as an expression."""
     if isinstance(text, str):
         if _PLAIN_IDENT.match(text):
             # backtick-quoted so even a reserved word parses as a name

@@ -36,21 +36,24 @@ from realtime_olap_spark.operators.text import LANG_MARKERS
 #: escape character inside Spark SQL string literals).
 _WS_RE = r"'\\s+'"
 
-_parser_conf_ok: set[str] = set()
+import weakref
+
+_parser_conf_ok: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _check_parser_conf() -> None:
     """Raise if the active session parses string literals in legacy mode
     (escapedStringLiterals=true), under which every backslash literal in
     this module means a different string than its Column twin. Checked
-    once per session (the conf RPC costs a py4j round trip — the very
-    overhead this module exists to remove); no active session (pure
-    string rendering, e.g. under a bare driver) skips the check."""
+    once per SESSION OBJECT via a WeakSet — zero py4j round trips on the
+    warm path (the very overhead this module exists to remove), and a
+    ``spark.newSession()`` (new object, shared applicationId) gets its
+    own check. Limits, by design: a session that flips the conf AFTER
+    its first render is not re-checked (re-checking per render would
+    re-add an RPC per construction), and rendering with no active
+    session skips the check (pure string building)."""
     spark = SparkSession.getActiveSession()
-    if spark is None:
-        return
-    key = spark.sparkContext.applicationId
-    if key in _parser_conf_ok:
+    if spark is None or spark in _parser_conf_ok:
         return
     flag = spark.conf.get("spark.sql.parser.escapedStringLiterals",
                           "false")
@@ -60,7 +63,7 @@ def _check_parser_conf() -> None:
             "escapedStringLiterals=false (the default); the session has "
             "the legacy mode enabled, under which these SQL strings parse "
             "to different regexes than their Column builders")
-    _parser_conf_ok.add(key)
+    _parser_conf_ok.add(spark)
 
 
 def _sql_str(s: str) -> str:

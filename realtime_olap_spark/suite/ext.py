@@ -156,9 +156,14 @@ def ext_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hourly counts AND per-cell decimal value sums, and the daily
     # branch rolls cells up to days — decimal(38,10) addition is
     # associative/exact, so sum-of-cell-sums is bit-identical to the
-    # direct per-day sum (the dsum contract), and with a UTC session
-    # cast(hour_bucket AS DATE) == cast(ts AS DATE). The tiny cell
-    # frame is localCheckpoint'd (lazy) so branch-B column pruning
+    # direct per-day sum (the dsum contract), and cast(hour_bucket AS
+    # DATE) == cast(ts AS DATE) whenever the session timezone offset is
+    # whole-hour aligned (UTC is pinned at both engine entry points —
+    # __spark_entry__ and session.get_spark; a fractional-offset session
+    # like +05:30 driving this suite function DIRECTLY would land
+    # boundary events on the wrong day, the same class of session-TZ
+    # dependence the pinned entry points exist to rule out). The tiny
+    # cell frame is localCheckpoint'd (lazy) so branch-B column pruning
     # cannot split the two consumers back into two scans.
     hb_all = time_bucket(
         ev, "ts", 3600, ["event_type"],
